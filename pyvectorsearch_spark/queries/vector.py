@@ -1,0 +1,140 @@
+"""Vector-search queries with DuckDB oracles — the reference's query surface
+(exact kNN + ε-range, ``/root/reference/include/pktree.hpp:948-973,933-939``)
+run as Spark DataFrame plans over the driver's ``embeddings`` table.
+
+Probe set: the first ``N_PROBES`` vectors of the table itself (deterministic,
+no synthesized data). Distances are double, computed with identical
+accumulation order in Spark and DuckDB, rounded to 6 dp only in the projected
+output (ordering uses full precision; ties broken by neighbor_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.functions.vector import duckdb_l2_sq
+from pyvectorsearch_spark.operators.knn import knn_join, range_join, topk_global
+from pyvectorsearch_spark.sources.tables import load_table
+
+DIM = 64
+N_PROBES = 8
+K = 5
+RADIUS = 1.1  # Euclidean; reference squares it internally (pktree.hpp:938)
+
+
+def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch exact kNN (search_knn analog, pktree.hpp:948-973)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_join(emb, _probes(spark, sf_dir), K)
+    return out.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank"
+    )
+
+
+def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ε-range search (search_range analog, pktree.hpp:933-939)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = range_join(emb, _probes(spark, sf_dir), RADIUS)
+    return out.select("query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"))
+
+
+def q_knn_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe top-k via TakeOrderedAndProject (example_cpp usage:
+    one key, k=5, sorted — main.cpp:68-72). Probe = all-zeros vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = topk_global(emb, [0.0] * DIM, 10, payload=["label"])
+    return out.select(
+        "neighbor_id", F.round("dist", 6).alias("dist_sq"), "label"
+    )
+
+
+def q_vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label aggregate over a vector expression (norms) — exercises the
+    array kernels inside groupBy/agg."""
+    from pyvectorsearch_spark.functions.vector import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.withColumn("norm_sq", dot("embedding", "embedding"))
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("norm_sq"), 6).alias("avg_norm_sq"),
+            F.round(F.min("norm_sq"), 6).alias("min_norm_sq"),
+            F.round(F.max("norm_sq"), 6).alias("max_norm_sq"),
+        )
+        .orderBy("label")
+    )
+
+
+_D = duckdb_l2_sq("q.qvec", "e.embedding", DIM)
+
+ORACLE_KNN = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_PROBES}
+), pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_D} AS d
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, neighbor_id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(d, 6) AS dist_sq, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+ORACLE_RANGE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_PROBES}
+)
+SELECT q.query_id, e.vec_id AS neighbor_id, round({_D}, 6) AS dist_sq
+FROM q CROSS JOIN embeddings e
+WHERE {_D} <= {RADIUS} * {RADIUS}
+"""
+
+_DZ = (
+    f"list_sum(list_transform(range(1, {DIM + 1}), i -> "
+    f"CAST(e.embedding[i] AS DOUBLE) ^ 2))"
+)
+
+ORACLE_TOPK_GLOBAL = f"""
+SELECT e.vec_id AS neighbor_id, round({_DZ}, 6) AS dist_sq, e.label
+FROM embeddings e
+ORDER BY {_DZ}, e.vec_id
+LIMIT 10
+"""
+
+_NORM = (
+    f"list_sum(list_transform(range(1, {DIM + 1}), i -> "
+    f"CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
+)
+
+ORACLE_NORM_STATS = f"""
+WITH n AS (SELECT label, {_NORM} AS norm_sq FROM embeddings)
+SELECT label, count(*) AS n, round(avg(norm_sq), 6) AS avg_norm_sq,
+       round(min(norm_sq), 6) AS min_norm_sq, round(max(norm_sq), 6) AS max_norm_sq
+FROM n GROUP BY label ORDER BY label
+"""
+
+QUERIES = {
+    "knn_bruteforce": q_knn_bruteforce,
+    "range_search": q_range_search,
+    "knn_topk_global": q_knn_topk_global,
+    "vector_norm_stats": q_vector_norm_stats,
+}
+
+ORACLES = {
+    "knn_bruteforce": ORACLE_KNN,
+    "range_search": ORACLE_RANGE,
+    "knn_topk_global": ORACLE_TOPK_GLOBAL,
+    "vector_norm_stats": ORACLE_NORM_STATS,
+}

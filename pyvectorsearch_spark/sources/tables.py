@@ -1,0 +1,61 @@
+"""Table sources.
+
+The driver materializes deterministic TPC-H-ish parquet under
+``/root/testdata/sf{0.001,0.01,0.1}/`` (see TESTDATA.md). The reference's only
+source is a CSV scan (``/root/reference/example_cpp/main.cpp:16-41``); the
+Spark equivalent is ``spark.read.csv`` with an explicit schema — no
+``inferSchema`` in production paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Schema of the reference's dutch_cities.csv
+# (/root/reference/example_cpp/dutch_cities.csv:1 header; the example consumes
+# only city/lat/lng, main.cpp:30-36).
+CITIES_SCHEMA = T.StructType(
+    [
+        T.StructField("city", T.StringType()),
+        T.StructField("lat", T.FloatType()),
+        T.StructField("lng", T.FloatType()),
+        T.StructField("country", T.StringType()),
+        T.StructField("iso2", T.StringType()),
+        T.StructField("admin_name", T.StringType()),
+        T.StructField("capital", T.StringType()),
+        T.StructField("population", T.LongType()),
+        T.StructField("population_proper", T.LongType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst pushes filters/column pruning into it."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each table as a temp view so operators can be written in SQL."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_cities_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV scan analog of the reference example's ``read_cities``
+    (``/root/reference/example_cpp/main.cpp:16-41``): header-skipping read with
+    a declared schema; the lat/lng pair is the 2-d index point."""
+    return spark.read.csv(path, header=True, schema=CITIES_SCHEMA)
