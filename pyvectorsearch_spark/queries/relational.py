@@ -1,0 +1,513 @@
+"""Relational operator coverage with DuckDB oracles.
+
+The reference has no relational layer (SURVEY.md §2.4: projections/filters only
+implicit, aggregations limited to counters, windows/sorts/set-ops absent) — the
+engine provides the full surface via Spark DataFrame plans; this module is the
+category-by-category evidence, TPC-H-flavored over the driver tables.
+
+Conventions for oracle parity: every computed column aliased identically on
+both sides; money sums rounded to 2 dp, ratios/avgs to 6 dp; orderings always
+carry an id tiebreaker; window frames stated explicitly (Spark's default frame
+for an ordered window is RANGE, which differs from ROWS under ties).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- aggregations -----------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: big scan → groupBy two low-cardinality keys → 8 aggs.
+    Partial aggregation (map-side combine) keeps the shuffle tiny at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: selective filter → single agg. All three predicates
+    push down to the parquet scan (verified in tests via the explain plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+ORACLE_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- joins ------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join → agg → top-10. customer is broadcast
+    (small dim); lineitem⋈orders co-shuffles on the order key."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, dims broadcast, revenue per nation."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS) + aggregation: customers with no orders, by
+    segment. left_anti avoids materializing the non-matching side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- windows ----------------------------------------------------------------
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window — the same pattern the kNN join
+    uses; k=3 most expensive orders per customer, limited to a key range so
+    the output stays oracle-sized."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+ORACLE_TOPK_ORDERS = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, CAST(rn AS INT) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders WHERE o_custkey < 100
+) WHERE rn <= 3
+"""
+
+
+def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user sum over event time — explicit ROWS frame (Spark's
+    default ordered-window frame is RANGE, which merges timestamp ties)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+ORACLE_RUNNING = """
+SELECT user_id, event_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+       AS running_value
+FROM events WHERE user_id < 20
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag(ts) → new-session flag on gap > 30 min → cumulative
+    session index → per-session rollup. One shuffle on user_id; both windows
+    reuse the same partitioning."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_idx", F.sum("is_new").over(wsum))
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE user_id < 50
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS session_start, round(sum(value), 6) AS session_value
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+# --- grouping sets / pivot --------------------------------------------------
+
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): subtotal + grand-total rows."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns (explicit value list → no extra pass
+    to discover categories; at scale an implicit pivot is two jobs)."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("O").alias("n_open"),
+        F.col("F").alias("n_filled"),
+        F.col("P").alias("n_partial"),
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- set operations ---------------------------------------------------------
+
+def customer_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: nations having customers vs suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("op", F.lit("both"))
+    cust_only = c.distinct().exceptAll(s.distinct()).withColumn("op", F.lit("customer_only"))
+    return both.unionByName(cust_only).select("op", "nationkey").orderBy("op", "nationkey")
+
+
+ORACLE_SET_OPS = """
+SELECT 'both' AS op, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'customer_only' AS op, nationkey FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey FROM supplier
+)
+ORDER BY op, nationkey
+"""
+
+
+# --- scalar string/date functions ------------------------------------------
+
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions: substring/upper/length/LIKE/concat inside a
+    grouped plan."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("%PROMO%") | F.col("p_type").like("%ECONOMY%"))
+        .withColumn("brand_num", F.substring("p_name", 1, 4))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+            F.max(F.upper("p_type")).alias("max_type_upper"),
+            F.round(F.avg(F.length("p_name")), 6).alias("avg_name_len"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_BRAND = """
+SELECT p_brand, count(*) AS n_parts,
+       round(avg(p_retailprice), 6) AS avg_price,
+       max(upper(p_type)) AS max_type_upper,
+       round(avg(length(p_name)), 6) AS avg_name_len
+FROM part
+WHERE p_type LIKE '%PROMO%' OR p_type LIKE '%ECONOMY%'
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def order_date_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar functions: year/quarter/month extraction + grouped aggs."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("yr", F.year("o_orderdate").cast("int"))
+        .withColumn("qtr", F.quarter("o_orderdate").cast("int"))
+        .groupBy("yr", "qtr")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+ORACLE_DATES = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY 1, 2 ORDER BY yr, qtr
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch form of the streaming windowed agg):
+    date_trunc to the hour × event_type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .filter(F.col("hour") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 6) AS total_value
+FROM events
+WHERE date_trunc('hour', ts) < TIMESTAMP '2024-01-03 00:00:00'
+GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_volume": q5_region_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "customers_without_orders": customers_without_orders,
+    "top_orders_per_customer": top_orders_per_customer,
+    "events_running_sum": events_running_sum,
+    "sessionize_events": sessionize_events,
+    "order_priority_rollup": order_priority_rollup,
+    "status_pivot": status_pivot,
+    "customer_nation_set_ops": customer_nation_set_ops,
+    "part_brand_stats": part_brand_stats,
+    "order_date_breakdown": order_date_breakdown,
+    "events_hourly": events_hourly,
+}
+
+ORACLES = {
+    "q1_pricing_summary": ORACLE_Q1,
+    "q3_shipping_priority": ORACLE_Q3,
+    "q5_region_volume": ORACLE_Q5,
+    "q6_forecast_revenue": ORACLE_Q6,
+    "customers_without_orders": ORACLE_ANTI,
+    "top_orders_per_customer": ORACLE_TOPK_ORDERS,
+    "events_running_sum": ORACLE_RUNNING,
+    "sessionize_events": ORACLE_SESSIONIZE,
+    "order_priority_rollup": ORACLE_ROLLUP,
+    "status_pivot": ORACLE_PIVOT,
+    "customer_nation_set_ops": ORACLE_SET_OPS,
+    "part_brand_stats": ORACLE_BRAND,
+    "order_date_breakdown": ORACLE_DATES,
+    "events_hourly": ORACLE_HOURLY,
+}

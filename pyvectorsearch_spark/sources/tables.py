@@ -44,8 +44,21 @@ CITIES_SCHEMA = T.StructType(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan — Catalyst pushes filters/column pruning into it."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Columnar parquet scan — Catalyst pushes filters/column pruning into it.
+
+    The driver's ``events`` table stores nanosecond parquet timestamps, which
+    Spark rejects (``illegalParquetTypeError``). We read them as raw int64
+    (``nanosAsLong``) and truncate to microseconds with integer division —
+    the same truncation DuckDB applies, and no double round-trip (an ns epoch
+    exceeds 2^53, so float division would corrupt low-order digits).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
