@@ -1,0 +1,82 @@
+"""Text kernels shared by the dedup/text-analysis operators.
+
+Every kernel has a Spark expression AND a DuckDB SQL fragment computing the
+identical value (same normalization, same md5-based hashing), so the oracle
+comparisons are exact. md5 is used as the deterministic cross-engine hash —
+Spark's ``hash()``/``xxhash64`` and DuckDB's ``hash()`` are different
+functions, but md5 hex strings agree everywhere; lexicographic min over hex
+strings gives an order-compatible MinHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[^a-z0-9]+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Normalized word tokens: lowercase, strip non-alphanumerics, split."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(c), TOKEN_RE, " "), " "),
+        lambda x: x != "",
+    )
+
+
+def duckdb_tokens(col: str) -> str:
+    return (
+        f"list_filter(string_split(regexp_replace(lower({col}), "
+        f"'{TOKEN_RE}', ' ', 'g'), ' '), x -> x <> '')"
+    )
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Word n-gram shingles, distinct. Guarded: Spark's ``sequence(1, 0)``
+    counts DOWN, so short docs need an explicit empty-array branch."""
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(tok) >= n, joined).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def duckdb_shingles(tok: str, n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"{tok}[i+{j}]" if j else f"{tok}[i]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, len({tok}) - {n - 2}), i -> {parts}))"
+    )
+
+
+def minhash_signature(sh: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: for permutation i, h_i(s) = md5(i || ':' || s); the
+    signature component is the lexicographic min over the doc's shingles.
+    Hex-string min is order-isomorphic to the usual integer min."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def duckdb_minhash(sh: str, n_hashes: int = 16) -> str:
+    return (
+        f"list_transform(range(0, {n_hashes}), i -> "
+        f"list_aggregate(list_transform({sh}, s -> md5(concat(i, ':', s))), 'min'))"
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each band of the signature to one key; docs sharing
+    any (band, key) are candidate pairs. array of struct(band, key)."""
+    def band_struct(b: int) -> Column:
+        cells = [F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        return F.struct(
+            F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cells)).alias("bkey")
+        )
+
+    return F.array(*[band_struct(b) for b in range(bands)])

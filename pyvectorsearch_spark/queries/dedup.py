@@ -1,0 +1,183 @@
+"""Dedup queries over the ``documents``/``embeddings`` tables, each with a
+DuckDB oracle computing the identical md5-based pipeline (same tokenization,
+same hashing, integer-only fingerprint math → exact cross-engine equality)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.functions.text import duckdb_minhash, duckdb_shingles, duckdb_tokens
+from pyvectorsearch_spark.functions.vector import duckdb_cosine
+from pyvectorsearch_spark.operators.dedup import (
+    SIMHASH_BITS,
+    embedding_dup_pairs,
+    exact_dedup,
+    jaccard_similarity_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from pyvectorsearch_spark.sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.8
+LSH_THRESHOLD = 0.5
+MAX_HAMMING = 9  # planted near-dups reach 9; the small shared vocabulary keeps random pairs close
+MIN_COSINE = 0.4  # calibrated: driver embeddings have no planted near-dups; 0.4 keeps a nonempty tail
+N_HASHES = 16
+BANDS = 4
+
+
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup summary per source: docs vs distinct digests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+            (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dups"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_EXACT = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       count(*) - count(DISTINCT md5(text)) AS n_dups
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = jaccard_similarity_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return out.select("d1", "d2", "n_common", F.round("jaccard", 6).alias("jaccard"))
+
+
+_TOK = duckdb_tokens("text")
+_SH = duckdb_shingles("t", 3)
+
+ORACLE_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+sh AS (SELECT doc_id, {_SH} AS s FROM toks WHERE len({_SH}) > 0),
+ex AS (SELECT doc_id, unnest(s) AS sgl FROM sh),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh)
+SELECT d1, d2, n_common,
+       round(n_common::DOUBLE / (s1.n_sh + s2.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE n_common::DOUBLE / (s1.n_sh + s2.n_sh - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, threshold=LSH_THRESHOLD
+    )
+    return out.select("d1", "d2", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+_SIG = duckdb_minhash("s", N_HASHES)
+_ROWS = N_HASHES // BANDS
+_BAND_KEY = " || '|' || ".join(f"sig[b*{_ROWS}+{r + 1}]" for r in range(_ROWS))
+
+ORACLE_MINHASH = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+sh AS (SELECT doc_id, {_SH} AS s FROM toks WHERE len({_SH}) > 0),
+sig AS (SELECT doc_id, {_SIG} AS sig FROM sh),
+banded AS (
+  SELECT doc_id, b, md5({_BAND_KEY}) AS bkey
+  FROM sig, unnest(range(0, {BANDS})) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT d1, d2,
+         list_sum(list_transform(range(1, {N_HASHES + 1}),
+                  i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END))
+           / {float(N_HASHES)} AS est_jaccard
+  FROM cand JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id
+)
+SELECT d1, d2, round(est_jaccard, 6) AS est_jaccard
+FROM est WHERE est_jaccard >= {LSH_THRESHOLD}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=MAX_HAMMING)
+
+
+def _simhash_oracle() -> str:
+    nib_list = (
+        "list_transform(range(1, 16), p -> "
+        "strpos('0123456789abcdef', substr(h, CAST(p AS INT), 1)) - 1)"
+    )
+    contribs = ", ".join(
+        f"cnt * (CASE WHEN (nibs[{j // 4 + 1}] & {8 >> (j % 4)}) <> 0 THEN 1 ELSE -1 END) AS c{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sums = ", ".join(f"sum(c{j}) AS s{j}" for j in range(SIMHASH_BITS))
+    packed = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({1 << (SIMHASH_BITS - 1 - j)} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM (
+    SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+  ) GROUP BY doc_id, tok
+),
+h AS (SELECT doc_id, cnt, md5(tok) AS h FROM toks),
+nib AS (SELECT doc_id, cnt, {nib_list} AS nibs FROM h),
+contrib AS (SELECT doc_id, {contribs} FROM nib),
+sums AS (SELECT doc_id, {sums} FROM contrib GROUP BY doc_id),
+sh AS (SELECT doc_id, {packed} AS simhash FROM sums)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_dup_pairs(emb, min_cosine=MIN_COSINE)
+    return out.select("d1", "d2", F.round("cosine", 6).alias("cosine"))
+
+
+_COS = duckdb_cosine("a.embedding", "b.embedding", 64)
+
+ORACLE_EMB_COSINE = f"""
+SELECT a.vec_id AS d1, b.vec_id AS d2, round({_COS}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS} >= {MIN_COSINE}
+"""
+
+
+QUERIES = {
+    "dedup_exact_stats": q_dedup_exact_stats,
+    "dedup_jaccard_pairs": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact_stats": ORACLE_EXACT,
+    "dedup_jaccard_pairs": ORACLE_JACCARD,
+    "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_embedding_cosine": ORACLE_EMB_COSINE,
+}

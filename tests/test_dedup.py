@@ -1,0 +1,62 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_similarity_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from pyvectorsearch_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "other"), (4, "HELLO world")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    # exact dedup is case-sensitive: 4 differs from 1/2
+    assert kept == [1, 3, 4]
+
+
+def test_jaccard_pairs_self_similarity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),  # identical → J=1
+            (3, "z y x w v u t s"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = jaccard_similarity_pairs(df, threshold=0.9).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].d1, pairs[0].d2) == (1, 2)
+    assert pairs[0].jaccard == 1.0
+
+
+def test_lsh_finds_planted_near_dups(spark):
+    """LSH candidates must cover the high-Jaccard pairs found exactly
+    (16 hashes / 4 bands: P[caught] = 1-(1-J^4)^4 ≈ 0.998 at J=0.95)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r.d1, r.d2)
+        for r in jaccard_similarity_pairs(docs, threshold=0.95).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    lsh = {(r.d1, r.d2) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed too many: {missed}"
+
+
+def test_simhash_near_dups_low_hamming(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r.d1, r.d2)
+        for r in jaccard_similarity_pairs(docs, threshold=0.95).collect()
+    }
+    sh = {(r.d1, r.d2): r.hamming for r in simhash_pairs(docs, max_hamming=60).collect()}
+    for pair in exact:
+        assert sh[pair] <= 12, f"near-dup pair {pair} has hamming {sh[pair]}"
