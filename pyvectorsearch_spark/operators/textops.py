@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines (north-star extensions;
+the reference has no text processing — SURVEY.md §2.4 'string fns: absent').
+
+All operators are pure columnar expressions (no UDFs): language-ID via
+stopword-hit ratios, quality scoring from surface statistics, token counting
+(whitespace + a BPE-ish regex), and fingerprinting via min-hashed character
+8-grams. Each has an exact DuckDB oracle (same regexes, same md5 hashing).
+
+At 100 TB these are embarrassingly parallel single-pass projections — no
+shuffle at all; they pipeline inside the same stage as the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pyvectorsearch_spark.functions.text import tokens
+
+# Deterministic mini stopword lists (public common function words).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den"],
+    "es": ["el", "la", "los", "y", "en", "que", "un", "se"],
+    "fr": ["le", "les", "des", "et", "une", "est", "dans", "pour"],
+}
+LANGS = sorted(STOPWORDS)  # de, en, es, fr — CASE chains use this order
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # over normalized lowercase text
+
+
+def _stop_hits(tok: Column, lang: str) -> Column:
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
+
+
+def language_id(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID. Scores = hits/n_tokens per language;
+    prediction = first language (in sorted order) achieving the max score,
+    'und' (undetermined) when no stopword hits at all. Deterministic CASE
+    chain — identical tie-breaking in the oracle."""
+    t = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    n = F.greatest(F.size("t"), F.lit(1))
+    scored = t.select(
+        id_col,
+        F.size("t").alias("n_tokens"),
+        *[(_stop_hits(F.col("t"), lang) / n).alias(f"s_{lang}") for lang in LANGS],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANGS])
+    pred = F.when(best <= 0.0, F.lit("und"))
+    for lang in LANGS:
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return scored.select(
+        id_col,
+        "n_tokens",
+        pred.alias("pred_lang"),
+        F.round(best, 6).alias("score"),
+    )
+
+
+def text_quality(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Surface-statistics quality score: token count, mean token length,
+    stopword ratio, non-alphanumeric ratio, and a bounded composite."""
+    t = df.select(F.col(id_col), F.col(text_col).alias("raw"), tokens(text_col).alias("t"))
+    n_tok = F.size("t")
+    n_chars = F.length("raw")
+    sum_tok_len = F.aggregate(
+        F.transform("t", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    avg_tok_len = sum_tok_len.cast("double") / F.greatest(n_tok, F.lit(1))
+    stop_all = F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws])
+    stop_ratio = (
+        F.size(F.filter("t", lambda x: F.array_contains(stop_all, x))).cast("double")
+        / F.greatest(n_tok, F.lit(1))
+    )
+    nonalnum = n_chars - F.length(F.regexp_replace(F.lower("raw"), "[^a-z0-9 ]", ""))
+    nonalnum_ratio = nonalnum.cast("double") / F.greatest(n_chars, F.lit(1))
+    # bounded composite: long-enough docs with low punctuation and moderate
+    # stopword density score high
+    quality = (
+        F.least(n_tok.cast("double") / 50.0, F.lit(1.0)) * 0.4
+        + (1.0 - nonalnum_ratio) * 0.3
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
+    )
+    return t.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(nonalnum_ratio, 6).alias("nonalnum_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (letter runs / digit runs / single symbols over normalized text)."""
+    norm = F.concat_ws(" ", tokens(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(text_col), F.lit(BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length(norm).alias("n_norm_chars"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", gram: int = 8
+) -> DataFrame:
+    """Rolling-hash document fingerprint: md5 over each character 8-gram of
+    the normalized text, keep the minimum digest (winnowing with one band).
+    Equal fingerprints ⇒ near-identical normalized content prefix sets."""
+    norm = F.concat_ws(" ", tokens(text_col))
+    d = df.select(F.col(id_col), norm.alias("nt"))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(nt) - {gram - 1}, 1)), "
+        f"i -> md5(substr(nt, i, {gram})))"
+    )
+    return d.select(
+        id_col,
+        F.array_min(grams).alias("fingerprint"),
+        F.length("nt").alias("n_norm_chars"),
+    )

@@ -5,7 +5,7 @@ Modules register via the ``QUERIES`` / ``ORACLES`` dicts they export;
 ``__spark_entry__`` aggregates them.
 """
 
-from pyvectorsearch_spark.queries import dedup, relational, vector  # noqa: F401
+from pyvectorsearch_spark.queries import dedup, relational, text, vector  # noqa: F401
 
 
 def all_queries():
@@ -22,7 +22,7 @@ def all_oracles():
     return out
 
 
-_MODULES = [vector, relational, dedup]
+_MODULES = [vector, relational, dedup, text]
 
 
 def register(mod) -> None:
