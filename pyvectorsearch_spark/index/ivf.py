@@ -1,0 +1,154 @@
+"""IVF (inverted-file) index — the ANN scale path for high-dimensional
+vectors, where the reference's grid decomposition degenerates (at dim ≫ 8 a
+rectangular grid puts all points in one cell or one point per cell; the
+PK-tree was built for low-dim spatial data like the 2-d cities example).
+
+Spark-first design:
+
+- **Coarse quantizer**: deterministic k-means (seeded, fixed iterations) on a
+  deterministic sample collected to the driver — at 100 TB the sample is
+  ``sample_per_list · n_lists`` rows regardless of corpus size.
+- **Assignment**: centroids broadcast; each row's nearest-centroid id is
+  computed in one Arrow-batched numpy pass (``mapInPandas``, BLAS matmul) —
+  a single map-side projection, no shuffle.
+- **Search**: per query, probe the ``nprobe`` nearest centroid lists: a
+  filter on ``list_id`` (partition/file pruning once the index is persisted
+  ``partitionBy("list_id")``), then exact distances + window top-k on the
+  shortlist. nprobe trades recall for scan fraction; ``nprobe = n_lists``
+  is exhaustive (exact).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _kmeans(sample: np.ndarray, n_lists: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd iterations; empty clusters re-seeded deterministically."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=n_lists, replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(n_lists):
+            members = sample[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+            else:
+                cent[j] = sample[rng.randint(len(sample))]
+    return cent
+
+
+@dataclass
+class IVFIndex:
+    df: DataFrame  # source rows + list_id
+    centroids: np.ndarray  # (n_lists, dim)
+    id_col: str
+    vec_col: str
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        *,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        n_lists: int = 16,
+        sample_per_list: int = 64,
+        iters: int = 10,
+        seed: int = 42,
+    ) -> "IVFIndex":
+        n = df.count()
+        # Deterministic sample: every ceil(n/target)-th row by id order.
+        target = min(n, n_lists * sample_per_list)
+        step = max(n // max(target, 1), 1)
+        sample_rows = (
+            df.select(id_col, vec_col)
+            .withColumn("_rn", F.monotonically_increasing_id())
+            .filter(F.col("_rn") % step == 0)
+            .limit(target)
+            .collect()
+        )
+        sample = np.asarray([list(r[1]) for r in sample_rows], dtype=np.float64)
+        n_lists = min(n_lists, len(sample))
+        cent = _kmeans(sample, n_lists, iters, seed)
+
+        sc = df.sparkSession.sparkContext
+        bc = sc.broadcast(cent)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = bc.value  # (L, d)
+            c2 = (C * C).sum(axis=1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+                pdf = pdf.drop(columns=["_v"])
+                pdf["list_id"] = d2.argmin(axis=1).astype("int32")
+                yield pdf
+
+        cols = [c for c in df.columns]
+        with_v = df.withColumn("_v", F.col(vec_col))
+        schema = ", ".join(f"{name} {dtype}" for name, dtype in df.dtypes) + ", list_id int"
+        assigned = with_v.select(*cols, "_v").mapInPandas(assign, schema=schema)
+        return IVFIndex(df=assigned, centroids=cent, id_col=id_col, vec_col=vec_col)
+
+    def knn(
+        self,
+        queries: DataFrame,
+        k: int,
+        *,
+        nprobe: int = 4,
+        query_id: str = "query_id",
+        query_vec: str = "qvec",
+    ) -> DataFrame:
+        """Top-k by L2 over the union of each query's ``nprobe`` nearest
+        lists. Exact iff nprobe == n_lists; otherwise approximate with
+        recall rising in nprobe (tested ≥0.9 at nprobe=L/4 on the fixture)."""
+        q_rows = queries.select(query_id, query_vec).collect()
+        Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+        d2 = ((Q[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        lists = set()
+        for row in d2:
+            lists.update(np.argsort(row, kind="stable")[:nprobe].tolist())
+
+        from pyvectorsearch_spark.operators.knn import knn_join
+
+        pruned = self.df.filter(F.col("list_id").isin([int(x) for x in lists]))
+        return knn_join(
+            pruned,
+            queries,
+            k,
+            data_id=self.id_col,
+            data_vec=self.vec_col,
+            query_id=query_id,
+            query_vec=query_vec,
+        )
+
+    def write(self, path: str, mode: str = "overwrite") -> None:
+        """Persist list-partitioned parquet + centroid table; filters on
+        list_id prune partitions at read time."""
+        self.df.write.mode(mode).partitionBy("list_id").parquet(f"{path}/data")
+        spark = self.df.sparkSession
+        rows = [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)]
+        spark.createDataFrame(rows, "list_id int, centroid array<double>").coalesce(
+            1
+        ).write.mode(mode).parquet(f"{path}/centroids")
+        meta = [(self.id_col, self.vec_col)]
+        spark.createDataFrame(meta, "id_col string, vec_col string").coalesce(
+            1
+        ).write.mode(mode).parquet(f"{path}/meta")
+
+    @staticmethod
+    def load(spark, path: str) -> "IVFIndex":
+        data = spark.read.parquet(f"{path}/data")
+        cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+        cent = np.asarray([list(r["centroid"]) for r in cent_rows])
+        meta = spark.read.parquet(f"{path}/meta").first()
+        return IVFIndex(df=data, centroids=cent, id_col=meta["id_col"], vec_col=meta["vec_col"])

@@ -75,6 +75,58 @@ def q_vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-index-accelerated exact kNN on the first two embedding dims —
+    the PK-tree path (cell pruning; results provably equal brute force, so
+    the brute-force SQL is a valid oracle)."""
+    from pyvectorsearch_spark.index.grid import GridIndex
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("p2", F.slice("embedding", 1, 2))
+        .select("vec_id", "p2")
+    )
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("p2").alias("qvec")
+    )
+    idx = GridIndex.build(emb, vec_col="p2", id_col="vec_id", target_occupancy=16)
+    out = idx.knn(probes, K)
+    return out.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank"
+    )
+
+
+_D2 = duckdb_l2_sq("q.qvec", "e.p2", 2)
+
+ORACLE_KNN_GRID_2D = f"""
+WITH base AS (SELECT vec_id, embedding[1:2] AS p2 FROM embeddings),
+q AS (SELECT vec_id AS query_id, p2 AS qvec FROM base WHERE vec_id < {N_PROBES}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_D2} AS d
+  FROM q CROSS JOIN base e
+), ranked AS (
+  SELECT query_id, neighbor_id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(d, 6) AS dist_sq, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed kNN in exhaustive-probe mode (nprobe == n_lists ⇒ exact,
+    so the brute-force SQL oracle applies; partial-probe recall is covered by
+    tests/test_ivf.py). Exercises build → assignment → list-pruned search."""
+    from pyvectorsearch_spark.index.ivf import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex.build(emb, n_lists=16, seed=42)
+    out = idx.knn(_probes(spark, sf_dir), K, nprobe=16)
+    return out.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank"
+    )
+
+
 _D = duckdb_l2_sq("q.qvec", "e.embedding", DIM)
 
 ORACLE_KNN = f"""
@@ -129,12 +181,16 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "range_search": q_range_search,
     "knn_topk_global": q_knn_topk_global,
+    "knn_grid_2d": q_knn_grid_2d,
+    "knn_ivf": q_knn_ivf,
     "vector_norm_stats": q_vector_norm_stats,
 }
 
 ORACLES = {
+    "knn_ivf": ORACLE_KNN,
     "knn_bruteforce": ORACLE_KNN,
     "range_search": ORACLE_RANGE,
     "knn_topk_global": ORACLE_TOPK_GLOBAL,
+    "knn_grid_2d": ORACLE_KNN_GRID_2D,
     "vector_norm_stats": ORACLE_NORM_STATS,
 }

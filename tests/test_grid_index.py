@@ -1,0 +1,131 @@
+"""GridIndex correctness: pruned search must EXACTLY equal brute force
+(PK-tree search is exact — SURVEY.md §7), including on the reference's own
+example workload (dutch cities, kNN k=5 + range r=0.1 from (52.0117, 4.3592),
+/root/reference/example_cpp/main.cpp:68-85)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.index.grid import GridIndex
+from pyvectorsearch_spark.operators.knn import knn_join, range_join
+from pyvectorsearch_spark.sources.tables import load_cities_csv, load_table
+from tests.conftest import SF_SMOKE
+
+CITIES_CSV = "/root/reference/example_cpp/dutch_cities.csv"
+DELFT = [52.0117, 4.3592]
+
+
+@pytest.fixture(scope="module")
+def cities(spark):
+    df = (
+        load_cities_csv(spark, CITIES_CSV)
+        .withColumn("pt_id", F.monotonically_increasing_id())
+        .withColumn("pt", F.array("lat", "lng").cast("array<float>"))
+        .select("pt_id", "pt", "city")
+        .cache()
+    )
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def cities_index(cities):
+    return GridIndex.build(cities, vec_col="pt", id_col="pt_id", target_occupancy=8)
+
+
+@pytest.fixture(scope="module")
+def delft_probe(spark):
+    return spark.createDataFrame([(0, DELFT)], "query_id long, qvec array<float>")
+
+
+def _pairs(rows):
+    return {(r.query_id, r.neighbor_id) for r in rows}
+
+
+def test_cities_knn_matches_bruteforce(cities, cities_index, delft_probe):
+    exact = knn_join(cities, delft_probe, 5, data_id="pt_id", data_vec="pt").collect()
+    pruned = cities_index.knn(delft_probe, 5).collect()
+    assert _pairs(pruned) == _pairs(exact)
+    assert sorted(r.dist for r in pruned) == sorted(r.dist for r in exact)
+
+
+def test_cities_knn_names_reference_example(cities, cities_index, delft_probe):
+    """The reference example prints the 5 nearest cities to Delft's
+    coordinates — Delft itself must be rank 1 at distance ~0."""
+    out = cities_index.knn(delft_probe, 5, payload=["city"]).collect()
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert by_rank[0].city == "Delft"
+    assert by_rank[0].dist < 1e-6
+
+
+def test_cities_range_matches_bruteforce(cities, cities_index, delft_probe):
+    exact = range_join(cities, delft_probe, 0.1, data_id="pt_id", data_vec="pt").collect()
+    pruned = cities_index.range(delft_probe, 0.1).collect()
+    assert _pairs(pruned) == _pairs(exact)
+    assert len(pruned) > 0
+
+
+def test_grid_knn_embeddings_2d(spark):
+    """Grid index on the first two embedding dims at sf0.001 — multi-query
+    batch, pruned == brute force."""
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .withColumn("p2", F.slice("embedding", 1, 2))
+        .select("vec_id", "p2")
+        .cache()
+    )
+    probes = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("p2").alias("qvec")
+    )
+    idx = GridIndex.build(emb, vec_col="p2", id_col="vec_id", target_occupancy=16)
+    exact = knn_join(emb, probes, 7, data_id="vec_id", data_vec="p2").collect()
+    pruned = idx.knn(probes, 7).collect()
+    assert _pairs(pruned) == _pairs(exact)
+
+    r_exact = range_join(emb, probes, 0.05, data_id="vec_id", data_vec="p2").collect()
+    r_pruned = idx.range(probes, 0.05).collect()
+    assert _pairs(r_pruned) == _pairs(r_exact)
+
+
+def test_kinstantiation_min_occupancy(cities_index):
+    """Batch K-instantiation: every non-root cell owns ≥ rank points
+    (pktree.hpp:587-635 invariant, batch form)."""
+    for cid, level, coords, cnt in cities_index.stats:
+        if level > 0:
+            assert cnt >= cities_index.rank, (cid, cnt)
+
+
+def test_index_prunes_cells(cities_index, delft_probe):
+    """The pruned kNN scan must touch fewer cells than the index holds
+    (otherwise it's brute force with extra steps)."""
+    assert len(cities_index.stats) > 4
+    import numpy as np
+
+    q = np.asarray(DELFT)
+    mins, maxs, cnts = cities_index._bounds(q)
+    order = np.argsort(mins, kind="stable")
+    cum = 0
+    bound = np.inf
+    for pos, i in enumerate(order):
+        cum += cnts[i]
+        if cum >= 5:
+            bound = maxs[order[: pos + 1]].max()
+            break
+    selected = (mins <= bound).sum()
+    assert selected < len(cities_index.stats)
+
+
+def test_index_write_load_roundtrip(tmp_path, spark, cities, cities_index, delft_probe):
+    path = str(tmp_path / "cities_idx")
+    cities_index.write(path)
+    loaded = GridIndex.load(spark, path)
+    a = cities_index.knn(delft_probe, 5).collect()
+    b = loaded.knn(delft_probe, 5).collect()
+    assert _pairs(a) == _pairs(b)
+    # partition pruning: the pruned scan reads fewer files than the full index
+    import glob
+
+    total_parts = len(glob.glob(f"{path}/data/cell=*"))
+    assert total_parts == len({s[0] for s in cities_index.stats})
