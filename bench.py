@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the `noop` sink (full computation, no
+driver-side materialization cost), after a warm-up pass of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+# Headline set: one per operator family (vector search brute/indexed, range,
+# relational agg/join/window, dedup exact+approx, text analysis).
+HEADLINE = [
+    "knn_bruteforce",
+    "knn_grid_2d",
+    "knn_ivf",
+    "range_search",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "top_orders_per_customer",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "text_quality",
+    "text_fingerprint",
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan without collecting rows to the driver."""
+    try:
+        df.write.mode("overwrite").format("noop").save()
+        return -1
+    except Exception:
+        return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pyvectorsearch-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyvectorsearch_spark.queries import all_queries
+
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warm up the JVM/codegen path once so q1 doesn't pay session startup.
+    _force(registry[names[0]](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(registry[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

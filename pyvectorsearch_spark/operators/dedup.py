@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from pyvectorsearch_spark.functions.text import (
     lsh_band_keys,
-    minhash_signature,
     shingles,
     tokens,
 )
@@ -44,6 +43,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep.select(id_col), id_col, "left_semi")
 
 
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, s) — one row per distinct word-n-gram per document.
+
+    The whole ``shingles(tokens(text))`` expression is evaluated exactly once
+    per input row, inside the Generate (explode): codegen's subexpression
+    elimination dedupes the token-array references within one projection, and
+    exploding drops shingle-less docs without a ``filter`` (which Catalyst
+    would push below the projection, evaluating the array twice).
+
+    Do NOT split this into staged selects: a separate non-collapsible
+    projection materializing the token array measured ~13x SLOWER than the
+    composed form (UnsafeArrayData copy per stage beats codegen CSE)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(tokens(text_col), n)).alias("s"),
+    )
+
+
 def jaccard_similarity_pairs(
     df: DataFrame,
     *,
@@ -56,11 +73,8 @@ def jaccard_similarity_pairs(
 
     Returns ``(d1, d2, n_common, jaccard)`` with d1 < d2.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), shingles(tokens(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sizes = sh.select("doc", F.size("sh").alias("n_sh"))
-    ex = sh.select("doc", F.explode("sh").alias("s"))
+    ex = _shingle_rows(df, id_col, text_col, n)
+    sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
@@ -79,6 +93,43 @@ def jaccard_similarity_pairs(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig) MinHash signatures, computed shuffle-shaped for scale:
+    explode shingles → one md5 per (shingle, permutation) → map-side partial
+    ``min`` per component → groupBy(id). Each md5 is evaluated exactly once
+    (the expression-composed form re-evaluates the shingle builder inside
+    every hash lambda — see ``_shingle_rows``); the groupBy combines
+    partially on the map side, so the shuffle carries only one 16-component
+    row per document, and every downstream consumer of the signatures sits on
+    the same Exchange, which ReuseExchange computes once. Docs with no
+    shingles (< n tokens) are dropped, matching
+    ``functions.text.minhash_signature``'s null-signature filter."""
+    hashed = _shingle_rows(df, id_col, text_col, n).select(
+        "doc",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda i: F.md5(F.concat(i.cast("string"), F.lit(":"), F.col("s"))),
+        ).alias("hs"),
+    )
+    mins = hashed.groupBy("doc").agg(
+        *[
+            F.min(F.element_at("hs", i + 1)).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        F.col("doc").alias(id_col),
+        F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -93,10 +144,9 @@ def minhash_lsh_pairs(
     Jaccard. shingle→minhash→band→bucket-join; only bucket collisions are
     compared. Returns ``(d1, d2, est_jaccard)``, d1 < d2, est ≥ threshold."""
     rows = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(shingles(tokens(text_col), n), n_hashes).alias("sig"),
-    ).filter(~F.array_contains(F.transform("sig", lambda x: x.isNull()), True))
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes
+    ).withColumnRenamed(id_col, "doc")
     banded = sig.select(
         "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select("doc", "bk.band", "bk.bkey")
@@ -206,11 +256,67 @@ def embedding_dup_pairs(
     min_cosine: float = 0.95,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ min_cosine, d1 < d2 (exact
-    brute-force self-join)."""
+    brute-force self-join, expression path). Quadratic in rows — prefer
+    ``embedding_dup_pairs_blocked`` everywhere; this form exists as the
+    UDF-free semantic reference."""
     a = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
     b = df.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
     return (
         a.join(b, F.col("d1") < F.col("d2"))
+        .withColumn("cosine", cosine_sim(F.col("v1"), F.col("v2")))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("d1", "d2", "cosine")
+    )
+
+
+def embedding_dup_pairs_blocked(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via numpy block GEMM: one unit-normalized
+    matrix multiply per (partition-batch × broadcast table) block, mask
+    ``cosine ≥ t − ε`` and ``d1 < d2``, then recompute the survivors' cosine
+    with the canonical sequential expression so values (and the threshold
+    decision) are bit-identical to the expression path / DuckDB oracle.
+
+    The broadcast side is the whole table — right for ≤ a few million rows
+    (vectors are small); beyond that, LSH/IVF-bucket first and run this within
+    buckets (see index.ivf). Candidate count is |output|, so the exact
+    recompute join is tiny."""
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    U = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    bc = df.sparkSession.sparkContext.broadcast((ids, U, float(min_cosine)))
+
+    def block_pairs(batches):
+        ids_, U_, t = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bid = pdf["d1"].to_numpy()
+            B = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v1"]])
+            B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+            C = B @ U_.T
+            # ε-slack: BLAS reassociates sums; the exact filter happens after
+            # the sequential recompute below.
+            ii, jj = np.nonzero((C >= t - 1e-9) & (bid[:, None] < ids_[None, :]))
+            yield pd.DataFrame({"d1": bid[ii], "d2": ids_[jj]})
+
+    cand = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1")).mapInPandas(
+        block_pairs, schema="d1 long, d2 long"
+    )
+    v1 = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+    v2 = df.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    return (
+        cand.join(v1, "d1")
+        .join(v2, "d2")
         .withColumn("cosine", cosine_sim(F.col("v1"), F.col("v2")))
         .filter(F.col("cosine") >= min_cosine)
         .select("d1", "d2", "cosine")

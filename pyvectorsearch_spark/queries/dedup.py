@@ -11,13 +11,13 @@ from pyvectorsearch_spark.functions.text import duckdb_minhash, duckdb_shingles,
 from pyvectorsearch_spark.functions.vector import duckdb_cosine
 from pyvectorsearch_spark.operators.dedup import (
     SIMHASH_BITS,
-    embedding_dup_pairs,
+    embedding_dup_pairs_blocked,
     exact_dedup,
     jaccard_similarity_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from pyvectorsearch_spark.sources.tables import load_table
+from pyvectorsearch_spark.sources.tables import load_table, spread
 
 JACCARD_THRESHOLD = 0.8
 LSH_THRESHOLD = 0.5
@@ -29,7 +29,7 @@ BANDS = 4
 
 def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup summary per source: docs vs distinct digests."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.groupBy("source")
         .agg(
@@ -50,7 +50,7 @@ FROM documents GROUP BY source ORDER BY source
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     out = jaccard_similarity_pairs(docs, threshold=JACCARD_THRESHOLD)
     return out.select("d1", "d2", "n_common", F.round("jaccard", 6).alias("jaccard"))
 
@@ -78,7 +78,7 @@ WHERE n_common::DOUBLE / (s1.n_sh + s2.n_sh - n_common) >= {JACCARD_THRESHOLD}
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     out = minhash_lsh_pairs(
         docs, n_hashes=N_HASHES, bands=BANDS, threshold=LSH_THRESHOLD
     )
@@ -115,7 +115,7 @@ FROM est WHERE est_jaccard >= {LSH_THRESHOLD}
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return simhash_pairs(docs, max_hamming=MAX_HAMMING)
 
 
@@ -153,7 +153,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    out = embedding_dup_pairs(emb, min_cosine=MIN_COSINE)
+    out = embedding_dup_pairs_blocked(emb, min_cosine=MIN_COSINE)
     return out.select("d1", "d2", F.round("cosine", 6).alias("cosine"))
 
 

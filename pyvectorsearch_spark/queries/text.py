@@ -15,7 +15,7 @@ from pyvectorsearch_spark.operators.textops import (
     text_quality,
     token_counts,
 )
-from pyvectorsearch_spark.sources.tables import load_table
+from pyvectorsearch_spark.sources.tables import load_table, spread
 
 _TOK = duckdb_tokens("text")
 
@@ -26,7 +26,7 @@ def _sql_list(words: list[str]) -> str:
 
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix: labeled lang × predicted lang."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     pred = language_id(docs)
     return (
         docs.select("doc_id", "lang")
@@ -61,7 +61,7 @@ FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return text_quality(docs)
 
 
@@ -93,7 +93,7 @@ FROM m
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return token_counts(docs)
 
 
@@ -107,7 +107,7 @@ FROM documents
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return doc_fingerprint(docs)
 
 

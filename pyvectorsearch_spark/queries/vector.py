@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.functions.vector import duckdb_l2_sq
-from pyvectorsearch_spark.operators.knn import knn_join, range_join, topk_global
+from pyvectorsearch_spark.operators.knn import knn_join_blocked, range_join, topk_global
 from pyvectorsearch_spark.sources.tables import load_table
 
 DIM = 64
@@ -31,9 +31,10 @@ def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch exact kNN (search_knn analog, pktree.hpp:948-973)."""
+    """Batch exact kNN (search_knn analog, pktree.hpp:948-973) — blocked
+    scale path (per-partition numpy top-k, window over candidates only)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = knn_join(emb, _probes(spark, sf_dir), K)
+    out = knn_join_blocked(emb, _probes(spark, sf_dir), K)
     return out.select(
         "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank"
     )

@@ -61,6 +61,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition a scan UP to the session's parallelism when the source
+    files under-split (a handful of small parquet files → 1-2 input
+    partitions → CPU-heavy map work runs on one core). No-op when the scan
+    already has enough partitions — at production scale the input is
+    thousands of files and this never shuffles."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each table as a temp view so operators can be written in SQL."""
     for name in tables:
