@@ -1,0 +1,273 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+North-star extension (BASELINE.json): the reference has no media handling.
+The engine treats media as ``binary`` blobs with a typed ``meta`` struct; all
+heavy per-item work (decode, resize, feature extraction, frame sampling) runs
+as Arrow-batched ``mapInPandas`` so only the Python worker touches bytes and
+the JVM moves columnar batches.
+
+Decode is STUBBED: the real image/audio codecs (PIL, soundfile, av) are not
+in this container. ``_decode_rgb``/``_decode_pcm`` try the real library and
+otherwise fall back to a DETERMINISTIC FAKE (pixels/samples derived from a
+rolling hash of the blob) so every downstream shape, schema, partition
+strategy, and test is real; swap the fake for the library call in production.
+
+Scale notes: blobs never shuffle — every operator is a map-side projection of
+the scan (mapInPandas pipelines with the parquet reader). Feature outputs are
+small typed columns, so downstream joins/aggs shuffle features, not media.
+Size-skewed blobs are the one hazard: repartitioning by a hash of the id
+(``spread_media``) levels batch bytes across tasks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("blob", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("channels", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("format", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def synthetic_media(spark: SparkSession, n: int = 64, *, seed: int = 7) -> DataFrame:
+    """Deterministic fake media table matching MEDIA_SCHEMA — blobs are
+    md5-chained bytes keyed by (seed, media_id); kinds cycle image/audio/video."""
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        chunks, state = [], f"{seed}:{i}".encode()
+        for _ in range(8 + (i % 5)):
+            state = hashlib.md5(state).digest()
+            chunks.append(state)
+        blob = b"".join(chunks)
+        meta = {
+            "width": 16 + (i % 4) * 8 if kind != "audio" else None,
+            "height": 16 + (i % 3) * 8 if kind != "audio" else None,
+            "channels": 3 if kind != "audio" else 1,
+            "sample_rate": 16000 if kind == "audio" else None,
+            "n_frames": 12 + (i % 7) if kind == "video" else (1 if kind == "image" else None),
+            "format": {"image": "fake-img", "audio": "fake-pcm", "video": "fake-vid"}[kind],
+        }
+        rows.append((i, kind, blob, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def spread_media(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Hash-repartition media rows so size-skewed blobs spread across tasks."""
+    target = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target, F.crc32(F.col("media_id").cast("string")))
+
+
+def _prand_floats(blob: bytes, count: int) -> list[float]:
+    """Deterministic pseudo-decode: md5-chained floats in [0, 1)."""
+    out: list[float] = []
+    state = blob[:16] or b"\x00"
+    while len(out) < count:
+        state = hashlib.md5(state).digest()
+        for off in range(0, 16, 4):
+            out.append(int.from_bytes(state[off : off + 4], "big") / 2**32)
+            if len(out) == count:
+                break
+    return out
+
+
+def _decode_rgb(blob: bytes, width: int, height: int) -> list[float]:
+    """STUB decode → flat H×W×3 float pixels in [0,1].
+
+    Production: ``PIL.Image.open(io.BytesIO(blob))``. Here: gated import,
+    deterministic fake fallback (clearly marked)."""
+    try:  # pragma: no cover - library absent in this container
+        import io
+
+        from PIL import Image  # type: ignore
+
+        img = Image.open(io.BytesIO(blob)).convert("RGB").resize((width, height))
+        return [p / 255.0 for px in img.getdata() for p in px]
+    except Exception:
+        # DETERMINISTIC FAKE — same shape/dtype as the real decode
+        return _prand_floats(blob, width * height * 3)
+
+
+def _decode_pcm(blob: bytes, n_samples: int) -> list[float]:
+    """STUB audio decode → n_samples floats in [-1, 1]. Production:
+    ``soundfile.read``; here a deterministic fake with the real shape."""
+    return [2.0 * x - 1.0 for x in _prand_floats(blob, n_samples)]
+
+
+def image_resize_features(
+    df: DataFrame, *, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Decode+resize each image to (height, width, 3) and emit the flat pixel
+    vector plus channel means — the standard thumbnail-embedding shape.
+
+    Returns (media_id, pixels array<float>, mean_r, mean_g, mean_b)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            if not len(pdf):
+                continue
+            pixels, means = [], []
+            for blob in pdf["blob"]:
+                px = _decode_rgb(bytes(blob), width, height)
+                pixels.append(px)
+                means.append(
+                    [
+                        sum(px[c::3]) / (width * height)
+                        for c in range(3)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "pixels": pixels,
+                    "mean_r": [m[0] for m in means],
+                    "mean_g": [m[1] for m in means],
+                    "mean_b": [m[2] for m in means],
+                }
+            )
+
+    return df.select("media_id", "kind", "blob").mapInPandas(
+        run,
+        schema=(
+            "media_id long, pixels array<float>, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
+def audio_rms_features(
+    df: DataFrame, *, n_samples: int = 1024, frame: int = 256
+) -> DataFrame:
+    """Decode audio (stubbed) and compute per-frame RMS energy — the real
+    windowing/batching plumbing of an audio featurizer.
+
+    Returns (media_id, rms array<float>, rms_mean)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "audio"]
+            if not len(pdf):
+                continue
+            rms_all, rms_mean = [], []
+            for blob in pdf["blob"]:
+                x = np.asarray(_decode_pcm(bytes(blob), n_samples))
+                frames = x[: (len(x) // frame) * frame].reshape(-1, frame)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                rms_all.append(rms.astype("float32").tolist())
+                rms_mean.append(float(rms.mean()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "rms": rms_all,
+                    "rms_mean": rms_mean,
+                }
+            )
+
+    return df.select("media_id", "kind", "blob").mapInPandas(
+        run, schema="media_id long, rms array<float>, rms_mean double"
+    )
+
+
+def video_frame_sample(df: DataFrame, *, every_n: int = 4) -> DataFrame:
+    """Sample every ``every_n``-th frame index per video (real plumbing: one
+    output row per sampled frame via explode of a computed index array;
+    per-frame decode is the image stub). Returns
+    (media_id, frame_idx, pixels array<float>)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            if not len(pdf):
+                continue
+            mids, fidx, pixels = [], [], []
+            for mid, blob, meta in zip(
+                pdf["media_id"], pdf["blob"], pdf["meta"]
+            ):
+                n_frames = int(meta["n_frames"] or 0)
+                w = int(meta["width"] or 8)
+                h = int(meta["height"] or 8)
+                for fi in range(0, n_frames, every_n):
+                    mids.append(mid)
+                    fidx.append(fi)
+                    # frame decode stub: frame index salts the fake decode
+                    pixels.append(
+                        _decode_rgb(bytes(blob) + fi.to_bytes(4, "big"), 4, 4)
+                    )
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": fidx, "pixels": pixels}
+            )
+
+    return df.select("media_id", "kind", "blob", "meta").mapInPandas(
+        run, schema="media_id long, frame_idx int, pixels array<float>"
+    )
+
+
+def media_byte_stats(df: DataFrame) -> DataFrame:
+    """Pure byte-level features — fully real (no codec): size, crc32,
+    Shannon entropy of the byte histogram, compressibility ratio."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            size, crc, ent, comp = [], [], [], []
+            for blob in pdf["blob"]:
+                b = bytes(blob)
+                size.append(len(b))
+                crc.append(zlib.crc32(b))
+                hist = [0] * 256
+                for byte in b:
+                    hist[byte] += 1
+                n = max(len(b), 1)
+                ent.append(
+                    -sum((c / n) * math.log2(c / n) for c in hist if c)
+                )
+                comp.append(len(zlib.compress(b)) / n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": size,
+                    "crc32": crc,
+                    "entropy": ent,
+                    "compress_ratio": comp,
+                }
+            )
+
+    return df.select("media_id", "kind", "blob").mapInPandas(
+        run,
+        schema=(
+            "media_id long, kind string, n_bytes long, crc32 long, "
+            "entropy double, compress_ratio double"
+        ),
+    )

@@ -5,7 +5,13 @@ Modules register via the ``QUERIES`` / ``ORACLES`` dicts they export;
 ``__spark_entry__`` aggregates them.
 """
 
-from pyvectorsearch_spark.queries import dedup, relational, text, vector  # noqa: F401
+from pyvectorsearch_spark.queries import (  # noqa: F401
+    dedup,
+    multimodal,
+    relational,
+    text,
+    vector,
+)
 
 
 def all_queries():
@@ -22,7 +28,7 @@ def all_oracles():
     return out
 
 
-_MODULES = [vector, relational, dedup, text]
+_MODULES = [vector, relational, dedup, text, multimodal]
 
 
 def register(mod) -> None:

@@ -1,0 +1,147 @@
+"""Structured Streaming: incremental index ingestion + event-time analytics.
+
+The reference maintains its index point-at-a-time (``insert``,
+``/root/reference/include/pktree.hpp:1262-1355``) with ~420 LoC of
+rebalancing machinery (grow-root ``:841-929``, K-instantiation ``:587-738``)
+that exists only because arrival is incremental. The Spark restatement
+(SURVEY.md §3.1): cell assignment is a closed-form expression, so streaming
+ingestion is ``foreachBatch`` → assign cells → append partitioned parquet,
+with rebalancing replaced by periodic compaction (re-running the batch
+coalesce over the accumulated data). No event-time semantics exist in the
+reference; the watermark/window/session operators here are the north-star
+streaming surface a training-data pipeline needs.
+
+Scale notes: every operator below is shuffle-minimal — windowed aggregation
+shuffles once on (window, key) with map-side partial aggregation; ingestion
+appends without shuffling (partitionBy at the writer level routes rows);
+sessionization uses ``session_window`` (single stateful shuffle keyed by
+user). State stores are RocksDB-spillable on a real cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source event stream: each new parquet file under ``path`` becomes
+    a micro-batch (the standard landing-zone pattern; exactly-once via file
+    tracking in the checkpoint)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation: count + value sum per
+    (window, key). Late rows beyond the watermark are dropped; state for
+    closed windows is evicted — bounded memory at any scale."""
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (gap-based) per user — the streaming analog of the
+    batch ``sessionize_events`` query. ``session_window`` keeps one merging
+    window per active key in the state store; closed sessions emit on
+    watermark advance."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_index_ingest(
+    stream: DataFrame,
+    *,
+    assign: Callable[[DataFrame], DataFrame],
+    out_path: str,
+    checkpoint: str,
+    partition_col: str = "cell",
+    compact_every: int | None = None,
+    compactor: Callable[[SparkSession, str], None] | None = None,
+):
+    """Incremental index ingestion — the streaming replacement for the
+    reference's ``insert`` rebalancing cascade (``pktree.hpp:1262-1355``).
+
+    Per micro-batch: ``assign`` adds the partition (cell/list) column via the
+    index's closed-form expression, and the batch appends to partitioned
+    parquet — an idempotent, shuffle-free write (task-level retry safe; the
+    checkpoint gives exactly-once at the batch level). Every
+    ``compact_every`` batches the optional ``compactor`` runs the batch-build
+    coalesce over the accumulated dataset — the K-instantiation invariant is
+    restored in bulk instead of per-point pointer surgery.
+
+    Returns the ``StreamingQuery``; caller stops it / awaits termination.
+    """
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = assign(batch_df)
+        (
+            assigned.write.mode("append")
+            .partitionBy(partition_col)
+            .parquet(out_path)
+        )
+        if compactor and compact_every and (batch_id + 1) % compact_every == 0:
+            compactor(batch_df.sparkSession, out_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

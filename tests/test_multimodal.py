@@ -1,0 +1,63 @@
+"""Multimodal plumbing: schemas, batch shapes, determinism, and partition
+spreading are real; the codec itself is a deterministic stub (see module
+docstring of operators.multimodal)."""
+
+from __future__ import annotations
+
+from pyvectorsearch_spark.operators.multimodal import (
+    audio_rms_features,
+    image_resize_features,
+    media_byte_stats,
+    spread_media,
+    synthetic_media,
+    video_frame_sample,
+)
+
+
+def test_media_byte_stats_real_features(spark):
+    media = synthetic_media(spark, 30)
+    out = media_byte_stats(media).toPandas().sort_values("media_id")
+    assert len(out) == 30
+    assert (out["n_bytes"] > 0).all()
+    assert ((out["entropy"] > 0) & (out["entropy"] <= 8.0)).all()
+    # md5-chained blobs are incompressible: ratio ~1
+    assert (out["compress_ratio"] > 0.9).all()
+
+
+def test_image_resize_shape_and_determinism(spark):
+    media = synthetic_media(spark, 30)
+    out = image_resize_features(media, width=8, height=8).toPandas()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images
+    assert all(len(p) == 8 * 8 * 3 for p in out["pixels"])
+    assert out["mean_r"].between(0, 1).all()
+    # determinism: second run bit-identical
+    out2 = image_resize_features(media, width=8, height=8).toPandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert (a["mean_g"] == b["mean_g"]).all()
+
+
+def test_audio_rms_frames(spark):
+    media = synthetic_media(spark, 30)
+    out = audio_rms_features(media, n_samples=1024, frame=256).toPandas()
+    assert len(out) == media.filter("kind = 'audio'").count()
+    assert all(len(r) == 1024 // 256 for r in out["rms"])
+    assert (out["rms_mean"] > 0).all()
+
+
+def test_video_frame_sampling(spark):
+    media = synthetic_media(spark, 30)
+    out = video_frame_sample(media, every_n=4).toPandas()
+    vids = media.filter("kind = 'video'").select("media_id", "meta.n_frames").toPandas()
+    expected = int(sum((nf + 3) // 4 for nf in vids["n_frames"]))
+    assert len(out) == expected
+    assert (out["frame_idx"] % 4 == 0).all()
+    assert all(len(p) == 4 * 4 * 3 for p in out["pixels"])
+
+
+def test_spread_media_partitioning(spark):
+    media = synthetic_media(spark, 30)
+    spread = spread_media(media, parts=6)
+    assert spread.rdd.getNumPartitions() == 6
+    assert spread.count() == 30

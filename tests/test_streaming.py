@@ -1,0 +1,130 @@
+"""Structured Streaming: windowed/session aggregation and incremental index
+ingestion, verified against the equivalent batch computation (the streaming
+plan with availableNow must produce exactly the batch answer)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.sources.tables import load_table
+from pyvectorsearch_spark.streaming.ingest import (
+    read_event_stream,
+    sessionized_stream,
+    stream_index_ingest,
+    windowed_event_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def event_landing(spark, tmp_path):
+    """Write the smoke events table as multiple parquet files into a landing
+    dir so the file stream sees several micro-batch candidates."""
+    src = load_table(spark, SF_SMOKE, "events")
+    land = str(tmp_path / "landing")
+    src.repartition(4).write.parquet(land)
+    return land
+
+
+def _run_to_memory(stream_df, name: str, mode: str = "complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_match_batch(spark, event_landing):
+    stream = read_event_stream(spark, event_landing, max_files_per_trigger=2)
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    _run_to_memory(out, "win_counts")
+    got = spark.table("win_counts")
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    exp = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in exp.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_sessionized_stream_matches_batch_session_window(spark, event_landing):
+    stream = read_event_stream(spark, event_landing)
+    out = sessionized_stream(stream, gap="30 minutes", watermark="4 hours")
+    _run_to_memory(out, "sessions")
+    got = spark.table("sessions")
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    exp = (
+        batch.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in exp.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_stream_index_ingest_appends_partitioned(spark, tmp_path):
+    """Micro-batch ingestion with a cell-style assignment: rows land under
+    cell=... partition dirs and the accumulated dataset equals the input."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    land = str(tmp_path / "vec_landing")
+    emb.repartition(3).write.parquet(land)
+
+    out_path = str(tmp_path / "index_data")
+    ckpt = str(tmp_path / "ckpt")
+
+    def assign(df):
+        # closed-form cell id (1-d grid on the first coordinate), the same
+        # shape GridIndex uses; any per-row expression works here
+        return df.withColumn(
+            "cell", F.floor(F.element_at("embedding", 1) * 4).cast("long")
+        )
+
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(land)
+    q = stream_index_ingest(
+        stream, assign=assign, out_path=out_path, checkpoint=ckpt
+    )
+    q.awaitTermination(120)
+
+    assert glob.glob(os.path.join(out_path, "cell=*")), "no partition dirs"
+    back = spark.read.parquet(out_path)
+    assert back.count() == emb.count()
+    assert set(back.select("vec_id").toPandas()["vec_id"]) == set(
+        emb.select("vec_id").toPandas()["vec_id"]
+    )
+    # exactly-once: restarting with the same checkpoint must not duplicate
+    stream2 = spark.readStream.schema(emb.schema).parquet(land)
+    q2 = stream_index_ingest(
+        stream2, assign=assign, out_path=out_path, checkpoint=ckpt
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_path).count() == emb.count()
+    shutil.rmtree(ckpt, ignore_errors=True)
