@@ -9,6 +9,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     dedup,
     multimodal,
     relational,
+    streaming,
     text,
     vector,
 )
@@ -28,7 +29,7 @@ def all_oracles():
     return out
 
 
-_MODULES = [vector, relational, dedup, text, multimodal]
+_MODULES = [vector, relational, dedup, text, multimodal, streaming]
 
 
 def register(mod) -> None:

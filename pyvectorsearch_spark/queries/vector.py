@@ -114,6 +114,53 @@ SELECT query_id, neighbor_id, round(d, 6) AS dist_sq, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {K}
 """
 
+def q_range_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-index-accelerated exact ε-range search on the first two embedding
+    dims (search_range analog, pktree.hpp:933-939, with the fully-inside /
+    partial cell classification of :1161-1171). Exact ⇒ brute-force oracle."""
+    from pyvectorsearch_spark.index.grid import GridIndex
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("p2", F.slice("embedding", 1, 2))
+        .select("vec_id", "p2")
+    )
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("p2").alias("qvec")
+    )
+    idx = GridIndex.build(emb, vec_col="p2", id_col="vec_id", target_occupancy=16)
+    out = idx.range(probes, radius=0.15)
+    return out.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq")
+    )
+
+
+ORACLE_RANGE_GRID_2D = f"""
+WITH base AS (SELECT vec_id, embedding[1:2] AS p2 FROM embeddings),
+q AS (SELECT vec_id AS query_id, p2 AS qvec FROM base WHERE vec_id < {N_PROBES})
+SELECT q.query_id, e.vec_id AS neighbor_id, round({_D2}, 6) AS dist_sq
+FROM q CROSS JOIN base e
+WHERE {_D2} <= 0.15 * 0.15
+"""
+
+
+def q_knn_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN with payload pass-through — the ``pkmap`` analog
+    (``/root/reference/include/pktree.hpp:1362-1416``: key→value search where
+    the payload rides with the point; here payload columns ride in the row)."""
+    from pyvectorsearch_spark.operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_join(emb, _probes(spark, sf_dir), K, payload=["label"])
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("dist", 6).alias("dist_sq"),
+        "rank",
+        "label",
+    )
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-indexed kNN in exhaustive-probe mode (nprobe == n_lists ⇒ exact,
     so the brute-force SQL oracle applies; partial-probe recall is covered by
@@ -142,6 +189,21 @@ WITH q AS (
   FROM pairs
 )
 SELECT query_id, neighbor_id, round(d, 6) AS dist_sq, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+ORACLE_KNN_PAYLOAD = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_PROBES}
+), pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_D} AS d, e.label
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, neighbor_id, d, label,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(d, 6) AS dist_sq, CAST(rank AS INT) AS rank, label
 FROM ranked WHERE rank <= {K}
 """
 
@@ -180,7 +242,9 @@ FROM n GROUP BY label ORDER BY label
 
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
+    "knn_payload": q_knn_payload,
     "range_search": q_range_search,
+    "range_grid_2d": q_range_grid_2d,
     "knn_topk_global": q_knn_topk_global,
     "knn_grid_2d": q_knn_grid_2d,
     "knn_ivf": q_knn_ivf,
@@ -190,7 +254,9 @@ QUERIES = {
 ORACLES = {
     "knn_ivf": ORACLE_KNN,
     "knn_bruteforce": ORACLE_KNN,
+    "knn_payload": ORACLE_KNN_PAYLOAD,
     "range_search": ORACLE_RANGE,
+    "range_grid_2d": ORACLE_RANGE_GRID_2D,
     "knn_topk_global": ORACLE_TOPK_GLOBAL,
     "knn_grid_2d": ORACLE_KNN_GRID_2D,
     "vector_norm_stats": ORACLE_NORM_STATS,
