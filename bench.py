@@ -21,17 +21,26 @@ from pyspark.sql import SparkSession
 # relational agg/join/window, dedup exact+approx, text analysis).
 HEADLINE = [
     "knn_bruteforce",
+    "knn_payload",
     "knn_grid_2d",
     "knn_ivf",
     "range_search",
+    "range_grid_2d",
+    "knn_topk_global",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "top_orders_per_customer",
     "sessionize_events",
+    "events_hourly_stream",
+    "dedup_exact_stats",
     "dedup_minhash_lsh",
+    "dedup_jaccard_pairs",
+    "dedup_simhash",
     "dedup_embedding_cosine",
     "text_quality",
+    "text_lang_confusion",
     "text_fingerprint",
+    "multimodal_byte_stats",
 ]
 
 
@@ -67,8 +76,11 @@ def main() -> None:
     # Warm up the JVM/codegen path once so q1 doesn't pay session startup.
     _force(registry[names[0]](spark, sf_dir))
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in names:
+        gc.collect()  # drop dangling broadcast refs so ContextCleaner reclaims
         t0 = time.perf_counter()
         _force(registry[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

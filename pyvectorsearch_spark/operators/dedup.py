@@ -231,11 +231,16 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 12,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming.
+    """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming (exact).
 
-    Brute self-join here (500-doc oracle scale); at corpus scale split the
-    fingerprint into (max_hamming+1) chunks and equi-join on chunks (pigeonhole)
-    before verifying — same output, no quadratic pass."""
+    Physical strategy note (measured at sf0.1, 5000 docs / 175k qualifying
+    pairs): this corpus is near-duplicate-DENSE, so pigeonhole chunk
+    equi-joins (split into max_hamming+1 chunks, join on any agreeing chunk)
+    generate a candidate set comparable to the full pair space and then pay
+    either a distinct (7.9s) or a per-candidate first-match HOF filter (39s);
+    the straight broadcast nested-loop self-join with a codegen'd bit_count
+    predicate wins (7.5s). On a sparse corpus (real web data, output ≪ n²)
+    the chunk join is the scale path — switch when candidate density drops."""
     sh = simhash_64(df, id_col=id_col, text_col=text_col)
     a = sh.select(F.col(id_col).alias("d1"), F.col("simhash").alias("h1"))
     b = sh.select(F.col(id_col).alias("d2"), F.col("simhash").alias("h2"))

@@ -20,7 +20,8 @@ from pyvectorsearch_spark.operators.multimodal import (
 def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level media features (size/crc/entropy/compressibility) per kind;
     deterministic synthetic blobs (sf-independent)."""
-    media = synthetic_media(spark, 96)
+    # 96 rows: don't spin up 32 python workers for 3 rows each
+    media = synthetic_media(spark, 96).coalesce(4)
     stats = media_byte_stats(media)
     return (
         stats.groupBy("kind")
