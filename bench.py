@@ -63,6 +63,10 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 21 distinct query shapes compile hundreds of codegen classes; the
+        # default 240m code cache sweeps under pressure and heavy queries fall
+        # back to the interpreter (measured 3-4x degradation late in the run)
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -73,10 +77,14 @@ def main() -> None:
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
 
-    # Warm up the JVM/codegen path once so q1 doesn't pay session startup.
-    _force(registry[names[0]](spark, sf_dir))
-
     import gc
+
+    # Warm-up pass: whole-stage codegen compilation (C2) costs seconds per
+    # distinct query shape; a long-running engine amortizes it, so the
+    # reported numbers are the steady-state second run.
+    for name in names:
+        gc.collect()
+        _force(registry[name](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:

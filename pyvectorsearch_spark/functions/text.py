@@ -70,6 +70,17 @@ def duckdb_minhash(sh: str, n_hashes: int = 16) -> str:
     )
 
 
+def duckdb_minhash64(sh: str, n_hashes: int = 16) -> str:
+    """64-bit variant matching ``operators.dedup.minhash_signatures``:
+    h_i(s) = first 15 hex chars of md5 parsed as a 60-bit integer (Spark:
+    ``conv(substr(md5(..), 1, 15), 16, 10)``; DuckDB: CAST('0x'||prefix))."""
+    return (
+        f"list_transform(range(0, {n_hashes}), i -> "
+        f"list_aggregate(list_transform({sh}, s -> "
+        f"CAST(concat('0x', substr(md5(concat(i, ':', s)), 1, 15)) AS BIGINT)), 'min'))"
+    )
+
+
 def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     """LSH banding: hash each band of the signature to one key; docs sharing
     any (band, key) are candidate pairs. array of struct(band, key)."""

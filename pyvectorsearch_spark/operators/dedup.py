@@ -115,7 +115,18 @@ def minhash_signatures(
         "doc",
         F.transform(
             F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            lambda i: F.md5(F.concat(i.cast("string"), F.lit(":"), F.col("s"))),
+            # 60-bit integer hash (md5 prefix): min(bigint) keeps the
+            # aggregation in HashAggregate — min(string) would force a
+            # SortAggregate (sort per branch) and shuffle 4x the bytes
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat(i.cast("string"), F.lit(":"), F.col("s"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
         ).alias("hs"),
     )
     mins = hashed.groupBy("doc").agg(

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyvectorsearch_spark.functions.text import duckdb_minhash, duckdb_shingles, duckdb_tokens
+from pyvectorsearch_spark.functions.text import duckdb_minhash64, duckdb_shingles, duckdb_tokens
 from pyvectorsearch_spark.functions.vector import duckdb_cosine
 from pyvectorsearch_spark.operators.dedup import (
     SIMHASH_BITS,
@@ -85,7 +85,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("d1", "d2", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
-_SIG = duckdb_minhash("s", N_HASHES)
+_SIG = duckdb_minhash64("s", N_HASHES)
 _ROWS = N_HASHES // BANDS
 _BAND_KEY = " || '|' || ".join(f"sig[b*{_ROWS}+{r + 1}]" for r in range(_ROWS))
 
