@@ -49,6 +49,21 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-rule itself: one surviving row (min doc_id) per exact text
+    digest — returns the kept ids with their source."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return exact_dedup(docs).select("doc_id", "source")
+
+
+ORACLE_EXACT_KEEP = """
+SELECT doc_id, source FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents GROUP BY md5(text)
+)
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     out = jaccard_similarity_pairs(docs, threshold=JACCARD_THRESHOLD)
@@ -168,6 +183,7 @@ WHERE {_COS} >= {MIN_COSINE}
 
 QUERIES = {
     "dedup_exact_stats": q_dedup_exact_stats,
+    "dedup_exact_keep": q_dedup_exact_keep,
     "dedup_jaccard_pairs": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -176,6 +192,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact_stats": ORACLE_EXACT,
+    "dedup_exact_keep": ORACLE_EXACT_KEEP,
     "dedup_jaccard_pairs": ORACLE_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": _simhash_oracle(),

@@ -161,6 +161,20 @@ def q_knn_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF in genuinely APPROXIMATE mode (nprobe=4 of 16 lists) — the 100 TB
+    serving path. Recall has no SQL oracle (driver records rows-only; recall
+    floors are asserted in tests/test_ivf.py)."""
+    from pyvectorsearch_spark.index.ivf import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex.build(emb, n_lists=16, seed=42)
+    out = idx.knn(_probes(spark, sf_dir), K, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank"
+    )
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-indexed kNN in exhaustive-probe mode (nprobe == n_lists ⇒ exact,
     so the brute-force SQL oracle applies; partial-probe recall is covered by
@@ -248,6 +262,7 @@ QUERIES = {
     "knn_topk_global": q_knn_topk_global,
     "knn_grid_2d": q_knn_grid_2d,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_approx": q_knn_ivf_approx,
     "vector_norm_stats": q_vector_norm_stats,
 }
 

@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for the search semantics — the
+invariants SURVEY.md §5 prescribes: result size ≤ k, sorted distances, range
+predicate satisfaction, monotonicity in k and radius, insert-order
+invariance, and blocked-path equivalence."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.operators.knn import knn_join, knn_join_blocked, range_join
+
+DIM = 3
+
+vec = st.lists(
+    st.floats(min_value=-8, max_value=8, allow_nan=False, width=32),
+    min_size=DIM,
+    max_size=DIM,
+)
+dataset = st.lists(vec, min_size=5, max_size=24)
+
+PROP_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _frames(spark, vecs):
+    data = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[0]]), (1, [0.0] * DIM)],
+        "query_id long, qvec array<float>",
+    )
+    return data, queries
+
+
+@given(vecs=dataset, k=st.integers(min_value=1, max_value=30))
+@PROP_SETTINGS
+def test_knn_size_sorted_and_self_nearest(spark, vecs, k):
+    data, queries = _frames(spark, vecs)
+    rows = knn_join(data, queries, k).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) <= k
+        assert len(rs) == min(k, len(vecs))
+        ds = [r.dist for r in sorted(rs, key=lambda r: r.rank)]
+        assert ds == sorted(ds)
+        assert all(d >= 0 for d in ds)
+    # query 0 is data point 0: its nearest neighbor distance must be 0
+    assert min(r.dist for r in by_q[0]) == 0.0
+
+
+@given(vecs=dataset, k=st.integers(min_value=1, max_value=10))
+@PROP_SETTINGS
+def test_knn_monotone_in_k(spark, vecs, k):
+    data, queries = _frames(spark, vecs)
+    small = {(r.query_id, r.neighbor_id) for r in knn_join(data, queries, k).collect()}
+    big = {(r.query_id, r.neighbor_id) for r in knn_join(data, queries, k + 3).collect()}
+    assert small <= big
+
+
+@given(vecs=dataset, radius=st.floats(min_value=0.1, max_value=12.0))
+@PROP_SETTINGS
+def test_range_predicate_and_monotone(spark, vecs, radius):
+    data, queries = _frames(spark, vecs)
+    rows = range_join(data, queries, radius).collect()
+    assert all(r.dist <= radius**2 + 1e-9 for r in rows)
+    bigger = range_join(data, queries, radius * 1.5).collect()
+    assert {(r.query_id, r.neighbor_id) for r in rows} <= {
+        (r.query_id, r.neighbor_id) for r in bigger
+    }
+
+
+@given(vecs=dataset)
+@PROP_SETTINGS
+def test_insert_order_invariance(spark, vecs):
+    """The reference's one stable observable (SURVEY.md §7): search results
+    don't depend on arrival order."""
+    data, queries = _frames(spark, vecs)
+    shuffled = data.orderBy(F.reverse(F.col("vec_id")))
+    a = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in knn_join(data, queries, 4).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in knn_join(shuffled, queries, 4).collect()
+    )
+    assert a == b
+
+
+@given(vecs=dataset, k=st.integers(min_value=1, max_value=8))
+@PROP_SETTINGS
+def test_blocked_equals_expression_path(spark, vecs, k):
+    data, queries = _frames(spark, vecs)
+    a = sorted(
+        (r.query_id, r.neighbor_id, r.rank, round(r.dist, 9))
+        for r in knn_join(data, queries, k).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, r.rank, round(r.dist, 9))
+        for r in knn_join_blocked(data, queries, k).collect()
+    )
+    assert a == b
