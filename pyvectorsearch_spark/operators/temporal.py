@@ -1,0 +1,85 @@
+"""Temporal joins the reference lacks and Spark has no built-in for:
+as-of join (each left row ↔ the latest right row at-or-before it, per key).
+
+Scale design: NO range/nested-loop join. Both sides are tagged and unioned,
+then one window per key ordered by (ts, side) carries the most recent right
+row forward (``last(..., ignorenulls=True)``) onto every left row — a single
+shuffle on the key, map-side combinable, AQE-skew-splittable. This is the
+classic log-enrichment shape (trades join for union+window) and holds at any
+scale where a window on (key, time) holds — i.e. the same envelope as
+sessionization.
+
+DuckDB's native ``ASOF JOIN`` is the oracle, so semantics are pinned to an
+independent implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "ts",
+    by: str | None = None,
+    right_cols: Iterable[str] = (),
+    direction: str = "backward",
+    suffix: str = "_right",
+    strict: bool = False,
+) -> DataFrame:
+    """For every left row, attach ``right_cols`` from the single right row
+    with the greatest ``on`` ≤ left.``on`` (direction="backward"; "forward"
+    = smallest ≥), matching within ``by`` groups. Unmatched left rows keep
+    NULLs — left-join semantics, like DuckDB ``ASOF LEFT JOIN``.
+
+    ``strict=True`` uses < instead of ≤ (excludes simultaneous rows).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    right_cols = list(right_cols) or [
+        c for c in right.columns if c not in {on, by}
+    ]
+
+    l_tag = left.withColumn("_side", F.lit(1)).select(
+        *left.columns,
+        "_side",
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    r_tag = right.select(
+        *[
+            F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c)
+            if c not in ([by] if by else []) + [on]
+            else F.col(c)
+            for c in left.columns
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    u = l_tag.unionByName(r_tag)
+
+    # Order so the candidate right row sorts before the left row it serves:
+    # backward+≤ : right first at equal ts (side 0 < 1) → window ends at
+    # current row. strict (<) : left first at equal ts.
+    side_order = F.col("_side").asc() if not strict else F.col("_side").desc()
+    if direction == "backward":
+        w = Window.orderBy(F.col(on).asc(), side_order)
+    else:
+        w = Window.orderBy(F.col(on).desc(), side_order)
+    if by is not None:
+        w = w.partitionBy(by)
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    carried = u.select(
+        *left.columns,
+        "_side",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")

@@ -10,6 +10,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     multimodal,
     relational,
     streaming,
+    temporal,
     text,
     vector,
 )
@@ -29,7 +30,7 @@ def all_oracles():
     return out
 
 
-_MODULES = [vector, relational, dedup, text, multimodal, streaming]
+_MODULES = [vector, relational, dedup, text, multimodal, streaming, temporal]
 
 
 def register(mod) -> None:

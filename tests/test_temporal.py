@@ -1,0 +1,84 @@
+"""asof_join semantics on handcrafted rows: backward/forward, strict,
+keyed matching, and left rows with no match."""
+
+from __future__ import annotations
+
+from pyvectorsearch_spark.operators.temporal import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 5), (4, "b", 15), (5, "c", 7)],
+        "lid long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [(100, "a", 10), (101, "a", 12), (102, "b", 15), (103, "b", 1)],
+        "rid long, k string, ts long",
+    )
+    return left, right
+
+
+def test_backward_default(spark):
+    left, right = _frames(spark)
+    out = {
+        r.lid: r.rid_right
+        for r in asof_join(left, right, on="ts", by="k", right_cols=["rid"]).collect()
+    }
+    assert out == {1: 100, 2: 101, 3: None, 4: 102, 5: None}
+
+
+def test_backward_strict_excludes_equal(spark):
+    left, right = _frames(spark)
+    out = {
+        r.lid: r.rid_right
+        for r in asof_join(
+            left, right, on="ts", by="k", right_cols=["rid"], strict=True
+        ).collect()
+    }
+    assert out == {1: None, 2: 101, 3: None, 4: 103, 5: None}
+
+
+def test_forward(spark):
+    left, right = _frames(spark)
+    out = {
+        r.lid: r.rid_right
+        for r in asof_join(
+            left, right, on="ts", by="k", right_cols=["rid"], direction="forward"
+        ).collect()
+    }
+    # smallest right.ts >= left.ts per key
+    assert out == {1: 100, 2: None, 3: 100, 4: 102, 5: None}
+
+
+def test_matches_duckdb_asof(spark, duck):
+    """Parity with DuckDB's native ASOF LEFT JOIN on the events table."""
+    from pyspark.sql import functions as F
+
+    from pyvectorsearch_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    got = asof_join(
+        left, right, on="ts", by="user_id", right_cols=["click_id", "value"]
+    ).collect()
+    g = sorted((r.event_id, r.click_id_right, r.value_right) for r in got)
+
+    duck.execute(
+        f"CREATE OR REPLACE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    exp = duck.sql(
+        """
+        SELECT l.event_id, r.event_id AS click_id, r.value
+        FROM (SELECT * FROM events WHERE event_type='purchase') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        """
+    ).fetchall()
+    e = sorted((a, b, c) for a, b, c in exp)
+    assert g == e and len(g) > 0
