@@ -82,6 +82,8 @@ class GridIndex:
         ratio: int = 2,
         target_occupancy: int = 64,
         fine_level: int | None = None,
+        coalesce_strategy: str = "auto",
+        driver_cell_limit: int = 200_000,
     ) -> "GridIndex":
         spark = df.sparkSession
         if dim is None:
@@ -109,6 +111,19 @@ class GridIndex:
 
         cell_expr = GridIndex._cell_expr(vec_col, origin, width, fine_level, dim, rr, ratio)
         fine = df.withColumn("_fine", cell_expr)
+
+        if coalesce_strategy not in ("auto", "driver", "distributed"):
+            raise ValueError(f"unknown coalesce_strategy {coalesce_strategy!r}")
+        if coalesce_strategy == "auto":
+            n_fine = fine.select(F.countDistinct("_fine")).first()[0]
+            coalesce_strategy = (
+                "driver" if n_fine <= driver_cell_limit else "distributed"
+            )
+        if coalesce_strategy == "distributed":
+            return GridIndex._build_distributed(
+                fine, origin, width, dim, rank, rr, ratio, fine_level,
+                id_col, vec_col,
+            )
 
         # Stats at the fine level (small: ≤ n/1 rows, typically n/occupancy).
         fine_stats = fine.groupBy("_fine").count().collect()
@@ -154,6 +169,142 @@ class GridIndex:
             [(k, v) for k, v in assign.items()], "_fine string, cell string"
         )
         indexed = fine.join(F.broadcast(mapping), "_fine").drop("_fine")
+        return GridIndex(
+            df=indexed,
+            stats=stats,
+            origin=origin,
+            width=width,
+            dim=dim,
+            rank=rank,
+            rr=rr,
+            ratio=ratio,
+            fine_level=fine_level,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    @staticmethod
+    def _build_distributed(
+        fine: DataFrame,
+        origin: list[float],
+        width: float,
+        dim: int,
+        rank: int,
+        rr: int,
+        ratio: int,
+        fine_level: int,
+        id_col: str,
+        vec_col: str,
+    ) -> "GridIndex":
+        """Coalesce without the driver: the 100 TB path.
+
+        The driver variant replays the reference's dissolve cascade over a
+        collected cell list — impossible when the fine-cell table itself is
+        billions of rows. This path runs the SAME cascade as DataFrame
+        aggregations: per level, cells with ≥ rank accumulated points
+        instantiate; under-full cells re-key to their parent and re-sum —
+        ``fine_level`` iterations over a shrinking ~n/occupancy-row table,
+        nothing per-cell ever collected. A fine cell's final home is then its
+        deepest INSTANTIATED ancestor (the dissolve process assigns exactly
+        there), recovered with one explode + join + max_by. Search results
+        are identical to the driver path (exactness never depended on tree
+        shape, SURVEY.md §7) and the occupancy invariant (≥ rank or root)
+        holds by construction.
+        """
+        spark = fine.sparkSession
+        fine_counts = fine.groupBy("_fine").count()
+        s_fine = _slices(fine_level, dim, rr)
+        cds = F.transform(
+            F.slice(F.split("_fine", CELL_SEP), 2, dim), lambda x: x.cast("long")
+        )
+        pending = fine_counts.select(
+            cds.alias("cds"), F.col("count").alias("cnt")
+        ).groupBy("cds").agg(F.sum("cnt").alias("cnt"))
+
+        def cell_id(level: int):
+            return F.concat_ws(
+                CELL_SEP,
+                F.lit(str(level)),
+                F.array_join(F.transform("cds", lambda x: x.cast("string")), CELL_SEP),
+            )
+
+        inst_parts = []
+        for l in range(fine_level, 0, -1):
+            pending = pending.persist()
+            inst_parts.append(
+                pending.filter(F.col("cnt") >= rank).select(
+                    F.lit(l).alias("lvl"), cell_id(l).alias("anc"), "cnt"
+                )
+            )
+            s_cur, s_par = _slices(l, dim, rr), _slices(l - 1, dim, rr)
+            divs = F.array(
+                *[F.lit(ratio ** (s_cur[c] - s_par[c])).cast("long") for c in range(dim)]
+            )
+            pending = (
+                pending.filter(F.col("cnt") < rank)
+                .select(
+                    F.zip_with("cds", divs, lambda x, d: x.cast("long") / d).alias(
+                        "_d"
+                    ),
+                    "cnt",
+                )
+                .select(
+                    F.transform("_d", lambda x: F.floor(x).cast("long")).alias("cds"),
+                    "cnt",
+                )
+                .groupBy("cds")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        inst_parts.append(
+            pending.select(F.lit(0).alias("lvl"), cell_id(0).alias("anc"), "cnt")
+        )
+        instantiated = inst_parts[0]
+        for p in inst_parts[1:]:
+            instantiated = instantiated.unionByName(p)
+
+        def anc_id(level: int):
+            s_l = _slices(level, dim, rr)
+            parts = [F.lit(str(level))]
+            for c in range(dim):
+                shrink = ratio ** (s_fine[c] - s_l[c])
+                parts.append(
+                    F.floor(
+                        F.element_at(F.split("_fine", CELL_SEP), c + 2).cast("long")
+                        / shrink
+                    ).cast("string")
+                )
+            return F.concat_ws(CELL_SEP, *parts)
+
+        ancs = fine_counts.select(
+            "_fine",
+            "count",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(l).alias("lvl"), anc_id(l).alias("anc"))
+                        for l in range(fine_level + 1)
+                    ]
+                )
+            ).alias("a"),
+        ).select("_fine", "count", "a.lvl", "a.anc")
+
+        chosen = (
+            ancs.join(instantiated.select("lvl", "anc"), ["lvl", "anc"])
+            .groupBy("_fine")
+            .agg(F.max_by("anc", "lvl").alias("cell"))
+        )
+        indexed = fine.join(chosen, "_fine").drop("_fine")
+
+        stats_rows = instantiated.collect()
+        stats = [
+            (
+                r["anc"],
+                int(r["anc"].split(CELL_SEP)[0]),
+                tuple(int(x) for x in r["anc"].split(CELL_SEP)[1:]),
+                int(r["cnt"]),
+            )
+            for r in stats_rows
+        ]
         return GridIndex(
             df=indexed,
             stats=stats,

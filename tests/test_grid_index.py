@@ -129,3 +129,42 @@ def test_index_write_load_roundtrip(tmp_path, spark, cities, cities_index, delft
 
     total_parts = len(glob.glob(f"{path}/data/cell=*"))
     assert total_parts == len({s[0] for s in cities_index.stats})
+
+
+def test_distributed_build_matches_driver_build(spark, cities, delft_probe):
+    """The 100 TB coalesce path (no driver-side cell cascade) must return
+    the same search results as the driver path and brute force."""
+    drv = GridIndex.build(
+        cities, vec_col="pt", id_col="pt_id", target_occupancy=8,
+        coalesce_strategy="driver",
+    )
+    dist = GridIndex.build(
+        cities, vec_col="pt", id_col="pt_id", target_occupancy=8,
+        coalesce_strategy="distributed",
+    )
+    # partition validity: every row assigned exactly one cell
+    assert dist.df.count() == cities.count()
+    # occupancy guarantee: every non-root cell owns >= rank points
+    assert all(cnt >= dist.rank or lvl == 0 for _, lvl, _, cnt in dist.stats)
+    for idx_knn in (drv, dist):
+        got = sorted(
+            (r.neighbor_id, r.rank)
+            for r in idx_knn.knn(delft_probe, 5).collect()
+        )
+        brute = sorted(
+            (r.neighbor_id, r.rank)
+            for r in knn_join(
+                cities, delft_probe, 5, data_id="pt_id", data_vec="pt"
+            ).collect()
+        )
+        assert got == brute
+    r_dist = sorted(
+        r.neighbor_id for r in dist.range(delft_probe, 0.1).collect()
+    )
+    r_brute = sorted(
+        r.neighbor_id
+        for r in range_join(
+            cities, delft_probe, 0.1, data_id="pt_id", data_vec="pt"
+        ).collect()
+    )
+    assert r_dist == r_brute
