@@ -198,41 +198,47 @@ def simhash_64(
     into a bigint. Returns ``(id_col, simhash)``. Weighting by frequency
     (not distinct sets) is what separates corpora with small shared
     vocabularies. All-integer math → deterministic across engines.
-    """
-    tok = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").alias("cnt"))
+
+    Physical note: the pure-expression form (60 contribution columns →
+    60-way sum aggregate) measured ~6s at sf0.1 — 16M deep-tree expr evals
+    plus a 60-buffer aggregation. This Arrow-batched kernel computes the
+    identical integers (hashlib.md5 == Spark md5 == DuckDB md5; the
+    tokenizer is the same regex/lowercase as ``functions.text.tokens``) in
+    one map-side pass, ~10x faster, shuffling nothing."""
+    import re as _re
+
+    import pandas as pd
+
+    tok_re = _re.compile("[^a-z0-9]+")
+
+    def run(batches):
+        import hashlib
+        from collections import Counter
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for text in pdf["_text"]:
+                counts = Counter(t for t in tok_re.sub(" ", text.lower()).split() if t)
+                votes = [0] * SIMHASH_BITS
+                for t, cnt in counts.items():
+                    h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                    for j in range(SIMHASH_BITS):
+                        if (h >> (SIMHASH_BITS - 1 - j)) & 1:
+                            votes[j] += cnt
+                        else:
+                            votes[j] -= cnt
+                sh = 0
+                for j in range(SIMHASH_BITS):
+                    if votes[j] > 0:
+                        sh |= 1 << (SIMHASH_BITS - 1 - j)
+                out.append(sh)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": out})
+
+    return df.select(F.col(id_col), F.col(text_col).alias("_text")).mapInPandas(
+        run, schema=f"{id_col} long, simhash long"
     )
-    nibs = tok.withColumn(
-        "nibs",
-        F.expr(
-            "transform(sequence(1, 15), p -> "
-            "cast(conv(substr(md5(tok), p, 1), 16, 10) as int))"
-        ),
-    )
-    contribs = [
-        (
-            F.col("cnt")
-            * (2 * ((F.element_at("nibs", j // 4 + 1).bitwiseAND(F.lit(8 >> (j % 4))) != 0).cast("int")) - 1)
-        ).alias(f"c{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    votes = nibs.select(id_col, *contribs)
-    sums = votes.groupBy(id_col).agg(
-        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
-    )
-    packed = sums.select(
-        F.col(id_col),
-        sum(
-            [
-                F.when(F.col(f"s{j}") > 0, F.lit(1 << (SIMHASH_BITS - 1 - j)).cast("long")).otherwise(F.lit(0).cast("long"))
-                for j in range(SIMHASH_BITS)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
-    )
-    return packed
 
 
 def simhash_pairs(
@@ -242,26 +248,59 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 12,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming (exact).
+    """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming (exact,
+    integer math — identical output to a nested-loop self-join with
+    bit_count).
 
-    Physical strategy note (measured at sf0.1, 5000 docs / 175k qualifying
+    Physical strategy (measured at sf0.1, 5000 docs / 175k qualifying
     pairs): this corpus is near-duplicate-DENSE, so pigeonhole chunk
-    equi-joins (split into max_hamming+1 chunks, join on any agreeing chunk)
-    generate a candidate set comparable to the full pair space and then pay
-    either a distinct (7.9s) or a per-candidate first-match HOF filter (39s);
-    the straight broadcast nested-loop self-join with a codegen'd bit_count
-    predicate wins (7.5s). On a sparse corpus (real web data, output ≪ n²)
-    the chunk join is the scale path — switch when candidate density drops."""
+    equi-joins generate candidate sets comparable to the full pair space and
+    lose to brute force (7.9s distinct / 39s first-match-filter vs 7.5s
+    BNLJ). The winner is the blocked numpy kernel below (XOR outer product +
+    16-bit popcount LUT per partition batch against the broadcast hash
+    table, ~1s): all-integer, so no recompute pass is needed. The broadcast
+    side is the (id, hash) table — 16 bytes/doc, fine to ~10⁸ docs; beyond
+    that, pigeonhole-bucket FIRST (sparse corpus ⇒ the chunk join wins
+    there) and run this kernel within buckets."""
+    import numpy as np
+    import pandas as pd
+
     sh = simhash_64(df, id_col=id_col, text_col=text_col)
-    a = sh.select(F.col(id_col).alias("d1"), F.col("simhash").alias("h1"))
-    b = sh.select(F.col(id_col).alias("d2"), F.col("simhash").alias("h2"))
-    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return (
-        a.join(b, F.col("d1") < F.col("d2"))
-        .withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("d1", "d2", "hamming")
-    )
+    rows = sh.collect()
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    hashes = np.asarray([r[1] for r in rows], dtype=np.uint64)
+    bc = df.sparkSession.sparkContext.broadcast((ids, hashes, int(max_hamming)))
+
+    lut = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+    def block_pairs(batches):
+        ids_, hashes_, mh = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bid = pdf["d1"].to_numpy()
+            bh = pdf["h1"].to_numpy().astype(np.uint64)
+            x = bh[:, None] ^ hashes_[None, :]
+            ham = np.zeros(x.shape, dtype=np.uint8)
+            for s in range(0, 64, 16):
+                ham += lut[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.uint32)]
+            ii, jj = np.nonzero((ham <= mh) & (bid[:, None] < ids_[None, :]))
+            yield pd.DataFrame(
+                {
+                    "d1": bid[ii],
+                    "d2": ids_[jj],
+                    "hamming": ham[ii, jj].astype("int32"),
+                }
+            )
+
+    # probe side = the already-collected table (re-deriving it from ``sh``
+    # would run the whole simhash pipeline a second time)
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    src = df.sparkSession.createDataFrame(
+        [(int(i), int(h)) for i, h in zip(ids, hashes.astype(np.int64))],
+        "d1 long, h1 long",
+    ).repartition(parts)
+    return src.mapInPandas(block_pairs, schema="d1 long, d2 long, hamming int")
 
 
 def embedding_dup_pairs(
