@@ -478,7 +478,37 @@ GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column functions: extract ``props.k`` (a JSON int), bucket it,
+    aggregate — covers the json/map category (absent in the reference,
+    SURVEY.md §2.4)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+ORACLE_PROPS_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+       count(*) AS n,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1 ORDER BY k_mod
+"""
+
+
 QUERIES = {
+    "events_props_json": events_props_json,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_volume": q5_region_volume,
@@ -510,4 +540,5 @@ ORACLES = {
     "part_brand_stats": ORACLE_BRAND,
     "order_date_breakdown": ORACLE_DATES,
     "events_hourly": ORACLE_HOURLY,
+    "events_props_json": ORACLE_PROPS_JSON,
 }
