@@ -61,7 +61,7 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
-def jaccard_similarity_pairs(
+def jaccard_similarity_pairs_exhaustive(
     df: DataFrame,
     *,
     id_col: str = "doc_id",
@@ -69,10 +69,9 @@ def jaccard_similarity_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity join: pairs with J ≥ threshold.
-
-    Returns ``(d1, d2, n_common, jaccard)`` with d1 < d2.
-    """
+    """Exact Jaccard join via the full inverted-index self-join — cost is
+    Σ_shingle df(s)², which blows up on any frequent shingle. Kept as the
+    semantics oracle for ``jaccard_similarity_pairs``; do not use at scale."""
     ex = _shingle_rows(df, id_col, text_col, n)
     sizes = ex.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -88,6 +87,79 @@ def jaccard_similarity_pairs(
         common.join(F.broadcast(s1), "d1")
         .join(F.broadcast(s2), "d2")
         .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "n_common", "jaccard")
+    )
+
+
+def jaccard_similarity_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity join: pairs with J ≥ threshold.
+
+    AllPairs/PPJoin-style prefix filtering (Bayardo, Ma & Srikant, WWW'07;
+    Xiao et al., WWW'08): order each doc's shingles by ascending global
+    document frequency; any pair with J ≥ t must collide inside the first
+    ``|s| - ceil(t*|s|) + 1`` shingles of BOTH docs under that shared order,
+    so only prefixes are self-joined. Rare-first ordering makes prefix
+    posting lists short — candidate cost collapses from Σ df(s)² over all
+    shingles to Σ df_prefix(s)² over the rarest ones. Candidates then pass a
+    length filter (min ≥ t·max) and exact verification via
+    ``array_intersect`` on the full shingle sets. Results are IDENTICAL to
+    the exhaustive join — prefix filtering is lossless for J ≥ t.
+
+    Shuffle shape: one groupBy(s) for document frequencies (map-side
+    combined), one groupBy(doc) building the sorted shingle array, the
+    prefix self-join, and a verify join against the per-doc arrays. The
+    per-doc array table is small (one row per doc) — broadcast by default,
+    shuffle-join at cluster scale via AQE if it outgrows the threshold.
+
+    Returns ``(d1, d2, n_common, jaccard)`` with d1 < d2.
+    """
+    ex = _shingle_rows(df, id_col, text_col, n)
+    freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    # Per-doc shingle array sorted rare-first: struct sort on (df, s) gives
+    # every doc the SAME global total order, which the prefix theorem needs.
+    ranked = ex.join(freq, "s").groupBy("doc").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("df", "s"))), lambda t: t["s"]
+        ).alias("sh"),
+    )
+    ranked = ranked.withColumn("n_sh", F.size("sh")).withColumn(
+        "prefix",
+        F.slice("sh", 1, F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1),
+    )
+    pref = ranked.select("doc", "n_sh", F.explode("prefix").alias("s"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # length filter: J >= t forces min(|x|,|y|) >= t * max(|x|,|y|)
+            & (
+                F.least("a.n_sh", "b.n_sh")
+                >= F.lit(threshold) * F.greatest("a.n_sh", "b.n_sh")
+            ),
+        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .distinct()
+    )
+    arr1 = ranked.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"), F.col("n_sh").alias("n1"))
+    arr2 = ranked.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"), F.col("n_sh").alias("n2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    return (
+        cand.join(F.broadcast(arr1), "d1")
+        .join(F.broadcast(arr2), "d2")
+        .withColumn("n_common", n_common)
+        .withColumn(
+            "jaccard", F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "n_common", "jaccard")
     )

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 from pyvectorsearch_spark.operators.dedup import (
     exact_dedup,
     jaccard_similarity_pairs,
+    jaccard_similarity_pairs_exhaustive,
     minhash_lsh_pairs,
     simhash_pairs,
 )
@@ -35,6 +36,23 @@ def test_jaccard_pairs_self_similarity(spark):
     assert len(pairs) == 1
     assert (pairs[0].d1, pairs[0].d2) == (1, 2)
     assert pairs[0].jaccard == 1.0
+
+
+def test_jaccard_prefix_filter_is_lossless(spark):
+    """The prefix-filtered join must return EXACTLY the exhaustive join's
+    pairs — prefix filtering only prunes candidates that cannot reach the
+    threshold. Low thresholds stress the prefix-length math hardest."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for t in (0.3, 0.5, 0.8, 0.95, 1.0):
+        fast = {
+            (r.d1, r.d2, r.n_common)
+            for r in jaccard_similarity_pairs(docs, threshold=t).collect()
+        }
+        slow = {
+            (r.d1, r.d2, r.n_common)
+            for r in jaccard_similarity_pairs_exhaustive(docs, threshold=t).collect()
+        }
+        assert fast == slow, f"threshold {t}: {fast ^ slow}"
 
 
 def test_lsh_finds_planted_near_dups(spark):
