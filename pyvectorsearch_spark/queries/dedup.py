@@ -17,6 +17,7 @@ from pyvectorsearch_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from pyvectorsearch_spark.operators.graph import dup_clusters
 from pyvectorsearch_spark.sources.tables import load_table, spread
 
 JACCARD_THRESHOLD = 0.8
@@ -73,8 +74,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOK = duckdb_tokens("text")
 _SH = duckdb_shingles("t", 3)
 
-ORACLE_JACCARD = f"""
-WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+_JACCARD_CTES = f"""toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
 sh AS (SELECT doc_id, {_SH} AS s FROM toks WHERE len({_SH}) > 0),
 ex AS (SELECT doc_id, unnest(s) AS sgl FROM sh),
 common AS (
@@ -82,13 +82,47 @@ common AS (
   FROM ex a JOIN ex b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh)
-SELECT d1, d2, n_common,
-       round(n_common::DOUBLE / (s1.n_sh + s2.n_sh - n_common), 6) AS jaccard
-FROM common
-JOIN sizes s1 ON d1 = s1.doc_id
-JOIN sizes s2 ON d2 = s2.doc_id
-WHERE n_common::DOUBLE / (s1.n_sh + s2.n_sh - n_common) >= {JACCARD_THRESHOLD}
+sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+jpairs AS (
+  SELECT d1, d2, n_common,
+         n_common::DOUBLE / (s1.n_sh + s2.n_sh - n_common) AS jaccard
+  FROM common
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE n_common::DOUBLE / (s1.n_sh + s2.n_sh - n_common) >= {JACCARD_THRESHOLD}
+)"""
+
+ORACLE_JACCARD = f"""
+WITH {_JACCARD_CTES}
+SELECT d1, d2, n_common, round(jaccard, 6) AS jaccard FROM jpairs
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: jaccard pairs → connected components → one
+    cluster_id per document (own id when unpaired). The iterative
+    min-label-propagation runs on the real engine; the oracle recomputes the
+    transitive closure with a recursive CTE."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_similarity_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return dup_clusters(docs, pairs)
+
+
+ORACLE_CLUSTERS = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM jpairs
+  UNION
+  SELECT d2, d1 FROM jpairs
+),
+reach(node, lbl) AS (
+    SELECT a, a FROM edges
+  UNION
+    SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
@@ -185,6 +219,7 @@ QUERIES = {
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_exact_keep": q_dedup_exact_keep,
     "dedup_jaccard_pairs": q_dedup_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -194,6 +229,7 @@ ORACLES = {
     "dedup_exact_stats": ORACLE_EXACT,
     "dedup_exact_keep": ORACLE_EXACT_KEEP,
     "dedup_jaccard_pairs": ORACLE_JACCARD,
+    "dedup_clusters": ORACLE_CLUSTERS,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": ORACLE_EMB_COSINE,

@@ -78,3 +78,33 @@ def test_simhash_near_dups_low_hamming(spark):
     sh = {(r.d1, r.d2): r.hamming for r in simhash_pairs(docs, max_hamming=60).collect()}
     for pair in exact:
         assert sh[pair] <= 12, f"near-dup pair {pair} has hamming {sh[pair]}"
+
+
+def test_connected_components_chain_and_triangle(spark):
+    """A 4-chain (tests multi-round propagation), a triangle, and an isolated
+    pair; every node must get its component's min id."""
+    from pyvectorsearch_spark.operators.graph import connected_components, dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (20, 21), (21, 22), (20, 22), (30, 31)],
+        "d1 long, d2 long",
+    )
+    comp = {r.node: r.cluster for r in connected_components(pairs).collect()}
+    assert comp == {10: 10, 11: 10, 12: 10, 13: 10,
+                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+    docs = spark.createDataFrame([(i,) for i in [10, 11, 12, 13, 40]], "doc_id long")
+    clusters = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs).collect()}
+    assert clusters == {10: 10, 11: 10, 12: 10, 13: 10, 40: 40}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 40-node path needs ~log-diameter... min-propagation needs diameter
+    rounds; assert max_iter guards and convergence result is exact."""
+    from pyvectorsearch_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "d1 long, d2 long"
+    )
+    comp = connected_components(pairs, max_iter=45).collect()
+    assert all(r.cluster == 0 for r in comp) and len(comp) == 41
