@@ -11,30 +11,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.sources.tables import load_table
-from pyvectorsearch_spark.streaming.ingest import windowed_event_counts
+from pyvectorsearch_spark.streaming.ingest import sessionized_stream, windowed_event_counts
 
 
-def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly tumbling-window counts per event_type, computed BY THE
-    STREAMING ENGINE (watermark + window, availableNow drain). Equivalent to
-    the batch ``events_hourly`` rollup; the oracle is plain SQL."""
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (glob-filtered; ns→µs ts)."""
     load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # file-source streaming wants a directory; glob-filter to the one table
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # parquet timestamps are ns → load_table truncates; mirror that here
     if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    out = windowed_event_counts(
-        stream, window="1 hour", watermark="2 hours"
-    )
-    name = f"events_hourly_stream_{uuid.uuid4().hex[:8]}"
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _drain(out: DataFrame, name_prefix: str) -> str:
+    """Run a streaming DataFrame to completion into a memory sink."""
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -43,6 +39,17 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    return name
+
+
+def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window counts per event_type, computed BY THE
+    STREAMING ENGINE (watermark + window, availableNow drain). Equivalent to
+    the batch ``events_hourly`` rollup; the oracle is plain SQL."""
+    out = windowed_event_counts(
+        _event_stream(spark, sf_dir), window="1 hour", watermark="2 hours"
+    )
+    name = _drain(out, "events_hourly_stream")
     return spark.table(name).select(
         F.col("window_start").alias("hour"),
         "event_type",
@@ -58,5 +65,53 @@ FROM events
 GROUP BY 1, 2
 """
 
-QUERIES = {"events_hourly_stream": q_events_hourly_stream}
-ORACLES = {"events_hourly_stream": ORACLE_HOURLY_STREAM}
+def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user, computed BY THE STREAMING ENGINE
+    (``session_window`` stateful aggregation — merging window state per key,
+    the streaming analog of the batch lag-gap ``sessionize_events``).
+    Boundary rule (verified empirically): events exactly ``gap`` apart MERGE;
+    a new session starts only when the gap is strictly exceeded — hence the
+    oracle's ``> 1800``. ``session_end`` is last event + gap."""
+    stream = _event_stream(spark, sf_dir).filter(F.col("user_id") < 50)
+    out = sessionized_stream(stream, gap="30 minutes", watermark="2 hours")
+    name = _drain(out, "events_sessions_stream")
+    return spark.table(name).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+ORACLE_SESSIONS_STREAM = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts) > 1800.0
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE user_id < 50
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, session_idx
+"""
+
+QUERIES = {
+    "events_hourly_stream": q_events_hourly_stream,
+    "events_sessions_stream": q_events_sessions_stream,
+}
+ORACLES = {
+    "events_hourly_stream": ORACLE_HOURLY_STREAM,
+    "events_sessions_stream": ORACLE_SESSIONS_STREAM,
+}

@@ -128,3 +128,34 @@ def test_stream_index_ingest_appends_partitioned(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(out_path).count() == emb.count()
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_session_stream_equals_batch_sessionize(spark):
+    """The streaming session_window result must agree with an independent
+    batch lag-gap sessionization of the same events (same gap, same
+    merge-at-exact-gap boundary rule)."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.queries.streaming import q_events_sessions_stream
+
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in q_events_sessions_stream(spark, SF_SMOKE).collect()
+    }
+
+    e = load_table(spark, SF_SMOKE, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    sess = (
+        e.withColumn("is_new", F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0))
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+    )
+    want = {
+        (r.user_id, r.session_start, r.n_events) for r in sess.collect()
+    }
+    assert got == want
