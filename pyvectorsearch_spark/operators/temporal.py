@@ -83,3 +83,56 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("_side") == 1).drop("_side")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bucket_seconds: float = 604800.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair with
+    ``start <= point_ts <= end`` (bounds inclusive) — WITHOUT a nested-loop
+    or broadcast-range join.
+
+    Scale design: both sides are mapped onto fixed-width time buckets —
+    points to one bucket, intervals exploded across every bucket they
+    overlap — then equi-joined on the bucket and filtered by the exact
+    predicate. Shuffle is hash-partitioned on bucket (ordinary exchange, AQE
+    skew-splittable); cost is |points| + Σ_interval ceil(len/bucket)+1 join
+    rows instead of |points| × |intervals|. Choose ``bucket_seconds`` near
+    the typical interval length: wider buckets explode intervals less but
+    put more points per bucket.
+
+    The bucket seam is exact: a point and interval land in a shared bucket
+    iff the interval overlaps the point's bucket, which interval-covering
+    guarantees; the residual predicate removes same-bucket non-matches.
+    """
+    w = F.lit(float(bucket_seconds))
+
+    def _epoch(c: str):
+        # NTZ timestamps reject a direct double cast; route through LTZ
+        # (session TZ) — only bucket arithmetic uses it, the exact predicate
+        # compares the original columns
+        return F.col(c).cast("timestamp_ltz").cast("double")
+
+    p = points.withColumn("_bucket", F.floor(_epoch(point_ts) / w).cast("long"))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch(start) / w).cast("long"),
+                F.floor(_epoch(end) / w).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (p["_bucket"] == iv["_bucket"])
+        & (p[point_ts] >= iv[start])
+        & (p[point_ts] <= iv[end])
+    )
+    return p.join(iv, cond, how).drop("_bucket")

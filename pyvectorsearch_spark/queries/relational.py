@@ -507,8 +507,38 @@ FROM events GROUP BY 1 ORDER BY k_mod
 """
 
 
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75) of extended price per
+    return flag — the distributed sort-based ``percentile`` aggregate (single
+    shuffle, partial aggregation map-side). DuckDB ``quantile_cont`` is the
+    oracle; both use linear interpolation."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.element_at(pct, 1), 6).alias("p25"),
+            F.round(F.element_at(pct, 2), 6).alias("p50"),
+            F.round(F.element_at(pct, 3), 6).alias("p75"),
+            F.round(F.avg("l_extendedprice"), 6).alias("mean_price"),
+        )
+    )
+
+
+ORACLE_QUANTILES = """
+SELECT l_returnflag, count(*) AS n,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       round(avg(l_extendedprice), 6) AS mean_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "events_props_json": events_props_json,
+    "price_quantiles": price_quantiles,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_volume": q5_region_volume,
@@ -541,4 +571,5 @@ ORACLES = {
     "order_date_breakdown": ORACLE_DATES,
     "events_hourly": ORACLE_HOURLY,
     "events_props_json": ORACLE_PROPS_JSON,
+    "price_quantiles": ORACLE_QUANTILES,
 }

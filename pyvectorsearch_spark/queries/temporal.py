@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyvectorsearch_spark.operators.temporal import asof_join
+from pyvectorsearch_spark.operators.temporal import asof_join, interval_join
 from pyvectorsearch_spark.sources.tables import load_table
 
 
@@ -42,5 +42,47 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
-QUERIES = {"asof_purchase_click": q_asof_purchase_click}
-ORACLES = {"asof_purchase_click": ORACLE_ASOF}
+
+
+def q_interval_order_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join, bucketed (no nested loop): for each
+    high-value order, how many lineitems (across ALL orders) shipped in the
+    7 days starting at its order date, and their total quantity. The oracle
+    is DuckDB's native inequality join (IEJoin) — an independent
+    implementation of band-join semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    intervals = orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("start"),
+        F.date_add("o_orderdate", 7).cast("timestamp").alias("end"),
+    )
+    points = lineitem.select(F.col("l_shipdate").alias("ts"), "l_quantity")
+    joined = interval_join(
+        points, intervals, point_ts="ts", bucket_seconds=7 * 86400.0
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_shipped"),
+        F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+    )
+
+
+ORACLE_INTERVAL = """
+SELECT o.o_orderkey,
+       count(*) AS n_shipped,
+       round(sum(l.l_quantity), 6) AS total_qty
+FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+"""
+
+QUERIES = {
+    "asof_purchase_click": q_asof_purchase_click,
+    "interval_order_shipments": q_interval_order_shipments,
+}
+ORACLES = {
+    "asof_purchase_click": ORACLE_ASOF,
+    "interval_order_shipments": ORACLE_INTERVAL,
+}

@@ -3,6 +3,8 @@ keyed matching, and left rows with no match."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pyvectorsearch_spark.operators.temporal import asof_join
 
 
@@ -82,3 +84,36 @@ def test_matches_duckdb_asof(spark, duck):
     ).fetchall()
     e = sorted((a, b, c) for a, b, c in exp)
     assert g == e and len(g) > 0
+
+
+def test_interval_join_boundaries_and_bucket_seam(spark):
+    """Inclusive bounds on both ends; matches must survive bucket-boundary
+    crossings (interval spanning multiple buckets, point at bucket edge)."""
+    from pyvectorsearch_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"),   # == interval start → match
+         (2, "2024-01-08 00:00:00"),   # == interval end → match
+         (3, "2024-01-08 00:00:01"),   # 1s past end → no match
+         (4, "2024-01-04 12:00:00"),   # middle, different bucket than start
+         (5, "2023-12-31 23:59:59")],  # before start → no match
+        "pid long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00", "2024-01-08 00:00:00")],
+        "iid long, start string, end string",
+    ).withColumn("start", F.col("start").cast("timestamp")) \
+     .withColumn("end", F.col("end").cast("timestamp"))
+
+    # tiny bucket (1 day) forces the interval across 8 buckets
+    got = {
+        r.pid
+        for r in interval_join(
+            points, intervals, bucket_seconds=86400.0
+        ).collect()
+    }
+    assert got == {1, 2, 4}
+
+    # exactly-one output row per (point, interval) pair despite the explode
+    rows = interval_join(points, intervals, bucket_seconds=86400.0).count()
+    assert rows == 3
