@@ -453,12 +453,39 @@ class GridIndex:
 
     # ---------------- persistence ----------------
 
-    def write(self, path: str, mode: str = "overwrite") -> None:
-        """Persist as cell-partitioned parquet + a stats/descriptor table —
-        the durable index the reference never had (its tree dies with the
-        process, pktree.hpp:1211-1214). Filters on ``cell`` become partition
-        pruning at read time."""
-        self.df.write.mode(mode).partitionBy("cell").parquet(f"{path}/data")
+    def write(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        *,
+        partition_rows_threshold: int = 100_000,
+        target_file_rows: int = 4_000_000,
+    ) -> None:
+        """Persist as parquet + a stats/descriptor table — the durable index
+        the reference never had (its tree dies with the process,
+        pktree.hpp:1211-1214).
+
+        Layout adapts to cell size: big cells (≥ ``partition_rows_threshold``
+        rows on average — the 100 TB regime) get directory partitioning so
+        ``cell`` filters become partition pruning; small cells get a handful
+        of range-partitioned files SORTED by cell, so the same filters prune
+        via parquet row-group min/max stats without drowning the filesystem
+        in per-cell directories (a 543-cell index over 2000 rows measured
+        4.3 s just to LIST when dir-partitioned)."""
+        n = sum(cnt for _, _, _, cnt in self.stats)
+        n_cells = max(len(self.stats), 1)
+        if n and n / n_cells >= partition_rows_threshold:
+            self.df.repartition("cell").write.mode(mode).partitionBy(
+                "cell"
+            ).parquet(f"{path}/data")
+        else:
+            files = max(1, math.ceil(n / max(target_file_rows, 1)))
+            (
+                self.df.repartitionByRange(files, "cell")
+                .sortWithinPartitions("cell")
+                .write.mode(mode)
+                .parquet(f"{path}/data")
+            )
         spark = self.df.sparkSession
         meta_rows = [
             (

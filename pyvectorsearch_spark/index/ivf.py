@@ -20,6 +20,7 @@ Spark-first design:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -131,10 +132,32 @@ class IVFIndex:
             query_vec=query_vec,
         )
 
-    def write(self, path: str, mode: str = "overwrite") -> None:
-        """Persist list-partitioned parquet + centroid table; filters on
-        list_id prune partitions at read time."""
-        self.df.write.mode(mode).partitionBy("list_id").parquet(f"{path}/data")
+    def write(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        *,
+        partition_rows_threshold: int = 100_000,
+        target_file_rows: int = 4_000_000,
+    ) -> None:
+        """Persist parquet + centroid table. Like ``GridIndex.write``: big
+        lists get directory partitioning (partition pruning on ``list_id``);
+        small lists get few cell-sorted files (row-group stats pruning) to
+        avoid per-list directory sprawl."""
+        n = self.df.count()
+        n_lists = max(len(self.centroids), 1)
+        if n and n / n_lists >= partition_rows_threshold:
+            self.df.repartition("list_id").write.mode(mode).partitionBy(
+                "list_id"
+            ).parquet(f"{path}/data")
+        else:
+            files = max(1, math.ceil(n / max(target_file_rows, 1)))
+            (
+                self.df.repartitionByRange(files, "list_id")
+                .sortWithinPartitions("list_id")
+                .write.mode(mode)
+                .parquet(f"{path}/data")
+            )
         spark = self.df.sparkSession
         rows = [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)]
         spark.createDataFrame(rows, "list_id int, centroid array<double>").coalesce(

@@ -10,11 +10,14 @@ output (ordering uses full precision; ties broken by neighbor_id).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.functions.vector import duckdb_l2_sq
 from pyvectorsearch_spark.operators.knn import knn_join_blocked, range_join, topk_global
+from pyvectorsearch_spark.index.cache import build_or_load
 from pyvectorsearch_spark.sources.tables import load_table
 
 DIM = 64
@@ -90,7 +93,14 @@ def q_knn_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("p2").alias("qvec")
     )
-    idx = GridIndex.build(emb, vec_col="p2", id_col="vec_id", target_occupancy=16)
+    idx = build_or_load(
+        spark,
+        f"grid2d_occ16_{os.path.basename(sf_dir.rstrip('/'))}",
+        load=GridIndex.load,
+        build=lambda: GridIndex.build(
+            emb, vec_col="p2", id_col="vec_id", target_occupancy=16
+        ),
+    )
     out = idx.knn(probes, K)
     return out.select(
         "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank"
@@ -128,7 +138,14 @@ def q_range_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("p2").alias("qvec")
     )
-    idx = GridIndex.build(emb, vec_col="p2", id_col="vec_id", target_occupancy=16)
+    idx = build_or_load(
+        spark,
+        f"grid2d_occ16_{os.path.basename(sf_dir.rstrip('/'))}",
+        load=GridIndex.load,
+        build=lambda: GridIndex.build(
+            emb, vec_col="p2", id_col="vec_id", target_occupancy=16
+        ),
+    )
     out = idx.range(probes, radius=0.15)
     return out.select(
         "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq")
@@ -168,7 +185,12 @@ def q_knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyvectorsearch_spark.index.ivf import IVFIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = IVFIndex.build(emb, n_lists=16, seed=42)
+    idx = build_or_load(
+        spark,
+        f"ivf16_seed42_{os.path.basename(sf_dir.rstrip('/'))}",
+        load=IVFIndex.load,
+        build=lambda: IVFIndex.build(emb, n_lists=16, seed=42),
+    )
     out = idx.knn(_probes(spark, sf_dir), K, nprobe=4)
     return out.select(
         "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank"
@@ -182,7 +204,12 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyvectorsearch_spark.index.ivf import IVFIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = IVFIndex.build(emb, n_lists=16, seed=42)
+    idx = build_or_load(
+        spark,
+        f"ivf16_seed42_{os.path.basename(sf_dir.rstrip('/'))}",
+        load=IVFIndex.load,
+        build=lambda: IVFIndex.build(emb, n_lists=16, seed=42),
+    )
     out = idx.knn(_probes(spark, sf_dir), K, nprobe=16)
     return out.select(
         "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank"

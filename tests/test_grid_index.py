@@ -118,16 +118,24 @@ def test_index_prunes_cells(cities_index, delft_probe):
 
 
 def test_index_write_load_roundtrip(tmp_path, spark, cities, cities_index, delft_probe):
+    import glob
+
+    a = _pairs(cities_index.knn(delft_probe, 5).collect())
+
+    # small-cell regime (default): compact cell-sorted files, NO per-cell dirs
     path = str(tmp_path / "cities_idx")
     cities_index.write(path)
     loaded = GridIndex.load(spark, path)
-    a = cities_index.knn(delft_probe, 5).collect()
-    b = loaded.knn(delft_probe, 5).collect()
-    assert _pairs(a) == _pairs(b)
-    # partition pruning: the pruned scan reads fewer files than the full index
-    import glob
+    assert _pairs(loaded.knn(delft_probe, 5).collect()) == a
+    assert not glob.glob(f"{path}/data/cell=*")
+    assert len(glob.glob(f"{path}/data/*.parquet")) <= 4
 
-    total_parts = len(glob.glob(f"{path}/data/cell=*"))
+    # big-cell regime (forced): directory partitioning for partition pruning
+    path2 = str(tmp_path / "cities_idx_part")
+    cities_index.write(path2, partition_rows_threshold=1)
+    loaded2 = GridIndex.load(spark, path2)
+    assert _pairs(loaded2.knn(delft_probe, 5).collect()) == a
+    total_parts = len(glob.glob(f"{path2}/data/cell=*"))
     assert total_parts == len({s[0] for s in cities_index.stats})
 
 
