@@ -71,13 +71,15 @@ def duckdb_minhash(sh: str, n_hashes: int = 16) -> str:
 
 
 def duckdb_minhash64(sh: str, n_hashes: int = 16) -> str:
-    """64-bit variant matching ``operators.dedup.minhash_signatures``:
-    h_i(s) = first 15 hex chars of md5 parsed as a 60-bit integer (Spark:
-    ``conv(substr(md5(..), 1, 15), 16, 10)``; DuckDB: CAST('0x'||prefix))."""
+    """64-bit variant matching ``operators.dedup.minhash_signatures``: one
+    md5 per shingle split into two 48-bit ints h1/h2; permutation i is the
+    affine hash h1 + i*h2 (Spark: ``conv(substr(md5(s), ..), 16, 10)``;
+    DuckDB: CAST('0x'||slice AS BIGINT)). Integer-only → exact parity."""
+    h1 = f"CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)"
+    h2 = f"CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT)"
     return (
         f"list_transform(range(0, {n_hashes}), i -> "
-        f"list_aggregate(list_transform({sh}, s -> "
-        f"CAST(concat('0x', substr(md5(concat(i, ':', s)), 1, 15)) AS BIGINT)), 'min'))"
+        f"list_aggregate(list_transform({sh}, s -> {h1} + i * {h2}), 'min'))"
     )
 
 

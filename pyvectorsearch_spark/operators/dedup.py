@@ -183,29 +183,20 @@ def minhash_signatures(
     the same Exchange, which ReuseExchange computes once. Docs with no
     shingles (< n tokens) are dropped, matching
     ``functions.text.minhash_signature``'s null-signature filter."""
+    # Carter-Wegman-style affine family: ONE md5 per shingle, split into two
+    # 48-bit integers (h1, h2); permutation i hashes to h1 + i*h2 (max
+    # ~2^52, no overflow). 16x less hashing than md5-per-(shingle, i), and
+    # still exactly reproducible in the DuckDB oracle (same integer math).
+    # min(bigint) keeps the aggregation in HashAggregate — min(string) would
+    # force a SortAggregate and shuffle 4x the bytes.
+    base = F.md5(F.col("s"))
+    h1 = F.conv(F.substring(base, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(base, 13, 12), 16, 10).cast("long")
     hashed = _shingle_rows(df, id_col, text_col, n).select(
-        "doc",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            # 60-bit integer hash (md5 prefix): min(bigint) keeps the
-            # aggregation in HashAggregate — min(string) would force a
-            # SortAggregate (sort per branch) and shuffle 4x the bytes
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.concat(i.cast("string"), F.lit(":"), F.col("s"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
-        ).alias("hs"),
+        "doc", *[(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(n_hashes)]
     )
     mins = hashed.groupBy("doc").agg(
-        *[
-            F.min(F.element_at("hs", i + 1)).alias(f"m{i}")
-            for i in range(n_hashes)
-        ]
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
     )
     return mins.select(
         F.col("doc").alias(id_col),
