@@ -18,4 +18,11 @@ Design principles (see SURVEY.md):
 
 __version__ = "0.1.0"
 
+from pyvectorsearch_spark.api import (  # noqa: F401
+    IVFIndex,
+    VectorIndex,
+    knn_bruteforce,
+    range_bruteforce,
+    topk_global,
+)
 from pyvectorsearch_spark.session import get_spark  # noqa: F401

@@ -536,9 +536,96 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one returned lineitem, counted
+    per priority — EXISTS as a left-semi join (one shuffle; Catalyst keeps
+    the build side de-duplicated, no row explosion on multi-match)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PRIORITY_RETURNS = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: per-customer order counts (LEFT join keeps
+    zero-order customers) → histogram of customers per count. Two
+    aggregations; the first reuses the join's hash partitioning on
+    c_custkey, so only one real exchange."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.col("n_orders").desc())
+    )
+
+
+ORACLE_CUST_DIST = """
+SELECT n_orders, count(*) AS n_customers FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) GROUP BY n_orders ORDER BY n_orders DESC
+"""
+
+
+def cheapest_shipment_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the supplier shipping each part at its minimum
+    price. The correlated min-subquery decorrelates into ONE window pass
+    (min + tie-break row_number over the same partitioning — a single
+    shuffle on l_partkey), instead of a groupBy-min + re-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("l_extendedprice").asc(), F.col("l_suppkey").asc()
+    )
+    best = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_partkey",
+            F.round("l_extendedprice", 6).alias("min_price"),
+            F.col("l_suppkey").alias("supplier_key"),
+        )
+    )
+    return best
+
+
+ORACLE_CHEAPEST = """
+SELECT l_partkey, round(l_extendedprice, 6) AS min_price,
+       l_suppkey AS supplier_key
+FROM (
+  SELECT l_partkey, l_extendedprice, l_suppkey,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice, l_suppkey) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "events_props_json": events_props_json,
     "price_quantiles": price_quantiles,
+    "priority_with_returns": priority_with_returns,
+    "customer_order_distribution": customer_order_distribution,
+    "cheapest_shipment_per_part": cheapest_shipment_per_part,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_volume": q5_region_volume,
@@ -572,4 +659,7 @@ ORACLES = {
     "events_hourly": ORACLE_HOURLY,
     "events_props_json": ORACLE_PROPS_JSON,
     "price_quantiles": ORACLE_QUANTILES,
+    "priority_with_returns": ORACLE_PRIORITY_RETURNS,
+    "customer_order_distribution": ORACLE_CUST_DIST,
+    "cheapest_shipment_per_part": ORACLE_CHEAPEST,
 }

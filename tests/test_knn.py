@@ -157,3 +157,25 @@ def test_dim_mismatch_raises(emb, probes):
         range_join(emb, bad, 1.0)
     with _pt.raises(ValueError, match="dim mismatch"):
         topk_global(emb, [0.0] * 3, 5)
+
+
+def test_public_api_surface(spark):
+    """SURVEY §2.5 facade: the reference's 8 entry points, Spark-shaped."""
+    import pyvectorsearch_spark as pvs
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [3.1, 3.1])], "query_id long, qvec array<double>"
+    )
+    idx = pvs.VectorIndex.build(df, vec_col="embedding", id_col="vec_id")
+    got = [r.neighbor_id for r in idx.knn(q, 3).orderBy("rank").collect()]
+    brute = [
+        r.neighbor_id
+        for r in pvs.knn_bruteforce(df, q, 3).orderBy("rank").collect()
+    ]
+    assert got == brute == [3, 4, 2]
+    rng = {r.neighbor_id for r in pvs.range_bruteforce(df, q, 1.6).collect()}
+    assert rng == {3, 4, 2}
