@@ -5,13 +5,20 @@ streaming execution path itself, not a batch stand-in."""
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.sources.tables import load_table
-from pyvectorsearch_spark.streaming.ingest import sessionized_stream, windowed_event_counts
+from pyvectorsearch_spark.streaming.ingest import (
+    sessionized_stream,
+    stateful_running_counts,
+    windowed_event_counts,
+)
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -28,18 +35,36 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _drain(out: DataFrame, name_prefix: str) -> str:
+def _drain(out: DataFrame, name_prefix: str, mode: str = "complete") -> str:
     """Run a streaming DataFrame to completion into a memory sink."""
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
     return name
+
+
+def _events_landing(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Multi-file landing copy of the events table (atomically published,
+    built once per sf dir) so the file stream delivers REAL multi-batch
+    arrival — one micro-batch per file — instead of one big batch."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"pvs_events_landing8_{base}")
+    if not os.path.isdir(path):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        load_table(spark, sf_dir, "events").repartition(n_files).write.parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(path):
+                raise
+    return path
 
 
 def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,11 +132,46 @@ SELECT user_id,
 FROM sess GROUP BY user_id, session_idx
 """
 
+def q_events_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user running (count, sum) carried across 8 real micro-batches; the
+    final emission per user equals the batch aggregate whatever the row →
+    batch split was, so the plain GROUP BY is an exact oracle. Downstream
+    ``max_by`` picks each user's last emission (running_count strictly
+    increases — a key only emits on batches that contain its rows)."""
+    landing = _events_landing(spark, sf_dir)
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    out = stateful_running_counts(stream)
+    name = _drain(out, "events_user_state_stream", mode="append")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("running_count").alias("n_events"),
+            F.round(F.max_by("running_sum", "running_count"), 6).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+ORACLE_USER_STATE_STREAM = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id
+"""
+
 QUERIES = {
     "events_hourly_stream": q_events_hourly_stream,
     "events_sessions_stream": q_events_sessions_stream,
+    "events_user_state_stream": q_events_user_state_stream,
 }
 ORACLES = {
     "events_hourly_stream": ORACLE_HOURLY_STREAM,
     "events_sessions_stream": ORACLE_SESSIONS_STREAM,
+    "events_user_state_stream": ORACLE_USER_STATE_STREAM,
 }

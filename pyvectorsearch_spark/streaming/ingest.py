@@ -145,3 +145,48 @@ def stream_index_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_running_counts(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum) carried across micro-batches in the state store —
+    the extension point for stateful logic no built-in aggregation covers
+    (the reference has no streaming surface at all; this is the north-star
+    custom-state path).
+
+    Emits one row per (key, batch) with the cumulative totals AFTER that
+    batch; the final emission per key therefore equals the global batch
+    aggregate, regardless of how rows were split into batches — which makes
+    the operator exactly oracle-checkable even though emission order is
+    batch-dependent (take ``max(running_count)`` per key downstream).
+
+    Scale: state is one (long, double) pair per key, partitioned by key in
+    the state store (RocksDB-backed on a real cluster); each batch shuffles
+    once on the key.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "running_count": [n], "running_sum": [s]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, running_count long, running_sum double",
+        stateStructType="n long, s double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -159,3 +159,46 @@ def test_session_stream_equals_batch_sessionize(spark):
         (r.user_id, r.session_start, r.n_events) for r in sess.collect()
     }
     assert got == want
+
+
+def test_stateful_running_counts_split_invariant(spark, tmp_path):
+    """applyInPandasWithState totals must equal the batch aggregate no
+    matter how rows are split into micro-batches."""
+    from pyvectorsearch_spark.streaming.ingest import stateful_running_counts
+
+    e = load_table(spark, SF_SMOKE, "events")
+    want = {
+        (r.user_id, r.n, round(r.s, 6))
+        for r in e.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    for n_files in (1, 5):
+        land = str(tmp_path / f"land{n_files}")
+        e.repartition(n_files).write.parquet(land)
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        name = f"state_test_{n_files}"
+        q = (
+            stateful_running_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.n, round(r.s, 6))
+            for r in spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max("running_count").alias("n"),
+                F.max_by("running_sum", "running_count").alias("s"),
+            )
+            .collect()
+        }
+        assert got == want, f"n_files={n_files}"
