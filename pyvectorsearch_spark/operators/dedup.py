@@ -121,7 +121,12 @@ def jaccard_similarity_pairs(
 
     Returns ``(d1, d2, n_common, jaccard)`` with d1 < d2.
     """
-    ex = _shingle_rows(df, id_col, text_col, n)
+    # One explicit exchange on the shingle: the frequency agg AND the
+    # df-attach join both consume it (ReusedExchange), so the CPU-heavy
+    # tokenize→shingle→explode pipeline is evaluated exactly once. Without
+    # it, Catalyst broadcasts the freq side and silently re-runs the explode
+    # for the probe side.
+    ex = _shingle_rows(df, id_col, text_col, n).repartition("s")
     freq = ex.groupBy("s").agg(F.count("*").alias("df"))
     # Per-doc shingle array sorted rare-first: struct sort on (df, s) gives
     # every doc the SAME global total order, which the prefix theorem needs.

@@ -61,3 +61,47 @@ def test_agg_has_partial_mapside(spark):
     s = explain_str(df)
     assert s.count("HashAggregate") >= 2
     assert count_exchanges(df) == 1
+
+
+def test_interval_join_no_nested_loop(spark):
+    """The bucketed interval join must compile to an equi-join (hash or
+    sort-merge on the bucket key), never BroadcastNestedLoopJoin/cartesian —
+    the whole point of the bucket trick."""
+    from pyvectorsearch_spark.queries.temporal import q_interval_order_shipments
+
+    df = q_interval_order_shipments(spark, SF_SMOKE)
+    s = explain_str(df)
+    assert "NestedLoop" not in s and "Cartesian" not in s, s[:2000]
+
+
+def test_semi_join_stays_semi(spark):
+    """EXISTS compiles to LeftSemi (no row multiplication on multi-match)."""
+    from pyvectorsearch_spark.queries.relational import priority_with_returns
+
+    df = priority_with_returns(spark, SF_SMOKE)
+    assert "LeftSemi" in explain_str(df)
+
+
+def test_q13_single_real_exchange_for_both_aggs(spark):
+    """The per-customer agg must reuse the join's partitioning on c_custkey;
+    only the tiny histogram agg adds an exchange."""
+    from pyvectorsearch_spark.queries.relational import customer_order_distribution
+
+    df = customer_order_distribution(spark, SF_SMOKE)
+    # exchanges: join (2 sides) + histogram re-key + final orderBy range —
+    # crucially NO extra exchange between the join and the first groupBy
+    assert count_exchanges(df) <= 4, explain_str(df)[:2000]
+
+
+def test_jaccard_prefix_reuses_shingle_exchange(spark):
+    """The explicit repartition("s") exchange over the exploded shingles
+    must be consumed by BOTH the doc-frequency agg and the df-attach join
+    (AQE stage reuse → ReusedExchange in the FINAL plan), so the CPU-heavy
+    tokenize→shingle→explode pipeline runs once, not per consumer."""
+    from pyvectorsearch_spark.queries.dedup import q_dedup_jaccard
+
+    df = q_dedup_jaccard(spark, SF_SMOKE)
+    df.collect()  # AQE only dedupes stages at runtime; static plans duplicate
+    s = explain_str(df)
+    assert "isFinalPlan=true" in s
+    assert "ReusedExchange" in s, s[:2000]
