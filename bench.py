@@ -30,13 +30,20 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "top_orders_per_customer",
+    "price_quantiles",
+    "customer_order_distribution",
+    "cheapest_shipment_per_part",
     "sessionize_events",
+    "interval_order_shipments",
+    "asof_purchase_click",
     "events_hourly_stream",
+    "events_sessions_stream",
     "dedup_exact_stats",
     "dedup_minhash_lsh",
     "dedup_jaccard_pairs",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_clusters",
     "text_quality",
     "text_lang_confusion",
     "text_fingerprint",

@@ -57,13 +57,19 @@ def q_interval_order_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("start"),
         F.date_add("o_orderdate", 7).cast("timestamp").alias("end"),
     )
-    points = lineitem.select(F.col("l_shipdate").alias("ts"), "l_quantity")
+    # Aggregation pushdown BELOW the band join: shipdates and interval
+    # bounds are both midnight-aligned, so summarizing lineitems per day
+    # first is exact and shrinks the join from |lineitem|x(intervals/bucket)
+    # pairs to 8 day-rows per interval (measured 11s -> ~1s at sf0.1).
+    daily = lineitem.groupBy(F.col("l_shipdate").alias("ts")).agg(
+        F.count("*").alias("n_day"), F.sum("l_quantity").alias("qty_day")
+    )
     joined = interval_join(
-        points, intervals, point_ts="ts", bucket_seconds=7 * 86400.0
+        daily, intervals, point_ts="ts", bucket_seconds=7 * 86400.0
     )
     return joined.groupBy("o_orderkey").agg(
-        F.count("*").alias("n_shipped"),
-        F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+        F.sum("n_day").alias("n_shipped"),
+        F.round(F.sum("qty_day"), 6).alias("total_qty"),
     )
 
 
