@@ -12,6 +12,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     streaming,
     temporal,
     text,
+    udf,
     vector,
 )
 
@@ -30,7 +31,7 @@ def all_oracles():
     return out
 
 
-_MODULES = [vector, relational, dedup, text, multimodal, streaming, temporal]
+_MODULES = [vector, relational, dedup, text, multimodal, streaming, temporal, udf]
 
 
 def register(mod) -> None:
