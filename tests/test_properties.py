@@ -110,3 +110,85 @@ def test_blocked_equals_expression_path(spark, vecs, k):
         for r in knn_join_blocked(data, queries, k).collect()
     )
     assert a == b
+
+
+# ---------------- interval join vs brute force ----------------
+
+_iv = st.tuples(
+    st.integers(min_value=0, max_value=5_000_000),  # start offset seconds
+    st.integers(min_value=0, max_value=2_000_000),  # length seconds
+)
+
+
+@given(
+    points=st.lists(st.integers(min_value=0, max_value=7_000_000), min_size=1, max_size=25),
+    intervals=st.lists(_iv, min_size=1, max_size=10),
+    bucket=st.sampled_from([3600.0, 86400.0, 604800.0]),
+)
+@PROP_SETTINGS
+def test_interval_join_equals_bruteforce(spark, points, intervals, bucket):
+    from pyvectorsearch_spark.operators.temporal import interval_join
+
+    base = 1_700_000_000  # fixed epoch anchor
+    p = spark.createDataFrame(
+        [(i, base + s) for i, s in enumerate(points)], "pid long, sec long"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    iv = spark.createDataFrame(
+        [(j, base + s, base + s + ln) for j, (s, ln) in enumerate(intervals)],
+        "iid long, s long, e long",
+    ).withColumn("start", F.timestamp_seconds("s")).withColumn(
+        "end", F.timestamp_seconds("e")
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            p.select("pid", "ts"), iv.select("iid", "start", "end"),
+            bucket_seconds=bucket,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, s in enumerate(points)
+        for j, (st_, ln) in enumerate(intervals)
+        if st_ <= s <= st_ + ln
+    }
+    assert got == want
+
+
+# ---------------- connected components vs union-find ----------------
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@PROP_SETTINGS
+def test_connected_components_equals_union_find(spark, edges):
+    from pyvectorsearch_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {r.node: r.cluster for r in connected_components(pairs).collect()}
+    assert got == want
