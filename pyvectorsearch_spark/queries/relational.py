@@ -620,8 +620,84 @@ FROM (
 """
 
 
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: a group-by-HAVING subquery on the fact table feeding a
+    multi-way join back to orders and customer. Scale notes: the pre-aggregation
+    on ``l_orderkey`` runs with map-side partial aggregation BEFORE any join, so
+    only qualifying orderkeys (a tiny set) reach the join — at 100 TB the
+    HAVING filter makes the aggregate side broadcastable."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+ORACLE_LARGE_QTY = """
+SELECT c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS total_price, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 300
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (CASE inside SUM) over a
+    fact-to-dim join. ``part`` is broadcast — the lineitem side never
+    shuffles; one map-side-combined aggregate produces a single row."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct"),
+            F.count("*").alias("matched_rows"),
+        )
+    )
+
+
+ORACLE_PROMO_SHARE = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share_pct,
+       count(*) AS matched_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
 QUERIES = {
     "events_props_json": events_props_json,
+    "large_quantity_orders": large_quantity_orders,
+    "promo_revenue_share": promo_revenue_share,
     "price_quantiles": price_quantiles,
     "priority_with_returns": priority_with_returns,
     "customer_order_distribution": customer_order_distribution,
@@ -643,6 +719,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "large_quantity_orders": ORACLE_LARGE_QTY,
+    "promo_revenue_share": ORACLE_PROMO_SHARE,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_region_volume": ORACLE_Q5,
