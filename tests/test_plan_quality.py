@@ -105,3 +105,29 @@ def test_jaccard_prefix_reuses_shingle_exchange(spark):
     s = explain_str(df)
     assert "isFinalPlan=true" in s
     assert "ReusedExchange" in s, s[:2000]
+
+
+def test_large_quantity_orders_broadcasts_having_side(spark):
+    """Q18 shape: the HAVING-filtered per-order aggregate is tiny, so it must
+    broadcast into orders — the 6B-row orders side never shuffles for the
+    join; the only exchanges are the lineitem pre-agg and the final top-k."""
+    from pyvectorsearch_spark.queries.relational import large_quantity_orders
+
+    df = large_quantity_orders(spark, SF_SMOKE)
+    s = explain_str(df)
+    assert "BroadcastHashJoin" in s, s[:2000]
+    assert "TakeOrderedAndProject" in s, s[:2000]  # top-k never total-sorts
+    assert count_exchanges(df) <= 1, s[:2000]
+
+
+def test_promo_revenue_share_factside_no_shuffle(spark):
+    """Q14 shape: part broadcasts and the single-row conditional aggregate
+    uses map-side partials — lineitem contributes zero shuffle exchanges
+    beyond the final single-partition combine."""
+    from pyvectorsearch_spark.queries.relational import promo_revenue_share
+
+    df = promo_revenue_share(spark, SF_SMOKE)
+    s = explain_str(df)
+    assert "BroadcastHashJoin" in s, s[:2000]
+    assert s.count("HashAggregate") >= 2, s[:2000]
+    assert count_exchanges(df) <= 1, s[:2000]
