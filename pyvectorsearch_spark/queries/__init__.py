@@ -12,6 +12,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     streaming,
     temporal,
     text,
+    tpch_extra,
     udf,
     vector,
 )
@@ -31,7 +32,17 @@ def all_oracles():
     return out
 
 
-_MODULES = [vector, relational, dedup, text, multimodal, streaming, temporal, udf]
+_MODULES = [
+    vector,
+    relational,
+    tpch_extra,
+    dedup,
+    text,
+    multimodal,
+    streaming,
+    temporal,
+    udf,
+]
 
 
 def register(mod) -> None:
