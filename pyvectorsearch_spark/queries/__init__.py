@@ -6,6 +6,7 @@ Modules register via the ``QUERIES`` / ``ORACLES`` dicts they export;
 """
 
 from pyvectorsearch_spark.queries import (  # noqa: F401
+    analytic_extra,
     dedup,
     multimodal,
     relational,
@@ -36,6 +37,7 @@ _MODULES = [
     vector,
     relational,
     tpch_extra,
+    analytic_extra,
     dedup,
     text,
     multimodal,

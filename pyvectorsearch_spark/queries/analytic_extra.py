@@ -1,0 +1,287 @@
+"""Analytic-function coverage: window frames, ntile/percent_rank, lead/lag,
+GROUPING SETS, and array-aggregation shapes.
+
+The reference has no window machinery at all (SURVEY.md §2.4: the kNN
+bounded-worst-replacement loop is its only "window"); these queries pin the
+remaining analytic surface a Spark engine owes its users, each against a
+DuckDB oracle.
+
+Scale notes: every window here partitions by a key (customer/doc/order) so
+state stays bounded per task; the two global-ORDER windows (deciles, moving
+average) run over PRE-AGGREGATED inputs (1.5k customers / ~2.5k days), never
+over the raw fact table — the pattern that survives 100 TB is
+aggregate-then-window, not window-then-aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank over per-customer revenue: decile boundaries and
+    totals. The window runs on the aggregated (one row per customer) side —
+    a single-partition sort of 1.5k rows, not 60k lineitems."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    return (
+        per_cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("revenue"), 2).alias("decile_revenue"),
+            F.round(F.min("revenue"), 2).alias("min_revenue"),
+            F.round(F.max("revenue"), 2).alias("max_revenue"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_DECILES = """
+SELECT decile, count(*) AS n_customers,
+       round(sum(revenue), 2) AS decile_revenue,
+       round(min(revenue), 2) AS min_revenue,
+       round(max(revenue), 2) AS max_revenue
+FROM (
+  SELECT o_custkey, revenue,
+         ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+  FROM (
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_custkey
+  )
+)
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+def daily_volume_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: 7-row trailing moving average + day-over-day
+    delta (lag) over the daily shipped-quantity series. Aggregate-then-
+    window: the window input is one row per ship date. The series is
+    integer-valued (quantities), so the oracle comparison is immune to FP
+    summation-order noise — a revenue series can flip a cent at rounding
+    boundaries between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("ship_day")).agg(
+        F.sum("l_quantity").cast("bigint").alias("day_qty"),
+        F.count("*").alias("day_lines"),
+    )
+    w_ord = Window.orderBy("ship_day")
+    w_ma = w_ord.rowsBetween(-6, 0)
+    out = (
+        daily.withColumn("ma7_qty", F.round(F.avg("day_qty").over(w_ma), 6))
+        .withColumn("delta_qty", F.col("day_qty") - F.lag("day_qty", 1).over(w_ord))
+        .orderBy("ship_day")
+        .limit(400)
+    )
+    return out.select(
+        F.col("ship_day").cast("timestamp").alias("ship_day"),
+        "day_qty",
+        "day_lines",
+        "ma7_qty",
+        "delta_qty",
+    )
+
+
+ORACLE_MOVING_AVG = """
+SELECT ship_day::TIMESTAMP AS ship_day, day_qty, day_lines,
+       round(avg(day_qty) OVER (ORDER BY ship_day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7_qty,
+       day_qty - lag(day_qty, 1) OVER (ORDER BY ship_day) AS delta_qty
+FROM (
+  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+         sum(l_quantity)::BIGINT AS day_qty,
+         count(*) AS day_lines
+  FROM lineitem GROUP BY ship_day
+)
+ORDER BY ship_day
+LIMIT 400
+"""
+
+
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag with date arithmetic: days between consecutive orders per
+    customer, summarized into a gap histogram (week buckets). Partitioned
+    window — per-customer state only, shuffles once on o_custkey."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("prev_date", F.lag("o_orderdate", 1).over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .withColumn("gap_days", F.datediff("o_orderdate", "prev_date"))
+    )
+    return (
+        gaps.groupBy((F.floor(F.col("gap_days") / 7)).cast("int").alias("gap_weeks"))
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
+        )
+        .orderBy("gap_weeks")
+    )
+
+
+ORACLE_ORDER_GAPS = """
+SELECT (gap_days // 7)::INT AS gap_weeks, count(*) AS n_gaps,
+       round(avg(gap_days), 6) AS avg_gap_days
+FROM (
+  SELECT date_diff('day', lag(o_orderdate, 1) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         o_orderdate) AS gap_days
+  FROM orders
+)
+WHERE gap_days IS NOT NULL
+GROUP BY gap_weeks
+ORDER BY gap_weeks
+"""
+
+
+def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id: (priority, year), (priority), (year),
+    and grand total in one pass — Spark expands to a single Expand+Aggregate,
+    one shuffle, no union of four scans."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               year(o_orderdate) AS order_year,
+               grouping(o_orderpriority) AS g_priority,
+               grouping(year(o_orderdate)) AS g_year,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS (
+          (o_orderpriority, year(o_orderdate)),
+          (o_orderpriority),
+          (year(o_orderdate)),
+          ()
+        )
+        ORDER BY g_priority, g_year, priority, order_year
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderpriority AS priority,
+       EXTRACT(year FROM o_orderdate)::INT AS order_year,
+       grouping(o_orderpriority) AS g_priority,
+       grouping(EXTRACT(year FROM o_orderdate)::INT) AS g_year,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderpriority, EXTRACT(year FROM o_orderdate)::INT),
+  (o_orderpriority),
+  (EXTRACT(year FROM o_orderdate)::INT),
+  ()
+)
+ORDER BY g_priority, g_year, priority, order_year
+"""
+
+
+def doc_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode + per-group top-k: split documents into words, rank by count
+    within each document, keep the top 3. The explode fans out BEFORE the
+    shuffle, but the (doc_id, word) partial aggregate collapses it map-side;
+    the window then sees one row per distinct word."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    words = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.length("word") >= 4)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("word").asc())
+    return (
+        words.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "n", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+ORACLE_TOP_WORDS = """
+SELECT doc_id, word, n, rk
+FROM (
+  SELECT doc_id, word, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, word) AS rk
+  FROM (
+    SELECT doc_id, word, count(*) AS n
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    WHERE length(word) >= 4
+    GROUP BY doc_id, word
+  )
+)
+WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+
+def order_quantity_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-order quantity vector in line order, plus
+    array kernels (size / max / sum-via-aggregate) — the same collect-sort-
+    transform pattern the vector operators use, here oracle-checked against
+    DuckDB's ordered list()."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_quantity"))),
+            lambda s: s["l_quantity"].cast("int"),
+        ).alias("qty_arr")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.array_join("qty_arr", ",").alias("qty_list"),
+        F.size("qty_arr").alias("n_lines"),
+        F.array_max("qty_arr").alias("max_qty"),
+        F.aggregate("qty_arr", F.lit(0), lambda acc, x: acc + x).alias("total_qty"),
+    ).orderBy("l_orderkey")
+
+
+ORACLE_QTY_ARRAYS = """
+SELECT l_orderkey,
+       array_to_string(list(l_quantity::INT ORDER BY l_linenumber, l_quantity), ',')
+         AS qty_list,
+       count(*)::INT AS n_lines,
+       max(l_quantity::INT) AS max_qty,
+       sum(l_quantity::INT)::INT AS total_qty
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
+QUERIES = {
+    "customer_revenue_deciles": customer_revenue_deciles,
+    "daily_volume_moving_avg": daily_volume_moving_avg,
+    "customer_order_gaps": customer_order_gaps,
+    "priority_grouping_sets": priority_grouping_sets,
+    "doc_top_words": doc_top_words,
+    "order_quantity_arrays": order_quantity_arrays,
+}
+
+ORACLES = {
+    "customer_revenue_deciles": ORACLE_DECILES,
+    "daily_volume_moving_avg": ORACLE_MOVING_AVG,
+    "customer_order_gaps": ORACLE_ORDER_GAPS,
+    "priority_grouping_sets": ORACLE_GROUPING_SETS,
+    "doc_top_words": ORACLE_TOP_WORDS,
+    "order_quantity_arrays": ORACLE_QTY_ARRAYS,
+}
