@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.sources.tables import load_table
 from pyvectorsearch_spark.streaming.ingest import (
+    deduplicated_stream,
     sessionized_stream,
     stateful_running_counts,
+    stream_stream_interval_join,
     windowed_event_counts,
 )
 
@@ -165,13 +167,103 @@ SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY user_id
 """
 
+def q_click_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join BY THE STREAMING ENGINE: every click
+    matched to same-user purchases within the following 30 minutes, both
+    sides watermarked (join state evicted by event time). Downstream batch
+    agg keeps the result small: pairs + distinct purchases per user."""
+    clicks = _event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    purchases = _event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    joined = stream_stream_interval_join(
+        clicks.withColumnRenamed("user_id", "c_user_id"),
+        purchases,
+        key_col=None,  # custom condition below
+        left_ts="ts",
+        right_ts="p_ts",
+    ) if False else (
+        clicks.withWatermark("ts", "2 hours")
+        .join(
+            purchases.withWatermark("p_ts", "2 hours"),
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
+            "inner",
+        )
+    )
+    name = _drain(joined, "click_purchase_join_stream", mode="append")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+ORACLE_CLICK_PURCHASE_JOIN = """
+SELECT c.user_id, count(*) AS n_pairs,
+       count(DISTINCT p.event_id) AS n_purchases,
+       round(sum(p.value), 6) AS total_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+"""
+
+
+def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup across 8 REAL micro-batches: first arrival per
+    (user_id, event_type) wins; state carries the seen-key set between
+    batches, so the distinct count is exact whatever the file → batch split.
+    The streaming face of the batch ``dedup_exact`` operator."""
+    landing = _events_landing(spark, sf_dir)
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    out = deduplicated_stream(stream, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    name = _drain(out, "events_dedup_stream", mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DEDUP_STREAM = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_hourly_stream": q_events_hourly_stream,
     "events_sessions_stream": q_events_sessions_stream,
     "events_user_state_stream": q_events_user_state_stream,
+    "click_purchase_join_stream": q_click_purchase_join_stream,
+    "events_dedup_stream": q_events_dedup_stream,
 }
 ORACLES = {
     "events_hourly_stream": ORACLE_HOURLY_STREAM,
     "events_sessions_stream": ORACLE_SESSIONS_STREAM,
     "events_user_state_stream": ORACLE_USER_STATE_STREAM,
+    "click_purchase_join_stream": ORACLE_CLICK_PURCHASE_JOIN,
+    "events_dedup_stream": ORACLE_DEDUP_STREAM,
 }

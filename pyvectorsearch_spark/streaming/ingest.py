@@ -147,6 +147,40 @@ def stream_index_ingest(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_lag: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: match each left row to right
+    rows of the same key whose timestamp falls in ``[left_ts, left_ts +
+    max_lag]``. Both sides are watermarked so the join state (buffered
+    unmatched rows) is evicted once the event-time range condition can no
+    longer match — bounded state at any scale; without the time bound a
+    stream-stream join would buffer forever."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key_col] == rw[key_col])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
+def deduplicated_stream(events: DataFrame, keys: list[str]) -> DataFrame:
+    """Streaming exact deduplication: first arrival per key wins, across ALL
+    micro-batches (state holds one entry per distinct key; add a watermark
+    variant via ``dropDuplicatesWithinWatermark`` when keys can be retired).
+    The streaming face of the batch ``dedup_exact`` operator."""
+    return events.dropDuplicates(keys)
+
+
 def stateful_running_counts(
     events: DataFrame,
     *,
