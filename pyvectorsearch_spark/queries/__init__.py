@@ -33,17 +33,23 @@ def all_oracles():
     return out
 
 
+# Registration order is the driver's correctness-check order, and the driver
+# verifies the FIRST 50 entries only. Keep the distinctive operator families
+# (vector search, dedup, text, temporal, streaming, UDF, multimodal) ahead of
+# the TPC-H-shape adaptations so every differentiated operator gets a driver
+# row; the tpch_extra/analytic_extra shapes that fall outside the window stay
+# covered by tests/test_oracle_parity.py against the same DuckDB oracles.
 _MODULES = [
     vector,
+    dedup,
+    text,
+    temporal,
+    streaming,
+    udf,
+    multimodal,
     relational,
     tpch_extra,
     analytic_extra,
-    dedup,
-    text,
-    multimodal,
-    streaming,
-    temporal,
-    udf,
 ]
 
 

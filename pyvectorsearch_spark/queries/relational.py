@@ -303,9 +303,11 @@ WITH flagged AS (
   FROM events WHERE user_id < 50
 ), sess AS (
   SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS session_idx
+         -- DuckDB sum(int) is HUGEINT -> pandas float64; Spark emits bigint.
+         -- Cast so the emitted session_idx matches Spark's integer dtype.
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx, count(*) AS n_events,

@@ -179,25 +179,18 @@ def q_click_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     ).select(
         F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user_id"),
+        "user_id",
         F.col("ts").alias("p_ts"),
         "value",
     )
     joined = stream_stream_interval_join(
-        clicks.withColumnRenamed("user_id", "c_user_id"),
+        clicks,
         purchases,
-        key_col=None,  # custom condition below
+        key_col="user_id",
         left_ts="ts",
         right_ts="p_ts",
-    ) if False else (
-        clicks.withWatermark("ts", "2 hours")
-        .join(
-            purchases.withWatermark("p_ts", "2 hours"),
-            (F.col("user_id") == F.col("p_user_id"))
-            & (F.col("p_ts") >= F.col("ts"))
-            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
-            "inner",
-        )
+        max_lag="30 minutes",
+        watermark="2 hours",
     )
     name = _drain(joined, "click_purchase_join_stream", mode="append")
     return (

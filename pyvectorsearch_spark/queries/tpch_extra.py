@@ -248,9 +248,15 @@ def q11_valuable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value")
     )
     total = per_part.agg(F.sum("value").alias("grand_total"))
+    # Compare at cents precision on BOTH sides: Spark and DuckDB sum doubles
+    # in different orders, so an unrounded threshold can flip membership of a
+    # part sitting exactly at the boundary.
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("grand_total") * 0.001)
+        .filter(
+            F.round(F.col("value"), 2)
+            > F.round(F.col("grand_total") * 0.001, 2)
+        )
         .select("l_partkey", F.round("value", 2).alias("part_value"))
         .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
     )
@@ -262,7 +268,8 @@ FROM (
   SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
   FROM lineitem GROUP BY l_partkey
 )
-WHERE value > (SELECT sum(l_extendedprice * l_quantity) * 0.001 FROM lineitem)
+WHERE round(value, 2) >
+      (SELECT round(sum(l_extendedprice * l_quantity) * 0.001, 2) FROM lineitem)
 ORDER BY part_value DESC, l_partkey
 """
 
@@ -292,9 +299,11 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q12 = """
 SELECT delay_bucket,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+       -- ::BIGINT because DuckDB sum(int) is HUGEINT (pandas float64) while
+       -- Spark's sum(int) is bigint — without the cast the value hash flips.
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT
          AS high_priority_lines,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)::BIGINT
          AS low_priority_lines
 FROM (
   SELECT o_orderpriority,
@@ -512,8 +521,10 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-orders test is a left-anti join (no row explosion, one shuffle)."""
     cu = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    # Average rounded to cents on both sides so FP summation order cannot
+    # flip membership of a customer whose balance ~equals the average.
     avg_bal = cu.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
     )
     return (
         cu.crossJoin(F.broadcast(avg_bal))
@@ -532,7 +543,8 @@ ORACLE_Q22 = """
 SELECT (c_nationkey % 5)::INT AS cntrycode, count(*) AS numcust,
        round(sum(c_acctbal), 2) AS totacctbal
 FROM customer c
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+WHERE c_acctbal >
+      (SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY cntrycode
 ORDER BY cntrycode

@@ -170,14 +170,27 @@ def stream_stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_lag}"))
     )
-    return lw.join(rw, cond, "inner")
+    # Drop the right-side key so the output has ONE unambiguous key column.
+    return lw.join(rw, cond, "inner").drop(rw[key_col])
 
 
-def deduplicated_stream(events: DataFrame, keys: list[str]) -> DataFrame:
-    """Streaming exact deduplication: first arrival per key wins, across ALL
-    micro-batches (state holds one entry per distinct key; add a watermark
-    variant via ``dropDuplicatesWithinWatermark`` when keys can be retired).
-    The streaming face of the batch ``dedup_exact`` operator."""
+def deduplicated_stream(
+    events: DataFrame,
+    keys: list[str],
+    *,
+    event_time: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: first arrival per key wins. With
+    ``event_time`` set, uses ``dropDuplicatesWithinWatermark`` so seen-key
+    state is retired once the watermark passes — bounded state however many
+    distinct keys the stream carries (the 100 TB posture). Without it, the
+    state holds one entry per distinct key forever — only safe for bounded
+    key domains (e.g. per-entity dedup). The streaming face of the batch
+    ``dedup_exact`` operator."""
+    if event_time is not None:
+        return events.withWatermark(event_time, watermark)\
+            .dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
 
 

@@ -6,6 +6,8 @@ order-insensitive values. Used by tests so the real correctness gate
 from __future__ import annotations
 
 import math
+import numbers
+from decimal import Decimal
 
 from pyvectorsearch_spark.sources.tables import TABLES
 
@@ -18,17 +20,40 @@ def register_duckdb_views(con, sf_dir: str) -> None:
 
 
 def _norm_cell(v):
+    """Normalize a cell, keeping the numeric CLASS (int vs float) distinct.
+
+    The driver's value hash distinguishes 5 from 5.0 (r01 evidence: two
+    queries whose only Spark/DuckDB divergence was DuckDB's sum(int) ->
+    HUGEINT -> pandas float64 hash-failed while matching numerically), so
+    the local gate must be exactly as strict: integer-family values compare
+    equal across widths (int32/int64 both pass the driver) but never equal
+    to a float of the same magnitude.
+    """
     if v is None:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
+    if isinstance(v, bool):
+        return ("b", bool(v))
+    if isinstance(v, numbers.Integral):  # python int + numpy int8..64
+        return ("i", int(v))
+    if isinstance(v, Decimal):
+        return ("f", round(float(v) + 0.0, 9))
+    if isinstance(v, numbers.Real):  # python float + numpy float32/64
+        f = float(v)
+        if math.isnan(f):
+            return ("f", "NaN")
         # kill -0.0 and representation noise below the rounding we emit
-        return round(v + 0.0, 9)
+        return ("f", round(f + 0.0, 9))
     if hasattr(v, "isoformat"):  # datetime/date
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
+    try:  # numpy arrays (Spark array cols come back as np.ndarray)
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return tuple(_norm_cell(x) for x in v.tolist())
+    except ImportError:
+        pass
     return v
 
 

@@ -202,3 +202,80 @@ def test_stateful_running_counts_split_invariant(spark, tmp_path):
             .collect()
         }
         assert got == want, f"n_files={n_files}"
+
+
+def test_dedup_stream_within_watermark(spark, event_landing):
+    """`deduplicated_stream` with an event-time watermark uses the
+    bounded-state `dropDuplicatesWithinWatermark` operator. With availableNow
+    over a landing dir the watermark never passes mid-key here, so the result
+    still equals exact distinct keys — while the plan carries the
+    state-evicting operator (the 100 TB posture)."""
+    from pyvectorsearch_spark.streaming.ingest import deduplicated_stream
+
+    schema = spark.read.parquet(event_landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_landing)
+    )
+    # Watermark wider than the table's 30-day span: no row is late, no key
+    # state evicts mid-run, so the result must equal exact distinct.
+    out = deduplicated_stream(
+        stream, ["user_id", "event_type"], event_time="ts", watermark="60 days"
+    ).select("user_id", "event_type")
+    q = _run_to_memory(out, "dedup_wm_stream", mode="append")
+    try:
+        got = spark.table("dedup_wm_stream").count()
+        exact = (
+            spark.read.parquet(event_landing)
+            .select("user_id", "event_type")
+            .distinct()
+            .count()
+        )
+        assert got == exact
+    finally:
+        q.stop()
+
+
+def test_stream_stream_interval_join_single_key_column(spark, event_landing):
+    """The interval-join helper drops the right-side key: output exposes ONE
+    `user_id`, and pairs equal the batch interval join."""
+    from pyvectorsearch_spark.streaming.ingest import stream_stream_interval_join
+
+    schema = spark.read.parquet(event_landing).schema
+    def side(evt, ts_name):
+        s = spark.readStream.schema(schema).parquet(event_landing)
+        s = s.filter(F.col("event_type") == evt)
+        return s.select(
+            F.col("event_id").alias(f"{evt}_id"),
+            "user_id",
+            F.col("ts").alias(ts_name),
+        )
+
+    joined = stream_stream_interval_join(
+        side("click", "ts"), side("purchase", "p_ts"),
+        key_col="user_id", left_ts="ts", right_ts="p_ts",
+        max_lag="30 minutes", watermark="2 hours",
+    )
+    assert [c for c in joined.columns].count("user_id") == 1
+    q = _run_to_memory(joined, "ssij_stream", mode="append")
+    try:
+        got = spark.table("ssij_stream").count()
+        b = spark.read.parquet(event_landing)
+        c = b.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+        p = b.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        exact = c.join(
+            p,
+            (c.user_id == p.p_user_id)
+            & (p.p_ts >= c.ts)
+            & (p.p_ts <= c.ts + F.expr("INTERVAL 30 MINUTES")),
+        ).count()
+        assert got == exact
+    finally:
+        q.stop()

@@ -17,9 +17,9 @@ def test_q8_snowflake_broadcasts_all_dims(spark):
     df = q8_market_share(spark, SF_SMOKE)
     s = explain_str(df)
     assert s.count("BroadcastHashJoin") >= 5, s[:3000]
-    assert "SortMergeJoin" not in s.replace(
-        "SortMergeJoin(l_orderkey", ""
-    ) or True  # lineitem⋈orders may sort-merge; dims must not
+    # lineitem⋈orders may sort-merge; every dim join must not. Allow at most
+    # that single SortMergeJoin occurrence in the plan.
+    assert s.count("SortMergeJoin") <= 1, s[:3000]
     # lineitem + orders shuffle for the join, plus the tiny agg + sort
     assert count_exchanges(df) <= 5, s[:3000]
 
