@@ -31,14 +31,16 @@ AQE skew-join handles the residue.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Iterable, Sequence
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 CELL_SEP = "_"
+
+STATS_SCHEMA = "cell string, level int, coords array<long>, count long"
 
 
 def _slices(level: int, dim: int, rr: int) -> list[int]:
@@ -51,13 +53,17 @@ class GridIndex:
     """A built grid index: cell assignment per row + cell statistics.
 
     ``df`` carries the source rows plus a ``cell`` string column
-    (``"level_c0_c1_..."``); ``stats`` is the driver-side cell table
-    [(cell, level, coords, count)]. ``origin``/``width`` define the root box
-    (reference ``_O``/``_width``, pktree.hpp:307-309).
+    (``"level_c0_c1_..."``); ``stats_df`` is the cell table — a DataFrame
+    ``(cell, level, coords, count)`` that is NEVER collected by the build
+    (at 100 TB it is ~n/occupancy rows). The driver-side candidate path
+    collects it lazily, on first use, only when small (``stats`` property);
+    the distributed candidate path (``candidates="distributed"``) joins
+    against it instead. ``origin``/``width`` define the root box (reference
+    ``_O``/``_width``, pktree.hpp:307-309).
     """
 
     df: DataFrame
-    stats: list[tuple[str, int, tuple[int, ...], int]]
+    stats_df: DataFrame
     origin: list[float]
     width: float
     dim: int
@@ -67,6 +73,22 @@ class GridIndex:
     fine_level: int
     id_col: str
     vec_col: str
+    _local_stats: list[tuple[str, int, tuple[int, ...], int]] | None = field(
+        default=None, repr=False
+    )
+    _stats_count: int | None = field(default=None, repr=False)
+
+    @property
+    def stats(self) -> list[tuple[str, int, tuple[int, ...], int]]:
+        """Driver-side cell list, collected lazily and cached. Only the
+        small-probe-set search path and tests touch this; the build and the
+        distributed search path never do."""
+        if self._local_stats is None:
+            self._local_stats = [
+                (r["cell"], int(r["level"]), tuple(int(x) for x in r["coords"]), int(r["count"]))
+                for r in self.stats_df.collect()
+            ]
+        return self._local_stats
 
     # ---------------- build ----------------
 
@@ -169,9 +191,14 @@ class GridIndex:
             [(k, v) for k, v in assign.items()], "_fine string, cell string"
         )
         indexed = fine.join(F.broadcast(mapping), "_fine").drop("_fine")
+        stats_df = spark.createDataFrame(
+            [(cid, lvl, list(coords), cnt) for cid, lvl, coords, cnt in stats],
+            STATS_SCHEMA,
+        )
         return GridIndex(
             df=indexed,
-            stats=stats,
+            stats_df=stats_df,
+            _local_stats=stats,
             origin=origin,
             width=width,
             dim=dim,
@@ -233,7 +260,7 @@ class GridIndex:
             pending = pending.persist()
             inst_parts.append(
                 pending.filter(F.col("cnt") >= rank).select(
-                    F.lit(l).alias("lvl"), cell_id(l).alias("anc"), "cnt"
+                    F.lit(l).alias("lvl"), cell_id(l).alias("anc"), "cds", "cnt"
                 )
             )
             s_cur, s_par = _slices(l, dim, rr), _slices(l - 1, dim, rr)
@@ -256,7 +283,7 @@ class GridIndex:
                 .agg(F.sum("cnt").alias("cnt"))
             )
         inst_parts.append(
-            pending.select(F.lit(0).alias("lvl"), cell_id(0).alias("anc"), "cnt")
+            pending.select(F.lit(0).alias("lvl"), cell_id(0).alias("anc"), "cds", "cnt")
         )
         instantiated = inst_parts[0]
         for p in inst_parts[1:]:
@@ -295,19 +322,19 @@ class GridIndex:
         )
         indexed = fine.join(chosen, "_fine").drop("_fine")
 
-        stats_rows = instantiated.collect()
-        stats = [
-            (
-                r["anc"],
-                int(r["anc"].split(CELL_SEP)[0]),
-                tuple(int(x) for x in r["anc"].split(CELL_SEP)[1:]),
-                int(r["cnt"]),
-            )
-            for r in stats_rows
-        ]
+        # Cell stats stay a DataFrame — NOTHING is collected to the driver
+        # (the point of this path; at 100 TB the stats table is millions of
+        # rows). The driver-side search path collects lazily if ever asked;
+        # the distributed search path joins against this directly.
+        stats_df = instantiated.select(
+            F.col("anc").alias("cell"),
+            F.col("lvl").cast("int").alias("level"),
+            F.transform("cds", lambda x: x.cast("long")).alias("coords"),
+            F.col("cnt").cast("long").alias("count"),
+        )
         return GridIndex(
             df=indexed,
-            stats=stats,
+            stats_df=stats_df,
             origin=origin,
             width=width,
             dim=dim,
@@ -368,6 +395,161 @@ class GridIndex:
             cnts[i] = cnt
         return mins, maxs, cnts
 
+    # ---------------- candidate selection (distributed) ----------------
+
+    def _stats_is_small(self, limit: int = 200_000) -> bool:
+        """True when the cell table can sit on the driver (cached count)."""
+        if self._local_stats is not None:
+            return True
+        if self._stats_count is None:
+            self._stats_count = self.stats_df.count()
+        return self._stats_count <= limit
+
+    def _box_bounds_expr(self, qvec: Column) -> tuple[Column, Column]:
+        """Min/max squared point-to-box distance between a query-vector
+        column and a stats row (``level``, ``coords``) as pure Catalyst
+        expressions — the distributed twin of ``_bounds`` (the pruning
+        bounds of pktree.hpp:1048-1061 and :1129-1162). Evaluates in
+        whole-stage codegen; no UDF, no driver."""
+        min_terms: list[Column] = []
+        max_terms: list[Column] = []
+        for c in range(self.dim):
+            s_c = F.floor(
+                (F.col("level").cast("long") * self.rr + self.dim - c - 1)
+                / float(self.dim)
+            ).cast("double")
+            w_c = F.lit(float(self.width)) * F.pow(F.lit(float(self.ratio)), -s_c)
+            lo = (
+                F.lit(float(self.origin[c]))
+                + F.element_at("coords", c + 1).cast("double") * w_c
+            )
+            hi = lo + w_c
+            qc = F.element_at(qvec, c + 1).cast("double")
+            dmin = F.greatest(lo - qc, F.lit(0.0)) + F.greatest(qc - hi, F.lit(0.0))
+            min_terms.append(dmin * dmin)
+            max_terms.append(
+                F.greatest((qc - lo) * (qc - lo), (hi - qc) * (hi - qc))
+            )
+        add = lambda a, b: a + b  # noqa: E731
+        import functools
+
+        return (
+            functools.reduce(add, min_terms),
+            functools.reduce(add, max_terms),
+        )
+
+    def _scored_pairs(self, qs: DataFrame) -> DataFrame:
+        """(query × cell) with distance bounds: queries joined against the
+        broadcast stats table. The stats side is ~n/occupancy rows — the
+        only table small enough to pair with every query; the data itself
+        is never cross-joined."""
+        mn, mx = self._box_bounds_expr(F.col("_qvec"))
+        return (
+            qs.crossJoin(F.broadcast(self.stats_df))
+            .withColumn("_min_d2", mn)
+            .withColumn("_max_d2", mx)
+        )
+
+    def _knn_distributed(
+        self,
+        queries: DataFrame,
+        k: int,
+        query_id: str,
+        query_vec: str,
+        payload: Iterable[str],
+    ) -> DataFrame:
+        """Exact kNN for a query TABLE: candidate selection runs as a plan,
+        not a driver loop, so 10⁶ probes scale the same as 10.
+
+        Phase 1 (per query, window over the scored stats): accumulate cells
+        by ascending min-distance until ≥ k points are covered; the max of
+        their max-distances bounds the kth neighbor. Phase 2: keep cells
+        with min-distance ≤ that bound → (query, cell) pairs. Then one join
+        against the indexed data on ``cell`` (dynamic partition pruning on a
+        partitioned index) + exact distance + window top-k."""
+        qs = queries.select(
+            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+        )
+        pairs = self._scored_pairs(qs)
+        w_pref = (
+            Window.partitionBy("_qid")
+            .orderBy(F.col("_min_d2").asc(), F.col("cell").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pref = pairs.withColumn("_cum", F.sum("count").over(w_pref))
+        bound = (
+            pref.filter(F.col("_cum") - F.col("count") < k)
+            .groupBy("_qid")
+            .agg(F.max("_max_d2").alias("_bound"))
+        )
+        cand = (
+            pref.join(bound, "_qid")
+            .filter(F.col("_min_d2") <= F.col("_bound"))
+            .select("_qid", "cell", "_qvec")
+        )
+
+        from pyvectorsearch_spark.functions.vector import l2_sq
+
+        d = self.df.select(
+            "cell",
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).alias("_dvec"),
+            *[F.col(c) for c in payload],
+        )
+        scored = d.join(cand, "cell").withColumn(
+            "dist", l2_sq(F.col("_dvec"), F.col("_qvec"))
+        )
+        w = Window.partitionBy("_qid").orderBy(
+            F.col("dist").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("_qid").alias("query_id"),
+                "neighbor_id",
+                "dist",
+                "rank",
+                *payload,
+            )
+        )
+
+    def _range_distributed(
+        self,
+        queries: DataFrame,
+        radius: float,
+        query_id: str,
+        query_vec: str,
+        payload: Iterable[str],
+    ) -> DataFrame:
+        """Exact ε-range for a query TABLE: cells with min-distance ≤ r²
+        selected per query in the plan (reject case of pktree.hpp:1161-1163),
+        then one cell join + exact distance filter."""
+        r2 = float(radius) ** 2
+        qs = queries.select(
+            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+        )
+        cand = (
+            self._scored_pairs(qs)
+            .filter(F.col("_min_d2") <= F.lit(r2))
+            .select("_qid", "cell", "_qvec")
+        )
+
+        from pyvectorsearch_spark.functions.vector import l2_sq
+
+        d = self.df.select(
+            "cell",
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).alias("_dvec"),
+            *[F.col(c) for c in payload],
+        )
+        return (
+            d.join(cand, "cell")
+            .withColumn("dist", l2_sq(F.col("_dvec"), F.col("_qvec")))
+            .filter(F.col("dist") <= F.lit(r2))
+            .select(F.col("_qid").alias("query_id"), "neighbor_id", "dist", *payload)
+        )
+
     # ---------------- queries ----------------
 
     def knn(
@@ -378,6 +560,7 @@ class GridIndex:
         query_id: str = "query_id",
         query_vec: str = "qvec",
         payload: Iterable[str] = (),
+        candidates: str = "auto",
     ) -> DataFrame:
         """Exact kNN with cell pruning (search_knn analog, pktree.hpp:948-973).
 
@@ -385,7 +568,19 @@ class GridIndex:
         cells by ascending min-distance until they hold ≥ k points → the max
         of their max-distances upper-bounds the kth neighbor; (2) keep every
         cell whose min-distance ≤ that bound. One pruned scan + window top-k.
+
+        ``candidates``: "driver" runs selection as a numpy loop over the
+        collected stats (right for a handful of probes); "distributed" runs
+        it as a Spark plan (right for a query TABLE — 10⁴+ probes — or an
+        index whose stats table is too big to collect); "auto" picks driver
+        only when the stats table is driver-sized.
         """
+        if candidates not in ("auto", "driver", "distributed"):
+            raise ValueError(f"unknown candidates mode {candidates!r}")
+        if candidates == "auto":
+            candidates = "driver" if self._stats_is_small() else "distributed"
+        if candidates == "distributed":
+            return self._knn_distributed(queries, k, query_id, query_vec, payload)
         q_rows = queries.select(query_id, query_vec).collect()
         wanted: set[str] = set()
         for r in q_rows:
@@ -424,11 +619,22 @@ class GridIndex:
         query_id: str = "query_id",
         query_vec: str = "qvec",
         payload: Iterable[str] = (),
+        candidates: str = "auto",
     ) -> DataFrame:
         """Exact ε-range with the reference's 3-way cell classification
         (pktree.hpp:1161-1171): reject min>r², accept-whole max≤r², else scan
         and filter. (The accepted-whole cells still evaluate the distance
-        expression so the output carries ``dist`` — correctness-neutral.)"""
+        expression so the output carries ``dist`` — correctness-neutral.)
+
+        ``candidates`` as in :meth:`knn`."""
+        if candidates not in ("auto", "driver", "distributed"):
+            raise ValueError(f"unknown candidates mode {candidates!r}")
+        if candidates == "auto":
+            candidates = "driver" if self._stats_is_small() else "distributed"
+        if candidates == "distributed":
+            return self._range_distributed(
+                queries, radius, query_id, query_vec, payload
+            )
         r2 = float(radius) ** 2
         q_rows = queries.select(query_id, query_vec).collect()
         wanted: set[str] = set()
@@ -472,8 +678,11 @@ class GridIndex:
         via parquet row-group min/max stats without drowning the filesystem
         in per-cell directories (a 543-cell index over 2000 rows measured
         4.3 s just to LIST when dir-partitioned)."""
-        n = sum(cnt for _, _, _, cnt in self.stats)
-        n_cells = max(len(self.stats), 1)
+        agg = self.stats_df.agg(
+            F.sum("count").alias("n"), F.count("*").alias("n_cells")
+        ).first()
+        n = int(agg["n"] or 0)
+        n_cells = max(int(agg["n_cells"]), 1)
         if n and n / n_cells >= partition_rows_threshold:
             self.df.repartition("cell").write.mode(mode).partitionBy(
                 "cell"
@@ -486,44 +695,39 @@ class GridIndex:
                 .write.mode(mode)
                 .parquet(f"{path}/data")
             )
-        spark = self.df.sparkSession
-        meta_rows = [
-            (
-                cid,
-                int(level),
-                list(map(int, coords)),
-                int(cnt),
-                self.origin,
-                float(self.width),
-                int(self.dim),
-                int(self.rank),
-                int(self.rr),
-                int(self.ratio),
-                int(self.fine_level),
-                self.id_col,
-                self.vec_col,
+        # Stats written straight from the DataFrame — never collected. The
+        # index parameters (a dozen scalars) ride on every row as literals;
+        # the table stays one file per ~hundred MB of cells.
+        meta = (
+            self.stats_df.withColumn(
+                "origin", F.array(*[F.lit(float(x)) for x in self.origin])
             )
-            for cid, level, coords, cnt in self.stats
-        ]
-        schema = (
-            "cell string, level int, coords array<int>, count long, "
-            "origin array<double>, width double, dim int, rank int, rr int, "
-            "ratio int, fine_level int, id_col string, vec_col string"
+            .withColumn("width", F.lit(float(self.width)))
+            .withColumn("dim", F.lit(int(self.dim)))
+            .withColumn("rank", F.lit(int(self.rank)))
+            .withColumn("rr", F.lit(int(self.rr)))
+            .withColumn("ratio", F.lit(int(self.ratio)))
+            .withColumn("fine_level", F.lit(int(self.fine_level)))
+            .withColumn("id_col", F.lit(self.id_col))
+            .withColumn("vec_col", F.lit(self.vec_col))
         )
-        spark.createDataFrame(meta_rows, schema).coalesce(1).write.mode(mode).parquet(
-            f"{path}/stats"
-        )
+        files = max(1, math.ceil(n_cells / 2_000_000))
+        meta.coalesce(files).write.mode(mode).parquet(f"{path}/stats")
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "GridIndex":
         data = spark.read.parquet(f"{path}/data")
-        stats_df = spark.read.parquet(f"{path}/stats")
-        rows = stats_df.collect()
-        head = rows[0]
-        stats = [(r["cell"], r["level"], tuple(r["coords"]), r["count"]) for r in rows]
+        stats_src = spark.read.parquet(f"{path}/stats")
+        head = stats_src.first()  # params ride on every row; one-row read
+        stats_df = stats_src.select(
+            "cell",
+            F.col("level").cast("int").alias("level"),
+            F.transform("coords", lambda x: x.cast("long")).alias("coords"),
+            F.col("count").cast("long").alias("count"),
+        )
         return GridIndex(
             df=data,
-            stats=stats,
+            stats_df=stats_df,
             origin=list(head["origin"]),
             width=head["width"],
             dim=head["dim"],

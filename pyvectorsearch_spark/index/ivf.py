@@ -108,10 +108,25 @@ class IVFIndex:
         nprobe: int = 4,
         query_id: str = "query_id",
         query_vec: str = "qvec",
+        candidates: str = "driver",
     ) -> DataFrame:
-        """Top-k by L2 over the union of each query's ``nprobe`` nearest
-        lists. Exact iff nprobe == n_lists; otherwise approximate with
-        recall rising in nprobe (tested ≥0.9 at nprobe=L/4 on the fixture)."""
+        """Top-k by L2 over each query's ``nprobe`` nearest lists. Exact iff
+        nprobe == n_lists; otherwise approximate with recall rising in nprobe
+        (tested ≥0.9 at nprobe=L/4 on the fixture).
+
+        ``candidates="driver"`` collects the probe set and prunes with one
+        ``isin`` filter over the UNION of all probes' lists (right for a
+        handful of probes — minimum plan depth, partition pruning on the
+        persisted index). ``candidates="distributed"`` never collects the
+        queries: each query's nprobe lists are picked by a window over the
+        broadcast centroid table and the data join carries (query, list)
+        pairs — the path for a query TABLE of 10⁴+ probes. At partial nprobe
+        the distributed form is per-query-strict (a query only sees its OWN
+        lists, not the union), which is canonical IVF semantics."""
+        if candidates not in ("driver", "distributed"):
+            raise ValueError(f"unknown candidates mode {candidates!r}")
+        if candidates == "distributed":
+            return self._knn_distributed(queries, k, nprobe, query_id, query_vec)
         q_rows = queries.select(query_id, query_vec).collect()
         Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
         d2 = ((Q[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
@@ -130,6 +145,56 @@ class IVFIndex:
             data_vec=self.vec_col,
             query_id=query_id,
             query_vec=query_vec,
+        )
+
+    def _knn_distributed(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int,
+        query_id: str,
+        query_vec: str,
+    ) -> DataFrame:
+        """Distributed candidate selection: queries × broadcast centroids →
+        per-query nprobe nearest lists (window) → join the inverted lists on
+        ``list_id`` (dynamic partition pruning on a persisted index) → exact
+        distance + per-query top-k. No ``collect()`` anywhere; scales in the
+        number of probes."""
+        from pyspark.sql import Window
+        from pyvectorsearch_spark.functions.vector import l2_sq
+
+        spark = self.df.sparkSession
+        cent = spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "list_id int, _centroid array<double>",
+        )
+        qs = queries.select(
+            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+        )
+        w_sel = Window.partitionBy("_qid").orderBy(
+            F.col("_cd2").asc(), F.col("list_id").asc()
+        )
+        sel = (
+            qs.crossJoin(F.broadcast(cent))
+            .withColumn("_cd2", l2_sq(F.col("_qvec"), F.col("_centroid")))
+            .withColumn("_rn", F.row_number().over(w_sel))
+            .filter(F.col("_rn") <= nprobe)
+            .select("_qid", "list_id", "_qvec")
+        )
+        d = self.df.select(
+            "list_id",
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).alias("_dvec"),
+        )
+        w = Window.partitionBy("_qid").orderBy(
+            F.col("dist").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            d.join(sel, "list_id")
+            .withColumn("dist", l2_sq(F.col("_dvec"), F.col("_qvec")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("_qid").alias("query_id"), "neighbor_id", "dist", "rank")
         )
 
     def write(

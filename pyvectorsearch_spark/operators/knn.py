@@ -42,20 +42,24 @@ from pyvectorsearch_spark.functions.vector import cosine_sim, dot, l2_sq
 METRICS = {"l2_sq", "cosine", "dot"}
 
 
-def _check_dims(data: DataFrame, data_vec: str, queries: DataFrame, query_vec: str) -> None:
-    """Eager dimensionality validation — the Spark analog of the reference's
-    fixed-at-construction ``dim`` (``include/pktree.hpp:1223-1250``). Without
-    it a mismatched probe silently produces NULL distances (``zip_with`` pads
-    with nulls) which sort first and return garbage neighbors."""
-    d = data.select(F.size(data_vec)).first()
-    q = queries.select(F.size(query_vec)).first()
-    if d is None or q is None:
-        return  # empty side: nothing to validate, result is empty anyway
-    if d[0] != q[0]:
-        raise ValueError(
-            f"vector dim mismatch: data {data_vec} has dim {d[0]}, "
-            f"queries {query_vec} has dim {q[0]}"
+def _dim_guarded(score: Column, data_vec: Column, query_vec: Column) -> Column:
+    """Row-level dimensionality guard compiled INTO the distance expression —
+    the Spark analog of the reference's fixed-at-construction ``dim``
+    (``include/pktree.hpp:1223-1250``). Without it a mismatched probe
+    silently produces NULL distances (``zip_with`` pads with nulls) which
+    sort first and return garbage neighbors. Riding the expression costs a
+    per-row size comparison inside codegen and ZERO extra Spark jobs per
+    search call (an eager ``.first()`` probe would launch two)."""
+    return F.when(F.size(data_vec) == F.size(query_vec), score).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("vector dim mismatch: data dim="),
+                F.size(data_vec).cast("string"),
+                F.lit(", query dim="),
+                F.size(query_vec).cast("string"),
+            )
         )
+    )
 
 
 def _distance(metric: str, data_vec: Column, query_vec: Column) -> tuple[Column, bool]:
@@ -89,7 +93,6 @@ def knn_join(
 
     Returns ``(query_id, neighbor_id, dist, rank, *payload)``.
     """
-    _check_dims(data, data_vec, queries, query_vec)
     d = data.select(
         F.col(data_id).alias("neighbor_id"),
         F.col(data_vec).alias("_dvec"),
@@ -97,6 +100,7 @@ def knn_join(
     )
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec"))
     score, asc = _distance(metric, F.col("_dvec"), F.col("_qvec"))
+    score = _dim_guarded(score, F.col("_dvec"), F.col("_qvec"))
     pairs = d.crossJoin(F.broadcast(q)).withColumn("dist", score)
     order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col("neighbor_id").asc()]
     w = Window.partitionBy("query_id").orderBy(*order)
@@ -131,7 +135,6 @@ def knn_join_blocked(
 
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}")
-    _check_dims(data, data_vec, queries, query_vec)
     q_rows = queries.select(query_id, query_vec).collect()
     qids = [r[0] for r in q_rows]
     qmat = [list(r[1]) for r in q_rows]
@@ -145,6 +148,12 @@ def knn_join_blocked(
         for pdf in batches:
             if not len(pdf):
                 continue
+            dims = {len(v) for v in pdf["_dvec"]}
+            if dims != {Q.shape[1]}:
+                raise ValueError(
+                    f"vector dim mismatch: data dims {sorted(dims)}, "
+                    f"query dim {Q.shape[1]}"
+                )
             X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_dvec"]])
             ids = pdf["neighbor_id"].to_numpy()
             if metric_ == "l2_sq":
@@ -226,14 +235,18 @@ def range_join(
 
     Returns ``(query_id, neighbor_id, dist, *payload)``.
     """
-    _check_dims(data, data_vec, queries, query_vec)
     d = data.select(
         F.col(data_id).alias("neighbor_id"),
         F.col(data_vec).alias("_dvec"),
         *[F.col(c) for c in payload],
     )
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec"))
-    pairs = d.crossJoin(F.broadcast(q)).withColumn("dist", l2_sq(F.col("_dvec"), F.col("_qvec")))
+    pairs = d.crossJoin(F.broadcast(q)).withColumn(
+        "dist",
+        _dim_guarded(
+            l2_sq(F.col("_dvec"), F.col("_qvec")), F.col("_dvec"), F.col("_qvec")
+        ),
+    )
     return pairs.filter(F.col("dist") <= float(radius) ** 2).select(
         "query_id", "neighbor_id", "dist", *payload
     )
@@ -254,13 +267,8 @@ def topk_global(
     ``orderBy().limit(k)`` to ``TakeOrderedAndProject``: per-partition top-k
     then a driver-side merge, no full sort, no shuffle."""
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
-    d = data.select(F.size(data_vec)).first()
-    if d is not None and d[0] != len(query_vec):
-        raise ValueError(
-            f"vector dim mismatch: data {data_vec} has dim {d[0]}, "
-            f"query vector has dim {len(query_vec)}"
-        )
     score, asc = _distance(metric, F.col(data_vec), qcol)
+    score = _dim_guarded(score, F.col(data_vec), qcol)
     out = data.withColumn("dist", score)
     order = F.col("dist").asc() if asc else F.col("dist").desc()
     return out.orderBy(order, F.col(data_id).asc()).limit(k).select(

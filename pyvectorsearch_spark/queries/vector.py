@@ -161,6 +161,60 @@ WHERE {_D2} <= 0.15 * 0.15
 """
 
 
+def q_knn_grid_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-TABLE kNN through the grid index with fully DISTRIBUTED
+    candidate selection: per-query cell pruning runs as a Spark plan (window
+    over the broadcast stats), never ``queries.collect()`` — the path for
+    10⁶-probe workloads. Probes: 20 deterministic shifted copies of every
+    base vector (10,000 probes at sf0.01). Exact ⇒ brute-force SQL oracle."""
+    from pyvectorsearch_spark.index.grid import GridIndex
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("p2", F.slice("embedding", 1, 2))
+        .select("vec_id", "p2")
+    )
+    probes = emb.crossJoin(spark.range(20).select(F.col("id").alias("s"))).select(
+        (F.col("vec_id") * 20 + F.col("s")).alias("query_id"),
+        F.array(
+            F.element_at("p2", 1).cast("double") + F.col("s") * F.lit(0.01),
+            F.element_at("p2", 2).cast("double") - F.col("s") * F.lit(0.01),
+        ).alias("qvec"),
+    )
+    idx = build_or_load(
+        spark,
+        f"grid2d_occ16_{os.path.basename(sf_dir.rstrip('/'))}",
+        load=GridIndex.load,
+        build=lambda: GridIndex.build(
+            emb, vec_col="p2", id_col="vec_id", target_occupancy=16
+        ),
+    )
+    out = idx.knn(probes, 3, candidates="distributed")
+    return out.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank"
+    )
+
+
+ORACLE_KNN_GRID_QUERY_TABLE = f"""
+WITH base AS (SELECT vec_id, embedding[1:2] AS p2 FROM embeddings),
+q AS (
+  SELECT vec_id * 20 + s AS query_id,
+         [CAST(p2[1] AS DOUBLE) + s * 0.01,
+          CAST(p2[2] AS DOUBLE) - s * 0.01] AS qvec
+  FROM base, (SELECT unnest(range(0, 20)) AS s)
+), pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_D2} AS d
+  FROM q CROSS JOIN base e
+), ranked AS (
+  SELECT query_id, neighbor_id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(d, 6) AS dist_sq, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_knn_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN with payload pass-through — the ``pkmap`` analog
     (``/root/reference/include/pktree.hpp:1362-1416``: key→value search where
@@ -288,6 +342,7 @@ QUERIES = {
     "range_grid_2d": q_range_grid_2d,
     "knn_topk_global": q_knn_topk_global,
     "knn_grid_2d": q_knn_grid_2d,
+    "knn_grid_query_table": q_knn_grid_query_table,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_approx": q_knn_ivf_approx,
     "vector_norm_stats": q_vector_norm_stats,
@@ -301,5 +356,6 @@ ORACLES = {
     "range_grid_2d": ORACLE_RANGE_GRID_2D,
     "knn_topk_global": ORACLE_TOPK_GLOBAL,
     "knn_grid_2d": ORACLE_KNN_GRID_2D,
+    "knn_grid_query_table": ORACLE_KNN_GRID_QUERY_TABLE,
     "vector_norm_stats": ORACLE_NORM_STATS,
 }

@@ -176,3 +176,56 @@ def test_distributed_build_matches_driver_build(spark, cities, delft_probe):
         ).collect()
     )
     assert r_dist == r_brute
+
+
+def test_distributed_candidates_match_bruteforce_many_probes(spark):
+    """candidates="distributed": selection runs as a Spark plan (window over
+    the scored stats), no queries.collect(), and must equal brute force on a
+    large probe TABLE (the 10⁶-probe scale path, exercised here with 10⁴)."""
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .withColumn("p2", F.slice("embedding", 1, 2))
+        .select("vec_id", "p2")
+        .cache()
+    )
+    idx = GridIndex.build(emb, vec_col="p2", id_col="vec_id", target_occupancy=16)
+    # 10_000 deterministic probes: 20 shifted copies of each of the 500 rows.
+    probes = (
+        emb.crossJoin(spark.range(20).select(F.col("id").alias("s")))
+        .select(
+            (F.col("vec_id") * 20 + F.col("s")).alias("query_id"),
+            F.array(
+                F.element_at("p2", 1) + F.col("s") * F.lit(0.01),
+                F.element_at("p2", 2) - F.col("s") * F.lit(0.01),
+            ).cast("array<double>").alias("qvec"),
+        )
+        .cache()
+    )
+    assert probes.count() == 10_000
+    got = idx.knn(probes, 3, candidates="distributed")
+    want = knn_join(emb, probes, 3, data_id="vec_id", data_vec="p2")
+    g = {(r.query_id, r.neighbor_id, r.rank) for r in got.collect()}
+    w = {(r.query_id, r.neighbor_id, r.rank) for r in want.collect()}
+    assert g == w
+
+    r_got = idx.range(probes.limit(500), 0.05, candidates="distributed")
+    r_want = range_join(emb, probes.limit(500), 0.05, data_id="vec_id", data_vec="p2")
+    rg = {(r.query_id, r.neighbor_id) for r in r_got.collect()}
+    rw = {(r.query_id, r.neighbor_id) for r in r_want.collect()}
+    assert rg == rw
+
+
+def test_distributed_build_never_collects_stats(spark, cities, delft_probe):
+    """The distributed build + distributed search path must work end-to-end
+    WITHOUT materializing the driver-side stats list."""
+    dist = GridIndex.build(
+        cities, vec_col="pt", id_col="pt_id", target_occupancy=8,
+        coalesce_strategy="distributed",
+    )
+    assert dist._local_stats is None  # build collected nothing
+    out = dist.knn(delft_probe, 5, candidates="distributed").collect()
+    assert dist._local_stats is None  # search collected nothing either
+    brute = knn_join(cities, delft_probe, 5, data_id="pt_id", data_vec="pt").collect()
+    assert {(r.query_id, r.neighbor_id) for r in out} == {
+        (r.query_id, r.neighbor_id) for r in brute
+    }

@@ -72,3 +72,50 @@ def test_ivf_write_load_roundtrip(tmp_path, spark, emb, probes, idx):
     a = _pairs(idx.knn(probes, 5, nprobe=16).collect())
     b = _pairs(loaded.knn(probes, 5, nprobe=16).collect())
     assert a == b
+
+
+def test_ivf_distributed_candidates_exact_at_full_probe(spark):
+    """candidates="distributed" with nprobe == n_lists is exact: equals
+    brute force on a probe table, with no queries.collect() in the path."""
+    from pyspark.sql import functions as F
+    from pyvectorsearch_spark.index.ivf import IVFIndex
+    from pyvectorsearch_spark.operators.knn import knn_join
+    from pyvectorsearch_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").cache()
+    idx = IVFIndex.build(emb, n_lists=8, seed=42)
+    probes = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = idx.knn(probes, 5, nprobe=8, candidates="distributed")
+    want = knn_join(emb, probes, 5)
+    g = {(r.query_id, r.neighbor_id, r.rank) for r in got.collect()}
+    w = {(r.query_id, r.neighbor_id, r.rank) for r in want.collect()}
+    assert g == w
+
+
+def test_ivf_distributed_recall_at_partial_probe(spark):
+    """Per-query-strict nprobe (distributed) still reaches the recall floor
+    the driver path is held to."""
+    from pyspark.sql import functions as F
+    from pyvectorsearch_spark.index.ivf import IVFIndex
+    from pyvectorsearch_spark.operators.knn import knn_join
+    from pyvectorsearch_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").cache()
+    idx = IVFIndex.build(emb, n_lists=8, seed=42)
+    probes = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    want = {(r.query_id, r.neighbor_id)
+            for r in knn_join(emb, probes, 5).collect()}
+    # Strict per-query lists (no cross-probe union): recall rises in nprobe.
+    # Measured on this fixture: 0.85 @ 4/8, 0.96 @ 6/8, 1.0 @ 8/8.
+    got4 = {(r.query_id, r.neighbor_id)
+            for r in idx.knn(probes, 5, nprobe=4, candidates="distributed").collect()}
+    got6 = {(r.query_id, r.neighbor_id)
+            for r in idx.knn(probes, 5, nprobe=6, candidates="distributed").collect()}
+    assert len(got4 & want) / len(want) >= 0.8
+    assert len(got6 & want) / len(want) >= 0.9

@@ -147,16 +147,19 @@ def test_cosine_metric(emb, probes):
 
 
 def test_dim_mismatch_raises(emb, probes):
+    """The dim guard rides the distance expression: no extra jobs on the
+    happy path, a loud error (not silent NULL-distance garbage) when a
+    mismatched probe actually executes."""
     import pytest as _pt
     from pyspark.sql import functions as _F
 
     bad = probes.withColumn("qvec", _F.slice("qvec", 1, 3))
-    with _pt.raises(ValueError, match="dim mismatch"):
-        knn_join(emb, bad, 3)
-    with _pt.raises(ValueError, match="dim mismatch"):
-        range_join(emb, bad, 1.0)
-    with _pt.raises(ValueError, match="dim mismatch"):
-        topk_global(emb, [0.0] * 3, 5)
+    with _pt.raises(Exception, match="dim mismatch"):
+        knn_join(emb, bad, 3).collect()
+    with _pt.raises(Exception, match="dim mismatch"):
+        range_join(emb, bad, 1.0).collect()
+    with _pt.raises(Exception, match="dim mismatch"):
+        topk_global(emb, [0.0] * 3, 5).collect()
 
 
 def test_public_api_surface(spark):
