@@ -84,8 +84,8 @@ def jaccard_similarity_pairs_exhaustive(
     s2 = sizes.select(F.col("doc").alias("d2"), F.col("n_sh").alias("n2"))
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
     return (
-        common.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        common.join(s1, "d1")
+        .join(s2, "d2")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "n_common", "jaccard")
@@ -158,9 +158,13 @@ def jaccard_similarity_pairs(
     arr1 = ranked.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"), F.col("n_sh").alias("n1"))
     arr2 = ranked.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"), F.col("n_sh").alias("n2"))
     n_common = F.size(F.array_intersect("sh1", "sh2"))
+    # No broadcast hint: the per-doc array table is unbounded (one row per
+    # document — the whole corpus at 100 TB). AQE broadcasts it when its
+    # runtime size fits and shuffle-joins when it doesn't; a hard hint would
+    # ship the full corpus to every executor.
     return (
-        cand.join(F.broadcast(arr1), "d1")
-        .join(F.broadcast(arr2), "d2")
+        cand.join(arr1, "d1")
+        .join(arr2, "d2")
         .withColumn("n_common", n_common)
         .withColumn(
             "jaccard", F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
@@ -246,9 +250,11 @@ def minhash_lsh_pairs(
         "aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1, 0)), 0, "
         "(acc, v) -> acc + v)"
     ) / float(n_hashes)
+    # Signature table is one row per document — never hint-broadcast it
+    # (see jaccard_similarity_pairs); AQE picks the join side by size.
     return (
-        cand.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        cand.join(s1, "d1")
+        .join(s2, "d2")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("d1", "d2", "est_jaccard")
@@ -371,6 +377,74 @@ def simhash_pairs(
     return src.mapInPandas(block_pairs, schema="d1 long, d2 long, hamming int")
 
 
+def simhash_pairs_bucketed(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 12,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance via PIGEONHOLE
+    bucketing — the beyond-10⁸-docs path with NO driver collect (contrast
+    ``simhash_pairs``, whose broadcast hash table bounds it).
+
+    Pigeonhole: split the 60-bit fingerprint into ``max_hamming + 1`` chunks;
+    any pair within ``max_hamming`` flips must agree EXACTLY on ≥ 1 chunk, so
+    an equi-join on (chunk index, chunk value) finds every qualifying pair
+    (lossless). Candidates verify with native ``bit_count(h1 XOR h2)`` —
+    all-integer, identical output to the brute-force join.
+
+    Scale shape: one explode to ``n_blocks`` rows/doc, one shuffle on the
+    chunk key, candidate verification on (d1, d2) joins. Right for SPARSE
+    corpora (few near-dups, random hashes far apart); on a near-dup-dense
+    corpus the chunk buckets approach the full pair space and the blocked
+    kernel in ``simhash_pairs`` wins — measured 7.9 s vs 1.0 s at sf0.1.
+    """
+    b = int(n_blocks) if n_blocks is not None else int(max_hamming) + 1
+    b = max(1, min(b, SIMHASH_BITS))
+    sh = simhash_64(df, id_col=id_col, text_col=text_col)
+    # Chunk j covers bits [start_j, start_j + len_j); sizes differ by ≤ 1.
+    bounds = [(SIMHASH_BITS * j) // b for j in range(b + 1)]
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("blk"),
+                (
+                    F.shiftrightunsigned("simhash", bounds[j])
+                    % F.lit(1 << (bounds[j + 1] - bounds[j]))
+                ).alias("val"),
+            )
+            for j in range(b)
+        ]
+    )
+    keyed = sh.select(
+        F.col(id_col).alias("doc"), "simhash", F.explode(chunks).alias("c")
+    ).select("doc", "simhash", "c.blk", "c.val")
+    a, bb = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     *,
@@ -434,6 +508,131 @@ def embedding_dup_pairs_blocked(
 
     cand = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1")).mapInPandas(
         block_pairs, schema="d1 long, d2 long"
+    )
+    v1 = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+    v2 = df.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    return (
+        cand.join(v1, "d1")
+        .join(v2, "d2")
+        .withColumn("cosine", cosine_sim(F.col("v1"), F.col("v2")))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("d1", "d2", "cosine")
+    )
+
+
+def embedding_dup_pairs_bucketed(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_lists: int = 16,
+    sample_per_list: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via LOSSLESS angular IVF bucketing +
+    within-bucket GEMM — the corpus-scale path: the vector table is NEVER
+    collected (contrast ``embedding_dup_pairs_blocked``, which broadcasts it).
+
+    Bucketing (exact by the triangle inequality on angles): every vector gets
+    one PRIMARY list (nearest centroid by angle) and PROBES every list whose
+    centroid is within ``acos(min_cosine) + α_max`` of it, where ``α_max`` is
+    the corpus-wide max primary angle (a one-row aggregate broadcast into the
+    plan, not an action). For any pair (u, v) with cosine ≥ t:
+    ``angle(u, c_v) ≤ angle(u, v) + angle(v, c_v) ≤ θ + α_max`` — u provably
+    probes v's primary list, so the probe×primary join inside each list sees
+    every qualifying pair. Within a list, a numpy GEMM over the grouped rows
+    (``applyInPandas``) emits candidates; survivors recompute cosine with the
+    canonical sequential expression so values and the threshold decision are
+    bit-identical to the brute-force path / DuckDB oracle.
+
+    Driver footprint: the k-means SAMPLE only (``n_lists·sample_per_list``
+    rows, constant in corpus size). Shuffle: each vector moves to its probed
+    lists (a few at tight thresholds; pruning degrades gracefully as θ or
+    α_max grow — correctness never depends on it).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyvectorsearch_spark.index.ivf import _kmeans
+
+    spark = df.sparkSession
+    n = df.count()
+    if n == 0:
+        return spark.createDataFrame([], "d1 long, d2 long, cosine double")
+    target = min(n, n_lists * sample_per_list)
+    step = max(n // max(target, 1), 1)
+    sample_rows = (
+        df.select(vec_col)
+        .withColumn("_rn", F.monotonically_increasing_id())
+        .filter(F.col("_rn") % step == 0)
+        .limit(target)
+        .collect()
+    )
+    S = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
+    S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-300)
+    n_lists = min(n_lists, len(S))
+    C = _kmeans(S, n_lists, iters=10, seed=seed)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(C)],
+        "list_id int, _cvec array<double>",
+    )
+
+    from pyspark.sql import Window
+
+    theta = float(np.arccos(min(max(min_cosine, -1.0), 1.0)))
+    qs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    ang = F.acos(F.least(F.greatest(cosine_sim(F.col("_v"), F.col("_cvec")), F.lit(-1.0)), F.lit(1.0)))
+    scored = (
+        qs.crossJoin(F.broadcast(cent))
+        .withColumn("_ang", ang)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy(F.col("_ang").asc(), F.col("list_id").asc())
+            ),
+        )
+    )
+    primary = scored.filter(F.col("_rn") == 1).select(
+        "_id", "list_id", "_v", F.col("_ang").alias("_alpha")
+    )
+    # α_max rides the plan as a broadcast one-row aggregate — no action here.
+    alpha_max = primary.agg(F.max("_alpha").alias("_amax"))
+    probes = (
+        scored.crossJoin(F.broadcast(alpha_max))
+        .filter(F.col("_ang") <= F.lit(theta) + F.col("_amax") + F.lit(1e-9))
+        .select("_id", "list_id", "_v")
+    )
+    tagged = probes.withColumn("_role", F.lit("p")).unionByName(
+        primary.select("_id", "list_id", "_v").withColumn("_role", F.lit("c"))
+    )
+
+    t = float(min_cosine)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        probe = pdf[pdf["_role"] == "p"]
+        prim = pdf[pdf["_role"] == "c"]
+        if not len(probe) or not len(prim):
+            return pd.DataFrame({"d1": [], "d2": []}).astype({"d1": "int64", "d2": "int64"})
+        P = np.asarray([np.asarray(v, dtype=np.float64) for v in probe["_v"]])
+        Qm = np.asarray([np.asarray(v, dtype=np.float64) for v in prim["_v"]])
+        P = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-300)
+        Qm = Qm / np.maximum(np.linalg.norm(Qm, axis=1, keepdims=True), 1e-300)
+        pid = probe["_id"].to_numpy()
+        cid = prim["_id"].to_numpy()
+        G = P @ Qm.T
+        # ε-slack for BLAS reassociation; the exact threshold decision happens
+        # in the sequential-expression recompute below.
+        ii, jj = np.nonzero((G >= t - 1e-9) & (pid[:, None] != cid[None, :]))
+        d1 = np.minimum(pid[ii], cid[jj])
+        d2 = np.maximum(pid[ii], cid[jj])
+        return pd.DataFrame({"d1": d1, "d2": d2})
+
+    cand = (
+        tagged.groupBy("list_id")
+        .applyInPandas(bucket_pairs, schema="d1 long, d2 long")
+        .distinct()
     )
     v1 = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
     v2 = df.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))

@@ -11,11 +11,12 @@ from pyvectorsearch_spark.functions.text import duckdb_minhash64, duckdb_shingle
 from pyvectorsearch_spark.functions.vector import duckdb_cosine
 from pyvectorsearch_spark.operators.dedup import (
     SIMHASH_BITS,
-    embedding_dup_pairs_blocked,
+    embedding_dup_pairs_bucketed,
     exact_dedup,
     jaccard_similarity_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
+    simhash_pairs_bucketed,
 )
 from pyvectorsearch_spark.operators.graph import dup_clusters
 from pyvectorsearch_spark.sources.tables import load_table, spread
@@ -200,9 +201,18 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
 """
 
 
+def q_dedup_simhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The beyond-broadcast SimHash path: pigeonhole chunk equi-join, no
+    driver collect — identical output to ``dedup_simhash`` (same oracle)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return simhash_pairs_bucketed(docs, max_hamming=MAX_HAMMING)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale embedding near-dup: lossless angular IVF bucketing +
+    within-bucket GEMM — the vector table is never collected."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = embedding_dup_pairs_blocked(emb, min_cosine=MIN_COSINE)
+    out = embedding_dup_pairs_bucketed(emb, min_cosine=MIN_COSINE)
     return out.select("d1", "d2", F.round("cosine", 6).alias("cosine"))
 
 
@@ -222,6 +232,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_bucketed": q_dedup_simhash_bucketed,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
 
@@ -232,5 +243,6 @@ ORACLES = {
     "dedup_clusters": ORACLE_CLUSTERS,
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_simhash": _simhash_oracle(),
+    "dedup_simhash_bucketed": _simhash_oracle(),
     "dedup_embedding_cosine": ORACLE_EMB_COSINE,
 }

@@ -108,3 +108,54 @@ def test_connected_components_long_path_converges(spark):
     )
     comp = connected_components(pairs, max_iter=45).collect()
     assert all(r.cluster == 0 for r in comp) and len(comp) == 41
+
+
+def test_simhash_bucketed_equals_kernel(spark):
+    """Pigeonhole chunk equi-join (no collect) must produce exactly the
+    blocked kernel's pairs — the pigeonhole split is lossless for
+    hamming <= max_hamming."""
+    from pyvectorsearch_spark.operators.dedup import (
+        simhash_pairs_bucketed,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    kern = {(r.d1, r.d2, r.hamming) for r in simhash_pairs(docs, max_hamming=9).collect()}
+    buck = {(r.d1, r.d2, r.hamming)
+            for r in simhash_pairs_bucketed(docs, max_hamming=9).collect()}
+    assert buck == kern
+    assert len(buck) > 0
+
+
+def test_embedding_bucketed_equals_bruteforce(spark):
+    """Angular-IVF bucketing is lossless: bucketed pairs == the exact
+    expression-path self-join, at a threshold tight enough that buckets
+    actually prune AND one loose enough that they barely do."""
+    from pyvectorsearch_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_blocked,
+        embedding_dup_pairs_bucketed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").cache()
+    for t in (0.4, 0.9):
+        brute = {(r.d1, r.d2) for r in embedding_dup_pairs(emb, min_cosine=t).collect()}
+        buck = {(r.d1, r.d2)
+                for r in embedding_dup_pairs_bucketed(emb, min_cosine=t).collect()}
+        blocked = {(r.d1, r.d2)
+                   for r in embedding_dup_pairs_blocked(emb, min_cosine=t).collect()}
+        assert buck == brute, f"threshold {t}"
+        assert blocked == brute, f"threshold {t}"
+
+
+def test_dedup_joins_broadcast_via_aqe_not_hint(spark):
+    """The verify joins carry NO broadcast hint (the per-doc table is the
+    whole corpus at scale); at this size AQE must still pick broadcast-hash
+    joins from runtime stats — check the EXECUTED adaptive plan."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for out in (
+        jaccard_similarity_pairs(docs, threshold=0.8),
+        minhash_lsh_pairs(docs, threshold=0.5),
+    ):
+        out.collect()
+        final = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final, final[:3000]
