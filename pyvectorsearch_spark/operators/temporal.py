@@ -31,6 +31,7 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_right",
     strict: bool = False,
+    allow_single_partition: bool = False,
 ) -> DataFrame:
     """For every left row, attach ``right_cols`` from the single right row
     with the greatest ``on`` ≤ left.``on`` (direction="backward"; "forward"
@@ -38,9 +39,21 @@ def asof_join(
     NULLs — left-join semantics, like DuckDB ``ASOF LEFT JOIN``.
 
     ``strict=True`` uses < instead of ≤ (excludes simultaneous rows).
+
+    ``by`` is REQUIRED for scale: without it the carry-forward window has no
+    partition key, so Spark funnels both tables through ONE task — a driver
+    for a 100 TB join to stall on. A keyless as-of over a small reference
+    table (calibration curves, rate tables) is legitimate; opt in explicitly
+    with ``allow_single_partition=True``.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if by is None and not allow_single_partition:
+        raise ValueError(
+            "asof_join without `by` runs the whole join in a single task "
+            "(keyless global window); pass by=<key> or, for deliberately "
+            "small inputs, allow_single_partition=True"
+        )
     right_cols = list(right_cols) or [
         c for c in right.columns if c not in {on, by}
     ]

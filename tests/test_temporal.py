@@ -117,3 +117,41 @@ def test_interval_join_boundaries_and_bucket_seam(spark):
     # exactly-one output row per (point, interval) pair despite the explode
     rows = interval_join(points, intervals, bucket_seconds=86400.0).count()
     assert rows == 3
+
+
+def test_keyless_requires_opt_in(spark):
+    """Keyless as-of funnels everything through one task — it must be an
+    explicit choice, never a default."""
+    import pytest
+
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="single task"):
+        asof_join(left, right, on="ts", right_cols=["rid"])
+    # explicit opt-in works and matches the keyed result collapsed to one key
+    out = {
+        r.lid: r.rid_right
+        for r in asof_join(
+            left.filter("k = 'a'"), right.filter("k = 'a'"),
+            on="ts", right_cols=["rid"], allow_single_partition=True,
+        ).collect()
+    }
+    keyed = {
+        r.lid: r.rid_right
+        for r in asof_join(
+            left.filter("k = 'a'"), right.filter("k = 'a'"),
+            on="ts", by="k", right_cols=["rid"],
+        ).collect()
+    }
+    assert out == keyed
+
+
+def test_keyed_asof_has_no_single_partition_exchange(spark):
+    """The keyed path must hash-partition the window on the key: no
+    SinglePartition exchange anywhere in the plan."""
+    left, right = _frames(spark)
+    from pyvectorsearch_spark.plans import explain_str
+
+    df = asof_join(left, right, on="ts", by="k", right_cols=["rid"])
+    s = explain_str(df)
+    assert "SinglePartition" not in s, s[:3000]
+    assert "hashpartitioning(k" in s, s[:3000]
