@@ -23,6 +23,7 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_payload",
     "knn_grid_2d",
+    "knn_grid_query_table",
     "knn_ivf",
     "range_search",
     "range_grid_2d",
