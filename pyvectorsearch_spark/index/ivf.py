@@ -168,9 +168,12 @@ class IVFIndex:
             [(int(i), [float(x) for x in c]) for i, c in enumerate(self.centroids)],
             "list_id int, _centroid array<double>",
         )
+        # Hash-partition queries on the id first: the |Q|·|lists| distance
+        # expressions spread across every core (not the query table's few
+        # source partitions) and the per-query window reuses the exchange.
         qs = queries.select(
             F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
-        )
+        ).repartition(spark.sparkContext.defaultParallelism, "_qid")
         w_sel = Window.partitionBy("_qid").orderBy(
             F.col("_cd2").asc(), F.col("list_id").asc()
         )

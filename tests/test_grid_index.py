@@ -225,6 +225,14 @@ def test_distributed_build_never_collects_stats(spark, cities, delft_probe):
     assert dist._local_stats is None  # build collected nothing
     out = dist.knn(delft_probe, 5, candidates="distributed").collect()
     assert dist._local_stats is None  # search collected nothing either
+    # payload pass-through on the distributed path (pkmap analog)
+    with_payload = dist.knn(
+        delft_probe, 5, candidates="distributed", payload=["city"]
+    ).collect()
+    assert sorted(r.city for r in with_payload)  # column present, non-empty
+    assert {(r.query_id, r.neighbor_id) for r in with_payload} == {
+        (r.query_id, r.neighbor_id) for r in out
+    }
     brute = knn_join(cities, delft_probe, 5, data_id="pt_id", data_vec="pt").collect()
     assert {(r.query_id, r.neighbor_id) for r in out} == {
         (r.query_id, r.neighbor_id) for r in brute
