@@ -237,3 +237,29 @@ def test_distributed_build_never_collects_stats(spark, cities, delft_probe):
     assert {(r.query_id, r.neighbor_id) for r in out} == {
         (r.query_id, r.neighbor_id) for r in brute
     }
+
+
+def test_distributed_knn_plan_shape(spark):
+    """The query-table path's plan contract: stats broadcast to the pair
+    builder, no cartesian product anywhere, and ONE hash-partitioning of the
+    big pair table on the query id (the explicit repartition) that both
+    windows reuse — no second exchange of |Q|x|cells| rows."""
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .withColumn("p2", F.slice("embedding", 1, 2))
+        .select("vec_id", "p2")
+    )
+    idx = GridIndex.build(emb, vec_col="p2", id_col="vec_id", target_occupancy=16)
+    probes = emb.limit(100).select(
+        F.col("vec_id").alias("query_id"), F.col("p2").alias("qvec")
+    )
+    from pyvectorsearch_spark.plans import explain_str
+
+    df = idx.knn(probes, 3, candidates="distributed")
+    s = explain_str(df)
+    assert "BroadcastExchange" in s, s[:3000]
+    assert "CartesianProduct" not in s, s[:3000]
+    # exactly two _qid exchanges: the explicit pair-table repartition (both
+    # candidate windows sit on it with no further shuffle) and the final
+    # top-k window over the scored data rows
+    assert s.count("hashpartitioning(_qid") <= 2, s[:3000]
