@@ -263,3 +263,17 @@ def test_distributed_knn_plan_shape(spark):
     # candidate windows sit on it with no further shuffle) and the final
     # top-k window over the scored data rows
     assert s.count("hashpartitioning(_qid") <= 2, s[:3000]
+
+
+def test_distributed_knn_edge_cases(spark, cities, cities_index):
+    """Empty probe set -> empty result with the stable schema; k larger than
+    the table -> every point returned once per query."""
+    empty = spark.createDataFrame([], "query_id long, qvec array<float>")
+    out = cities_index.knn(empty, 5, candidates="distributed")
+    assert out.columns == ["query_id", "neighbor_id", "dist", "rank"]
+    assert out.count() == 0
+
+    probe = spark.createDataFrame([(0, DELFT)], "query_id long, qvec array<float>")
+    n = cities.count()
+    big_k = cities_index.knn(probe, n + 100, candidates="distributed")
+    assert big_k.count() == n
