@@ -46,18 +46,32 @@ CITIES_SCHEMA = T.StructType(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/column pruning into it.
 
-    The driver's ``events`` table stores nanosecond parquet timestamps, which
-    Spark rejects (``illegalParquetTypeError``). We read them as raw int64
-    (``nanosAsLong``) and truncate to microseconds with integer division —
-    the same truncation DuckDB applies, and no double round-trip (an ns epoch
-    exceeds 2^53, so float division would corrupt low-order digits).
+    Timestamp normalization (both shapes exist across driver generations):
+    - nanosecond parquet timestamps, which Spark rejects
+      (``illegalParquetTypeError``): read as raw int64 (``nanosAsLong``) and
+      truncate to microseconds with integer division — the same truncation
+      DuckDB applies, and no double round-trip (an ns epoch exceeds 2^53, so
+      float division would corrupt low-order digits);
+    - microsecond timestamps with ``isAdjustedToUTC=false``, which Spark
+      reads as TIMESTAMP_NTZ: cast to TIMESTAMP (LTZ). NTZ supports neither
+      watermarks nor numeric casts, and the cast is wall-clock-exact because
+      the session timezone is pinned to UTC here (the DuckDB oracle side is
+      timezone-naive, so UTC is also what makes comparisons bit-stable in a
+      driver-built session that didn't set it).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 
