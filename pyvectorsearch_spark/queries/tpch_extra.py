@@ -36,6 +36,163 @@ def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the European supplier(s)
+    offering the minimum unit cost — the classic correlated-MIN subquery,
+    decorrelated into a window over the per-(part, supplier) aggregate.
+
+    Driver schema has no partsupp, so unit cost is derived from lineitem as
+    ``min(l_extendedprice / l_quantity)`` per (part, supplier). The division
+    is computed per row (bitwise-identical in any engine) and MIN is
+    order-insensitive, so the correlated comparison is FP-stable without
+    rounding tricks.
+
+    Scale: part filter + supplier→nation→region chain are all broadcast, so
+    the lineitem scan shuffles exactly once — on (l_partkey, l_suppkey) for
+    the cost aggregate; the min-cost window then re-partitions the (much
+    smaller) per-pair aggregate by part only."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name"
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("best_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.col("acctbal").desc(), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+ORACLE_Q2 = """
+WITH cost AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size <= 10
+  GROUP BY p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+)
+SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name AS nation,
+       p_partkey, p_name, round(unit_cost, 4) AS unit_cost
+FROM cost c
+WHERE unit_cost = (SELECT min(unit_cost) FROM cost c2
+                   WHERE c2.p_partkey = c.p_partkey)
+ORDER BY acctbal DESC, nation, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order count per priority for orders with at least one
+    late line — an EXISTS whose predicate correlates on a non-key column
+    (the line shipped > 60 days after the order date; the driver schema has
+    no commit/receipt dates). Compiles to a left-semi join carrying the extra
+    condition; the quarter filter prunes orders before the join and only
+    (l_orderkey, l_shipdate) is read from lineitem."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than a threshold quantity
+    of any 'red' part in 1996 — the nested IN-IN subquery pair, compiled as
+    broadcast-semi-join (part name filter) → partial-agg HAVING → semi join
+    back to supplier. Quantities are integral-valued doubles, so the HAVING
+    sum is FP-exact and the threshold cannot flip between engines.
+
+    Scale: the part filter broadcasts into the lineitem scan; the only big
+    shuffle is the (l_suppkey, l_partkey) aggregate, and the supplier probe
+    is a broadcast semi join on the tiny qualifying-supplier set."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    qualifying = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        su.join(F.broadcast(qualifying), su.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+ORACLE_Q20 = """
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 50
+)
+ORDER BY s_name, s_suppkey
+"""
+
+
 def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bidirectional trade volume between two nations by ship
     year. Supplier→nation and customer→nation are broadcast joins; the only
@@ -552,6 +709,9 @@ ORDER BY cntrycode
 
 
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q4_order_priority": q4_order_priority,
+    "q20_heavy_shippers": q20_heavy_shippers,
     "q7_nation_trade": q7_nation_trade,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -567,6 +727,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": ORACLE_Q2,
+    "q4_order_priority": ORACLE_Q4,
+    "q20_heavy_shippers": ORACLE_Q20,
     "q7_nation_trade": ORACLE_Q7,
     "q8_market_share": ORACLE_Q8,
     "q9_product_profit": ORACLE_Q9,

@@ -24,6 +24,47 @@ def test_q8_snowflake_broadcasts_all_dims(spark):
     assert count_exchanges(df) <= 5, s[:3000]
 
 
+def test_q2_correlated_min_single_fact_shuffle(spark):
+    """Q2: every dim (part/supplier/nation/region) broadcasts so lineitem
+    shuffles only for the (part, supplier) cost aggregate; the correlated MIN
+    decorrelates to a window, and the final top-100 is TakeOrderedAndProject."""
+    from pyvectorsearch_spark.queries.tpch_extra import q2_min_cost_supplier
+
+    df = q2_min_cost_supplier(spark, SF_SMOKE)
+    s = explain_str(df)
+    assert s.count("BroadcastHashJoin") >= 4, s[:3000]
+    assert "SortMergeJoin" not in s, s[:3000]
+    assert "Window" in s, s[:2000]
+    assert "TakeOrderedAndProject" in s, s[:2000]
+    # cost agg + window repartition (+AQE reads); never a join shuffle
+    assert count_exchanges(df) <= 3, s[:3000]
+
+
+def test_q4_exists_compiles_to_semi_join(spark):
+    """Q4's correlated EXISTS (with a non-key residual condition) must become
+    a left-semi join, never a per-row subquery or cartesian product."""
+    from pyvectorsearch_spark.queries.tpch_extra import q4_order_priority
+
+    df = q4_order_priority(spark, SF_SMOKE)
+    s = explain_str(df)
+    assert "LeftSemi" in s, s[:2000]
+    assert "Cartesian" not in s and "NestedLoop" not in s.replace(
+        "BroadcastNestedLoop", ""
+    ), s[:2000]
+
+
+def test_q20_nested_in_stays_semi_joins(spark):
+    """Q20's IN-IN nesting compiles to two semi joins (part filter into
+    lineitem, qualifying suppliers into supplier) — no row explosion."""
+    from pyvectorsearch_spark.queries.tpch_extra import q20_heavy_shippers
+
+    df = q20_heavy_shippers(spark, SF_SMOKE)
+    s = explain_str(df)
+    assert s.count("LeftSemi") >= 2, s[:3000]
+    assert "BroadcastHashJoin" in s, s[:2000]
+    assert "Cartesian" not in s, s[:2000]
+
+
 def test_q19_disjunction_stays_hash_join(spark):
     """The OR-of-conjuncts must remain a residual filter on the equi-join,
     never degrade to a nested-loop join."""
