@@ -1,0 +1,266 @@
+"""Deterministic sampling / splitting / mixing / packing operators for
+training-data pipelines (north-star extensions; the reference has no
+sampling surface — its only "selection" is the search predicates,
+/root/reference/include/pktree.hpp:933-973).
+
+Everything is hash-deterministic, never RNG-based: membership of a row in a
+split/sample depends only on (salt, id), so re-running a pipeline — or
+running it on a different cluster layout — selects the identical rows. The
+hash is the same md5→48-bit→bucket construction the dedup family uses
+(operators/dedup.py:201-203), which DuckDB reproduces exactly, so every
+operator here has a bit-exact SQL oracle.
+
+Scale posture (100 TB):
+  - ``assign_split`` / ``sample_flag`` are zero-shuffle projections that
+    pipeline inside the parquet scan stage;
+  - ``mixture_thresholds`` aggregates one row per source (a ~dozens-row
+    driver result — metadata, not data) and everything downstream is again a
+    zero-shuffle projection;
+  - packing shuffles once: a window per shard (``by``) — a global sequential
+    pack would be a single-partition scale trap, so a shard key is required
+    (same policy as asof_join, operators/temporal.py).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKETS = 10_000  # hash-bucket resolution: fractions quantized to 0.01%
+
+
+def hash_bucket(col: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, BUCKETS): first 48 bits of
+    md5(salt || id) mod BUCKETS. 48 bits keeps the integer exact in any
+    engine's 64-bit (or double) arithmetic; DuckDB twin:
+    ``('0x' || substr(md5('<salt>' || id::VARCHAR), 1, 12))::BIGINT % 10000``.
+    """
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") % BUCKETS
+
+
+def _integer_thresholds(fractions: Mapping[str, float]) -> list[tuple[str, int]]:
+    """Cumulative integer bucket thresholds. Fractions are quantized to
+    1/BUCKETS at plan-build time so the membership test is pure integer
+    comparison — no FP boundary can flip a row between engines."""
+    out, acc = [], 0
+    for name, frac in fractions.items():
+        acc += int(round(frac * BUCKETS))
+        out.append((name, acc))
+    if out and out[-1][1] > BUCKETS:
+        raise ValueError(f"fractions sum past 1.0: {fractions}")
+    return out
+
+
+def assign_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fractions: Mapping[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test (or arbitrary) split assignment.
+
+    Adds ``out_col`` with the split name; rows past the last cumulative
+    threshold (when fractions sum < 1) get NULL — a holdout. Zero shuffle:
+    one projection, pipelined into the scan."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = hash_bucket(F.col(id_col), salt)
+    expr = None
+    for name, upper in _integer_thresholds(fractions):
+        clause = b < upper
+        expr = F.when(clause, name) if expr is None else expr.when(clause, name)
+    return df.withColumn(out_col, expr)
+
+
+def sample_flag(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fraction: float | None = None,
+    strata_col: str | None = None,
+    fractions: Mapping[str, float] | None = None,
+    salt: str = "sample",
+    out_col: str = "sampled",
+) -> DataFrame:
+    """Deterministic (optionally stratified) Bernoulli-by-hash sampling.
+
+    Uniform mode: ``fraction`` applies to every row. Stratified mode:
+    ``fractions[stratum]`` applies per ``strata_col`` value (strata absent
+    from the mapping keep nothing). Adds a boolean ``out_col`` rather than
+    filtering, so callers can audit kept/total in a single pass; filter on
+    it for the sampled view. Zero shuffle either way."""
+    if (fraction is None) == (fractions is None):
+        raise ValueError("pass exactly one of fraction= or fractions=")
+    b = hash_bucket(F.col(id_col), salt)
+    if fraction is not None:
+        keep = b < int(round(fraction * BUCKETS))
+    else:
+        if strata_col is None:
+            raise ValueError("fractions= requires strata_col=")
+        mapping = F.create_map(
+            *[
+                x
+                for k, v in fractions.items()
+                for x in (F.lit(k), F.lit(int(round(v * BUCKETS))))
+            ]
+        )
+        thresh = F.element_at(mapping, F.col(strata_col))
+        keep = b < F.coalesce(thresh, F.lit(0))
+    return df.withColumn(out_col, keep)
+
+
+def mixture_thresholds(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    weights: Mapping[str, int],
+    target_rows: int,
+) -> DataFrame:
+    """Per-source keep thresholds for building a weighted mixture of
+    ``target_rows`` rows: source s gets a share target_rows * w_s / Σw, and
+    its threshold is that share scaled into hash buckets, capped at BUCKETS
+    when the source is too small to fill its share.
+
+    All arithmetic is INTEGER (weights are integers by contract; ``div`` is
+    integer division), so the thresholds — and therefore mixture membership
+    — are bit-identical in any engine. Returns a tiny DataFrame
+    (source, n_source, threshold): one row per source, broadcast-joined by
+    ``weighted_mixture_flag``; nothing is collected."""
+    w_sum = sum(weights.values())
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(int(v)))]
+    )
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_source")
+    )
+    num = (
+        F.lit(int(target_rows)).cast("decimal(38,0)")
+        * F.coalesce(F.element_at(wmap, F.col("source")), F.lit(0)).cast(
+            "decimal(38,0)"
+        )
+        * F.lit(BUCKETS).cast("decimal(38,0)")
+    )
+    den = F.lit(int(w_sum)).cast("decimal(38,0)") * F.col("n_source").cast(
+        "decimal(38,0)"
+    )
+    # decimal division is exact to its declared scale, so floor(num/den) is
+    # the true integer quotient — bit-identical to DuckDB's `//`.
+    quotient = F.floor(num / den).cast("bigint")
+    return counts.withColumn(
+        "threshold", F.least(F.lit(BUCKETS).cast("bigint"), quotient)
+    )
+
+
+def weighted_mixture_flag(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    weights: Mapping[str, int],
+    target_rows: int,
+    salt: str = "mix",
+    out_col: str = "sampled",
+) -> DataFrame:
+    """Weighted multi-source mixture: flag a deterministic subset whose
+    per-source sizes approximate target_rows * w_s / Σw (exact up to hash
+    granularity; capped by source size). One tiny per-source aggregate
+    broadcast back onto the scan — the fact table shuffles zero times."""
+    thresholds = mixture_thresholds(
+        df, source_col=source_col, weights=weights, target_rows=target_rows
+    ).select("source", "threshold")
+    b = hash_bucket(F.col(id_col), salt)
+    return (
+        df.join(
+            F.broadcast(thresholds),
+            df[source_col] == thresholds["source"],
+            "left",
+        )
+        .drop(thresholds["source"])
+        .withColumn(out_col, b < F.coalesce(F.col("threshold"), F.lit(0)))
+        .drop("threshold")
+    )
+
+
+def pack_chunked(
+    df: DataFrame,
+    *,
+    by: str,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    budget: int,
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: rows ordered by ``id_col``
+    within each ``by`` shard are laid head-to-tail; a row is assigned to the
+    pack where it STARTS (pack = exclusive-prefix-sum div budget), with its
+    offset inside that pack. Rows may straddle pack boundaries — this is the
+    streaming-friendly "chunk the token stream" packing used by LLM data
+    loaders, one window shuffle per shard.
+
+    A shard key is mandatory: a global pack order would funnel 100 TB
+    through one partition (same policy as asof_join's keyless mode)."""
+    if not by:
+        raise ValueError("pack_chunked requires a shard key (by=)")
+    w = (
+        Window.partitionBy(by)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("bigint")
+    return df.withColumn(
+        pack_col, F.floor(start.cast("decimal(38,0)") / F.lit(budget)).cast("bigint")
+    ).withColumn(offset_col, start % budget)
+
+
+def pack_greedy(
+    df: DataFrame,
+    *,
+    by: str,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    budget: int,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Greedy whole-document packing: rows in ``id_col`` order within each
+    ``by`` shard; a row joins the current pack if it fits in the remaining
+    budget, else opens a new pack (an oversized row gets a pack to itself).
+    No row is split — the semantics for training examples that must stay
+    intact.
+
+    The running-remainder reset makes this inexpressible as a window
+    function, so it runs as an Arrow-batched ``applyInPandas`` per shard —
+    shards are independent, so the 100 TB plan is one shuffle by ``by`` and
+    embarrassingly parallel packing inside each shard. (DuckDB expresses the
+    same walk as a recursive CTE — the oracle in queries/sampling.py.)"""
+    if not by:
+        raise ValueError("pack_greedy requires a shard key (by=)")
+    slim = df.select(by, id_col, size_col)
+    schema = T.StructType(
+        slim.schema.fields + [T.StructField(pack_col, T.LongType(), False)]
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        packs = []
+        pack, fill = 0, 0
+        first = True
+        for s in pdf[size_col].astype("int64"):
+            if first:
+                pack, fill, first = 0, int(s), False
+            elif fill + int(s) <= budget:
+                fill += int(s)
+            else:
+                pack, fill = pack + 1, int(s)
+            packs.append(pack)
+        pdf[pack_col] = pd.Series(packs, dtype="int64")
+        return pdf
+
+    return slim.groupBy(by).applyInPandas(_pack, schema)

@@ -10,6 +10,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     dedup,
     multimodal,
     relational,
+    sampling,
     streaming,
     temporal,
     text,
@@ -47,6 +48,7 @@ _MODULES = [
     streaming,
     udf,
     multimodal,
+    sampling,
     relational,
     tpch_extra,
     analytic_extra,

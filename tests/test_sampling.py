@@ -1,0 +1,191 @@
+"""Property and plan tests for the deterministic sampling / splitting /
+mixing / packing operators (operators/sampling.py). The exact-value contract
+is pinned by the DuckDB oracles in test_oracle_parity; these tests pin the
+semantic invariants and the plan shapes (zero-shuffle projections, shard-key
+requirement)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.operators.sampling import (
+    BUCKETS,
+    assign_split,
+    hash_bucket,
+    mixture_thresholds,
+    pack_chunked,
+    pack_greedy,
+    sample_flag,
+    weighted_mixture_flag,
+)
+from pyvectorsearch_spark.plans import count_exchanges, explain_str
+from pyvectorsearch_spark.sources.tables import load_table
+from tests.conftest import SF_T2
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_T2, "documents").cache()
+
+
+def test_split_partitions_every_row_once(spark, docs):
+    out = assign_split(docs).groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in out}
+    assert set(by) == {"train", "val", "test"}
+    assert sum(by.values()) == docs.count()
+    # 80/10/10 within hash noise on 500 docs
+    assert by["train"] > by["val"] and by["train"] > by["test"]
+
+
+def test_split_is_deterministic_and_salt_sensitive(docs):
+    a = {r["doc_id"]: r["split"] for r in assign_split(docs).select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in assign_split(docs).select("doc_id", "split").collect()}
+    assert a == b
+    c = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs, salt="other").select("doc_id", "split").collect()
+    }
+    assert a != c  # a different salt re-deals the split
+
+
+def test_split_holdout_when_fractions_below_one(docs):
+    out = assign_split(docs, fractions={"train": 0.5}).filter(
+        F.col("split").isNull()
+    )
+    n = out.count()
+    assert 0 < n < docs.count()
+
+
+def test_split_rejects_oversubscribed_fractions(docs):
+    with pytest.raises(ValueError):
+        assign_split(docs, fractions={"a": 0.9, "b": 0.2}).collect()
+
+
+def test_sample_flag_uniform_fraction(docs):
+    kept = sample_flag(docs, fraction=0.3).filter("sampled").count()
+    n = docs.count()
+    assert 0.2 * n < kept < 0.4 * n  # hash noise bound on 500 rows
+
+
+def test_sample_flag_subset_and_missing_stratum_empty(docs):
+    flagged = sample_flag(
+        docs, strata_col="lang", fractions={"en": 0.5}, salt="s"
+    )
+    assert flagged.filter((F.col("lang") != "en") & F.col("sampled")).count() == 0
+    en_kept = flagged.filter((F.col("lang") == "en") & F.col("sampled")).count()
+    assert en_kept > 0
+
+
+def test_sample_flag_requires_exactly_one_mode(docs):
+    with pytest.raises(ValueError):
+        sample_flag(docs)
+    with pytest.raises(ValueError):
+        sample_flag(docs, fraction=0.5, fractions={"en": 0.1}, strata_col="lang")
+    with pytest.raises(ValueError):
+        sample_flag(docs, fractions={"en": 0.1})  # no strata_col
+
+
+def test_mixture_thresholds_cap_and_share(spark, docs):
+    rows = mixture_thresholds(
+        docs, weights={"src0": 1, "src1": 3}, target_rows=40
+    ).collect()
+    by = {r["source"]: r for r in rows}
+    # src0: 40 * 1/4 = 10 of 25 docs -> threshold 4000; src1: 30 of 25 -> cap
+    assert by["src0"]["threshold"] == 10 * BUCKETS // 25
+    assert by["src1"]["threshold"] == BUCKETS
+    # unweighted sources keep nothing
+    assert by["src5"]["threshold"] == 0
+
+
+def test_weighted_mixture_respects_weights(docs):
+    flagged = weighted_mixture_flag(
+        docs, weights={"src0": 1, "src1": 1}, target_rows=20
+    )
+    kept = flagged.filter("sampled").groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in kept}
+    assert set(by) <= {"src0", "src1"}
+    assert 0 < sum(by.values()) <= 30  # ~20 target, hash noise
+
+
+def test_projection_ops_add_no_shuffle(docs):
+    """assign_split / sample_flag are pure projections — no Exchange beyond
+    whatever the input already had."""
+    for df in (
+        assign_split(docs),
+        sample_flag(docs, fraction=0.5),
+        sample_flag(docs, strata_col="lang", fractions={"en": 0.5}),
+    ):
+        assert count_exchanges(df) == 0, explain_str(df)[:2000]
+
+
+def test_mixture_broadcasts_thresholds(docs):
+    df = weighted_mixture_flag(docs, weights={"src0": 1}, target_rows=10)
+    s = explain_str(df)
+    assert "BroadcastHashJoin" in s, s[:2000]
+
+
+def test_pack_chunked_offsets_and_coverage(docs):
+    budget = 1000
+    packed = pack_chunked(docs, by="source", budget=budget).cache()
+    try:
+        assert packed.count() == docs.count()
+        assert packed.filter(
+            (F.col("pack_offset") < 0) | (F.col("pack_offset") >= budget)
+        ).count() == 0
+        # pack_id non-decreasing in doc_id order within each source
+        rows = packed.select("source", "doc_id", "pack_id").collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["source"], []).append((r["doc_id"], r["pack_id"]))
+        for seq in per.values():
+            seq.sort()
+            packs = [p for _, p in seq]
+            assert packs == sorted(packs)
+            assert packs[0] == 0
+    finally:
+        packed.unpersist()
+
+
+def test_pack_greedy_never_overflows_budget(docs):
+    budget = 1200
+    packed = pack_greedy(docs, by="source", budget=budget)
+    per_pack = (
+        packed.groupBy("source", "pack_id")
+        .agg(F.sum("n_chars").alias("fill"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per_pack:
+        # a pack may exceed budget only when it is a single oversized doc
+        assert r["fill"] <= budget or r["n"] == 1, r
+
+
+def test_pack_greedy_matches_python_reference(docs):
+    budget = 1200
+    got = {
+        (r["source"], r["doc_id"]): r["pack_id"]
+        for r in pack_greedy(docs, by="source", budget=budget).collect()
+    }
+    rows = docs.select("source", "doc_id", "n_chars").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append((r["doc_id"], r["n_chars"]))
+    for src, seq in per.items():
+        seq.sort()
+        pack, fill = 0, None
+        for doc_id, size in seq:
+            if fill is None:
+                fill = size
+            elif fill + size <= budget:
+                fill += size
+            else:
+                pack, fill = pack + 1, size
+            assert got[(src, doc_id)] == pack, (src, doc_id)
+
+
+def test_packing_requires_shard_key(docs):
+    with pytest.raises(ValueError):
+        pack_chunked(docs, by="", budget=100)
+    with pytest.raises(ValueError):
+        pack_greedy(docs, by="", budget=100)
