@@ -251,6 +251,27 @@ def q_knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (product quantization + ADC) — the compressed-scan path for
+    100 TB corpora: candidates are scored from m-byte codes (the float
+    column never leaves parquet), then the shortlist is re-ranked with exact
+    distances. Approximate ⇒ rows-only for the driver; recall floors and
+    rerank exactness are pinned in tests/test_pq.py."""
+    from pyvectorsearch_spark.index.pq import IVFPQIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_or_load(
+        spark,
+        f"ivfpq8_m16_seed42_{os.path.basename(sf_dir.rstrip('/'))}",
+        load=IVFPQIndex.load,
+        build=lambda: IVFPQIndex.build(emb, n_lists=8, m=16, ksub=32, seed=42),
+    )
+    out = idx.knn(_probes(spark, sf_dir), K, nprobe=4, rerank=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank"
+    )
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-indexed kNN in exhaustive-probe mode (nprobe == n_lists ⇒ exact,
     so the brute-force SQL oracle applies; partial-probe recall is covered by
@@ -345,6 +366,7 @@ QUERIES = {
     "knn_grid_query_table": q_knn_grid_query_table,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_approx": q_knn_ivf_approx,
+    "knn_ivfpq": q_knn_ivfpq,
     "vector_norm_stats": q_vector_norm_stats,
 }
 
