@@ -77,6 +77,10 @@ def main() -> None:
         # default 240m code cache sweeps under pressure and heavy queries fall
         # back to the interpreter (measured 3-4x degradation late in the run)
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
+        # match session.get_spark: the dedup verify joins broadcast by SIZE
+        # (no hints since r2); the 10m default under-broadcasts per-doc
+        # array tables that comfortably fit
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

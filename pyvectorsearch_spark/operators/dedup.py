@@ -557,55 +557,95 @@ def embedding_dup_pairs_bucketed(
     from pyvectorsearch_spark.index.ivf import _kmeans
 
     spark = df.sparkSession
-    n = df.count()
-    if n == 0:
-        return spark.createDataFrame([], "d1 long, d2 long, cosine double")
-    target = min(n, n_lists * sample_per_list)
-    step = max(n // max(target, 1), 1)
+    # Deterministic k-means sample in ONE job and no prior count(): the head
+    # of every partition (contents are stable for a given input layout —
+    # the same guarantee the previous every-step-th-row scheme had, without
+    # the count job or the incremental-limit collect, which measured ~1 s of
+    # the sf0.1 wall time on their own).
+    target = n_lists * sample_per_list
+    n_parts = df.rdd.getNumPartitions()
+    per_part = max(1, -(-target // max(n_parts, 1)))
+
+    def head_sample(batches):
+        left = per_part
+        for pdf in batches:
+            if left <= 0 or not len(pdf):
+                break
+            take = pdf.iloc[:left]
+            left -= len(take)
+            yield take
+
     sample_rows = (
-        df.select(vec_col)
-        .withColumn("_rn", F.monotonically_increasing_id())
-        .filter(F.col("_rn") % step == 0)
+        df.select(F.col(vec_col).alias("_v"))
+        .mapInPandas(head_sample, schema=f"_v {dict(df.dtypes)[vec_col]}")
         .limit(target)
         .collect()
     )
+    if not sample_rows:
+        return spark.createDataFrame([], "d1 long, d2 long, cosine double")
     S = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
     S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-300)
     n_lists = min(n_lists, len(S))
     C = _kmeans(S, n_lists, iters=10, seed=seed)
     C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(C)],
-        "list_id int, _cvec array<double>",
-    )
-
-    from pyspark.sql import Window
-
     theta = float(np.arccos(min(max(min_cosine, -1.0), 1.0)))
+    bcC = spark.sparkContext.broadcast(C)
     qs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    ang = F.acos(F.least(F.greatest(cosine_sim(F.col("_v"), F.col("_cvec")), F.lit(-1.0)), F.lit(1.0)))
-    scored = (
-        qs.crossJoin(F.broadcast(cent))
-        .withColumn("_ang", ang)
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("_id").orderBy(F.col("_ang").asc(), F.col("list_id").asc())
-            ),
-        )
+    vec_type = dict(df.dtypes)[vec_col]
+
+    def batch_alpha_max(batches):
+        C_ = bcC.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            ang = np.arccos(np.clip(X @ C_.T, -1.0, 1.0))
+            yield pd.DataFrame({"_a": [float(ang.min(axis=1).max())]})
+
+    # α_max (corpus-wide max primary angle) — a deliberate ONE-ROW action:
+    # only per-batch maxima cross the wire, and collecting the scalar up
+    # front lets the probe radius be a literal in the probe pass instead of
+    # re-evaluating the assignment subplan as a broadcast branch (the
+    # round-1 shape computed the centroid scoring three times).
+    amax_row = (
+        qs.mapInPandas(batch_alpha_max, schema="_a double").agg(F.max("_a")).first()
     )
-    primary = scored.filter(F.col("_rn") == 1).select(
-        "_id", "list_id", "_v", F.col("_ang").alias("_alpha")
-    )
-    # α_max rides the plan as a broadcast one-row aggregate — no action here.
-    alpha_max = primary.agg(F.max("_alpha").alias("_amax"))
-    probes = (
-        scored.crossJoin(F.broadcast(alpha_max))
-        .filter(F.col("_ang") <= F.lit(theta) + F.col("_amax") + F.lit(1e-9))
-        .select("_id", "list_id", "_v")
-    )
-    tagged = probes.withColumn("_role", F.lit("p")).unionByName(
-        primary.select("_id", "list_id", "_v").withColumn("_role", F.lit("c"))
+    amax = float(amax_row[0]) if amax_row[0] is not None else 0.0
+    radius = theta + amax + 1e-9
+
+    def emit_lists(batches):
+        """Map-side bucketing (mirrors IVFIndex.build's assignment): one
+        candidate row in the primary list + one probe row per list whose
+        centroid angle ≤ θ + α_max. No crossJoin, no window — the only
+        shuffle downstream is the groupBy(list_id)."""
+        C_ = bcC.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            ang = np.arccos(np.clip(Xn @ C_.T, -1.0, 1.0))
+            best = ang.argmin(axis=1)  # ties → lowest list_id, like the oracle
+            ids_ = pdf["_id"].to_numpy()
+            vs = list(pdf["_v"])
+            out_id, out_list, out_role, out_v = [], [], [], []
+            for i in range(len(ids_)):
+                for lst in np.nonzero(ang[i] <= radius)[0]:
+                    out_id.append(int(ids_[i]))
+                    out_list.append(int(lst))
+                    out_role.append("p")
+                    out_v.append(vs[i])
+                out_id.append(int(ids_[i]))
+                out_list.append(int(best[i]))
+                out_role.append("c")
+                out_v.append(vs[i])
+            yield pd.DataFrame(
+                {"_id": out_id, "list_id": out_list, "_role": out_role, "_v": out_v}
+            )
+
+    tagged = qs.mapInPandas(
+        emit_lists, schema=f"_id long, list_id int, _role string, _v {vec_type}"
     )
 
     t = float(min_cosine)
