@@ -8,6 +8,7 @@ Modules register via the ``QUERIES`` / ``ORACLES`` dicts they export;
 from pyvectorsearch_spark.queries import (  # noqa: F401
     analytic_extra,
     dedup,
+    formats,
     multimodal,
     relational,
     sampling,
@@ -17,6 +18,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     tpch_extra,
     udf,
     vector,
+    vector_extra,
 )
 
 
@@ -52,6 +54,8 @@ _MODULES = [
     relational,
     tpch_extra,
     analytic_extra,
+    formats,  # beyond the driver window; covered by test_oracle_parity
+    vector_extra,  # likewise
 ]
 
 

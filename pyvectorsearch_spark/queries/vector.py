@@ -251,6 +251,54 @@ def q_knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-TABLE kNN through the IVF index with fully DISTRIBUTED
+    candidate selection: per-query nprobe lists are picked by a window over
+    the broadcast centroid table — no ``queries.collect()`` — the path for
+    10⁶-probe workloads. Probes: 2 deterministic shifted copies of every
+    base vector (1,000 probes at sf0.01). nprobe == n_lists ⇒ exact ⇒ the
+    brute-force SQL oracle applies."""
+    from pyvectorsearch_spark.index.ivf import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.crossJoin(spark.range(2).select(F.col("id").alias("s"))).select(
+        (F.col("vec_id") * 2 + F.col("s")).alias("query_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.col("s") * F.lit(0.01)
+        ).alias("qvec"),
+    )
+    idx = build_or_load(
+        spark,
+        f"ivf16_seed42_{os.path.basename(sf_dir.rstrip('/'))}",
+        load=IVFIndex.load,
+        build=lambda: IVFIndex.build(emb, n_lists=16, seed=42),
+    )
+    out = idx.knn(probes, 3, nprobe=16, candidates="distributed")
+    return out.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank"
+    )
+
+
+_DQ = duckdb_l2_sq("q.qvec", "e.embedding", DIM)
+
+ORACLE_KNN_IVF_QUERY_TABLE = f"""
+WITH q AS (
+  SELECT vec_id * 2 + s AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) + s * 0.01) AS qvec
+  FROM embeddings, (SELECT unnest(range(0, 2)) AS s)
+), pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_DQ} AS d
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, neighbor_id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(d, 6) AS dist_sq, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (product quantization + ADC) — the compressed-scan path for
     100 TB corpora: candidates are scored from m-byte codes (the float
@@ -365,6 +413,7 @@ QUERIES = {
     "knn_grid_2d": q_knn_grid_2d,
     "knn_grid_query_table": q_knn_grid_query_table,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_query_table": q_knn_ivf_query_table,
     "knn_ivf_approx": q_knn_ivf_approx,
     "knn_ivfpq": q_knn_ivfpq,
     "vector_norm_stats": q_vector_norm_stats,
@@ -379,5 +428,6 @@ ORACLES = {
     "knn_topk_global": ORACLE_TOPK_GLOBAL,
     "knn_grid_2d": ORACLE_KNN_GRID_2D,
     "knn_grid_query_table": ORACLE_KNN_GRID_QUERY_TABLE,
+    "knn_ivf_query_table": ORACLE_KNN_IVF_QUERY_TABLE,
     "vector_norm_stats": ORACLE_NORM_STATS,
 }
