@@ -122,3 +122,66 @@ def doc_fingerprint(
         F.array_min(grams).alias("fingerprint"),
         F.length("nt").alias("n_norm_chars"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rules over
+    word n-grams): total/distinct n-gram counts, the top n-gram's share, and
+    the duplicate-gram fraction. Highly repetitive machine-generated text
+    scores high on both fractions.
+
+    Zero-shuffle: the n-gram multiset never leaves the row — duplicate
+    counting is a single-pass run-length scan over the SORTED gram array via
+    ``F.aggregate`` carrying (prev, current-run, max-run, distinct-runs)
+    struct state. At 100 TB this pipelines inside the scan stage like every
+    other textop; the oracle recomputes the same values relationally
+    (unnest → GROUP BY) in DuckDB."""
+    tok = tokens(text_col)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(n)]),
+    )
+    grams = F.when(F.size(tok) >= n, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+    g = F.array_sort(grams)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("cur"),
+        F.lit(0).alias("maxrun"),
+        F.lit(0).alias("runs"),
+    )
+
+    def step(s, x):
+        same = x == s["prev"]
+        cur2 = F.when(same, s["cur"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            cur2.alias("cur"),
+            F.greatest(s["maxrun"], cur2).alias("maxrun"),
+            (s["runs"] + F.when(same, F.lit(0)).otherwise(F.lit(1))).alias("runs"),
+        )
+
+    scan = F.aggregate(g, init, step)
+    total = F.size(g)
+    d = df.select(
+        F.col(id_col),
+        F.size(tok).alias("n_tokens"),
+        total.cast("bigint").alias("n_grams"),
+        scan["runs"].cast("bigint").alias("n_distinct"),
+        scan["maxrun"].cast("bigint").alias("top_count"),
+    )
+    safe = F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
+    return d.select(
+        id_col,
+        "n_tokens",
+        "n_grams",
+        "n_distinct",
+        "top_count",
+        F.round(F.col("top_count") / safe, 6).alias("top_gram_frac"),
+        F.round(
+            (F.col("n_grams") - F.col("n_distinct")) / safe, 6
+        ).alias("dup_gram_frac"),
+    )

@@ -268,6 +268,54 @@ ORDER BY l_orderkey
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition metrics over word 2-grams —
+    the zero-shuffle run-length-scan operator
+    (operators/textops.py::repetition_stats); the oracle recomputes the same
+    values relationally (unnest → GROUP BY → per-doc rollup)."""
+    from pyvectorsearch_spark.operators.textops import repetition_stats
+    from pyvectorsearch_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return repetition_stats(docs, n=2).orderBy("doc_id")
+
+
+def _repetition_oracle() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_tokens
+
+    tok = duckdb_tokens("text")
+    return f"""
+WITH toks AS (SELECT doc_id, {tok} AS t FROM documents),
+g AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              ELSE [] END AS gr
+  FROM toks
+),
+u AS (SELECT doc_id, unnest(gr) AS gram FROM g),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM u GROUP BY doc_id, gram),
+s AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_grams, count(*)::BIGINT AS n_distinct,
+         max(cnt)::BIGINT AS top_count
+  FROM c GROUP BY doc_id
+)
+SELECT g.doc_id, g.n_tokens::INT AS n_tokens,
+       coalesce(s.n_grams, 0) AS n_grams,
+       coalesce(s.n_distinct, 0) AS n_distinct,
+       coalesce(s.top_count, 0) AS top_count,
+       round(coalesce(s.top_count, 0)
+             / greatest(coalesce(s.n_grams, 0), 1)::DOUBLE, 6) AS top_gram_frac,
+       round((coalesce(s.n_grams, 0) - coalesce(s.n_distinct, 0))
+             / greatest(coalesce(s.n_grams, 0), 1)::DOUBLE, 6) AS dup_gram_frac
+FROM g LEFT JOIN s ON g.doc_id = s.doc_id
+ORDER BY g.doc_id
+"""
+
+
+ORACLE_TEXT_REPETITION = _repetition_oracle()
+
+
 QUERIES = {
     "customer_revenue_deciles": customer_revenue_deciles,
     "daily_volume_moving_avg": daily_volume_moving_avg,
@@ -275,9 +323,11 @@ QUERIES = {
     "priority_grouping_sets": priority_grouping_sets,
     "doc_top_words": doc_top_words,
     "order_quantity_arrays": order_quantity_arrays,
+    "text_repetition": text_repetition,
 }
 
 ORACLES = {
+    "text_repetition": ORACLE_TEXT_REPETITION,
     "customer_revenue_deciles": ORACLE_DECILES,
     "daily_volume_moving_avg": ORACLE_MOVING_AVG,
     "customer_order_gaps": ORACLE_ORDER_GAPS,
