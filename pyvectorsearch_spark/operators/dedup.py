@@ -520,6 +520,107 @@ def embedding_dup_pairs_blocked(
     )
 
 
+class AngularModel:
+    """Bucketing model for ``embedding_dup_pairs_bucketed``: unit centroids
+    + the corpus-wide max primary angle. Building it costs a sample job, a
+    driver k-means, and one corpus pass (α_max); a production pipeline
+    builds it ONCE per corpus snapshot and reuses it across dedup runs, so
+    it round-trips through parquet like the other index artifacts."""
+
+    def __init__(self, centroids, alpha_max: float):
+        self.centroids = centroids
+        self.alpha_max = float(alpha_max)
+
+    def write(self, path: str, mode: str = "overwrite") -> None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        rows = [
+            (int(i), [float(x) for x in c], self.alpha_max)
+            for i, c in enumerate(self.centroids)
+        ]
+        spark.createDataFrame(
+            rows, "list_id int, centroid array<double>, alpha_max double"
+        ).coalesce(1).write.mode(mode).parquet(path)
+
+    @staticmethod
+    def load(spark, path: str) -> "AngularModel":
+        import numpy as np
+
+        rows = spark.read.parquet(path).orderBy("list_id").collect()
+        C = np.asarray([list(r["centroid"]) for r in rows])
+        return AngularModel(C, rows[0]["alpha_max"])
+
+
+def angular_bucket_model(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    sample_per_list: int = 64,
+    seed: int = 42,
+) -> AngularModel | None:
+    """Build the angular bucketing model (None for an empty input):
+    partition-head sample → driver k-means on the unit sphere → one
+    map-side pass for the corpus-wide max primary angle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyvectorsearch_spark.index.ivf import _kmeans
+
+    target = n_lists * sample_per_list
+    n_parts = df.rdd.getNumPartitions()
+    per_part = max(1, -(-target // max(n_parts, 1)))
+    vec_type = dict(df.dtypes)[vec_col]
+
+    def head_sample(batches):
+        left = per_part
+        for pdf in batches:
+            if left <= 0 or not len(pdf):
+                break
+            take = pdf.iloc[:left]
+            left -= len(take)
+            yield take
+
+    sample_rows = (
+        df.select(F.col(vec_col).alias("_v"))
+        .mapInPandas(head_sample, schema=f"_v {vec_type}")
+        .limit(target)
+        .collect()
+    )
+    if not sample_rows:
+        return None
+    S = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
+    S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-300)
+    C = _kmeans(S, min(n_lists, len(S)), iters=10, seed=seed)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    bcC = df.sparkSession.sparkContext.broadcast(C)
+
+    def batch_alpha_max(batches):
+        C_ = bcC.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            ang = np.arccos(np.clip(X @ C_.T, -1.0, 1.0))
+            yield pd.DataFrame({"_a": [float(ang.min(axis=1).max())]})
+
+    # α_max (corpus-wide max primary angle) — a deliberate ONE-ROW action:
+    # only per-batch maxima cross the wire, and collecting the scalar up
+    # front lets the probe radius be a literal in the probe pass instead of
+    # re-evaluating the assignment subplan as a broadcast branch (the
+    # round-1 shape computed the centroid scoring three times).
+    amax_row = (
+        df.select(F.col(vec_col).alias("_v"))
+        .mapInPandas(batch_alpha_max, schema="_a double")
+        .agg(F.max("_a"))
+        .first()
+    )
+    amax = float(amax_row[0]) if amax_row[0] is not None else 0.0
+    return AngularModel(C, amax)
+
+
 def embedding_dup_pairs_bucketed(
     df: DataFrame,
     *,
@@ -529,6 +630,7 @@ def embedding_dup_pairs_bucketed(
     n_lists: int = 16,
     sample_per_list: int = 64,
     seed: int = 42,
+    model: AngularModel | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via LOSSLESS angular IVF bucketing +
     within-bucket GEMM — the corpus-scale path: the vector table is NEVER
@@ -554,65 +656,23 @@ def embedding_dup_pairs_bucketed(
     import numpy as np
     import pandas as pd
 
-    from pyvectorsearch_spark.index.ivf import _kmeans
-
     spark = df.sparkSession
-    # Deterministic k-means sample in ONE job and no prior count(): the head
-    # of every partition (contents are stable for a given input layout —
-    # the same guarantee the previous every-step-th-row scheme had, without
-    # the count job or the incremental-limit collect, which measured ~1 s of
-    # the sf0.1 wall time on their own).
-    target = n_lists * sample_per_list
-    n_parts = df.rdd.getNumPartitions()
-    per_part = max(1, -(-target // max(n_parts, 1)))
-
-    def head_sample(batches):
-        left = per_part
-        for pdf in batches:
-            if left <= 0 or not len(pdf):
-                break
-            take = pdf.iloc[:left]
-            left -= len(take)
-            yield take
-
-    sample_rows = (
-        df.select(F.col(vec_col).alias("_v"))
-        .mapInPandas(head_sample, schema=f"_v {dict(df.dtypes)[vec_col]}")
-        .limit(target)
-        .collect()
-    )
-    if not sample_rows:
+    if model is None:
+        model = angular_bucket_model(
+            df,
+            vec_col=vec_col,
+            n_lists=n_lists,
+            sample_per_list=sample_per_list,
+            seed=seed,
+        )
+    if model is None:  # empty input
         return spark.createDataFrame([], "d1 long, d2 long, cosine double")
-    S = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
-    S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-300)
-    n_lists = min(n_lists, len(S))
-    C = _kmeans(S, n_lists, iters=10, seed=seed)
-    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    C = model.centroids
     theta = float(np.arccos(min(max(min_cosine, -1.0), 1.0)))
     bcC = spark.sparkContext.broadcast(C)
     qs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     vec_type = dict(df.dtypes)[vec_col]
-
-    def batch_alpha_max(batches):
-        C_ = bcC.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
-            ang = np.arccos(np.clip(X @ C_.T, -1.0, 1.0))
-            yield pd.DataFrame({"_a": [float(ang.min(axis=1).max())]})
-
-    # α_max (corpus-wide max primary angle) — a deliberate ONE-ROW action:
-    # only per-batch maxima cross the wire, and collecting the scalar up
-    # front lets the probe radius be a literal in the probe pass instead of
-    # re-evaluating the assignment subplan as a broadcast branch (the
-    # round-1 shape computed the centroid scoring three times).
-    amax_row = (
-        qs.mapInPandas(batch_alpha_max, schema="_a double").agg(F.max("_a")).first()
-    )
-    amax = float(amax_row[0]) if amax_row[0] is not None else 0.0
-    radius = theta + amax + 1e-9
+    radius = theta + model.alpha_max + 1e-9
 
     def emit_lists(batches):
         """Map-side bucketing (mirrors IVFIndex.build's assignment): one

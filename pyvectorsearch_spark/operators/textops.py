@@ -185,3 +185,54 @@ def repetition_stats(
             (F.col("n_grams") - F.col("n_distinct")) / safe, 6
         ).alias("dup_gram_frac"),
     )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id: str = "probe_id",
+    probe_text: str = "text",
+    min_matched: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing ≥
+    ``min_matched`` distinct word ``n``-grams with any probe document (the
+    standard eval-set contamination test for training corpora).
+
+    Scale shape: the probe side (an eval benchmark — thousands of rows, not
+    corpus-sized) explodes to (probe_id, gram) and BROADCASTS; the corpus
+    explodes its distinct grams map-side and the gram equi-join + per-pair
+    count collapse with map-side partial aggregation. The corpus never
+    shuffles whole documents — only matched (doc, probe, gram) hits.
+
+    Returns (doc_id, probe_id, n_matched, n_doc_grams, overlap_frac).
+    """
+    from pyvectorsearch_spark.functions.text import shingles, tokens
+
+    d_grams = docs.select(
+        F.col(id_col).alias("_did"),
+        shingles(tokens(text_col), n).alias("_gr"),
+    ).withColumn("_ng", F.size("_gr"))
+    d = d_grams.select("_did", "_ng", F.explode("_gr").alias("_g"))
+    p = probes.select(
+        F.col(probe_id).alias("_pid"),
+        F.explode(shingles(tokens(probe_text), n)).alias("_g"),
+    )
+    hits = (
+        d.join(F.broadcast(p), "_g")
+        .groupBy("_did", "_pid", "_ng")
+        .agg(F.count("*").cast("bigint").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_matched)
+    )
+    return hits.select(
+        F.col("_did").alias(id_col),
+        F.col("_pid").alias(probe_id),
+        "n_matched",
+        F.col("_ng").cast("bigint").alias("n_doc_grams"),
+        F.round(
+            F.col("n_matched") / F.greatest(F.col("_ng"), F.lit(1)).cast("double"), 6
+        ).alias("overlap_frac"),
+    )

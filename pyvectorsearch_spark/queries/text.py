@@ -121,11 +121,54 @@ FROM n
 """
 
 
+N_DECONTAM_PROBES = 5
+DECONTAM_N = 8
+
+
+def q_text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥ 1 distinct word
+    8-gram with a probe "benchmark" set (here: the first 5 documents). The
+    probe side broadcasts after exploding to (probe, gram); the corpus side
+    never shuffles whole documents — only matched gram hits."""
+    from pyvectorsearch_spark.operators.textops import ngram_contamination
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    probes = docs.filter(F.col("doc_id") < N_DECONTAM_PROBES).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    out = ngram_contamination(docs, probes, n=DECONTAM_N)
+    return out.orderBy("doc_id", "probe_id")
+
+
+def _decontam_oracle() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_shingles
+
+    sh = duckdb_shingles("t", DECONTAM_N)
+    return f"""
+WITH toks AS (SELECT doc_id, {duckdb_tokens("text")} AS t FROM documents),
+grams AS (
+  SELECT doc_id, CASE WHEN len(t) >= {DECONTAM_N} THEN {sh}
+                      ELSE [] END AS gr
+  FROM toks
+),
+d AS (SELECT doc_id, len(gr) AS n_doc_grams, unnest(gr) AS g FROM grams),
+p AS (SELECT doc_id AS probe_id, unnest(gr) AS g FROM grams
+      WHERE doc_id < {N_DECONTAM_PROBES})
+SELECT d.doc_id, p.probe_id, count(*)::BIGINT AS n_matched,
+       d.n_doc_grams::BIGINT AS n_doc_grams,
+       round(count(*) / greatest(d.n_doc_grams, 1)::DOUBLE, 6) AS overlap_frac
+FROM d JOIN p ON d.g = p.g
+GROUP BY d.doc_id, p.probe_id, d.n_doc_grams
+ORDER BY d.doc_id, p.probe_id
+"""
+
+
 QUERIES = {
     "text_lang_confusion": q_lang_confusion,
     "text_quality": q_text_quality,
     "text_token_counts": q_token_counts,
     "text_fingerprint": q_doc_fingerprint,
+    "text_decontamination": q_text_decontamination,
 }
 
 ORACLES = {
@@ -133,4 +176,5 @@ ORACLES = {
     "text_quality": ORACLE_QUALITY,
     "text_token_counts": ORACLE_TOKENS,
     "text_fingerprint": ORACLE_FINGERPRINT,
+    "text_decontamination": _decontam_oracle(),
 }

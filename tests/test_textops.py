@@ -60,3 +60,49 @@ def test_fingerprint_normalization_invariance(spark):
     rows = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
+
+
+def test_decontamination_self_match_and_broadcast(spark):
+    """Every probe doc is fully contaminated with itself (overlap 1.0), and
+    the probe side joins as a broadcast — the corpus never shuffles docs."""
+    from pyspark.sql import functions as F
+
+    from pyvectorsearch_spark.operators.textops import ngram_contamination
+    from pyvectorsearch_spark.plans import explain_str
+    from pyvectorsearch_spark.sources.tables import load_table
+    from tests.conftest import SF_T2
+
+    docs = load_table(spark, SF_T2, "documents")
+    probes = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    out = ngram_contamination(docs, probes, n=8)
+    s = explain_str(out)
+    assert "BroadcastHashJoin" in s, s[:2000]
+    self_rows = {
+        r["doc_id"]: r
+        for r in out.filter(F.col("doc_id") == F.col("probe_id")).collect()
+    }
+    assert set(self_rows) == {0, 1, 2}
+    for r in self_rows.values():
+        assert r["overlap_frac"] == 1.0
+        assert r["n_matched"] == r["n_doc_grams"]
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-checked repetition metrics on constructed docs."""
+    from pyvectorsearch_spark.operators.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # 2-grams: ab ba ab ba ab -> top 'a b' x3
+            (2, "x y z"),            # all distinct: xy yz
+            (3, "w"),                # too short: zero grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert rows[1]["n_grams"] == 5 and rows[1]["top_count"] == 3
+    assert rows[1]["n_distinct"] == 2
+    assert rows[2]["n_grams"] == 2 and rows[2]["dup_gram_frac"] == 0.0
+    assert rows[3]["n_grams"] == 0 and rows[3]["top_gram_frac"] == 0.0
