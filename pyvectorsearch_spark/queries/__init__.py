@@ -10,6 +10,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     dedup,
     formats,
     multimodal,
+    pipeline,
     relational,
     sampling,
     streaming,
@@ -51,6 +52,7 @@ _MODULES = [
     udf,
     multimodal,
     sampling,
+    pipeline,
     relational,
     tpch_extra,
     analytic_extra,
