@@ -6,11 +6,15 @@ heavy per-item work (decode, resize, feature extraction, frame sampling) runs
 as Arrow-batched ``mapInPandas`` so only the Python worker touches bytes and
 the JVM moves columnar batches.
 
-Decode is STUBBED: the real image/audio codecs (PIL, soundfile, av) are not
-in this container. ``_decode_rgb``/``_decode_pcm`` try the real library and
-otherwise fall back to a DETERMINISTIC FAKE (pixels/samples derived from a
-rolling hash of the blob) so every downstream shape, schema, partition
-strategy, and test is real; swap the fake for the library call in production.
+Decode is REAL for the uncompressed container formats that need no codec
+library: binary PPM (P6) images and 16-bit PCM WAV audio are parsed from
+bytes right here (``_parse_ppm`` / ``_parse_wav``), and ``synthetic_media``
+emits genuine PPM/WAV blobs, so the image/audio paths exercise true
+decode → resample → featurize end to end. Compressed formats (JPEG/PNG,
+ogg/mp3, video containers) still need PIL/soundfile/av, which are not in
+this container: those imports are gated, with a DETERMINISTIC FAKE fallback
+(pixels/samples derived from a rolling hash of the blob) so every
+downstream shape, schema, and partition strategy stays real and tested.
 
 Scale notes: blobs never shuffle — every operator is a map-side projection of
 the scan (mapInPandas pipelines with the parquet reader). Feature outputs are
@@ -52,26 +56,123 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _chain_bytes(key: bytes, count: int) -> bytes:
+    """Deterministic md5-chained byte stream (incompressible by design)."""
+    chunks, state = [], key
+    while sum(len(c) for c in chunks) < count:
+        state = hashlib.md5(state).digest()
+        chunks.append(state)
+    return b"".join(chunks)[:count]
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6) container — the real, public format (netpbm)."""
+    payload = rgb[: width * height * 3].ljust(width * height * 3, b"\x00")
+    return b"P6\n%d %d\n255\n" % (width, height) + payload
+
+
+def _parse_ppm(blob: bytes):
+    """Parse a P6 PPM: returns (width, height, rgb bytes) or None."""
+    if not blob.startswith(b"P6"):
+        return None
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(blob):
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment line
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(blob[start:pos])
+    try:
+        w, h, maxval = (int(f) for f in fields)
+    except ValueError:
+        return None
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    pos += 1  # single whitespace after maxval
+    rgb = blob[pos : pos + w * h * 3]
+    if len(rgb) < w * h * 3:
+        return None
+    return w, h, rgb
+
+
+def encode_wav(pcm16: bytes, sample_rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE container around mono 16-bit PCM."""
+    import struct
+
+    n = len(pcm16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+        + pcm16
+    )
+
+
+def _parse_wav(blob: bytes):
+    """Parse mono 16-bit PCM WAV: returns (sample_rate, int16 samples) or
+    None. Walks RIFF chunks, so extra chunks before 'data' are fine."""
+    import struct
+
+    import numpy as np
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, rate, bits, channels = 12, None, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data" and rate is not None:
+            if bits != 16 or channels != 1:
+                return None
+            samples = np.frombuffer(body[: len(body) // 2 * 2], dtype="<i2")
+            return int(rate), samples
+        pos += 8 + size + (size % 2)
+    return None
+
+
 def synthetic_media(spark: SparkSession, n: int = 64, *, seed: int = 7) -> DataFrame:
-    """Deterministic fake media table matching MEDIA_SCHEMA — blobs are
-    md5-chained bytes keyed by (seed, media_id); kinds cycle image/audio/video."""
+    """Deterministic media table matching MEDIA_SCHEMA. Image blobs are REAL
+    binary PPM (P6) files and audio blobs REAL mono PCM16 WAV files (payload
+    bytes md5-chained from (seed, media_id) — incompressible by design);
+    video blobs stay an opaque fake container (no codec-free public raw
+    format worth inventing)."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        chunks, state = [], f"{seed}:{i}".encode()
-        for _ in range(8 + (i % 5)):
-            state = hashlib.md5(state).digest()
-            chunks.append(state)
-        blob = b"".join(chunks)
-        meta = {
-            "width": 16 + (i % 4) * 8 if kind != "audio" else None,
-            "height": 16 + (i % 3) * 8 if kind != "audio" else None,
-            "channels": 3 if kind != "audio" else 1,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "n_frames": 12 + (i % 7) if kind == "video" else (1 if kind == "image" else None),
-            "format": {"image": "fake-img", "audio": "fake-pcm", "video": "fake-vid"}[kind],
-        }
+        key = f"{seed}:{i}".encode()
+        if kind == "image":
+            w, h = 16 + (i % 4) * 8, 16 + (i % 3) * 8
+            blob = encode_ppm(w, h, _chain_bytes(key, w * h * 3))
+            meta = {
+                "width": w, "height": h, "channels": 3,
+                "sample_rate": None, "n_frames": 1, "format": "ppm",
+            }
+        elif kind == "audio":
+            n_samp = 1024 + (i % 5) * 256
+            blob = encode_wav(_chain_bytes(key, n_samp * 2), 16000)
+            meta = {
+                "width": None, "height": None, "channels": 1,
+                "sample_rate": 16000, "n_frames": None, "format": "wav",
+            }
+        else:
+            blob = _chain_bytes(key, 128 + 16 * (i % 5))
+            meta = {
+                "width": 16 + (i % 4) * 8, "height": 16 + (i % 3) * 8,
+                "channels": 3, "sample_rate": None,
+                "n_frames": 12 + (i % 7), "format": "fake-vid",
+            }
         rows.append((i, kind, blob, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -96,10 +197,21 @@ def _prand_floats(blob: bytes, count: int) -> list[float]:
 
 
 def _decode_rgb(blob: bytes, width: int, height: int) -> list[float]:
-    """STUB decode → flat H×W×3 float pixels in [0,1].
+    """Decode → flat H×W×3 float pixels in [0,1].
 
-    Production: ``PIL.Image.open(io.BytesIO(blob))``. Here: gated import,
-    deterministic fake fallback (clearly marked)."""
+    REAL for binary PPM (P6): header parse + nearest-neighbor resample, no
+    codec library needed. Compressed formats go through a gated PIL import;
+    the deterministic fake is the last resort (clearly marked)."""
+    parsed = _parse_ppm(blob)
+    if parsed is not None:
+        import numpy as np
+
+        w, h, rgb = parsed
+        px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        yi = (np.arange(height) * h) // height
+        xi = (np.arange(width) * w) // width
+        out = px[yi][:, xi].astype(np.float64) / 255.0
+        return out.reshape(-1).tolist()
     try:  # pragma: no cover - library absent in this container
         import io
 
@@ -113,8 +225,18 @@ def _decode_rgb(blob: bytes, width: int, height: int) -> list[float]:
 
 
 def _decode_pcm(blob: bytes, n_samples: int) -> list[float]:
-    """STUB audio decode → n_samples floats in [-1, 1]. Production:
-    ``soundfile.read``; here a deterministic fake with the real shape."""
+    """Audio decode → n_samples floats in [-1, 1].
+
+    REAL for mono PCM16 WAV (RIFF chunk walk, no library); compressed
+    formats would go through soundfile (absent here) — deterministic fake
+    fallback keeps the shape."""
+    parsed = _parse_wav(blob)
+    if parsed is not None:
+        _, samples = parsed
+        x = (samples.astype("float64") / 32768.0)[:n_samples]
+        out = x.tolist()
+        out.extend([0.0] * (n_samples - len(out)))
+        return out
     return [2.0 * x - 1.0 for x in _prand_floats(blob, n_samples)]
 
 

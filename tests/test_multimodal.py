@@ -61,3 +61,50 @@ def test_spread_media_partitioning(spark):
     spread = spread_media(media, parts=6)
     assert spread.rdd.getNumPartitions() == 6
     assert spread.count() == 30
+
+
+def test_ppm_decode_golden():
+    """Hand-built 2x2 P6 image decodes to exact pixel values, including a
+    header comment; nearest-neighbor downsample keeps the top-left pixel."""
+    from pyvectorsearch_spark.operators.multimodal import _decode_rgb, _parse_ppm
+
+    rgb = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255])
+    blob = b"P6\n# a comment\n2 2\n255\n" + rgb
+    assert _parse_ppm(blob) == (2, 2, rgb)
+    px = _decode_rgb(blob, 2, 2)
+    assert px == [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0]
+    assert _decode_rgb(blob, 1, 1) == [1.0, 0.0, 0.0]
+
+
+def test_wav_roundtrip_golden():
+    """encode_wav -> _decode_pcm is the identity on PCM16 samples (scaled),
+    with zero-padding past the data chunk."""
+    import struct
+
+    from pyvectorsearch_spark.operators.multimodal import _decode_pcm, encode_wav
+
+    samples = [0, 16384, -16384, 32767]
+    blob = encode_wav(struct.pack("<4h", *samples), 8000)
+    out = _decode_pcm(blob, 6)
+    assert out[:4] == [0.0, 0.5, -0.5, 32767 / 32768]
+    assert out[4:] == [0.0, 0.0]
+
+
+def test_synthetic_media_blobs_are_real_containers(spark):
+    """Image rows carry parseable PPM; audio rows parseable WAV at the
+    declared rate/dims."""
+    from pyvectorsearch_spark.operators.multimodal import (
+        _parse_ppm,
+        _parse_wav,
+        synthetic_media,
+    )
+
+    rows = synthetic_media(spark, 12).collect()
+    for r in rows:
+        if r["kind"] == "image":
+            parsed = _parse_ppm(bytes(r["blob"]))
+            assert parsed is not None
+            assert (parsed[0], parsed[1]) == (r["meta"]["width"], r["meta"]["height"])
+        elif r["kind"] == "audio":
+            parsed = _parse_wav(bytes(r["blob"]))
+            assert parsed is not None and parsed[0] == 16000
