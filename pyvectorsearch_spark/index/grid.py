@@ -487,6 +487,25 @@ class GridIndex:
         pairs = self._scored_pairs(qs).select(
             "_qid", "cell", "count", "_min_d2", "_max_d2"
         )
+        # Coarse pre-bound BEFORE the window: any single cell holding ≥ k
+        # points caps the kth distance by its max-distance, and the min of
+        # those caps per query comes from a map-side-combined aggregate —
+        # |Q| rows cross the wire instead of the full |Q|·|cells| pair table
+        # through the window sort (543 cells × 40k probes = 21.7M rows at
+        # sf0.1; the prune leaves ~the near ring per query). Lossless: the
+        # cap ≥ the true kth distance, every cell that could hold a top-k
+        # point has _min_d2 ≤ cap, and the capping cell itself survives
+        # (its _min_d2 ≤ its _max_d2 = cap), so the exact prefix logic below
+        # still reaches ≥ k cumulative points. Queries with no ≥k cell
+        # (k > occupancy) keep every cell via the null coalesce.
+        b0 = (
+            pairs.filter(F.col("count") >= k)
+            .groupBy("_qid")
+            .agg(F.min("_max_d2").alias("_b0"))
+        )
+        pairs = pairs.join(b0, "_qid", "left").filter(
+            F.col("_min_d2") <= F.coalesce(F.col("_b0"), F.lit(float("inf")))
+        )
         # Tie order matters: a query's whole ancestor chain has _min_d2 = 0
         # (nested boxes), and coarse ancestors have domain-sized _max_d2 —
         # letting one into the prefix inflates the bound to cover everything.

@@ -259,10 +259,15 @@ def test_distributed_knn_plan_shape(spark):
     s = explain_str(df)
     assert "BroadcastExchange" in s, s[:3000]
     assert "CartesianProduct" not in s, s[:3000]
-    # exactly two _qid exchanges: the explicit pair-table repartition (both
-    # candidate windows sit on it with no further shuffle) and the final
-    # top-k window over the scored data rows
-    assert s.count("hashpartitioning(_qid") <= 2, s[:3000]
+    # three _qid exchanges: the explicit pair-table repartition (the coarse
+    # bound aggregate and both candidate windows all sit on it), the
+    # ONE-ROW-PER-QUERY bound aggregate's shuffle (map-side combined — |Q|
+    # rows, never |Q|x|cells|), and the final top-k window over the scored
+    # data rows
+    assert s.count("hashpartitioning(_qid") <= 3, s[:3000]
+    # the coarse pre-bound must be aggregated (partial_min before the
+    # shuffle), not windowed over the pair table
+    assert "partial_min(_max_d2" in s or "partial_min" in s, s[:3000]
 
 
 def test_distributed_knn_edge_cases(spark, cities, cities_index):
