@@ -62,5 +62,57 @@ ORDER BY lang, source
 """
 
 
-QUERIES = {"jsonl_roundtrip_stats": q_jsonl_roundtrip_stats}
-ORACLES = {"jsonl_roundtrip_stats": ORACLE_JSONL_ROUNDTRIP}
+def q_pyds_vectorgen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource end to end: read the ``vectorgen`` format
+    (one Spark task per declared partition), aggregate per label. Every cell
+    is md5-derived, so the oracle REGENERATES the identical table in SQL —
+    the source itself is hash-verified. (sf_dir unused: the source
+    generates; parameters pinned below.)"""
+    from pyvectorsearch_spark.sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("vectorgen")
+        .option("n", 2000)
+        .option("dim", 8)
+        .option("parts", 16)
+        .option("seed", "42")
+        .load()
+    )
+    return (
+        df.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("vec_id").alias("id_checksum"),
+            F.round(F.min(F.element_at("embedding", 1)), 6).alias("min_e0"),
+            F.round(F.max(F.element_at("embedding", 1)), 6).alias("max_e0"),
+        )
+        .orderBy("label")
+    )
+
+
+def _h48(key: str) -> str:
+    return f"('0x' || substr(md5({key}), 1, 12))::BIGINT"
+
+
+ORACLE_PYDS_VECTORGEN = f"""
+WITH g AS (
+  SELECT i AS vec_id,
+         ({_h48("'42:' || i || ':0'")} % 1000000) / 1000000.0 AS e0,
+         ({_h48("'42:' || i || ':label'")} % 10)::INT AS label
+  FROM (SELECT unnest(range(0, 2000)) AS i)
+)
+SELECT label, count(*) AS n, sum(vec_id)::BIGINT AS id_checksum,
+       round(min(e0), 6) AS min_e0, round(max(e0), 6) AS max_e0
+FROM g GROUP BY label ORDER BY label
+"""
+
+
+QUERIES = {
+    "jsonl_roundtrip_stats": q_jsonl_roundtrip_stats,
+    "pyds_vectorgen_stats": q_pyds_vectorgen_stats,
+}
+ORACLES = {
+    "jsonl_roundtrip_stats": ORACLE_JSONL_ROUNDTRIP,
+    "pyds_vectorgen_stats": ORACLE_PYDS_VECTORGEN,
+}
