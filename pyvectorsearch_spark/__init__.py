@@ -20,6 +20,7 @@ __version__ = "0.1.0"
 
 from pyvectorsearch_spark.api import (  # noqa: F401
     IVFIndex,
+    IVFPQIndex,
     VectorIndex,
     knn_bruteforce,
     range_bruteforce,
