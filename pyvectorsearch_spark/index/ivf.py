@@ -52,6 +52,10 @@ class IVFIndex:
     centroids: np.ndarray  # (n_lists, dim)
     id_col: str
     vec_col: str
+    # The k-means training sample, kept ONLY on freshly-built indexes (not
+    # persisted/loaded) so stacked quantizers (IVF-PQ) can train on the same
+    # rows without re-running the count + stride-sample jobs.
+    train_sample: np.ndarray | None = None
 
     @staticmethod
     def build(
@@ -98,7 +102,13 @@ class IVFIndex:
         with_v = df.withColumn("_v", F.col(vec_col))
         schema = ", ".join(f"{name} {dtype}" for name, dtype in df.dtypes) + ", list_id int"
         assigned = with_v.select(*cols, "_v").mapInPandas(assign, schema=schema)
-        return IVFIndex(df=assigned, centroids=cent, id_col=id_col, vec_col=vec_col)
+        return IVFIndex(
+            df=assigned,
+            centroids=cent,
+            id_col=id_col,
+            vec_col=vec_col,
+            train_sample=sample,
+        )
 
     def knn(
         self,

@@ -147,19 +147,10 @@ class IVFPQIndex:
             iters=iters,
             seed=seed,
         )
-        # Train PQ on the same deterministic sampling scheme (driver holds
-        # only the sample — size is parameter-bound, not corpus-bound).
-        n = df.count()
-        target = min(n, n_lists * sample_per_list)
-        step = max(n // max(target, 1), 1)
-        rows = (
-            df.select(vec_col)
-            .withColumn("_rn", F.monotonically_increasing_id())
-            .filter(F.col("_rn") % step == 0)
-            .limit(target)
-            .collect()
-        )
-        sample = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+        # Train PQ on the SAME sample the coarse quantizer collected —
+        # IVFIndex.build exposes it, so no second count/stride-sample pass
+        # over the corpus (driver holds only the parameter-bound sample).
+        sample = base.train_sample
         codec = PQCodec.train(sample, m=m, ksub=ksub, iters=iters, seed=seed)
 
         sc = df.sparkSession.sparkContext
@@ -219,10 +210,23 @@ class IVFPQIndex:
         q_rows = queries.select(query_id, query_vec).collect()
         qids = [r[0] for r in q_rows]
         if not qids:
+            # Schema must match the non-empty path exactly (a per-batch
+            # caller unions results), so derive the id types from the inputs
+            # instead of hardcoding bigint.
+            from pyspark.sql import types as T
+
             spark = self.df.sparkSession
-            return spark.createDataFrame(
-                [], "query_id bigint, neighbor_id bigint, dist double, rank int"
+            qid_type = queries.schema[query_id].dataType
+            nid_type = self.df.schema[self.id_col].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("query_id", qid_type),
+                    T.StructField("neighbor_id", nid_type),
+                    T.StructField("dist", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType(), False),
+                ]
             )
+            return spark.createDataFrame([], schema)
         Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
         cd2 = ((Q[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
         lists = set()

@@ -674,6 +674,8 @@ def embedding_dup_pairs_bucketed(
     vec_type = dict(df.dtypes)[vec_col]
     radius = theta + model.alpha_max + 1e-9
 
+    amax = model.alpha_max
+
     def emit_lists(batches):
         """Map-side bucketing (mirrors IVFIndex.build's assignment): one
         candidate row in the primary list + one probe row per list whose
@@ -686,6 +688,17 @@ def embedding_dup_pairs_bucketed(
             X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
             ang = np.arccos(np.clip(Xn @ C_.T, -1.0, 1.0))
+            primary_ang = ang.min(axis=1)
+            # The lossless guarantee REQUIRES α_max ≥ every current row's
+            # primary angle. A cached model from an older corpus snapshot
+            # can violate that silently (dropped pairs) — fail loudly.
+            if float(primary_ang.max()) > amax + 1e-9:
+                raise ValueError(
+                    "embedding_dup_pairs_bucketed: row primary angle "
+                    f"{float(primary_ang.max()):.6f} exceeds the model's "
+                    f"alpha_max {amax:.6f} — the AngularModel is stale for "
+                    "this corpus; rebuild it (angular_bucket_model)."
+                )
             best = ang.argmin(axis=1)  # ties → lowest list_id, like the oracle
             ids_ = pdf["_id"].to_numpy()
             vs = list(pdf["_v"])

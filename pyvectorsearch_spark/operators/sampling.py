@@ -150,9 +150,12 @@ def mixture_thresholds(
     den = F.lit(int(w_sum)).cast("decimal(38,0)") * F.col("n_source").cast(
         "decimal(38,0)"
     )
-    # decimal division is exact to its declared scale, so floor(num/den) is
-    # the true integer quotient — bit-identical to DuckDB's `//`.
-    quotient = F.floor(num / den).cast("bigint")
+    # Exact integer quotient: Spark decimal division carries scale 6 and
+    # rounds HALF_UP, so floor(num/den) can be off by one when the true
+    # remainder fraction exceeds 0.9999995. Subtracting the modulus first
+    # makes the dividend exactly divisible — the quotient is then an
+    # integer-valued decimal with no rounding, bit-identical to DuckDB's `//`.
+    quotient = ((num - num % den) / den).cast("bigint")
     return counts.withColumn(
         "threshold", F.least(F.lit(BUCKETS).cast("bigint"), quotient)
     )
@@ -215,9 +218,15 @@ def pack_chunked(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("bigint")
+    # (start - start % budget) / budget instead of floor(start / budget):
+    # decimal division rounds HALF_UP at scale 6, so a naive floor can be
+    # one pack too high for budgets > 2e6 — and would then disagree with
+    # offset_col (= start % budget) and the `//` oracle.
+    off = start % budget
     return df.withColumn(
-        pack_col, F.floor(start.cast("decimal(38,0)") / F.lit(budget)).cast("bigint")
-    ).withColumn(offset_col, start % budget)
+        pack_col,
+        ((start - off).cast("decimal(38,0)") / F.lit(budget)).cast("bigint"),
+    ).withColumn(offset_col, off)
 
 
 def pack_greedy(

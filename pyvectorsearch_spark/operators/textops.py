@@ -56,6 +56,26 @@ def language_id(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def quality_score_col(raw: Column, tok: Column) -> Column:
+    """The bounded quality composite as a bare Column (rounded to 6 dp, the
+    precision every oracle pins) — usable as a zero-shuffle projection on
+    any table without joining ``text_quality``'s output back."""
+    n_tok = F.size(tok)
+    stop_all = F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws])
+    stop_ratio = F.size(
+        F.filter(tok, lambda x: F.array_contains(stop_all, x))
+    ).cast("double") / F.greatest(n_tok, F.lit(1))
+    n_chars = F.length(raw)
+    nonalnum = n_chars - F.length(F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", ""))
+    nonalnum_ratio = nonalnum.cast("double") / F.greatest(n_chars, F.lit(1))
+    return F.round(
+        F.least(n_tok.cast("double") / 50.0, F.lit(1.0)) * 0.4
+        + (1.0 - nonalnum_ratio) * 0.3
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3,
+        6,
+    )
+
+
 def text_quality(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Surface-statistics quality score: token count, mean token length,
     stopword ratio, non-alphanumeric ratio, and a bounded composite."""
@@ -73,13 +93,6 @@ def text_quality(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text
     )
     nonalnum = n_chars - F.length(F.regexp_replace(F.lower("raw"), "[^a-z0-9 ]", ""))
     nonalnum_ratio = nonalnum.cast("double") / F.greatest(n_chars, F.lit(1))
-    # bounded composite: long-enough docs with low punctuation and moderate
-    # stopword density score high
-    quality = (
-        F.least(n_tok.cast("double") / 50.0, F.lit(1.0)) * 0.4
-        + (1.0 - nonalnum_ratio) * 0.3
-        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
-    )
     return t.select(
         id_col,
         n_tok.alias("n_tokens"),
@@ -87,7 +100,9 @@ def text_quality(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text
         F.round(avg_tok_len, 6).alias("avg_token_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(nonalnum_ratio, 6).alias("nonalnum_ratio"),
-        F.round(quality, 6).alias("quality_score"),
+        # bounded composite: long-enough docs with low punctuation and
+        # moderate stopword density score high (shared with pipeline uses)
+        quality_score_col(F.col("raw"), F.col("t")).alias("quality_score"),
     )
 
 

@@ -214,15 +214,14 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     model (centroids + α_max) is a build-once artifact keyed to the corpus
     snapshot, like the search indexes — steady-state runs skip the sample /
     k-means / α_max jobs entirely."""
-    import os
-
     from pyvectorsearch_spark.index.cache import build_or_load
+    from pyvectorsearch_spark.sources.tables import dataset_tag
     from pyvectorsearch_spark.operators.dedup import AngularModel, angular_bucket_model
 
     emb = load_table(spark, sf_dir, "embeddings")
     model = build_or_load(
         spark,
-        f"angular16_seed42_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"angular16_seed42_{dataset_tag(sf_dir, 'embeddings')}",
         load=AngularModel.load,
         build=lambda: angular_bucket_model(emb, n_lists=16, seed=42),
     )

@@ -14,13 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.sources.jsonl import read_jsonl, write_jsonl
-from pyvectorsearch_spark.sources.tables import load_table
+from pyvectorsearch_spark.sources.tables import dataset_tag, load_table
 
 
 def _jsonl_landing(spark: SparkSession, sf_dir: str, shards: int = 4) -> str:
-    """Export documents to a sharded JSONL directory once per sf dir
-    (atomically published, same pattern as the streaming landing copies)."""
-    base = os.path.basename(sf_dir.rstrip("/"))
+    """Export documents to a sharded JSONL directory once per source
+    SNAPSHOT (mtime-keyed, so regenerated testdata never serves a stale
+    export; atomically published like the streaming landing copies)."""
+    base = dataset_tag(sf_dir, "documents")
     path = os.path.join(tempfile.gettempdir(), f"pvs_docs_jsonl_{base}")
     if not os.path.isdir(path):
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"

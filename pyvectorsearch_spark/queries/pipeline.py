@@ -19,9 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyvectorsearch_spark.functions.text import tokens
 from pyvectorsearch_spark.operators.dedup import exact_dedup
 from pyvectorsearch_spark.operators.sampling import BUCKETS, assign_split, pack_chunked
-from pyvectorsearch_spark.operators.textops import text_quality
+from pyvectorsearch_spark.operators.textops import quality_score_col
 from pyvectorsearch_spark.sources.tables import load_table
 
 QUALITY_MIN = 0.5
@@ -34,11 +35,12 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     split → keep train → 2048-char chunked packs per source → per-(source,
     pack) doc/char counts."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = text_quality(docs).select("doc_id", "quality_score")
-    kept = docs.join(
-        F.broadcast(scored.filter(F.col("quality_score") >= QUALITY_MIN)),
-        "doc_id",
-    ).drop("quality_score")
+    # The quality score is a pure projection, so filter INLINE on the scan —
+    # no join, and certainly no broadcast of a per-document table (the exact
+    # corpus-sized-broadcast trap round 2 removed from the dedup joins).
+    kept = docs.filter(
+        quality_score_col(F.col("text"), tokens("text")) >= QUALITY_MIN
+    )
     deduped = exact_dedup(kept)
     train = assign_split(deduped, fractions=SPLIT_FRACTIONS, salt="split").filter(
         F.col("split") == "train"

@@ -58,9 +58,13 @@ def _drain(out: DataFrame, name_prefix: str, mode: str = "complete") -> str:
 
 def _events_landing(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     """Multi-file landing copy of the events table (atomically published,
-    built once per sf dir) so the file stream delivers REAL multi-batch
-    arrival — one micro-batch per file — instead of one big batch."""
-    base = os.path.basename(sf_dir.rstrip("/"))
+    built once per source SNAPSHOT — mtime-keyed so regenerated testdata
+    never streams stale events) so the file stream delivers REAL
+    multi-batch arrival — one micro-batch per file — instead of one big
+    batch."""
+    from pyvectorsearch_spark.sources.tables import dataset_tag
+
+    base = dataset_tag(sf_dir, "events")
     path = os.path.join(tempfile.gettempdir(), f"pvs_events_landing8_{base}")
     if not os.path.isdir(path):
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"

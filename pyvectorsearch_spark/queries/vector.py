@@ -10,15 +10,13 @@ output (ordering uses full precision; ties broken by neighbor_id).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.functions.vector import duckdb_l2_sq
 from pyvectorsearch_spark.operators.knn import knn_join_blocked, range_join, topk_global
 from pyvectorsearch_spark.index.cache import build_or_load
-from pyvectorsearch_spark.sources.tables import load_table
+from pyvectorsearch_spark.sources.tables import dataset_tag, load_table
 
 DIM = 64
 N_PROBES = 8
@@ -95,7 +93,7 @@ def q_knn_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = build_or_load(
         spark,
-        f"grid2d_occ16_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"grid2d_occ16_{dataset_tag(sf_dir, 'embeddings')}",
         load=GridIndex.load,
         build=lambda: GridIndex.build(
             emb, vec_col="p2", id_col="vec_id", target_occupancy=16
@@ -140,7 +138,7 @@ def q_range_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = build_or_load(
         spark,
-        f"grid2d_occ16_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"grid2d_occ16_{dataset_tag(sf_dir, 'embeddings')}",
         load=GridIndex.load,
         build=lambda: GridIndex.build(
             emb, vec_col="p2", id_col="vec_id", target_occupancy=16
@@ -183,7 +181,7 @@ def q_knn_grid_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = build_or_load(
         spark,
-        f"grid2d_occ16_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"grid2d_occ16_{dataset_tag(sf_dir, 'embeddings')}",
         load=GridIndex.load,
         build=lambda: GridIndex.build(
             emb, vec_col="p2", id_col="vec_id", target_occupancy=16
@@ -241,7 +239,7 @@ def q_knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     idx = build_or_load(
         spark,
-        f"ivf16_seed42_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"ivf16_seed42_{dataset_tag(sf_dir, 'embeddings')}",
         load=IVFIndex.load,
         build=lambda: IVFIndex.build(emb, n_lists=16, seed=42),
     )
@@ -269,7 +267,7 @@ def q_knn_ivf_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = build_or_load(
         spark,
-        f"ivf16_seed42_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"ivf16_seed42_{dataset_tag(sf_dir, 'embeddings')}",
         load=IVFIndex.load,
         build=lambda: IVFIndex.build(emb, n_lists=16, seed=42),
     )
@@ -310,7 +308,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     idx = build_or_load(
         spark,
-        f"ivfpq8_m16_seed42_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"ivfpq8_m16_seed42_{dataset_tag(sf_dir, 'embeddings')}",
         load=IVFPQIndex.load,
         build=lambda: IVFPQIndex.build(emb, n_lists=8, m=16, ksub=32, seed=42),
     )
@@ -329,7 +327,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     idx = build_or_load(
         spark,
-        f"ivf16_seed42_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"ivf16_seed42_{dataset_tag(sf_dir, 'embeddings')}",
         load=IVFIndex.load,
         build=lambda: IVFIndex.build(emb, n_lists=16, seed=42),
     )

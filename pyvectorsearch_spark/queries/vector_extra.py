@@ -5,14 +5,12 @@ Currently: the distributed-candidate RANGE path over a query table — the
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.functions.vector import duckdb_l2_sq
 from pyvectorsearch_spark.index.cache import build_or_load
-from pyvectorsearch_spark.sources.tables import load_table
+from pyvectorsearch_spark.sources.tables import dataset_tag, load_table
 
 RADIUS = 0.15
 N_SHIFTS = 20
@@ -42,7 +40,7 @@ def q_range_grid_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = build_or_load(
         spark,
-        f"grid2d_occ16_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"grid2d_occ16_{dataset_tag(sf_dir, 'embeddings')}",
         load=GridIndex.load,
         build=lambda: GridIndex.build(
             emb, vec_col="p2", id_col="vec_id", target_occupancy=16

@@ -75,6 +75,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def dataset_tag(sf_dir: str, name: str) -> str:
+    """Cache-key component identifying a driver table SNAPSHOT: basename +
+    source mtime. Any /tmp artifact derived from driver data (landing
+    copies, index builds, bucketing models) must key on this, not the
+    basename alone — the driver regenerates testdata in place between
+    rounds, and a basename-only key silently serves stale derived data."""
+    import os
+
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        mtime = int(os.path.getmtime(path))
+    except OSError:
+        mtime = 0
+    return f"{os.path.basename(sf_dir.rstrip('/'))}_{mtime}"
+
+
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition a scan UP to the session's parallelism when the source
     files under-split (a handful of small parquet files → 1-2 input

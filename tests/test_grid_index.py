@@ -265,9 +265,9 @@ def test_distributed_knn_plan_shape(spark):
     # rows, never |Q|x|cells|), and the final top-k window over the scored
     # data rows
     assert s.count("hashpartitioning(_qid") <= 3, s[:3000]
-    # the coarse pre-bound must be aggregated (partial_min before the
-    # shuffle), not windowed over the pair table
-    assert "partial_min(_max_d2" in s or "partial_min" in s, s[:3000]
+    # the coarse pre-bound must be aggregated map-side (partial_min over
+    # _max_d2 before its shuffle), not windowed over the pair table
+    assert "partial_min(_max_d2" in s, s[:3000]
 
 
 def test_distributed_knn_edge_cases(spark, cities, cities_index):
