@@ -100,11 +100,14 @@ def main() -> None:
         gc.collect()
         _force(registry[name](spark, sf_dir))
 
-    # Two timed runs, report the min: single-shot numbers on a shared local
-    # JVM swing 2-3x with GC/code-cache luck; min-of-2 approximates the
-    # steady-state a long-running engine delivers.
+    # Three timed runs, report the min: single-shot numbers on a shared
+    # local JVM swing 2-3x with GC/code-cache luck, and the HOST itself has
+    # multi-minute noisy-neighbor bursts (measured 34.6s vs 86.6s totals for
+    # identical code); min-of-3 spans ~2 min, long enough to usually catch a
+    # quiet window and report the steady-state a long-running engine
+    # delivers.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in names:
             gc.collect()  # drop dangling broadcast refs so ContextCleaner reclaims
             t0 = time.perf_counter()
