@@ -113,24 +113,27 @@ def jaccard_similarity_pairs(
     ``array_intersect`` on the full shingle sets. Results are IDENTICAL to
     the exhaustive join — prefix filtering is lossless for J ≥ t.
 
-    Shuffle shape: one groupBy(s) for document frequencies (map-side
-    combined), one groupBy(doc) building the sorted shingle array, the
-    prefix self-join, and a verify join against the per-doc arrays. The
-    per-doc array table is small (one row per doc) — broadcast by default,
-    shuffle-join at cluster scale via AQE if it outgrows the threshold.
+    Shuffle shape: one exchange on the shingle (a partition-wide window
+    count attaches each shingle's global document frequency in the same
+    pass — no separate frequency aggregate, no df-attach join, and the
+    CPU-heavy tokenize→shingle→explode pipeline is evaluated exactly once),
+    one groupBy(doc) building the sorted shingle array, the prefix
+    self-join, and a verify join against the per-doc arrays. The df map is
+    never broadcast — the shingle vocabulary is unbounded at corpus scale.
+    Hot-shingle skew hits the window exchange exactly as it would the
+    groupBy(s) formulation; AQE skew handling applies to both.
 
     Returns ``(d1, d2, n_common, jaccard)`` with d1 < d2.
     """
-    # One explicit exchange on the shingle: the frequency agg AND the
-    # df-attach join both consume it (ReusedExchange), so the CPU-heavy
-    # tokenize→shingle→explode pipeline is evaluated exactly once. Without
-    # it, Catalyst broadcasts the freq side and silently re-runs the explode
-    # for the probe side.
-    ex = _shingle_rows(df, id_col, text_col, n).repartition("s")
-    freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    ex = _shingle_rows(df, id_col, text_col, n)
+    # df(s) via count over Window.partitionBy(s): one exchange, and every
+    # exploded row leaves the stage already carrying its global frequency.
+    exdf = ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
     # Per-doc shingle array sorted rare-first: struct sort on (df, s) gives
     # every doc the SAME global total order, which the prefix theorem needs.
-    ranked = ex.join(freq, "s").groupBy("doc").agg(
+    ranked = exdf.groupBy("doc").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("df", "s"))), lambda t: t["s"]
         ).alias("sh"),

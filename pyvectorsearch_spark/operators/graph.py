@@ -37,10 +37,15 @@ def connected_components(
     Raises ``RuntimeError`` if labels have not converged after ``max_iter``
     rounds (diameter > max_iter — not a near-dup-shaped graph).
     """
+    # Pre-partition the (checkpointed-once) edge table on the lookup key so
+    # every round's labels join is co-partitioned against it — checkpoint
+    # preserves outputPartitioning, so rounds re-sort but never re-exchange
+    # the edges.
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .repartition("b")
         .localCheckpoint(eager=True)
     )
     # label(v) = min(v, min neighbor) — already one propagation step.
@@ -55,6 +60,9 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # Lazy checkpoint: the convergence aggregate below is the action
+        # that materializes it — ONE job per round carries both the label
+        # update and the did-anything-change flag (no separate count job).
         nxt = (
             labels.join(nbr, labels["node"] == nbr["a"], "left")
             .select(
@@ -64,11 +72,11 @@ def connected_components(
                     "_changed"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = nxt.filter("_changed").limit(1).count()
+        changed = nxt.agg(F.max(F.col("_changed").cast("int"))).first()[0]
         labels = nxt.drop("_changed")
-        if changed == 0:
+        if not changed:
             return labels.select("node", F.col("lbl").alias("cluster"))
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
