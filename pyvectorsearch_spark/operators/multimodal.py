@@ -26,7 +26,6 @@ Size-skewed blobs are the one hazard: repartitioning by a hash of the id
 from __future__ import annotations
 
 import hashlib
-import math
 import zlib
 from typing import Iterator
 
@@ -58,10 +57,11 @@ MEDIA_SCHEMA = T.StructType(
 
 def _chain_bytes(key: bytes, count: int) -> bytes:
     """Deterministic md5-chained byte stream (incompressible by design)."""
-    chunks, state = [], key
-    while sum(len(c) for c in chunks) < count:
+    chunks, state, have = [], key, 0
+    while have < count:
         state = hashlib.md5(state).digest()
         chunks.append(state)
+        have += len(state)
     return b"".join(chunks)[:count]
 
 
@@ -356,6 +356,7 @@ def video_frame_sample(df: DataFrame, *, every_n: int = 4) -> DataFrame:
 def media_byte_stats(df: DataFrame) -> DataFrame:
     """Pure byte-level features — fully real (no codec): size, crc32,
     Shannon entropy of the byte histogram, compressibility ratio."""
+    import numpy as np
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -367,13 +368,12 @@ def media_byte_stats(df: DataFrame) -> DataFrame:
                 b = bytes(blob)
                 size.append(len(b))
                 crc.append(zlib.crc32(b))
-                hist = [0] * 256
-                for byte in b:
-                    hist[byte] += 1
                 n = max(len(b), 1)
-                ent.append(
-                    -sum((c / n) * math.log2(c / n) for c in hist if c)
-                )
+                # byte histogram vectorized: frombuffer + bincount, entropy
+                # from the nonzero bins only
+                cnt = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256)
+                p = cnt[cnt > 0] / n
+                ent.append(float(-(p * np.log2(p)).sum()) if len(p) else 0.0)
                 comp.append(len(zlib.compress(b)) / n)
             yield pd.DataFrame(
                 {
