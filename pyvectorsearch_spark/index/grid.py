@@ -115,16 +115,19 @@ class GridIndex:
             dim = first[0]
 
         # Root box: one global min/max pass (batch grow_root_to_cover_point).
+        # The row count rides the same aggregate — no separate count job.
         mins = [F.min(F.element_at(F.col(vec_col), c + 1)).alias(f"mn{c}") for c in range(dim)]
         maxs = [F.max(F.element_at(F.col(vec_col), c + 1)).alias(f"mx{c}") for c in range(dim)]
-        row = df.agg(*mins, *maxs).first()
+        row = df.agg(*mins, *maxs, F.count("*").alias("_n")).first()
+        if row["_n"] == 0:
+            raise ValueError("cannot build index over an empty DataFrame")
         origin = [float(row[f"mn{c}"]) for c in range(dim)]
         extent = max(
             max(float(row[f"mx{c}"]) - origin[c] for c in range(dim)), 1e-12
         )
         width = extent * (1 + 1e-9)  # open upper edge: max point stays inside
 
-        n = df.count()
+        n = row["_n"]
         if fine_level is None:
             # enough total slices that average occupancy ≈ target if uniform
             cells_needed = max(n / max(target_occupancy, 1), 1.0)
@@ -136,11 +139,21 @@ class GridIndex:
 
         if coalesce_strategy not in ("auto", "driver", "distributed"):
             raise ValueError(f"unknown coalesce_strategy {coalesce_strategy!r}")
+        fine_stats = None
         if coalesce_strategy == "auto":
-            n_fine = fine.select(F.countDistinct("_fine")).first()[0]
-            coalesce_strategy = (
-                "driver" if n_fine <= driver_cell_limit else "distributed"
+            # One job decides the strategy AND (when the cell table is small
+            # enough) already supplies the driver path's stats: collect at
+            # most driver_cell_limit+1 grouped rows — the driver's footprint
+            # stays bounded whatever the corpus size, and overflow routes to
+            # the distributed cascade without a separate countDistinct job.
+            fine_stats = (
+                fine.groupBy("_fine").count().limit(driver_cell_limit + 1).collect()
             )
+            if len(fine_stats) > driver_cell_limit:
+                fine_stats = None
+                coalesce_strategy = "distributed"
+            else:
+                coalesce_strategy = "driver"
         if coalesce_strategy == "distributed":
             return GridIndex._build_distributed(
                 fine, origin, width, dim, rank, rr, ratio, fine_level,
@@ -148,7 +161,8 @@ class GridIndex:
             )
 
         # Stats at the fine level (small: ≤ n/1 rows, typically n/occupancy).
-        fine_stats = fine.groupBy("_fine").count().collect()
+        if fine_stats is None:
+            fine_stats = fine.groupBy("_fine").count().collect()
         coords_of = {
             r["_fine"]: tuple(int(x) for x in r["_fine"].split(CELL_SEP)[1:])
             for r in fine_stats

@@ -68,18 +68,35 @@ class IVFIndex:
         iters: int = 10,
         seed: int = 42,
     ) -> "IVFIndex":
-        n = df.count()
-        # Deterministic sample: every ceil(n/target)-th row by id order.
-        target = min(n, n_lists * sample_per_list)
-        step = max(n // max(target, 1), 1)
+        # Deterministic partition-head sample (same pattern as
+        # ``operators.dedup.angular_bucket_model``): take the first
+        # ceil(target / n_parts) rows of every partition — one map-side job,
+        # no count, no full scan (tasks stop after their head slice), and
+        # every partition contributes equally so the sample is not skewed
+        # toward any one partition's id range.
+        target = n_lists * sample_per_list
+        n_parts = df.rdd.getNumPartitions()
+        per_part = max(1, -(-target // max(n_parts, 1)))
+        vec_type = dict(df.dtypes)[vec_col]
+
+        def head_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            left = per_part
+            for pdf in batches:
+                if left <= 0 or not len(pdf):
+                    break
+                take = pdf.iloc[:left]
+                left -= len(take)
+                yield take
+
         sample_rows = (
-            df.select(id_col, vec_col)
-            .withColumn("_rn", F.monotonically_increasing_id())
-            .filter(F.col("_rn") % step == 0)
+            df.select(F.col(vec_col).alias("_v"))
+            .mapInPandas(head_sample, schema=f"_v {vec_type}")
             .limit(target)
             .collect()
         )
-        sample = np.asarray([list(r[1]) for r in sample_rows], dtype=np.float64)
+        sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
+        if not len(sample):
+            raise ValueError("IVFIndex.build: empty input")
         n_lists = min(n_lists, len(sample))
         cent = _kmeans(sample, n_lists, iters, seed)
 
