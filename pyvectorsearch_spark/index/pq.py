@@ -272,9 +272,20 @@ class IVFPQIndex:
         ).select(
             F.col(self.id_col).alias("neighbor_id"), "pq_code"
         )
-        partial = pruned.mapInPandas(
-            adc_topr, schema="query_id bigint, neighbor_id bigint, adc_dist double"
+        # Partial-result schema derives the id types from the inputs, exactly
+        # like the empty-queries branch — a non-long id column must come back
+        # with its true type or a per-batch caller unioning results sees the
+        # schema flip between the two paths.
+        from pyspark.sql import types as T
+
+        partial_schema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[query_id].dataType),
+                T.StructField("neighbor_id", self.df.schema[self.id_col].dataType),
+                T.StructField("adc_dist", T.DoubleType()),
+            ]
         )
+        partial = pruned.mapInPandas(adc_topr, schema=partial_schema)
         w_r = Window.partitionBy("query_id").orderBy(
             F.col("adc_dist").asc(), F.col("neighbor_id").asc()
         )

@@ -128,14 +128,14 @@ c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
 t AS (
   SELECT c.source,
          least({BUCKETS},
-               ({MIX_TARGET} * wt * {BUCKETS})
+               ({MIX_TARGET} * coalesce(wt, 0) * {BUCKETS})
                // ((SELECT sum(wt) FROM w) * n)) AS thr
-  FROM c JOIN w USING (source)
+  FROM c LEFT JOIN w USING (source)
 )
 SELECT d.source, count(*) AS n_total,
-       sum(CASE WHEN {_bucket_sql("mix")} < thr THEN 1 ELSE 0 END)::BIGINT
+       sum(CASE WHEN {_bucket_sql("mix")} < coalesce(thr, 0) THEN 1 ELSE 0 END)::BIGINT
          AS n_kept
-FROM documents d JOIN t ON d.source = t.source
+FROM documents d LEFT JOIN t ON d.source = t.source
 GROUP BY d.source ORDER BY d.source
 """
 

@@ -58,9 +58,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       the session timezone is pinned to UTC here (the DuckDB oracle side is
       timezone-naive, so UTC is also what makes comparisons bit-stable in a
       driver-built session that didn't set it).
+
+    PUBLIC-API NOTE — session mutation: the NTZ→LTZ cast is only correct
+    under a UTC session timezone, so if the session is NOT already UTC this
+    function pins ``spark.sql.session.timeZone = UTC`` (with a warning) for
+    the rest of the session. Sessions from ``session.get_spark`` are built
+    UTC and are never touched. Callers that need a different display
+    timezone should render with ``from_utc_timestamp`` rather than a
+    non-UTC session zone.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        import warnings
+
+        warnings.warn(
+            "load_table: pinning spark.sql.session.timeZone=UTC for "
+            "oracle-exact timestamp semantics (was "
+            f"{spark.conf.get('spark.sql.session.timeZone')!r})",
+            stacklevel=2,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     if name == "events" and dtypes.get("ts") == "bigint":
