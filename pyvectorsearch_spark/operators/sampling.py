@@ -237,6 +237,8 @@ def pack_greedy(
     size_col: str = "n_chars",
     budget: int,
     pack_col: str = "pack_id",
+    sub_shards: int = 1,
+    salt: str = "packsub",
 ) -> DataFrame:
     """Greedy whole-document packing: rows in ``id_col`` order within each
     ``by`` shard; a row joins the current pack if it fits in the remaining
@@ -246,17 +248,42 @@ def pack_greedy(
 
     The running-remainder reset makes this inexpressible as a window
     function, so it runs as an Arrow-batched ``applyInPandas`` per shard —
-    shards are independent, so the 100 TB plan is one shuffle by ``by`` and
-    embarrassingly parallel packing inside each shard. (DuckDB expresses the
-    same walk as a recursive CTE — the oracle in queries/sampling.py.)"""
+    shards are independent, so the 100 TB plan is one shuffle by the group
+    key and embarrassingly parallel packing inside each group. (DuckDB
+    expresses the same walk as a recursive CTE — the oracle in
+    queries/sampling.py.)
+
+    ``sub_shards``: greedy packing is inherently sequential per group, so a
+    LOW-cardinality ``by`` (e.g. a handful of sources) would funnel a
+    corpus-sized group through one task. ``sub_shards=N`` splits every
+    shard into N deterministic hash sub-shards (``hash_bucket(id) · N div
+    BUCKETS``) that pack independently and in parallel; the sub-shard index
+    is encoded in the high bits of ``pack_col`` (``sub · 2^32 + local``),
+    so pack ids stay unique per shard and the assignment is deterministic.
+    The trade: pack ids are dense per sub-shard (not per shard) and each
+    sub-shard may leave one partially-filled tail pack (≤ N per shard)."""
     if not by:
         raise ValueError("pack_greedy requires a shard key (by=)")
+    if sub_shards < 1:
+        raise ValueError(f"sub_shards must be >= 1, got {sub_shards}")
+    keys = [by]
     slim = df.select(by, id_col, size_col)
+    if sub_shards > 1:
+        # b·N/BUCKETS with b·N ≤ 1e4·N ≪ 2^53: float division exact, floor
+        # exact → value in [0, N). Same integer result as DuckDB's
+        # (b * N) // BUCKETS.
+        sub = F.floor(
+            hash_bucket(F.col(id_col), salt) * sub_shards / BUCKETS
+        ).cast("bigint")
+        slim = slim.withColumn("_sub", sub)
+        keys = [by, "_sub"]
     schema = T.StructType(
-        slim.schema.fields + [T.StructField(pack_col, T.LongType(), False)]
+        [f for f in slim.schema.fields if f.name != "_sub"]
+        + [T.StructField(pack_col, T.LongType(), False)]
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        base = int(pdf["_sub"].iloc[0]) << 32 if "_sub" in pdf.columns else 0
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         packs = []
         pack, fill = 0, 0
@@ -268,8 +295,10 @@ def pack_greedy(
                 fill += int(s)
             else:
                 pack, fill = pack + 1, int(s)
-            packs.append(pack)
+            packs.append(base + pack)
+        if "_sub" in pdf.columns:
+            pdf = pdf.drop(columns=["_sub"])
         pdf[pack_col] = pd.Series(packs, dtype="int64")
         return pdf
 
-    return slim.groupBy(by).applyInPandas(_pack, schema)
+    return slim.groupBy(*keys).applyInPandas(_pack, schema)

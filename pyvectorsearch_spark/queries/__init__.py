@@ -13,6 +13,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     pipeline,
     relational,
     sampling,
+    sampling_extra,
     streaming,
     temporal,
     text,
@@ -58,6 +59,7 @@ _MODULES = [
     analytic_extra,
     formats,  # beyond the driver window; covered by test_oracle_parity
     vector_extra,  # likewise
+    sampling_extra,  # likewise
 ]
 
 

@@ -1,0 +1,65 @@
+"""Sampling variants registered OUTSIDE the driver's 50-entry window (the
+window order is pinned — see queries/__init__.py); covered by
+tests/test_oracle_parity.py against the same bit-exact DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.operators.sampling import BUCKETS, pack_greedy
+from pyvectorsearch_spark.queries.sampling import PACK_BUDGET, _bucket_sql
+from pyvectorsearch_spark.sources.tables import load_table
+
+PACK_SUB_SHARDS = 4
+
+
+def q_sample_pack_greedy_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-sharded greedy packing: every source splits into 4 deterministic
+    hash sub-shards that pack independently (>1 task per source — the
+    100 TB posture for a low-cardinality shard key); pack ids carry the
+    sub-shard in their high 32 bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_greedy(
+        docs, by="source", budget=PACK_BUDGET, size_col="n_chars",
+        sub_shards=PACK_SUB_SHARDS,
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+ORACLE_PACK_GREEDY_SHARDED = f"""
+WITH RECURSIVE ordered AS (
+  SELECT source, doc_id, n_chars,
+         ({_bucket_sql("packsub")} * {PACK_SUB_SHARDS}) // {BUCKETS} AS sub,
+         row_number() OVER (
+           PARTITION BY source,
+                        ({_bucket_sql("packsub")} * {PACK_SUB_SHARDS}) // {BUCKETS}
+           ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT source, sub, doc_id, n_chars, rn, 0 AS pack_id, n_chars AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.sub, o.doc_id, o.n_chars, o.rn,
+         CASE WHEN w.fill + o.n_chars <= {PACK_BUDGET}
+              THEN w.pack_id ELSE w.pack_id + 1 END,
+         CASE WHEN w.fill + o.n_chars <= {PACK_BUDGET}
+              THEN w.fill + o.n_chars ELSE o.n_chars END
+  FROM walk w JOIN ordered o ON o.source = w.source AND o.sub = w.sub
+                            AND o.rn = w.rn + 1
+)
+SELECT source, (sub * 4294967296 + pack_id)::BIGINT AS pack_id,
+       count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM walk GROUP BY source, sub, pack_id ORDER BY source, pack_id
+"""
+
+
+QUERIES = {"sample_pack_greedy_sharded": q_sample_pack_greedy_sharded}
+ORACLES = {"sample_pack_greedy_sharded": ORACLE_PACK_GREEDY_SHARDED}

@@ -189,3 +189,44 @@ def test_packing_requires_shard_key(docs):
         pack_chunked(docs, by="", budget=100)
     with pytest.raises(ValueError):
         pack_greedy(docs, by="", budget=100)
+
+
+def test_pack_greedy_sharded_parallel_and_consistent(docs):
+    """sub_shards=N: every (source, sub-shard) packs independently —
+    >1 distinct sub-shard per source (the single-task-per-source bottleneck
+    is gone), pack ids encode the sub-shard in the high 32 bits, and each
+    sub-shard's packing equals a plain pack_greedy run on just its rows."""
+    from pyvectorsearch_spark.operators.sampling import BUCKETS, hash_bucket
+
+    budget, n_sub = 1200, 4
+    packed = pack_greedy(
+        docs, by="source", budget=budget, sub_shards=n_sub
+    ).cache()
+    try:
+        assert packed.count() == docs.count()
+        subs = (
+            packed.withColumn("sub", F.shiftright("pack_id", 32))
+            .groupBy("source")
+            .agg(F.countDistinct("sub").alias("n_subs"))
+            .collect()
+        )
+        assert all(1 < r["n_subs"] <= n_sub for r in subs), subs
+
+        # per-(source, sub) packing == plain pack_greedy on that slice
+        sub_col = F.floor(
+            hash_bucket(F.col("doc_id"), "packsub") * n_sub / BUCKETS
+        ).cast("bigint")
+        one_sub = docs.withColumn("_s", sub_col).filter(F.col("_s") == 1).drop("_s")
+        plain = {
+            (r["source"], r["doc_id"]): r["pack_id"]
+            for r in pack_greedy(one_sub, by="source", budget=budget).collect()
+        }
+        sharded = {
+            (r["source"], r["doc_id"]): r["pack_id"]
+            for r in packed.filter(F.shiftright("pack_id", 32) == 1).collect()
+        }
+        assert set(sharded) == set(plain)
+        for k, v in plain.items():
+            assert sharded[k] == (1 << 32) + v, k
+    finally:
+        packed.unpersist()
