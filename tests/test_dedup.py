@@ -159,3 +159,49 @@ def test_dedup_joins_broadcast_via_aqe_not_hint(spark):
         out.collect()
         final = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in final, final[:3000]
+
+
+from hypothesis import HealthCheck, given, settings as hyp_settings, strategies as st
+
+# Sparse-corpus regime: a wide vocabulary (hash-spread words) makes SimHash
+# fingerprints near-uniform — the regime the pigeonhole bucketed path exists
+# for (the dense fixture keeps everything within a few hamming bits, which
+# under-exercises the chunk partition logic).
+_sparse_doc = st.lists(
+    st.integers(min_value=0, max_value=5000).map(lambda n: f"w{n}"),
+    min_size=4,
+    max_size=30,
+)
+_sparse_corpus = st.lists(_sparse_doc, min_size=4, max_size=16)
+
+
+@given(corpus=_sparse_corpus, dup_of=st.integers(min_value=0, max_value=3))
+@hyp_settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_simhash_bucketed_equals_kernel_sparse(spark, corpus, dup_of):
+    """Property: pigeonhole-bucketed SimHash pairs == dense-kernel pairs on
+    arbitrary sparse corpora (plus one planted near-dup so the non-empty
+    case is exercised), across the full hamming spectrum."""
+    from pyvectorsearch_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_pairs_bucketed,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(corpus)]
+    # plant a near-dup of one doc (one word appended)
+    src = rows[dup_of % len(rows)]
+    rows.append((len(rows), src[1] + " extraword"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for max_h in (9, 25):
+        kern = {
+            (r.d1, r.d2, r.hamming)
+            for r in simhash_pairs(docs, max_hamming=max_h).collect()
+        }
+        buck = {
+            (r.d1, r.d2, r.hamming)
+            for r in simhash_pairs_bucketed(docs, max_hamming=max_h).collect()
+        }
+        assert buck == kern
