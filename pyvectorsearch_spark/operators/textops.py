@@ -202,6 +202,47 @@ def repetition_stats(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 256,
+    stride: int = 192,
+) -> DataFrame:
+    """Overlapping character-window chunking of the normalized text — the
+    standard embedding/RAG prep step (size-char windows every stride chars;
+    stride < size ⇒ overlap, last window may be shorter; an empty doc yields
+    one empty chunk so no document silently disappears).
+
+    Zero shuffle: start offsets are a per-row ``sequence`` exploded in the
+    scan stage; at 100 TB this pipelines like every other textop and the
+    output is ~len/stride rows per doc. Returns
+    (id, chunk_idx, chunk_start, chunk_text, n_chunk_chars)."""
+    if stride < 1 or size < 1:
+        raise ValueError(f"size and stride must be >= 1, got {size=} {stride=}")
+    norm = F.concat_ws(" ", tokens(text_col))
+    d = df.select(F.col(id_col), norm.alias("_nt"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("_nt"), F.lit(1)), F.lit(stride)
+    )
+    return (
+        d.select(
+            F.col(id_col),
+            "_nt",
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        )
+        .withColumn("chunk_text", F.expr(f"substr(_nt, chunk_start, {size})"))
+        .select(
+            id_col,
+            "chunk_idx",
+            "chunk_start",
+            "chunk_text",
+            F.length("chunk_text").alias("n_chunk_chars"),
+        )
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     probes: DataFrame,

@@ -17,6 +17,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     streaming,
     temporal,
     text,
+    text_extra,
     tpch_extra,
     udf,
     vector,
@@ -60,6 +61,7 @@ _MODULES = [
     formats,  # beyond the driver window; covered by test_oracle_parity
     vector_extra,  # likewise
     sampling_extra,  # likewise
+    text_extra,  # likewise
 ]
 
 

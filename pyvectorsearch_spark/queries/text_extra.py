@@ -1,0 +1,65 @@
+"""Text queries registered OUTSIDE the driver's pinned 50-entry window
+(queries/__init__.py); covered by tests/test_oracle_parity.py against the
+same bit-exact DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.functions.text import duckdb_tokens
+from pyvectorsearch_spark.operators.textops import chunk_text
+from pyvectorsearch_spark.sources.tables import load_table, spread
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+_TOK = duckdb_tokens("text")
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (200-char windows every 150):
+    per-doc chunk count, covered chars, and the md5 of the concatenated
+    chunk stream — pins every chunk's exact content, not just the counts."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    chunks = chunk_text(docs, size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_chunk_chars").cast("bigint").alias("total_chunk_chars"),
+            F.max("chunk_start").cast("bigint").alias("last_start"),
+            F.md5(
+                F.concat_ws("\x1f", F.array_sort(F.collect_list(
+                    F.struct("chunk_idx", "chunk_text")
+                )).getField("chunk_text"))
+            ).alias("chunks_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_CHUNKS = f"""
+WITH n AS (
+  SELECT doc_id, array_to_string({_TOK}, ' ') AS nt FROM documents
+),
+c AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(length(nt), 1) + 1, {CHUNK_STRIDE})) AS start,
+         nt
+  FROM n
+),
+ch AS (
+  SELECT doc_id, start, substr(nt, CAST(start AS INT), {CHUNK_SIZE}) AS chunk
+  FROM c
+)
+SELECT doc_id, count(*) AS n_chunks,
+       sum(length(chunk))::BIGINT AS total_chunk_chars,
+       max(start)::BIGINT AS last_start,
+       md5(string_agg(chunk, chr(31) ORDER BY start)) AS chunks_digest
+FROM ch GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES = {"text_chunks": q_text_chunks}
+ORACLES = {"text_chunks": ORACLE_TEXT_CHUNKS}

@@ -93,11 +93,12 @@ def test_q13_single_real_exchange_for_both_aggs(spark):
     assert count_exchanges(df) <= 4, explain_str(df)[:2000]
 
 
-def test_jaccard_prefix_reuses_shingle_exchange(spark):
-    """The explicit repartition("s") exchange over the exploded shingles
-    must be consumed by BOTH the doc-frequency agg and the df-attach join
-    (AQE stage reuse → ReusedExchange in the FINAL plan), so the CPU-heavy
-    tokenize→shingle→explode pipeline runs once, not per consumer."""
+def test_jaccard_window_df_single_explode(spark):
+    """df(s) comes from a partition-wide Window count over the one shingle
+    exchange (no groupBy(s)+join-back), so the CPU-heavy
+    tokenize→shingle→explode pipeline runs ONCE: exactly one Generate
+    upstream of the Window in the final main plan, and the per-doc array
+    exchange is reused across the prefix self-join sides (ReusedExchange)."""
     from pyvectorsearch_spark.queries.dedup import q_dedup_jaccard
 
     df = q_dedup_jaccard(spark, SF_SMOKE)
@@ -105,6 +106,13 @@ def test_jaccard_prefix_reuses_shingle_exchange(spark):
     s = explain_str(df)
     assert "isFinalPlan=true" in s
     assert "ReusedExchange" in s, s[:2000]
+    # Count operators in the executed FINAL plan tree only (the formatted
+    # dump repeats everything in the Initial Plan section): one Window,
+    # Generates only for the single shingle explode + two prefix-explode
+    # sides.
+    final = s.split("== Initial Plan ==")[0]
+    assert final.count("Window (") == 1, final[:2000]
+    assert final.count("Generate (") <= 3, final[:2000]
 
 
 def test_large_quantity_orders_broadcasts_having_side(spark):

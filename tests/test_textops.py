@@ -106,3 +106,59 @@ def test_repetition_stats_known_values(spark):
     assert rows[1]["n_distinct"] == 2
     assert rows[2]["n_grams"] == 2 and rows[2]["dup_gram_frac"] == 0.0
     assert rows[3]["n_grams"] == 0 and rows[3]["top_gram_frac"] == 0.0
+
+
+def test_chunk_text_coverage_and_overlap(spark):
+    """Chunks reconstruct the normalized text (stride-prefixes + last chunk),
+    overlap by size-stride chars, and an empty doc yields one empty chunk."""
+    from pyvectorsearch_spark.operators.textops import chunk_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog " * 8),
+            (2, "short text"),
+            (3, "!!!"),  # normalizes to empty
+        ],
+        "doc_id long, text string",
+    )
+    size, stride = 20, 12
+    rows = chunk_text(docs, size=size, stride=stride).collect()
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in per.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        # starts advance by exactly stride from 1
+        assert [c["chunk_start"] for c in chunks] == [
+            1 + i * stride for i in range(len(chunks))
+        ]
+        # reconstruction: stride-prefix of every chunk but the last + last
+        rebuilt = "".join(c["chunk_text"][:stride] for c in chunks[:-1])
+        rebuilt += chunks[-1]["chunk_text"]
+        # overlap: chunk i's tail == chunk i+1's head (size - stride chars)
+        for a, b in zip(chunks, chunks[1:]):
+            ov = len(a["chunk_text"]) - stride
+            if ov > 0:
+                assert a["chunk_text"][stride:] == b["chunk_text"][:ov]
+        if doc_id == 3:
+            assert chunks == [chunks[0]] and chunks[0]["chunk_text"] == ""
+        else:
+            norm = " ".join(
+                w for w in "".join(
+                    ch if ch.isalnum() else " "
+                    for ch in dict((r["doc_id"], r["text"]) for r in docs.collect())[doc_id].lower()
+                ).split()
+            )
+            assert rebuilt == norm
+
+
+def test_chunk_text_rejects_bad_params(spark):
+    from pyvectorsearch_spark.operators.textops import chunk_text
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_text(docs, size=0, stride=1)
+    with pytest.raises(ValueError):
+        chunk_text(docs, size=10, stride=0)
