@@ -243,6 +243,217 @@ def chunk_text(
     )
 
 
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 document ranking (Robertson–Spärck Jones; the Lucene
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf variant) for a fixed term set.
+
+    Scale shape: the exploded token stream is filtered to the query terms
+    BEFORE any shuffle, so only matched postings move — the corpus never
+    shuffles whole documents. Document frequency and the (N, avgdl) corpus
+    stats are term-set-/scalar-sized aggregates joined back by broadcast.
+    Per-term contributions are rounded to 6 dp before the per-doc sum so the
+    sum is order-independent (each addend is within 1 ulp of a multiple of
+    1e-6), making the oracle comparison exact.
+
+    Returns the top-``topk`` (id, bm25) rows, score-descending with id
+    tiebreak.
+    """
+    tok = tokens(text_col)
+    d = docs.select(F.col(id_col), tok.alias("_t")).select(
+        id_col, F.size("_t").alias("_dl"), F.col("_t")
+    )
+    stats = d.agg(
+        F.count("*").cast("double").alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    qset = F.array(*[F.lit(t) for t in query_terms])
+    posting = d.select(
+        id_col, "_dl", F.explode(F.filter("_t", lambda x: F.array_contains(qset, x))).alias("_term")
+    )
+    tf = posting.groupBy(id_col, "_term", "_dl").agg(
+        F.count("*").cast("double").alias("_tf")
+    )
+    dfreq = tf.groupBy("_term").agg(F.count("*").cast("double").alias("_df"))
+    idf = F.log(1.0 + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+    contrib = idf * (
+        F.col("_tf") * (k1 + 1.0)
+        / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, F.round(contrib, 6).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), id_col).limit(topk)
+
+
+def vocab_encode(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1 << 15,
+) -> DataFrame:
+    """Frequency-ranked vocabulary build + token-id encoding (the word-level
+    analog of tokenizer-vocab construction for a training corpus): term id =
+    rank by (count desc, term asc), ids 1..vocab_size, OOV -> 0.
+
+    Scale shape: the term-count table is vocabulary-sized (millions of rows
+    at 100 TB, not corpus-sized) — its global rank is a single-partition
+    window over that small table only; the corpus-side encode is a broadcast
+    left join on the exploded (id, pos, term) stream followed by one
+    groupBy(id) to reassemble positional id arrays. Documents with zero
+    tokens are excluded (explode of an empty array yields no rows — mirrored
+    in the oracle).
+
+    Returns (id, n_tokens, n_oov, ids_digest) where ids_digest is the md5 of
+    the comma-joined id sequence in document order — pinning every token id,
+    not just the counts.
+    """
+    from pyspark.sql import Window
+
+    e = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("_pos", "_term")
+    )
+    cnt = e.groupBy("_term").agg(F.count("*").alias("_c"))
+    w = Window.orderBy(F.desc("_c"), "_term")
+    vocab = cnt.select("_term", F.row_number().over(w).alias("_tid")).filter(
+        F.col("_tid") <= vocab_size
+    )
+    enc = e.join(F.broadcast(vocab), "_term", "left").select(
+        id_col,
+        "_pos",
+        F.coalesce("_tid", F.lit(0)).alias("_id"),
+        F.col("_tid").isNull().cast("int").alias("_oov"),
+    )
+    return enc.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("_oov").cast("bigint").alias("n_oov"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_id"))),
+                    lambda s: s["_id"].cast("string"),
+                ),
+            )
+        ).alias("ids_digest"),
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span detection — the distributed analog of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): a token position is *duplicated*
+    when its word ``n``-gram also occurs in >= ``min_docs`` distinct
+    documents. Reports, per document, how much of it is covered by
+    cross-document repeated spans.
+
+    Scale shape: positional n-grams are hashed map-side (16-byte md5 — only
+    hashes shuffle, never text); the duplicated-gram set is a
+    distinct + groupBy(hash) count with map-side partial aggregation, and
+    the position stream joins it on the hash key. Documents shorter than
+    ``n`` tokens are kept with zero grams via the totals-side left join.
+
+    Returns (id, n_grams, n_dup_positions, dup_frac).
+    """
+    tok = tokens(text_col)
+    grams = F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(n)])
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select(F.col(id_col), grams.alias("_g"))
+    pos = d.select(id_col, F.explode("_g").alias("_gh"))
+    dup = (
+        pos.distinct()
+        .groupBy("_gh")
+        .agg(F.count("*").alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("_gh")
+    )
+    dup_cnt = (
+        pos.join(dup, "_gh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_dup_positions"))
+    )
+    totals = d.select(id_col, F.size("_g").cast("bigint").alias("n_grams"))
+    out = totals.join(dup_cnt, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_dup_positions", F.lit(0)).cast("bigint").alias("n_dup_positions"),
+    )
+    return out.withColumn(
+        "dup_frac",
+        F.round(
+            F.col("n_dup_positions")
+            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+            6,
+        ),
+    )
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{7,15}"  # E.164: country code + subscriber, max 15 digits
+PII_IP_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_redact(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """PII redaction over a text column: emails, international-format phone
+    numbers, and IPv4 addresses are counted then replaced with typed
+    placeholder tags, in a fixed order (email first — an all-digit domain
+    must not be half-eaten by the IP rule).
+
+    The patterns are RE2-compatible (no backrefs/lookaround), so the DuckDB
+    oracle runs the identical regexes. Pure columnar ``regexp_count`` /
+    ``regexp_replace`` projections — zero shuffle; at 100 TB this pipelines
+    inside the parquet scan stage.
+
+    Adds (n_emails, n_phones, n_ips, ``out_col``) to the input frame.
+    """
+    c = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
+        ),
+        PII_IP_RE,
+        "[IP]",
+    )
+    return df.select(
+        "*",
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(c, F.lit(PII_IP_RE)).alias("n_ips"),
+        red.alias(out_col),
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     probes: DataFrame,

@@ -8,6 +8,7 @@ Modules register via the ``QUERIES`` / ``ORACLES`` dicts they export;
 from pyvectorsearch_spark.queries import (  # noqa: F401
     analytic_extra,
     dedup,
+    dedup_extra,
     formats,
     multimodal,
     pipeline,
@@ -18,6 +19,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     temporal,
     text,
     text_extra,
+    text_rank,
     tpch_extra,
     udf,
     vector,
@@ -62,6 +64,8 @@ _MODULES = [
     vector_extra,  # likewise
     sampling_extra,  # likewise
     text_extra,  # likewise
+    text_rank,  # likewise (BM25 / vocab-encode / dup-spans / PII)
+    dedup_extra,  # likewise (semantic-dedup keep-set)
 ]
 
 

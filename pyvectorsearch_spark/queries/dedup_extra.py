@@ -1,0 +1,99 @@
+"""Embedding-space semantic dedup keep-set (outside the driver's pinned
+50-entry window; covered by tests/test_oracle_parity.py).
+
+SemDeDup-style (Abbas et al. 2023) survivor derivation: from the lossless
+bucketed near-dup pair list (angular IVF bucketing + within-bucket GEMM,
+`operators/dedup.py::embedding_dup_pairs_bucketed`), drop every vector that
+appears as the HIGHER id of a near-dup pair — the deterministic keep-first
+rule — and report per-label survivor counts with an id-set digest.
+
+Scale shape: the drop set is pair-list-sized (not corpus-sized) and the
+survivor derivation is one left-anti join; the vector table is never
+collected. The oracle recomputes the pair list by brute-force O(n²) cosine in
+DuckDB — tractable at sf0.01, and exact because the bucketed path is lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.functions.vector import duckdb_cosine
+from pyvectorsearch_spark.operators.dedup import (
+    AngularModel,
+    angular_bucket_model,
+    embedding_dup_pairs_bucketed,
+)
+from pyvectorsearch_spark.queries.dedup import MIN_COSINE
+from pyvectorsearch_spark.sources.tables import dataset_tag, load_table
+
+
+def q_dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup survivors per label: drop the higher id of every
+    cosine >= MIN_COSINE pair (same cached angular model as
+    `dedup_embedding_cosine` — steady-state runs reuse the artifact)."""
+    from pyvectorsearch_spark.index.cache import build_or_load
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = build_or_load(
+        spark,
+        f"angular16_seed42_{dataset_tag(sf_dir, 'embeddings')}",
+        load=AngularModel.load,
+        build=lambda: angular_bucket_model(emb, n_lists=16, seed=42),
+    )
+    pairs = embedding_dup_pairs_bucketed(emb, min_cosine=MIN_COSINE, model=model)
+    drop = pairs.select(F.col("d2").alias("vec_id")).distinct()
+    kept = emb.join(drop, "vec_id", "left_anti")
+    totals = emb.groupBy("label").agg(F.count("*").cast("bigint").alias("n_total"))
+    kept_agg = kept.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("vec_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("kept_digest"),
+    )
+    return (
+        totals.join(kept_agg, "label", "left")
+        .select(
+            "label",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_digest", F.md5(F.lit(""))).alias("kept_digest"),
+        )
+        .orderBy("label")
+    )
+
+
+_COS = duckdb_cosine("a.embedding", "b.embedding", 64)
+
+ORACLE_EMB_KEEP = f"""
+WITH drop_set AS (
+  SELECT DISTINCT b.vec_id FROM embeddings a JOIN embeddings b
+    ON a.vec_id < b.vec_id
+  WHERE {_COS} >= {MIN_COSINE}
+),
+kept AS (
+  SELECT * FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM drop_set)
+),
+totals AS (
+  SELECT label, count(*)::BIGINT AS n_total FROM embeddings GROUP BY label
+),
+ka AS (
+  SELECT label, count(*)::BIGINT AS n_kept,
+         md5(string_agg(vec_id::VARCHAR, ',' ORDER BY vec_id)) AS kept_digest
+  FROM kept GROUP BY label
+)
+SELECT t.label, t.n_total,
+       coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(ka.kept_digest, md5('')) AS kept_digest
+FROM totals t LEFT JOIN ka USING (label) ORDER BY t.label
+"""
+
+
+QUERIES = {"dedup_embedding_keep": q_dedup_embedding_keep}
+ORACLES = {"dedup_embedding_keep": ORACLE_EMB_KEEP}

@@ -1,0 +1,233 @@
+"""Text retrieval / encoding / span-dedup / PII queries (outside the driver's
+pinned 50-entry window; covered by tests/test_oracle_parity.py against the
+same bit-exact DuckDB oracles).
+
+Operators exercised (SURVEY.md §2.4 north-star extensions — the reference has
+no text processing):
+- BM25 ranking (`operators/textops.py::bm25_rank`)
+- vocabulary build + token-id encoding (`vocab_encode`)
+- cross-document duplicated-span detection (`dup_span_stats`, Lee et al. 2022
+  substring-dedup analog)
+- PII redaction (`pii_redact`)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.functions.text import duckdb_tokens
+from pyvectorsearch_spark.operators.textops import (
+    PII_EMAIL_RE,
+    PII_IP_RE,
+    PII_PHONE_RE,
+    bm25_rank,
+    dup_span_stats,
+    pii_redact,
+    vocab_encode,
+)
+from pyvectorsearch_spark.sources.tables import load_table, spread
+
+_TOK = duckdb_tokens("text")
+
+BM25_TERMS = ["spark", "hash", "merge", "window"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+VOCAB_SIZE = 24
+SPAN_N = 8
+SPAN_MIN_DOCS = 2
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for a fixed query-term set."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bm25_rank(
+        docs, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=BM25_TOPK
+    )
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+ORACLE_BM25 = f"""
+WITH d AS (
+  SELECT doc_id, len({_TOK}) AS dl, {_TOK} AS t FROM documents
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+e AS (SELECT doc_id, dl, unnest(t) AS term FROM d),
+tf AS (
+  SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+  FROM e WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(round(
+           ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.dl / stats.avgdl))
+         , 6)), 6) AS bm25
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+def q_text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked 24-word vocabulary + per-doc token-id encoding; the
+    digest pins every encoded id in document order (OOV -> 0)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return vocab_encode(docs, vocab_size=VOCAB_SIZE).orderBy("doc_id")
+
+
+ORACLE_VOCAB = f"""
+WITH tokd AS (SELECT doc_id, {_TOK} AS t FROM documents),
+e AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM tokd
+),
+cnt AS (SELECT term, count(*) AS c FROM e GROUP BY term),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY c DESC, term) AS tid FROM cnt
+  QUALIFY tid <= {VOCAB_SIZE}
+),
+enc AS (
+  SELECT e.doc_id, e.pos,
+         coalesce(v.tid, 0) AS tid,
+         CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END AS oov
+  FROM e LEFT JOIN vocab v USING (term)
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(oov)::BIGINT AS n_oov,
+       md5(string_agg(tid::VARCHAR, ',' ORDER BY pos)) AS ids_digest
+FROM enc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-span coverage: which sources carry the most
+    cross-document repeated 8-gram content (exact-dup and near-dup docs light
+    up every position)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    spans = dup_span_stats(docs, n=SPAN_N, min_docs=SPAN_MIN_DOCS)
+    return (
+        spans.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_dup_positions").cast("bigint").alias("n_dup_positions"),
+            F.sum((F.col("dup_frac") >= 0.5).cast("int")).cast("bigint").alias(
+                "n_docs_half_dup"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _duck_gram(n: int) -> str:
+    parts = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"list_transform(range(1, len(t) - {n - 2}), i -> md5({parts}))"
+
+
+ORACLE_DUP_SPANS = f"""
+WITH tokd AS (SELECT doc_id, {_TOK} AS t FROM documents),
+g AS (SELECT doc_id, {_duck_gram(SPAN_N)} AS gs FROM tokd),
+pos AS (SELECT doc_id, unnest(gs) AS gh FROM g),
+dup AS (
+  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM pos)
+  GROUP BY gh HAVING count(*) >= {SPAN_MIN_DOCS}
+),
+dupcnt AS (
+  SELECT pos.doc_id, count(*)::BIGINT AS n_dup FROM pos JOIN dup USING (gh)
+  GROUP BY pos.doc_id
+),
+per_doc AS (
+  SELECT g.doc_id, len(gs)::BIGINT AS n_grams,
+         coalesce(dupcnt.n_dup, 0)::BIGINT AS n_dup_positions,
+         round(coalesce(dupcnt.n_dup, 0)
+               / greatest(len(gs), 1)::DOUBLE, 6) AS dup_frac
+  FROM g LEFT JOIN dupcnt USING (doc_id)
+)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       sum(p.n_grams)::BIGINT AS n_grams,
+       sum(p.n_dup_positions)::BIGINT AS n_dup_positions,
+       sum(CASE WHEN p.dup_frac >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+         AS n_docs_half_dup
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+def _enriched_text() -> F.Column:
+    """Deterministic synthetic PII appended to each doc (the corpus itself is
+    PII-free word salad, so the redaction paths need planted targets; the
+    oracle constructs the identical string)."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com or +31"),
+        F.lpad((did % 1000000000).cast("string"), 9, "0"),
+        F.lit(" at 10.0."),
+        F.expr("(doc_id div 256) % 256").cast("string"),
+        F.lit("."),
+        (did % 256).cast("string"),
+    )
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over PII-enriched documents: per-doc match counts by
+    type plus the md5 of the redacted text (pins exact replacement
+    semantics, order included)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    enriched = docs.select("doc_id", _enriched_text().alias("text"))
+    red = pii_redact(enriched)
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.md5("redacted").alias("red_digest"),
+    ).orderBy("doc_id")
+
+
+_ENRICH_SQL = (
+    "text || ' contact user' || doc_id || '@example.com or +31' || "
+    "lpad((doc_id % 1000000000)::VARCHAR, 9, '0') || ' at 10.0.' || "
+    "((doc_id // 256) % 256) || '.' || (doc_id % 256)"
+)
+
+ORACLE_PII = f"""
+WITH en AS (SELECT doc_id, {_ENRICH_SQL} AS txt FROM documents),
+red AS (
+  SELECT doc_id, txt,
+         regexp_replace(regexp_replace(regexp_replace(txt,
+           '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+           '{PII_PHONE_RE}', '[PHONE]', 'g'),
+           '{PII_IP_RE}', '[IP]', 'g') AS redacted
+  FROM en
+)
+SELECT doc_id,
+       len(regexp_extract_all(txt, '{PII_EMAIL_RE}'))::INT AS n_emails,
+       len(regexp_extract_all(txt, '{PII_PHONE_RE}'))::INT AS n_phones,
+       len(regexp_extract_all(txt, '{PII_IP_RE}'))::INT AS n_ips,
+       md5(redacted) AS red_digest
+FROM red ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_bm25": q_text_bm25,
+    "text_vocab_encode": q_text_vocab_encode,
+    "text_dup_spans": q_text_dup_spans,
+    "text_pii_redact": q_text_pii_redact,
+}
+ORACLES = {
+    "text_bm25": ORACLE_BM25,
+    "text_vocab_encode": ORACLE_VOCAB,
+    "text_dup_spans": ORACLE_DUP_SPANS,
+    "text_pii_redact": ORACLE_PII,
+}

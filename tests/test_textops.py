@@ -162,3 +162,89 @@ def test_chunk_text_rejects_bad_params(spark):
         chunk_text(docs, size=0, stride=1)
     with pytest.raises(ValueError):
         chunk_text(docs, size=10, stride=0)
+
+
+def test_bm25_rank_basic(spark):
+    from pyvectorsearch_spark.operators.textops import bm25_rank
+
+    df = _df(
+        spark,
+        [
+            (1, "spark spark spark fast"),     # high tf for 'spark'
+            (2, "spark slow and heavy thing"), # one hit
+            (3, "nothing relevant here"),      # no hit → absent
+            (4, "hash join"),                  # hits the rarer term
+        ],
+    )
+    rows = bm25_rank(df, ["spark", "hash"], topk=10).collect()
+    ids = [r.doc_id for r in rows]
+    assert 3 not in ids  # docs without any query term never appear
+    by_id = {r.doc_id: r.bm25 for r in rows}
+    assert by_id[1] > by_id[2]  # higher tf ⇒ higher score, same term
+    assert all(r.bm25 > 0 for r in rows)
+    # descending order with id tiebreak
+    assert rows == sorted(rows, key=lambda r: (-r.bm25, r.doc_id))
+
+
+def test_vocab_encode_oov_and_order(spark):
+    from pyvectorsearch_spark.operators.textops import vocab_encode
+
+    df = _df(
+        spark,
+        [
+            (1, "aa bb aa cc"),
+            (2, "bb zz aa"),
+        ],
+    )
+    # counts: aa=3, bb=2, cc=1, zz=1 → vocab_size=2 keeps aa(1), bb(2)
+    rows = {r.doc_id: r for r in vocab_encode(df, vocab_size=2).collect()}
+    assert rows[1].n_tokens == 4 and rows[1].n_oov == 1  # cc is OOV
+    assert rows[2].n_tokens == 3 and rows[2].n_oov == 1  # zz is OOV
+    import hashlib
+
+    # doc1 ids: aa,bb,aa,cc → 1,2,1,0; doc2: bb,zz,aa → 2,0,1
+    assert rows[1].ids_digest == hashlib.md5(b"1,2,1,0").hexdigest()
+    assert rows[2].ids_digest == hashlib.md5(b"2,0,1").hexdigest()
+
+
+def test_dup_span_stats_short_docs_and_coverage(spark):
+    from pyvectorsearch_spark.operators.textops import dup_span_stats
+
+    df = _df(
+        spark,
+        [
+            (1, "a b c d e f"),   # identical to doc 2 → all grams duplicated
+            (2, "a b c d e f"),
+            (3, "p q r s t u"),   # unique → zero dup positions
+            (4, "x y"),           # shorter than n → zero grams, still present
+        ],
+    )
+    rows = {r.doc_id: r for r in dup_span_stats(df, n=3).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].n_grams == 4 and rows[1].n_dup_positions == 4
+    assert rows[1].dup_frac == 1.0
+    assert rows[3].n_dup_positions == 0 and rows[3].dup_frac == 0.0
+    assert rows[4].n_grams == 0 and rows[4].dup_frac == 0.0
+
+
+def test_pii_redact_counts_and_order(spark):
+    from pyvectorsearch_spark.operators.textops import pii_redact
+
+    df = _df(
+        spark,
+        [
+            (1, "mail a.user+tag@sub.example.org now"),
+            (2, "call +4915112345678 or ping 192.168.0.1 twice 10.0.0.255"),
+            # an all-numeric "domain" has no alphabetic TLD → not an email;
+            # both dotted quads fall through to the IP rule
+            (3, "x 1.2.3.4@44.55.66.77 y"),
+            (4, "clean text no pii"),
+        ],
+    )
+    rows = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ips) == (1, 0, 0)
+    assert rows[1].redacted == "mail [EMAIL] now"
+    assert (rows[2].n_emails, rows[2].n_phones, rows[2].n_ips) == (0, 1, 2)
+    assert rows[2].redacted == "call [PHONE] or ping [IP] twice [IP]"
+    assert rows[3].n_emails == 0 and rows[3].redacted == "x [IP]@[IP] y"
+    assert rows[4].redacted == "clean text no pii"
