@@ -258,8 +258,9 @@ def bm25_rank(
 
     Scale shape: the exploded token stream is filtered to the query terms
     BEFORE any shuffle, so only matched postings move — the corpus never
-    shuffles whole documents. Document frequency and the (N, avgdl) corpus
-    stats are term-set-/scalar-sized aggregates joined back by broadcast.
+    shuffles whole documents. Document frequency rides a window over the tf
+    table (single evaluation of the postings pipeline, no join-back); the
+    (N, avgdl) corpus stats are a scalar aggregate attached by broadcast.
     Per-term contributions are rounded to 6 dp before the per-doc sum so the
     sum is order-independent (each addend is within 1 ulp of a multiple of
     1e-6), making the oracle comparison exact.
@@ -281,15 +282,21 @@ def bm25_rank(
     tf = posting.groupBy(id_col, "_term", "_dl").agg(
         F.count("*").cast("double").alias("_tf")
     )
-    dfreq = tf.groupBy("_term").agg(F.count("*").cast("double").alias("_df"))
+    # Per-term document frequency via a window over the tf table — attaches
+    # df in the SAME evaluation of the postings pipeline (a groupBy + join
+    # back would re-derive the whole scan+explode subtree a second time).
+    from pyspark.sql import Window
+
+    wdf = tf.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("_term")).cast("double")
+    )
     idf = F.log(1.0 + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
     contrib = idf * (
         F.col("_tf") * (k1 + 1.0)
         / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl")))
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "_term")
-        .crossJoin(F.broadcast(stats))
+        wdf.crossJoin(F.broadcast(stats))
         .select(id_col, F.round(contrib, 6).alias("_c"))
         .groupBy(id_col)
         .agg(F.round(F.sum("_c"), 6).alias("bm25"))

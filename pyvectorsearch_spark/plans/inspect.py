@@ -51,6 +51,19 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) Exchange\b", s))
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """All PartitionFilters entries across the plan's file scans — non-empty
+    means the scan prunes hive-style partition directories instead of
+    reading the whole dataset (the 100 TB read-path contract for
+    partitioned sinks)."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", explain_str(df)):
+        entry = m.group(1).strip()
+        if entry:
+            out.extend(p.strip() for p in entry.split(","))
+    return out
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
 

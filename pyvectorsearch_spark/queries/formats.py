@@ -21,18 +21,14 @@ def _jsonl_landing(spark: SparkSession, sf_dir: str, shards: int = 4) -> str:
     """Export documents to a sharded JSONL directory once per source
     SNAPSHOT (mtime-keyed, so regenerated testdata never serves a stale
     export; atomically published like the streaming landing copies)."""
-    base = dataset_tag(sf_dir, "documents")
-    path = os.path.join(tempfile.gettempdir(), f"pvs_docs_jsonl_{base}")
-    if not os.path.isdir(path):
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        write_jsonl(load_table(spark, sf_dir, "documents"), tmp, shards=shards)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.isdir(path):
-                raise
-    return path
+    return _landing(
+        spark,
+        sf_dir,
+        "jsonl",
+        lambda tmp: write_jsonl(
+            load_table(spark, sf_dir, "documents"), tmp, shards=shards
+        ),
+    )
 
 
 def q_jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,11 +105,117 @@ FROM g GROUP BY label ORDER BY label
 """
 
 
+def _landing(spark: SparkSession, sf_dir: str, kind: str, write) -> str:
+    """Snapshot-keyed landing directory (mtime in the key — regenerated
+    testdata never serves a stale export; atomically published)."""
+    base = dataset_tag(sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), f"pvs_docs_{kind}_{base}")
+    if not os.path.isdir(path):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        write(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(path):
+                raise
+    return path
+
+
+def q_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC (Spark's built-in columnar alternative to parquet) →
+    read back → per-source rollup. The oracle runs on the original parquet
+    view, so a hash match proves the ORC writer/reader pair is
+    value-faithful."""
+    path = _landing(
+        spark,
+        sf_dir,
+        "orc",
+        lambda tmp: load_table(spark, sf_dir, "documents")
+        .repartition(4)
+        .write.orc(tmp),
+    )
+    docs = spark.read.orc(path)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum(F.length("text")).alias("text_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_ORC_ROUNDTRIP = """
+SELECT source, count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(doc_id)::BIGINT AS id_checksum,
+       sum(length(text))::BIGINT AS text_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+PRUNE_SOURCES = ["src3", "src7"]
+
+
+def partitioned_docs_landing(spark: SparkSession, sf_dir: str) -> str:
+    """documents written as hive-partitioned parquet (partitionBy source) —
+    the standard 100 TB sink layout that lets every downstream filter on the
+    partition key skip directories instead of reading the corpus."""
+    return _landing(
+        spark,
+        sf_dir,
+        "part",
+        lambda tmp: load_table(spark, sf_dir, "documents")
+        .write.partitionBy("source")
+        .parquet(tmp),
+    )
+
+
+def q_partition_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned read over the partitioned landing: filter on the
+    partition key, per-(source, lang) rollup. The companion plan test pins
+    that the scan carries PartitionFilters (directory skipping), and the
+    oracle hash match proves pruning loses no rows."""
+    docs = spark.read.parquet(partitioned_docs_landing(spark, sf_dir))
+    return (
+        docs.filter(F.col("source").isin(PRUNE_SOURCES))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+_PRUNE_IN = ", ".join(f"'{s}'" for s in PRUNE_SOURCES)
+
+ORACLE_PARTITION_PRUNE = f"""
+SELECT source, lang, count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(doc_id)::BIGINT AS id_checksum
+FROM documents
+WHERE source IN ({_PRUNE_IN})
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
 QUERIES = {
     "jsonl_roundtrip_stats": q_jsonl_roundtrip_stats,
     "pyds_vectorgen_stats": q_pyds_vectorgen_stats,
+    "orc_roundtrip_stats": q_orc_roundtrip_stats,
+    "partition_prune_stats": q_partition_prune_stats,
 }
 ORACLES = {
     "jsonl_roundtrip_stats": ORACLE_JSONL_ROUNDTRIP,
     "pyds_vectorgen_stats": ORACLE_PYDS_VECTORGEN,
+    "orc_roundtrip_stats": ORACLE_ORC_ROUNDTRIP,
+    "partition_prune_stats": ORACLE_PARTITION_PRUNE,
 }

@@ -139,3 +139,60 @@ def test_promo_revenue_share_factside_no_shuffle(spark):
     assert "BroadcastHashJoin" in s, s[:2000]
     assert s.count("HashAggregate") >= 2, s[:2000]
     assert count_exchanges(df) <= 1, s[:2000]
+
+
+def test_pii_redact_zero_shuffle(spark):
+    """PII redaction is a pure projection — it must pipeline inside the scan
+    stage with no exchange at all."""
+    from pyvectorsearch_spark.operators.textops import pii_redact
+
+    df = pii_redact(load_table(spark, SF_SMOKE, "documents"))
+    assert count_exchanges(df) == 0, explain_str(df)[:2000]
+
+
+def test_bm25_broadcasts_small_sides_and_prunes_scan(spark):
+    """BM25: the doc-frequency and corpus-stats sides are tiny and must
+    broadcast (no extra shuffle); the scan reads only (doc_id, text)."""
+    from pyvectorsearch_spark.operators.textops import bm25_rank
+
+    df = bm25_rank(load_table(spark, SF_SMOKE, "documents"), ["spark", "hash"])
+    assert has_broadcast_join(df)
+    scans = read_schema_columns(df)
+    assert scans and all(s <= {"doc_id", "text"} for s in scans), scans
+    # postings groupBy + dfreq agg + final per-doc agg; top-k is
+    # TakeOrdered, not a global sort exchange
+    assert count_exchanges(df) <= 4, explain_str(df)[:2000]
+
+
+def test_vocab_encode_broadcasts_vocab(spark):
+    """The vocabulary (small) joins the corpus-sized token stream by
+    broadcast — the token stream must not shuffle for the join itself."""
+    from pyvectorsearch_spark.operators.textops import vocab_encode
+
+    df = vocab_encode(load_table(spark, SF_SMOKE, "documents"), vocab_size=24)
+    assert has_broadcast_join(df)
+
+
+def test_dup_span_stats_shuffles_hashes_not_text(spark):
+    """Duplicated-span detection: every exchange moves md5 gram hashes or
+    per-doc counters — the raw text column never appears below a shuffle."""
+    from pyvectorsearch_spark.operators.textops import dup_span_stats
+
+    df = dup_span_stats(load_table(spark, SF_SMOKE, "documents"), n=8)
+    s = explain_str(df)
+    import re
+
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", s):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_partitioned_sink_read_prunes_partitions(spark):
+    """Reading the hive-partitioned landing with a partition-key filter must
+    carry PartitionFilters on the scan (directory skipping) — the filter
+    never runs as a post-scan row filter over the whole dataset."""
+    from pyvectorsearch_spark.plans import partition_filters
+    from pyvectorsearch_spark.queries.formats import q_partition_prune_stats
+
+    df = q_partition_prune_stats(spark, SF_SMOKE)
+    pf = partition_filters(df)
+    assert any("source" in f for f in pf), explain_str(df)[:2000]
