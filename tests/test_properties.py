@@ -192,3 +192,99 @@ def test_connected_components_equals_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "d1 long, d2 long")
     got = {r.node: r.cluster for r in connected_components(pairs).collect()}
     assert got == want
+
+
+# ---- text-operator properties: Spark vs pure-Python reference twins ----
+
+words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+doc = st.lists(words, min_size=0, max_size=12)
+corpus = st.lists(doc, min_size=1, max_size=10)
+
+
+def _doc_frame(spark, docs):
+    return spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+
+
+@given(docs=corpus, k=st.integers(min_value=1, max_value=8))
+@PROP_SETTINGS
+def test_bm25_matches_python_reference(spark, docs, k):
+    from pyvectorsearch_spark.operators.textops import bm25_rank
+
+    terms = ["aa", "bb"]
+    k1, b = 1.2, 0.75
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_rank(_doc_frame(spark, docs), terms, k1=k1, b=b, topk=50).collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    dfreq = {t: sum(1 for d in docs if t in d) for t in terms}
+    want = {}
+    for i, d in enumerate(docs):
+        s = 0.0
+        for t in terms:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += round(
+                idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(d) / avgdl)), 6
+            )
+        if s:
+            want[i] = round(s, 6)
+    assert got == {i: v for i, v in want.items()}
+
+
+@given(docs=corpus, n=st.integers(min_value=1, max_value=4))
+@PROP_SETTINGS
+def test_dup_span_stats_matches_bruteforce(spark, docs, n):
+    from pyvectorsearch_spark.operators.textops import dup_span_stats
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_positions)
+        for r in dup_span_stats(_doc_frame(spark, docs), n=n).collect()
+    }
+    grams = [
+        [tuple(d[i : i + n]) for i in range(len(d) - n + 1)] if len(d) >= n else []
+        for d in docs
+    ]
+    by_gram: dict[tuple, set[int]] = {}
+    for i, gs in enumerate(grams):
+        for g in gs:
+            by_gram.setdefault(g, set()).add(i)
+    want = {
+        i: (len(gs), sum(1 for g in gs if len(by_gram[g]) >= 2))
+        for i, gs in enumerate(grams)
+    }
+    assert got == want
+
+
+@given(docs=corpus, v=st.integers(min_value=1, max_value=6))
+@PROP_SETTINGS
+def test_vocab_encode_matches_python_reference(spark, docs, v):
+    import hashlib
+    from collections import Counter
+
+    from pyvectorsearch_spark.operators.textops import vocab_encode
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.ids_digest)
+        for r in vocab_encode(_doc_frame(spark, docs), vocab_size=v).collect()
+    }
+    cnt = Counter(w for d in docs for w in d)
+    ranked = sorted(cnt, key=lambda t: (-cnt[t], t))[:v]
+    tid = {t: i + 1 for i, t in enumerate(ranked)}
+    want = {}
+    for i, d in enumerate(docs):
+        if not d:
+            continue  # explode drops token-less docs (documented)
+        ids = [tid.get(w, 0) for w in d]
+        want[i] = (
+            len(d),
+            sum(1 for w in d if w not in tid),
+            hashlib.md5(",".join(map(str, ids)).encode()).hexdigest(),
+        )
+    assert got == want
