@@ -126,6 +126,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "n": 3,  # min-of-3 timed runs after a warm-up pass
     }
     print(json.dumps(out))
     spark.stop()

@@ -83,6 +83,28 @@ def duckdb_minhash64(sh: str, n_hashes: int = 16) -> str:
     )
 
 
+def duckdb_quality(raw: str, tok: str) -> str:
+    """DuckDB twin of ``operators.textops.quality_score_col`` (rounded to
+    6 dp — the precision every oracle pins). ``raw`` is the raw-text SQL
+    expression, ``tok`` the tokenized-array expression over it."""
+    from pyvectorsearch_spark.operators.textops import STOPWORDS
+
+    stops = "[" + ", ".join(f"'{w}'" for ws in STOPWORDS.values() for w in ws) + "]"
+    stop_ratio = (
+        f"CAST(len(list_filter({tok}, x -> list_contains({stops}, x))) AS DOUBLE)"
+        f" / greatest(len({tok}), 1)"
+    )
+    nonalnum = (
+        f"CAST(length({raw}) - length(regexp_replace(lower({raw}), "
+        f"'[^a-z0-9 ]', '', 'g')) AS DOUBLE) / greatest(length({raw}), 1)"
+    )
+    return (
+        f"round(least(CAST(len({tok}) AS DOUBLE) / 50.0, 1.0) * 0.4"
+        f" + (1.0 - {nonalnum}) * 0.3"
+        f" + least({stop_ratio} * 4.0, 1.0) * 0.3, 6)"
+    )
+
+
 def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     """LSH banding: hash each band of the signature to one key; docs sharing
     any (band, key) are candidate pairs. array of struct(band, key)."""

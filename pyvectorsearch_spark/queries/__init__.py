@@ -17,6 +17,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     sampling_extra,
     streaming,
     temporal,
+    streaming_extra,
     text,
     text_extra,
     text_rank,
@@ -66,6 +67,7 @@ _MODULES = [
     text_extra,  # likewise
     text_rank,  # likewise (BM25 / vocab-encode / dup-spans / PII)
     dedup_extra,  # likewise (semantic-dedup keep-set)
+    streaming_extra,  # likewise (streaming document curation)
 ]
 
 

@@ -1,0 +1,97 @@
+"""Streaming document-curation query (outside the driver's pinned 50-entry
+window; covered by tests/test_oracle_parity.py).
+
+The continuous-ingestion shape of the batch curation pipeline: a file-source
+document stream scored with the SAME quality/token operators used in batch
+(`operators/textops.py::quality_score_col` — pure stateless projections, so
+they are stream-safe by construction), aggregated per source in complete
+mode. The oracle is plain SQL over the parquet table, so the hash match
+checks the streaming engine's execution of the curation expressions, not a
+batch stand-in.
+
+Scale shape: stateless scoring pipelines inside the micro-batch scan stage;
+the only state is the per-source aggregate (source-cardinality rows). At
+production scale the same plan runs against a real file/queue source with a
+processing-time trigger.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.functions.text import duckdb_quality, duckdb_tokens, tokens
+from pyvectorsearch_spark.operators.textops import quality_score_col
+from pyvectorsearch_spark.sources.tables import dataset_tag, load_table
+
+QUALITY_MIN = 0.5
+
+
+def _docs_landing(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Multi-file landing copy of documents (snapshot-keyed, atomically
+    published) so the file stream delivers real multi-batch arrival."""
+    base = dataset_tag(sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), f"pvs_docs_landing8_{base}")
+    if not os.path.isdir(path):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        load_table(spark, sf_dir, "documents").repartition(n_files).write.parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(path):
+                raise
+    return path
+
+
+def q_docs_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation stats computed BY THE STREAMING ENGINE over a
+    multi-batch document stream: doc counts, quality-gate keeps, and token
+    totals (complete-mode aggregate, availableNow drain)."""
+    path = _docs_landing(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    scored = stream.select(
+        "source",
+        F.size(tokens("text")).alias("_n_tok"),
+        quality_score_col(F.col("text"), tokens("text")).alias("_q"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("_q") >= QUALITY_MIN).cast("int")).cast("bigint").alias("n_kept"),
+        F.sum("_n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("_q"), 4).alias("sum_quality"),
+    )
+    name = f"docs_curate_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("source")
+
+
+_TOK = duckdb_tokens("text")
+_Q = duckdb_quality("text", "t")
+
+ORACLE_DOCS_CURATE_STREAM = f"""
+WITH s AS (SELECT source, {_TOK} AS t, text FROM documents),
+m AS (SELECT source, len(t) AS n_tok, {_Q} AS q FROM s)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN q >= {QUALITY_MIN} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(n_tok)::BIGINT AS total_tokens,
+       round(sum(q), 4) AS sum_quality
+FROM m GROUP BY source ORDER BY source
+"""
+
+
+QUERIES = {"docs_curate_stream": q_docs_curate_stream}
+ORACLES = {"docs_curate_stream": ORACLE_DOCS_CURATE_STREAM}

@@ -248,3 +248,31 @@ def test_pii_redact_counts_and_order(spark):
     assert rows[2].redacted == "call [PHONE] or ping [IP] twice [IP]"
     assert rows[3].n_emails == 0 and rows[3].redacted == "x [IP]@[IP] y"
     assert rows[4].redacted == "clean text no pii"
+
+
+def test_new_ops_empty_input_stable_schema(spark):
+    """Empty corpora must yield empty results with the declared schema (the
+    per-batch caller contract), not errors — including BM25, whose corpus
+    stats (N, avgdl) degenerate to a null row."""
+    from pyvectorsearch_spark.operators.textops import (
+        bm25_rank,
+        dup_span_stats,
+        pii_redact,
+        vocab_encode,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    b = bm25_rank(empty, ["spark"])
+    assert b.collect() == [] and b.columns == ["doc_id", "bm25"]
+    v = vocab_encode(empty)
+    assert v.collect() == [] and v.columns == [
+        "doc_id", "n_tokens", "n_oov", "ids_digest",
+    ]
+    d = dup_span_stats(empty)
+    assert d.collect() == [] and d.columns == [
+        "doc_id", "n_grams", "n_dup_positions", "dup_frac",
+    ]
+    p = pii_redact(empty)
+    assert p.collect() == [] and p.columns == [
+        "doc_id", "text", "n_emails", "n_phones", "n_ips", "redacted",
+    ]
