@@ -229,6 +229,45 @@ def pack_chunked(
     ).withColumn(offset_col, off)
 
 
+def sample_exact_k(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "exactk",
+    out_col: str = "sample_rank",
+    sub_shards: int = 8,
+) -> DataFrame:
+    """Exact-``k``-per-stratum deterministic sampling (the batch analog of
+    per-stratum reservoir sampling): rows rank by (hash_bucket, id) within
+    each stratum and ranks 1..k survive. Unlike the Bernoulli
+    ``sample_flag``, the output size per stratum is exactly min(k, |stratum|)
+    — what an eval-set builder needs.
+
+    Scale shape: two-phase top-k. Phase 1 ranks within (stratum, hash
+    sub-shard) and keeps ≤ k per sub-shard, so a corpus-sized stratum never
+    sorts in one task; phase 2 ranks the ≤ k·sub_shards survivors per
+    stratum. The ranking key (bucket, id) is total, so the two-phase result
+    is identical to a single global rank — which is what the one-window
+    oracle computes.
+    """
+    if k < 1 or sub_shards < 1:
+        raise ValueError(f"k and sub_shards must be >= 1, got {k=} {sub_shards=}")
+    b = hash_bucket(F.col(id_col), salt)
+    sub = (b * sub_shards) / F.lit(BUCKETS)
+    w1 = Window.partitionBy(strata_col, F.floor(sub)).orderBy(b, F.col(id_col))
+    cand = df.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= k
+    )
+    w2 = Window.partitionBy(strata_col).orderBy(b, F.col(id_col))
+    return (
+        cand.withColumn(out_col, F.row_number().over(w2))
+        .filter(F.col(out_col) <= k)
+        .drop("_r1")
+    )
+
+
 def pack_greedy(
     df: DataFrame,
     *,

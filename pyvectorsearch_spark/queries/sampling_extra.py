@@ -61,5 +61,57 @@ FROM walk GROUP BY source, sub, pack_id ORDER BY source, pack_id
 """
 
 
-QUERIES = {"sample_pack_greedy_sharded": q_sample_pack_greedy_sharded}
-ORACLES = {"sample_pack_greedy_sharded": ORACLE_PACK_GREEDY_SHARDED}
+EXACT_K = 17
+
+
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-17-per-source deterministic sample: per-source counts, char
+    totals, and an id-set digest pinning the exact membership (so the
+    two-phase top-k must equal the oracle's single global rank)."""
+    from pyvectorsearch_spark.operators.sampling import sample_exact_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = sample_exact_k(docs, strata_col="source", k=EXACT_K)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("ids_digest"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SAMPLE_EXACT_K = f"""
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY {_bucket_sql("exactk")}, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_sampled,
+       sum(n_chars)::BIGINT AS total_chars,
+       md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_digest
+FROM r WHERE rk <= {EXACT_K}
+GROUP BY source ORDER BY source
+"""
+
+
+QUERIES = {
+    "sample_pack_greedy_sharded": q_sample_pack_greedy_sharded,
+    "sample_exact_k": q_sample_exact_k,
+}
+ORACLES = {
+    "sample_pack_greedy_sharded": ORACLE_PACK_GREEDY_SHARDED,
+    "sample_exact_k": ORACLE_SAMPLE_EXACT_K,
+}

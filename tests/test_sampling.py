@@ -230,3 +230,48 @@ def test_pack_greedy_sharded_parallel_and_consistent(docs):
             assert sharded[k] == (1 << 32) + v, k
     finally:
         packed.unpersist()
+
+
+def test_sample_exact_k_two_phase_equals_global_rank(docs):
+    """Exact-k sampling: per-stratum size is exactly min(k, |stratum|), and
+    the two-phase sub-shard top-k selects the SAME rows as a single global
+    (bucket, id) rank — for every sub_shards setting."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.sampling import sample_exact_k
+
+    k = 7
+    b = hash_bucket(F.col("doc_id"), "exactk")
+    w = Window.partitionBy("source").orderBy(b, "doc_id")
+    want = {
+        (r["source"], r["doc_id"])
+        for r in docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .collect()
+    }
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for sub_shards in (1, 3, 8):
+        got_rows = sample_exact_k(
+            docs, strata_col="source", k=k, sub_shards=sub_shards
+        ).collect()
+        got = {(r["source"], r["doc_id"]) for r in got_rows}
+        assert got == want, sub_shards
+        per = {}
+        for r in got_rows:
+            per[r["source"]] = per.get(r["source"], 0) + 1
+        assert per == {s: min(k, n) for s, n in sizes.items()}
+        # ranks are a contiguous 1..min(k,n) sequence per stratum
+        ranks = {}
+        for r in got_rows:
+            ranks.setdefault(r["source"], []).append(r["sample_rank"])
+        for s, rs in ranks.items():
+            assert sorted(rs) == list(range(1, min(k, sizes[s]) + 1))
+
+
+def test_sample_exact_k_rejects_bad_params(docs):
+    from pyvectorsearch_spark.operators.sampling import sample_exact_k
+
+    with pytest.raises(ValueError):
+        sample_exact_k(docs, strata_col="source", k=0)
+    with pytest.raises(ValueError):
+        sample_exact_k(docs, strata_col="source", k=3, sub_shards=0)
