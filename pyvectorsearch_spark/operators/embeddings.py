@@ -1,0 +1,90 @@
+"""Embedding-statistics operators for training-data curation (north-star
+extensions — the reference's only embedding operation is spatial search,
+``/root/reference/include/pktree.hpp:948,933``; centroid/outlier analysis is
+the standard companion step in embedding-based data curation, cf. SemDeDup
+(Abbas et al. 2023) which prunes *within-cluster* by distance to centroid).
+
+Scale shape: the per-label centroid table is ``labels x dim`` rows after a
+map-side-combined average — tiny regardless of corpus size — so it broadcasts
+back onto the vector table and the cosine runs as a zero-additional-shuffle
+projection. The only corpus-sized shuffles are the centroid partial-aggregate
+(bytes per row: one (label, pos, partial-sum, count) tuple) and the final
+per-label top-k window, which operates on (id, label, cosine) triples only —
+never on the vectors themselves.
+
+Float parity with the DuckDB oracle: centroid components are rounded to
+``round_dp`` decimals *before* the cosine (averaging order across engines
+differs in final-ulp ways; rounding re-synchronizes), and the cosine itself is
+the shared left-fold kernel from ``functions/vector.py`` whose accumulation
+order matches ``duckdb_dot`` exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.functions.vector import cosine_sim
+
+
+def label_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-label mean vector: posexplode -> two-stage avg per (label, pos) ->
+    reassembled double array with components rounded to ``round_dp``.
+
+    Returns (``label_col``, centroid: array<double>, n_vectors)."""
+    e = df.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_pos", "_v"),
+    )
+    comp = e.groupBy(label_col, "_pos").agg(
+        F.round(F.avg("_v"), round_dp).alias("_cv"),
+        F.count("*").alias("_n"),
+    )
+    return comp.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_cv"))), lambda s: s["_cv"]
+        ).alias("centroid"),
+        F.max("_n").cast("bigint").alias("n_vectors"),
+    )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-label outlier detection: the ``k`` vectors per label with the
+    LOWEST cosine similarity to their label centroid (the curation signal for
+    mislabeled / off-distribution rows; SemDeDup prunes the other end of the
+    same ranking).
+
+    The centroid table broadcasts (labels x dim doubles); ranking sorts only
+    (id, label, cosine) rows. Cosine is rounded to ``round_dp`` before the
+    ranking so the order (cos asc, id asc) is engine-stable.
+
+    Returns (``id_col``, ``label_col``, cos_centroid, rank), rank 1 = most
+    outlying."""
+    cents = label_centroids(
+        df, vec_col=vec_col, label_col=label_col, round_dp=round_dp
+    ).select(label_col, "centroid")
+    scored = df.join(F.broadcast(cents), label_col).select(
+        id_col,
+        label_col,
+        F.round(cosine_sim(vec_col, "centroid"), round_dp).alias("cos_centroid"),
+    )
+    w = Window.partitionBy(label_col).orderBy(F.asc("cos_centroid"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, label_col, "cos_centroid", "rank")
+    )

@@ -461,6 +461,157 @@ def pii_redact(
     )
 
 
+def top_terms(
+    df: DataFrame,
+    *,
+    by: str = "source",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Exact per-group heavy hitters: the ``k`` most frequent tokens per
+    ``by`` group, count-desc with term-asc tiebreak.
+
+    Scale shape: the token stream collapses map-side in the
+    ``groupBy(by, term)`` partial aggregate (the only corpus-sized shuffle
+    moves (group, term, partial-count) rows, not tokens); the top-k window
+    then sorts the vocabulary-x-groups table only. Exact — no sketch — which
+    is the right default when the group-term table fits a shuffle; a
+    count-min/TopN sketch trades that exactness for a smaller shuffle and is
+    deliberately not the default.
+
+    Returns (``by``, term, n, rank)."""
+    from pyspark.sql import Window
+
+    e = df.select(F.col(by), F.explode(tokens(text_col)).alias("term"))
+    cnt = e.groupBy(by, "term").agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy(by).orderBy(F.desc("n"), F.asc("term"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(by, "term", "n", "rank")
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the classic
+    perplexity-style quality signal (KenLM-style filtering a la CCNet, Wenzek
+    et al. 2020, with the LM trained on the corpus itself): each document's
+    mean log P(w_i | w_{i-1}) under add-``smooth`` smoothing,
+
+        P(w2 | w1) = (C(w1 w2) + a) / (C(w1) + a * V),
+
+    where C counts bigram/context occurrences over the whole corpus and V is
+    the corpus vocabulary size (distinct tokens). Low scores flag
+    out-of-distribution / noisy documents.
+
+    Scale shape: per-doc bigram term frequencies collapse map-side
+    (``groupBy(id, gram)``), so the corpus-sized position stream never
+    shuffles raw — only (doc, distinct-gram, tf) rows move. The global
+    bigram count C(w1 w2) attaches via a window over that tf table (single
+    evaluation — no join-back re-derivation), the context count C(w1) via a
+    second window on the same reduced table, and the scalar (V) rides a
+    broadcast cross join like ``bm25_rank``'s stats. Per-position log
+    contributions are rounded to 6 dp before the per-doc sum so summation
+    order cannot perturb the oracle comparison.
+
+    Returns (id, n_bigrams, avg_logprob), docs with < 2 tokens excluded
+    (they have no bigrams — mirrored in the oracle)."""
+    from pyspark.sql import Window
+
+    tok = tokens(text_col)
+    d = docs.select(F.col(id_col), tok.alias("_t"))
+    # scalar V: distinct tokens corpus-wide (separate tiny-result aggregation)
+    vocab = d.select(F.explode("_t").alias("_w")).agg(
+        F.count_distinct("_w").cast("double").alias("_v")
+    )
+    pairs = d.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_t", i).alias("w1"),
+                        F.concat_ws(
+                            " ", F.element_at("_t", i), F.element_at("_t", i + 1)
+                        ).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,gram:string>>"))
+        ).alias("_p"),
+    ).select(id_col, F.col("_p.w1").alias("_w1"), F.col("_p.gram").alias("_gram"))
+    tf = pairs.groupBy(id_col, "_w1", "_gram").agg(
+        F.count("*").cast("bigint").alias("_tf")
+    )
+    c_bg = F.sum("_tf").over(Window.partitionBy("_gram")).cast("double")
+    c_uni = F.sum("_tf").over(Window.partitionBy("_w1")).cast("double")
+    attached = tf.withColumn("_cbg", c_bg).withColumn("_cuni", c_uni)
+    contrib = F.round(
+        F.log((F.col("_cbg") + smooth) / (F.col("_cuni") + smooth * F.col("_v"))), 6
+    )
+    return (
+        attached.crossJoin(F.broadcast(vocab))
+        .select(id_col, "_tf", (F.col("_tf") * contrib).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_tf").cast("bigint").alias("n_bigrams"),
+            F.round(F.round(F.sum("_c"), 6) / F.sum("_tf"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+C4_BLACKLIST = ("cookie", "javascript", "lorem")
+C4_TERMINAL_RE = r"[.!?]$"
+
+
+def c4_line_filter(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    blacklist: tuple[str, ...] = C4_BLACKLIST,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): split on
+    newlines and keep only lines that (a) end in terminal punctuation,
+    (b) contain at least ``min_words`` word tokens, and (c) contain no
+    blacklisted token. Documents keep their identity even when every line is
+    dropped (empty cleaned text).
+
+    Zero shuffle: the line array never leaves the row — split, per-line
+    token checks, filter, and re-join are a single columnar projection that
+    pipelines inside the scan stage at any scale.
+
+    Returns (id, n_lines, n_kept, n_kept_chars, cleaned)."""
+    bl = F.array(*[F.lit(w) for w in blacklist])
+
+    def _keep(line):
+        ltok = tokens(line)
+        return (
+            line.rlike(C4_TERMINAL_RE)
+            & (F.size(ltok) >= min_words)
+            & ~F.exists(ltok, lambda t: F.array_contains(bl, t))
+        )
+
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, _keep)
+    cleaned = F.array_join(kept, "\n")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.length(cleaned).cast("bigint").alias("n_kept_chars"),
+        cleaned.alias("cleaned"),
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     probes: DataFrame,

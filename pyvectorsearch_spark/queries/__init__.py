@@ -9,7 +9,9 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     analytic_extra,
     dedup,
     dedup_extra,
+    embedding_extra,
     formats,
+    funnel_extra,
     multimodal,
     pipeline,
     relational,
@@ -20,6 +22,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     streaming_extra,
     text,
     text_extra,
+    text_lm,
     text_rank,
     tpch_extra,
     udf,
@@ -68,6 +71,9 @@ _MODULES = [
     text_rank,  # likewise (BM25 / vocab-encode / dup-spans / PII)
     dedup_extra,  # likewise (semantic-dedup keep-set)
     streaming_extra,  # likewise (streaming document curation)
+    embedding_extra,  # likewise (centroid outliers)
+    text_lm,  # likewise (heavy hitters / bigram LM / C4 line cleaning)
+    funnel_extra,  # likewise (funnel conversion / cohort retention)
 ]
 
 

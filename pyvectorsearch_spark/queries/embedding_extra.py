@@ -1,0 +1,73 @@
+"""Embedding-statistics queries (outside the driver's pinned 50-entry window;
+covered by tests/test_oracle_parity.py against the same DuckDB oracles).
+
+Operators exercised:
+- per-label centroid build + bottom-k cosine outliers
+  (`operators/embeddings.py` — the SemDeDup-companion curation signal;
+  extension beyond the reference, whose only embedding op is spatial search,
+  `/root/reference/include/pktree.hpp:948,933`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyvectorsearch_spark.functions.vector import duckdb_dot
+from pyvectorsearch_spark.operators.embeddings import centroid_outliers
+from pyvectorsearch_spark.sources.tables import load_table, spread
+
+DIM = 64
+OUT_K = 5
+ROUND_DP = 6
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-5 cosine-to-label-centroid vectors per label: the rows most
+    likely mislabeled or off-distribution. Centroid components and cosines
+    are rounded to 6 dp so the ranking is engine-stable."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return centroid_outliers(
+        emb, k=OUT_K, round_dp=ROUND_DP
+    ).orderBy("label", "rank")
+
+
+_DOT_EC = duckdb_dot("e.embedding", "c.centroid", DIM)
+_DOT_EE = duckdb_dot("e.embedding", "e.embedding", DIM)
+# centroid components are already double; plain in-order fold
+_DOT_CC = (
+    f"list_sum(list_transform(range(1, {DIM + 1}), i -> c.centroid[i] * c.centroid[i]))"
+)
+
+ORACLE_EMBEDDING_OUTLIERS = f"""
+WITH u AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+comp AS (
+  SELECT label, pos, round(avg(v), {ROUND_DP}) AS cv
+  FROM u GROUP BY label, pos
+),
+c AS (
+  SELECT label, list(cv ORDER BY pos) AS centroid FROM comp GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round(({_DOT_EC}) / (sqrt({_DOT_EE}) * sqrt({_DOT_CC})),
+               {ROUND_DP}) AS cos_centroid
+  FROM embeddings e JOIN c USING (label)
+),
+ranked AS (
+  SELECT vec_id, label, cos_centroid,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY cos_centroid ASC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT vec_id, label, cos_centroid, rank
+FROM ranked WHERE rank <= {OUT_K}
+ORDER BY label, rank
+"""
+
+
+QUERIES = {"embedding_outliers": q_embedding_outliers}
+ORACLES = {"embedding_outliers": ORACLE_EMBEDDING_OUTLIERS}

@@ -1,0 +1,188 @@
+"""Language-model / frequency / line-cleaning text queries (outside the
+driver's pinned 50-entry window; covered by tests/test_oracle_parity.py
+against the same bit-exact DuckDB oracles).
+
+Operators exercised (SURVEY.md §2.4 north-star extensions):
+- per-source exact heavy hitters (`operators/textops.py::top_terms`)
+- corpus-trained bigram LM quality scoring (`bigram_lm_score`, the
+  CCNet/KenLM-style perplexity filter signal)
+- C4-style line-level cleaning (`c4_line_filter`, Raffel et al. 2020 §2.2).
+  The corpus is newline-free word salad, so the query PLANTS deterministic
+  lines (10-token lines; punctuation and a blacklist word injected by
+  doc_id/line arithmetic — same construction in the oracle), the same
+  pattern `text_pii_redact` uses for planted PII.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.functions.text import duckdb_tokens, tokens
+from pyvectorsearch_spark.operators.textops import (
+    C4_BLACKLIST,
+    bigram_lm_score,
+    c4_line_filter,
+    top_terms,
+)
+from pyvectorsearch_spark.sources.tables import load_table, spread
+
+_TOK = duckdb_tokens("text")
+
+TOP_K = 10
+LM_SMOOTH = 0.5
+C4_LINE_WORDS = 10
+C4_MIN_WORDS = 3
+
+
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent tokens per source (exact two-phase heavy
+    hitters: map-side-combined counts, then a vocabulary-sized top-k
+    window)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return top_terms(docs, by="source", k=TOP_K).orderBy("source", "rank")
+
+
+ORACLE_TOP_TERMS = f"""
+WITH e AS (SELECT source, unnest({_TOK}) AS term FROM documents),
+cnt AS (
+  SELECT source, term, count(*)::BIGINT AS n FROM e GROUP BY source, term
+),
+r AS (
+  SELECT source, term, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, term ASC) AS rank
+  FROM cnt
+)
+SELECT source, term, n, rank FROM r WHERE rank <= {TOP_K}
+ORDER BY source, rank
+"""
+
+
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram log-probability per document under the corpus-trained
+    add-0.5-smoothed bigram LM — the perplexity-style quality signal."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bigram_lm_score(docs, smooth=LM_SMOOTH).orderBy("doc_id")
+
+
+ORACLE_BIGRAM_LM = f"""
+WITH tokd AS (SELECT doc_id, {_TOK} AS t FROM documents),
+v AS (
+  SELECT count(DISTINCT term)::DOUBLE AS v
+  FROM (SELECT unnest(t) AS term FROM tokd)
+),
+pos AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM tokd),
+b AS (
+  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS gram FROM pos
+),
+tf AS (
+  SELECT doc_id, w1, gram, count(*)::BIGINT AS tf FROM b GROUP BY ALL
+),
+att AS (
+  SELECT doc_id, tf,
+         sum(tf) OVER (PARTITION BY gram)::DOUBLE AS cbg,
+         sum(tf) OVER (PARTITION BY w1)::DOUBLE AS cuni
+  FROM tf
+),
+sc AS (
+  SELECT doc_id, tf,
+         tf * round(ln((cbg + {LM_SMOOTH}) / (cuni + {LM_SMOOTH} * v.v)), 6) AS c
+  FROM att CROSS JOIN v
+)
+SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+       round(round(sum(c), 6) / sum(tf), 6) AS avg_logprob
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _planted_lines() -> F.Column:
+    """Deterministic line structure over the newline-free corpus: 10-token
+    lines; line j of doc d gets terminal '.' unless (d + j) % 5 == 0 and a
+    planted 'cookie' prefix when (d + j) % 7 == 0 — so the C4 rules have
+    real work (short last lines, missing punctuation, blacklist hits)."""
+    t = tokens("text")
+    did = F.col("doc_id")
+    nlines = F.greatest(F.ceil(F.size(t) / 10), F.lit(1))
+
+    def line(j):
+        base = F.concat_ws(" ", F.slice(t, j * 10 + 1, C4_LINE_WORDS))
+        inj = F.when((did + j) % 7 == 0, F.concat(F.lit("cookie "), base)).otherwise(
+            base
+        )
+        return F.when((did + j) % 5 != 0, F.concat(inj, F.lit("."))).otherwise(inj)
+
+    return F.array_join(F.transform(F.sequence(F.lit(0), nlines - 1), line), "\n")
+
+
+def q_text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line cleaning over the planted-line corpus: per-doc line counts and
+    the md5 of the cleaned text (pins exact kept-line content and order)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    planted = docs.select("doc_id", _planted_lines().alias("text"))
+    out = c4_line_filter(planted, min_words=C4_MIN_WORDS)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "n_kept_chars",
+        F.md5("cleaned").alias("clean_digest"),
+    ).orderBy("doc_id")
+
+
+_BL_SQL = ", ".join(f"'{w}'" for w in C4_BLACKLIST)
+_TOKL = duckdb_tokens("l")
+
+ORACLE_C4_CLEAN = f"""
+WITH tokd AS (SELECT doc_id, {_TOK} AS t FROM documents),
+planted AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             range(0, greatest(CAST(ceil(len(t) / 10) AS BIGINT), 1)),
+             j -> CASE WHEN (doc_id + j) % 5 <> 0 THEN
+                    CASE WHEN (doc_id + j) % 7 = 0
+                         THEN 'cookie ' || array_to_string(t[j*10+1 : j*10+{C4_LINE_WORDS}], ' ')
+                         ELSE array_to_string(t[j*10+1 : j*10+{C4_LINE_WORDS}], ' ')
+                    END || '.'
+                  ELSE
+                    CASE WHEN (doc_id + j) % 7 = 0
+                         THEN 'cookie ' || array_to_string(t[j*10+1 : j*10+{C4_LINE_WORDS}], ' ')
+                         ELSE array_to_string(t[j*10+1 : j*10+{C4_LINE_WORDS}], ' ')
+                    END
+                  END
+           ), chr(10)) AS text
+  FROM tokd
+),
+lined AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM planted
+),
+cleaned AS (
+  SELECT doc_id, lines,
+         list_filter(lines, l ->
+           regexp_matches(l, '[.!?]$')
+           AND len({_TOKL}) >= {C4_MIN_WORDS}
+           AND NOT list_has_any({_TOKL}, [{_BL_SQL}])
+         ) AS kept
+  FROM lined
+)
+SELECT doc_id,
+       len(lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept,
+       -- array_to_string of an empty list is NULL in DuckDB, '' in Spark
+       length(coalesce(array_to_string(kept, chr(10)), ''))::BIGINT AS n_kept_chars,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_digest
+FROM cleaned ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_top_terms": q_text_top_terms,
+    "text_bigram_lm": q_text_bigram_lm,
+    "text_c4_clean": q_text_c4_clean,
+}
+ORACLES = {
+    "text_top_terms": ORACLE_TOP_TERMS,
+    "text_bigram_lm": ORACLE_BIGRAM_LM,
+    "text_c4_clean": ORACLE_C4_CLEAN,
+}
