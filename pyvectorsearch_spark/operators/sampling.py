@@ -341,3 +341,66 @@ def pack_greedy(
         return pdf
 
     return slim.groupBy(*keys).applyInPandas(_pack, schema)
+
+
+def select_token_budget(
+    df: DataFrame,
+    *,
+    budget: int,
+    quality_col: str,
+    size_col: str,
+    id_col: str = "doc_id",
+    bucket_scale: int = 1_000_000,
+) -> DataFrame:
+    """Budget-bounded corpus selection: walk documents in (quality desc, id
+    asc) order and keep the maximal PREFIX whose cumulative ``size_col``
+    stays <= ``budget`` (take-while semantics: the first overflowing doc
+    stops selection — later smaller docs are NOT back-filled; this keeps the
+    selected set a deterministic quality prefix, the usual "best N tokens"
+    curation contract).
+
+    Scale shape — a naive global cumulative-sum window is a single-task
+    sort of the corpus; instead quality is bucketed exactly (scores are
+    ``1/bucket_scale``-quantized already, so ``round(q*scale)`` is a lossless
+    integer key) and the walk decomposes into:
+
+    1. per-bucket token totals (map-side combined; bucket table <= scale+1
+       rows) with a cumulative sum over the TINY bucket table;
+    2. buckets whose running total fits entirely -> selected wholesale, no
+       per-row sort anywhere;
+    3. only the single boundary bucket sorts its rows (window by id) to cut
+       the prefix mid-bucket.
+
+    Equivalent to the one-window walk by construction: a row is selected iff
+    (tokens of all strictly-better buckets) + (its within-bucket running
+    sum) <= budget, which is exactly the global take-while condition.
+
+    Returns the selected rows of ``df`` (all original columns).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    b = F.round(F.col(quality_col) * bucket_scale, 0).cast("bigint")
+    d = df.withColumn("_qb", b)
+    per_bucket = d.groupBy("_qb").agg(F.sum(size_col).cast("bigint").alias("_bsum"))
+    wcum = (
+        Window.orderBy(F.desc("_qb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_bucket.withColumn("_cum", F.sum("_bsum").over(wcum)).select(
+        "_qb", (F.col("_cum") - F.col("_bsum")).alias("_prior"), "_bsum"
+    )
+    full = cum.filter(F.col("_prior") + F.col("_bsum") <= budget).select("_qb")
+    boundary = cum.filter(
+        (F.col("_prior") <= budget) & (F.col("_prior") + F.col("_bsum") > budget)
+    ).select("_qb", "_prior")
+    picked_full = d.join(F.broadcast(full), "_qb")
+    win = Window.partitionBy("_qb").orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    picked_boundary = (
+        d.join(F.broadcast(boundary), "_qb")
+        .withColumn("_cin", F.sum(size_col).over(win))
+        .filter(F.col("_prior") + F.col("_cin") <= budget)
+        .drop("_cin", "_prior")
+    )
+    return picked_full.unionByName(picked_boundary).drop("_qb")

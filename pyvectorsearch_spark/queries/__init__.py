@@ -17,6 +17,8 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     relational,
     sampling,
     sampling_extra,
+    search_extra,
+    sketch_extra,
     streaming,
     temporal,
     streaming_extra,
@@ -74,6 +76,8 @@ _MODULES = [
     embedding_extra,  # likewise (centroid outliers)
     text_lm,  # likewise (heavy hitters / bigram LM / C4 line cleaning)
     funnel_extra,  # likewise (funnel conversion / cohort retention)
+    search_extra,  # likewise (filtered kNN / hybrid RRF)
+    sketch_extra,  # likewise (KMV distinct sketch)
 ]
 
 

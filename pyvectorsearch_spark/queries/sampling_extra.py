@@ -107,11 +107,72 @@ GROUP BY source ORDER BY source
 """
 
 
+TOKEN_BUDGET = 15_000
+
+
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-bounded quality selection: highest-quality documents until a
+    15k-token budget (take-while prefix). The bucket-decomposed operator
+    must equal the oracle's single global cumulative-sum walk; membership is
+    pinned by an order-independent id checksum."""
+    from pyvectorsearch_spark.functions.text import tokens
+    from pyvectorsearch_spark.operators.sampling import select_token_budget
+    from pyvectorsearch_spark.operators.textops import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("ntok"),
+        quality_score_col(F.col("text"), tokens("text")).alias("qual"),
+    )
+    sel = select_token_budget(
+        docs, budget=TOKEN_BUDGET, quality_col="qual", size_col="ntok"
+    )
+    chk = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        % 1_000_000_007
+    )
+    return sel.agg(
+        F.count("*").cast("bigint").alias("n_selected"),
+        F.coalesce(F.sum("ntok"), F.lit(0)).cast("bigint").alias("total_tokens"),
+        F.coalesce(F.sum(chk), F.lit(0)).cast("bigint").alias("ids_checksum"),
+    )
+
+
+def _oracle_token_budget() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_quality, duckdb_tokens
+
+    tok = duckdb_tokens("text")
+    qual = duckdb_quality("text", tok)
+    return f"""
+WITH q AS (
+  SELECT doc_id, len({tok})::BIGINT AS ntok, {qual} AS qual FROM documents
+),
+w AS (
+  SELECT doc_id, ntok,
+         sum(ntok) OVER (ORDER BY qual DESC, doc_id ASC
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q
+),
+sel AS (SELECT * FROM w WHERE cum <= {TOKEN_BUDGET})
+SELECT count(*)::BIGINT AS n_selected,
+       coalesce(sum(ntok), 0)::BIGINT AS total_tokens,
+       coalesce(sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                    % 1000000007), 0)::BIGINT AS ids_checksum
+FROM sel
+"""
+
+
+ORACLE_SAMPLE_TOKEN_BUDGET = _oracle_token_budget()
+
+
 QUERIES = {
     "sample_pack_greedy_sharded": q_sample_pack_greedy_sharded,
     "sample_exact_k": q_sample_exact_k,
+    "sample_token_budget": q_sample_token_budget,
 }
 ORACLES = {
     "sample_pack_greedy_sharded": ORACLE_PACK_GREEDY_SHARDED,
     "sample_exact_k": ORACLE_SAMPLE_EXACT_K,
+    "sample_token_budget": ORACLE_SAMPLE_TOKEN_BUDGET,
 }

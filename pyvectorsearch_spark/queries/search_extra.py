@@ -1,0 +1,185 @@
+"""Filtered and hybrid search queries (outside the driver's pinned 50-entry
+window; covered by tests/test_oracle_parity.py against the same DuckDB
+oracles).
+
+Extensions of the reference's exact-search surface
+(`/root/reference/include/pktree.hpp:948-973`) toward what vector-store users
+actually run:
+- metadata-FILTERED kNN (pre-filter semantics: the predicate restricts the
+  candidate set before ranking — exact, unlike post-filtering a top-k list)
+- hybrid lexical+vector retrieval fused with Reciprocal Rank Fusion
+  (Cormack et al. 2009: score = sum 1/(C + rank) over the lists that
+  returned the id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.functions.text import duckdb_tokens
+from pyvectorsearch_spark.functions.vector import (
+    cosine_sim,
+    duckdb_cosine,
+    duckdb_l2_sq,
+)
+from pyvectorsearch_spark.operators.knn import knn_join
+from pyvectorsearch_spark.operators.textops import bm25_rank
+from pyvectorsearch_spark.queries.text_rank import (
+    BM25_B,
+    BM25_K1,
+    BM25_TERMS,
+    oracle_bm25,
+)
+from pyvectorsearch_spark.sources.tables import load_table, spread
+
+DIM = 64
+N_PROBES = 8
+K = 5
+ALLOWED_LABELS = (1, 3, 5, 7)
+RRF_C = 60
+RRF_DEPTH = 50
+RRF_TOPK = 20
+
+
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact kNN: nearest neighbors among vectors whose
+    label is in a fixed allow-set (pre-filter semantics). The predicate is a
+    pushed-down parquet filter on the scan — the candidate set shrinks
+    BEFORE any distance math or shuffle, which post-filtering a top-k list
+    cannot guarantee (it returns < k rows when the filter bites)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    data = emb.filter(F.col("label").isin(*ALLOWED_LABELS))
+    out = knn_join(data, probes, K, payload=["label"])
+    return out.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank", "label"
+    )
+
+
+_DF = duckdb_l2_sq("q.qvec", "e.embedding", DIM)
+_LABELS_SQL = ", ".join(str(x) for x in ALLOWED_LABELS)
+
+ORACLE_KNN_FILTERED = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < {N_PROBES}
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label, {_DF} AS d
+  FROM q CROSS JOIN embeddings e
+  WHERE e.label IN ({_LABELS_SQL})
+),
+ranked AS (
+  SELECT query_id, neighbor_id, label, d,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(d, 6) AS dist_sq, rank, label
+FROM ranked WHERE rank <= {K}
+"""
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 over `documents` fused with cosine-to-probe
+    over `embeddings` (shared id space: doc_id = vec_id) via Reciprocal Rank
+    Fusion. Each list is depth-50; rrf = sum over lists containing the id of
+    1/(60 + rank); top-20 by (rrf desc, id asc).
+
+    Scale shape: both branches end in bounded top-k (window / TakeOrdered);
+    the fusion is an outer join of two 50-row lists — driver-scale work
+    regardless of corpus size."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lex = bm25_rank(
+        docs, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=RRF_DEPTH
+    ).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    vec = (
+        emb.crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine_sim("embedding", "qvec"), 6).alias("_cos"),
+        )
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(Window.orderBy(F.desc("_cos"), F.asc("id"))),
+        )
+        .filter(F.col("vec_rank") <= RRF_DEPTH)
+        .select("id", "vec_rank")
+    )
+    fused = lex.join(vec, "id", "full").select(
+        "id",
+        F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(0)).cast("int").alias("vec_rank"),
+        F.round(
+            F.when(
+                F.col("lex_rank").isNotNull(), 1.0 / (RRF_C + F.col("lex_rank"))
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("vec_rank").isNotNull(), 1.0 / (RRF_C + F.col("vec_rank"))
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(RRF_TOPK)
+
+
+_COS = duckdb_cosine("e.embedding", "p.qvec", DIM)
+
+ORACLE_HYBRID_RRF = f"""
+WITH bm AS ({oracle_bm25(RRF_DEPTH)}),
+lex AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM bm
+),
+p AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS id, round({_COS}, 6) AS cos
+  FROM embeddings e CROSS JOIN p
+),
+vec AS (
+  SELECT id, vec_rank FROM (
+    SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC) AS vec_rank
+    FROM scored
+  ) WHERE vec_rank <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT coalesce(lex.id, vec.id) AS id,
+         coalesce(lex_rank, 0)::INT AS lex_rank,
+         coalesce(vec_rank, 0)::INT AS vec_rank,
+         round(
+           CASE WHEN lex_rank IS NOT NULL
+                THEN 1.0 / ({RRF_C} + lex_rank) ELSE 0.0 END
+           + CASE WHEN vec_rank IS NOT NULL
+                  THEN 1.0 / ({RRF_C} + vec_rank) ELSE 0.0 END,
+           6) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+)
+SELECT id, lex_rank, vec_rank, rrf FROM fused
+ORDER BY rrf DESC, id ASC LIMIT {RRF_TOPK}
+"""
+
+# BM25's depth-50 list needs >= 50 scored docs to be rank-stable; true at
+# every shipped SF (500+ docs, 4 common query terms). The fusion itself is
+# robust to shorter lists (outer join).
+
+QUERIES = {
+    "knn_filtered": q_knn_filtered,
+    "hybrid_rrf": q_hybrid_rrf,
+}
+ORACLES = {
+    "knn_filtered": ORACLE_KNN_FILTERED,
+    "hybrid_rrf": ORACLE_HYBRID_RRF,
+}

@@ -49,7 +49,14 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-ORACLE_BM25 = f"""
+
+def oracle_bm25(topk: int) -> str:
+    """The BM25 oracle with a parameterized list depth (hybrid RRF reuses it
+    at depth 50)."""
+    return _ORACLE_BM25_BODY + f"\nSELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT {topk}\n"
+
+
+_ORACLE_BM25_BODY = f"""
 WITH d AS (
   SELECT doc_id, len({_TOK}) AS dl, {_TOK} AS t FROM documents
 ),
@@ -69,9 +76,9 @@ scored AS (
          , 6)), 6) AS bm25
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
   GROUP BY tf.doc_id
-)
-SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
-"""
+)"""
+
+ORACLE_BM25 = oracle_bm25(BM25_TOPK)
 
 
 def q_text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

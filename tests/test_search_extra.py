@@ -1,0 +1,42 @@
+"""Plan-shape and semantics tests for filtered kNN and hybrid RRF (sf-parity
+lives in test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+from pyvectorsearch_spark.plans import pushed_filters
+from pyvectorsearch_spark.queries.search_extra import (
+    ALLOWED_LABELS,
+    K,
+    RRF_TOPK,
+    q_hybrid_rrf,
+    q_knn_filtered,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_filtered_knn_pushes_label_filter_to_scan(spark):
+    df = q_knn_filtered(spark, SF_SMOKE)
+    pf = pushed_filters(df)
+    assert any("label" in f for f in pf), pf
+
+
+def test_filtered_knn_prefilter_semantics(spark):
+    rows = q_knn_filtered(spark, SF_SMOKE).collect()
+    assert rows and all(r["label"] in ALLOWED_LABELS for r in rows)
+    # pre-filter: every query still gets a full k (the allow-set has >= k
+    # members at every SF) — post-filtering a top-k list could not promise this
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in rows)
+    assert all(v == K for v in per_q.values()), per_q
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    rows = q_hybrid_rrf(spark, SF_SMOKE).collect()
+    assert len(rows) == RRF_TOPK
+    # a doc present in both lists must outrank the same ranks seen singly;
+    # minimally: the result contains at least one id with both ranks set
+    assert any(r["lex_rank"] > 0 and r["vec_rank"] > 0 for r in rows)
+    # rrf scores are monotone non-increasing in output order
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
