@@ -1,0 +1,145 @@
+"""Data-quality / pipeline-monitoring operators (north-star extensions —
+the operational companions every production 100 TB pipeline runs next to its
+analytics: distribution-drift alarms and column profiling).
+
+Both are single-pass, map-side-combined aggregations: the drift test reduces
+the fact table to a (group, bucket) histogram, the profiler to one row of
+partial aggregates per scan — no operator here shuffles more than a
+histogram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def psi_drift(
+    df: DataFrame,
+    *,
+    by: str,
+    value_col: str,
+    split_col: str,
+    bucket_width: float,
+    n_buckets: int = 20,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current cohort,
+    per ``by`` group — the standard drift alarm for feature/label
+    distributions:
+
+        PSI = Σ_buckets (p_cur − p_base) · ln(p_cur / p_base),
+
+    with fixed-width value buckets (last bucket open-ended) and ``eps``
+    floors so empty buckets contribute finitely. PSI < 0.1 is conventionally
+    stable, > 0.25 a drift alarm.
+
+    ``split_col`` must be a boolean column: False = baseline cohort,
+    True = current cohort. Bucketing is pure integer arithmetic
+    (``least(floor(v / w), n-1)``), so both engines agree exactly; the
+    per-bucket log contributions are rounded to 6 dp before the sum, making
+    the PSI total order-independent across engines.
+
+    Scale shape: one groupBy collapses the fact table map-side into a
+    (group, bucket) histogram (≤ groups × n_buckets rows); everything after
+    is histogram-sized. Returns (``by``, n_base, n_cur, psi).
+    """
+    b = F.least(
+        F.floor(F.col(value_col) / bucket_width).cast("int"), F.lit(n_buckets - 1)
+    )
+    hist = (
+        df.select(F.col(by), b.alias("_b"), F.col(split_col).alias("_cur"))
+        .groupBy(by, "_b")
+        .agg(
+            F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).alias("_nb"),
+            F.sum(F.when(F.col("_cur"), 1).otherwise(0)).alias("_nc"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by)
+    tot = hist.withColumn("_tb", F.sum("_nb").over(w)).withColumn(
+        "_tc", F.sum("_nc").over(w)
+    )
+    p_base = F.greatest(F.col("_nb") / F.greatest("_tb", F.lit(1)), F.lit(eps))
+    p_cur = F.greatest(F.col("_nc") / F.greatest("_tc", F.lit(1)), F.lit(eps))
+    contrib = F.round((p_cur - p_base) * F.log(p_cur / p_base), 6)
+    return (
+        tot.withColumn("_c", contrib)
+        .groupBy(by)
+        .agg(
+            F.max("_tb").cast("bigint").alias("n_base"),
+            F.max("_tc").cast("bigint").alias("n_cur"),
+            F.round(F.sum("_c"), 6).alias("psi"),
+        )
+    )
+
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def profile_table(df: DataFrame, *, round_dp: int = 6) -> DataFrame:
+    """Single-pass column profiler — the schema-drift / null-rate monitor:
+    one output row per column with null count, exact distinct count, and
+    min/max (numeric columns in ``min_num``/``max_num`` rounded to
+    ``round_dp``; string columns in ``min_str``/``max_str``; other types
+    profile nulls/distincts only, keeping every output cell
+    engine-comparable).
+
+    Scale shape: ONE aggregation job computes every per-column statistic as
+    parallel agg expressions over a single scan (count_distinct adds a
+    per-column expand internally — still one job); the unpivot to long form
+    happens on the single result row. Returns
+    (column, n_rows, n_null, n_distinct, min_num, max_num, min_str,
+    max_str) ordered by column name.
+    """
+    aggs: list[Column] = [F.count("*").alias("_n")]
+    for f in df.schema.fields:
+        c = f.name
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_dist_{c}"),
+        ]
+        if isinstance(f.dataType, _NUMERIC):
+            aggs += [
+                F.round(F.min(c).cast("double"), round_dp).alias(f"_min_{c}"),
+                F.round(F.max(c).cast("double"), round_dp).alias(f"_max_{c}"),
+            ]
+        elif isinstance(f.dataType, T.StringType):
+            aggs += [
+                F.min(c).alias(f"_smin_{c}"),
+                F.max(c).alias(f"_smax_{c}"),
+            ]
+    one = df.agg(*aggs)
+    structs = []
+    for f in df.schema.fields:
+        c = f.name
+        is_num = isinstance(f.dataType, _NUMERIC)
+        is_str = isinstance(f.dataType, T.StringType)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").cast("bigint").alias("n_rows"),
+                F.col(f"_null_{c}").cast("bigint").alias("n_null"),
+                F.col(f"_dist_{c}").cast("bigint").alias("n_distinct"),
+                (F.col(f"_min_{c}") if is_num else F.lit(None).cast("double")).alias(
+                    "min_num"
+                ),
+                (F.col(f"_max_{c}") if is_num else F.lit(None).cast("double")).alias(
+                    "max_num"
+                ),
+                (
+                    F.col(f"_smin_{c}") if is_str else F.lit(None).cast("string")
+                ).alias("min_str"),
+                (
+                    F.col(f"_smax_{c}") if is_str else F.lit(None).cast("string")
+                ).alias("max_str"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*structs)).alias("_p"))
+        .select("_p.*")
+        .orderBy("column")
+    )

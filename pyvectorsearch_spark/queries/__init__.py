@@ -14,6 +14,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     funnel_extra,
     multimodal,
     pipeline,
+    quality_extra,
     relational,
     sampling,
     sampling_extra,
@@ -63,6 +64,7 @@ _MODULES = [
     multimodal,
     sampling,
     pipeline,
+    quality_extra,
     relational,
     tpch_extra,
     analytic_extra,
@@ -78,6 +80,7 @@ _MODULES = [
     funnel_extra,  # likewise (funnel conversion / cohort retention)
     search_extra,  # likewise (filtered kNN / hybrid RRF)
     sketch_extra,  # likewise (KMV distinct sketch)
+    quality_extra,  # likewise (PSI drift / column profiler)
 ]
 
 

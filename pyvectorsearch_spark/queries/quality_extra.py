@@ -1,0 +1,118 @@
+"""Data-quality / monitoring queries (outside the driver's pinned 50-entry
+window; covered by tests/test_oracle_parity.py against the same DuckDB
+oracles).
+
+Operators exercised: `operators/quality.py::psi_drift` (Population Stability
+Index drift alarm) and `profile_table` (single-pass column profiler).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.operators.quality import profile_table, psi_drift
+from pyvectorsearch_spark.sources.tables import load_table, spread
+
+PSI_BUCKET_W = 25.0
+PSI_BUCKETS = 20
+PSI_EPS = 1e-6
+PSI_SPLIT_DAY = 16
+
+
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type PSI between the first and second half of the month —
+    the distribution-drift alarm over the `value` feature."""
+    ev = spread(load_table(spark, sf_dir, "events")).withColumn(
+        "_is_cur", F.dayofmonth("ts") >= PSI_SPLIT_DAY
+    )
+    return psi_drift(
+        ev,
+        by="event_type",
+        value_col="value",
+        split_col="_is_cur",
+        bucket_width=PSI_BUCKET_W,
+        n_buckets=PSI_BUCKETS,
+        eps=PSI_EPS,
+    ).orderBy("event_type")
+
+
+ORACLE_EVENTS_PSI = f"""
+WITH h AS (
+  SELECT event_type,
+         least(CAST(floor(value / {PSI_BUCKET_W}) AS INT), {PSI_BUCKETS - 1}) AS b,
+         (date_part('day', ts) >= {PSI_SPLIT_DAY}) AS cur
+  FROM events
+),
+g AS (
+  SELECT event_type, b,
+         sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN cur THEN 1 ELSE 0 END) AS nc
+  FROM h GROUP BY event_type, b
+),
+t AS (
+  SELECT *, sum(nb) OVER (PARTITION BY event_type) AS tb,
+            sum(nc) OVER (PARTITION BY event_type) AS tc
+  FROM g
+),
+c AS (
+  SELECT event_type, tb, tc,
+         round((greatest(nc / greatest(tc, 1), {PSI_EPS})
+                - greatest(nb / greatest(tb, 1), {PSI_EPS}))
+               * ln(greatest(nc / greatest(tc, 1), {PSI_EPS})
+                    / greatest(nb / greatest(tb, 1), {PSI_EPS})), 6) AS contrib
+  FROM t
+)
+SELECT event_type, max(tb)::BIGINT AS n_base, max(tc)::BIGINT AS n_cur,
+       round(sum(contrib), 6) AS psi
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of `orders`: null counts, exact distincts,
+    numeric/string min-max — the schema-drift monitor row set."""
+    return profile_table(spread(load_table(spark, sf_dir, "orders")))
+
+
+# (column, kind) — kind drives which min/max cells are non-NULL; must match
+# operators.quality.profile_table's type dispatch on the parquet schema.
+_ORDERS_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "other"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _ORDERS_COLS:
+        min_num = f"round(min({c})::DOUBLE, 6)" if kind == "num" else "NULL::DOUBLE"
+        max_num = f"round(max({c})::DOUBLE, 6)" if kind == "num" else "NULL::DOUBLE"
+        min_str = f"min({c})" if kind == "str" else "NULL::VARCHAR"
+        max_str = f"max({c})" if kind == "str" else "NULL::VARCHAR"
+        parts.append(
+            f"""SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+  sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+  count(DISTINCT {c})::BIGINT AS n_distinct,
+  {min_num} AS min_num, {max_num} AS max_num,
+  {min_str} AS min_str, {max_str} AS max_str
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts) + '\nORDER BY "column"'
+
+
+ORACLE_PROFILE_ORDERS = _profile_oracle()
+
+
+QUERIES = {
+    "events_psi_drift": q_events_psi_drift,
+    "profile_orders": q_profile_orders,
+}
+ORACLES = {
+    "events_psi_drift": ORACLE_EVENTS_PSI,
+    "profile_orders": ORACLE_PROFILE_ORDERS,
+}
