@@ -404,3 +404,19 @@ def select_token_budget(
         .drop("_cin", "_prior")
     )
     return picked_full.unionByName(picked_boundary).drop("_qb")
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Reproducible global corpus shuffle: total order by
+    (md5(salt || id), id) — the training-order primitive. Same salt → same
+    order on every run and every engine; a new salt is a fresh epoch
+    permutation. The sort is a range exchange (distributed), and the key
+    column ``skey`` stays in the output so downstream stages can re-sort or
+    verify without recomputing."""
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return df.withColumn("skey", key).orderBy("skey", id_col)

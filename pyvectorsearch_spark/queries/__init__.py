@@ -12,6 +12,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     embedding_extra,
     formats,
     funnel_extra,
+    layout_extra,
     multimodal,
     pipeline,
     quality_extra,
@@ -81,6 +82,7 @@ _MODULES = [
     search_extra,  # likewise (filtered kNN / hybrid RRF)
     sketch_extra,  # likewise (KMV distinct sketch)
     quality_extra,  # likewise (PSI drift / column profiler)
+    layout_extra,  # likewise (Z-order layout / deterministic shuffle)
 ]
 
 
