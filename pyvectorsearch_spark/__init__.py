@@ -27,3 +27,48 @@ from pyvectorsearch_spark.api import (  # noqa: F401
     topk_global,
 )
 from pyvectorsearch_spark.session import get_spark  # noqa: F401
+
+# Curation-pipeline surface (the training-data extensions; each function is
+# documented in its operators/ module and oracle-checked via __spark_entry__).
+from pyvectorsearch_spark.operators.dedup import (  # noqa: F401
+    embedding_dup_pairs_bucketed,
+    exact_dedup,
+    jaccard_similarity_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    simhash_pairs_bucketed,
+)
+from pyvectorsearch_spark.operators.embeddings import (  # noqa: F401
+    centroid_outliers,
+    label_centroids,
+)
+from pyvectorsearch_spark.operators.funnel import (  # noqa: F401
+    funnel_conversion,
+    retention_cohorts,
+)
+from pyvectorsearch_spark.operators.layout import (  # noqa: F401
+    zorder_key,
+    zorder_layout_stats,
+)
+from pyvectorsearch_spark.operators.quality import (  # noqa: F401
+    profile_table,
+    psi_drift,
+)
+from pyvectorsearch_spark.operators.sampling import (  # noqa: F401
+    select_token_budget,
+    shuffle_deterministic,
+)
+from pyvectorsearch_spark.operators.sketches import kmv_distinct  # noqa: F401
+from pyvectorsearch_spark.operators.textops import (  # noqa: F401
+    bigram_lm_score,
+    bm25_rank,
+    c4_line_filter,
+    chunk_text,
+    doc_fingerprint,
+    language_id,
+    ngram_contamination,
+    pii_redact,
+    text_quality,
+    top_terms,
+    vocab_encode,
+)

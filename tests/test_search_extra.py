@@ -15,6 +15,9 @@ from tests.conftest import SF_SMOKE
 
 
 def test_filtered_knn_pushes_label_filter_to_scan(spark):
+    # a prior test may have persisted the embeddings scan; a cached relation
+    # has no PushedFilters node, so inspect a cache-free plan
+    spark.catalog.clearCache()
     df = q_knn_filtered(spark, SF_SMOKE)
     pf = pushed_filters(df)
     assert any("label" in f for f in pf), pf
