@@ -56,6 +56,14 @@ def psi_drift(
             F.sum(F.when(F.col("_cur"), 1).otherwise(0)).alias("_nc"),
         )
     )
+    return psi_from_histogram(hist, by=by, eps=eps)
+
+
+def psi_from_histogram(hist: DataFrame, *, by: str, eps: float = 1e-6) -> DataFrame:
+    """Fold a (``by``, _b, _nb, _nc) bucket histogram into per-group PSI —
+    split out so a STREAMING aggregation can build the histogram (the only
+    stateful part) and hand the tiny result to the same fold
+    (`queries/streaming_drift.py`)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(by)

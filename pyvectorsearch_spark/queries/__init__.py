@@ -22,6 +22,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     search_extra,
     sketch_extra,
     streaming,
+    streaming_drift,
     temporal,
     streaming_extra,
     text,
@@ -83,6 +84,7 @@ _MODULES = [
     sketch_extra,  # likewise (KMV distinct sketch)
     quality_extra,  # likewise (PSI drift / column profiler)
     layout_extra,  # likewise (Z-order layout / deterministic shuffle)
+    streaming_drift,  # likewise (streamed PSI histogram)
 ]
 
 
