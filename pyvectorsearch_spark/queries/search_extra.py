@@ -175,11 +175,101 @@ ORDER BY rrf DESC, id ASC LIMIT {RRF_TOPK}
 # every shipped SF (500+ docs, 4 common query terms). The fusion itself is
 # robust to shorter lists (outer join).
 
+SQ8_RERANK = 4 * K
+
+
+def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 approximate kNN with exact shortlist re-rank. Scalar
+    quantization is a CLOSED-FORM function of the data (per-dim min/max +
+    rounding), so unlike IVF/PQ the whole approximate path — codes,
+    approximate distances, shortlist, re-rank — is replicated in the DuckDB
+    oracle: the ANN result itself is hash-checked, not recall-floored."""
+    from pyvectorsearch_spark.index.sq import SQ8Index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # build is a single map-side-combined min/max pass (dim-sized result) —
+    # cheap enough to run in-query, unlike the k-means index families
+    idx = SQ8Index.build(emb)
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = idx.knn(probes, K, rerank=SQ8_RERANK)
+    return out.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank"
+    )
+
+
+def _oracle_sq8() -> str:
+    rng = f"range(1, {DIM + 1})"
+    code = (
+        f"list_transform({rng}, i -> least(greatest("
+        f"round((CAST(e.embedding[i] AS DOUBLE) - lo[i]) / step[i]), 0), 255))"
+    )
+    ad = (
+        f"list_sum(list_transform({rng}, i -> "
+        f"(CAST(q.qvec[i] AS DOUBLE) - (lo[i] + code[i] * step[i])) ^ 2))"
+    )
+    exact = duckdb_l2_sq("q.qvec", "e.embedding", DIM)
+    return f"""
+WITH u AS (
+  SELECT generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+st AS (
+  SELECT pos, min(v) AS lo_c,
+         CASE WHEN max(v) = min(v) THEN 1.0
+              ELSE (max(v) - min(v)) / 255.0 END AS step_c
+  FROM u GROUP BY pos
+),
+arrs AS (
+  SELECT list(lo_c ORDER BY pos) AS lo, list(step_c ORDER BY pos) AS step
+  FROM st
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id < {N_PROBES}
+),
+c AS (
+  SELECT e.vec_id, {code} AS code FROM embeddings e CROSS JOIN arrs
+),
+a AS (
+  SELECT q.qid, c.vec_id, {ad} AS ad
+  FROM q CROSS JOIN c CROSS JOIN arrs
+),
+short AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS r1
+    FROM a
+  ) WHERE r1 <= {SQ8_RERANK}
+),
+ex AS (
+  SELECT q.qid, e.vec_id, {exact} AS d
+  FROM short s
+  JOIN q ON q.qid = s.qid
+  JOIN embeddings e ON e.vec_id = s.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, d,
+         row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+  FROM ex
+)
+SELECT qid AS query_id, vec_id AS neighbor_id, round(d, 6) AS dist_sq, rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+ORACLE_KNN_SQ8 = _oracle_sq8()
+
+
 QUERIES = {
     "knn_filtered": q_knn_filtered,
     "hybrid_rrf": q_hybrid_rrf,
+    "knn_sq8": q_knn_sq8,
 }
 ORACLES = {
     "knn_filtered": ORACLE_KNN_FILTERED,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
+    "knn_sq8": ORACLE_KNN_SQ8,
 }

@@ -34,6 +34,54 @@ def test_filtered_knn_prefilter_semantics(spark):
     assert all(v == K for v in per_q.values()), per_q
 
 
+def test_sq8_quantization_error_bounded(spark):
+    # decode(encode(v)) must be within step/2 per dimension
+    from pyvectorsearch_spark.index.sq import SQ8Index, sq8_decode_expr
+    from pyvectorsearch_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = SQ8Index.build(emb)
+    dec = idx.df.select(
+        F.col(idx.vec_col).cast("array<double>").alias("v"),
+        sq8_decode_expr(F.col("_sq8"), idx.lo, idx.step).alias("vh"),
+    )
+    worst = dec.select(
+        F.array_max(
+            F.zip_with(
+                "v",
+                "vh",
+                lambda a, b: F.abs(a - b)
+                / F.lit(max(idx.step)),
+            )
+        ).alias("rel")
+    ).agg(F.max("rel")).collect()[0][0]
+    assert worst <= 0.5 + 1e-9
+
+
+def test_sq8_recall_perfect_on_smoke(spark):
+    # generous rerank on the smoke table: SQ8 shortlist + exact re-rank
+    # should recover the true top-k exactly
+    from pyvectorsearch_spark.index.sq import SQ8Index
+    from pyvectorsearch_spark.operators.knn import knn_join
+    from pyvectorsearch_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in SQ8Index.build(emb).knn(probes, 5, rerank=40).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_join(emb, probes, 5).collect()
+    }
+    assert got == want
+
+
 def test_hybrid_rrf_fuses_both_lists(spark):
     rows = q_hybrid_rrf(spark, SF_SMOKE).collect()
     assert len(rows) == RRF_TOPK
