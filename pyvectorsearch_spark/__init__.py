@@ -21,6 +21,7 @@ __version__ = "0.1.0"
 from pyvectorsearch_spark.api import (  # noqa: F401
     IVFIndex,
     IVFPQIndex,
+    SQ8Index,
     VectorIndex,
     knn_bruteforce,
     range_bruteforce,

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyvectorsearch_spark.index.grid import GridIndex as VectorIndex  # noqa: F401
 from pyvectorsearch_spark.index.ivf import IVFIndex  # noqa: F401
 from pyvectorsearch_spark.index.pq import IVFPQIndex  # noqa: F401
+from pyvectorsearch_spark.index.sq import SQ8Index  # noqa: F401
 from pyvectorsearch_spark.operators.knn import (  # noqa: F401
     knn_join as knn_bruteforce,
     range_join as range_bruteforce,

@@ -74,12 +74,18 @@ class SQ8Index:
     ) -> DataFrame:
         """Approximate shortlist on decoded bytes, exact top-k on the
         shortlist. ``rerank`` defaults to 4k."""
+        from pyvectorsearch_spark.operators.knn import _dim_guarded
+
         r = rerank or 4 * k
         qs = queries.select(
             F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
         )
         decoded = sq8_decode_expr(F.col("_sq8"), self.lo, self.step)
-        approx = l2_sq(decoded, F.col("_qvec"))
+        # same row-level dim guard as the brute-force paths: a mismatched
+        # probe must raise, not silently rank NULL distances first
+        approx = _dim_guarded(
+            l2_sq(decoded, F.col("_qvec")), decoded, F.col("_qvec")
+        )
         cand = (
             self.df.select(self.id_col, "_sq8")
             .crossJoin(F.broadcast(qs))

@@ -97,9 +97,13 @@ def profile_table(df: DataFrame, *, round_dp: int = 6) -> DataFrame:
     engine-comparable).
 
     Scale shape: ONE aggregation job computes every per-column statistic as
-    parallel agg expressions over a single scan (count_distinct adds a
-    per-column expand internally — still one job); the unpivot to long form
-    happens on the single result row. Returns
+    parallel agg expressions over a single scan; the unpivot to long form
+    happens on the single result row. Honest cost note: multiple EXACT
+    count_distincts make Catalyst expand the scan rows once per distinct
+    column (k columns -> k x rows into the partial aggregate). That is the
+    price of exactness (and of the oracle); a production profiler at 100 TB
+    swaps in approx_count_distinct (HLL sketch, no expand, one pass) at the
+    cost of the exact-parity check. Returns
     (column, n_rows, n_null, n_distinct, min_num, max_num, min_str,
     max_str) ordered by column name.
     """

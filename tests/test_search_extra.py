@@ -82,6 +82,19 @@ def test_sq8_recall_perfect_on_smoke(spark):
     assert got == want
 
 
+def test_sq8_dim_mismatch_raises(spark):
+    from pyvectorsearch_spark.index.sq import SQ8Index
+    from pyvectorsearch_spark.sources.tables import load_table
+
+    import pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = SQ8Index.build(emb)
+    bad = spark.createDataFrame([(0, [1.0, 2.0])], "query_id long, qvec array<double>")
+    with pytest.raises(Exception, match="dim mismatch"):
+        idx.knn(bad, 3).collect()
+
+
 def test_hybrid_rrf_fuses_both_lists(spark):
     rows = q_hybrid_rrf(spark, SF_SMOKE).collect()
     assert len(rows) == RRF_TOPK
