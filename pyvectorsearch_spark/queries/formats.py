@@ -207,15 +207,69 @@ ORDER BY source, lang
 """
 
 
+def q_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → CSV (header + full quoting, the reference's native
+    format — its only source is a CSV scan, `/root/reference/example_cpp/
+    main.cpp:16-41`) → declared-schema read back → rollup. Matching the
+    parquet-side oracle proves the CSV writer/reader pair survives quoting
+    and type round-trips (ints, free text) bit-for-bit."""
+    from pyspark.sql import types as T
+
+    path = _landing(
+        spark,
+        sf_dir,
+        "csv",
+        lambda tmp: load_table(spark, sf_dir, "documents")
+        .repartition(4)
+        .write.option("header", True)
+        .option("quoteAll", True)
+        .csv(tmp),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    docs = spark.read.csv(path, header=True, schema=schema)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.sum(F.length("text")).cast("bigint").alias("text_chars"),
+            F.sum(F.length("lang")).cast("bigint").alias("lang_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CSV_ROUNDTRIP = """
+SELECT source, count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(doc_id)::BIGINT AS id_checksum,
+       sum(length(text))::BIGINT AS text_chars,
+       sum(length(lang))::BIGINT AS lang_chars
+FROM documents
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "jsonl_roundtrip_stats": q_jsonl_roundtrip_stats,
     "pyds_vectorgen_stats": q_pyds_vectorgen_stats,
     "orc_roundtrip_stats": q_orc_roundtrip_stats,
     "partition_prune_stats": q_partition_prune_stats,
+    "csv_roundtrip_stats": q_csv_roundtrip_stats,
 }
 ORACLES = {
     "jsonl_roundtrip_stats": ORACLE_JSONL_ROUNDTRIP,
     "pyds_vectorgen_stats": ORACLE_PYDS_VECTORGEN,
     "orc_roundtrip_stats": ORACLE_ORC_ROUNDTRIP,
     "partition_prune_stats": ORACLE_PARTITION_PRUNE,
+    "csv_roundtrip_stats": ORACLE_CSV_ROUNDTRIP,
 }
