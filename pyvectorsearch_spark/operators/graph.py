@@ -99,3 +99,54 @@ def dup_clusters(
         docs[id_col],
         F.coalesce("cluster", docs[id_col]).alias("cluster_id"),
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    *,
+    src: str = "d1",
+    dst: str = "d2",
+    damping: float = 0.85,
+    iters: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected similarity graph — the
+    centrality companion to ``connected_components`` (a high-rank node is
+    the natural cluster REPRESENTATIVE to keep; public algorithm: Brin &
+    Page 1998, scale-invariant teleport form r' = (1-d) + d * Σ r_u/deg_u
+    with r0 = 1).
+
+    Determinism contract: per-edge contributions and per-round totals are
+    rounded to ``round_dp`` before use, so the fixed ``iters``-round result
+    is bit-identical across engines — the DuckDB oracle simply unrolls the
+    same ``iters`` rounds as CTE layers.
+
+    Scale shape: each round is one shuffle-join of ranks onto the edge
+    list's ``b`` side plus one map-side-combined ``groupBy(a).sum`` —
+    identical to a CC round; the edge table is checkpointed once and
+    pre-partitioned on the lookup key so rounds re-sort but never
+    re-exchange it.
+
+    Returns (node, pagerank)."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .repartition("b")
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("b").agg(F.count("*").alias("_deg"))
+    ranks = deg.select(F.col("b").alias("node"), F.lit(1.0).alias("r"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, "b")
+            .join(ranks.withColumnRenamed("node", "b"), "b")
+            .select("a", F.round(F.col("r") / F.col("_deg"), round_dp).alias("_c"))
+        )
+        ranks = contrib.groupBy("a").agg(
+            F.round(
+                (1.0 - damping) + damping * F.round(F.sum("_c"), round_dp),
+                round_dp,
+            ).alias("r")
+        ).select(F.col("a").alias("node"), "r")
+    return ranks.select("node", F.col("r").alias("pagerank"))

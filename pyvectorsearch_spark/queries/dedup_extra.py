@@ -95,5 +95,70 @@ FROM totals t LEFT JOIN ka USING (label) ORDER BY t.label
 """
 
 
-QUERIES = {"dedup_embedding_keep": q_dedup_embedding_keep}
-ORACLES = {"dedup_embedding_keep": ORACLE_EMB_KEEP}
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the Jaccard near-dup graph (3 fixed rounds,
+    deterministic rounding): high-rank nodes are the natural cluster
+    representatives. The oracle unrolls the identical 3 rounds as CTE
+    layers over the same brute-force pair derivation."""
+    from pyvectorsearch_spark.operators.dedup import jaccard_similarity_pairs
+    from pyvectorsearch_spark.operators.graph import pagerank
+    from pyvectorsearch_spark.queries.dedup import JACCARD_THRESHOLD
+    from pyvectorsearch_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_similarity_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return pagerank(
+        pairs, damping=PR_DAMPING, iters=PR_ITERS
+    ).orderBy(F.desc("pagerank"), "node")
+
+
+def _oracle_pagerank() -> str:
+    # _JACCARD_CTES already ends with the thresholded `jpairs` CTE
+    from pyvectorsearch_spark.queries.dedup import _JACCARD_CTES
+
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT e.a AS node,
+         round({1.0 - PR_DAMPING} + {PR_DAMPING}
+               * round(sum(round({prev}.r / deg._deg, 6)), 6), 6) AS r
+  FROM edges e
+  JOIN deg ON deg.node = e.b
+  JOIN {prev} ON {prev}.node = e.b
+  GROUP BY e.a
+)"""
+        )
+        prev = f"r{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH {_JACCARD_CTES},
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM jpairs
+  UNION
+  SELECT d2, d1 FROM jpairs
+),
+deg AS (SELECT b AS node, count(*) AS _deg FROM edges GROUP BY b),
+r0 AS (SELECT node, 1.0 AS r FROM deg),
+{rounds_sql}
+SELECT node, r AS pagerank FROM {prev}
+ORDER BY pagerank DESC, node
+"""
+
+
+ORACLE_DEDUP_PAGERANK = _oracle_pagerank()
+
+
+QUERIES = {
+    "dedup_embedding_keep": q_dedup_embedding_keep,
+    "dedup_pagerank": q_dedup_pagerank,
+}
+ORACLES = {
+    "dedup_embedding_keep": ORACLE_EMB_KEEP,
+    "dedup_pagerank": ORACLE_DEDUP_PAGERANK,
+}
