@@ -29,6 +29,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     text_extra,
     text_lm,
     text_rank,
+    timeseries_extra,
     tpch_extra,
     udf,
     vector,
@@ -85,6 +86,7 @@ _MODULES = [
     quality_extra,  # likewise (PSI drift / column profiler)
     layout_extra,  # likewise (Z-order layout / deterministic shuffle)
     streaming_drift,  # likewise (streamed PSI histogram)
+    timeseries_extra,  # likewise (dense resample / interpolation)
 ]
 
 

@@ -1,0 +1,143 @@
+"""Time-series queries (outside the driver's pinned 50-entry window; covered
+by tests/test_oracle_parity.py against the same DuckDB oracles).
+
+Operators exercised: `operators/timeseries.py::resample_counts` (dense
+fixed-width grid with zero-filled gaps) and `interpolate_gaps` (linear
+in-fill over missing cells). Buckets are epoch-second integers — engine-
+exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.operators.timeseries import interpolate_gaps, resample_counts
+from pyvectorsearch_spark.sources.tables import load_table, spread
+
+TS_WIDTH_S = 900  # 15-minute buckets
+
+
+def q_events_resample_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 15-minute resampling of the event stream per type: every
+    bucket between a type's first and last event, zero-filled counts and
+    NULL value sums for empty buckets."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    return resample_counts(
+        ev, by="event_type", ts_col="ts", value_col="value", width_s=TS_WIDTH_S
+    ).orderBy("event_type", "bucket_epoch")
+
+
+ORACLE_RESAMPLE = f"""
+WITH h AS (
+  SELECT event_type,
+         (floor(epoch(ts) / {TS_WIDTH_S}) * {TS_WIDTH_S})::BIGINT AS be,
+         count(*)::BIGINT AS n, round(sum(value), 6) AS tv
+  FROM events GROUP BY event_type, be
+),
+mm AS (SELECT event_type, min(be) AS mn, max(be) AS mx FROM h GROUP BY event_type),
+grid AS (
+  SELECT event_type, unnest(range(mn, mx + 1, {TS_WIDTH_S})) AS be FROM mm
+)
+SELECT g.event_type, g.be AS bucket_epoch,
+       coalesce(h.n, 0)::BIGINT AS n, h.tv AS total_value
+FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.be = g.be
+ORDER BY g.event_type, bucket_epoch
+"""
+
+
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the empty buckets of the dense grid,
+    summarized per type with a digest over every filled cell (values scaled
+    to exact integers so the digest is engine-stable)."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    grid = resample_counts(
+        ev, by="event_type", ts_col="ts", value_col="value", width_s=TS_WIDTH_S
+    )
+    filled = interpolate_gaps(grid, by="event_type")
+    fb = F.round(F.col("filled") * 1_000_000).cast("bigint")
+    return (
+        filled.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("was_gap").cast("bigint").alias("n_gaps"),
+            F.round(F.sum(fb) / 1_000_000.0, 4).alias("filled_sum"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("bucket_epoch", fb.alias("_fb")))
+                        ),
+                        lambda s: s["_fb"].cast("string"),
+                    ),
+                )
+            ).alias("filled_digest"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_INTERPOLATE = f"""
+WITH h AS (
+  SELECT event_type,
+         (floor(epoch(ts) / {TS_WIDTH_S}) * {TS_WIDTH_S})::BIGINT AS be,
+         round(sum(value), 6) AS tv
+  FROM events GROUP BY event_type, be
+),
+mm AS (SELECT event_type, min(be) AS mn, max(be) AS mx FROM h GROUP BY event_type),
+grid AS (
+  SELECT event_type, unnest(range(mn, mx + 1, {TS_WIDTH_S})) AS be FROM mm
+),
+g AS (
+  SELECT grid.event_type, grid.be, h.tv
+  FROM grid LEFT JOIN h ON h.event_type = grid.event_type AND h.be = grid.be
+),
+w AS (
+  SELECT event_type, be, tv,
+         last_value(tv IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY be
+            ROWS UNBOUNDED PRECEDING) AS pv,
+         last_value(CASE WHEN tv IS NOT NULL THEN be::DOUBLE END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY be
+                 ROWS UNBOUNDED PRECEDING) AS pt,
+         first_value(tv IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY be
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN tv IS NOT NULL THEN be::DOUBLE END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY be
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM g
+),
+f AS (
+  SELECT event_type, be,
+         CASE WHEN tv IS NULL THEN 1 ELSE 0 END AS was_gap,
+         round(
+           CASE WHEN tv IS NOT NULL THEN tv
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) * (be::DOUBLE - pt) / (nt - pt)
+           END, 6) AS filled
+  FROM w
+),
+s AS (
+  SELECT event_type, be, was_gap,
+         round(filled * 1000000)::BIGINT AS fb
+  FROM f
+)
+SELECT event_type, count(*)::BIGINT AS n_buckets,
+       sum(was_gap)::BIGINT AS n_gaps,
+       round(sum(fb) / 1000000.0, 4) AS filled_sum,
+       md5(string_agg(fb::VARCHAR, ',' ORDER BY be)) AS filled_digest
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "events_resample_15m": q_events_resample_15m,
+    "events_interpolate": q_events_interpolate,
+}
+ORACLES = {
+    "events_resample_15m": ORACLE_RESAMPLE,
+    "events_interpolate": ORACLE_INTERPOLATE,
+}
