@@ -133,11 +133,70 @@ FROM s GROUP BY event_type ORDER BY event_type
 """
 
 
+ROLL_W = 4  # trailing 4-bucket (1-hour) window
+
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling statistics over the dense grid: moving
+    average / max / min of the 15-minute counts per type (exact integer
+    sums ÷ varying window width — deterministic division, rounded 6 dp).
+    The dense grid matters: without gap fill the window would skip empty
+    buckets and overstate activity."""
+    from pyspark.sql import Window
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    grid = resample_counts(ev, by="event_type", ts_col="ts", width_s=TS_WIDTH_S)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(-(ROLL_W - 1), Window.currentRow)
+    )
+    return (
+        grid.select(
+            "event_type",
+            "bucket_epoch",
+            "n",
+            F.round(F.avg("n").over(w), 6).alias("roll_avg"),
+            F.max("n").over(w).alias("roll_max"),
+            F.min("n").over(w).alias("roll_min"),
+        )
+        .orderBy("event_type", "bucket_epoch")
+    )
+
+
+ORACLE_ROLLING = f"""
+WITH h AS (
+  SELECT event_type,
+         (floor(epoch(ts) / {TS_WIDTH_S}) * {TS_WIDTH_S})::BIGINT AS be,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, be
+),
+mm AS (SELECT event_type, min(be) AS mn, max(be) AS mx FROM h GROUP BY event_type),
+grid AS (
+  SELECT mm.event_type, unnest(range(mn, mx + 1, {TS_WIDTH_S})) AS be FROM mm
+),
+g AS (
+  SELECT grid.event_type, grid.be, coalesce(h.n, 0)::BIGINT AS n
+  FROM grid LEFT JOIN h ON h.event_type = grid.event_type AND h.be = grid.be
+)
+SELECT event_type, be AS bucket_epoch, n,
+       round(avg(n) OVER w, 6) AS roll_avg,
+       max(n) OVER w AS roll_max,
+       min(n) OVER w AS roll_min
+FROM g
+WINDOW w AS (PARTITION BY event_type ORDER BY be
+             ROWS BETWEEN {ROLL_W - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_type, bucket_epoch
+"""
+
+
 QUERIES = {
     "events_resample_15m": q_events_resample_15m,
     "events_interpolate": q_events_interpolate,
+    "events_rolling": q_events_rolling,
 }
 ORACLES = {
     "events_resample_15m": ORACLE_RESAMPLE,
     "events_interpolate": ORACLE_INTERPOLATE,
+    "events_rolling": ORACLE_ROLLING,
 }
