@@ -19,6 +19,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     relational,
     sampling,
     sampling_extra,
+    scd_extra,
     search_extra,
     sketch_extra,
     streaming,
@@ -87,6 +88,7 @@ _MODULES = [
     layout_extra,  # likewise (Z-order layout / deterministic shuffle)
     streaming_drift,  # likewise (streamed PSI histogram)
     timeseries_extra,  # likewise (dense resample / interpolation)
+    scd_extra,  # likewise (Type-2 dimension merge)
 ]
 
 

@@ -1,0 +1,136 @@
+"""SCD2 dimension-merge query (outside the driver's pinned 50-entry window;
+covered by tests/test_oracle_parity.py).
+
+Operator exercised: `operators/scd.py::scd2_merge` (Kimball Type-2 merge).
+The query synthesizes a deterministic "previous state + new snapshot" pair
+from the customer table (closed history for every 7th key, an attribute
+change for every 5th, a deletion for every 11th, a brand-new key for every
+13th) and reports the merged table grouped by validity interval with a
+row-content checksum — pinning exactly which keys ended up open, closed,
+inserted, and passed through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.operators.scd import scd2_merge
+from pyvectorsearch_spark.sources.tables import load_table, spread
+
+T0, T1, T2 = 0, 500, 2000
+NEW_KEY_OFFSET = 1_000_000
+
+
+def _state_and_snapshot(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    cust = spread(load_table(spark, sf_dir, "customer")).select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
+    )
+    k = F.col("k")
+    # previous SCD state: every 7th key has one closed epoch [0, 500) with a
+    # planted old segment, then its open row starts at 500; others open at 0
+    closed = cust.filter(k % 7 == 0).select(
+        "k",
+        F.lit("OLDSEG").alias("seg"),
+        F.lit(T0).cast("bigint").alias("valid_from"),
+        F.lit(T1).cast("bigint").alias("valid_to"),
+    )
+    open_rows = cust.select(
+        "k",
+        "seg",
+        F.when(k % 7 == 0, F.lit(T1)).otherwise(F.lit(T0)).cast("bigint").alias(
+            "valid_from"
+        ),
+        F.lit(None).cast("bigint").alias("valid_to"),
+    )
+    current = closed.unionByName(open_rows)
+    # incoming snapshot: every 5th key changes segment, every 11th is gone,
+    # every 13th also appears as a brand-new key
+    snap_existing = cust.filter(k % 11 != 0).select(
+        "k",
+        F.when(k % 5 == 0, F.lit("CHANGED")).otherwise(F.col("seg")).alias("seg"),
+    )
+    snap_new = cust.filter(k % 13 == 0).select(
+        (k + NEW_KEY_OFFSET).alias("k"), F.lit("NEWSEG").alias("seg")
+    )
+    return current, snap_existing.unionByName(snap_new)
+
+
+def q_scd2_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 merge of the synthesized snapshot at t=2000, grouped by
+    validity interval with key/content checksums."""
+    current, snapshot = _state_and_snapshot(spark, sf_dir)
+    merged = scd2_merge(current, snapshot, key="k", tracked=["seg"], batch_ts=T2)
+    chk = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("k").cast("string"), "seg")), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000_007
+    )
+    return (
+        merged.groupBy(
+            "valid_from", F.coalesce("valid_to", F.lit(-1)).alias("valid_to")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count_distinct("k").cast("bigint").alias("n_keys"),
+            F.sum(chk).cast("bigint").alias("content_checksum"),
+        )
+        .orderBy("valid_from", "valid_to")
+    )
+
+
+ORACLE_SCD2 = f"""
+WITH cust AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+closed AS (
+  SELECT k, 'OLDSEG' AS seg, {T0}::BIGINT AS vf, {T1}::BIGINT AS vt
+  FROM cust WHERE k % 7 = 0
+),
+open_rows AS (
+  SELECT k, seg,
+         (CASE WHEN k % 7 = 0 THEN {T1} ELSE {T0} END)::BIGINT AS vf,
+         NULL::BIGINT AS vt
+  FROM cust
+),
+current AS (SELECT * FROM closed UNION ALL SELECT * FROM open_rows),
+snap AS (
+  SELECT k, CASE WHEN k % 5 = 0 THEN 'CHANGED' ELSE seg END AS seg
+  FROM cust WHERE k % 11 <> 0
+  UNION ALL
+  SELECT k + {NEW_KEY_OFFSET}, 'NEWSEG' FROM cust WHERE k % 13 = 0
+),
+cur_open AS (SELECT * FROM current WHERE vt IS NULL),
+cur_closed AS (SELECT * FROM current WHERE vt IS NOT NULL),
+j AS (
+  SELECT coalesce(c.k, s.k) AS k, c.seg AS cseg, s.seg AS nseg, c.vf,
+         (c.k IS NOT NULL) AS in_cur, (s.k IS NOT NULL) AS in_new
+  FROM cur_open c FULL OUTER JOIN snap s ON c.k = s.k
+),
+merged AS (
+  SELECT k, seg, vf, vt FROM cur_closed
+  UNION ALL
+  SELECT k, cseg, vf, NULL::BIGINT FROM j
+  WHERE in_cur AND in_new AND cseg IS NOT DISTINCT FROM nseg
+  UNION ALL
+  SELECT k, cseg, vf, {T2}::BIGINT FROM j
+  WHERE in_cur AND ((in_new AND cseg IS DISTINCT FROM nseg) OR NOT in_new)
+  UNION ALL
+  SELECT k, nseg, {T2}::BIGINT, NULL::BIGINT FROM j
+  WHERE in_new AND (NOT in_cur OR cseg IS DISTINCT FROM nseg)
+)
+SELECT vf AS valid_from, coalesce(vt, -1) AS valid_to,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT k)::BIGINT AS n_keys,
+       sum(('0x' || substr(md5(k::VARCHAR || '|' || seg), 1, 12))::BIGINT
+           % 1000000007)::BIGINT AS content_checksum
+FROM merged
+GROUP BY vf, vt ORDER BY valid_from, valid_to
+"""
+
+
+QUERIES = {"scd2_merge_stats": q_scd2_merge_stats}
+ORACLES = {"scd2_merge_stats": ORACLE_SCD2}
