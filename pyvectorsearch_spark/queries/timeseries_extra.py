@@ -190,13 +190,97 @@ ORDER BY event_type, bucket_epoch
 """
 
 
+ANOM_W = 16  # 4-hour trailing baseline, current bucket excluded
+ANOM_SIGMA = 2.0
+
+
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the dense grid: buckets whose
+    count deviates more than 2 sigma from the trailing 4-hour baseline
+    (current bucket excluded; only full windows flag). The rolling moments
+    are EXACT integer sums (sum, sum of squares over bigint counts), so
+    mean/variance are deterministic double divisions — no Welford-vs-naive
+    engine divergence can occur."""
+    from pyspark.sql import Window
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    grid = resample_counts(ev, by="event_type", ts_col="ts", width_s=TS_WIDTH_S)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(-ANOM_W, -1)
+    )
+    s = F.sum("n").over(w).cast("double")
+    sq = F.sum(F.col("n") * F.col("n")).over(w).cast("double")
+    cnt = F.count("n").over(w).cast("double")
+    mean = s / cnt
+    var = sq / cnt - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    flagged = (
+        grid.withColumn("_mean", mean)
+        .withColumn("_sd", sd)
+        .withColumn("_cnt", cnt)
+        .filter(
+            (F.col("_cnt") == ANOM_W)
+            & (F.abs(F.col("n") - F.col("_mean")) > ANOM_SIGMA * F.col("_sd"))
+        )
+    )
+    return flagged.select(
+        "event_type",
+        "bucket_epoch",
+        "n",
+        F.round("_mean", 6).alias("baseline_mean"),
+        F.round("_sd", 6).alias("baseline_sd"),
+    ).orderBy("event_type", "bucket_epoch")
+
+
+ORACLE_ANOMALIES = f"""
+WITH h AS (
+  SELECT event_type,
+         (floor(epoch(ts) / {TS_WIDTH_S}) * {TS_WIDTH_S})::BIGINT AS be,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, be
+),
+mm AS (SELECT event_type, min(be) AS mn, max(be) AS mx FROM h GROUP BY event_type),
+grid AS (
+  SELECT mm.event_type, unnest(range(mn, mx + 1, {TS_WIDTH_S})) AS be FROM mm
+),
+g AS (
+  SELECT grid.event_type, grid.be, coalesce(h.n, 0)::BIGINT AS n
+  FROM grid LEFT JOIN h ON h.event_type = grid.event_type AND h.be = grid.be
+),
+m AS (
+  SELECT event_type, be, n,
+         sum(n) OVER w::DOUBLE AS s,
+         sum(n * n) OVER w::DOUBLE AS sq,
+         count(n) OVER w::DOUBLE AS cnt
+  FROM g
+  WINDOW w AS (PARTITION BY event_type ORDER BY be
+               ROWS BETWEEN {ANOM_W} PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT event_type, be, n, s / cnt AS mean,
+         sqrt(greatest(sq / cnt - (s / cnt) * (s / cnt), 0.0)) AS sd, cnt
+  FROM m
+)
+SELECT event_type, be AS bucket_epoch, n,
+       round(mean, 6) AS baseline_mean,
+       round(sd, 6) AS baseline_sd
+FROM z
+WHERE cnt = {ANOM_W} AND abs(n - mean) > {ANOM_SIGMA} * sd
+ORDER BY event_type, bucket_epoch
+"""
+
+
 QUERIES = {
     "events_resample_15m": q_events_resample_15m,
     "events_interpolate": q_events_interpolate,
     "events_rolling": q_events_rolling,
+    "events_anomalies": q_events_anomalies,
 }
 ORACLES = {
     "events_resample_15m": ORACLE_RESAMPLE,
     "events_interpolate": ORACLE_INTERPOLATE,
     "events_rolling": ORACLE_ROLLING,
+    "events_anomalies": ORACLE_ANOMALIES,
 }
