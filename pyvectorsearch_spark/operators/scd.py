@@ -48,7 +48,7 @@ def scd2_merge(
     cur = open_rows.select(
         F.col(key).alias("_k"),
         *[F.col(c).alias(f"_c_{c}") for c in tracked],
-        F.col(from_col).alias("_vf"),
+        F.col(from_col).cast("bigint").alias("_vf"),
     )
     new = snapshot.select(
         F.col(key).alias("_k"), *[F.col(c).alias(f"_n_{c}") for c in tracked]
@@ -85,7 +85,10 @@ def scd2_merge(
         F.lit(None).cast("bigint").alias(to_col),
     )
     passthrough = closed_rows.select(
-        key, *tracked, F.col(from_col), F.col(to_col).cast("bigint")
+        key,
+        *tracked,
+        F.col(from_col).cast("bigint").alias(from_col),
+        F.col(to_col).cast("bigint").alias(to_col),
     )
     return (
         passthrough.unionByName(unchanged)
