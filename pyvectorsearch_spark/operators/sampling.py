@@ -420,3 +420,49 @@ def shuffle_deterministic(
     verify without recomputing."""
     key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     return df.withColumn("skey", key).orderBy("skey", id_col)
+
+
+def sample_weighted_k(
+    df: DataFrame,
+    *,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+    sub_shards: int = 16,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-Res): each row draws u = hash(salt || id) in (0,1) and
+    scores key = ln(u) / w; the k LARGEST keys win — inclusion probability
+    proportional to weight, reproducible across runs and engines because u
+    is the 52-bit md5 hash, not a RNG. The standard quality-weighted corpus
+    subsample.
+
+    Scale shape: two-phase top-k (the `sample_exact_k` pattern) — phase 1
+    keeps k per hash sub-shard so no single task sorts the corpus; phase 2
+    ranks the <= k*sub_shards survivors. Keys are rounded to 9 dp with id
+    tiebreak so the ranking is engine-stable.
+
+    Rows with weight <= 0 are excluded (they have -inf keys in the limit;
+    the oracle mirrors the filter). Returns the winning rows plus
+    (ws_key, ws_rank)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyvectorsearch_spark.operators.sketches import kmv_hash
+
+    u = kmv_hash(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    key = F.round(F.log(u) / F.col(weight_col), 9)
+    d = df.filter(F.col(weight_col) > 0).withColumn("ws_key", key)
+    shard = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "#"), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("bigint") % sub_shards
+    w1 = Window.partitionBy(shard).orderBy(F.desc("ws_key"), F.col(id_col))
+    cand = d.withColumn("_r1", F.row_number().over(w1)).filter(F.col("_r1") <= k)
+    w2 = Window.orderBy(F.desc("ws_key"), F.col(id_col))
+    return (
+        cand.withColumn("ws_rank", F.row_number().over(w2))
+        .filter(F.col("ws_rank") <= k)
+        .drop("_r1")
+    )

@@ -166,13 +166,65 @@ FROM sel
 ORACLE_SAMPLE_TOKEN_BUDGET = _oracle_token_budget()
 
 
+WEIGHTED_K = 25
+WS_SALT = "wsample"
+
+
+def q_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sample of 25 documents without replacement
+    (Efraimidis-Spirakis A-Res with md5 keys — deterministic, so even the
+    'random' sample is oracle-checked)."""
+    from pyvectorsearch_spark.functions.text import tokens
+    from pyvectorsearch_spark.operators.sampling import sample_weighted_k
+    from pyvectorsearch_spark.operators.textops import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_score_col(F.col("text"), tokens("text")).alias("w"),
+    )
+    out = sample_weighted_k(docs, k=WEIGHTED_K, weight_col="w", salt=WS_SALT)
+    return out.select("doc_id", "w", "ws_key", "ws_rank").orderBy("ws_rank")
+
+
+def _oracle_weighted_k() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_quality, duckdb_tokens
+    from pyvectorsearch_spark.operators.sketches import HEX_DIGITS
+
+    tok = duckdb_tokens("text")
+    qual = duckdb_quality("text", tok)
+    scale = float(16**HEX_DIGITS)
+    u = (
+        f"('0x' || substr(md5('{WS_SALT}' || doc_id::VARCHAR), 1, {HEX_DIGITS}))"
+        f"::BIGINT / {scale!r}"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {qual} AS w FROM documents),
+keyed AS (
+  SELECT doc_id, w, round(ln({u}) / w, 9) AS ws_key
+  FROM d WHERE w > 0
+),
+r AS (
+  SELECT doc_id, w, ws_key,
+         row_number() OVER (ORDER BY ws_key DESC, doc_id) AS ws_rank
+  FROM keyed
+)
+SELECT doc_id, w, ws_key, ws_rank FROM r WHERE ws_rank <= {WEIGHTED_K}
+ORDER BY ws_rank
+"""
+
+
+ORACLE_SAMPLE_WEIGHTED_K = _oracle_weighted_k()
+
+
 QUERIES = {
     "sample_pack_greedy_sharded": q_sample_pack_greedy_sharded,
     "sample_exact_k": q_sample_exact_k,
     "sample_token_budget": q_sample_token_budget,
+    "sample_weighted_k": q_sample_weighted_k,
 }
 ORACLES = {
     "sample_pack_greedy_sharded": ORACLE_PACK_GREEDY_SHARDED,
     "sample_exact_k": ORACLE_SAMPLE_EXACT_K,
     "sample_token_budget": ORACLE_SAMPLE_TOKEN_BUDGET,
+    "sample_weighted_k": ORACLE_SAMPLE_WEIGHTED_K,
 }
