@@ -55,9 +55,19 @@ from pyvectorsearch_spark.operators.quality import (  # noqa: F401
     profile_table,
     psi_drift,
 )
+from pyvectorsearch_spark.operators.graph import (  # noqa: F401
+    connected_components,
+    pagerank,
+)
 from pyvectorsearch_spark.operators.sampling import (  # noqa: F401
+    sample_weighted_k,
     select_token_budget,
     shuffle_deterministic,
+)
+from pyvectorsearch_spark.operators.scd import scd2_merge  # noqa: F401
+from pyvectorsearch_spark.operators.timeseries import (  # noqa: F401
+    interpolate_gaps,
+    resample_counts,
 )
 from pyvectorsearch_spark.operators.sketches import kmv_distinct  # noqa: F401
 from pyvectorsearch_spark.operators.textops import (  # noqa: F401
