@@ -54,6 +54,51 @@ def label_centroids(
     )
 
 
+def negative_samples(
+    anchors: DataFrame,
+    pool: DataFrame,
+    *,
+    k: int = 5,
+    anchor_id: str = "anchor_id",
+    pool_id: str = "vec_id",
+    label_col: str = "label",
+    salt: str = "negatives",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    anchor, the ``k`` pool rows with a DIFFERENT label, ranked by
+    md5(salt || anchor || candidate) — a reproducible pseudo-random draw
+    (the md5-keyed analog of in-batch negative selection; new salt = new
+    epoch's negatives).
+
+    Scale shape: the anchor side is a training batch (hundreds-thousands of
+    rows) and BROADCASTS; the pool scans once and the pair stream is
+    anchors x pool filtered before the per-anchor top-k window — the
+    documented regime is |anchors| << |pool|, the contrastive-batch case.
+
+    Returns (``anchor_id``, neg_id, rank)."""
+    a = anchors.select(
+        F.col(anchor_id).alias("_aid"), F.col(label_col).alias("_albl")
+    )
+    p = pool.select(F.col(pool_id).alias("_pid"), F.col(label_col).alias("_plbl"))
+    key = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col("_aid").cast("string"),
+            F.lit("|"),
+            F.col("_pid").cast("string"),
+        )
+    )
+    pairs = p.crossJoin(F.broadcast(a)).filter(
+        F.col("_plbl") != F.col("_albl")
+    )
+    w = Window.partitionBy("_aid").orderBy(key, F.col("_pid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_aid").alias(anchor_id), F.col("_pid").alias("neg_id"), "rank")
+    )
+
+
 def centroid_outliers(
     df: DataFrame,
     *,

@@ -11,6 +11,7 @@ Operators exercised:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.functions.vector import duckdb_dot
 from pyvectorsearch_spark.operators.embeddings import centroid_outliers
@@ -69,5 +70,50 @@ ORDER BY label, rank
 """
 
 
-QUERIES = {"embedding_outliers": q_embedding_outliers}
-ORACLES = {"embedding_outliers": ORACLE_EMBEDDING_OUTLIERS}
+NEG_K = 5
+NEG_ANCHORS = 8
+NEG_SALT = "negatives"
+
+
+def q_embedding_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives: for the first 8 vectors, 5
+    different-label pool rows each, drawn by md5 ranking (reproducible —
+    and therefore oracle-checkable — pseudo-randomness)."""
+    from pyvectorsearch_spark.operators.embeddings import negative_samples
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    anchors = emb.filter(F.col("vec_id") < NEG_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"), "label"
+    )
+    return negative_samples(anchors, emb, k=NEG_K, salt=NEG_SALT).orderBy(
+        "anchor_id", "rank"
+    )
+
+
+ORACLE_EMBEDDING_NEGATIVES = f"""
+WITH a AS (
+  SELECT vec_id AS aid, label AS albl FROM embeddings WHERE vec_id < {NEG_ANCHORS}
+),
+pairs AS (
+  SELECT a.aid, p.vec_id AS pid,
+         md5('{NEG_SALT}' || a.aid::VARCHAR || '|' || p.vec_id::VARCHAR) AS key
+  FROM a JOIN embeddings p ON p.label <> a.albl
+),
+r AS (
+  SELECT aid, pid,
+         row_number() OVER (PARTITION BY aid ORDER BY key, pid) AS rank
+  FROM pairs
+)
+SELECT aid AS anchor_id, pid AS neg_id, rank FROM r WHERE rank <= {NEG_K}
+ORDER BY anchor_id, rank
+"""
+
+
+QUERIES = {
+    "embedding_outliers": q_embedding_outliers,
+    "embedding_negatives": q_embedding_negatives,
+}
+ORACLES = {
+    "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
+    "embedding_negatives": ORACLE_EMBEDDING_NEGATIVES,
+}
