@@ -759,3 +759,54 @@ def embedding_dup_pairs_bucketed(
         .filter(F.col("cosine") >= min_cosine)
         .select("d1", "d2", "cosine")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 30,
+    candidate_threshold: float = 0.3,
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH-blocked EDIT-DISTANCE near-duplicates: MinHash/LSH candidate
+    generation (no all-pairs), then exact Levenshtein verification on the
+    normalized text — the character-level complement to token-set Jaccard
+    (catches small in-word edits Jaccard's whole-token granularity misses).
+
+    Scale shape: the only quadratic work (the Levenshtein DP) runs on LSH
+    bucket collisions only; a length-difference prefilter (|len1 - len2| >
+    max_dist => distance must exceed max_dist) skips the DP entirely for
+    hopeless pairs, and Spark's thresholded ``levenshtein(l, r, k)`` form
+    abandons the DP early row-side. Distances are integers — engine-exact.
+
+    Returns (d1, d2, edit_dist) with edit_dist <= max_dist."""
+    from pyvectorsearch_spark.functions.text import tokens
+
+    norm = F.concat_ws(" ", tokens(text_col))
+    texts = df.select(F.col(id_col).alias("_tid"), norm.alias("_nt"))
+    cand = minhash_lsh_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        n_hashes=n_hashes,
+        bands=bands,
+        threshold=candidate_threshold,
+    ).select("d1", "d2")
+    j = (
+        cand.join(texts.withColumnRenamed("_tid", "d1").withColumnRenamed("_nt", "_t1"), "d1")
+        .join(texts.withColumnRenamed("_tid", "d2").withColumnRenamed("_nt", "_t2"), "d2")
+        .filter(
+            F.abs(F.length("_t1") - F.length("_t2")) <= max_dist
+        )
+    )
+    dist = F.levenshtein("_t1", "_t2", max_dist)
+    return (
+        j.withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") >= 0)
+        .select("d1", "d2", F.col("edit_dist").cast("int").alias("edit_dist"))
+    )

@@ -154,11 +154,79 @@ ORDER BY pagerank DESC, node
 ORACLE_DEDUP_PAGERANK = _oracle_pagerank()
 
 
+ED_MAX_DIST = 30
+ED_CAND_THRESHOLD = 0.3
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: LSH candidates verified by exact
+    Levenshtein <= 30 on the normalized text (length-difference prefilter
+    before the quadratic DP; Spark's thresholded levenshtein abandons the
+    DP early)."""
+    from pyvectorsearch_spark.operators.dedup import edit_distance_pairs
+    from pyvectorsearch_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return edit_distance_pairs(
+        docs, max_dist=ED_MAX_DIST, candidate_threshold=ED_CAND_THRESHOLD
+    ).orderBy("d1", "d2")
+
+
+def _oracle_edit_distance() -> str:
+    from pyvectorsearch_spark.queries.dedup import (
+        _BAND_KEY,
+        _SH,
+        _SIG,
+        _TOK,
+        BANDS,
+        N_HASHES,
+    )
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+sh AS (SELECT doc_id, {_SH} AS s FROM toks WHERE len({_SH}) > 0),
+sig AS (SELECT doc_id, {_SIG} AS sig FROM sh),
+banded AS (
+  SELECT doc_id, b, md5({_BAND_KEY}) AS bkey
+  FROM sig, unnest(range(0, {BANDS})) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT d1, d2,
+         list_sum(list_transform(range(1, {N_HASHES + 1}),
+                  i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END))
+           / {float(N_HASHES)} AS est_jaccard
+  FROM cand JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id
+),
+texts AS (SELECT doc_id, array_to_string({_TOK}, ' ') AS nt FROM documents),
+v AS (
+  SELECT e.d1, e.d2, levenshtein(t1.nt, t2.nt) AS edit_dist
+  FROM est e
+  JOIN texts t1 ON t1.doc_id = e.d1
+  JOIN texts t2 ON t2.doc_id = e.d2
+  WHERE e.est_jaccard >= {ED_CAND_THRESHOLD}
+    AND abs(length(t1.nt) - length(t2.nt)) <= {ED_MAX_DIST}
+)
+SELECT d1, d2, edit_dist::INT AS edit_dist FROM v
+WHERE edit_dist <= {ED_MAX_DIST}
+ORDER BY d1, d2
+"""
+
+
+ORACLE_DEDUP_EDIT_DISTANCE = _oracle_edit_distance()
+
+
 QUERIES = {
     "dedup_embedding_keep": q_dedup_embedding_keep,
     "dedup_pagerank": q_dedup_pagerank,
+    "dedup_edit_distance": q_dedup_edit_distance,
 }
 ORACLES = {
     "dedup_embedding_keep": ORACLE_EMB_KEEP,
     "dedup_pagerank": ORACLE_DEDUP_PAGERANK,
+    "dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
 }
