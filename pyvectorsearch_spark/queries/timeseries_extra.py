@@ -272,15 +272,61 @@ ORDER BY event_type, bucket_epoch
 """
 
 
+HOP_WIDTH_S = 1800
+HOP_SLIDE_S = 900
+
+
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) window aggregation — 30-minute windows every 15
+    minutes via Spark's native `window(ts, width, slide)`, so each event
+    lands in exactly two overlapping windows. Completes the window-shape
+    matrix next to the tumbling and session streaming queries; the oracle
+    derives each event's two epoch-aligned window starts arithmetically."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = F.window("ts", f"{HOP_WIDTH_S} seconds", f"{HOP_SLIDE_S} seconds")
+    return (
+        ev.groupBy("event_type", w.alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
+            "n",
+            "total_value",
+        )
+        .orderBy("event_type", "win_start")
+    )
+
+
+ORACLE_HOPPING = f"""
+WITH e AS (
+  SELECT event_type, value,
+         (floor(epoch(ts) / {HOP_SLIDE_S}) * {HOP_SLIDE_S})::BIGINT AS b
+  FROM events
+),
+x AS (
+  SELECT event_type, value, unnest([b, b - {HOP_SLIDE_S}]) AS win_start FROM e
+)
+SELECT event_type, win_start, count(*)::BIGINT AS n,
+       round(sum(value), 6) AS total_value
+FROM x GROUP BY event_type, win_start
+ORDER BY event_type, win_start
+"""
+
+
 QUERIES = {
     "events_resample_15m": q_events_resample_15m,
     "events_interpolate": q_events_interpolate,
     "events_rolling": q_events_rolling,
     "events_anomalies": q_events_anomalies,
+    "events_hopping": q_events_hopping,
 }
 ORACLES = {
     "events_resample_15m": ORACLE_RESAMPLE,
     "events_interpolate": ORACLE_INTERPOLATE,
     "events_rolling": ORACLE_ROLLING,
     "events_anomalies": ORACLE_ANOMALIES,
+    "events_hopping": ORACLE_HOPPING,
 }
