@@ -93,5 +93,55 @@ FROM m GROUP BY source ORDER BY source
 """
 
 
-QUERIES = {"docs_curate_stream": q_docs_curate_stream}
-ORACLES = {"docs_curate_stream": ORACLE_DOCS_CURATE_STREAM}
+def q_events_hopping_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING windows computed BY THE STREAMING ENGINE: 30-minute windows
+    sliding every 15, watermarked, availableNow drain — each event counted
+    in exactly two overlapping windows. Streaming twin of the batch
+    `events_hopping`; the oracle derives the two epoch-aligned window
+    starts arithmetically."""
+    from pyvectorsearch_spark.queries.streaming import _drain, _event_stream
+    from pyvectorsearch_spark.streaming.ingest import windowed_event_counts
+
+    out = windowed_event_counts(
+        _event_stream(spark, sf_dir),
+        window="1800 seconds",
+        slide="900 seconds",
+        watermark="2 hours",
+    )
+    name = _drain(out, "events_hopping_stream")
+    return (
+        spark.table(name)
+        .select(
+            "event_type",
+            F.unix_timestamp("window_start").cast("bigint").alias("win_start"),
+            F.col("n_events").cast("bigint").alias("n"),
+            F.round("sum_value", 6).alias("total_value"),
+        )
+        .orderBy("event_type", "win_start")
+    )
+
+
+ORACLE_HOPPING_STREAM = """
+WITH e AS (
+  SELECT event_type, value,
+         (floor(epoch(ts) / 900) * 900)::BIGINT AS b
+  FROM events
+),
+x AS (
+  SELECT event_type, value, unnest([b, b - 900]) AS win_start FROM e
+)
+SELECT event_type, win_start, count(*)::BIGINT AS n,
+       round(sum(value), 6) AS total_value
+FROM x GROUP BY event_type, win_start
+ORDER BY event_type, win_start
+"""
+
+
+QUERIES = {
+    "docs_curate_stream": q_docs_curate_stream,
+    "events_hopping_stream": q_events_hopping_stream,
+}
+ORACLES = {
+    "docs_curate_stream": ORACLE_DOCS_CURATE_STREAM,
+    "events_hopping_stream": ORACLE_HOPPING_STREAM,
+}
