@@ -567,6 +567,60 @@ def bigram_lm_score(
     )
 
 
+def zipf_fit(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency spectrum — the corpus-health
+    metric (natural text fits log(freq) ~ a - s*log(rank) with s near 1;
+    boilerplate-heavy or templated corpora deviate): ordinary least squares
+    on (ln rank, ln count) over the ``top_n`` most frequent terms.
+
+    Distributed shape: term counts collapse map-side; only the
+    vocabulary-sized count table ranks (top_n window) and the regression
+    sums reduce top_n rows. Determinism ladder: ln values rounded to 6 dp,
+    the five OLS sums rounded to 6 dp, slope/intercept rounded to 6 dp —
+    every stage is engine-stable.
+
+    Returns one row (n_terms, slope, intercept, top_term, top_count)."""
+    from pyspark.sql import Window
+
+    cnt = (
+        df.select(F.explode(tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("t"))
+    ranked = cnt.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= top_n
+    )
+    x = F.round(F.log(F.col("r").cast("double")), 6)
+    y = F.round(F.log(F.col("c").cast("double")), 6)
+    sums = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.round(F.sum(x), 6).alias("sx"),
+        F.round(F.sum(y), 6).alias("sy"),
+        F.round(F.sum(x * y), 6).alias("sxy"),
+        F.round(F.sum(x * x), 6).alias("sxx"),
+        F.max(F.when(F.col("r") == 1, F.col("t"))).alias("top_term"),
+        F.max(F.when(F.col("r") == 1, F.col("c"))).alias("top_count"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        "top_term",
+        F.col("top_count").cast("bigint").alias("top_count"),
+    )
+
+
 C4_BLACKLIST = ("cookie", "javascript", "lorem")
 C4_TERMINAL_RE = r"[.!?]$"
 

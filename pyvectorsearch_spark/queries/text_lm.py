@@ -176,13 +176,56 @@ FROM cleaned ORDER BY doc_id
 """
 
 
+ZIPF_TOP_N = 50
+
+
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS Zipf fit over the top-50 term frequency spectrum — slope near -1
+    is healthy natural text; the whole fit is deterministic (rounding
+    ladder) and oracle-checked."""
+    from pyvectorsearch_spark.operators.textops import zipf_fit
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return zipf_fit(docs, top_n=ZIPF_TOP_N)
+
+
+ORACLE_TEXT_ZIPF = f"""
+WITH e AS (SELECT unnest({_TOK}) AS t FROM documents),
+cnt AS (SELECT t, count(*)::BIGINT AS c FROM e GROUP BY t),
+ranked AS (
+  SELECT t, c, row_number() OVER (ORDER BY c DESC, t ASC) AS r FROM cnt
+  QUALIFY r <= {ZIPF_TOP_N}
+),
+v AS (
+  SELECT t, c, r, round(ln(r::DOUBLE), 6) AS x, round(ln(c::DOUBLE), 6) AS y
+  FROM ranked
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n,
+         round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+         round(sum(x * y), 6) AS sxy, round(sum(x * x), 6) AS sxx,
+         max(CASE WHEN r = 1 THEN t END) AS top_term,
+         max(CASE WHEN r = 1 THEN c END) AS top_count
+  FROM v
+)
+SELECT n::BIGINT AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       top_term, top_count::BIGINT AS top_count
+FROM s
+"""
+
+
 QUERIES = {
     "text_top_terms": q_text_top_terms,
     "text_bigram_lm": q_text_bigram_lm,
     "text_c4_clean": q_text_c4_clean,
+    "text_zipf": q_text_zipf,
 }
 ORACLES = {
     "text_top_terms": ORACLE_TOP_TERMS,
     "text_bigram_lm": ORACLE_BIGRAM_LM,
     "text_c4_clean": ORACLE_C4_CLEAN,
+    "text_zipf": ORACLE_TEXT_ZIPF,
 }
