@@ -84,6 +84,64 @@ def psi_from_histogram(hist: DataFrame, *, by: str, eps: float = 1e-6) -> DataFr
     )
 
 
+def expectation_report(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    *,
+    foreign_keys: list[tuple[str, str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Great-Expectations-style validation: one output row per rule with
+    pass/violation counts. ``rules`` are (name, boolean Column) pairs —
+    NULL predicate results count as violations (a rule must positively
+    hold). ``foreign_keys`` entries (rule_name, local_col, dim_df, dim_col)
+    check referential integrity via a distributed LEFT ANTI join against
+    the dimension's distinct keys (NULL locals are orphans too: a fact row
+    must reference something).
+
+    Scale shape: all column rules evaluate in ONE pass over the scan
+    (conditional-sum aggregate, map-side combined); each FK check is one
+    anti-join whose dimension side reduces to distinct keys first (AQE
+    broadcasts it when small). Returns (rule, n_rows, n_violations,
+    violation_frac) ordered by rule."""
+    aggs = [F.count("*").alias("_n")]
+    for name, cond in rules:
+        aggs.append(
+            F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)).alias(
+                f"_v_{name}"
+            )
+        )
+    one = df.agg(*aggs)
+    reports = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col("_n").cast("bigint").alias("n_rows"),
+                        F.col(f"_v_{name}").cast("bigint").alias("n_violations"),
+                    )
+                    for name, _ in rules
+                ]
+            )
+        ).alias("_r")
+    ).select("_r.*")
+    for name, local_col, dim_df, dim_col in foreign_keys or []:
+        dim_keys = dim_df.select(F.col(dim_col).alias(local_col)).distinct()
+        orphans = df.select(local_col).join(dim_keys, local_col, "left_anti")
+        fk = df.agg(F.count("*").cast("bigint").alias("n_rows")).crossJoin(
+            orphans.agg(F.count("*").cast("bigint").alias("n_violations"))
+        ).select(F.lit(name).alias("rule"), "n_rows", "n_violations")
+        reports = reports.unionByName(fk)
+    return reports.select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        F.round(
+            F.col("n_violations") / F.greatest("n_rows", F.lit(1)).cast("double"), 6
+        ).alias("violation_frac"),
+    ).orderBy("rule")
+
+
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
             T.FloatType, T.DoubleType, T.DecimalType)
 

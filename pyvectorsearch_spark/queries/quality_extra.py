@@ -108,11 +108,66 @@ FROM orders"""
 ORACLE_PROFILE_ORDERS = _profile_oracle()
 
 
+VALID_STATUSES = ("F", "O", "P")
+
+
+def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over orders: positive totals, non-null dates,
+    status domain, and customer referential integrity (distributed
+    anti-join against distinct customer keys)."""
+    from pyvectorsearch_spark.operators.quality import expectation_report
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    customer = load_table(spark, sf_dir, "customer")
+    rules = [
+        ("total_positive", F.col("o_totalprice") > 0),
+        ("orderdate_not_null", F.col("o_orderdate").isNotNull()),
+        ("status_in_domain", F.col("o_orderstatus").isin(*VALID_STATUSES)),
+    ]
+    fks = [("custkey_fk", "o_custkey", customer, "c_custkey")]
+    return expectation_report(orders, rules, foreign_keys=fks)
+
+
+_STATUS_IN = ", ".join(f"'{s}'" for s in VALID_STATUSES)
+
+ORACLE_VALIDATE_ORDERS = f"""
+WITH base AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN coalesce(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END)
+           ::BIGINT AS v_total,
+         sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)
+           ::BIGINT AS v_date,
+         sum(CASE WHEN coalesce(o_orderstatus IN ({_STATUS_IN}), FALSE)
+                  THEN 0 ELSE 1 END)::BIGINT AS v_status
+  FROM orders
+),
+fk AS (
+  SELECT count(*)::BIGINT AS v_fk FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+),
+rows_out AS (
+  SELECT 'total_positive' AS rule, n AS n_rows, v_total AS n_violations
+  FROM base
+  UNION ALL
+  SELECT 'orderdate_not_null', n, v_date FROM base
+  UNION ALL
+  SELECT 'status_in_domain', n, v_status FROM base
+  UNION ALL
+  SELECT 'custkey_fk', base.n, fk.v_fk FROM base CROSS JOIN fk
+)
+SELECT rule, n_rows, n_violations,
+       round(n_violations / greatest(n_rows, 1)::DOUBLE, 6) AS violation_frac
+FROM rows_out ORDER BY rule
+"""
+
+
 QUERIES = {
     "events_psi_drift": q_events_psi_drift,
     "profile_orders": q_profile_orders,
+    "validate_orders": q_validate_orders,
 }
 ORACLES = {
     "events_psi_drift": ORACLE_EVENTS_PSI,
     "profile_orders": ORACLE_PROFILE_ORDERS,
+    "validate_orders": ORACLE_VALIDATE_ORDERS,
 }
