@@ -18,6 +18,55 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key: str,
+    tracked: list[str],
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: one row per key
+    that was added, removed, or changed (null-safe attribute comparison —
+    the batch CDC primitive feeding incremental downstream refreshes).
+
+    One key-partitioned full-outer join; unchanged keys drop out before any
+    further processing. Returns (key, change_type, *old_/new_ tracked
+    columns)."""
+    o = old.select(
+        F.col(key).alias("_k"),
+        *[F.col(c).alias(f"_o_{c}") for c in tracked],
+        F.lit(True).alias("_in_o"),
+    )
+    n = new.select(
+        F.col(key).alias("_k"),
+        *[F.col(c).alias(f"_n_{c}") for c in tracked],
+        F.lit(True).alias("_in_n"),
+    )
+    j = o.join(n, "_k", "full")
+    same = reduce(
+        lambda a, b: a & b,
+        [F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")) for c in tracked],
+        F.lit(True),
+    )
+    in_o = F.coalesce(F.col("_in_o"), F.lit(False))
+    in_n = F.coalesce(F.col("_in_n"), F.lit(False))
+    change = (
+        F.when(in_o & ~in_n, F.lit("removed"))
+        .when(~in_o & in_n, F.lit("added"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            F.col("_k").alias(key),
+            "change_type",
+            *[F.col(f"_o_{c}").alias(f"old_{c}") for c in tracked],
+            *[F.col(f"_n_{c}").alias(f"new_{c}") for c in tracked],
+        )
+    )
+
+
 def scd2_merge(
     current: DataFrame,
     snapshot: DataFrame,

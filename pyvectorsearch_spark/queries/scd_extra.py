@@ -132,5 +132,73 @@ GROUP BY vf, vt ORDER BY valid_from, valid_to
 """
 
 
-QUERIES = {"scd2_merge_stats": q_scd2_merge_stats}
-ORACLES = {"scd2_merge_stats": ORACLE_SCD2}
+def q_snapshot_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between the synthesized old/new customer snapshots: per
+    change-type counts plus a key checksum pinning exactly which keys
+    changed."""
+    from pyvectorsearch_spark.operators.scd import snapshot_diff
+
+    cust = spread(load_table(spark, sf_dir, "customer")).select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
+    )
+    k = F.col("k")
+    new = cust.filter(k % 11 != 0).select(
+        "k", F.when(k % 5 == 0, F.lit("CHANGED")).otherwise(F.col("seg")).alias("seg")
+    ).unionByName(
+        cust.filter(k % 13 == 0).select(
+            (k + NEW_KEY_OFFSET).alias("k"), F.lit("NEWSEG").alias("seg")
+        )
+    )
+    diff = snapshot_diff(cust, new, key="k", tracked=["seg"])
+    chk = (
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        % 1_000_000_007
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(chk).cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("change_type")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH cust AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+neww AS (
+  SELECT k, CASE WHEN k % 5 = 0 THEN 'CHANGED' ELSE seg END AS seg
+  FROM cust WHERE k % 11 <> 0
+  UNION ALL
+  SELECT k + {NEW_KEY_OFFSET}, 'NEWSEG' FROM cust WHERE k % 13 = 0
+),
+j AS (
+  SELECT coalesce(o.k, n.k) AS k, o.seg AS oseg, n.seg AS nseg,
+         (o.k IS NOT NULL) AS in_o, (n.k IS NOT NULL) AS in_n
+  FROM cust o FULL OUTER JOIN neww n ON o.k = n.k
+),
+d AS (
+  SELECT k,
+         CASE WHEN in_o AND NOT in_n THEN 'removed'
+              WHEN in_n AND NOT in_o THEN 'added'
+              WHEN oseg IS DISTINCT FROM nseg THEN 'changed'
+         END AS change_type
+  FROM j
+)
+SELECT change_type, count(*)::BIGINT AS n,
+       sum(('0x' || substr(md5(k::VARCHAR), 1, 12))::BIGINT
+           % 1000000007)::BIGINT AS key_checksum
+FROM d WHERE change_type IS NOT NULL
+GROUP BY change_type ORDER BY change_type
+"""
+
+
+QUERIES = {
+    "scd2_merge_stats": q_scd2_merge_stats,
+    "snapshot_diff_stats": q_snapshot_diff_stats,
+}
+ORACLES = {
+    "scd2_merge_stats": ORACLE_SCD2,
+    "snapshot_diff_stats": ORACLE_SNAPSHOT_DIFF,
+}
