@@ -84,6 +84,63 @@ def psi_from_histogram(hist: DataFrame, *, by: str, eps: float = 1e-6) -> DataFr
     )
 
 
+def entropy_mi(
+    df: DataFrame,
+    *,
+    col_a: str,
+    col_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Shannon entropies and mutual information between two categorical
+    columns — the feature-dependency profile (MI = 0 means B carries no
+    information about A; high MI flags redundant or leaking features).
+
+    Everything derives from ONE map-side-combined joint-count aggregate
+    (vocabulary-sized); marginals re-aggregate that reduced table. The
+    determinism ladder: exact integer counts, per-cell -p*ln(p)
+    contributions rounded to ``round_dp`` before the (order-independent)
+    sums, entropies rounded, MI = H(A)+H(B)-H(A,B) from the rounded
+    entropies.
+
+    Returns one row (n_rows, h_a, h_b, h_ab, mi)."""
+    from pyspark.sql import Window
+
+    joint = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count("*").cast("bigint").alias("_c"))
+
+    def _h(counts: DataFrame) -> DataFrame:
+        tot = F.sum("_c").over(Window.partitionBy())
+        contrib = F.round(
+            -(F.col("_c") / tot) * F.log(F.col("_c") / tot), round_dp
+        )
+        return counts.select(contrib.alias("_h"), F.col("_c")).agg(
+            F.round(F.sum("_h"), round_dp).alias("h"),
+            F.sum("_c").cast("bigint").alias("n"),
+        )
+
+    h_ab = _h(joint).select(F.col("h").alias("h_ab"), F.col("n").alias("n_rows"))
+    h_a = _h(joint.groupBy("_a").agg(F.sum("_c").alias("_c"))).select(
+        F.col("h").alias("h_a")
+    )
+    h_b = _h(joint.groupBy("_b").agg(F.sum("_c").alias("_c"))).select(
+        F.col("h").alias("h_b")
+    )
+    return (
+        h_ab.crossJoin(h_a)
+        .crossJoin(h_b)
+        .select(
+            "n_rows",
+            "h_a",
+            "h_b",
+            "h_ab",
+            F.round(F.col("h_a") + F.col("h_b") - F.col("h_ab"), round_dp).alias(
+                "mi"
+            ),
+        )
+    )
+
+
 def expectation_report(
     df: DataFrame,
     rules: list[tuple[str, Column]],

@@ -161,13 +161,53 @@ FROM rows_out ORDER BY rule
 """
 
 
+def q_events_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day — the
+    feature-dependency profile over the event stream."""
+    from pyvectorsearch_spark.operators.quality import entropy_mi
+
+    ev = spread(load_table(spark, sf_dir, "events")).select(
+        "event_type", F.hour("ts").alias("hr")
+    )
+    return entropy_mi(ev, col_a="event_type", col_b="hr")
+
+
+ORACLE_EVENTS_MI = """
+WITH joint AS (
+  SELECT event_type AS a, date_part('hour', ts)::INT AS b,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY a, b
+),
+tot AS (SELECT sum(c)::BIGINT AS n FROM joint),
+hab AS (
+  SELECT round(sum(round(-(c / n::DOUBLE) * ln(c / n::DOUBLE), 6)), 6) AS h
+  FROM joint CROSS JOIN tot
+),
+ma AS (SELECT a, sum(c)::BIGINT AS c FROM joint GROUP BY a),
+ha AS (
+  SELECT round(sum(round(-(c / n::DOUBLE) * ln(c / n::DOUBLE), 6)), 6) AS h
+  FROM ma CROSS JOIN tot
+),
+mb AS (SELECT b, sum(c)::BIGINT AS c FROM joint GROUP BY b),
+hb AS (
+  SELECT round(sum(round(-(c / n::DOUBLE) * ln(c / n::DOUBLE), 6)), 6) AS h
+  FROM mb CROSS JOIN tot
+)
+SELECT tot.n AS n_rows, ha.h AS h_a, hb.h AS h_b, hab.h AS h_ab,
+       round(ha.h + hb.h - hab.h, 6) AS mi
+FROM tot CROSS JOIN ha CROSS JOIN hb CROSS JOIN hab
+"""
+
+
 QUERIES = {
     "events_psi_drift": q_events_psi_drift,
     "profile_orders": q_profile_orders,
     "validate_orders": q_validate_orders,
+    "events_mi": q_events_mi,
 }
 ORACLES = {
     "events_psi_drift": ORACLE_EVENTS_PSI,
     "profile_orders": ORACLE_PROFILE_ORDERS,
     "validate_orders": ORACLE_VALIDATE_ORDERS,
+    "events_mi": ORACLE_EVENTS_MI,
 }
