@@ -810,3 +810,54 @@ def edit_distance_pairs(
         .filter(F.col("edit_dist") >= 0)
         .select("d1", "d2", F.col("edit_dist").cast("int").alias("edit_dist"))
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernandez & Stolfo
+    1995): sort each block on a content fingerprint and pair every row with
+    its next ``window`` neighbors — candidate pairs for any downstream
+    verifier without an all-pairs join.
+
+    Distributed shape: the sort key is the rolling-hash fingerprint (a
+    projection) and the neighborhood windows run per ``by`` block
+    (``partitionBy(by)``) — no global single-task sort; pair emission is
+    ``lead`` over the block order, so each row produces <= window rows.
+
+    Returns (``by``, d1, d2, neighbor_dist) with neighbor_dist = 1..window
+    in fingerprint order."""
+    from pyspark.sql import Window as W
+
+    norm = F.concat_ws(" ", tokens(text_col))
+    gram = 8
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(_nt) - {gram - 1}, 1)), "
+        f"i -> md5(substr(_nt, i, {gram})))"
+    )
+    d = df.select(F.col(by), F.col(id_col), norm.alias("_nt")).withColumn(
+        "_fp", F.array_min(grams)
+    )
+    w = W.partitionBy(by).orderBy("_fp", id_col)
+    # windows cannot live inside a generator: materialize the lead columns
+    # first, then explode the (already computed) neighbor array
+    led = d.select(
+        by,
+        F.col(id_col).alias("d1"),
+        *[F.lead(id_col, j).over(w).alias(f"_l{j}") for j in range(1, window + 1)],
+    )
+    out = led.select(
+        by,
+        "d1",
+        F.posexplode(
+            F.array(*[F.col(f"_l{j}") for j in range(1, window + 1)])
+        ).alias("_j", "d2"),
+    )
+    return out.filter(F.col("d2").isNotNull()).select(
+        by, "d1", "d2", (F.col("_j") + 1).alias("neighbor_dist")
+    )

@@ -7,6 +7,7 @@ Modules register via the ``QUERIES`` / ``ORACLES`` dicts they export;
 
 from pyvectorsearch_spark.queries import (  # noqa: F401
     analytic_extra,
+    blocking_extra,
     dedup,
     dedup_extra,
     embedding_extra,
@@ -89,6 +90,7 @@ _MODULES = [
     streaming_drift,  # likewise (streamed PSI histogram)
     timeseries_extra,  # likewise (dense resample / interpolation)
     scd_extra,  # likewise (Type-2 dimension merge)
+    blocking_extra,  # likewise (Bloom semi-join / sorted neighborhood)
 ]
 
 

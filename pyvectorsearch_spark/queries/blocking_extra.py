@@ -1,0 +1,185 @@
+"""Join-reduction and blocking queries (outside the driver's pinned 50-entry
+window; covered by tests/test_oracle_parity.py).
+
+Operators exercised:
+- deterministic Bloom-filter semi-join reduction (`operators/bloom.py`) —
+  the runtime-filter technique with md5 bit positions, so the filter AND
+  its false positives are bit-identical across engines;
+- sorted-neighborhood blocking (`operators/dedup.py::
+  sorted_neighborhood_pairs`, Hernandez & Stolfo 1995).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.operators.bloom import (
+    N_WORDS,
+    WORD_BITS,
+    bloom_build,
+    bloom_might_contain,
+    duckdb_positions,
+)
+from pyvectorsearch_spark.sources.tables import load_table, spread
+
+DIM_NATIONS = 5
+SN_WINDOW = 3
+
+
+def q_bloom_semijoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter of orders against a selective customer slice
+    (nations 0-4): fact rows passing the 8 KB literal filter vs the exact
+    semi join — measuring the false-positive rate the zero-shuffle
+    pre-filter pays. No false negatives by construction (also asserted by
+    the oracle equality)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") < DIM_NATIONS
+    )
+    words = bloom_build(cust, "c_custkey")
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    n_fact = orders.agg(F.count("*").cast("bigint").alias("n_fact"))
+    n_pass = orders.filter(
+        bloom_might_contain(F.col("o_custkey"), words)
+    ).agg(F.count("*").cast("bigint").alias("n_pass"))
+    n_exact = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_semi"
+    ).agg(F.count("*").cast("bigint").alias("n_exact"))
+    return (
+        n_fact.crossJoin(n_pass)
+        .crossJoin(n_exact)
+        .select(
+            "n_fact",
+            "n_pass",
+            "n_exact",
+            F.round(
+                (F.col("n_pass") - F.col("n_exact"))
+                / F.greatest("n_pass", F.lit(1)).cast("double"),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
+def _oracle_bloom() -> str:
+    p_dim = duckdb_positions("k")
+    p_probe = duckdb_positions("o_custkey")
+    checks = " AND ".join(
+        f"(arr[CAST({p} // {WORD_BITS} AS INT) + 1]"
+        f" & (1::BIGINT << CAST({p} % {WORD_BITS} AS INT))) <> 0"
+        for p in p_probe
+    )
+    return f"""
+WITH dim AS (
+  SELECT c_custkey AS k FROM customer WHERE c_nationkey < {DIM_NATIONS}
+),
+pos AS (SELECT unnest([{", ".join(p_dim)}]) AS p FROM dim),
+wrds AS (
+  SELECT CAST(p // {WORD_BITS} AS INT) AS w,
+         bit_or(1::BIGINT << CAST(p % {WORD_BITS} AS INT)) AS word
+  FROM pos GROUP BY w
+),
+grid AS (SELECT unnest(range(0, {N_WORDS})) AS w),
+dense AS (
+  SELECT grid.w, coalesce(wrds.word, 0) AS word
+  FROM grid LEFT JOIN wrds ON wrds.w = grid.w
+),
+warr AS (SELECT list(word ORDER BY w) AS arr FROM dense),
+checked AS (
+  SELECT o_custkey, ({checks}) AS pass
+  FROM orders CROSS JOIN warr
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_fact,
+         sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_pass
+  FROM checked
+),
+ex AS (
+  SELECT count(*)::BIGINT AS n_exact FROM orders o
+  WHERE EXISTS (SELECT 1 FROM dim WHERE dim.k = o.o_custkey)
+)
+SELECT n_fact, n_pass, n_exact,
+       round((n_pass - n_exact) / greatest(n_pass, 1)::DOUBLE, 6) AS fp_rate
+FROM agg CROSS JOIN ex
+"""
+
+
+ORACLE_BLOOM = _oracle_bloom()
+
+
+def q_sorted_neighborhood_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs per source (window 3 over the
+    fingerprint order): pair counts and a membership checksum."""
+    from pyvectorsearch_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = sorted_neighborhood_pairs(docs, window=SN_WINDOW)
+    chk = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("d1").cast("string"), F.col("d2").cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000_007
+    )
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(chk).cast("bigint").alias("pair_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_sn() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_tokens
+
+    tok = duckdb_tokens("text")
+    leads = ", ".join(
+        f"lead(doc_id, {j}) OVER (PARTITION BY source ORDER BY fp, doc_id) AS l{j}"
+        for j in range(1, SN_WINDOW + 1)
+    )
+    return f"""
+WITH d AS (
+  SELECT source, doc_id, array_to_string({tok}, ' ') AS nt FROM documents
+),
+fp AS (
+  SELECT source, doc_id,
+         list_aggregate(list_transform(
+           range(1, greatest(length(nt) - 7, 1) + 1),
+           i -> md5(substr(nt, CAST(i AS INT), 8))), 'min') AS fp
+  FROM d
+),
+led AS (SELECT source, doc_id, {leads} FROM fp),
+pairs AS (
+  SELECT source, doc_id AS d1, unnest([{", ".join(f"l{j}" for j in range(1, SN_WINDOW + 1))}]) AS d2
+  FROM led
+)
+SELECT source, count(*)::BIGINT AS n_pairs,
+       sum(('0x' || substr(md5(d1::VARCHAR || '|' || d2::VARCHAR), 1, 12))::BIGINT
+           % 1000000007)::BIGINT AS pair_checksum
+FROM pairs WHERE d2 IS NOT NULL
+GROUP BY source ORDER BY source
+"""
+
+
+ORACLE_SN = _oracle_sn()
+
+
+QUERIES = {
+    "bloom_semijoin_stats": q_bloom_semijoin_stats,
+    "sorted_neighborhood_stats": q_sorted_neighborhood_stats,
+}
+ORACLES = {
+    "bloom_semijoin_stats": ORACLE_BLOOM,
+    "sorted_neighborhood_stats": ORACLE_SN,
+}
