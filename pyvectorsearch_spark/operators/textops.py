@@ -592,10 +592,12 @@ def zipf_fit(
         .groupBy("t")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
+    # bounded top-n FIRST (TakeOrderedAndProject, distributed) — a raw
+    # row_number window would single-task-sort the whole vocabulary table;
+    # the rank window then runs over top_n rows only
+    top = cnt.orderBy(F.desc("c"), F.asc("t")).limit(top_n)
     w = Window.orderBy(F.desc("c"), F.asc("t"))
-    ranked = cnt.withColumn("r", F.row_number().over(w)).filter(
-        F.col("r") <= top_n
-    )
+    ranked = top.withColumn("r", F.row_number().over(w))
     x = F.round(F.log(F.col("r").cast("double")), 6)
     y = F.round(F.log(F.col("c").cast("double")), 6)
     sums = ranked.agg(

@@ -105,19 +105,23 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qvec")
     )
-    vec = (
+    # bounded top-k FIRST (TakeOrderedAndProject — distributed partial
+    # top-k per partition, merge on the driver-sized result), THEN the
+    # rank window over the 50-row list. A row_number window over the full
+    # table would single-task-sort the corpus.
+    vec_top = (
         emb.crossJoin(F.broadcast(probe))
         .select(
             F.col("vec_id").alias("id"),
             F.round(cosine_sim("embedding", "qvec"), 6).alias("_cos"),
         )
-        .withColumn(
-            "vec_rank",
-            F.row_number().over(Window.orderBy(F.desc("_cos"), F.asc("id"))),
-        )
-        .filter(F.col("vec_rank") <= RRF_DEPTH)
-        .select("id", "vec_rank")
+        .orderBy(F.desc("_cos"), F.asc("id"))
+        .limit(RRF_DEPTH)
     )
+    vec = vec_top.withColumn(
+        "vec_rank",
+        F.row_number().over(Window.orderBy(F.desc("_cos"), F.asc("id"))),
+    ).select("id", "vec_rank")
     fused = lex.join(vec, "id", "full").select(
         "id",
         F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
