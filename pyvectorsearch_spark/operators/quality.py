@@ -103,20 +103,23 @@ def entropy_mi(
     entropies.
 
     Returns one row (n_rows, h_a, h_b, h_ab, mi)."""
-    from pyspark.sql import Window
-
     joint = df.groupBy(
         F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
     ).agg(F.count("*").cast("bigint").alias("_c"))
 
     def _h(counts: DataFrame) -> DataFrame:
-        tot = F.sum("_c").over(Window.partitionBy())
-        contrib = F.round(
-            -(F.col("_c") / tot) * F.log(F.col("_c") / tot), round_dp
-        )
-        return counts.select(contrib.alias("_h"), F.col("_c")).agg(
-            F.round(F.sum("_h"), round_dp).alias("h"),
-            F.sum("_c").cast("bigint").alias("n"),
+        # scalar total via agg + broadcast cross join — an unpartitioned
+        # window here would funnel the whole count table through one task
+        tot = counts.agg(F.sum("_c").cast("bigint").alias("_t"))
+        p = F.col("_c") / F.col("_t")
+        contrib = F.round(-p * F.log(p), round_dp)
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .select(contrib.alias("_h"), F.col("_c"))
+            .agg(
+                F.round(F.sum("_h"), round_dp).alias("h"),
+                F.sum("_c").cast("bigint").alias("n"),
+            )
         )
 
     h_ab = _h(joint).select(F.col("h").alias("h_ab"), F.col("n").alias("n_rows"))
