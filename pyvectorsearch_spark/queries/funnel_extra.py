@@ -89,11 +89,60 @@ FROM d GROUP BY cohort, day_offset ORDER BY cohort, day_offset
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) with exact counts. The lag runs per user
+    (one user-keyed exchange, the same shuffle any sequence model pays);
+    the transition table is |types|^2 rows. Ties at identical timestamps
+    break by event_id so the sequence order is engine-stable."""
+    from pyspark.sql import Window, functions as F
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wtot = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn("row_total", F.sum("n").over(wtot))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("row_total"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       round(n / (sum(n) OVER (PARTITION BY prev_type))::DOUBLE, 6) AS p
+FROM pairs ORDER BY prev_type, next_type
+"""
+
+
 QUERIES = {
     "event_funnel": q_event_funnel,
     "event_retention": q_event_retention,
+    "event_transitions": q_event_transitions,
 }
 ORACLES = {
     "event_funnel": ORACLE_EVENT_FUNNEL,
     "event_retention": ORACLE_EVENT_RETENTION,
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
 }
