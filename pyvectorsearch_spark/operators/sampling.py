@@ -466,3 +466,46 @@ def sample_weighted_k(
         .filter(F.col("ws_rank") <= k)
         .drop("_r1")
     )
+
+
+def sample_stratified_exact_frac(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    frac_num: int,
+    frac_den: int,
+    id_col: str = "doc_id",
+    salt: str = "exactfrac",
+    sub_shards: int = 8,
+) -> DataFrame:
+    """EXACT proportional stratified sampling: every stratum contributes
+    floor(n_s * frac_num / frac_den) rows — unlike Bernoulli-by-hash (whose
+    per-stratum counts fluctuate), the realized fraction is exact, which is
+    what benchmark/val splits that must preserve source mixture need. The
+    fraction is a rational (integer arithmetic — no FP boundary can flip a
+    count between engines).
+
+    Scale shape: per-stratum counts attach via one aggregate joined back
+    (stratum-cardinality table, AQE-broadcast); membership is the same
+    two-phase deterministic-hash top-k as ``sample_exact_k``, so no stratum
+    sorts in one task. Returns the sampled rows + ``sample_rank``."""
+    if frac_num < 0 or frac_den < 1:
+        raise ValueError(f"bad fraction {frac_num}/{frac_den}")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_ns"))
+    quota = counts.withColumn(
+        "_k", ((F.col("_ns") * frac_num) - (F.col("_ns") * frac_num) % frac_den)
+        / frac_den
+    ).select(strata_col, F.col("_k").cast("bigint"))
+    b = hash_bucket(F.col(id_col), salt)
+    d = df.join(quota, strata_col)
+    sub = (b * sub_shards) / F.lit(BUCKETS)
+    w1 = Window.partitionBy(strata_col, F.floor(sub)).orderBy(b, F.col(id_col))
+    cand = d.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= F.col("_k")
+    )
+    w2 = Window.partitionBy(strata_col).orderBy(b, F.col(id_col))
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= F.col("_k"))
+        .drop("_r1", "_k")
+    )

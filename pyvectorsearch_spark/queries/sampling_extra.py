@@ -216,15 +216,70 @@ ORDER BY ws_rank
 ORACLE_SAMPLE_WEIGHTED_K = _oracle_weighted_k()
 
 
+FRAC_NUM, FRAC_DEN = 3, 10  # exact 30% per stratum
+
+
+def q_sample_exact_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 30%-per-source stratified sample: per-source kept counts must
+    equal floor(n_s * 3 / 10) exactly, with membership pinned by digest."""
+    from pyvectorsearch_spark.operators.sampling import (
+        sample_stratified_exact_frac,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = sample_stratified_exact_frac(
+        docs, strata_col="source", frac_num=FRAC_NUM, frac_den=FRAC_DEN
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("ids_digest"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SAMPLE_EXACT_FRAC = f"""
+WITH c AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+q AS (
+  SELECT source, (ns * {FRAC_NUM} - (ns * {FRAC_NUM}) % {FRAC_DEN})
+                 // {FRAC_DEN} AS k
+  FROM c
+),
+r AS (
+  SELECT d.source, d.doc_id, q.k,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY {_bucket_sql("exactfrac")}, d.doc_id
+         ) AS rk
+  FROM documents d JOIN q USING (source)
+)
+SELECT source, count(*)::BIGINT AS n_sampled,
+       md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_digest
+FROM r WHERE rk <= k
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "sample_pack_greedy_sharded": q_sample_pack_greedy_sharded,
     "sample_exact_k": q_sample_exact_k,
     "sample_token_budget": q_sample_token_budget,
     "sample_weighted_k": q_sample_weighted_k,
+    "sample_exact_frac": q_sample_exact_frac,
 }
 ORACLES = {
     "sample_pack_greedy_sharded": ORACLE_PACK_GREEDY_SHARDED,
     "sample_exact_k": ORACLE_SAMPLE_EXACT_K,
     "sample_token_budget": ORACLE_SAMPLE_TOKEN_BUDGET,
     "sample_weighted_k": ORACLE_SAMPLE_WEIGHTED_K,
+    "sample_exact_frac": ORACLE_SAMPLE_EXACT_FRAC,
 }
