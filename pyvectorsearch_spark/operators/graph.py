@@ -150,3 +150,52 @@ def pagerank(
             ).alias("r")
         ).select(F.col("a").alias("node"), "r")
     return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+def triangle_stats(
+    pairs: DataFrame,
+    *,
+    src: str = "d1",
+    dst: str = "d2",
+) -> DataFrame:
+    """One-row triangle census of the similarity graph: node/edge counts,
+    closed triangles, open wedges, and the global clustering coefficient
+    3T/W — the standard "is this near-dup graph clique-like or chain-like?"
+    health check before trusting single-linkage clusters (a chain-like graph
+    means LSH is gluing unrelated docs through middlemen).
+
+    Scale shape: the classic oriented triangle join (a<b ordering is the
+    degree-skew guard from Suri & Vassilvitskii 2011's MR-triangle work —
+    every triangle is counted exactly once, and high-degree hubs never
+    explode into both join sides): edges join edges on the shared middle
+    vertex, then close against the third edge — two shuffle-joins over the
+    EDGE table only (pairs-sized, already reduced from the corpus). Wedges
+    come from the degree table (nodes-sized); all-integer arithmetic until
+    the final rounded ratio.
+
+    Returns (n_nodes, n_edges, n_triangles, n_wedges, gcc_r)."""
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count("*").cast("bigint").alias("_d"))
+    nodes = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("(_d * (_d - 1)) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    out = nodes.crossJoin(edges).crossJoin(tri)
+    gcc = F.when(
+        F.col("n_wedges") > 0,
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "n_nodes", "n_edges", "n_triangles", "n_wedges", gcc.alias("gcc_r")
+    )

@@ -85,3 +85,170 @@ def kmv_distinct(
         est.alias("kmv_estimate"),
         F.round("u_k", 9).alias("u_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — Cormode & Muthukrishnan 2005. Like KMV, built on the
+# 52-bit md5 hash so the sketch (and therefore every estimate drawn from it)
+# is a deterministic function of the input multiset: Spark and DuckDB compute
+# bit-identical cell counts, making the SKETCH itself oracle-checkable.
+#
+# Scale shape: the sketch is built from the (term, count) table, not from raw
+# token instances — the only corpus-sized shuffle is the term-count groupBy
+# (map-side combined, the same exact-tf reduction every text operator here
+# uses). Each vocabulary row then fans out to `depth` (row, bucket) cells and
+# collapses to a depth x width table (a few KB), which is mergeable across
+# shards/epochs by cellwise addition.
+# ---------------------------------------------------------------------------
+
+
+def cms_bucket(row: int, col: Column, width: int) -> Column:
+    """Bucket of ``col`` in hash row ``row``: 52-bit md5 of "row:value",
+    modulo ``width``. Positive bigint % positive int agrees across engines."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), col.cast("string")))
+    return F.conv(F.substring(h, 1, HEX_DIGITS), 16, 10).cast("bigint") % F.lit(width)
+
+
+def duckdb_cms_bucket(row: int, expr: str, width: int) -> str:
+    return (
+        f"('0x' || substr(md5('{row}:' || CAST({expr} AS VARCHAR)), 1, "
+        f"{HEX_DIGITS}))::BIGINT % {width}"
+    )
+
+
+def cms_build(
+    counts: DataFrame, *, term_col: str, count_col: str, depth: int, width: int
+) -> DataFrame:
+    """Count-min sketch (``row``, ``bucket``, ``cnt``) from a pre-reduced
+    (term, count) table. depth x width cells; absent cells are zero."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    cms_bucket(i, F.col(term_col), width).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    return (
+        counts.select(F.col(count_col).alias("_n"), cells.alias("_c"))
+        .select("_c.row", "_c.bucket", "_n")
+        .groupBy("row", "bucket")
+        .agg(F.sum("_n").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    *,
+    term_col: str,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """Point-query the sketch: estimate(term) = min over hash rows of the
+    cell count. Keeps every non-(row/bucket) probe column. The probe side is
+    a handful of rows and the sketch is depth x width — AQE broadcasts
+    whichever is smaller; nothing corpus-sized moves."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    cms_bucket(i, F.col(term_col), width).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    keep = [c for c in probes.columns]
+    pb = probes.select(*keep, cells.alias("_c")).select(*keep, "_c.row", "_c.bucket")
+    return (
+        pb.join(sketch, ["row", "bucket"])
+        .groupBy(*keep)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch — the fixed-bin cousin of t-digest/KLL, chosen
+# because integer fixed-width bucketing (the `events_psi_drift` trick) makes
+# the whole estimate engine-exact and therefore oracle-checkable. The exact
+# quantile rides along via the token-budget trick: only the single bin that
+# CONTAINS the target rank ever sorts rows, so the "exact" column costs a
+# bounded sort even at 10^12 rows.
+# ---------------------------------------------------------------------------
+
+
+def hist_quantiles(
+    df: DataFrame,
+    *,
+    value_col: str,
+    bin_cents: int,
+    qs: list[float],
+) -> DataFrame:
+    """Quantile estimates from a fixed-width histogram over integer cents.
+
+    Returns one row per q in ``qs``: (q, n_total, est_quantile,
+    exact_quantile), est = linear interpolation within the containing bin,
+    exact = the value at rank ceil(q*n) (bounded within-bin sort). The fact
+    table shuffles once (histogram groupBy, map-side combined) plus one
+    bin-filtered window pass for the exact column; the histogram itself is
+    bins-sized, so its cumulative window is a driver-trivial sort.
+    """
+    spark = df.sparkSession
+    vc = F.round(F.col(value_col) * 100).cast("bigint")
+    vals = df.select(vc.alias("_vc")).withColumn(
+        "_bin", F.floor(F.col("_vc") / F.lit(float(bin_cents))).cast("bigint")
+    )
+    hist = vals.groupBy("_bin").agg(F.count("*").cast("bigint").alias("_cnt"))
+    # cumulative over the BINS table only (~#bins rows — histogram-sized, not
+    # corpus-sized; the unpartitioned window is deliberate and bounded)
+    wb = Window.orderBy("_bin")
+    cum = (
+        hist.withColumn("_cum", F.sum("_cnt").over(wb))
+        .withColumn("_cum_prev", F.col("_cum") - F.col("_cnt"))
+        .crossJoin(
+            F.broadcast(hist.agg(F.sum("_cnt").cast("bigint").alias("_n")))
+        )
+    )
+    probe = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    tgt = (
+        probe.crossJoin(F.broadcast(cum))
+        .withColumn("_r", F.ceil(F.col("q") * F.col("_n")).cast("bigint"))
+        .filter((F.col("_cum") >= F.col("_r")) & (F.col("_cum_prev") < F.col("_r")))
+    )
+    est = F.round(
+        (
+            F.col("_bin") * bin_cents
+            + bin_cents * (F.col("_r") - F.col("_cum_prev")) / F.col("_cnt")
+        )
+        / 100.0,
+        3,
+    )
+    tgt = tgt.select(
+        "q",
+        F.col("_n").alias("n_total"),
+        est.alias("est_quantile"),
+        "_bin",
+        (F.col("_r") - F.col("_cum_prev")).alias("_k"),
+    )
+    # exact value: only rows of the <= len(qs) target bins reach the sort
+    inbin = vals.join(
+        F.broadcast(tgt.select("q", "_bin", "_k", "n_total", "est_quantile")),
+        "_bin",
+    )
+    wq = Window.partitionBy("q").orderBy("_vc")
+    exact = (
+        inbin.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") == F.col("_k"))
+        .select(
+            "q",
+            "n_total",
+            "est_quantile",
+            F.round(F.col("_vc") / 100.0, 2).alias("exact_quantile"),
+        )
+    )
+    return exact

@@ -492,6 +492,53 @@ def top_terms(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the ``k`` highest-scoring
+    terms per document, score = tf * (ln((N+1)/(df+1)) + 1) (the smoothed
+    sklearn-style idf), rounded to 6 so the ranking and the score are
+    engine-exact.
+
+    Scale shape: tokens collapse map-side into the (doc, term, tf) partial
+    aggregate — the only corpus-sized shuffle. Document frequency attaches
+    via a count window over the term partition of that SAME reduced table
+    (one extra exchange of doc-x-vocab rows, never raw tokens, and the tf
+    table is provably evaluated once — the window-attach trick from
+    `bigram_lm_score`). N rides in from a 1-row aggregate broadcast. The
+    final top-k window sorts each document's distinct-term list only.
+
+    Returns (``id_col``, term, tf, df, tfidf_r, rank)."""
+    from pyspark.sql import Window
+
+    e = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = e.groupBy(id_col, "term").agg(F.count("*").cast("bigint").alias("tf"))
+    n_docs = df.agg(F.countDistinct(id_col).cast("bigint").alias("_n"))
+    wt = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count("*").over(wt).cast("bigint"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_r",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    wd = Window.partitionBy(id_col).orderBy(F.desc("tfidf_r"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf_r", "rank")
+    )
+
+
 def bigram_lm_score(
     docs: DataFrame,
     *,

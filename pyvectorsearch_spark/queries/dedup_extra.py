@@ -220,13 +220,64 @@ ORDER BY d1, d2
 ORACLE_DEDUP_EDIT_DISTANCE = _oracle_edit_distance()
 
 
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the SimHash near-dup graph (the densest pair
+    source: ~1.7k edges at sf0.01): is the graph clique-like (high global
+    clustering => LSH buckets are real duplicate groups) or chain-like
+    (low => single-linkage clusters are gluing strangers through
+    middlemen)?"""
+    from pyvectorsearch_spark.operators.dedup import simhash_pairs
+    from pyvectorsearch_spark.operators.graph import triangle_stats
+    from pyvectorsearch_spark.queries.dedup import MAX_HAMMING
+    from pyvectorsearch_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = simhash_pairs(docs, max_hamming=MAX_HAMMING)
+    return triangle_stats(pairs)
+
+
+def _oracle_triangles() -> str:
+    from pyvectorsearch_spark.queries.dedup import _simhash_oracle
+
+    # the full simhash pair query nests as a CTE body (DuckDB allows a
+    # WITH-bearing subquery inside a CTE)
+    return f"""
+WITH pairs AS ({_simhash_oracle()}),
+e AS (SELECT DISTINCT d1 AS a, d2 AS b FROM pairs),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a, count(*)::BIGINT AS d FROM und GROUP BY a),
+ns AS (
+  SELECT count(*)::BIGINT AS n_nodes,
+         sum((d * (d - 1)) // 2)::BIGINT AS n_wedges
+  FROM deg
+),
+es AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN round(3.0 * n_triangles / n_wedges, 6)
+            ELSE 0.0 END AS gcc_r
+FROM ns, es, tri
+"""
+
+
+ORACLE_DEDUP_TRIANGLES = _oracle_triangles()
+
+
 QUERIES = {
     "dedup_embedding_keep": q_dedup_embedding_keep,
     "dedup_pagerank": q_dedup_pagerank,
     "dedup_edit_distance": q_dedup_edit_distance,
+    "dedup_triangles": q_dedup_triangles,
 }
 ORACLES = {
     "dedup_embedding_keep": ORACLE_EMB_KEEP,
     "dedup_pagerank": ORACLE_DEDUP_PAGERANK,
     "dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
+    "dedup_triangles": ORACLE_DEDUP_TRIANGLES,
 }

@@ -1,16 +1,30 @@
 """Sketch queries (outside the driver's pinned 50-entry window; covered by
 tests/test_oracle_parity.py against the same DuckDB oracles).
 
-Operators exercised: `operators/sketches.py::kmv_distinct` — the
-deterministic KMV distinct-count sketch, which unlike HLL is bit-identical
-across engines and therefore oracle-checkable end to end (estimate included).
+Operators exercised (`operators/sketches.py`):
+- `kmv_distinct` — deterministic KMV distinct-count sketch; unlike HLL it is
+  bit-identical across engines, so the estimate itself is oracle-checkable.
+- `cms_build`/`cms_lookup` — count-min frequency sketch (Cormode &
+  Muthukrishnan 2005) over the document term counts; the depth x width cell
+  table and the min-over-rows point estimates are both hash-checked.
+- `hist_quantiles` — fixed-bin histogram quantile estimator with the exact
+  quantile riding along via a bounded single-bin sort.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from pyvectorsearch_spark.operators.sketches import duckdb_kmv_hash, kmv_distinct
+from pyvectorsearch_spark.functions.text import duckdb_tokens, tokens
+from pyvectorsearch_spark.operators.sketches import (
+    cms_build,
+    cms_lookup,
+    duckdb_cms_bucket,
+    duckdb_kmv_hash,
+    hist_quantiles,
+    kmv_distinct,
+)
 from pyvectorsearch_spark.sources.tables import load_table, spread
 
 KMV_K = 32
@@ -55,5 +69,135 @@ ORDER BY event_type
 """
 
 
-QUERIES = {"sketch_kmv_users": q_sketch_kmv_users}
-ORACLES = {"sketch_kmv_users": ORACLE_SKETCH_KMV_USERS}
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOP = 20
+
+
+def q_sketch_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus term frequencies (depth 4, width
+    512 — deliberately narrow so collisions actually occur and the
+    overcount column exercises the min-over-rows estimate, not the trivial
+    exact path). Probes are the exact top-20 terms; `overcount` =
+    estimate - truth (always >= 0 for CMS). The term-count table is
+    checkpointed once so the corpus is tokenized exactly once for both the
+    sketch build and the probe ranking."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+        .localCheckpoint(eager=False)
+    )
+    sketch = cms_build(
+        tf, term_col="term", count_col="n_exact", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    probes = tf.orderBy(F.desc("n_exact"), "term").limit(CMS_TOP)
+    return (
+        cms_lookup(sketch, probes, term_col="term", depth=CMS_DEPTH, width=CMS_WIDTH)
+        .select(
+            "term",
+            "n_exact",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy(F.desc("n_exact"), "term")
+    )
+
+
+_CMS_CELLS = " UNION ALL ".join(
+    f"SELECT term, n_exact, {i} AS row, {duckdb_cms_bucket(i, 'term', CMS_WIDTH)}"
+    f" AS bucket FROM tf"
+    for i in range(CMS_DEPTH)
+)
+
+ORACLE_SKETCH_CMS_TERMS = f"""
+WITH e AS (SELECT unnest({duckdb_tokens('text')}) AS term FROM documents),
+tf AS (SELECT term, count(*)::BIGINT AS n_exact FROM e GROUP BY term),
+cells AS ({_CMS_CELLS}),
+cms AS (
+  SELECT row, bucket, sum(n_exact)::BIGINT AS cnt FROM cells
+  GROUP BY row, bucket
+),
+probes AS (
+  SELECT term, n_exact FROM tf ORDER BY n_exact DESC, term LIMIT {CMS_TOP}
+),
+pcells AS (
+  SELECT p.term, p.n_exact, c.row, c.bucket
+  FROM probes p JOIN cells c USING (term)
+),
+est AS (
+  SELECT p.term, p.n_exact, min(s.cnt) AS cms_estimate
+  FROM pcells p JOIN cms s ON s.row = p.row AND s.bucket = p.bucket
+  GROUP BY p.term, p.n_exact
+)
+SELECT term, n_exact, cms_estimate, cms_estimate - n_exact AS overcount
+FROM est ORDER BY n_exact DESC, term
+"""
+
+
+HQ_BIN_CENTS = 10000  # $100-wide bins over l_extendedprice
+HQ_QS = [0.5, 0.9, 0.99]
+
+
+def q_sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of lineitem extended price from a $100-bin histogram
+    (integer-cents bucketing => engine-exact), with the true quantile
+    alongside via the bounded containing-bin sort."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    return hist_quantiles(
+        li, value_col="l_extendedprice", bin_cents=HQ_BIN_CENTS, qs=HQ_QS
+    ).orderBy("q")
+
+
+ORACLE_SKETCH_HIST_QUANTILES = f"""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+         CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    / {float(HQ_BIN_CENTS)!r}) AS BIGINT) AS bin
+  FROM lineitem
+),
+h AS (SELECT bin, count(*)::BIGINT AS cnt FROM v GROUP BY bin),
+c AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum,
+         (sum(cnt) OVER (ORDER BY bin) - cnt)::BIGINT AS cum_prev,
+         (SELECT sum(cnt)::BIGINT FROM h) AS n
+  FROM h
+),
+qs AS (
+  -- cast to DOUBLE so q*n is double-by-double IEEE, matching Spark exactly
+  -- (a DECIMAL q could ceil() differently on exact-integer boundaries)
+  SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) t(q)
+),
+tgt AS (
+  SELECT q, bin, cnt, cum_prev, n,
+         CAST(ceil(q * n) AS BIGINT) AS r
+  FROM qs JOIN c
+    ON c.cum >= CAST(ceil(q * n) AS BIGINT)
+   AND c.cum_prev < CAST(ceil(q * n) AS BIGINT)
+),
+ex AS (
+  SELECT t.q, t.n, t.bin, t.cnt, t.cum_prev, t.r, v.vc,
+         row_number() OVER (PARTITION BY t.q ORDER BY v.vc) AS rn
+  FROM tgt t JOIN v ON v.bin = t.bin
+)
+SELECT q, n AS n_total,
+       round((bin * {HQ_BIN_CENTS} + {HQ_BIN_CENTS} * (r - cum_prev)
+              / CAST(cnt AS DOUBLE)) / 100.0, 3) AS est_quantile,
+       round(vc / 100.0, 2) AS exact_quantile
+FROM ex WHERE rn = r - cum_prev
+ORDER BY q
+"""
+
+
+QUERIES = {
+    "sketch_kmv_users": q_sketch_kmv_users,
+    "sketch_cms_terms": q_sketch_cms_terms,
+    "sketch_hist_quantiles": q_sketch_hist_quantiles,
+}
+ORACLES = {
+    "sketch_kmv_users": ORACLE_SKETCH_KMV_USERS,
+    "sketch_cms_terms": ORACLE_SKETCH_CMS_TERMS,
+    "sketch_hist_quantiles": ORACLE_SKETCH_HIST_QUANTILES,
+}

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.functions.text import duckdb_tokens
-from pyvectorsearch_spark.operators.textops import chunk_text
+from pyvectorsearch_spark.operators.textops import chunk_text, tfidf_top_terms
 from pyvectorsearch_spark.sources.tables import load_table, spread
 
 CHUNK_SIZE = 200
@@ -61,5 +61,46 @@ FROM ch GROUP BY doc_id ORDER BY doc_id
 """
 
 
-QUERIES = {"text_chunks": q_text_chunks}
-ORACLES = {"text_chunks": ORACLE_TEXT_CHUNKS}
+TFIDF_K = 3
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document under the
+    smoothed sklearn-style idf, restricted to every 10th document so the
+    output stays bounded while the idf statistics still come from the FULL
+    corpus (df/N are corpus-level — that is the point of the operator)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = tfidf_top_terms(docs, k=TFIDF_K)
+    return scored.filter(F.col("doc_id") % 10 == 0).orderBy("doc_id", "rank")
+
+
+ORACLE_TEXT_TFIDF = f"""
+WITH e AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM e GROUP BY doc_id, term
+),
+n AS (SELECT count(DISTINCT doc_id)::BIGINT AS nd FROM documents),
+s AS (
+  SELECT doc_id, term, tf,
+         count(*) OVER (PARTITION BY term)::BIGINT AS df
+  FROM tf
+),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * (ln((nd + 1) / CAST(df + 1 AS DOUBLE)) + 1.0), 6)
+           AS tfidf_r
+  FROM s, n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_r DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf_r, rank
+FROM r WHERE rank <= {TFIDF_K} AND doc_id % 10 = 0
+ORDER BY doc_id, rank
+"""
+
+
+QUERIES = {"text_chunks": q_text_chunks, "text_tfidf": q_text_tfidf}
+ORACLES = {"text_chunks": ORACLE_TEXT_CHUNKS, "text_tfidf": ORACLE_TEXT_TFIDF}
