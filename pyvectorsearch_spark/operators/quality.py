@@ -273,3 +273,96 @@ def profile_table(df: DataFrame, *, round_dp: int = 6) -> DataFrame:
         .select("_p.*")
         .orderBy("column")
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    *,
+    by: str,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    bin_cents: int = 100,
+) -> DataFrame:
+    """Per-group winsorization report: clip ``value_col`` to the group's
+    [lo_q, hi_q] quantile band and report how much moved — the standard
+    robust-scaling / outlier-capping step before a numeric feature feeds a
+    model.
+
+    The clip bounds come from a per-group fixed-width histogram over
+    integer cents (the `hist_quantiles` construction, partitioned by
+    group): engine-exact, and the quantile walk runs over groups x bins
+    rows, never a per-group sort. The winsorized sum decomposes into an
+    exact integer mid-segment sum plus count x bound products, so the
+    result is order-independent (no floating accumulation over the fact
+    table).
+
+    Returns (``by``, n, n_lo, n_hi, lo_r, hi_r, winsorized_sum)."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(by).alias("g"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("_vc"),
+    ).withColumn(
+        "_bin", F.floor(F.col("_vc") / F.lit(float(bin_cents))).cast("bigint")
+    )
+    h = b.groupBy("g", "_bin").agg(F.count("*").cast("bigint").alias("_cnt"))
+    wg = Window.partitionBy("g").orderBy("_bin")
+    c = h.withColumn("_cum", F.sum("_cnt").over(wg)).withColumn(
+        "_cum_prev", F.col("_cum") - F.col("_cnt")
+    )
+    t = h.groupBy("g").agg(F.sum("_cnt").cast("bigint").alias("_n"))
+    qdf = t.withColumn(
+        "_r_lo", F.ceil(F.lit(float(lo_q)) * F.col("_n")).cast("bigint")
+    ).withColumn("_r_hi", F.ceil(F.lit(float(hi_q)) * F.col("_n")).cast("bigint"))
+    cj = c.join(F.broadcast(qdf.select("g", "_r_lo", "_r_hi")), "g")
+
+    def _est(rank_col: str) -> Column:
+        return F.col("_bin") * bin_cents + bin_cents * (
+            F.col(rank_col) - F.col("_cum_prev")
+        ) / F.col("_cnt")
+
+    lo = cj.filter(
+        (F.col("_cum") >= F.col("_r_lo")) & (F.col("_cum_prev") < F.col("_r_lo"))
+    ).select("g", _est("_r_lo").alias("_lo_c"))
+    hi = cj.filter(
+        (F.col("_cum") >= F.col("_r_hi")) & (F.col("_cum_prev") < F.col("_r_hi"))
+    ).select("g", _est("_r_hi").alias("_hi_c"))
+    bounds = qdf.select("g", "_n").join(lo, "g").join(hi, "g")
+    f = b.join(F.broadcast(bounds), "g")
+    agg = f.groupBy("g").agg(
+        F.max("_n").alias("n"),
+        F.sum(F.when(F.col("_vc") < F.col("_lo_c"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lo"),
+        F.sum(F.when(F.col("_vc") > F.col("_hi_c"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hi"),
+        F.sum(
+            F.when(
+                (F.col("_vc") >= F.col("_lo_c")) & (F.col("_vc") <= F.col("_hi_c")),
+                F.col("_vc"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("_mid_sum"),
+        F.max("_lo_c").alias("_lo_c"),
+        F.max("_hi_c").alias("_hi_c"),
+    )
+    return agg.select(
+        F.col("g").alias(by),
+        "n",
+        "n_lo",
+        "n_hi",
+        F.round(F.col("_lo_c") / 100.0, 3).alias("lo_r"),
+        F.round(F.col("_hi_c") / 100.0, 3).alias("hi_r"),
+        F.round(
+            (
+                F.col("_mid_sum")
+                + F.col("n_lo") * F.col("_lo_c")
+                + F.col("n_hi") * F.col("_hi_c")
+            )
+            / 100.0,
+            2,
+        ).alias("winsorized_sum"),
+    )

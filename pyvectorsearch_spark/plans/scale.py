@@ -80,3 +80,55 @@ def two_phase_agg(
             for out, (fn, _) in aggs.items()
         ]
     )
+
+
+def key_skew_report(df: DataFrame, *, key: str) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle key — the
+    "should I salt this groupBy/join?" decision input (pairs with
+    `salt_column`/`two_phase_agg`, which are the remedies).
+
+    Everything derives from two bounded aggregations: the per-key count
+    table (the same map-side-combined reduction the real groupBy would do)
+    and its count-of-counts histogram, so the p99 of the key-size
+    distribution comes from a histogram walk, never a global sort — the
+    report itself stays cheap on exactly the skewed inputs it exists to
+    diagnose.
+
+    Returns (n_keys, n_rows, max_n, top1_share_r, p99_n, cv_r):
+    `top1_share_r` = largest key's share of all rows; `p99_n` = 99th
+    percentile key size; `cv_r` = coefficient of variation of key sizes
+    (0 = perfectly uniform)."""
+    from pyspark.sql import Window
+
+    cnt = df.groupBy(key).agg(F.count("*").cast("bigint").alias("_n"))
+    stats = cnt.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.max("_n").cast("bigint").alias("max_n"),
+        F.sum(F.col("_n") * F.col("_n")).cast("bigint").alias("_sum_n2"),
+    )
+    # count-of-counts histogram: one row per distinct key size (tiny), so
+    # the unpartitioned cumulative window is deliberate and bounded
+    hist = cnt.groupBy("_n").agg(F.count("*").cast("bigint").alias("_k"))
+    wb = Window.orderBy("_n")
+    cum = hist.withColumn("_cum", F.sum("_k").over(wb)).crossJoin(
+        F.broadcast(stats.select("n_keys"))
+    )
+    r = F.ceil(0.99 * F.col("n_keys")).cast("bigint")
+    p99 = (
+        cum.filter((F.col("_cum") >= r) & ((F.col("_cum") - F.col("_k")) < r))
+        .select(F.col("_n").alias("p99_n"))
+    )
+    mean = F.col("n_rows") / F.col("n_keys")
+    var = F.col("_sum_n2") / F.col("n_keys") - mean * mean
+    cv = F.when(
+        F.col("n_rows") > 0, F.round(F.sqrt(F.greatest(var, F.lit(0.0))) / mean, 6)
+    ).otherwise(F.lit(0.0))
+    return stats.crossJoin(F.broadcast(p99)).select(
+        "n_keys",
+        "n_rows",
+        "max_n",
+        F.round(F.col("max_n") / F.col("n_rows"), 6).alias("top1_share_r"),
+        "p99_n",
+        cv.alias("cv_r"),
+    )

@@ -23,6 +23,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     scd_extra,
     search_extra,
     sketch_extra,
+    skew_extra,
     streaming,
     streaming_drift,
     temporal,
@@ -84,13 +85,13 @@ _MODULES = [
     text_lm,  # likewise (heavy hitters / bigram LM / C4 line cleaning)
     funnel_extra,  # likewise (funnel conversion / cohort retention)
     search_extra,  # likewise (filtered kNN / hybrid RRF)
-    sketch_extra,  # likewise (KMV distinct sketch)
-    quality_extra,  # likewise (PSI drift / column profiler)
+    sketch_extra,  # likewise (KMV / count-min / histogram quantiles)
     layout_extra,  # likewise (Z-order layout / deterministic shuffle)
     streaming_drift,  # likewise (streamed PSI histogram)
     timeseries_extra,  # likewise (dense resample / interpolation)
     scd_extra,  # likewise (Type-2 dimension merge)
     blocking_extra,  # likewise (Bloom semi-join / sorted neighborhood)
+    skew_extra,  # likewise (key-skew census / winsorization)
 ]
 
 

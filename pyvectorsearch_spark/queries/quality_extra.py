@@ -199,6 +199,8 @@ FROM tot CROSS JOIN ha CROSS JOIN hb CROSS JOIN hab
 """
 
 
+
+
 QUERIES = {
     "events_psi_drift": q_events_psi_drift,
     "profile_orders": q_profile_orders,

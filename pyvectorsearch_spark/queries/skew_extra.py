@@ -1,0 +1,147 @@
+"""Skew diagnostics and robust-scaling queries (registered OUTSIDE the
+driver's pinned 50-entry window; covered by tests/test_oracle_parity.py
+against the same DuckDB oracles).
+
+Operators exercised:
+- `plans/scale.py::key_skew_report` — shuffle-key skew census (the
+  salting/two-phase-agg decision input).
+- `operators/quality.py::winsorize_stats` — per-group quantile-band
+  clipping from an integer-cents histogram (robust feature scaling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyvectorsearch_spark.operators.quality import winsorize_stats
+from pyvectorsearch_spark.sources.tables import load_table, spread
+
+
+def q_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for orders-per-customer — the decision
+    input for salting/two-phase aggregation on a prospective groupBy or
+    join key (`plans/scale.py::key_skew_report`): key count, hottest-key
+    share, p99 key size (from the count-of-counts histogram, no global
+    sort), and the coefficient of variation of key sizes."""
+    from pyvectorsearch_spark.plans.scale import key_skew_report
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    return key_skew_report(orders, key="o_custkey")
+
+
+ORACLE_SKEW_ORDERS = """
+WITH cnt AS (
+  SELECT o_custkey, count(*)::BIGINT AS n FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows,
+         max(n)::BIGINT AS max_n, sum(n * n)::BIGINT AS sum_n2
+  FROM cnt
+),
+hist AS (SELECT n, count(*)::BIGINT AS k FROM cnt GROUP BY n),
+cum AS (
+  SELECT n, k, sum(k) OVER (ORDER BY n)::BIGINT AS c,
+         (SELECT n_keys FROM stats) AS n_keys
+  FROM hist
+),
+p99 AS (
+  SELECT n AS p99_n FROM cum
+  WHERE c >= CAST(ceil(CAST(0.99 AS DOUBLE) * n_keys) AS BIGINT)
+    AND c - k < CAST(ceil(CAST(0.99 AS DOUBLE) * n_keys) AS BIGINT)
+)
+SELECT n_keys, n_rows, max_n,
+       round(max_n / CAST(n_rows AS DOUBLE), 6) AS top1_share_r,
+       p99_n,
+       CASE WHEN n_rows > 0 THEN
+         round(sqrt(greatest(
+                 sum_n2 / CAST(n_keys AS DOUBLE)
+                 - (n_rows / CAST(n_keys AS DOUBLE))
+                   * (n_rows / CAST(n_keys AS DOUBLE)), 0.0))
+               / (n_rows / CAST(n_keys AS DOUBLE)), 6)
+       ELSE 0.0 END AS cv_r
+FROM stats, p99
+"""
+
+
+WINS_LO = 0.05
+WINS_HI = 0.95
+WINS_BIN_CENTS = 100
+
+
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization of `value` to the [p05, p95] band from
+    a per-group integer-cents histogram: counts clipped on each side, the
+    clip bounds, and the order-independent winsorized sum (exact integer
+    mid-sum + count x bound products)."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    return winsorize_stats(
+        ev,
+        by="event_type",
+        value_col="value",
+        lo_q=WINS_LO,
+        hi_q=WINS_HI,
+        bin_cents=WINS_BIN_CENTS,
+    ).orderBy("event_type")
+
+
+ORACLE_EVENTS_WINSORIZE = f"""
+WITH b AS (
+  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS vc,
+         CAST(floor(CAST(round(value * 100) AS BIGINT)
+                    / {float(WINS_BIN_CENTS)!r}) AS BIGINT) AS bin
+  FROM events
+),
+h AS (SELECT g, bin, count(*)::BIGINT AS cnt FROM b GROUP BY g, bin),
+c AS (
+  SELECT g, bin, cnt,
+         sum(cnt) OVER (PARTITION BY g ORDER BY bin)::BIGINT AS cum,
+         (sum(cnt) OVER (PARTITION BY g ORDER BY bin) - cnt)::BIGINT AS cum_prev
+  FROM h
+),
+t AS (SELECT g, sum(cnt)::BIGINT AS n FROM h GROUP BY g),
+q AS (
+  SELECT g, n,
+         CAST(ceil(CAST({WINS_LO} AS DOUBLE) * n) AS BIGINT) AS r_lo,
+         CAST(ceil(CAST({WINS_HI} AS DOUBLE) * n) AS BIGINT) AS r_hi
+  FROM t
+),
+lo AS (
+  SELECT q.g, bin * {WINS_BIN_CENTS} + {WINS_BIN_CENTS} * (r_lo - cum_prev)
+           / CAST(cnt AS DOUBLE) AS lo_c
+  FROM q JOIN c ON c.g = q.g AND c.cum >= r_lo AND c.cum_prev < r_lo
+),
+hi AS (
+  SELECT q.g, bin * {WINS_BIN_CENTS} + {WINS_BIN_CENTS} * (r_hi - cum_prev)
+           / CAST(cnt AS DOUBLE) AS hi_c
+  FROM q JOIN c ON c.g = q.g AND c.cum >= r_hi AND c.cum_prev < r_hi
+),
+f AS (
+  SELECT b.g, vc, lo_c, hi_c, n
+  FROM b JOIN lo ON lo.g = b.g JOIN hi ON hi.g = b.g JOIN q ON q.g = b.g
+),
+agg AS (
+  SELECT g, max(n) AS n,
+         sum(CASE WHEN vc < lo_c THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+         sum(CASE WHEN vc > hi_c THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+         sum(CASE WHEN vc >= lo_c AND vc <= hi_c THEN vc ELSE 0 END)::BIGINT
+           AS mid_sum,
+         max(lo_c) AS lo_c, max(hi_c) AS hi_c
+  FROM f GROUP BY g
+)
+SELECT g AS event_type, n, n_lo, n_hi,
+       round(lo_c / 100.0, 3) AS lo_r,
+       round(hi_c / 100.0, 3) AS hi_r,
+       round((mid_sum + n_lo * lo_c + n_hi * hi_c) / 100.0, 2)
+         AS winsorized_sum
+FROM agg ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "skew_orders": q_skew_orders,
+    "events_winsorize": q_events_winsorize,
+}
+ORACLES = {
+    "skew_orders": ORACLE_SKEW_ORDERS,
+    "events_winsorize": ORACLE_EVENTS_WINSORIZE,
+}

@@ -137,11 +137,69 @@ ORDER BY event_type, win_start
 """
 
 
+# stream-static dimension: event_type -> (category, weight). Literal on both
+# sides so the oracle is self-contained.
+ENRICH_DIM = [
+    ("view", "engagement", 1),
+    ("click", "engagement", 2),
+    ("purchase", "conversion", 5),
+    ("signup", "conversion", 3),
+    ("error", "ops", 0),
+]
+
+
+def q_events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC broadcast join executed by the streaming engine: each
+    micro-batch of the event stream joins the in-memory category/weight
+    dimension (the canonical streaming-enrichment shape — the static side
+    broadcasts once, no state beyond the final aggregate), then folds into
+    a per-category stateful aggregate. Revenue is weighted in integer
+    cents so the multi-batch sum is order-independent and the batch oracle
+    applies verbatim."""
+    from pyvectorsearch_spark.queries.streaming import _drain, _event_stream
+
+    dim = spark.createDataFrame(
+        ENRICH_DIM, "event_type string, category string, weight int"
+    )
+    stream = _event_stream(spark, sf_dir)
+    joined = stream.join(F.broadcast(dim), "event_type")
+    agg = joined.groupBy("category").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(
+            F.round(F.col("value") * 100).cast("bigint") * F.col("weight")
+        )
+        .cast("bigint")
+        .alias("weighted_cents"),
+    )
+    name = _drain(agg, "events_enrich_stream")
+    return spark.table(name).orderBy("category")
+
+
+_ENRICH_CASES_CAT = " ".join(
+    f"WHEN '{et}' THEN '{cat}'" for et, cat, _ in ENRICH_DIM
+)
+_ENRICH_CASES_W = " ".join(f"WHEN '{et}' THEN {w}" for et, _, w in ENRICH_DIM)
+
+ORACLE_ENRICH_STREAM = f"""
+WITH e AS (
+  SELECT CASE event_type {_ENRICH_CASES_CAT} END AS category,
+         CAST(round(value * 100) AS BIGINT)
+           * (CASE event_type {_ENRICH_CASES_W} END) AS wc
+  FROM events
+  WHERE event_type IN ({", ".join(f"'{et}'" for et, _, _ in ENRICH_DIM)})
+)
+SELECT category, count(*)::BIGINT AS n_events, sum(wc)::BIGINT AS weighted_cents
+FROM e GROUP BY category ORDER BY category
+"""
+
+
 QUERIES = {
     "docs_curate_stream": q_docs_curate_stream,
     "events_hopping_stream": q_events_hopping_stream,
+    "events_enrich_stream": q_events_enrich_stream,
 }
 ORACLES = {
     "docs_curate_stream": ORACLE_DOCS_CURATE_STREAM,
     "events_hopping_stream": ORACLE_HOPPING_STREAM,
+    "events_enrich_stream": ORACLE_ENRICH_STREAM,
 }
