@@ -13,6 +13,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     embedding_extra,
     formats,
     funnel_extra,
+    incremental_extra,
     layout_extra,
     multimodal,
     pipeline,
@@ -92,6 +93,7 @@ _MODULES = [
     scd_extra,  # likewise (Type-2 dimension merge)
     blocking_extra,  # likewise (Bloom semi-join / sorted neighborhood)
     skew_extra,  # likewise (key-skew census / winsorization)
+    incremental_extra,  # likewise (rollup maintenance / attribution / salted agg)
 ]
 
 

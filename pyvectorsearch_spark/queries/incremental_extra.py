@@ -1,0 +1,174 @@
+"""Incremental-maintenance, attribution, and skew-lever queries (registered
+OUTSIDE the driver's pinned 50-entry window; covered by
+tests/test_oracle_parity.py against the same DuckDB oracles).
+
+Operators exercised:
+- `operators/incremental.py::merge_rollups` — incremental aggregate
+  maintenance: stored base rollup + delta rollup -> new rollup with one
+  delta scan, base facts untouched. The oracle aggregates the FULL table
+  directly, so the hash match proves incremental == from-scratch.
+- linear multi-touch attribution over the event stream (every click in the
+  lookback window shares the purchase's value equally) — the interval-join
+  companion of the last-touch `asof_purchase_click`.
+- `plans/scale.py::two_phase_agg` — the salted skew lever driven end to end
+  against a plain-groupBy oracle (the plan-shape test lives in
+  tests/test_scale_levers.py; this pins the VALUES).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.operators.incremental import merge_rollups
+from pyvectorsearch_spark.sources.tables import load_table, spread
+
+SPLIT_DATE = "1996-01-01"  # orders before this are the "stored" base rollup
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: per-priority order stats where the
+    base segment (orders before SPLIT_DATE) is pre-aggregated and merged
+    with the delta segment's rollup — the oracle aggregates the whole
+    table, so parity proves the merge is exact."""
+    orders = spread(load_table(spark, sf_dir, "orders")).withColumn(
+        "_tc", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    cut = F.col("o_orderdate") < F.lit(SPLIT_DATE).cast("date")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("_tc").cast("bigint").alias("sum_cents"),
+            F.min("_tc").cast("bigint").alias("min_cents"),
+            F.max("_tc").cast("bigint").alias("max_cents"),
+        )
+
+    merged = merge_rollups(
+        rollup(orders.filter(cut)),
+        rollup(orders.filter(~cut)),
+        keys=["o_orderpriority"],
+        add_cols=["n_orders", "sum_cents"],
+        min_cols=["min_cents"],
+        max_cols=["max_cents"],
+    )
+    return merged.orderBy("o_orderpriority")
+
+
+ORACLE_INCREMENTAL_ROLLUP = """
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents,
+       min(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS min_cents,
+       max(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS max_cents
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+ATTR_WINDOW_S = 3600  # credit clicks within 1 hour before the purchase
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the hour before a
+    purchase (same user) shares the purchase value equally. User-keyed
+    equi-join with a bounded time predicate — the shuffle key is user_id
+    and the window bound caps per-purchase fan-out, so join state stays
+    bounded at any scale (same shape as the stream-stream interval
+    join)."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("_pts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("_vc"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("_cts")
+    )
+    j = p.join(
+        c,
+        (p["user_id"] == c["user_id"])
+        & (F.col("_cts") <= F.col("_pts"))
+        & (F.col("_cts") >= F.col("_pts") - F.expr(f"INTERVAL {ATTR_WINDOW_S} SECOND")),
+    ).drop(c["user_id"])
+    return (
+        j.groupBy("purchase_id", "user_id", "_vc")
+        .agg(F.count("*").cast("bigint").alias("n_clicks"))
+        .select(
+            "purchase_id",
+            "user_id",
+            "n_clicks",
+            F.round(F.col("_vc") / F.col("n_clicks") / 100.0, 4).alias(
+                "credit_per_click_r"
+            ),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ORACLE_ATTRIBUTION_LINEAR = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id, count(*)::BIGINT AS n_clicks,
+       round(vc / CAST(count(*) AS DOUBLE) / 100.0, 4) AS credit_per_click_r
+FROM p JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL {ATTR_WINDOW_S} SECOND
+GROUP BY p.purchase_id, p.user_id, p.vc
+ORDER BY p.purchase_id
+"""
+
+
+def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase aggregation lever producing real numbers: per
+    event-type count/sum/max through phase-1 (key+salt) partials and a
+    phase-2 combine — values must equal the plain groupBy the oracle
+    runs."""
+    from pyvectorsearch_spark.plans.scale import two_phase_agg
+
+    ev = spread(load_table(spark, sf_dir, "events")).select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("_vc")
+    )
+    out = two_phase_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "_vc"),
+            "sum_cents": ("sum", "_vc"),
+            "max_cents": ("max", "_vc"),
+        },
+        n_salts=16,
+        salt_on=["_vc"],
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        F.col("max_cents").cast("bigint").alias("max_cents"),
+    ).orderBy("event_type")
+
+
+ORACLE_SALTED_AGG_EVENTS = """
+SELECT event_type,
+       count(CAST(round(value * 100) AS BIGINT))::BIGINT AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+       max(CAST(round(value * 100) AS BIGINT))::BIGINT AS max_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "incremental_rollup": q_incremental_rollup,
+    "attribution_linear": q_attribution_linear,
+    "salted_agg_events": q_salted_agg_events,
+}
+ORACLES = {
+    "incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
+    "attribution_linear": ORACLE_ATTRIBUTION_LINEAR,
+    "salted_agg_events": ORACLE_SALTED_AGG_EVENTS,
+}
