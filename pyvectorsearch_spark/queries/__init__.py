@@ -7,6 +7,8 @@ Modules register via the ``QUERIES`` / ``ORACLES`` dicts they export;
 
 from pyvectorsearch_spark.queries import (  # noqa: F401
     analytic_extra,
+    audit_extra,
+    basket_extra,
     blocking_extra,
     dedup,
     dedup_extra,
@@ -94,6 +96,8 @@ _MODULES = [
     blocking_extra,  # likewise (Bloom semi-join / sorted neighborhood)
     skew_extra,  # likewise (key-skew census / winsorization)
     incremental_extra,  # likewise (rollup maintenance / attribution / salted agg)
+    audit_extra,  # likewise (order-independent table checksums)
+    basket_extra,  # likewise (2-itemset support/lift mining)
 ]
 
 

@@ -137,11 +137,54 @@ FROM agg ORDER BY event_type
 """
 
 
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-style join cardinality check: the EXACT output size of
+    orders x lineitem on o_orderkey computed from the two per-key count
+    tables (sum over keys of n_left * n_right) — the skew-census companion
+    that answers "how big will this join be?" without running it. The
+    count tables are keys-sized; the facts are scanned once each and never
+    joined. `max_key_pairs` is the hottest key's contribution — the number
+    that decides whether the join needs salting."""
+    from pyspark.sql import functions as F
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    co = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("_no")
+    )
+    cl = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("_nl")
+    )
+    j = co.join(cl, "k")
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_join_keys"),
+        F.sum(F.col("_no") * F.col("_nl")).cast("bigint").alias("est_join_rows"),
+        F.max(F.col("_no") * F.col("_nl")).cast("bigint").alias("max_key_pairs"),
+    )
+
+
+ORACLE_JOIN_SIZE_ESTIMATE = """
+WITH co AS (
+  SELECT o_orderkey AS k, count(*)::BIGINT AS no FROM orders GROUP BY k
+),
+cl AS (
+  SELECT l_orderkey AS k, count(*)::BIGINT AS nl FROM lineitem GROUP BY k
+)
+SELECT count(*)::BIGINT AS n_join_keys,
+       sum(no * nl)::BIGINT AS est_join_rows,
+       max(no * nl)::BIGINT AS max_key_pairs
+FROM co JOIN cl USING (k)
+"""
+
+
 QUERIES = {
     "skew_orders": q_skew_orders,
     "events_winsorize": q_events_winsorize,
+    "join_size_estimate": q_join_size_estimate,
 }
 ORACLES = {
     "skew_orders": ORACLE_SKEW_ORDERS,
     "events_winsorize": ORACLE_EVENTS_WINSORIZE,
+    "join_size_estimate": ORACLE_JOIN_SIZE_ESTIMATE,
 }
