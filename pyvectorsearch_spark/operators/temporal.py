@@ -31,6 +31,7 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_right",
     strict: bool = False,
+    tolerance_s: float | None = None,
     allow_single_partition: bool = False,
 ) -> DataFrame:
     """For every left row, attach ``right_cols`` from the single right row
@@ -39,6 +40,10 @@ def asof_join(
     NULLs — left-join semantics, like DuckDB ``ASOF LEFT JOIN``.
 
     ``strict=True`` uses < instead of ≤ (excludes simultaneous rows).
+
+    ``tolerance_s`` (pandas ``merge_asof``-style): a match farther than this
+    many seconds from the left row reverts to NULL — the attach itself is
+    unchanged (same single window pass); tolerance is a post-projection.
 
     ``by`` is REQUIRED for scale: without it the carry-forward window has no
     partition key, so Spark funnels both tables through ONE task — a driver
@@ -58,10 +63,12 @@ def asof_join(
         c for c in right.columns if c not in {on, by}
     ]
 
+    ron_type = dict(right.dtypes)[on]
     l_tag = left.withColumn("_side", F.lit(1)).select(
         *left.columns,
         "_side",
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(ron_type).alias("_asof_ron"),
     )
     r_tag = right.select(
         *[
@@ -72,6 +79,7 @@ def asof_join(
         ],
         F.lit(0).alias("_side"),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(on).alias("_asof_ron"),
     )
     u = l_tag.unionByName(r_tag)
 
@@ -94,8 +102,23 @@ def asof_join(
             F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
             for c in right_cols
         ],
+        F.last("_asof_ron", ignorenulls=True).over(w).alias("_asof_ron"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    if tolerance_s is not None:
+        # distance of the matched right row; a stale/far match reverts to NULL
+        dist = F.abs(
+            F.col(on).cast("double") - F.col("_asof_ron").cast("double")
+        )
+        ok = F.col("_asof_ron").isNotNull() & (dist <= F.lit(float(tolerance_s)))
+        out = out.select(
+            *left.columns,
+            *[
+                F.when(ok, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in right_cols
+            ],
+        )
+    return out.drop("_asof_ron")
 
 
 def interval_join(

@@ -162,13 +162,75 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+ASOF_TOL_S = 1800.0  # conversion counts only within 30 minutes
+
+
+def q_asof_click_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance (pandas merge_asof parity): for every
+    click, the user's NEXT purchase — but only if it lands within 30
+    minutes; a farther match reverts to the no-match sentinel. Same single
+    union+window pass as the backward as-of (`operators/temporal.py`);
+    tolerance is a post-projection. The oracle is DuckDB's native ASOF
+    JOIN with the reversed inequality plus the same tolerance CASE."""
+    from pyvectorsearch_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(
+        left,
+        right,
+        on="ts",
+        by="user_id",
+        right_cols=["purchase_id", "ts"],
+        direction="forward",
+        tolerance_s=ASOF_TOL_S,
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.coalesce(F.col("purchase_id_right"), F.lit(-1)).alias("purchase_id"),
+        F.coalesce(
+            F.unix_micros(F.col("ts_right")) - F.unix_micros(F.col("ts")),
+            F.lit(-1),
+        ).alias("lag_us"),
+    ).orderBy("click_id")
+
+
+ORACLE_ASOF_CLICK_CONVERSION = f"""
+WITH j AS (
+  SELECT l.event_id AS click_id, l.user_id, l.ts AS cts,
+         r.event_id AS pid, r.ts AS pts
+  FROM (SELECT * FROM events WHERE event_type = 'click') l
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+    ON l.user_id = r.user_id AND r.ts >= l.ts
+)
+SELECT click_id, user_id,
+       CASE WHEN pts IS NOT NULL
+             AND abs(epoch_us(cts) / 1000000.0 - epoch_us(pts) / 1000000.0)
+                 <= {ASOF_TOL_S!r}
+            THEN pid ELSE -1 END AS purchase_id,
+       CASE WHEN pts IS NOT NULL
+             AND abs(epoch_us(cts) / 1000000.0 - epoch_us(pts) / 1000000.0)
+                 <= {ASOF_TOL_S!r}
+            THEN epoch_us(pts) - epoch_us(cts) ELSE -1 END AS lag_us
+FROM j ORDER BY click_id
+"""
+
+
 QUERIES = {
     "incremental_rollup": q_incremental_rollup,
     "attribution_linear": q_attribution_linear,
     "salted_agg_events": q_salted_agg_events,
+    "asof_click_conversion": q_asof_click_conversion,
 }
 ORACLES = {
     "incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
     "attribution_linear": ORACLE_ATTRIBUTION_LINEAR,
     "salted_agg_events": ORACLE_SALTED_AGG_EVENTS,
+    "asof_click_conversion": ORACLE_ASOF_CLICK_CONVERSION,
 }
