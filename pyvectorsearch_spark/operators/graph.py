@@ -199,3 +199,56 @@ def triangle_stats(
     return out.select(
         "n_nodes", "n_edges", "n_triangles", "n_wedges", gcc.alias("gcc_r")
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    *,
+    src: str = "d1",
+    dst: str = "d2",
+    iters: int = 2,
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al. 2007)
+    over the undirected similarity graph: each round every node adopts the
+    most frequent label among its neighbors (ties broken by smallest
+    label). Unlike connected components (which fuses everything reachable),
+    LPA lets a chain-shaped near-dup graph split into locally-dense
+    communities — the finer-grained alternative when single-linkage
+    over-merges.
+
+    Determinism contract: the (count desc, label asc) tie-break makes every
+    round a pure function of the previous labels, so a fixed ``iters``
+    produces engine-identical results and the oracle simply unrolls the
+    same rounds as CTE layers (the PageRank pattern).
+
+    Scale shape per round: one shuffle-join of labels onto the edge list's
+    ``b`` side, one map-side-combined (node, label) count, one per-node
+    top-1 window over the node's distinct neighbor labels (bounded by
+    degree). The edge list is checkpointed once and pre-partitioned on the
+    lookup key.
+
+    Returns (node, community)."""
+    from pyspark.sql import Window
+
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .repartition("b")
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("b").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("_n"), F.asc("lbl"))
+    for _ in range(iters):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select("a", "lbl")
+        cnt = nbr.groupBy("a", "lbl").agg(F.count("*").alias("_n"))
+        labels = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("a").alias("node"), "lbl")
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -269,15 +269,146 @@ FROM ns, es, tri
 ORACLE_DEDUP_TRIANGLES = _oracle_triangles()
 
 
+LPA_ITERS = 2
+
+
+def q_dedup_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community sizes over the SimHash near-dup graph —
+    the finer-grained alternative to connected components when
+    single-linkage over-merges (chain-shaped graphs split into locally
+    dense communities). Fixed 2 rounds, deterministic tie-break; the
+    oracle unrolls the identical rounds as CTE layers."""
+    from pyvectorsearch_spark.operators.dedup import simhash_pairs
+    from pyvectorsearch_spark.operators.graph import label_propagation
+    from pyvectorsearch_spark.queries.dedup import MAX_HAMMING
+    from pyvectorsearch_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = simhash_pairs(docs, max_hamming=MAX_HAMMING)
+    labels = label_propagation(pairs, iters=LPA_ITERS)
+    return (
+        labels.groupBy("community")
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+        .orderBy("community")
+    )
+
+
+def _oracle_lpa() -> str:
+    from pyvectorsearch_spark.queries.dedup import _simhash_oracle
+
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(
+            f"""c{i} AS (
+  SELECT e.a, l.lbl, count(*)::BIGINT AS n
+  FROM edges e JOIN {prev} l ON l.node = e.b
+  GROUP BY e.a, l.lbl
+),
+l{i} AS (
+  SELECT a AS node, lbl FROM (
+    SELECT a, lbl,
+           row_number() OVER (PARTITION BY a ORDER BY n DESC, lbl ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    return f"""
+WITH pairs AS ({_simhash_oracle()}),
+edges AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT d1 AS a, d2 AS b FROM pairs
+    UNION ALL SELECT d2, d1 FROM pairs
+  )
+),
+l0 AS (SELECT DISTINCT b AS node, b AS lbl FROM edges),
+{", ".join(rounds)}
+SELECT lbl AS community, count(*)::BIGINT AS n_members
+FROM {prev} GROUP BY lbl ORDER BY community
+"""
+
+
+ORACLE_DEDUP_LPA = _oracle_lpa()
+
+
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: MinHash-LSH near-dup pairs rolled
+    up to (source, source) counts — which corpus slices copy from each
+    other. The pair table is already reduced; attaching sources is two
+    joins against the (doc_id, source) projection, and the unordered pair
+    is normalized with least/greatest so each source pair counts once."""
+    from pyvectorsearch_spark.operators.dedup import minhash_lsh_pairs
+    from pyvectorsearch_spark.queries.dedup import (
+        BANDS,
+        LSH_THRESHOLD,
+        N_HASHES,
+    )
+    from pyvectorsearch_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, threshold=LSH_THRESHOLD
+    )
+    src = docs.select("doc_id", "source")
+    m = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "d1").withColumnRenamed(
+                "source", "_s1"
+            ),
+            "d1",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "d2").withColumnRenamed(
+                "source", "_s2"
+            ),
+            "d2",
+        )
+        .select(
+            F.least("_s1", "_s2").alias("source_a"),
+            F.greatest("_s1", "_s2").alias("source_b"),
+        )
+    )
+    return (
+        m.groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _oracle_source_matrix() -> str:
+    from pyvectorsearch_spark.queries.dedup import ORACLE_MINHASH
+
+    return f"""
+WITH pairs AS ({ORACLE_MINHASH}),
+m AS (
+  SELECT least(a.source, b.source) AS source_a,
+         greatest(a.source, b.source) AS source_b
+  FROM pairs
+  JOIN documents a ON a.doc_id = pairs.d1
+  JOIN documents b ON b.doc_id = pairs.d2
+)
+SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+FROM m GROUP BY source_a, source_b ORDER BY source_a, source_b
+"""
+
+
+ORACLE_DEDUP_SOURCE_MATRIX = _oracle_source_matrix()
+
+
 QUERIES = {
     "dedup_embedding_keep": q_dedup_embedding_keep,
     "dedup_pagerank": q_dedup_pagerank,
     "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_triangles": q_dedup_triangles,
+    "dedup_lpa_communities": q_dedup_lpa_communities,
+    "dedup_source_matrix": q_dedup_source_matrix,
 }
 ORACLES = {
     "dedup_embedding_keep": ORACLE_EMB_KEEP,
     "dedup_pagerank": ORACLE_DEDUP_PAGERANK,
     "dedup_edit_distance": ORACLE_DEDUP_EDIT_DISTANCE,
     "dedup_triangles": ORACLE_DEDUP_TRIANGLES,
+    "dedup_lpa_communities": ORACLE_DEDUP_LPA,
+    "dedup_source_matrix": ORACLE_DEDUP_SOURCE_MATRIX,
 }
