@@ -193,13 +193,65 @@ FROM e GROUP BY category ORDER BY category
 """
 
 
+def q_events_file_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE FILE SINK: the streaming engine writes the event stream
+    to a checkpointed parquet sink (the production landing shape — memory
+    sinks are test-only), then a batch read of the sink output proves
+    every event landed exactly once: the per-type rollup must hash-match
+    the batch oracle over the source table. Checkpoint + sink dirs are
+    snapshot-keyed and rebuilt per source snapshot."""
+    from pyvectorsearch_spark.queries.streaming import _event_stream
+    from pyvectorsearch_spark.sources.tables import dataset_tag
+
+    base = dataset_tag(sf_dir, "events")
+    out = os.path.join(tempfile.gettempdir(), f"pvs_events_sink_{base}")
+    ck = f"{out}.ck"
+    if not os.path.isdir(out) or not os.path.isdir(ck):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+        stream = _event_stream(spark, sf_dir).select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    sunk = spark.read.parquet(out)
+    return (
+        sunk.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("event_id").cast("bigint").alias("n_distinct_ids"),
+            F.sum("vc").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_FILE_SINK_STREAM = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       count(DISTINCT event_id)::BIGINT AS n_distinct_ids,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "docs_curate_stream": q_docs_curate_stream,
     "events_hopping_stream": q_events_hopping_stream,
     "events_enrich_stream": q_events_enrich_stream,
+    "events_file_sink_stream": q_events_file_sink_stream,
 }
 ORACLES = {
     "docs_curate_stream": ORACLE_DOCS_CURATE_STREAM,
     "events_hopping_stream": ORACLE_HOPPING_STREAM,
     "events_enrich_stream": ORACLE_ENRICH_STREAM,
+    "events_file_sink_stream": ORACLE_FILE_SINK_STREAM,
 }

@@ -102,5 +102,65 @@ ORDER BY doc_id, rank
 """
 
 
-QUERIES = {"text_chunks": q_text_chunks, "text_tfidf": q_text_tfidf}
-ORACLES = {"text_chunks": ORACLE_TEXT_CHUNKS, "text_tfidf": ORACLE_TEXT_TFIDF}
+LEN_BIN_W = 10  # 10-token-wide bins
+
+
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram over whitespace token counts (10-token
+    bins) with cumulative document share — the planning input for sequence
+    packing (`sample_pack_*`): which context length covers what fraction
+    of the corpus. One map-side-combined shuffle of (bin, count) rows; the
+    cumulative window runs over the bins table only."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.functions.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    binned = docs.select(
+        (F.floor(F.size(tokens("text")) / F.lit(float(LEN_BIN_W))))
+        .cast("bigint")
+        .alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").cast("bigint").alias("n_docs"))
+    # bins-sized table: the unpartitioned cumulative window is bounded
+    wb = Window.orderBy("bin")
+    tot = hist.agg(F.sum("n_docs").cast("bigint").alias("_t"))
+    return (
+        hist.withColumn("cum_docs", F.sum("n_docs").over(wb).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            (F.col("bin") * LEN_BIN_W).alias("min_tokens"),
+            "n_docs",
+            "cum_docs",
+            F.round(F.col("cum_docs") / F.col("_t"), 6).alias("cum_share_r"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_TEXT_LENGTH_HISTOGRAM = f"""
+WITH b AS (
+  SELECT CAST(floor(len({_TOK}) / {float(LEN_BIN_W)!r}) AS BIGINT) AS bin
+  FROM documents
+),
+h AS (SELECT bin, count(*)::BIGINT AS n_docs FROM b GROUP BY bin),
+t AS (SELECT sum(n_docs)::BIGINT AS tt FROM h)
+SELECT bin, bin * {LEN_BIN_W} AS min_tokens, n_docs,
+       sum(n_docs) OVER (ORDER BY bin)::BIGINT AS cum_docs,
+       round(sum(n_docs) OVER (ORDER BY bin) / CAST(tt AS DOUBLE), 6)
+         AS cum_share_r
+FROM h, t ORDER BY bin
+"""
+
+
+QUERIES = {
+    "text_chunks": q_text_chunks,
+    "text_tfidf": q_text_tfidf,
+    "text_length_histogram": q_text_length_histogram,
+}
+ORACLES = {
+    "text_chunks": ORACLE_TEXT_CHUNKS,
+    "text_tfidf": ORACLE_TEXT_TFIDF,
+    "text_length_histogram": ORACLE_TEXT_LENGTH_HISTOGRAM,
+}
