@@ -274,3 +274,65 @@ def topk_global(
     return out.orderBy(order, F.col(data_id).asc()).limit(k).select(
         F.col(data_id).alias("neighbor_id"), "dist", *payload
     )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    sims: DataFrame,
+    *,
+    id_col: str = "id",
+    rel_col: str = "rel_r",
+    k: int = 5,
+    lam: float = 0.7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick ``k`` results maximizing
+    lam * relevance - (1 - lam) * max-similarity-to-already-selected — the
+    standard diversified top-k that stops near-duplicate results from
+    filling the page.
+
+    ``cand`` is the BOUNDED candidate list (top-N from any ANN/BM25 stage;
+    N is a re-rank depth like 15-100, never the corpus) with a rounded
+    relevance column; ``sims`` holds rounded pairwise similarities (a, b,
+    sim_r) between candidates, both directions. MMR is inherently
+    sequential in k, so each of the k-1 steps runs one tiny Spark job over
+    the candidate table (all float math stays in Spark expressions —
+    engine-matched rounding); only the chosen ids cross the driver
+    (k integers, control flow — the same class as a k-means centroid
+    collect). At scale this runs per query over its own bounded candidate
+    set; depth and k are re-rank constants, so cost is O(k * N) per query.
+
+    Returns (``id_col``, mmr_rank, score_r): score_r is the value maximized
+    at that step (the raw relevance for rank 1)."""
+    cand = cand.select(id_col, rel_col).localCheckpoint(eager=True)
+    sims = sims.localCheckpoint(eager=True)
+    first = (
+        cand.orderBy(F.desc(rel_col), F.asc(id_col)).limit(1).collect()[0]
+    )
+    selected = [(first[id_col], 1, float(first[rel_col]))]
+    for rank in range(2, k + 1):
+        chosen = [s[0] for s in selected]
+        scores = (
+            cand.filter(~F.col(id_col).isin(chosen))
+            .join(
+                sims.filter(F.col("b").isin(chosen)),
+                F.col(id_col) == F.col("a"),
+            )
+            .groupBy(id_col, rel_col)
+            .agg(F.max("sim_r").alias("_mx"))
+            .select(
+                id_col,
+                F.round(
+                    F.lit(float(lam)) * F.col(rel_col)
+                    - F.lit(float(1.0 - lam)) * F.col("_mx"),
+                    round_dp,
+                ).alias("_score"),
+            )
+        )
+        pick = scores.orderBy(F.desc("_score"), F.asc(id_col)).limit(1).collect()[0]
+        selected.append((pick[id_col], rank, float(pick["_score"])))
+    spark = cand.sparkSession
+    return spark.createDataFrame(
+        selected, f"{id_col} bigint, mmr_rank int, score_r double"
+    )

@@ -267,13 +267,113 @@ FROM ranked WHERE rank <= {K}
 ORACLE_KNN_SQ8 = _oracle_sq8()
 
 
+
+MMR_DEPTH = 15
+MMR_K = 5
+MMR_LAM = 0.7
+
+
+def q_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 (Carbonell & Goldstein 1998) from a depth-15
+    cosine candidate list for probe vec_id=0: greedy
+    lam*rel - (1-lam)*max-sim-to-selected with engine-exact rounded scores.
+    Candidates and their pairwise similarities are bounded (depth x depth);
+    the oracle unrolls the identical greedy steps as CTE layers."""
+    from pyvectorsearch_spark.operators.knn import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine_sim("embedding", "qvec"), 6).alias("rel_r"),
+        )
+        .orderBy(F.desc("rel_r"), F.asc("id"))
+        .limit(MMR_DEPTH)
+    )
+    cemb = emb.join(
+        F.broadcast(cand.select("id")), emb["vec_id"] == F.col("id")
+    ).select("id", "embedding")
+    x = cemb.alias("x")
+    y = cemb.select(
+        F.col("id").alias("b"), F.col("embedding").alias("_bemb")
+    ).alias("y")
+    sims = (
+        x.join(y, F.col("x.id") != F.col("b"))
+        .select(
+            F.col("x.id").alias("a"),
+            "b",
+            F.round(cosine_sim("embedding", "_bemb"), 6).alias("sim_r"),
+        )
+    )
+    out = mmr_rerank(cand, sims, k=MMR_K, lam=MMR_LAM)
+    return out.select(
+        F.col("id").alias("vec_id"), "mmr_rank", "score_r"
+    ).orderBy("mmr_rank")
+
+
+def _oracle_mmr() -> str:
+    cos_q = duckdb_cosine("e.embedding", "q.qvec", DIM)
+    cos_p = duckdb_cosine("x.embedding", "y.embedding", DIM)
+    lam = f"CAST({MMR_LAM!r} AS DOUBLE)"
+    one_minus = f"CAST({1.0 - MMR_LAM!r} AS DOUBLE)"
+    steps = []
+    prev = "sel1"
+    for i in range(2, MMR_K + 1):
+        steps.append(
+            f"""cand{i} AS (
+  SELECT c.id, round({lam} * c.rel - {one_minus} * max(s.sim), 6) AS score
+  FROM cand c JOIN sims s
+    ON s.a = c.id AND s.b IN (SELECT id FROM {prev})
+  WHERE c.id NOT IN (SELECT id FROM {prev})
+  GROUP BY c.id, c.rel
+),
+pick{i} AS (
+  SELECT id, {i} AS mmr_rank, score FROM cand{i}
+  ORDER BY score DESC, id LIMIT 1
+),
+sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})"""
+        )
+        prev = f"sel{i}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id AS id, round({cos_q}, 6) AS rel
+  FROM embeddings e, q ORDER BY rel DESC, id LIMIT {MMR_DEPTH}
+),
+ce AS (
+  SELECT c.id, e.embedding FROM cand c JOIN embeddings e ON e.vec_id = c.id
+),
+sims AS (
+  SELECT x.id AS a, y.id AS b, round({cos_p}, 6) AS sim
+  FROM ce x JOIN ce y ON x.id <> y.id
+),
+sel1 AS (
+  SELECT id, 1 AS mmr_rank, rel AS score FROM cand
+  ORDER BY rel DESC, id LIMIT 1
+),
+{steps_sql}
+SELECT id AS vec_id, mmr_rank, score AS score_r
+FROM {prev} ORDER BY mmr_rank
+"""
+
+
+ORACLE_KNN_MMR = _oracle_mmr()
+
+
 QUERIES = {
     "knn_filtered": q_knn_filtered,
     "hybrid_rrf": q_hybrid_rrf,
     "knn_sq8": q_knn_sq8,
+    "knn_mmr": q_knn_mmr,
 }
 ORACLES = {
     "knn_filtered": ORACLE_KNN_FILTERED,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "knn_sq8": ORACLE_KNN_SQ8,
+    "knn_mmr": ORACLE_KNN_MMR,
 }
