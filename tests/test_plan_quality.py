@@ -196,3 +196,64 @@ def test_partitioned_sink_read_prunes_partitions(spark):
     df = q_partition_prune_stats(spark, SF_SMOKE)
     pf = partition_filters(df)
     assert any("source" in f for f in pf), explain_str(df)[:2000]
+
+
+def test_tfidf_prunes_scan_and_bounded_exchanges(spark):
+    """TF-IDF must read only (doc_id, text) from parquet; the shuffles are
+    the tf partial-agg, the term-df window, and the per-doc top-k window —
+    all over the REDUCED (doc, term) table, never raw tokens."""
+    from pyvectorsearch_spark.queries.text_extra import q_text_tfidf
+
+    df = q_text_tfidf(spark, SF_SMOKE)
+    scans = read_schema_columns(df)
+    assert scans and scans[0] <= {"doc_id", "text"}, scans
+    # tf partial-agg, df window (term), top-k window (doc), the 1-row
+    # n_docs aggregate, and the presentation sort: 5. Anything above that
+    # would mean the token stream itself started shuffling.
+    assert count_exchanges(df) <= 5, explain_str(df)[:2000]
+
+
+def test_cms_no_cartesian_and_pruned_scan(spark):
+    """Count-min build+probe: documents scanned for (text) only; no
+    cartesian product anywhere (probe/sketch joins are equi-joins)."""
+    from pyvectorsearch_spark.queries.sketch_extra import q_sketch_cms_terms
+
+    df = q_sketch_cms_terms(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_winsorize_fact_scans_bounded(spark):
+    """Winsorize reads only (event_type, value); bound attach is a
+    broadcast join (the bounds table is groups-sized)."""
+    from pyvectorsearch_spark.queries.skew_extra import q_events_winsorize
+
+    df = q_events_winsorize(spark, SF_SMOKE)
+    scans = read_schema_columns(df)
+    assert scans and all(s <= {"event_type", "value"} for s in scans), scans
+    assert has_broadcast_join(df)
+
+
+def test_join_size_estimate_never_joins_facts(spark):
+    """The join-size estimator joins the two COUNT tables, not the fact
+    tables: scans read only the key columns."""
+    from pyvectorsearch_spark.queries.skew_extra import q_join_size_estimate
+
+    df = q_join_size_estimate(spark, SF_SMOKE)
+    scans = read_schema_columns(df)
+    assert scans and all(
+        s <= {"o_orderkey"} or s <= {"l_orderkey"} for s in scans
+    ), scans
+
+
+def test_attribution_no_cartesian(spark):
+    """The attribution interval predicate must ride the user_id equi-join —
+    never a nested-loop/cartesian over events x events."""
+    from pyvectorsearch_spark.queries.incremental_extra import (
+        q_attribution_linear,
+    )
+
+    df = q_attribution_linear(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
