@@ -54,11 +54,15 @@ from pyvectorsearch_spark.operators.layout import (  # noqa: F401
 from pyvectorsearch_spark.operators.quality import (  # noqa: F401
     profile_table,
     psi_drift,
+    winsorize_stats,
 )
 from pyvectorsearch_spark.operators.graph import (  # noqa: F401
     connected_components,
+    label_propagation,
     pagerank,
+    triangle_stats,
 )
+from pyvectorsearch_spark.operators.incremental import merge_rollups  # noqa: F401
 from pyvectorsearch_spark.operators.sampling import (  # noqa: F401
     sample_weighted_k,
     select_token_budget,
@@ -69,7 +73,12 @@ from pyvectorsearch_spark.operators.timeseries import (  # noqa: F401
     interpolate_gaps,
     resample_counts,
 )
-from pyvectorsearch_spark.operators.sketches import kmv_distinct  # noqa: F401
+from pyvectorsearch_spark.operators.sketches import (  # noqa: F401
+    cms_build,
+    cms_lookup,
+    hist_quantiles,
+    kmv_distinct,
+)
 from pyvectorsearch_spark.operators.textops import (  # noqa: F401
     bigram_lm_score,
     bm25_rank,
@@ -80,6 +89,9 @@ from pyvectorsearch_spark.operators.textops import (  # noqa: F401
     ngram_contamination,
     pii_redact,
     text_quality,
+    tfidf_top_terms,
     top_terms,
     vocab_encode,
 )
+from pyvectorsearch_spark.plans.scale import key_skew_report  # noqa: F401
+from pyvectorsearch_spark.operators.knn import mmr_rerank  # noqa: F401
