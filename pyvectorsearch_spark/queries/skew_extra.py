@@ -178,13 +178,78 @@ FROM co JOIN cl USING (k)
 """
 
 
+
+def q_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of extended price vs quantity per return flag —
+    the feature-dependency profile for numeric columns (the continuous
+    companion of `events_mi`). All five moments accumulate as EXACT
+    integer sums in one map-side-combined pass (price in cents, quantity
+    as bigint); the correlation formula then runs in doubles on those
+    sums, so the result is order-independent and engine-identical —
+    no naive-vs-Welford variance drift, no float accumulation over the
+    fact table."""
+    from pyspark.sql import functions as F
+
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("_x"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("_y"),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_x").cast("bigint").alias("_sx"),
+        F.sum("_y").cast("bigint").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("bigint").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("bigint").alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("bigint").alias("_sxy"),
+    )
+    nD = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    corr = (nD * sxy - sx * sy) / F.sqrt(
+        (nD * sxx - sx * sx) * (nD * syy - sy * sy)
+    )
+    return agg.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_r")
+    ).orderBy("l_returnflag")
+
+
+ORACLE_PRICE_QTY_CORR = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+         CAST(round(l_quantity) AS BIGINT) AS y
+  FROM lineitem
+),
+a AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+         sum(x * y)::BIGINT AS sxy
+  FROM v GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS corr_r
+FROM a ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "skew_orders": q_skew_orders,
     "events_winsorize": q_events_winsorize,
     "join_size_estimate": q_join_size_estimate,
+    "price_qty_corr": q_price_qty_corr,
 }
 ORACLES = {
     "skew_orders": ORACLE_SKEW_ORDERS,
     "events_winsorize": ORACLE_EVENTS_WINSORIZE,
     "join_size_estimate": ORACLE_JOIN_SIZE_ESTIMATE,
+    "price_qty_corr": ORACLE_PRICE_QTY_CORR,
 }
