@@ -336,3 +336,37 @@ def mmr_rerank(
     return spark.createDataFrame(
         selected, f"{id_col} bigint, mmr_rank int, score_r double"
     )
+
+
+def recall_report(
+    approx: DataFrame,
+    exact: DataFrame,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate result list against the exact
+    list: |approx ∩ exact| / |exact| — the standard ANN evaluation metric
+    as a first-class operator (feed it any two (query, neighbor) lists).
+    Both inputs are already top-k-bounded, so every join and aggregate here
+    is queries x k sized regardless of corpus size.
+
+    Returns (``query_col``, n_hits, n_exact, recall_r)."""
+    a = approx.select(query_col, id_col)
+    x = exact.select(query_col, id_col)
+    hits = (
+        a.join(x, [query_col, id_col])
+        .groupBy(query_col)
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    totals = x.groupBy(query_col).agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    return totals.join(hits, query_col, "left").select(
+        query_col,
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        "n_exact",
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.col("n_exact").cast("double"), 6
+        ).alias("recall_r"),
+    )

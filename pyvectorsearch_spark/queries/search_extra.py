@@ -203,7 +203,7 @@ def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_sq8() -> str:
+def _oracle_sq8(rerank: int = SQ8_RERANK) -> str:
     rng = f"range(1, {DIM + 1})"
     code = (
         f"list_transform({rng}, i -> least(greatest("
@@ -246,7 +246,7 @@ short AS (
     SELECT qid, vec_id,
            row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS r1
     FROM a
-  ) WHERE r1 <= {SQ8_RERANK}
+  ) WHERE r1 <= {rerank}
 ),
 ex AS (
   SELECT q.qid, e.vec_id, {exact} AS d
@@ -365,15 +365,71 @@ FROM {prev} ORDER BY mmr_rank
 ORACLE_KNN_MMR = _oracle_mmr()
 
 
+
+def q_sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED recall@5: the evaluation harness itself as an
+    operator. The approximate list is SQ8 with rerank depth = k (so the
+    result is exactly the ADC top-5 — the hardest setting the index
+    exposes; at sf0.01 8-bit quantization still achieves recall 1.0, and
+    the oracle proves THAT, miss or not); the truth list is brute-force
+    top-5. Because SQ8 is closed-form,
+    BOTH lists are SQL-expressible and the recall numbers are hash-checked
+    — the one ANN family where even the eval metric has an oracle. The
+    same `recall_report` operator evaluates the IVF/PQ families in
+    tests/test_ivf.py-style recall floors where no oracle is possible."""
+    from pyvectorsearch_spark.index.sq import SQ8Index
+    from pyvectorsearch_spark.operators.knn import knn_join_blocked, recall_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    approx = SQ8Index.build(emb).knn(probes, K, rerank=K)
+    exact = knn_join_blocked(emb, probes, K)
+    return recall_report(approx, exact).orderBy("query_id")
+
+
+def _oracle_sq8_recall() -> str:
+    exact_d = duckdb_l2_sq("q.qvec", "e.embedding", DIM)
+    return f"""
+WITH approx AS ({_oracle_sq8(rerank=K)}),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < {N_PROBES}
+),
+allp AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {exact_d}, e.vec_id) AS rank
+  FROM q CROSS JOIN embeddings e
+),
+exk AS (SELECT query_id, neighbor_id FROM allp WHERE rank <= {K}),
+h AS (
+  SELECT a.query_id, count(*)::BIGINT AS n_hits
+  FROM approx a JOIN exk USING (query_id, neighbor_id)
+  GROUP BY a.query_id
+),
+t AS (SELECT query_id, count(*)::BIGINT AS n_exact FROM exk GROUP BY query_id)
+SELECT t.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits, t.n_exact,
+       round(coalesce(h.n_hits, 0) / CAST(t.n_exact AS DOUBLE), 6) AS recall_r
+FROM t LEFT JOIN h USING (query_id) ORDER BY query_id
+"""
+
+
+ORACLE_SQ8_RECALL = _oracle_sq8_recall()
+
+
 QUERIES = {
     "knn_filtered": q_knn_filtered,
     "hybrid_rrf": q_hybrid_rrf,
     "knn_sq8": q_knn_sq8,
     "knn_mmr": q_knn_mmr,
+    "sq8_recall_report": q_sq8_recall_report,
 }
 ORACLES = {
     "knn_filtered": ORACLE_KNN_FILTERED,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "knn_sq8": ORACLE_KNN_SQ8,
     "knn_mmr": ORACLE_KNN_MMR,
+    "sq8_recall_report": ORACLE_SQ8_RECALL,
 }

@@ -91,3 +91,26 @@ def test_key_skew_report_uniform_vs_skewed(spark):
     assert u["cv_r"] == 0.0 and u["top1_share_r"] == 0.1
     assert v["top1_share_r"] == 0.91 and v["cv_r"] > 2.0
     assert v["max_n"] == 91 and v["n_keys"] == 10
+
+
+def test_recall_report_counts_misses(spark):
+    from pyvectorsearch_spark.operators.knn import recall_report
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id bigint, neighbor_id bigint"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)], "query_id bigint, neighbor_id bigint"
+    )
+    out = {r["query_id"]: r for r in recall_report(approx, exact).collect()}
+    assert out[1]["n_hits"] == 1 and out[1]["recall_r"] == 0.5
+    assert out[2]["n_hits"] == 2 and out[2]["recall_r"] == 1.0
+
+
+def test_recall_report_zero_overlap(spark):
+    from pyvectorsearch_spark.operators.knn import recall_report
+
+    exact = spark.createDataFrame([(1, 10)], "query_id bigint, neighbor_id bigint")
+    approx = spark.createDataFrame([(1, 99)], "query_id bigint, neighbor_id bigint")
+    r = recall_report(approx, exact).collect()[0]
+    assert r["n_hits"] == 0 and r["recall_r"] == 0.0
