@@ -764,3 +764,70 @@ def ngram_contamination(
             F.col("n_matched") / F.greatest(F.col("_ng"), F.lit(1)).cast("double"), 6
         ).alias("overlap_frac"),
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Soft lexical similarity verify: cosine over L2-normalized TF-IDF
+    vectors for a pre-blocked candidate pair list — the weighted
+    alternative to set-Jaccard verification (rare shared terms count more
+    than stopwords), i.e. the classic sparse-vector near-dup scorer.
+
+    Determinism ladder (the `bm25_rank` pattern): weights, squared terms,
+    per-doc norms, normalized components, and per-pair products are each
+    rounded to ``round_dp`` before any float sum, so every aggregate is
+    order-independent to the rounded precision and the DuckDB oracle can
+    replay the chain exactly.
+
+    Scale shape: the corpus reduces once to the (doc, term, weight) table
+    (map-side-combined tf + window-attached df — raw tokens never
+    shuffle); norms are one more groups-sized aggregate joined back on the
+    doc key. The pair scorer joins CANDIDATES (already blocked, pairs-
+    sized) to that table twice — per-pair fan-out is bounded by document
+    vocabulary, never the corpus.
+
+    Returns (d1, d2, cos_r) for pairs with cos_r >= ``threshold``."""
+    from pyspark.sql import Window
+
+    e = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = e.groupBy(id_col, "term").agg(F.count("*").cast("double").alias("_tf"))
+    n_docs = docs.agg(F.countDistinct(id_col).cast("double").alias("_n"))
+    wt = Window.partitionBy("term")
+    w = (
+        tf.withColumn("_df", F.count("*").over(wt).cast("double"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("_tf")
+                * (F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0)) + 1.0),
+                round_dp,
+            ).alias("_w"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.round(F.sum(F.round(F.col("_w") * F.col("_w"), round_dp)), round_dp)).alias("_norm")
+    )
+    u = w.join(norms, id_col).select(
+        id_col, "term", F.round(F.col("_w") / F.col("_norm"), round_dp).alias("_u")
+    )
+    c = candidates.select("d1", "d2")
+    t1 = u.select(F.col(id_col).alias("d1"), "term", F.col("_u").alias("_u1"))
+    t2 = u.select(F.col(id_col).alias("d2"), "term", F.col("_u").alias("_u2"))
+    prods = (
+        c.join(t1, "d1")
+        .join(t2, ["d2", "term"])
+        .select("d1", "d2", F.round(F.col("_u1") * F.col("_u2"), round_dp).alias("_p"))
+    )
+    out = prods.groupBy("d1", "d2").agg(
+        F.round(F.sum("_p"), round_dp).alias("cos_r")
+    )
+    return out.filter(F.col("cos_r") >= float(threshold))

@@ -396,6 +396,77 @@ FROM m GROUP BY source_a, source_b ORDER BY source_a, source_b
 ORACLE_DEDUP_SOURCE_MATRIX = _oracle_source_matrix()
 
 
+
+TFIDF_COS_THRESHOLD = 0.6
+
+
+def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted lexical near-dup verify: MinHash-LSH candidates re-scored
+    by cosine over L2-normalized TF-IDF vectors (rare shared terms count
+    more than stopwords — the sparse-vector alternative to set-Jaccard
+    verification). Full determinism ladder, so the score itself is
+    hash-checked."""
+    from pyvectorsearch_spark.operators.dedup import minhash_lsh_pairs
+    from pyvectorsearch_spark.operators.textops import tfidf_cosine_pairs
+    from pyvectorsearch_spark.queries.dedup import (
+        BANDS,
+        LSH_THRESHOLD,
+        N_HASHES,
+    )
+    from pyvectorsearch_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cand = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, threshold=LSH_THRESHOLD
+    )
+    return tfidf_cosine_pairs(
+        docs, cand, threshold=TFIDF_COS_THRESHOLD
+    ).orderBy("d1", "d2")
+
+
+def _oracle_tfidf_cosine() -> str:
+    from pyvectorsearch_spark.queries.dedup import _TOK, ORACLE_MINHASH
+
+    return f"""
+WITH cand AS ({ORACLE_MINHASH}),
+e AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM e GROUP BY doc_id, term
+),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+w AS (
+  SELECT doc_id, term,
+         round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS w
+  FROM (
+    SELECT doc_id, term, tf,
+           count(*) OVER (PARTITION BY term)::DOUBLE AS df
+    FROM tf
+  ), nd
+),
+nrm AS (
+  SELECT doc_id, sqrt(round(sum(round(w * w, 6)), 6)) AS norm
+  FROM w GROUP BY doc_id
+),
+u AS (
+  SELECT w.doc_id, term, round(w / norm, 6) AS u
+  FROM w JOIN nrm ON nrm.doc_id = w.doc_id
+),
+p AS (
+  SELECT c.d1, c.d2, round(u1.u * u2.u, 6) AS p
+  FROM cand c
+  JOIN u u1 ON u1.doc_id = c.d1
+  JOIN u u2 ON u2.doc_id = c.d2 AND u2.term = u1.term
+),
+sc AS (SELECT d1, d2, round(sum(p), 6) AS cos_r FROM p GROUP BY d1, d2)
+SELECT d1, d2, cos_r FROM sc
+WHERE cos_r >= {TFIDF_COS_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+ORACLE_DEDUP_TFIDF_COSINE = _oracle_tfidf_cosine()
+
+
 QUERIES = {
     "dedup_embedding_keep": q_dedup_embedding_keep,
     "dedup_pagerank": q_dedup_pagerank,
@@ -403,6 +474,7 @@ QUERIES = {
     "dedup_triangles": q_dedup_triangles,
     "dedup_lpa_communities": q_dedup_lpa_communities,
     "dedup_source_matrix": q_dedup_source_matrix,
+    "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
 }
 ORACLES = {
     "dedup_embedding_keep": ORACLE_EMB_KEEP,
@@ -411,4 +483,5 @@ ORACLES = {
     "dedup_triangles": ORACLE_DEDUP_TRIANGLES,
     "dedup_lpa_communities": ORACLE_DEDUP_LPA,
     "dedup_source_matrix": ORACLE_DEDUP_SOURCE_MATRIX,
+    "dedup_tfidf_cosine": ORACLE_DEDUP_TFIDF_COSINE,
 }
