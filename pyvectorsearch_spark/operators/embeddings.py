@@ -133,3 +133,44 @@ def centroid_outliers(
         .filter(F.col("rank") <= k)
         .select(id_col, label_col, "cos_centroid", "rank")
     )
+
+
+def centroid_drift(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Embedding drift between two cohorts (time slices, data sources,
+    pipeline versions): per-label cosine between the cohorts' centroids —
+    the embedding-space analog of the PSI drift alarm (a drop below ~0.99
+    means the label's representation moved). Each side is one
+    `label_centroids` pass (labels x dim result, broadcast-sized); the
+    comparison is a labels-sized join, so the monitor costs two
+    map-side-combined scans regardless of corpus size.
+
+    Returns (``label_col``, n_a, n_b, cos_r, drift_r)."""
+    ca = label_centroids(a, vec_col=vec_col, label_col=label_col, round_dp=round_dp)
+    cb = label_centroids(b, vec_col=vec_col, label_col=label_col, round_dp=round_dp)
+    j = ca.select(
+        label_col,
+        F.col("centroid").alias("_ca"),
+        F.col("n_vectors").alias("n_a"),
+    ).join(
+        cb.select(
+            label_col,
+            F.col("centroid").alias("_cb"),
+            F.col("n_vectors").alias("n_b"),
+        ),
+        label_col,
+    )
+    cos = F.round(cosine_sim("_ca", "_cb"), round_dp)
+    return j.select(
+        label_col,
+        "n_a",
+        "n_b",
+        cos.alias("cos_r"),
+        F.round(1.0 - cos, round_dp).alias("drift_r"),
+    )

@@ -109,11 +109,62 @@ ORDER BY anchor_id, rank
 """
 
 
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift between two deterministic cohorts (even
+    vs odd vec_id — standing in for yesterday-vs-today or
+    pipeline-v1-vs-v2): cosine between cohort centroids, drift = 1 - cos.
+    The embedding-space analog of `events_psi_drift`."""
+    from pyvectorsearch_spark.operators.embeddings import centroid_drift
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return centroid_drift(a, b, round_dp=ROUND_DP).orderBy("label")
+
+
+_DOT_AB = (
+    f"list_sum(list_transform(range(1, {DIM + 1}), i -> a.ca[i] * b.cb[i]))"
+)
+_DOT_AA = f"list_sum(list_transform(range(1, {DIM + 1}), i -> a.ca[i] * a.ca[i]))"
+_DOT_BB = f"list_sum(list_transform(range(1, {DIM + 1}), i -> b.cb[i] * b.cb[i]))"
+
+ORACLE_EMBEDDING_DRIFT = f"""
+WITH u AS (
+  SELECT label, vec_id % 2 AS cohort,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+comp AS (
+  SELECT label, cohort, pos, round(avg(v), {ROUND_DP}) AS cv,
+         count(*)::BIGINT AS n
+  FROM u GROUP BY label, cohort, pos
+),
+cents AS (
+  SELECT label, cohort, list(cv ORDER BY pos) AS c, max(n) AS n
+  FROM comp GROUP BY label, cohort
+),
+a AS (SELECT label, c AS ca, n AS n_a FROM cents WHERE cohort = 0),
+b AS (SELECT label, c AS cb, n AS n_b FROM cents WHERE cohort = 1),
+j AS (
+  SELECT a.label, a.n_a, b.n_b,
+         round(({_DOT_AB}) / (sqrt({_DOT_AA}) * sqrt({_DOT_BB})),
+               {ROUND_DP}) AS cos_r
+  FROM a JOIN b USING (label)
+)
+SELECT label, n_a, n_b, cos_r, round(1.0 - cos_r, {ROUND_DP}) AS drift_r
+FROM j ORDER BY label
+"""
+
+
 QUERIES = {
     "embedding_outliers": q_embedding_outliers,
     "embedding_negatives": q_embedding_negatives,
+    "embedding_drift": q_embedding_drift,
 }
 ORACLES = {
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "embedding_negatives": ORACLE_EMBEDDING_NEGATIVES,
+    "embedding_drift": ORACLE_EMBEDDING_DRIFT,
 }

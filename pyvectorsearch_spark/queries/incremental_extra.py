@@ -222,15 +222,110 @@ FROM j ORDER BY click_id
 """
 
 
+
+LAG_BIN_CENTIS = 1000  # 10-second bins over conversion lag
+LAG_QS = [0.5, 0.9]
+
+
+def q_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency percentiles: p50/p90 of the click->purchase lag
+    (converted clicks only, 30-min tolerance) from a 10-second-bin
+    histogram, exact quantile alongside — the funnel-latency SLA readout
+    composed from the forward as-of join and the histogram-quantile
+    sketch."""
+    from pyvectorsearch_spark.operators.sketches import hist_quantiles
+    from pyvectorsearch_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    j = asof_join(
+        left,
+        right,
+        on="ts",
+        by="user_id",
+        right_cols=["purchase_id", "ts"],
+        direction="forward",
+        tolerance_s=ASOF_TOL_S,
+    )
+    lag_s = (
+        (F.unix_micros(F.col("ts_right")) - F.unix_micros(F.col("ts"))).cast(
+            "double"
+        )
+        / 1000000.0
+    )
+    lags = j.filter(F.col("ts_right").isNotNull()).select(lag_s.alias("lag_s"))
+    return hist_quantiles(
+        lags, value_col="lag_s", bin_cents=LAG_BIN_CENTIS, qs=LAG_QS
+    ).orderBy("q")
+
+
+ORACLE_CONVERSION_LAG_QUANTILES = f"""
+WITH j AS (
+  SELECT l.ts AS cts, r.ts AS pts
+  FROM (SELECT * FROM events WHERE event_type = 'click') l
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+    ON l.user_id = r.user_id AND r.ts >= l.ts
+),
+lag AS (
+  SELECT (epoch_us(pts) - epoch_us(cts)) / 1000000.0 AS lag_s
+  FROM j
+  WHERE pts IS NOT NULL
+    AND abs(epoch_us(cts) / 1000000.0 - epoch_us(pts) / 1000000.0)
+        <= {ASOF_TOL_S!r}
+),
+v AS (
+  SELECT CAST(round(lag_s * 100) AS BIGINT) AS vc,
+         CAST(floor(CAST(round(lag_s * 100) AS BIGINT)
+                    / {float(LAG_BIN_CENTIS)!r}) AS BIGINT) AS bin
+  FROM lag
+),
+h AS (SELECT bin, count(*)::BIGINT AS cnt FROM v GROUP BY bin),
+c AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum,
+         (sum(cnt) OVER (ORDER BY bin) - cnt)::BIGINT AS cum_prev,
+         (SELECT sum(cnt)::BIGINT FROM h) AS n
+  FROM h
+),
+qs AS (
+  SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9)) t(q)
+),
+tgt AS (
+  SELECT q, bin, cnt, cum_prev, n, CAST(ceil(q * n) AS BIGINT) AS r
+  FROM qs JOIN c
+    ON c.cum >= CAST(ceil(q * n) AS BIGINT)
+   AND c.cum_prev < CAST(ceil(q * n) AS BIGINT)
+),
+ex AS (
+  SELECT t.q, t.n, t.bin, t.cnt, t.cum_prev, t.r, v.vc,
+         row_number() OVER (PARTITION BY t.q ORDER BY v.vc) AS rn
+  FROM tgt t JOIN v ON v.bin = t.bin
+)
+SELECT q, n AS n_total,
+       round((bin * {LAG_BIN_CENTIS} + {LAG_BIN_CENTIS} * (r - cum_prev)
+              / CAST(cnt AS DOUBLE)) / 100.0, 3) AS est_quantile,
+       round(vc / 100.0, 2) AS exact_quantile
+FROM ex WHERE rn = r - cum_prev
+ORDER BY q
+"""
+
+
 QUERIES = {
     "incremental_rollup": q_incremental_rollup,
     "attribution_linear": q_attribution_linear,
     "salted_agg_events": q_salted_agg_events,
     "asof_click_conversion": q_asof_click_conversion,
+    "conversion_lag_quantiles": q_conversion_lag_quantiles,
 }
 ORACLES = {
     "incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
     "attribution_linear": ORACLE_ATTRIBUTION_LINEAR,
     "salted_agg_events": ORACLE_SALTED_AGG_EVENTS,
     "asof_click_conversion": ORACLE_ASOF_CLICK_CONVERSION,
+    "conversion_lag_quantiles": ORACLE_CONVERSION_LAG_QUANTILES,
 }
