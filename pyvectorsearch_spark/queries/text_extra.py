@@ -154,13 +154,80 @@ FROM h, t ORDER BY bin
 """
 
 
+
+def q_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two deterministic cohorts (even vs odd
+    doc_id — standing in for yesterday-vs-today): how many of the new
+    batch's distinct terms were never seen in the established corpus. The
+    text analog of `embedding_drift`. Novel-set identity is pinned by an
+    order-independent XOR of 52-bit term hashes (the `audit_checksums`
+    trick), so the check scales without sorting or collecting the
+    vocabulary."""
+    from pyvectorsearch_spark.functions.text import tokens
+    from pyvectorsearch_spark.operators.sketches import HEX_DIGITS
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    terms = docs.select(
+        (F.col("doc_id") % 2).alias("_c"), F.explode(tokens("text")).alias("term")
+    ).distinct()
+    va = terms.filter(F.col("_c") == 0).select("term")
+    vb = terms.filter(F.col("_c") == 1).select("term")
+    novel = vb.join(va, "term", "left_anti")
+    h = F.conv(F.substring(F.md5("term"), 1, HEX_DIGITS), 16, 10).cast("bigint")
+    na = va.agg(F.count("*").cast("bigint").alias("n_terms_a"))
+    nb = vb.agg(F.count("*").cast("bigint").alias("n_terms_b"))
+    nv = novel.select(h.alias("_h")).agg(
+        F.count("*").cast("bigint").alias("n_novel"),
+        F.coalesce(F.expr("bit_xor(_h)"), F.lit(0)).cast("bigint").alias(
+            "novel_checksum"
+        ),
+    )
+    return (
+        na.crossJoin(nb)
+        .crossJoin(nv)
+        .select(
+            "n_terms_a",
+            "n_terms_b",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_terms_b").cast("double"), 6).alias(
+                "novelty_rate_r"
+            ),
+            "novel_checksum",
+        )
+    )
+
+
+ORACLE_VOCAB_NOVELTY = f"""
+WITH t AS (
+  SELECT DISTINCT doc_id % 2 AS c, unnest({_TOK}) AS term FROM documents
+),
+va AS (SELECT term FROM t WHERE c = 0),
+vb AS (SELECT term FROM t WHERE c = 1),
+novel AS (SELECT term FROM vb WHERE term NOT IN (SELECT term FROM va)),
+na AS (SELECT count(*)::BIGINT AS n_terms_a FROM va),
+nb AS (SELECT count(*)::BIGINT AS n_terms_b FROM vb),
+nv AS (
+  SELECT count(*)::BIGINT AS n_novel,
+         coalesce(bit_xor(('0x' || substr(md5(term), 1, 13))::BIGINT),
+                  0)::BIGINT AS novel_checksum
+  FROM novel
+)
+SELECT n_terms_a, n_terms_b, n_novel,
+       round(n_novel / CAST(n_terms_b AS DOUBLE), 6) AS novelty_rate_r,
+       novel_checksum
+FROM na, nb, nv
+"""
+
+
 QUERIES = {
     "text_chunks": q_text_chunks,
     "text_tfidf": q_text_tfidf,
     "text_length_histogram": q_text_length_histogram,
+    "vocab_novelty": q_vocab_novelty,
 }
 ORACLES = {
     "text_chunks": ORACLE_TEXT_CHUNKS,
     "text_tfidf": ORACLE_TEXT_TFIDF,
     "text_length_histogram": ORACLE_TEXT_LENGTH_HISTOGRAM,
+    "vocab_novelty": ORACLE_VOCAB_NOVELTY,
 }
