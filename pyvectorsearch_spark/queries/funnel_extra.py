@@ -9,7 +9,8 @@ processing; these are the product-analytics companions to `sessionize_events`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.operators.funnel import funnel_conversion, retention_cohorts
 from pyvectorsearch_spark.sources.tables import load_table, spread
@@ -136,13 +137,94 @@ FROM pairs ORDER BY prev_type, next_type
 """
 
 
+
+PATH_LEN = 3
+PATH_TOP = 10
+SESSION_GAP_S = 1800.0
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session-opening paths: sessionize (30-min gap), take each
+    session's first 3 event types in time order, count path strings — the
+    multi-step generalization of the 1-step Markov `event_transitions`.
+
+    Scale shape: ONE exchange on user_id serves the session window, the
+    within-session ordering window (user_id is a prefix of the partition
+    keys, so no re-exchange), and the map-side path concat; only (path,
+    count) rows shuffle again for the final count + bounded top-k."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = ev.withColumn(
+        "_new", F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("_sess", F.sum("_new").over(wsum))
+    ws = Window.partitionBy("user_id", "_sess").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    head = sess.withColumn("_rn", F.row_number().over(ws)).filter(
+        F.col("_rn") <= PATH_LEN
+    )
+    paths = head.groupBy("user_id", "_sess").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    cnt = paths.groupBy("path").agg(F.count("*").cast("bigint").alias("n_sessions"))
+    return cnt.orderBy(F.desc("n_sessions"), "path").limit(PATH_TOP)
+
+
+ORACLE_SESSION_PATHS = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_S!r}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s
+  FROM flagged
+),
+head AS (
+  SELECT user_id, s, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, s ORDER BY ts, event_id)
+           AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, s,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM head WHERE rn <= {PATH_LEN} GROUP BY user_id, s
+)
+SELECT path, count(*)::BIGINT AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {PATH_TOP}
+"""
+
+
 QUERIES = {
     "event_funnel": q_event_funnel,
     "event_retention": q_event_retention,
     "event_transitions": q_event_transitions,
+    "session_paths": q_session_paths,
 }
 ORACLES = {
     "event_funnel": ORACLE_EVENT_FUNNEL,
     "event_retention": ORACLE_EVENT_RETENTION,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "session_paths": ORACLE_SESSION_PATHS,
 }
