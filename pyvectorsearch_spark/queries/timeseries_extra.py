@@ -316,12 +316,81 @@ ORDER BY event_type, win_start
 """
 
 
+
+EWMA_ALPHA = 0.5
+EWMA_LOOKBACK = 8
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA smoother over the dense 15-minute grid (alpha=0.5,
+    8-bucket lookback, pandas `ewm(adjust=True)`-style normalization by
+    the available weights at the series head): the forecasting-smoother
+    companion of the rolling stats. The recursion is unrolled into a
+    FIXED sum of 8 lag terms in a pinned order, so the result is
+    engine-exact and the oracle replays the identical expression."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.timeseries import resample_counts
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    grid = resample_counts(ev, by="event_type", ts_col="ts", width_s=TS_WIDTH_S)
+    w = Window.partitionBy("event_type").orderBy("bucket_epoch")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(EWMA_LOOKBACK):
+        coef = EWMA_ALPHA ** k
+        x = F.lag(F.col("n").cast("double"), k).over(w)
+        num = num + F.when(x.isNotNull(), F.lit(coef) * x).otherwise(F.lit(0.0))
+        den = den + F.when(x.isNotNull(), F.lit(coef)).otherwise(F.lit(0.0))
+    return grid.select(
+        "event_type",
+        "bucket_epoch",
+        "n",
+        F.round(num / den, 6).alias("ewma_r"),
+    ).orderBy("event_type", "bucket_epoch")
+
+
+def _oracle_ewma() -> str:
+    terms_n, terms_d = [], []
+    for k in range(EWMA_LOOKBACK):
+        coef = repr(EWMA_ALPHA ** k)
+        lagx = f"lag(CAST(n AS DOUBLE), {k}) OVER (PARTITION BY event_type ORDER BY bucket_epoch)"
+        terms_n.append(
+            f"CASE WHEN {lagx} IS NOT NULL THEN {coef} * {lagx} ELSE 0.0 END"
+        )
+        terms_d.append(f"CASE WHEN {lagx} IS NOT NULL THEN {coef} ELSE 0.0 END")
+    num = "0.0 + " + " + ".join(terms_n)
+    den = "0.0 + " + " + ".join(terms_d)
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         (floor(epoch(ts) / {TS_WIDTH_S}) * {TS_WIDTH_S})::BIGINT AS be,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, be
+),
+mm AS (SELECT event_type, min(be) AS mn, max(be) AS mx FROM h GROUP BY event_type),
+grid AS (
+  SELECT event_type, unnest(range(mn, mx + 1, {TS_WIDTH_S})) AS be FROM mm
+),
+g AS (
+  SELECT gr.event_type, gr.be AS bucket_epoch, coalesce(h.n, 0)::BIGINT AS n
+  FROM grid gr LEFT JOIN h ON h.event_type = gr.event_type AND h.be = gr.be
+)
+SELECT event_type, bucket_epoch, n, round(({num}) / ({den}), 6) AS ewma_r
+FROM g ORDER BY event_type, bucket_epoch
+"""
+
+
+ORACLE_EVENTS_EWMA = _oracle_ewma()
+
+
 QUERIES = {
     "events_resample_15m": q_events_resample_15m,
     "events_interpolate": q_events_interpolate,
     "events_rolling": q_events_rolling,
     "events_anomalies": q_events_anomalies,
     "events_hopping": q_events_hopping,
+    "events_ewma": q_events_ewma,
 }
 ORACLES = {
     "events_resample_15m": ORACLE_RESAMPLE,
@@ -329,4 +398,5 @@ ORACLES = {
     "events_rolling": ORACLE_ROLLING,
     "events_anomalies": ORACLE_ANOMALIES,
     "events_hopping": ORACLE_HOPPING,
+    "events_ewma": ORACLE_EVENTS_EWMA,
 }
