@@ -252,3 +252,66 @@ def hist_quantiles(
         )
     )
     return exact
+
+
+def quantile_bins(
+    df: DataFrame,
+    *,
+    value_col: str,
+    n_bins: int,
+    bin_cents: int,
+) -> DataFrame:
+    """Equal-frequency (quantile) binning — the feature-bucketing step
+    before hashing/embedding a numeric column. Boundaries are the
+    histogram-walk estimates at i/n_bins (the `hist_quantiles`
+    construction, integer-cents exact); each row's bin is the count of
+    boundaries strictly below its value, computed against a broadcast
+    boundary ARRAY (no per-boundary fan-out join).
+
+    Two fact-table passes (histogram build, bin assignment) — both
+    map-side-combined; everything between runs on the bins-sized
+    histogram.
+
+    Returns one row per occupied bin: (bin_idx, n, lo_r, hi_r,
+    sum_cents)."""
+    spark = df.sparkSession
+    vc = F.round(F.col(value_col) * 100).cast("bigint")
+    vals = df.select(vc.alias("_vc")).withColumn(
+        "_bin", F.floor(F.col("_vc") / F.lit(float(bin_cents))).cast("bigint")
+    )
+    hist = vals.groupBy("_bin").agg(F.count("*").cast("bigint").alias("_cnt"))
+    wb = Window.orderBy("_bin")
+    cum = (
+        hist.withColumn("_cum", F.sum("_cnt").over(wb))
+        .withColumn("_cum_prev", F.col("_cum") - F.col("_cnt"))
+        .crossJoin(F.broadcast(hist.agg(F.sum("_cnt").cast("bigint").alias("_n"))))
+    )
+    qs = spark.createDataFrame(
+        [(float(i) / n_bins,) for i in range(1, n_bins)], "q double"
+    )
+    tgt = (
+        qs.crossJoin(F.broadcast(cum))
+        .withColumn("_r", F.ceil(F.col("q") * F.col("_n")).cast("bigint"))
+        .filter((F.col("_cum") >= F.col("_r")) & (F.col("_cum_prev") < F.col("_r")))
+    )
+    bound = tgt.select(
+        (
+            F.col("_bin") * bin_cents
+            + bin_cents * (F.col("_r") - F.col("_cum_prev")) / F.col("_cnt")
+        ).alias("_b")
+    )
+    barr = bound.agg(F.array_sort(F.collect_list("_b")).alias("_bs"))
+    assigned = vals.crossJoin(F.broadcast(barr)).select(
+        "_vc",
+        F.size(F.filter("_bs", lambda b: F.col("_vc") > b)).alias("bin_idx"),
+    )
+    return (
+        assigned.groupBy("bin_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("_vc") / 100.0, 2).alias("lo_r"),
+            F.round(F.max("_vc") / 100.0, 2).alias("hi_r"),
+            F.sum("_vc").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("bin_idx")
+    )

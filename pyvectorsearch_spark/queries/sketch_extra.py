@@ -191,13 +191,86 @@ ORDER BY q
 """
 
 
+
+QB_N_BINS = 10
+QB_BIN_CENTS = 10000
+
+
+def q_price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of lineitem extended price — the
+    quantile feature-bucketing step (boundaries from the histogram walk,
+    assignment against a broadcast boundary array, per-bin occupancy and
+    range). Bin populations are near-equal by construction; the exact
+    counts, ranges, and sums are hash-checked."""
+    from pyvectorsearch_spark.operators.sketches import quantile_bins
+
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    out = quantile_bins(
+        li,
+        value_col="l_extendedprice",
+        n_bins=QB_N_BINS,
+        bin_cents=QB_BIN_CENTS,
+    )
+    return out.select(
+        F.col("bin_idx").cast("int").alias("bin_idx"),
+        "n",
+        "lo_r",
+        "hi_r",
+        "sum_cents",
+    ).orderBy("bin_idx")
+
+
+_QB_QS = ", ".join(f"({float(i) / QB_N_BINS!r})" for i in range(1, QB_N_BINS))
+
+ORACLE_PRICE_DECILE_BINS = f"""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+         CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    / {float(QB_BIN_CENTS)!r}) AS BIGINT) AS bin
+  FROM lineitem
+),
+h AS (SELECT bin, count(*)::BIGINT AS cnt FROM v GROUP BY bin),
+c AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum,
+         (sum(cnt) OVER (ORDER BY bin) - cnt)::BIGINT AS cum_prev,
+         (SELECT sum(cnt)::BIGINT FROM h) AS n
+  FROM h
+),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {_QB_QS}) t(q)),
+tgt AS (
+  SELECT q, bin, cnt, cum_prev, CAST(ceil(q * n) AS BIGINT) AS r
+  FROM qs JOIN c
+    ON c.cum >= CAST(ceil(q * n) AS BIGINT)
+   AND c.cum_prev < CAST(ceil(q * n) AS BIGINT)
+),
+b AS (
+  SELECT list(bound ORDER BY bound) AS bs FROM (
+    SELECT bin * {QB_BIN_CENTS} + {QB_BIN_CENTS} * (r - cum_prev)
+             / CAST(cnt AS DOUBLE) AS bound
+    FROM tgt
+  )
+),
+asg AS (
+  SELECT vc, len(list_filter(bs, x -> vc > x))::INT AS bin_idx FROM v, b
+)
+SELECT bin_idx, count(*)::BIGINT AS n,
+       round(min(vc) / 100.0, 2) AS lo_r,
+       round(max(vc) / 100.0, 2) AS hi_r,
+       sum(vc)::BIGINT AS sum_cents
+FROM asg GROUP BY bin_idx ORDER BY bin_idx
+"""
+
+
 QUERIES = {
     "sketch_kmv_users": q_sketch_kmv_users,
     "sketch_cms_terms": q_sketch_cms_terms,
     "sketch_hist_quantiles": q_sketch_hist_quantiles,
+    "price_decile_bins": q_price_decile_bins,
 }
 ORACLES = {
     "sketch_kmv_users": ORACLE_SKETCH_KMV_USERS,
     "sketch_cms_terms": ORACLE_SKETCH_CMS_TERMS,
     "sketch_hist_quantiles": ORACLE_SKETCH_HIST_QUANTILES,
+    "price_decile_bins": ORACLE_PRICE_DECILE_BINS,
 }
