@@ -19,6 +19,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     layout_extra,
     multimodal,
     pipeline,
+    pipeline_extra,
     quality_extra,
     relational,
     sampling,
@@ -97,6 +98,7 @@ _MODULES = [
     skew_extra,  # likewise (key-skew census / winsorization)
     incremental_extra,  # likewise (rollup maintenance / attribution / salted agg)
     audit_extra,  # likewise (order-independent table checksums)
+    pipeline_extra,  # likewise (cross-modal semantic curation)
     basket_extra,  # likewise (2-itemset support/lift mining)
 ]
 

@@ -109,5 +109,92 @@ FROM s GROUP BY source, pack_id ORDER BY source, pack_id
 
 ORACLE_PIPELINE_CURATE = _oracle()
 
+
+def q_pipeline_semantic_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL curation: semantic (embedding-space) dedup survivors
+    joined back onto their documents (shared id space: vec_id = doc_id),
+    then the text-quality gate, reported per source. The modality bridge
+    is one equi-join of the survivor id set onto the document scan; the
+    embedding side never moves text, the text side never moves vectors.
+    The oracle recomputes the survivor set brute-force (lossless bucketed
+    path == O(n^2) truth) and replays the identical quality expression."""
+    from pyvectorsearch_spark.index.cache import build_or_load
+    from pyvectorsearch_spark.operators.dedup import (
+        AngularModel,
+        angular_bucket_model,
+        embedding_dup_pairs_bucketed,
+    )
+    from pyvectorsearch_spark.queries.dedup import MIN_COSINE
+    from pyvectorsearch_spark.sources.tables import dataset_tag
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = build_or_load(
+        spark,
+        f"angular16_seed42_{dataset_tag(sf_dir, 'embeddings')}",
+        load=AngularModel.load,
+        build=lambda: angular_bucket_model(emb, n_lists=16, seed=42),
+    )
+    pairs = embedding_dup_pairs_bucketed(emb, min_cosine=MIN_COSINE, model=model)
+    drop = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = docs.join(drop, "doc_id", "left_anti")
+    kept = survivors.filter(
+        quality_score_col(F.col("text"), tokens("text")) >= QUALITY_MIN
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_semantic() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_tokens
+    from pyvectorsearch_spark.functions.vector import duckdb_cosine
+    from pyvectorsearch_spark.operators.textops import STOPWORDS
+    from pyvectorsearch_spark.queries.dedup import MIN_COSINE
+
+    cos = duckdb_cosine("a.embedding", "b.embedding", 64)
+    tok = duckdb_tokens("text")
+    stops = "[" + ", ".join(f"'{w}'" for ws in STOPWORDS.values() for w in ws) + "]"
+    return f"""
+WITH drop_set AS (
+  SELECT DISTINCT b.vec_id FROM embeddings a JOIN embeddings b
+    ON a.vec_id < b.vec_id
+  WHERE {cos} >= {MIN_COSINE}
+),
+surv AS (
+  SELECT * FROM documents
+  WHERE doc_id NOT IN (SELECT vec_id FROM drop_set)
+),
+m AS (
+  SELECT doc_id, text AS raw, source, n_chars, {tok} AS t FROM surv
+),
+sc AS (
+  SELECT doc_id, source, n_chars,
+         len(t) AS n_tokens,
+         CAST(len(list_filter(t, x -> list_contains({stops}, x))) AS DOUBLE)
+           / greatest(len(t), 1) AS stopword_ratio,
+         CAST(length(raw) - length(regexp_replace(lower(raw), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+           / greatest(length(raw), 1) AS nonalnum_ratio
+  FROM m
+),
+kept AS (
+  SELECT source, n_chars FROM sc
+  WHERE round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+              + (1.0 - nonalnum_ratio) * 0.3
+              + least(stopword_ratio * 4.0, 1.0) * 0.3, 6) >= {QUALITY_MIN}
+)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
+ORACLE_PIPELINE_SEMANTIC = _oracle_semantic()
+
+
 QUERIES = {"pipeline_curate": q_pipeline_curate}
 ORACLES = {"pipeline_curate": ORACLE_PIPELINE_CURATE}
