@@ -40,6 +40,7 @@ from pyvectorsearch_spark.operators.dedup import (  # noqa: F401
     simhash_pairs_bucketed,
 )
 from pyvectorsearch_spark.operators.embeddings import (  # noqa: F401
+    centroid_drift,
     centroid_outliers,
     label_centroids,
 )
@@ -78,6 +79,7 @@ from pyvectorsearch_spark.operators.sketches import (  # noqa: F401
     cms_lookup,
     hist_quantiles,
     kmv_distinct,
+    quantile_bins,
 )
 from pyvectorsearch_spark.operators.textops import (  # noqa: F401
     bigram_lm_score,
@@ -89,9 +91,13 @@ from pyvectorsearch_spark.operators.textops import (  # noqa: F401
     ngram_contamination,
     pii_redact,
     text_quality,
+    tfidf_cosine_pairs,
     tfidf_top_terms,
     top_terms,
     vocab_encode,
 )
 from pyvectorsearch_spark.plans.scale import key_skew_report  # noqa: F401
-from pyvectorsearch_spark.operators.knn import mmr_rerank  # noqa: F401
+from pyvectorsearch_spark.operators.knn import (  # noqa: F401
+    mmr_rerank,
+    recall_report,
+)
