@@ -101,3 +101,12 @@ from pyvectorsearch_spark.operators.knn import (  # noqa: F401
     mmr_rerank,
     recall_report,
 )
+from pyvectorsearch_spark.operators.spatial import (  # noqa: F401
+    radius_join,
+    radius_self_join,
+)
+from pyvectorsearch_spark.operators.dedup import (  # noqa: F401
+    containment_pairs,
+    srp_lsh_pairs,
+)
+from pyvectorsearch_spark.operators.textops import phrase_match  # noqa: F401

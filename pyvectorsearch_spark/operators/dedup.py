@@ -404,11 +404,40 @@ def simhash_pairs_bucketed(
     corpus the chunk buckets approach the full pair space and the blocked
     kernel in ``simhash_pairs`` wins — measured 7.9 s vs 1.0 s at sf0.1.
     """
-    b = int(n_blocks) if n_blocks is not None else int(max_hamming) + 1
-    b = max(1, min(b, SIMHASH_BITS))
     sh = simhash_64(df, id_col=id_col, text_col=text_col)
+    return hamming_pairs_bucketed(
+        sh,
+        id_col=id_col,
+        hash_col="simhash",
+        bits=SIMHASH_BITS,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    )
+
+
+def hamming_pairs_bucketed(
+    hashes: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Generic pigeonhole Hamming-distance self-join over any integer
+    fingerprint column (SimHash, image dHash, audio chromaprint, …): split
+    the ``bits``-bit hash into ``max_hamming + 1`` chunks; a pair within
+    ``max_hamming`` flips must agree exactly on ≥ 1 chunk (lossless), so an
+    equi-join on (chunk, value) finds every qualifying pair; native
+    ``bit_count`` verifies. Same scale shape as ``simhash_pairs_bucketed``
+    (which delegates here): one explode, one chunk-key shuffle, no collect.
+
+    Returns (d1, d2, hamming), d1 < d2."""
+    b = int(n_blocks) if n_blocks is not None else int(max_hamming) + 1
+    b = max(1, min(b, bits))
+    sh = hashes.select(F.col(id_col), F.col(hash_col).alias("simhash"))
     # Chunk j covers bits [start_j, start_j + len_j); sizes differ by ≤ 1.
-    bounds = [(SIMHASH_BITS * j) // b for j in range(b + 1)]
+    bounds = [(bits * j) // b for j in range(b + 1)]
     chunks = F.array(
         *[
             F.struct(
@@ -860,4 +889,193 @@ def sorted_neighborhood_pairs(
     )
     return out.filter(F.col("d2").isNotNull()).select(
         by, "d1", "d2", (F.col("_j") + 1).alias("neighbor_dist")
+    )
+
+
+def _srp_hyperplanes(n_bits: int, dim: int, salt: str = "srp") -> list[list[int]]:
+    """Deterministic hyperplane matrix for signed-random-projection LSH:
+    component (j, i) is the first 48 bits of md5("salt|j|i") centered at
+    2^47 — an integer-valued pseudo-Gaussian surrogate (mean 0, symmetric)
+    that any engine reproduces exactly from the same strings. Returned as
+    ints; both the Spark expression and the DuckDB oracle embed them as
+    literals, so the projection fold is bit-identical."""
+    import hashlib
+
+    return [
+        [
+            int(
+                hashlib.md5(f"{salt}|{j}|{i}".encode()).hexdigest()[:12], 16
+            )
+            - (1 << 47)
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def srp_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_bits: int = 16,
+    bands: int = 4,
+    min_cosine: float = 0.95,
+    salt: str = "srp",
+) -> DataFrame:
+    """Hyperplane (signed-random-projection) LSH near-dup candidates with
+    exact cosine verification — Charikar 2002's cosine LSH, the
+    embedding-space member of the LSH family (MinHash = sets, SimHash =
+    text, SRP = vectors). P[bit agrees] = 1 − angle/π, so banding the sign
+    bits buckets vectors by angle without any centroid model — the
+    model-free alternative to the angular IVF bucketing next door
+    (``embedding_dup_pairs_bucketed``): no k-means build, no α_max pass,
+    at the cost of probabilistic (not lossless) candidate generation.
+
+    Determinism: hyperplanes derive from md5 (``_srp_hyperplanes``), the
+    projection is a fixed-order fold of double products, and sign / band
+    keys are pure integer packing — every engine computes the identical
+    candidate set, so the OUTPUT (candidates passing exact cosine ≥ t,
+    computed with the canonical sequential expression) is hash-checkable
+    even though SRP recall is probabilistic.
+
+    Scale shape: signatures are one zero-shuffle projection (n_bits fixed
+    literal dot products per row); banding explodes to ``bands`` rows/row;
+    one equi-join on (band, key); exact verify joins fetch only candidate
+    vectors. No broadcast, no collect, no model artifact.
+
+    Returns (d1, d2, cosine) with d1 < d2, cosine ≥ min_cosine (rounded 6)."""
+    if n_bits % bands:
+        raise ValueError(f"bands must divide n_bits, got {n_bits=} {bands=}")
+    H = _srp_hyperplanes(n_bits, dim, salt)
+    rows_per_band = n_bits // bands
+
+    v = F.col("_v").cast("array<double>")
+    # fixed-order fold: sum_i v[i] * H[j][i], left to right — identical
+    # accumulation in the DuckDB oracle's list_sum(list_transform(...)).
+    def proj(j: int):
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(h)) for h in H[j]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bits = [F.when(proj(j) >= 0, F.lit(1)).otherwise(F.lit(0)) for j in range(n_bits)]
+    band_keys = [
+        F.concat_ws(
+            "",
+            *[bits[b * rows_per_band + r].cast("string") for r in range(rows_per_band)],
+        ).alias(f"_bk{b}")
+        for b in range(bands)
+    ]
+    sig = df.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("_v")
+    ).select("doc", *band_keys)
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"_bk{b}").alias("bkey"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bkey")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .distinct()
+    )
+    v1 = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+    v2 = df.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    return (
+        cand.join(v1, "d1")
+        .join(v2, "d2")
+        .withColumn("cosine", F.round(cosine_sim(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("d1", "d2", "cosine")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup join: pairs where doc d1's shingle set is
+    ``threshold``-contained in doc d2's (|S1 ∩ S2| ≥ t·|S1|, d1 ≠ d2) —
+    catches quote-inclusion / subset duplication that symmetric Jaccard
+    misses entirely (a small doc pasted inside a huge one has Jaccard ≈
+    |S1|/|S2| ≈ 0 but containment 1.0).
+
+    Prefix filtering adapts losslessly to containment (Chaudhuri et al.
+    2006's SSJoin primitive): under the global rare-first shingle order, if
+    |S1 ∩ S2| ≥ t·|S1| then S1's first ``|S1| − ⌈t·|S1|⌉ + 1`` shingles
+    must intersect S2 (otherwise all common shingles sit in S1's remaining
+    ⌈t·|S1|⌉ − 1 < t·|S1| suffix) — so only the PROBE side prunes to its
+    prefix; the indexed side posts its full set (no length filter either:
+    the container may be arbitrarily larger — both relaxations are what
+    containment semantics force vs the Jaccard join next door).
+
+    Scale shape: same single shingle exchange + window-df attach as
+    ``jaccard_similarity_pairs``; candidate cost is Σ_s df_prefix(s) ·
+    df_full(s) — rare-first ordering keeps the probe prefixes off the hot
+    shingles. Verification recomputes |S1 ∩ S2| exactly via
+    ``array_intersect`` on the per-doc arrays.
+
+    Returns (d1, d2, n_common, containment): d1 is the CONTAINED doc,
+    containment = n_common/|S1| ≥ threshold, rounded 6."""
+    from pyspark.sql import Window
+
+    ex = _shingle_rows(df, id_col, text_col, n)
+    exdf = ex.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+    ranked = exdf.groupBy("doc").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("df", "s"))), lambda t: t["s"]
+        ).alias("sh"),
+    )
+    ranked = ranked.withColumn("n_sh", F.size("sh")).withColumn(
+        "prefix",
+        F.slice("sh", 1, F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1),
+    )
+    probe = ranked.select("doc", F.explode("prefix").alias("s"))
+    post = ranked.select("doc", F.explode("sh").alias("s"))
+    a, b = probe.alias("a"), post.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .distinct()
+    )
+    arr1 = ranked.select(
+        F.col("doc").alias("d1"), F.col("sh").alias("sh1"), F.col("n_sh").alias("n1")
+    )
+    arr2 = ranked.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    return (
+        cand.join(arr1, "d1")
+        .join(arr2, "d2")
+        .withColumn("n_common", n_common)
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("n1"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("d1", "d2", "n_common", "containment")
     )

@@ -147,6 +147,10 @@ def synthetic_media(spark: SparkSession, n: int = 64, *, seed: int = 7) -> DataF
     bytes md5-chained from (seed, media_id) — incompressible by design);
     video blobs stay an opaque fake container (no codec-free public raw
     format worth inventing)."""
+    return spark.createDataFrame(_media_rows(n, seed), MEDIA_SCHEMA)
+
+
+def _media_rows(n: int, seed: int) -> list:
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
@@ -174,7 +178,33 @@ def synthetic_media(spark: SparkSession, n: int = 64, *, seed: int = 7) -> DataF
                 "n_frames": 12 + (i % 7), "format": "fake-vid",
             }
         rows.append((i, kind, blob, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synthetic_media_with_dups(
+    spark: SparkSession, n: int = 96, *, seed: int = 7, n_dups: int = 6
+) -> DataFrame:
+    """``synthetic_media`` plus ``n_dups`` PLANTED image near-duplicates:
+    for the first ``n_dups`` image rows, a copy (media_id + 100000) whose
+    last 24 RGB payload bytes are overwritten — a tiny corner patch, so the
+    perceptual dHash lands within a few bits of the original (the fixture
+    for image near-dup mining; everything stays deterministic)."""
+    rows = _media_rows(n, seed)
+    dups = []
+    for mid, kind, blob, meta in rows:
+        if kind != "image" or len(dups) >= n_dups:
+            continue
+        if len(dups) % 2 == 0:
+            # corner patch: usually invisible to the 8x8 sample grid
+            # (byte-identical dHash — the "re-encode" regime)
+            patched = blob[:-24] + b"\xff" * 24
+        else:
+            # center patch: hits sampled pixels, a few gradient bits flip
+            # (the "small edit" regime — nonzero Hamming)
+            mid_off = len(blob) // 2
+            patched = blob[:mid_off] + b"\xff" * 24 + blob[mid_off + 24 :]
+        dups.append((mid + 100000, kind, patched, meta))
+    return spark.createDataFrame(rows + dups, MEDIA_SCHEMA)
 
 
 def spread_media(df: DataFrame, parts: int | None = None) -> DataFrame:
@@ -392,4 +422,72 @@ def media_byte_stats(df: DataFrame) -> DataFrame:
             "media_id long, kind string, n_bytes long, crc32 long, "
             "entropy double, compress_ratio double"
         ),
+    )
+
+
+def image_dhash(df: DataFrame, *, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: decode → grayscale →
+    nearest-neighbor resample to (hash_w+1) × hash_h → horizontal-gradient
+    sign bits packed into a 64-bit int — the standard cheap near-dup
+    fingerprint for images (robust to re-encode/resize, public algorithm).
+
+    Decode is REAL for binary PPM (the deterministic fake covers compressed
+    formats absent a codec, see module docstring), so on PPM corpora the
+    hash is a true perceptual fingerprint. Map-side Arrow-batched projection
+    — blobs never shuffle; output is (media_id, dhash).
+
+    Pairs come from ``operators.dedup.hamming_pairs_bucketed`` (the generic
+    pigeonhole join) — blobs reduced to 8-byte hashes BEFORE any join."""
+    import numpy as np
+    import pandas as pd
+
+    n_bits = hash_w * hash_h
+    if n_bits > 64:
+        raise ValueError(f"dhash must fit a long: {hash_w}x{hash_h} > 64 bits")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            if not len(pdf):
+                continue
+            out = []
+            for blob in pdf["blob"]:
+                px = np.asarray(
+                    _decode_rgb(bytes(blob), hash_w + 1, hash_h)
+                ).reshape(hash_h, hash_w + 1, 3)
+                gray = px @ np.array([0.299, 0.587, 0.114])
+                bits = (gray[:, 1:] > gray[:, :-1]).reshape(-1)
+                h = 0
+                for bit in bits:
+                    h = (h << 1) | int(bit)
+                # two's-complement wrap: a 64-bit hash with the top bit set
+                # must land in signed-long range; XOR/bit_count/unsigned
+                # shifts downstream are sign-agnostic
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                out.append(h)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "dhash": out}
+            )
+
+    return df.select("media_id", "kind", "blob").mapInPandas(
+        run, schema="media_id long, dhash long"
+    )
+
+
+def image_dhash_pairs(
+    df: DataFrame, *, hash_w: int = 8, hash_h: int = 8, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: dHash fingerprints joined by the generic
+    pigeonhole Hamming bucket join (no collect, no broadcast — the same
+    beyond-10⁸-items path as SimHash text dedup). Returns
+    (d1, d2, hamming) with d1 < d2, hamming ≤ max_hamming."""
+    from pyvectorsearch_spark.operators.dedup import hamming_pairs_bucketed
+
+    return hamming_pairs_bucketed(
+        image_dhash(df, hash_w=hash_w, hash_h=hash_h),
+        id_col="media_id",
+        hash_col="dhash",
+        bits=hash_w * hash_h,
+        max_hamming=max_hamming,
     )

@@ -831,3 +831,55 @@ def tfidf_cosine_pairs(
         F.round(F.sum("_p"), round_dp).alias("cos_r")
     )
     return out.filter(F.col("cos_r") >= float(threshold))
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search: per-document occurrence count of a consecutive
+    token sequence — distributed grep over the normalized token stream (the
+    full-text primitive under quote-search / boolean retrieval; BM25 next
+    door ranks bags of words, this matches ORDER).
+
+    The phrase is normalized with the SAME tokenizer as the corpus
+    (``functions.text.tokens``), so matching is case/punctuation-insensitive
+    exactly like every other text operator.
+
+    Scale shape: a ZERO-SHUFFLE scan projection — position matching is one
+    native array expression (``filter(sequence(1, n-k+1), i -> tok[i+j] =
+    w_j ∀j)``) evaluated inside the scan stage, so a one-off phrase query
+    touches each row once and moves nothing. (An amortized many-query
+    deployment would persist a positional posting-list artifact instead —
+    but for a single phrase, the scan IS the optimal plan: no index can beat
+    one pipelined pass that never shuffles.) Overlapping occurrences count
+    individually (position semantics, not non-overlapping string replace).
+
+    Returns (``id_col``, n_matches) for documents with ≥ 1 occurrence."""
+    import re as _re
+
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    words = [w for w in _re.sub("[^a-z0-9]+", " ", phrase.lower()).split() if w]
+    if not words:
+        raise ValueError(f"phrase has no tokens after normalization: {phrase!r}")
+    k = len(words)
+    tok = tokens(text_col)
+    d = df.select(F.col(id_col), tok.alias("_t"))
+    starts = F.sequence(F.lit(1), F.size("_t") - (k - 1))
+    hit = lambda i: _reduce(  # noqa: E731
+        _and,
+        [F.element_at(F.col("_t"), i + j) == F.lit(words[j]) for j in range(k)],
+    )
+    n_matches = F.when(
+        F.size("_t") >= k, F.size(F.filter(starts, hit))
+    ).otherwise(F.lit(0))
+    return (
+        d.withColumn("n_matches", n_matches.cast("bigint"))
+        .filter(F.col("n_matches") > 0)
+        .select(id_col, "n_matches")
+    )

@@ -28,6 +28,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     search_extra,
     sketch_extra,
     skew_extra,
+    spatial_extra,
     streaming,
     streaming_drift,
     temporal,
@@ -100,6 +101,7 @@ _MODULES = [
     audit_extra,  # likewise (order-independent table checksums)
     pipeline_extra,  # likewise (cross-modal semantic curation)
     basket_extra,  # likewise (2-itemset support/lift mining)
+    spatial_extra,  # likewise (grid-bin ε-distance join)
 ]
 
 

@@ -485,3 +485,219 @@ ORACLES = {
     "dedup_source_matrix": ORACLE_DEDUP_SOURCE_MATRIX,
     "dedup_tfidf_cosine": ORACLE_DEDUP_TFIDF_COSINE,
 }
+
+
+SRP_BITS = 16
+SRP_BANDS = 4
+SRP_MIN_COSINE = MIN_COSINE  # same calibrated tail as dedup_embedding_cosine
+
+
+def q_dedup_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane (SRP) LSH near-dup candidates on the 64-d embeddings,
+    verified by exact cosine — the model-free alternative to the angular
+    IVF bucketing (no k-means artifact, probabilistic recall). Hyperplanes
+    are md5-derived integers, the projection a fixed-order fold, so the
+    candidate set — and therefore the verified OUTPUT — is engine-exact."""
+    from pyvectorsearch_spark.operators.dedup import srp_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_lsh_pairs(
+        emb,
+        dim=64,
+        n_bits=SRP_BITS,
+        bands=SRP_BANDS,
+        min_cosine=SRP_MIN_COSINE,
+    ).orderBy("d1", "d2")
+
+
+def _oracle_srp() -> str:
+    from pyvectorsearch_spark.operators.dedup import _srp_hyperplanes
+
+    H = _srp_hyperplanes(SRP_BITS, 64)
+    rows = SRP_BITS // SRP_BANDS
+
+    def proj(j: int) -> str:
+        lits = ", ".join(f"{float(h)!r}" for h in H[j])
+        return (
+            f"list_sum(list_transform(range(1, 65), i -> "
+            f"CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]))"
+        )
+
+    def band_key(b: int) -> str:
+        cases = " || ".join(
+            f"(CASE WHEN {proj(b * rows + r)} >= 0 THEN '1' ELSE '0' END)"
+            for r in range(rows)
+        )
+        return cases
+
+    keys = ", ".join(f"{band_key(b)} AS bk{b}" for b in range(SRP_BANDS))
+    banded_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, bk{b} AS bkey FROM sig"
+        for b in range(SRP_BANDS)
+    )
+    cos = duckdb_cosine("e1.embedding", "e2.embedding", 64)
+    return f"""
+WITH sig AS (SELECT vec_id, {keys} FROM embeddings),
+banded AS ({banded_rows}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+v AS (
+  SELECT d1, d2, round({cos}, 6) AS cosine
+  FROM cand
+  JOIN embeddings e1 ON e1.vec_id = d1
+  JOIN embeddings e2 ON e2.vec_id = d2
+)
+SELECT d1, d2, cosine FROM v
+WHERE cosine >= {SRP_MIN_COSINE}
+ORDER BY d1, d2
+"""
+
+
+ORACLE_DEDUP_SRP = _oracle_srp()
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment join: d1's shingle set 0.8-contained in d2's
+    (quote-inclusion / subset duplication — invisible to symmetric Jaccard
+    when the container is much larger). Probe-prefix filtering, full
+    postings on the indexed side, exact array_intersect verify."""
+    from pyvectorsearch_spark.operators.dedup import containment_pairs
+    from pyvectorsearch_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return containment_pairs(
+        docs, threshold=CONTAINMENT_THRESHOLD
+    ).orderBy("d1", "d2")
+
+
+def _oracle_containment() -> str:
+    from pyvectorsearch_spark.queries.dedup import _SH, _TOK
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+sh AS (SELECT doc_id, {_SH} AS s FROM toks WHERE len({_SH}) > 0),
+ex AS (SELECT doc_id, unnest(s) AS sgl FROM sh),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.sgl = b.sgl AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+c AS (
+  SELECT d1, d2, n_common,
+         round(n_common::DOUBLE / s1.n_sh, 6) AS containment
+  FROM common JOIN sizes s1 ON d1 = s1.doc_id
+)
+SELECT d1, d2, n_common, containment FROM c
+WHERE containment >= {CONTAINMENT_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+ORACLE_DEDUP_CONTAINMENT = _oracle_containment()
+
+QUERIES.update(
+    {
+        "dedup_srp_lsh": q_dedup_srp_lsh,
+        "dedup_containment": q_dedup_containment,
+    }
+)
+ORACLES.update(
+    {
+        "dedup_srp_lsh": ORACLE_DEDUP_SRP,
+        "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
+    }
+)
+
+
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection — the KEEP side of near-dup
+    clustering: within every multi-doc Jaccard cluster keep the
+    highest-quality member (tie → lowest id), not the arbitrary min-id.
+    Output (cluster_id, rep_id, n_members, rep_quality) per cluster.
+
+    Scale shape: the cluster table is pairs-sized; quality is a zero-shuffle
+    projection on the scan; the argmax is one window over cluster-sized
+    groups (bounded by near-dup group width, not the corpus)."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.functions.text import tokens
+    from pyvectorsearch_spark.operators.dedup import jaccard_similarity_pairs
+    from pyvectorsearch_spark.operators.graph import connected_components
+    from pyvectorsearch_spark.operators.textops import quality_score_col
+    from pyvectorsearch_spark.queries.dedup import JACCARD_THRESHOLD
+    from pyvectorsearch_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_similarity_pairs(docs, threshold=JACCARD_THRESHOLD)
+    comp = connected_components(pairs)
+    q = docs.select(
+        F.col("doc_id").alias("node"),
+        quality_score_col(F.col("text"), tokens("text")).alias("_q"),
+    )
+    j = comp.join(q, "node")
+    w = Window.partitionBy("cluster").orderBy(F.desc("_q"), F.asc("node"))
+    reps = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            F.col("node").alias("rep_id"),
+            F.col("_q").alias("rep_quality"),
+        )
+    )
+    sizes = comp.groupBy(F.col("cluster").alias("cluster_id")).agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return (
+        reps.join(sizes, "cluster_id")
+        .select("cluster_id", "rep_id", "n_members", "rep_quality")
+        .orderBy("cluster_id")
+    )
+
+
+def _oracle_representatives() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_quality, duckdb_tokens
+    from pyvectorsearch_spark.queries.dedup import _JACCARD_CTES
+
+    qual = duckdb_quality("d.text", duckdb_tokens("d.text"))
+    return f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM jpairs
+  UNION
+  SELECT d2, d1 FROM jpairs
+),
+reach(node, lbl) AS (
+    SELECT a, a FROM edges
+  UNION
+    SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+q AS (
+  SELECT c.node, c.cluster, {qual} AS q
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+r AS (
+  SELECT cluster AS cluster_id, node AS rep_id, q AS rep_quality,
+         row_number() OVER (PARTITION BY cluster ORDER BY q DESC, node ASC) AS rn
+  FROM q
+),
+s AS (SELECT cluster AS cluster_id, count(*)::BIGINT AS n_members FROM comp GROUP BY cluster)
+SELECT r.cluster_id, r.rep_id, s.n_members, r.rep_quality
+FROM r JOIN s USING (cluster_id)
+WHERE r.rn = 1
+ORDER BY cluster_id
+"""
+
+
+ORACLE_DEDUP_REPRESENTATIVES = _oracle_representatives()
+
+QUERIES.update({"dedup_representatives": q_dedup_representatives})
+ORACLES.update({"dedup_representatives": ORACLE_DEDUP_REPRESENTATIVES})

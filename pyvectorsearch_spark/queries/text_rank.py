@@ -226,15 +226,56 @@ FROM red ORDER BY doc_id
 """
 
 
+
+
+PHRASE = "slow hash batch"  # a recurring corpus trigram (8 hits / 5 docs at sf0.01)
+
+
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search (order-sensitive full-text match, the quote-search
+    primitive BM25 cannot express): per-document occurrence counts of a
+    3-token phrase — a zero-shuffle scan projection; position matching is a
+    native array expression inside the scan stage (overlap-counting
+    position semantics)."""
+    from pyvectorsearch_spark.operators.textops import phrase_match
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hits = phrase_match(docs, PHRASE)
+    src = docs.select("doc_id", "source")
+    return hits.join(src, "doc_id").select(
+        "doc_id", "source", "n_matches"
+    ).orderBy("doc_id")
+
+
+_PTOK = duckdb_tokens("text")
+_PW = PHRASE.split()
+
+ORACLE_PHRASE = f"""
+WITH toks AS (SELECT doc_id, source, {_PTOK} AS t FROM documents),
+hits AS (
+  SELECT doc_id, source,
+         CASE WHEN len(t) >= {len(_PW)} THEN len(list_filter(
+            range(1, len(t) - {len(_PW) - 2}),
+            i -> {" AND ".join(f"t[i+{j}] = '{w}'" if j else f"t[i] = '{w}'" for j, w in enumerate(_PW))}
+         )) ELSE 0 END AS n_matches
+  FROM toks
+)
+SELECT doc_id, source, n_matches::BIGINT AS n_matches
+FROM hits WHERE n_matches > 0 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_bm25": q_text_bm25,
     "text_vocab_encode": q_text_vocab_encode,
     "text_dup_spans": q_text_dup_spans,
     "text_pii_redact": q_text_pii_redact,
+    "text_phrase_search": q_text_phrase_search,
 }
 ORACLES = {
     "text_bm25": ORACLE_BM25,
     "text_vocab_encode": ORACLE_VOCAB,
     "text_dup_spans": ORACLE_DUP_SPANS,
     "text_pii_redact": ORACLE_PII,
+    "text_phrase_search": ORACLE_PHRASE,
 }

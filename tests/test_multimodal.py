@@ -108,3 +108,33 @@ def test_synthetic_media_blobs_are_real_containers(spark):
         elif r["kind"] == "audio":
             parsed = _parse_wav(bytes(r["blob"]))
             assert parsed is not None and parsed[0] == 16000
+
+
+def test_image_dhash_deterministic_and_separating(spark):
+    """dHash is stable (same blob → same hash) and separates random images:
+    no cross-image pair survives Hamming ≤ 6 on the md5-noise fixture."""
+    from pyvectorsearch_spark.operators.multimodal import (
+        image_dhash,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 48).coalesce(2)
+    h1 = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    h2 = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    assert h1 == h2 and len(h1) == 16  # every 3rd of 48 rows is an image
+
+
+def test_image_dhash_pairs_finds_planted_dups_only(spark):
+    """The planted patched copies pair with their originals (corner patch →
+    Hamming 0, center patch → small nonzero) and nothing else collides."""
+    from pyvectorsearch_spark.operators.multimodal import (
+        image_dhash_pairs,
+        synthetic_media_with_dups,
+    )
+
+    media = synthetic_media_with_dups(spark, 96, n_dups=6).coalesce(4)
+    rows = image_dhash_pairs(media, max_hamming=6).collect()
+    got = {(r["d1"], r["d2"]) for r in rows}
+    assert got == {(i, i + 100000) for i in (0, 3, 6, 9, 12, 15)}
+    assert all(0 <= r["hamming"] <= 6 for r in rows)
+    assert any(r["hamming"] > 0 for r in rows)  # the center-patch regime
