@@ -184,14 +184,22 @@ def _media_rows(n: int, seed: int) -> list:
 def synthetic_media_with_dups(
     spark: SparkSession, n: int = 96, *, seed: int = 7, n_dups: int = 6
 ) -> DataFrame:
-    """``synthetic_media`` plus ``n_dups`` PLANTED image near-duplicates:
-    for the first ``n_dups`` image rows, a copy (media_id + 100000) whose
-    last 24 RGB payload bytes are overwritten — a tiny corner patch, so the
-    perceptual dHash lands within a few bits of the original (the fixture
-    for image near-dup mining; everything stays deterministic)."""
+    """``synthetic_media`` plus PLANTED near-duplicates: ``n_dups`` patched
+    image copies (media_id + 100000) and ``n_dups`` patched audio copies
+    (media_id + 200000). Image patches alternate corner (usually invisible
+    to the dHash sample grid — the re-encode regime) and center (a few
+    gradient bits flip — the small-edit regime); audio patches overwrite 64
+    PCM bytes mid-stream (one RMS frame nudged). Everything deterministic —
+    the fixture for perceptual near-dup mining in both modalities."""
     rows = _media_rows(n, seed)
     dups = []
+    audio_dups = []
     for mid, kind, blob, meta in rows:
+        if kind == "audio" and len(audio_dups) < n_dups:
+            mid_off = len(blob) // 2
+            patched = blob[:mid_off] + b"\x7f" * 64 + blob[mid_off + 64 :]
+            audio_dups.append((mid + 200000, kind, patched, meta))
+            continue
         if kind != "image" or len(dups) >= n_dups:
             continue
         if len(dups) % 2 == 0:
@@ -204,7 +212,7 @@ def synthetic_media_with_dups(
             mid_off = len(blob) // 2
             patched = blob[:mid_off] + b"\xff" * 24 + blob[mid_off + 24 :]
         dups.append((mid + 100000, kind, patched, meta))
-    return spark.createDataFrame(rows + dups, MEDIA_SCHEMA)
+    return spark.createDataFrame(rows + dups + audio_dups, MEDIA_SCHEMA)
 
 
 def spread_media(df: DataFrame, parts: int | None = None) -> DataFrame:
@@ -489,5 +497,62 @@ def image_dhash_pairs(
         id_col="media_id",
         hash_col="dhash",
         bits=hash_w * hash_h,
+        max_hamming=max_hamming,
+    )
+
+
+def audio_fingerprint(df: DataFrame, *, n_frames: int = 64, frame: int = 32) -> DataFrame:
+    """Energy-gradient audio fingerprint: REAL WAV decode → per-frame RMS →
+    sign-of-gradient bits (rms[i+1] > rms[i]) packed into a 63-bit int — the
+    audio analog of the image dHash (a cheap deterministic stand-in for
+    spectral fingerprints like Chromaprint, which need FFT libraries; the
+    SHAPE — decode → frame → sign bits → Hamming join — is the real
+    pipeline). Map-side projection; blobs never shuffle.
+
+    Returns (media_id, afp) for audio rows."""
+    import numpy as np
+    import pandas as pd
+
+    n_bits = n_frames - 1
+    if n_bits > 63:
+        raise ValueError(f"fingerprint must fit a signed long: {n_frames - 1} bits")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "audio"]
+            if not len(pdf):
+                continue
+            out = []
+            for blob in pdf["blob"]:
+                x = np.asarray(_decode_pcm(bytes(blob), n_frames * frame))
+                frames = x.reshape(n_frames, frame)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                bits = rms[1:] > rms[:-1]
+                h = 0
+                for bit in bits:
+                    h = (h << 1) | int(bit)
+                out.append(h)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "afp": out}
+            )
+
+    return df.select("media_id", "kind", "blob").mapInPandas(
+        run, schema="media_id long, afp long"
+    )
+
+
+def audio_fingerprint_pairs(
+    df: DataFrame, *, n_frames: int = 64, frame: int = 32, max_hamming: int = 4
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: energy fingerprints through the generic
+    pigeonhole Hamming bucket join (no collect/broadcast). Returns
+    (d1, d2, hamming), d1 < d2."""
+    from pyvectorsearch_spark.operators.dedup import hamming_pairs_bucketed
+
+    return hamming_pairs_bucketed(
+        audio_fingerprint(df, n_frames=n_frames, frame=frame),
+        id_col="media_id",
+        hash_col="afp",
+        bits=n_frames - 1,
         max_hamming=max_hamming,
     )

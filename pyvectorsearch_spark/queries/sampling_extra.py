@@ -269,7 +269,80 @@ GROUP BY source ORDER BY source
 """
 
 
+
+
+def q_sample_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: hash-split on the near-dup
+    CLUSTER id, not the doc id — near-duplicate documents can never land in
+    different splits (the eval-contamination failure mode of naive per-doc
+    splitting). Composition: Jaccard pairs → connected components → every
+    doc keyed by its cluster (own id when unpaired) → the standard
+    deterministic hash split on that key. Report: per-split doc and cluster
+    counts. Scale shape: the cluster table is pairs-sized; the split is a
+    zero-shuffle projection; the rollup is group-count small."""
+    from pyvectorsearch_spark.operators.dedup import jaccard_similarity_pairs
+    from pyvectorsearch_spark.operators.graph import dup_clusters
+    from pyvectorsearch_spark.operators.sampling import assign_split
+    from pyvectorsearch_spark.queries.dedup import JACCARD_THRESHOLD
+    from pyvectorsearch_spark.queries.sampling import SPLIT_FRACTIONS
+    from pyvectorsearch_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_similarity_pairs(docs, threshold=JACCARD_THRESHOLD)
+    clustered = dup_clusters(docs, pairs)
+    split = assign_split(
+        clustered, id_col="cluster_id", fractions=SPLIT_FRACTIONS, salt="clsplit"
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+def _oracle_cluster_split() -> str:
+    from pyvectorsearch_spark.queries.dedup import _JACCARD_CTES
+
+    b = _bucket_sql("clsplit", "c.cluster_id")
+    return f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM jpairs
+  UNION
+  SELECT d2, d1 FROM jpairs
+),
+reach(node, lbl) AS (
+    SELECT a, a FROM edges
+  UNION
+    SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+c AS (
+  SELECT d.doc_id, coalesce(cp.cluster, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp cp ON d.doc_id = cp.node
+),
+s AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN {b} < 8000 THEN 'train'
+              WHEN {b} < 9000 THEN 'val'
+              WHEN {b} < 10000 THEN 'test' END AS split
+  FROM c
+)
+SELECT split, count(*)::BIGINT AS n_docs,
+       count(DISTINCT cluster_id)::BIGINT AS n_clusters
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+ORACLE_CLUSTER_SPLIT = _oracle_cluster_split()
+
+
+
 QUERIES = {
+    "sample_cluster_split": q_sample_cluster_split,
     "sample_pack_greedy_sharded": q_sample_pack_greedy_sharded,
     "sample_exact_k": q_sample_exact_k,
     "sample_token_budget": q_sample_token_budget,
@@ -277,6 +350,7 @@ QUERIES = {
     "sample_exact_frac": q_sample_exact_frac,
 }
 ORACLES = {
+    "sample_cluster_split": ORACLE_CLUSTER_SPLIT,
     "sample_pack_greedy_sharded": ORACLE_PACK_GREEDY_SHARDED,
     "sample_exact_k": ORACLE_SAMPLE_EXACT_K,
     "sample_token_budget": ORACLE_SAMPLE_TOKEN_BUDGET,

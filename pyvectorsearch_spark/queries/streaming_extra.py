@@ -243,15 +243,80 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+
+
+def q_events_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: hourly tumbling-window event-type counts computed
+    BY THE STREAMING ENGINE (watermarked stateful aggregation over the
+    multi-batch landing copy), then the top-3 types per window ranked on the
+    drained state table — the standard streaming-top-k decomposition
+    (windowed counts are streaming state; rank is a projection of that
+    state, applied at read time exactly as a dashboard would; streaming
+    aggregations cannot nest a rank window). Ties break by event_type, so
+    the result is engine-exact."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.queries.streaming import (
+        _drain,
+        _event_stream,
+        _events_landing,
+    )
+    from pyvectorsearch_spark.streaming.ingest import windowed_event_counts
+
+    landing = _events_landing(spark, sf_dir)
+    load_table(spark, sf_dir, "events")  # nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(landing)
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    name = _drain(out, "events_topk_stream")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("window_start").alias("hour"),
+            "event_type",
+            F.col("n_events").alias("n"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("hour", "rnk")
+    )
+
+
+ORACLE_TOPK_STREAM = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT hour, event_type, n,
+         row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type ASC)::INT AS rnk
+  FROM c
+)
+SELECT hour, event_type, n, rnk FROM r WHERE rnk <= 3 ORDER BY hour, rnk
+"""
+
+
+
 QUERIES = {
     "docs_curate_stream": q_docs_curate_stream,
     "events_hopping_stream": q_events_hopping_stream,
     "events_enrich_stream": q_events_enrich_stream,
     "events_file_sink_stream": q_events_file_sink_stream,
+    "events_topk_stream": q_events_topk_stream,
 }
 ORACLES = {
     "docs_curate_stream": ORACLE_DOCS_CURATE_STREAM,
     "events_hopping_stream": ORACLE_HOPPING_STREAM,
     "events_enrich_stream": ORACLE_ENRICH_STREAM,
     "events_file_sink_stream": ORACLE_FILE_SINK_STREAM,
+    "events_topk_stream": ORACLE_TOPK_STREAM,
 }

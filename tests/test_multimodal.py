@@ -138,3 +138,18 @@ def test_image_dhash_pairs_finds_planted_dups_only(spark):
     assert got == {(i, i + 100000) for i in (0, 3, 6, 9, 12, 15)}
     assert all(0 <= r["hamming"] <= 6 for r in rows)
     assert any(r["hamming"] > 0 for r in rows)  # the center-patch regime
+
+
+def test_audio_fingerprint_finds_planted_dups_only(spark):
+    """The 64-PCM-byte mid-stream patches pair with their originals at small
+    Hamming; random md5-noise audio never collides at <= 4."""
+    from pyvectorsearch_spark.operators.multimodal import (
+        audio_fingerprint_pairs,
+        synthetic_media_with_dups,
+    )
+
+    media = synthetic_media_with_dups(spark, 96, n_dups=6).coalesce(4)
+    rows = audio_fingerprint_pairs(media).collect()
+    got = {(r["d1"], r["d2"]) for r in rows}
+    assert got == {(i, i + 200000) for i in (1, 4, 7, 10, 13, 16)}
+    assert all(0 <= r["hamming"] <= 4 for r in rows)

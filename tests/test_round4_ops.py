@@ -155,3 +155,24 @@ def test_srp_no_collect_no_broadcast_of_corpus(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     s = explain_str(srp_lsh_pairs(emb, dim=64, min_cosine=0.4))
     assert "Cartesian" not in s and "BroadcastNestedLoop" not in s, s[:1500]
+
+
+def test_cluster_split_never_splits_a_cluster(spark):
+    """The leakage-safety invariant itself: every near-dup cluster lands in
+    exactly one split."""
+    from pyvectorsearch_spark.operators.dedup import jaccard_similarity_pairs
+    from pyvectorsearch_spark.operators.graph import dup_clusters
+    from pyvectorsearch_spark.operators.sampling import assign_split
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = jaccard_similarity_pairs(docs, threshold=0.8)
+    clustered = dup_clusters(docs, pairs)
+    split = assign_split(clustered, id_col="cluster_id", salt="clsplit")
+    spans = (
+        split.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert spans == 0
