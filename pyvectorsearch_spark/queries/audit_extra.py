@@ -80,3 +80,81 @@ FROM {name}"""
 
 QUERIES = {"audit_checksums": q_audit_checksums}
 ORACLES = {"audit_checksums": ORACLE_AUDIT_CHECKSUMS}
+
+
+def q_delete_propagation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure / retention delete propagation: a deterministic
+    delete set of customers (custkey % 10 = 7 — the "erasure request"
+    stand-in) cascades through the star schema with anti-joins — customers
+    drop directly, their orders drop by key, and the orders' line items
+    drop transitively. One row per table: kept vs dropped counts plus a
+    kept-key checksum, the audit a compliance pipeline has to produce.
+
+    Scale shape: each fact table anti-joins ONE ancestor key set (the
+    orders key set is itself pairs-of-keys-sized, not fact-sized, and
+    AQE broadcasts the small side); no collects, no windows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    doomed_c = cust.filter(F.col("c_custkey") % 10 == 7).select(
+        F.col("c_custkey").alias("k")
+    )
+    kept_c = cust.join(doomed_c, cust["c_custkey"] == doomed_c["k"], "left_anti")
+    kept_o = orders.join(
+        doomed_c, orders["o_custkey"] == doomed_c["k"], "left_anti"
+    )
+    doomed_o = orders.join(
+        doomed_c, orders["o_custkey"] == doomed_c["k"], "left_semi"
+    ).select(F.col("o_orderkey").alias("ok"))
+    kept_l = li.join(doomed_o, li["l_orderkey"] == doomed_o["ok"], "left_anti")
+
+    def _row(name, total_df, kept_df, key):
+        t = total_df.agg(F.count("*").cast("bigint").alias("n_total"))
+        k = kept_df.agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum(F.col(key)).cast("bigint").alias("kept_key_sum"),
+        )
+        return t.crossJoin(k).select(
+            F.lit(name).alias("tbl"),
+            "n_total",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+            "kept_key_sum",
+        )
+
+    return (
+        _row("customer", cust, kept_c, "c_custkey")
+        .unionByName(_row("orders", orders, kept_o, "o_orderkey"))
+        .unionByName(_row("lineitem", li, kept_l, "l_orderkey"))
+        .orderBy("tbl")
+    )
+
+
+ORACLE_DELETE_PROPAGATION = """
+WITH doomed_c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 = 7),
+doomed_o AS (SELECT o_orderkey AS ok FROM orders WHERE o_custkey IN (SELECT k FROM doomed_c)),
+rows AS (
+  SELECT 'customer' AS tbl,
+         (SELECT count(*) FROM customer)::BIGINT AS n_total,
+         count(*)::BIGINT AS n_kept,
+         sum(c_custkey)::BIGINT AS kept_key_sum
+  FROM customer WHERE c_custkey NOT IN (SELECT k FROM doomed_c)
+  UNION ALL
+  SELECT 'orders',
+         (SELECT count(*) FROM orders)::BIGINT,
+         count(*)::BIGINT,
+         sum(o_orderkey)::BIGINT
+  FROM orders WHERE o_custkey NOT IN (SELECT k FROM doomed_c)
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT count(*) FROM lineitem)::BIGINT,
+         count(*)::BIGINT,
+         sum(l_orderkey)::BIGINT
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT ok FROM doomed_o)
+)
+SELECT tbl, n_total, n_kept, (n_total - n_kept)::BIGINT AS n_dropped, kept_key_sum
+FROM rows ORDER BY tbl
+"""
+
+QUERIES.update({"delete_propagation_stats": q_delete_propagation_stats})
+ORACLES.update({"delete_propagation_stats": ORACLE_DELETE_PROPAGATION})

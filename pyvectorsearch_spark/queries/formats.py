@@ -259,7 +259,115 @@ GROUP BY source ORDER BY source
 """
 
 
+
+
+def _evolution_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Two-generation parquet landing for schema-evolution reads: writer v1
+    lands (doc_id, source, n_chars); writer v2 adds a ``lang`` column —
+    the additive-column upgrade every long-lived dataset goes through."""
+
+    def write(tmp: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "source", "n_chars"
+        )
+        v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "source", "n_chars", "lang"
+        )
+        v1.write.parquet(f"{tmp}/gen=1")
+        v2.write.parquet(f"{tmp}/gen=2")
+
+    return _landing(spark, sf_dir, "evolution", write)
+
+
+def q_schema_evolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations (v2 adds ``lang``)
+    scanned in ONE read with ``mergeSchema`` — old files surface NULL for
+    the new column (no rewrite of historical data, the additive-evolution
+    contract). Rollup per source: row counts, and lang presence split by
+    generation proves old rows got NULLs and new rows kept values."""
+    d = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(_evolution_landing(spark, sf_dir))
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_old_schema"),
+            F.sum(F.when(F.col("lang").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new_schema"),
+            F.sum(F.length("lang")).cast("bigint").alias("lang_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+SELECT source, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_old_schema,
+       sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_new_schema,
+       sum(CASE WHEN doc_id % 2 = 1 THEN length(lang) ELSE NULL END)::BIGINT AS lang_chars,
+       sum(doc_id)::BIGINT AS id_checksum
+FROM documents
+GROUP BY source ORDER BY source
+"""
+
+
+def q_nested_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type round trip: orders denormalized to one row per order
+    with an ARRAY OF STRUCTS of its line items (sorted by linenumber) →
+    parquet → read back → explode → rollup. A hash match against the flat
+    lineitem oracle proves the nested encode/decode loses nothing — the
+    document-shaped layout (order + items) every log/event pipeline uses."""
+
+    def write(tmp: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.struct(
+                "l_linenumber", "l_quantity", "l_extendedprice"
+            ).alias("_item"),
+        )
+        nested = li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_list("_item")).alias("items")
+        )
+        nested.write.parquet(tmp)
+
+    path = _landing(spark, sf_dir, "nested", write)
+    n = spark.read.parquet(path)
+    ex = n.select(
+        "l_orderkey", F.explode("items").alias("it")
+    ).select("l_orderkey", "it.*")
+    return ex.agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        F.sum("l_quantity").cast("bigint").alias("qty_sum"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+        F.sum(F.col("l_orderkey") * F.col("l_linenumber"))
+        .cast("bigint")
+        .alias("cross_checksum"),
+    )
+
+
+ORACLE_NESTED_ROUNDTRIP = """
+SELECT count(*)::BIGINT AS n_lines,
+       count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+       sum(l_quantity)::BIGINT AS qty_sum,
+       round(sum(l_extendedprice), 2) AS price_sum,
+       sum(l_orderkey * l_linenumber)::BIGINT AS cross_checksum
+FROM lineitem
+"""
+
+
+
 QUERIES = {
+    "schema_evolution_stats": q_schema_evolution_stats,
+    "nested_roundtrip_stats": q_nested_roundtrip_stats,
     "jsonl_roundtrip_stats": q_jsonl_roundtrip_stats,
     "pyds_vectorgen_stats": q_pyds_vectorgen_stats,
     "orc_roundtrip_stats": q_orc_roundtrip_stats,
@@ -267,6 +375,8 @@ QUERIES = {
     "csv_roundtrip_stats": q_csv_roundtrip_stats,
 }
 ORACLES = {
+    "schema_evolution_stats": ORACLE_SCHEMA_EVOLUTION,
+    "nested_roundtrip_stats": ORACLE_NESTED_ROUNDTRIP,
     "jsonl_roundtrip_stats": ORACLE_JSONL_ROUNDTRIP,
     "pyds_vectorgen_stats": ORACLE_PYDS_VECTORGEN,
     "orc_roundtrip_stats": ORACLE_ORC_ROUNDTRIP,

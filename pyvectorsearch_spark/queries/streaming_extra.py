@@ -306,7 +306,83 @@ SELECT hour, event_type, n, rnk FROM r WHERE rnk <= 3 ORDER BY hour, rnk
 
 
 
+
+
+LEFT_JOIN_CUTOFF = "2024-01-30 00:00:00"  # ≥ watermark+lag before stream end at every sf
+
+
+def q_click_left_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join BY THE STREAMING ENGINE:
+    every click paired with same-user purchases in the next 30 minutes, OR
+    emitted with NULLs once the watermark proves no purchase can arrive —
+    the conversion/no-conversion split an inner join cannot produce.
+
+    The comparison window is cut off a day before stream end — AFTER the
+    drain, never inside the stream: filtering the click SOURCE would cap
+    that source's max event time and drag the global watermark (the min
+    across sources) back to cutoff − delay, leaving the last 2.5 h of
+    clicks unproven (measured: exactly the tail clicks dropped). The full
+    stream keeps the watermark at stream-end − delay, so every click
+    before the cutoff has its no-match proven inside the availableNow
+    drain; the oracle applies the identical post-hoc cutoff."""
+    from pyvectorsearch_spark.queries.streaming import _drain, _event_stream
+    from pyvectorsearch_spark.streaming.ingest import stream_stream_left_join
+
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = stream_stream_left_join(
+        clicks,
+        purchases,
+        key_col="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        max_lag="30 minutes",
+        watermark="2 hours",
+    )
+    name = _drain(joined, "click_left_join_stream", mode="append")
+    return (
+        spark.table(name)
+        .filter(F.col("ts") < F.lit(LEFT_JOIN_CUTOFF).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("purchase_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unconverted"),
+            F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_CLICK_LEFT_JOIN = f"""
+SELECT c.user_id, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unconverted,
+       count(DISTINCT p.event_id)::BIGINT AS n_purchases
+FROM (SELECT * FROM events
+      WHERE event_type = 'click' AND ts < TIMESTAMP '{LEFT_JOIN_CUTOFF}') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id ORDER BY c.user_id
+"""
+
+
+
 QUERIES = {
+    "click_left_join_stream": q_click_left_join_stream,
     "docs_curate_stream": q_docs_curate_stream,
     "events_hopping_stream": q_events_hopping_stream,
     "events_enrich_stream": q_events_enrich_stream,
@@ -314,6 +390,7 @@ QUERIES = {
     "events_topk_stream": q_events_topk_stream,
 }
 ORACLES = {
+    "click_left_join_stream": ORACLE_CLICK_LEFT_JOIN,
     "docs_curate_stream": ORACLE_DOCS_CURATE_STREAM,
     "events_hopping_stream": ORACLE_HOPPING_STREAM,
     "events_enrich_stream": ORACLE_ENRICH_STREAM,

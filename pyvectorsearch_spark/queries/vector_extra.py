@@ -70,3 +70,142 @@ WHERE {_D2} <= {RADIUS} * {RADIUS}
 
 QUERIES = {"range_grid_query_table": q_range_grid_query_table}
 ORACLES = {"range_grid_query_table": ORACLE_RANGE_GRID_QUERY_TABLE}
+
+
+KNN_COS_K = 5
+KNN_COS_PROBES = 8
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k by COSINE similarity (the embedding-retrieval metric; the
+    reference's tree only speaks L2 — `search_knn`, pktree.hpp:948-973 —
+    so this is the north-star metric extension): per probe, the 5 most
+    similar vectors, descending similarity, id tiebreak."""
+    from pyvectorsearch_spark.operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < KNN_COS_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = knn_join(emb, probes, KNN_COS_K, metric="cosine")
+    return out.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round("dist", 6).alias("cos_r"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _oracle_knn_cosine() -> str:
+    from pyvectorsearch_spark.functions.vector import duckdb_cosine
+
+    cos = duckdb_cosine("d.embedding", "q.embedding", 64)
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {KNN_COS_PROBES}),
+p AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, {cos} AS c
+  FROM embeddings d, q
+),
+r AS (
+  SELECT query_id, neighbor_id, round(c, 6) AS cos_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC)::INT AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, cos_r, rank FROM r
+WHERE rank <= {KNN_COS_K} AND neighbor_id <> query_id
+"""
+
+
+ORACLE_KNN_COSINE = _oracle_knn_cosine()
+
+
+KNN_CLS_K = 5
+KNN_CLS_PROBES = 20
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN CLASSIFICATION on the labeled embeddings — the application
+    layer over vector search (the reference stops at neighbor lists;
+    `pkmap` carries payloads, main.cpp:63-95): per probe, the majority
+    label among its 5 nearest non-self neighbors (L2; vote ties break to
+    the smaller label), reported with the true label. Scale shape: one
+    bounded top-k join + a probes×labels-sized vote aggregate."""
+    from pyspark.sql import Window
+    from pyvectorsearch_spark.operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < KNN_CLS_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    nn = (
+        knn_join(emb, probes, KNN_CLS_K + 1)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    nn = nn.withColumn("_r2", F.row_number().over(wk)).filter(
+        F.col("_r2") <= KNN_CLS_K
+    )
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_nl"))
+    votes = nn.join(lab, "neighbor_id").groupBy("query_id", "_nl").agg(
+        F.count("*").cast("bigint").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("_nl"))
+    pred = (
+        votes.withColumn("_rv", F.row_number().over(wv))
+        .filter(F.col("_rv") == 1)
+        .select("query_id", F.col("_nl").alias("pred_label"), "n_votes")
+    )
+    truth = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return (
+        pred.join(truth, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            "n_votes",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _oracle_knn_classify() -> str:
+    d2 = duckdb_l2_sq("d.embedding", "q.embedding", 64)
+    return f"""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < {KNN_CLS_PROBES}),
+p AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, d.label AS nl, {d2} AS dist
+  FROM embeddings d, q
+  WHERE d.vec_id <> q.vec_id
+),
+r AS (
+  SELECT query_id, nl,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rnk
+  FROM p
+),
+votes AS (
+  SELECT query_id, nl, count(*)::BIGINT AS n_votes
+  FROM r WHERE rnk <= {KNN_CLS_K}
+  GROUP BY query_id, nl
+),
+pred AS (
+  SELECT query_id, nl AS pred_label, n_votes,
+         row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, nl ASC) AS rv
+  FROM votes
+)
+SELECT p.query_id, q.label AS true_label, p.pred_label, p.n_votes,
+       p.pred_label = q.label AS correct
+FROM pred p JOIN q ON q.vec_id = p.query_id
+WHERE p.rv = 1
+ORDER BY p.query_id
+"""
+
+
+ORACLE_KNN_CLASSIFY = _oracle_knn_classify()
+
+QUERIES.update(
+    {"knn_cosine": q_knn_cosine, "knn_classify": q_knn_classify}
+)
+ORACLES.update(
+    {"knn_cosine": ORACLE_KNN_COSINE, "knn_classify": ORACLE_KNN_CLASSIFY}
+)

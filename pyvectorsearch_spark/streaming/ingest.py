@@ -174,6 +174,36 @@ def stream_stream_interval_join(
     return lw.join(rw, cond, "inner").drop(rw[key_col])
 
 
+def stream_stream_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_lag: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: like
+    ``stream_stream_interval_join`` but unmatched left rows are emitted
+    with NULL right columns — the "which clicks never converted" shape that
+    an inner join cannot answer. The engine can only emit a NULL-padded row
+    once the watermark proves no match can still arrive, so unmatched
+    output trails by the watermark delay; left rows closer than
+    ``watermark + max_lag`` to the stream's end may never have their
+    no-match proven in an ``availableNow`` drain — callers that compare
+    against a batch oracle must cut the left side off before that tail
+    (the contract query does, with a literal cutoff mirrored in SQL)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key_col] == rw[key_col])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return lw.join(rw, cond, "leftOuter").drop(rw[key_col])
+
+
 def deduplicated_stream(
     events: DataFrame,
     keys: list[str],
