@@ -252,3 +252,49 @@ def label_propagation(
             .select(F.col("a").alias("node"), "lbl")
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    *,
+    src: str = "d1",
+    dst: str = "d2",
+    k: int = 2,
+    rounds: int = 4,
+) -> DataFrame:
+    """Fixed-``rounds`` k-core peeling (Seidman 1983's core decomposition,
+    bounded-round form): each round drops every node with degree < ``k`` in
+    the SURVIVING graph, simultaneously — after enough rounds the survivor
+    set is exactly the k-core; a fixed round count keeps the result a pure
+    function of the input so the oracle can unroll the same rounds as CTE
+    layers (recursive SQL cannot aggregate inside the recursive term, so
+    peel-to-fixpoint is not oracle-expressible — same design trade as the
+    fixed-iteration PageRank/LPA next door).
+
+    Scale shape per round: one map-side-combined degree count over the
+    surviving edge list + two semi-joins restricting edges — the edge table
+    only shrinks; lineage truncated per round with ``localCheckpoint`` so
+    round r never replays rounds 1..r-1.
+
+    Returns (node, deg) for survivors with their final within-subgraph
+    degree."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = edges.groupBy("a").agg(F.count("*").alias("_d"))
+        keep = deg.filter(F.col("_d") >= k).select("a")
+        edges = (
+            edges.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.groupBy("a")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .filter(F.col("deg") >= k)
+        .select(F.col("a").alias("node"), "deg")
+    )

@@ -316,7 +316,48 @@ ORDER BY g.doc_id
 ORACLE_TEXT_REPETITION = _repetition_oracle()
 
 
+def q_skyline_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline over line items: cheapest-price / largest-quantity
+    trade-off frontier (no other line item is both <= price and >= quantity
+    with one strict) — the classic maximal-vector OLAP query, two-phase
+    (per-partition lenient sweep, exact dominance anti-join over the
+    bounded candidate set). Rows aggregated per (quantity) point for a
+    stable compact result."""
+    from pyvectorsearch_spark.operators.skyline import skyline_2d
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    sky = skyline_2d(li, minimize="price", maximize="qty")
+    return (
+        sky.groupBy("qty")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.min("price"), 2).alias("min_price"),
+        )
+        .orderBy("qty")
+    )
+
+
+ORACLE_SKYLINE = """
+WITH s AS (
+  SELECT l_extendedprice AS price, l_quantity::BIGINT AS qty
+  FROM lineitem a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem b
+    WHERE b.l_extendedprice <= a.l_extendedprice
+      AND b.l_quantity >= a.l_quantity
+      AND (b.l_extendedprice < a.l_extendedprice OR b.l_quantity > a.l_quantity)
+  )
+)
+SELECT qty, count(*)::BIGINT AS n_rows, round(min(price), 2) AS min_price
+FROM s GROUP BY qty ORDER BY qty
+"""
+
+
 QUERIES = {
+    "skyline_lineitem": q_skyline_lineitem,
     "customer_revenue_deciles": customer_revenue_deciles,
     "daily_volume_moving_avg": daily_volume_moving_avg,
     "customer_order_gaps": customer_order_gaps,
@@ -327,6 +368,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "skyline_lineitem": ORACLE_SKYLINE,
     "text_repetition": ORACLE_TEXT_REPETITION,
     "customer_revenue_deciles": ORACLE_DECILES,
     "daily_volume_moving_avg": ORACLE_MOVING_AVG,

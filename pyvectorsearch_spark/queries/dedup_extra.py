@@ -701,3 +701,60 @@ ORACLE_DEDUP_REPRESENTATIVES = _oracle_representatives()
 
 QUERIES.update({"dedup_representatives": q_dedup_representatives})
 ORACLES.update({"dedup_representatives": ORACLE_DEDUP_REPRESENTATIVES})
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling of the SimHash near-dup graph (k=3, 4 simultaneous
+    peel rounds): the dense backbone that survives after weakly-attached
+    nodes drop — a stricter community signal than connected components
+    (chains and pendants peel away). Fixed rounds keep the result a pure
+    function of the input; the oracle unrolls the identical rounds."""
+    from pyvectorsearch_spark.operators.dedup import simhash_pairs
+    from pyvectorsearch_spark.operators.graph import kcore_peel
+    from pyvectorsearch_spark.queries.dedup import MAX_HAMMING
+    from pyvectorsearch_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = simhash_pairs(docs, max_hamming=MAX_HAMMING)
+    return kcore_peel(pairs, k=KCORE_K, rounds=KCORE_ROUNDS).orderBy("node")
+
+
+def _oracle_kcore() -> str:
+    from pyvectorsearch_spark.queries.dedup import _simhash_oracle
+
+    layers = []
+    prev = "e0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        # MATERIALIZED: each layer is referenced 3x downstream — without it
+        # DuckDB may inline the whole chain repeatedly (measured ~50 s;
+        # materialized ~1 s)
+        layers.append(f"""k{i} AS MATERIALIZED (
+  SELECT a FROM (SELECT a, count(*) AS d FROM {prev} GROUP BY a) WHERE d >= {KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT a, b FROM {prev}
+  WHERE a IN (SELECT a FROM k{i}) AND b IN (SELECT a FROM k{i})
+)""")
+        prev = f"e{i}"
+    return f"""
+WITH pairs AS MATERIALIZED ({_simhash_oracle()}),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT d1 AS a, d2 AS b FROM pairs
+    UNION ALL SELECT d2, d1 FROM pairs
+  )
+),
+{", ".join(layers)}
+SELECT a AS node, count(*)::BIGINT AS deg FROM {prev}
+GROUP BY a HAVING count(*) >= {KCORE_K} ORDER BY node
+"""
+
+
+ORACLE_DEDUP_KCORE = _oracle_kcore()
+
+QUERIES.update({"dedup_kcore": q_dedup_kcore})
+ORACLES.update({"dedup_kcore": ORACLE_DEDUP_KCORE})

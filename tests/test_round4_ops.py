@@ -176,3 +176,64 @@ def test_cluster_split_never_splits_a_cluster(spark):
         .count()
     )
     assert spans == 0
+
+
+def test_dbscan_textbook_fixture(spark):
+    """Two dense blobs + one isolated point: blobs become two clusters with
+    the ids' minima as labels, the loner is noise, and a point within eps
+    of a core but below the density bar is a border."""
+    from pyvectorsearch_spark.operators.clustering import dbscan
+
+    pts = [
+        # blob A: 4 mutually-close points (all core at min_pts=4)
+        (1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [0.0, 0.1]), (4, [0.1, 0.1]),
+        # border: within eps of blob A's corner but only 2 neighbors
+        (5, [0.25, 0.1]),
+        # blob B: 4 mutually-close points far away
+        (10, [5.0, 5.0]), (11, [5.1, 5.0]), (12, [5.0, 5.1]), (13, [5.1, 5.1]),
+        # noise
+        (99, [9.0, 9.0]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, p2 array<double>")
+    out = {
+        r["vec_id"]: (r["role"], r["cluster"])
+        for r in dbscan(
+            df, eps=0.2, min_pts=4, dim=2, id_col="vec_id", vec_col="p2"
+        ).collect()
+    }
+    assert out[1] == ("core", 1) and out[4] == ("core", 1)
+    assert out[10] == ("core", 10) and out[13] == ("core", 10)
+    assert out[5] == ("border", 1)
+    assert out[99] == ("noise", None)
+
+
+def test_kcore_peels_pendants_keeps_clique(spark):
+    """A 4-clique with a pendant chain: the chain peels away, the clique
+    survives with within-clique degree 3."""
+    from pyvectorsearch_spark.operators.graph import kcore_peel
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+             (4, 5), (5, 6)]  # pendant chain
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    out = {r["node"]: r["deg"] for r in kcore_peel(pairs, k=3, rounds=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_skyline_exact_with_ties(spark):
+    """Dominated rows drop; equal-pair ties both survive; the frontier is
+    exactly the brute-force non-dominated set."""
+    from pyvectorsearch_spark.operators.skyline import skyline_2d
+
+    rows = [
+        (10.0, 5), (10.0, 5),   # tie pair: both kept
+        (12.0, 5),              # dominated (worse price, same qty)
+        (9.0, 3),               # frontier (cheapest overall)
+        (15.0, 9),              # frontier (biggest qty)
+        (16.0, 8),              # dominated by (15, 9)
+    ]
+    df = spark.createDataFrame(rows, "price double, qty long").repartition(3)
+    got = sorted(
+        (r["price"], r["qty"])
+        for r in skyline_2d(df, minimize="price", maximize="qty").collect()
+    )
+    assert got == [(9.0, 3), (10.0, 5), (10.0, 5), (15.0, 9)]
