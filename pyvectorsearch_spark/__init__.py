@@ -110,3 +110,12 @@ from pyvectorsearch_spark.operators.dedup import (  # noqa: F401
     srp_lsh_pairs,
 )
 from pyvectorsearch_spark.operators.textops import phrase_match  # noqa: F401
+from pyvectorsearch_spark.operators.clustering import dbscan  # noqa: F401
+from pyvectorsearch_spark.operators.skyline import skyline_2d  # noqa: F401
+from pyvectorsearch_spark.operators.graph import kcore_peel  # noqa: F401
+from pyvectorsearch_spark.operators.dedup import hamming_pairs_bucketed  # noqa: F401
+from pyvectorsearch_spark.operators.multimodal import (  # noqa: F401
+    audio_fingerprint_pairs,
+    image_dhash_pairs,
+)
+from pyvectorsearch_spark.operators.textops import boilerplate_prefixes  # noqa: F401

@@ -216,13 +216,65 @@ ORDER BY n_sessions DESC, path LIMIT {PATH_TOP}
 """
 
 
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every event-type pair, how many
+    distinct users did BOTH, plus the Jaccard of the two audiences — the
+    segment-intersection readout behind campaign planning. Scale shape:
+    events collapse once to distinct (type, user) rows; the pair join runs
+    on audience-sized sets (types × users, not raw events) keyed by user,
+    and per-type totals attach from a types-sized aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    tot = tu.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    a = tu.withColumnRenamed("event_type", "type_a")
+    b = tu.withColumnRenamed("event_type", "type_b")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    ta = tot.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        both.join(ta, "type_a")
+        .join(tb, "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            F.round(
+                F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both")), 6
+            ).alias("aud_jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_AUDIENCE_OVERLAP = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+tot AS (SELECT event_type, count(*)::BIGINT AS n FROM tu GROUP BY event_type),
+ovl AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*)::BIGINT AS n_both
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+       round(n_both / (ta.n + tb.n - n_both), 6) AS aud_jaccard
+FROM ovl
+JOIN tot ta ON ta.event_type = type_a
+JOIN tot tb ON tb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
 QUERIES = {
+    "audience_overlap": q_audience_overlap,
     "event_funnel": q_event_funnel,
     "event_retention": q_event_retention,
     "event_transitions": q_event_transitions,
     "session_paths": q_session_paths,
 }
 ORACLES = {
+    "audience_overlap": ORACLE_AUDIENCE_OVERLAP,
     "event_funnel": ORACLE_EVENT_FUNNEL,
     "event_retention": ORACLE_EVENT_RETENTION,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,

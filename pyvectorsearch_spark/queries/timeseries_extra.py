@@ -384,7 +384,72 @@ FROM g ORDER BY event_type, bucket_epoch
 ORACLE_EVENTS_EWMA = _oracle_ewma()
 
 
+def q_events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT-user count per event type: active users in the
+    trailing 1 hour, evaluated on the 15-minute grid — the live-audience
+    metric plain rolling sums cannot express (sums double-count repeat
+    users). Exact two-stage shape: events collapse to distinct
+    (type, bucket, user) rows first (map-side combinable), then a
+    rows-window of per-bucket user ARRAYS unions the trailing 4 buckets —
+    set arithmetic over per-bucket distinct sets, never raw events, and the
+    window is rows-bounded (4), not range-unbounded. First 3 grid buckets
+    per type are emitted too (shorter lookback, like the EWMA head)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 900).cast("bigint")
+    tb = (
+        ev.select("event_type", b.alias("bucket"), "user_id")
+        .distinct()
+        .groupBy("event_type", "bucket")
+        .agg(F.collect_set("user_id").alias("_users"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-3, 0)
+    # grid gaps: buckets with zero events are absent from tb, so a rows
+    # window could reach further back than 1 h — re-densify on the grid
+    grid = tb.groupBy("event_type").agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    dense = grid.select(
+        "event_type",
+        F.explode(F.sequence("_lo", "_hi", F.lit(900))).alias("bucket"),
+    )
+    tbd = dense.join(tb, ["event_type", "bucket"], "left").withColumn(
+        "_users", F.coalesce("_users", F.array().cast("array<bigint>"))
+    )
+    rolled = tbd.withColumn(
+        "n_active",
+        F.size(F.array_distinct(F.flatten(F.collect_list("_users").over(w)))).cast(
+            "bigint"
+        ),
+    )
+    return rolled.select("event_type", "bucket", "n_active").orderBy(
+        "event_type", "bucket"
+    )
+
+
+ORACLE_ROLLING_DISTINCT = """
+WITH e AS (
+  SELECT DISTINCT event_type,
+         (floor(epoch(ts) / 900) * 900)::BIGINT AS bucket,
+         user_id
+  FROM events
+),
+grid AS (
+  SELECT event_type, unnest(range(min(bucket), max(bucket) + 900, 900)) AS bucket
+  FROM e GROUP BY event_type
+)
+SELECT g.event_type, g.bucket,
+       (SELECT count(DISTINCT e.user_id) FROM e
+        WHERE e.event_type = g.event_type
+          AND e.bucket BETWEEN g.bucket - 2700 AND g.bucket)::BIGINT AS n_active
+FROM grid g
+ORDER BY g.event_type, g.bucket
+"""
+
+
 QUERIES = {
+    "events_rolling_distinct": q_events_rolling_distinct,
     "events_resample_15m": q_events_resample_15m,
     "events_interpolate": q_events_interpolate,
     "events_rolling": q_events_rolling,
@@ -393,6 +458,7 @@ QUERIES = {
     "events_ewma": q_events_ewma,
 }
 ORACLES = {
+    "events_rolling_distinct": ORACLE_ROLLING_DISTINCT,
     "events_resample_15m": ORACLE_RESAMPLE,
     "events_interpolate": ORACLE_INTERPOLATE,
     "events_rolling": ORACLE_ROLLING,
