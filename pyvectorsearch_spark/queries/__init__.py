@@ -18,6 +18,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     incremental_extra,
     layout_extra,
     multimodal,
+    multimodal_extra,
     pipeline,
     pipeline_extra,
     quality_extra,
@@ -102,6 +103,7 @@ _MODULES = [
     pipeline_extra,  # likewise (cross-modal semantic curation)
     basket_extra,  # likewise (2-itemset support/lift mining)
     spatial_extra,  # likewise (grid-bin ε-distance join)
+    multimodal_extra,  # likewise (image dHash / audio fingerprint pairs)
 ]
 
 

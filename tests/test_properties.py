@@ -288,3 +288,77 @@ def test_vocab_encode_matches_python_reference(spark, docs, v):
             hashlib.md5(",".join(map(str, ids)).encode()).hexdigest(),
         )
     assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-4, max_value=4, allow_nan=False, width=32),
+            min_size=2,
+            max_size=2,
+        ),
+        min_size=4,
+        max_size=20,
+    ),
+    radius=st.sampled_from([0.05, 0.5, 2.0, 7.9]),
+)
+@PROP_SETTINGS
+def test_radius_join_lossless_property(spark, vecs, radius):
+    """Grid-bin ε-join == brute-force θ-join on arbitrary point sets and
+    radii (incl. radii larger than the whole extent and boundary-exact
+    distances from duplicated points)."""
+    from pyvectorsearch_spark.functions.vector import l2_sq
+    from pyvectorsearch_spark.operators.spatial import radius_self_join
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, p2 array<double>",
+    )
+    got = {
+        (r["d1"], r["d2"])
+        for r in radius_self_join(
+            df, radius=radius, dim=2, id_col="vec_id", vec_col="p2"
+        ).collect()
+    }
+    a = df.select(F.col("vec_id").alias("d1"), F.col("p2").alias("v1"))
+    b = df.select(F.col("vec_id").alias("d2"), F.col("p2").alias("v2"))
+    want = {
+        (r["d1"], r["d2"])
+        for r in a.join(b, F.col("d1") < F.col("d2"))
+        .filter(l2_sq("v1", "v2") <= radius * radius)
+        .collect()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # price (small ints force ties)
+            st.integers(min_value=0, max_value=6),   # qty
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@PROP_SETTINGS
+def test_skyline_equals_bruteforce_property(spark, rows):
+    """Two-phase skyline == the O(n²) dominance definition, including
+    heavy tie regimes (tiny integer domains)."""
+    from pyvectorsearch_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [(float(p), int(q)) for p, q in rows], "price double, qty long"
+    ).repartition(3)
+    got = sorted(
+        (r["price"], r["qty"])
+        for r in skyline_2d(df, minimize="price", maximize="qty").collect()
+    )
+    want = sorted(
+        (float(p), q)
+        for (p, q) in rows
+        if not any(
+            (p2 <= p and q2 >= q and (p2 < p or q2 > q)) for (p2, q2) in rows
+        )
+    )
+    assert got == want
