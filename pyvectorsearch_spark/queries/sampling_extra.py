@@ -341,7 +341,84 @@ ORACLE_CLUSTER_SPLIT = _oracle_cluster_split()
 
 
 
+SHARD_PACKS = 8
+
+
+def q_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export manifest: concat-and-chunk packs roll up into
+    fixed-size shards (8 packs/shard, ``shard_id = pack_id div 8``) and the
+    dataset ACTUALLY LANDS hive-partitioned by (source, shard_id) — the
+    data-loader handoff layout — then the manifest (docs/chars/pack span
+    per shard) is computed from the read-back files, so a hash match proves
+    both the deterministic shard assignment and the round trip. Scale
+    shape: one pack window per source shard + a partitioned write; the
+    manifest rollup reads only (source, shard_id, n_chars, pack_id)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyvectorsearch_spark.operators.sampling import pack_chunked
+    from pyvectorsearch_spark.sources.tables import dataset_tag
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_chunked(
+        docs, by="source", budget=PACK_BUDGET, size_col="n_chars"
+    ).withColumn(
+        "shard_id",
+        ((F.col("pack_id") - F.col("pack_id") % SHARD_PACKS) / SHARD_PACKS).cast(
+            "bigint"
+        ),
+    )
+    base = dataset_tag(sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), f"pvs_docs_shards_{base}")
+    if not os.path.isdir(path):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        packed.select(
+            "doc_id", "n_chars", "pack_id", "source", "shard_id"
+        ).write.partitionBy("source", "shard_id").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(path):
+                raise
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("source", "shard_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("pack_id").cast("bigint").alias("first_pack"),
+            F.max("pack_id").cast("bigint").alias("last_pack"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("source", "shard_id")
+    )
+
+
+ORACLE_EXPORT_SHARDS = f"""
+WITH s AS (
+  SELECT source, doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM documents
+),
+p AS (
+  SELECT source, doc_id, n_chars, (start // {PACK_BUDGET})::BIGINT AS pack_id
+  FROM s
+)
+SELECT source, (pack_id // {SHARD_PACKS})::BIGINT AS shard_id,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       min(pack_id)::BIGINT AS first_pack, max(pack_id)::BIGINT AS last_pack,
+       sum(doc_id)::BIGINT AS id_checksum
+FROM p GROUP BY source, shard_id ORDER BY source, shard_id
+"""
+
+
 QUERIES = {
+    "export_training_shards": q_export_training_shards,
     "sample_cluster_split": q_sample_cluster_split,
     "sample_pack_greedy_sharded": q_sample_pack_greedy_sharded,
     "sample_exact_k": q_sample_exact_k,
@@ -350,6 +427,7 @@ QUERIES = {
     "sample_exact_frac": q_sample_exact_frac,
 }
 ORACLES = {
+    "export_training_shards": ORACLE_EXPORT_SHARDS,
     "sample_cluster_split": ORACLE_CLUSTER_SPLIT,
     "sample_pack_greedy_sharded": ORACLE_PACK_GREEDY_SHARDED,
     "sample_exact_k": ORACLE_SAMPLE_EXACT_K,

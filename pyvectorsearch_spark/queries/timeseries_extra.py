@@ -448,7 +448,57 @@ ORDER BY g.event_type, g.bucket
 """
 
 
+def q_events_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type — the seasonality FOLD
+    (all days overlaid on one 24-hour clock, unlike the hourly rollup's
+    calendar axis): volume share and value level per (type, hour), plus
+    each type's peak hour broadcast onto its rows. One map-side-combined
+    aggregate to types×24 rows; everything after runs on that tiny table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    w = Window.partitionBy("event_type")
+    wpk = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("hod"))
+    return (
+        prof.withColumn(
+            "share", F.round(F.col("n") / F.sum("n").over(w), 6)
+        )
+        .withColumn("_rk", F.row_number().over(wpk))
+        .withColumn(
+            "peak_hod", F.max(F.when(F.col("_rk") == 1, F.col("hod"))).over(w)
+        )
+        .drop("_rk")
+        .orderBy("event_type", "hod")
+    )
+
+
+ORACLE_SEASONAL_HOURLY = """
+WITH prof AS (
+  SELECT event_type, extract(hour FROM ts)::INT AS hod,
+         count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+pk AS (
+  SELECT event_type, hod AS peak_hod,
+         row_number() OVER (PARTITION BY event_type ORDER BY n DESC, hod ASC) AS rk
+  FROM prof
+)
+SELECT p.event_type, p.hod, p.n, p.avg_value,
+       round(p.n / sum(p.n) OVER (PARTITION BY p.event_type), 6) AS share,
+       pk.peak_hod
+FROM prof p JOIN pk ON pk.event_type = p.event_type AND pk.rk = 1
+ORDER BY p.event_type, p.hod
+"""
+
+
 QUERIES = {
+    "events_seasonal_hourly": q_events_seasonal_hourly,
     "events_rolling_distinct": q_events_rolling_distinct,
     "events_resample_15m": q_events_resample_15m,
     "events_interpolate": q_events_interpolate,
@@ -458,6 +508,7 @@ QUERIES = {
     "events_ewma": q_events_ewma,
 }
 ORACLES = {
+    "events_seasonal_hourly": ORACLE_SEASONAL_HOURLY,
     "events_rolling_distinct": ORACLE_ROLLING_DISTINCT,
     "events_resample_15m": ORACLE_RESAMPLE,
     "events_interpolate": ORACLE_INTERPOLATE,
