@@ -53,3 +53,43 @@ def test_zorder_stats_single_agg_exchange(spark):
     # exchanges are the agg shuffle and the output sort
     assert count_exchanges(df) <= 2, s[:1500]
     assert "partial" in s.lower(), s[:1500]
+
+
+def test_radius_join_two_scan_exchanges_only(spark):
+    """The ε-join shuffles each side once on the cell key — no extra
+    exchanges, no cartesian (replication is an explode, not a join)."""
+    from pyvectorsearch_spark.operators.spatial import radius_self_join
+
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .withColumn("p2", F.slice("embedding", 1, 2))
+        .select("vec_id", "p2")
+    )
+    df = radius_self_join(emb, radius=0.02, dim=2, id_col="vec_id", vec_col="p2")
+    s = explain_str(df)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
+    from pyvectorsearch_spark.plans import count_exchanges
+
+    assert count_exchanges(df) <= 2, s[:1500]
+
+
+def test_boilerplate_single_reduced_shuffle(spark):
+    """Docs reduce to one (group, prefix) row map-side; exactly one
+    aggregation exchange."""
+    from pyvectorsearch_spark.operators.textops import boilerplate_prefixes
+    from pyvectorsearch_spark.plans import count_exchanges
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = boilerplate_prefixes(docs, k=6, min_docs=3)
+    assert count_exchanges(df) <= 1, explain_str(df)[:1500]
+
+
+def test_audience_overlap_joins_audiences_not_events(spark):
+    """The pair join's inputs are the deduped (type, user) audience rows —
+    partial aggregates appear below the join exchanges."""
+    from pyvectorsearch_spark.queries.funnel_extra import q_audience_overlap
+
+    out = q_audience_overlap(spark, SF_SMOKE)
+    s = explain_str(out)
+    assert "HashAggregate" in s  # the distinct collapse exists
+    assert "CartesianProduct" not in s
