@@ -209,3 +209,166 @@ QUERIES.update(
 ORACLES.update(
     {"knn_cosine": ORACLE_KNN_COSINE, "knn_classify": ORACLE_KNN_CLASSIFY}
 )
+
+
+GRID3_K = 5
+GRID3_PROBES = 8
+
+
+def q_knn_grid_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-index exact kNN in THREE dims — the dimensional-generality
+    check on the PK-tree analog (the reference's grid geometry slices axes
+    round-robin, `pktree.hpp:357-363`; nothing in the Spark rebuild is
+    2-d-specific: cell ids, coverage bounds, and the coarse pre-bound all
+    derive from the closed-form geometry at any rank/dim). Exact ⇒
+    brute-force oracle."""
+    from pyvectorsearch_spark.index.cache import build_or_load
+    from pyvectorsearch_spark.index.grid import GridIndex
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("p3", F.slice("embedding", 1, 3))
+        .select("vec_id", "p3")
+    )
+    probes = emb.filter(F.col("vec_id") < GRID3_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("p3").alias("qvec")
+    )
+    idx = build_or_load(
+        spark,
+        f"grid3d_occ16_{dataset_tag(sf_dir, 'embeddings')}",
+        load=GridIndex.load,
+        build=lambda: GridIndex.build(
+            emb, vec_col="p3", id_col="vec_id", target_occupancy=16
+        ),
+    )
+    out = idx.knn(probes, GRID3_K)
+    return out.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank"
+    )
+
+
+_D3 = duckdb_l2_sq("q.qvec", "e.p3", 3)
+
+ORACLE_KNN_GRID_3D = f"""
+WITH base AS (SELECT vec_id, embedding[1:3] AS p3 FROM embeddings),
+q AS (SELECT vec_id AS query_id, p3 AS qvec FROM base WHERE vec_id < {GRID3_PROBES}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_D3} AS d
+  FROM q CROSS JOIN base e
+), ranked AS (
+  SELECT query_id, neighbor_id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(d, 6) AS dist_sq, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {GRID3_K}
+"""
+
+
+NDCG_K = 10
+NDCG_PROBES = 20
+
+
+def q_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval: nDCG@10 per probe where relevance = 1 iff
+    the neighbor shares the probe's label (self excluded) — the graded
+    companion to the recall report (`sq8_recall_report`); the METRIC itself
+    is oracle-checked because the ranking (cosine desc, id tiebreak) and
+    the log2 discount ladder (per-term rounding) are engine-exact. IDCG
+    normalizes by the ideal top-k given each probe's relevant-total."""
+    from pyspark.sql import Window
+    from pyvectorsearch_spark.operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < NDCG_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("_ql"),
+    )
+    nn = knn_join(
+        emb, probes.select("query_id", "qvec"), NDCG_K + 1, metric="cosine"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    wk = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    nn = nn.withColumn("_r", F.row_number().over(wk)).filter(F.col("_r") <= NDCG_K)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_nl"))
+    rel = (
+        nn.join(lab, "neighbor_id")
+        .join(probes.select("query_id", "_ql"), "query_id")
+        .withColumn("_rel", (F.col("_nl") == F.col("_ql")).cast("int"))
+        .withColumn("_gain", F.round(F.col("_rel") / F.log2(F.col("_r") + 1), 6))
+    )
+    # relevant-total per probe (for IDCG): same-label rows in the corpus
+    totals = (
+        emb.select(F.col("label").alias("_ql"), F.lit(1).alias("_one"))
+        .groupBy("_ql")
+        .agg(F.count("*").alias("_nlab"))
+    )
+    dcg = rel.groupBy("query_id", "_ql").agg(
+        F.round(F.sum("_gain"), 6).alias("dcg"),
+        F.sum("_rel").cast("bigint").alias("n_rel_at_k"),
+    )
+    # ideal DCG: min(n_relevant_excl_self, k) ones at the top
+    idcg_terms = F.expr(
+        f"round(aggregate(sequence(1, int(least(_nlab - 1, {NDCG_K}))), "
+        "cast(0.0 as double), (a, i) -> a + round(1.0 / log2(i + 1), 6)), 6)"
+    )
+    out = (
+        dcg.join(totals, "_ql")
+        .withColumn("idcg", idcg_terms)
+        .select(
+            "query_id",
+            F.col("_ql").alias("label"),
+            "n_rel_at_k",
+            "dcg",
+            F.when(F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+    return out
+
+
+def _oracle_ndcg() -> str:
+    from pyvectorsearch_spark.functions.vector import duckdb_cosine
+
+    cos = duckdb_cosine("d.embedding", "q.embedding", 64)
+    return f"""
+WITH q AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < {NDCG_PROBES}
+),
+p AS (
+  SELECT q.vec_id AS query_id, q.label AS ql, d.vec_id AS neighbor_id,
+         d.label AS nl, {cos} AS c
+  FROM embeddings d, q
+  WHERE d.vec_id <> q.vec_id
+),
+r AS (
+  SELECT query_id, ql, nl,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rk
+  FROM p
+),
+g AS (
+  SELECT query_id, ql,
+         round(sum(round((CASE WHEN nl = ql THEN 1 ELSE 0 END) / log2(rk + 1), 6)), 6) AS dcg,
+         sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)::BIGINT AS n_rel_at_k
+  FROM r WHERE rk <= {NDCG_K}
+  GROUP BY query_id, ql
+),
+tot AS (SELECT label AS ql, count(*) AS nlab FROM embeddings GROUP BY label),
+ideal AS (
+  SELECT g.query_id, g.ql, g.dcg, g.n_rel_at_k,
+         (SELECT round(sum(round(1.0 / log2(i + 1), 6)), 6)
+          FROM unnest(range(1, least(tot.nlab - 1, {NDCG_K}) + 1)) AS u(i)) AS idcg
+  FROM g JOIN tot USING (ql)
+)
+SELECT query_id, ql AS label, n_rel_at_k, dcg,
+       CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) ELSE 0.0 END AS ndcg
+FROM ideal ORDER BY query_id
+"""
+
+
+ORACLE_NDCG = _oracle_ndcg()
+
+QUERIES.update({"knn_grid_3d": q_knn_grid_3d, "ndcg_report": q_ndcg_report})
+ORACLES.update({"knn_grid_3d": ORACLE_KNN_GRID_3D, "ndcg_report": ORACLE_NDCG})
