@@ -59,3 +59,47 @@ def merge_rollups(
             ).alias(c)
         )
     return joined.select(*out)
+
+
+def delta_join_counts(
+    a_base: DataFrame,
+    a_delta: DataFrame,
+    b_base: DataFrame,
+    b_delta: DataFrame,
+    *,
+    key: str,
+    group_cols: Iterable[str],
+    agg_col: str,
+) -> DataFrame:
+    """Incremental JOIN-VIEW maintenance — the bilinearity identity behind
+    differential/streaming join engines: for a view V = A ⋈ B,
+
+        ΔV = ΔA ⋈ B₀  ∪  A₀ ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    so the refreshed rollup is base-view ⊎ rollup(ΔV) and the FULL A ⋈ B
+    is never recomputed. This operator materializes the three delta terms,
+    aggregates each (map-side combined), and merges with the stored
+    base-view rollup via ``merge_rollups`` — base FACTS are touched only by
+    the two cross terms keyed against the (small) deltas, and the merge
+    itself joins groups-sized tables.
+
+    Returns the refreshed rollup: ``group_cols`` + (n_pairs, sum_val) —
+    provably equal to rolling up (A₀∪ΔA) ⋈ (B₀∪ΔB) from scratch, which is
+    exactly what the oracle computes.
+    """
+    gcols = list(group_cols)
+
+    def roll(j: DataFrame) -> DataFrame:
+        return j.groupBy(*gcols).agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(agg_col).alias("sum_val"),
+        )
+
+    base_view = roll(a_base.join(b_base, key))
+    d1 = roll(a_delta.join(b_base, key))
+    d2 = roll(a_base.join(b_delta, key))
+    d3 = roll(a_delta.join(b_delta, key))
+    out = base_view
+    for d in (d1, d2, d3):
+        out = merge_rollups(out, d, keys=gcols, add_cols=("n_pairs", "sum_val"))
+    return out

@@ -315,7 +315,45 @@ ORDER BY q
 """
 
 
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-VIEW maintenance: the orders⋈customer revenue
+    rollup refreshed from BOTH sides' deltas via the bilinearity identity
+    ΔV = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB (differential-dataflow's join rule) — the
+    full join is never recomputed; parity against the from-scratch oracle
+    proves incremental == batch. Splits are deterministic key rules
+    (orders: o_orderkey % 5 = 0 is the delta; customers: c_custkey % 7 = 0
+    is the delta)."""
+    from pyvectorsearch_spark.operators.incremental import delta_join_counts
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_orderkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    a_base = orders.filter(F.col("o_orderkey") % 5 != 0)
+    a_delta = orders.filter(F.col("o_orderkey") % 5 == 0)
+    b_base = cust.filter(F.col("k") % 7 != 0)
+    b_delta = cust.filter(F.col("k") % 7 == 0)
+    out = delta_join_counts(
+        a_base, a_delta, b_base, b_delta,
+        key="k", group_cols=["c_mktsegment"], agg_col="o_totalprice",
+    )
+    return out.select(
+        "c_mktsegment", "n_pairs", F.round("sum_val", 2).alias("rev")
+    ).orderBy("c_mktsegment")
+
+
+ORACLE_INCREMENTAL_JOIN = """
+SELECT c.c_mktsegment, count(*)::BIGINT AS n_pairs,
+       round(sum(o.o_totalprice), 2) AS rev
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
 QUERIES = {
+    "incremental_join": q_incremental_join,
     "incremental_rollup": q_incremental_rollup,
     "attribution_linear": q_attribution_linear,
     "salted_agg_events": q_salted_agg_events,
@@ -323,6 +361,7 @@ QUERIES = {
     "conversion_lag_quantiles": q_conversion_lag_quantiles,
 }
 ORACLES = {
+    "incremental_join": ORACLE_INCREMENTAL_JOIN,
     "incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
     "attribution_linear": ORACLE_ATTRIBUTION_LINEAR,
     "salted_agg_events": ORACLE_SALTED_AGG_EVENTS,

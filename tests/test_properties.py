@@ -362,3 +362,40 @@ def test_skyline_equals_bruteforce_property(spark, rows):
         )
     )
     assert got == want
+
+
+@given(
+    a=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 100)), min_size=0, max_size=15),
+    b=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 3)), min_size=0, max_size=10),
+    asplit=st.integers(2, 4),
+    bsplit=st.integers(2, 4),
+)
+@PROP_SETTINGS
+def test_delta_join_equals_from_scratch(spark, a, b, asplit, bsplit):
+    """Bilinearity: base-view ⊎ (ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB) == rollup of the
+    full join, for arbitrary relations and split rules."""
+    from pyvectorsearch_spark.operators.incremental import delta_join_counts
+
+    A = spark.createDataFrame(
+        [(k, i, float(v)) for i, (k, v) in enumerate(a)], "k long, rid long, val double"
+    )
+    B = spark.createDataFrame(
+        [(k, g) for k, g in b], "k long, g long"
+    )
+    out = delta_join_counts(
+        A.filter(F.col("rid") % asplit != 0),
+        A.filter(F.col("rid") % asplit == 0),
+        B.filter(F.col("g") % bsplit != 0),
+        B.filter(F.col("g") % bsplit == 0),
+        key="k",
+        group_cols=["g"],
+        agg_col="val",
+    )
+    got = {(r["g"], r["n_pairs"], r["sum_val"]) for r in out.collect()}
+    full = (
+        A.join(B, "k")
+        .groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("n"), F.sum("val").alias("s"))
+    )
+    want = {(r["g"], r["n"], r["s"]) for r in full.collect()}
+    assert got == want
