@@ -158,12 +158,162 @@ FROM j ORDER BY label
 """
 
 
+PIT_ROUNDS = 10
+
+
+def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed power-iteration PCA: the top principal direction of the
+    embedding second-moment matrix after 10 fixed von Mises rounds
+    (deterministic start e1, rounded-arithmetic ladder) — per-round work is
+    a zero-shuffle projection pass plus one dim-sized groupBy; only the
+    64-float direction reaches the driver. The fixed round count and
+    rounding contract make the ITERATE itself engine-exact, so the oracle
+    unrolls the identical rounds with list-aggregated directions. (This
+    corpus's spectrum is nearly flat — gap ratio ~0.93 — so 10
+    rounds reach |cos| ≈ 0.85 with the true eigenvector; the contract is
+    the deterministic iterate, and the round count is the knob.)"""
+    from pyvectorsearch_spark.operators.linalg import power_iteration_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_top_component(
+        emb, vec_col="embedding", dim=64, rounds=PIT_ROUNDS
+    )
+
+
+ORACLE_TOP_COMPONENT = """WITH s1 AS MATERIALIZED (
+  SELECT e.vec_id, round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * (([1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))[i])), 6) AS s FROM embeddings e
+),
+w1 AS MATERIALIZED (
+  SELECT u.i - 1 AS j, round(sum(CAST(e.embedding[u.i] AS DOUBLE) * s.s), 6) AS w
+  FROM embeddings e
+  JOIN s1 s USING (vec_id)
+  CROSS JOIN unnest(range(1, 65)) AS u(i)
+  GROUP BY u.i - 1
+),
+n1 AS (SELECT sqrt(round(sum(round(w * w, 6)), 6)) AS n FROM w1),
+v1 AS (SELECT list(round(w / n, 6) ORDER BY j) AS v FROM w1, n1),
+s2 AS MATERIALIZED (
+  SELECT e.vec_id, round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * (v.v)[i])), 6) AS s FROM embeddings e, v1 v
+),
+w2 AS MATERIALIZED (
+  SELECT u.i - 1 AS j, round(sum(CAST(e.embedding[u.i] AS DOUBLE) * s.s), 6) AS w
+  FROM embeddings e
+  JOIN s2 s USING (vec_id)
+  CROSS JOIN unnest(range(1, 65)) AS u(i)
+  GROUP BY u.i - 1
+),
+n2 AS (SELECT sqrt(round(sum(round(w * w, 6)), 6)) AS n FROM w2),
+v2 AS (SELECT list(round(w / n, 6) ORDER BY j) AS v FROM w2, n2),
+s3 AS MATERIALIZED (
+  SELECT e.vec_id, round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * (v.v)[i])), 6) AS s FROM embeddings e, v2 v
+),
+w3 AS MATERIALIZED (
+  SELECT u.i - 1 AS j, round(sum(CAST(e.embedding[u.i] AS DOUBLE) * s.s), 6) AS w
+  FROM embeddings e
+  JOIN s3 s USING (vec_id)
+  CROSS JOIN unnest(range(1, 65)) AS u(i)
+  GROUP BY u.i - 1
+),
+n3 AS (SELECT sqrt(round(sum(round(w * w, 6)), 6)) AS n FROM w3),
+v3 AS (SELECT list(round(w / n, 6) ORDER BY j) AS v FROM w3, n3),
+s4 AS MATERIALIZED (
+  SELECT e.vec_id, round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * (v.v)[i])), 6) AS s FROM embeddings e, v3 v
+),
+w4 AS MATERIALIZED (
+  SELECT u.i - 1 AS j, round(sum(CAST(e.embedding[u.i] AS DOUBLE) * s.s), 6) AS w
+  FROM embeddings e
+  JOIN s4 s USING (vec_id)
+  CROSS JOIN unnest(range(1, 65)) AS u(i)
+  GROUP BY u.i - 1
+),
+n4 AS (SELECT sqrt(round(sum(round(w * w, 6)), 6)) AS n FROM w4),
+v4 AS (SELECT list(round(w / n, 6) ORDER BY j) AS v FROM w4, n4),
+s5 AS MATERIALIZED (
+  SELECT e.vec_id, round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * (v.v)[i])), 6) AS s FROM embeddings e, v4 v
+),
+w5 AS MATERIALIZED (
+  SELECT u.i - 1 AS j, round(sum(CAST(e.embedding[u.i] AS DOUBLE) * s.s), 6) AS w
+  FROM embeddings e
+  JOIN s5 s USING (vec_id)
+  CROSS JOIN unnest(range(1, 65)) AS u(i)
+  GROUP BY u.i - 1
+),
+n5 AS (SELECT sqrt(round(sum(round(w * w, 6)), 6)) AS n FROM w5),
+v5 AS (SELECT list(round(w / n, 6) ORDER BY j) AS v FROM w5, n5),
+s6 AS MATERIALIZED (
+  SELECT e.vec_id, round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * (v.v)[i])), 6) AS s FROM embeddings e, v5 v
+),
+w6 AS MATERIALIZED (
+  SELECT u.i - 1 AS j, round(sum(CAST(e.embedding[u.i] AS DOUBLE) * s.s), 6) AS w
+  FROM embeddings e
+  JOIN s6 s USING (vec_id)
+  CROSS JOIN unnest(range(1, 65)) AS u(i)
+  GROUP BY u.i - 1
+),
+n6 AS (SELECT sqrt(round(sum(round(w * w, 6)), 6)) AS n FROM w6),
+v6 AS (SELECT list(round(w / n, 6) ORDER BY j) AS v FROM w6, n6),
+s7 AS MATERIALIZED (
+  SELECT e.vec_id, round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * (v.v)[i])), 6) AS s FROM embeddings e, v6 v
+),
+w7 AS MATERIALIZED (
+  SELECT u.i - 1 AS j, round(sum(CAST(e.embedding[u.i] AS DOUBLE) * s.s), 6) AS w
+  FROM embeddings e
+  JOIN s7 s USING (vec_id)
+  CROSS JOIN unnest(range(1, 65)) AS u(i)
+  GROUP BY u.i - 1
+),
+n7 AS (SELECT sqrt(round(sum(round(w * w, 6)), 6)) AS n FROM w7),
+v7 AS (SELECT list(round(w / n, 6) ORDER BY j) AS v FROM w7, n7),
+s8 AS MATERIALIZED (
+  SELECT e.vec_id, round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * (v.v)[i])), 6) AS s FROM embeddings e, v7 v
+),
+w8 AS MATERIALIZED (
+  SELECT u.i - 1 AS j, round(sum(CAST(e.embedding[u.i] AS DOUBLE) * s.s), 6) AS w
+  FROM embeddings e
+  JOIN s8 s USING (vec_id)
+  CROSS JOIN unnest(range(1, 65)) AS u(i)
+  GROUP BY u.i - 1
+),
+n8 AS (SELECT sqrt(round(sum(round(w * w, 6)), 6)) AS n FROM w8),
+v8 AS (SELECT list(round(w / n, 6) ORDER BY j) AS v FROM w8, n8),
+s9 AS MATERIALIZED (
+  SELECT e.vec_id, round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * (v.v)[i])), 6) AS s FROM embeddings e, v8 v
+),
+w9 AS MATERIALIZED (
+  SELECT u.i - 1 AS j, round(sum(CAST(e.embedding[u.i] AS DOUBLE) * s.s), 6) AS w
+  FROM embeddings e
+  JOIN s9 s USING (vec_id)
+  CROSS JOIN unnest(range(1, 65)) AS u(i)
+  GROUP BY u.i - 1
+),
+n9 AS (SELECT sqrt(round(sum(round(w * w, 6)), 6)) AS n FROM w9),
+v9 AS (SELECT list(round(w / n, 6) ORDER BY j) AS v FROM w9, n9),
+s10 AS MATERIALIZED (
+  SELECT e.vec_id, round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * (v.v)[i])), 6) AS s FROM embeddings e, v9 v
+),
+w10 AS MATERIALIZED (
+  SELECT u.i - 1 AS j, round(sum(CAST(e.embedding[u.i] AS DOUBLE) * s.s), 6) AS w
+  FROM embeddings e
+  JOIN s10 s USING (vec_id)
+  CROSS JOIN unnest(range(1, 65)) AS u(i)
+  GROUP BY u.i - 1
+),
+n10 AS (SELECT sqrt(round(sum(round(w * w, 6)), 6)) AS n FROM w10),
+v10 AS (SELECT list(round(w / n, 6) ORDER BY j) AS v FROM w10, n10)
+SELECT j, CASE WHEN n.n > 0 THEN round(w.w / n.n, 6) ELSE 0.0 END AS loading
+FROM w10 w, n10 n
+ORDER BY j
+"""
+
+
 QUERIES = {
+    "embedding_top_component": q_embedding_top_component,
     "embedding_outliers": q_embedding_outliers,
     "embedding_negatives": q_embedding_negatives,
     "embedding_drift": q_embedding_drift,
 }
 ORACLES = {
+    "embedding_top_component": ORACLE_TOP_COMPONENT,
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "embedding_negatives": ORACLE_EMBEDDING_NEGATIVES,
     "embedding_drift": ORACLE_EMBEDDING_DRIFT,

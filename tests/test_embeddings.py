@@ -44,3 +44,28 @@ def test_k_bounds_rows_per_label(emb):
     out = centroid_outliers(emb, k=2).collect()
     assert len([r for r in out if r["label"] == 0]) == 2
     assert len([r for r in out if r["label"] == 1]) == 2
+
+
+def test_power_iteration_approaches_top_eigenvector(spark):
+    """The deterministic iterate aligns with numpy's top eigenvector of
+    X^T X (|cos| grows with rounds; pinned loosely — the corpus spectrum
+    is nearly flat so full convergence needs more rounds than the fixture
+    runs)."""
+    import numpy as np
+
+    from pyvectorsearch_spark.operators.linalg import (
+        power_iteration_top_component,
+    )
+    from pyvectorsearch_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = power_iteration_top_component(
+        emb, vec_col="embedding", dim=64, rounds=10
+    ).collect()
+    v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["j"])])
+    X = np.array([list(r["embedding"]) for r in emb.collect()], dtype=np.float64)
+    evals, evecs = np.linalg.eigh(X.T @ X)
+    cos = abs(float(v @ evecs[:, -1]) / np.linalg.norm(v))
+    assert cos > 0.7, cos
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4  # unit output
