@@ -372,3 +372,180 @@ ORACLE_NDCG = _oracle_ndcg()
 
 QUERIES.update({"knn_grid_3d": q_knn_grid_3d, "ndcg_report": q_ndcg_report})
 ORACLES.update({"knn_grid_3d": ORACLE_KNN_GRID_3D, "ndcg_report": ORACLE_NDCG})
+
+
+JL_OUT_DIM = 16
+JL_K = 10
+JL_PROBES = 10
+
+
+def q_knn_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimension reduction audited end to end:
+    project 64-d embeddings to 16-d with a deterministic md5-derived
+    ±1 sign matrix (Achlioptas 2003's database-friendly projection — the
+    SRP hyperplane family reused), then per probe report (a) recall@10 of
+    projected top-k vs full-dimension truth and (b) the JL guarantee
+    itself — the distance-distortion band ‖Rx‖²/(m·‖x‖²) over the probe's
+    true top-10 (this corpus is unstructured, near-equidistant neighbors,
+    so recall is near zero while distortion stays in the JL band: the two
+    columns together are the honest story). All deterministic ⇒ the whole
+    evaluation is hash-checked. Scale shape: zero-shuffle literal-matrix
+    projection; bounded brute top-k per space; distortion join touches
+    k rows per probe."""
+    from pyspark.sql import Window
+    from pyvectorsearch_spark.functions.vector import l2_sq
+    from pyvectorsearch_spark.operators.dedup import _srp_hyperplanes
+    from pyvectorsearch_spark.operators.knn import knn_join
+
+    H = _srp_hyperplanes(JL_OUT_DIM, 64, salt="jl")
+    signs = [[1.0 if h >= 0 else -1.0 for h in row] for row in H]
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def project(col):
+        comps = [
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(col).cast("array<double>"),
+                        F.array(*[F.lit(x) for x in signs[j]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            for j in range(JL_OUT_DIM)
+        ]
+        return F.array(*comps)
+
+    proj = emb.select("vec_id", project("embedding").alias("pvec"))
+    probes_full = emb.filter(F.col("vec_id") < JL_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    probes_proj = proj.filter(F.col("vec_id") < JL_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("pvec").alias("qvec")
+    )
+    exact = knn_join(emb, probes_full, JL_K + 1).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    approx = knn_join(
+        proj, probes_proj, JL_K + 1, data_vec="pvec"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    wk = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+
+    def topk(df):
+        return (
+            df.withColumn("_r", F.row_number().over(wk))
+            .filter(F.col("_r") <= JL_K)
+            .select("query_id", "neighbor_id", "dist")
+        )
+
+    ex_k = topk(exact)
+    hits = (
+        ex_k.select("query_id", "neighbor_id")
+        .intersect(topk(approx).select("query_id", "neighbor_id"))
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    # distortion of the true top-k pairs: ||R(q-x)||^2 / (m * ||q-x||^2)
+    pd_ = proj.select(F.col("vec_id").alias("neighbor_id"), F.col("pvec").alias("_nv"))
+    ratio = F.round(
+        l2_sq(F.col("_qv"), F.col("_nv")) / (F.lit(float(JL_OUT_DIM)) * F.col("dist")),
+        6,
+    )
+    dist_stats = (
+        ex_k.join(pd_, "neighbor_id")
+        .join(probes_proj.select("query_id", F.col("qvec").alias("_qv")), "query_id")
+        .filter(F.col("dist") > 0)
+        .withColumn("_ratio", ratio)
+        .groupBy("query_id")
+        .agg(
+            F.round(F.min("_ratio"), 6).alias("distort_min"),
+            F.round(F.max("_ratio"), 6).alias("distort_max"),
+        )
+    )
+    base = probes_full.select("query_id")
+    return (
+        base.join(hits, "query_id", "left")
+        .join(dist_stats, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / float(JL_K), 6).alias("recall"),
+            "distort_min",
+            "distort_max",
+        )
+        .orderBy("query_id")
+    )
+
+
+def _oracle_jl_recall() -> str:
+    from pyvectorsearch_spark.operators.dedup import _srp_hyperplanes
+
+    H = _srp_hyperplanes(JL_OUT_DIM, 64, salt="jl")
+    signs = [[1.0 if h >= 0 else -1.0 for h in row] for row in H]
+    proj_comps = ", ".join(
+        "round(list_sum(list_transform(range(1, 65), i -> "
+        f"CAST(embedding[i] AS DOUBLE) * ([{', '.join(repr(x) for x in row)}])[i])), 6)"
+        for row in signs
+    )
+    d_full = duckdb_l2_sq("d.embedding", "q.embedding", 64)
+    d_proj = (
+        "list_sum(list_transform(range(1, 17), i -> "
+        "(d.pvec[i] - q.pvec[i]) ^ 2))"
+    )
+    return f"""
+WITH proj AS MATERIALIZED (
+  SELECT vec_id, [{proj_comps}] AS pvec FROM embeddings
+),
+exact_d AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, {d_full} AS d,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY {d_full} ASC, d.vec_id ASC) AS rk
+  FROM embeddings d, (SELECT * FROM embeddings WHERE vec_id < {JL_PROBES}) q
+  WHERE d.vec_id <> q.vec_id
+),
+exact_r AS (SELECT query_id, neighbor_id, rk FROM exact_d),
+approx_r AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY {d_proj} ASC, d.vec_id ASC) AS rk
+  FROM proj d, (SELECT * FROM proj WHERE vec_id < {JL_PROBES}) q
+  WHERE d.vec_id <> q.vec_id
+),
+hits AS (
+  SELECT e.query_id, count(*)::BIGINT AS n_hit
+  FROM (SELECT query_id, neighbor_id FROM exact_r WHERE rk <= {JL_K}) e
+  JOIN (SELECT query_id, neighbor_id FROM approx_r WHERE rk <= {JL_K}) a
+    USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+),
+ds AS (
+  SELECT e.query_id,
+         round(min(round(
+           list_sum(list_transform(range(1, {JL_OUT_DIM + 1}),
+             i -> (pq.pvec[i] - pn.pvec[i]) ^ 2))
+           / ({float(JL_OUT_DIM)} * e.d), 6)), 6) AS distort_min,
+         round(max(round(
+           list_sum(list_transform(range(1, {JL_OUT_DIM + 1}),
+             i -> (pq.pvec[i] - pn.pvec[i]) ^ 2))
+           / ({float(JL_OUT_DIM)} * e.d), 6)), 6) AS distort_max
+  FROM (SELECT query_id, neighbor_id, d FROM exact_d WHERE rk <= {JL_K} AND d > 0) e
+  JOIN proj pq ON pq.vec_id = e.query_id
+  JOIN proj pn ON pn.vec_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT q.vec_id AS query_id,
+       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       round(coalesce(h.n_hit, 0) / {float(JL_K)}, 6) AS recall,
+       ds.distort_min, ds.distort_max
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < {JL_PROBES}) q
+LEFT JOIN hits h ON h.query_id = q.vec_id
+LEFT JOIN ds ON ds.query_id = q.vec_id
+ORDER BY query_id
+"""
+
+
+ORACLE_JL_RECALL = _oracle_jl_recall()
+
+QUERIES.update({"knn_jl_recall": q_knn_jl_recall})
+ORACLES.update({"knn_jl_recall": ORACLE_JL_RECALL})
