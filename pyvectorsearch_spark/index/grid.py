@@ -715,6 +715,57 @@ class GridIndex:
             payload=payload,
         )
 
+    def range_count(
+        self,
+        queries: DataFrame,
+        radius: float,
+        *,
+        query_id: str = "query_id",
+        query_vec: str = "qvec",
+    ) -> DataFrame:
+        """COUNT-only ε-range with aggregate pushdown into the index: cells
+        wholly inside the ball (max-corner distance ≤ r²) are answered from
+        the stats table's per-cell COUNTS — zero rows touched — and only
+        BOUNDARY cells (min ≤ r² < max) scan and filter. This is the
+        aggregate twin of the reference's whole-subtree emit
+        (pktree.hpp:1080-1089): where the row query emits a covered
+        subtree's points verbatim, the count query emits just its size.
+
+        At 100 TB the difference is the workload: a dense ball answered
+        mostly from the (n/occupancy)-row stats table costs a broadcast
+        join, not a scan. Returns (query_id, n_in_range) for probes with
+        ≥ 1 match — exact, same contract as :meth:`range`."""
+        r2 = float(radius) ** 2
+        qs = queries.select(
+            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+        )
+        sp = self._scored_pairs(qs)
+        inside = (
+            sp.filter(F.col("_max_d2") <= F.lit(r2))
+            .groupBy("_qid")
+            .agg(F.sum("count").cast("bigint").alias("_n_inside"))
+        )
+        boundary = sp.filter(
+            (F.col("_min_d2") <= F.lit(r2)) & (F.col("_max_d2") > F.lit(r2))
+        ).select("_qid", "cell", "_qvec")
+
+        from pyvectorsearch_spark.functions.vector import l2_sq
+
+        d = self.df.select("cell", F.col(self.vec_col).alias("_dvec"))
+        scanned = (
+            d.join(boundary, "cell")
+            .filter(l2_sq(F.col("_dvec"), F.col("_qvec")) <= F.lit(r2))
+            .groupBy("_qid")
+            .agg(F.count("*").cast("bigint").alias("_n_scan"))
+        )
+        merged = inside.join(scanned, "_qid", "full_outer").select(
+            F.col("_qid").alias(query_id),
+            (
+                F.coalesce("_n_inside", F.lit(0)) + F.coalesce("_n_scan", F.lit(0))
+            ).cast("bigint").alias("n_in_range"),
+        )
+        return merged.filter(F.col("n_in_range") > 0)
+
     # ---------------- persistence ----------------
 
     def write(

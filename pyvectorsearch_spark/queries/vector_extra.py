@@ -549,3 +549,50 @@ ORACLE_JL_RECALL = _oracle_jl_recall()
 
 QUERIES.update({"knn_jl_recall": q_knn_jl_recall})
 ORACLES.update({"knn_jl_recall": ORACLE_JL_RECALL})
+
+
+RC_RADIUS = 0.15
+
+
+def q_range_count_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-only ε-range with aggregate pushdown into the grid index:
+    wholly-inside cells answer from the stats table's per-cell counts (zero
+    rows touched — the aggregate twin of the reference's whole-subtree
+    emit, pktree.hpp:1080-1089); only boundary cells scan. Exact ⇒
+    brute-force count oracle."""
+    from pyvectorsearch_spark.index.cache import build_or_load
+    from pyvectorsearch_spark.index.grid import GridIndex
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("p2", F.slice("embedding", 1, 2))
+        .select("vec_id", "p2")
+    )
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("p2").alias("qvec")
+    )
+    idx = build_or_load(
+        spark,
+        f"grid2d_occ16_{dataset_tag(sf_dir, 'embeddings')}",
+        load=GridIndex.load,
+        build=lambda: GridIndex.build(
+            emb, vec_col="p2", id_col="vec_id", target_occupancy=16
+        ),
+    )
+    return idx.range_count(probes, RC_RADIUS).orderBy("query_id")
+
+
+_RC_D2 = duckdb_l2_sq("q.p2", "e.p2", 2)
+
+ORACLE_RANGE_COUNT = f"""
+WITH base AS (SELECT vec_id, embedding[1:2] AS p2 FROM embeddings),
+q AS (SELECT vec_id AS query_id, p2 FROM base WHERE vec_id < 8)
+SELECT q.query_id, count(*)::BIGINT AS n_in_range
+FROM q JOIN base e ON {_RC_D2} <= {RC_RADIUS * RC_RADIUS!r}
+GROUP BY q.query_id
+HAVING count(*) > 0
+ORDER BY q.query_id
+"""
+
+QUERIES.update({"range_count_grid": q_range_count_grid})
+ORACLES.update({"range_count_grid": ORACLE_RANGE_COUNT})

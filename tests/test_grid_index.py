@@ -282,3 +282,42 @@ def test_distributed_knn_edge_cases(spark, cities, cities_index):
     n = cities.count()
     big_k = cities_index.knn(probe, n + 100, candidates="distributed")
     assert big_k.count() == n
+
+
+def test_range_count_equals_row_range_and_uses_stats(spark):
+    """Aggregate pushdown: range_count == counting the row-range result,
+    and at this radius a non-trivial share of cells is answered from the
+    stats table alone (max-corner distance inside the ball)."""
+    from pyspark.sql import functions as F
+
+    from pyvectorsearch_spark.index.grid import GridIndex
+    from pyvectorsearch_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .withColumn("p2", F.slice("embedding", 1, 2))
+        .select("vec_id", "p2")
+    )
+    idx = GridIndex.build(emb, vec_col="p2", id_col="vec_id", target_occupancy=16)
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("p2").alias("qvec")
+    )
+    radius = 0.15
+    got = {
+        r["query_id"]: r["n_in_range"]
+        for r in idx.range_count(probes, radius).collect()
+    }
+    want = {
+        r["query_id"]: r["n"]
+        for r in idx.range(probes, radius)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and got
+    qs = probes.select(
+        F.col("query_id").alias("_qid"), F.col("qvec").alias("_qvec")
+    )
+    inside = idx._scored_pairs(qs).filter(F.col("_max_d2") <= radius**2).count()
+    assert inside > 0  # the stats-only path really fires
