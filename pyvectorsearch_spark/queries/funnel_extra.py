@@ -266,7 +266,93 @@ ORDER BY type_a, type_b
 """
 
 
+CEP_LAG_MIN = 360  # wide enough that the negative condition fires on this corpus (15 blocked pairs at sf0.01)
+
+
+def q_cep_clean_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern (the MATCH_RECOGNIZE shape Spark
+    lacks natively): click FOLLOWED BY purchase within 30 minutes with NO
+    error event in between for the same user — the negative condition is
+    what separates CEP from a plain interval join. Physical shape: the
+    click→purchase interval join (user-keyed, bounded lag), then ONE
+    anti-join against errors with a between-bound — errors are filtered to
+    the same bounded window, so the anti-join's right side is lag-bounded,
+    never the full event history. Per-user rollup of clean vs blocked
+    conversions."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("_pu"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("_eu"), F.col("ts").alias("e_ts")
+    )
+    pairs = c.join(
+        p,
+        (F.col("user_id") == F.col("_pu"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {CEP_LAG_MIN} MINUTES")),
+    ).drop("_pu")
+    blocked = pairs.join(
+        e,
+        (F.col("user_id") == F.col("_eu"))
+        & (F.col("e_ts") > F.col("c_ts"))
+        & (F.col("e_ts") < F.col("p_ts")),
+        "left_semi",
+    )
+    clean = pairs.join(
+        e,
+        (F.col("user_id") == F.col("_eu"))
+        & (F.col("e_ts") > F.col("c_ts"))
+        & (F.col("e_ts") < F.col("p_ts")),
+        "left_anti",
+    )
+    agg = lambda df, name: df.groupBy("user_id").agg(  # noqa: E731
+        F.count("*").cast("bigint").alias(name)
+    )
+    return (
+        agg(clean, "n_clean")
+        .join(agg(blocked, "n_blocked"), "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_clean", F.lit(0)).cast("bigint").alias("n_clean"),
+            F.coalesce("n_blocked", F.lit(0)).cast("bigint").alias("n_blocked"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_CEP_CLEAN = f"""
+WITH pairs AS (
+  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+         c.ts AS c_ts, p.ts AS p_ts
+  FROM (SELECT * FROM events WHERE event_type = 'click') c
+  JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id
+   AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL {CEP_LAG_MIN} MINUTE
+),
+tagged AS (
+  SELECT user_id,
+         EXISTS (
+           SELECT 1 FROM events e
+           WHERE e.event_type = 'error' AND e.user_id = pairs.user_id
+             AND e.ts > pairs.c_ts AND e.ts < pairs.p_ts
+         ) AS blocked
+  FROM pairs
+)
+SELECT user_id,
+       sum(CASE WHEN blocked THEN 0 ELSE 1 END)::BIGINT AS n_clean,
+       sum(CASE WHEN blocked THEN 1 ELSE 0 END)::BIGINT AS n_blocked
+FROM tagged GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "cep_clean_conversions": q_cep_clean_conversions,
     "audience_overlap": q_audience_overlap,
     "event_funnel": q_event_funnel,
     "event_retention": q_event_retention,
@@ -274,6 +360,7 @@ QUERIES = {
     "session_paths": q_session_paths,
 }
 ORACLES = {
+    "cep_clean_conversions": ORACLE_CEP_CLEAN,
     "audience_overlap": ORACLE_AUDIENCE_OVERLAP,
     "event_funnel": ORACLE_EVENT_FUNNEL,
     "event_retention": ORACLE_EVENT_RETENTION,

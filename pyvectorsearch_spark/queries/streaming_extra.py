@@ -381,7 +381,81 @@ GROUP BY c.user_id ORDER BY c.user_id
 
 
 
+def q_click_full_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join BY THE STREAMING ENGINE:
+    clicks ⟗ next-30-min purchases per user — unconverted clicks AND
+    spontaneous purchases (no preceding click) both surface as NULL-padded
+    rows once the watermark proves them. Both sides cut off post-drain a
+    day before stream end (the min-across-sources watermark rule — see the
+    left-join query); the oracle applies identical cutoffs."""
+    from pyvectorsearch_spark.queries.streaming import _drain, _event_stream
+    from pyvectorsearch_spark.streaming.ingest import stream_stream_full_join
+
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = stream_stream_full_join(
+        clicks,
+        purchases,
+        key_col="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        max_lag="30 minutes",
+        watermark="2 hours",
+    )
+    name = _drain(joined, "click_full_join_stream", mode="append")
+    cut = F.lit(LEFT_JOIN_CUTOFF).cast("timestamp")
+    return (
+        spark.table(name)
+        .filter(F.coalesce("ts", "p_ts") < cut)
+        .filter(F.col("p_ts").isNull() | (F.col("p_ts") < cut))
+        .groupBy(F.col("_key").alias("user_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("purchase_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unconverted_clicks"),
+            F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_spontaneous_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_CLICK_FULL_JOIN = f"""
+WITH j AS (
+  SELECT coalesce(c.user_id, p.user_id) AS user_id,
+         c.event_id AS click_id, p.event_id AS purchase_id,
+         c.ts AS ts, p.ts AS p_ts
+  FROM (SELECT * FROM events WHERE event_type = 'click') c
+  FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+)
+SELECT user_id, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unconverted_clicks,
+       sum(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_spontaneous_purchases
+FROM j
+WHERE coalesce(ts, p_ts) < TIMESTAMP '{LEFT_JOIN_CUTOFF}'
+  AND (p_ts IS NULL OR p_ts < TIMESTAMP '{LEFT_JOIN_CUTOFF}')
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "click_full_join_stream": q_click_full_join_stream,
     "click_left_join_stream": q_click_left_join_stream,
     "docs_curate_stream": q_docs_curate_stream,
     "events_hopping_stream": q_events_hopping_stream,
@@ -390,6 +464,7 @@ QUERIES = {
     "events_topk_stream": q_events_topk_stream,
 }
 ORACLES = {
+    "click_full_join_stream": ORACLE_CLICK_FULL_JOIN,
     "click_left_join_stream": ORACLE_CLICK_LEFT_JOIN,
     "docs_curate_stream": ORACLE_DOCS_CURATE_STREAM,
     "events_hopping_stream": ORACLE_HOPPING_STREAM,

@@ -204,6 +204,36 @@ def stream_stream_left_join(
     return lw.join(rw, cond, "leftOuter").drop(rw[key_col])
 
 
+def stream_stream_full_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_lag: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join — completes the
+    inner/left/full matrix: unmatched rows from EITHER side emit NULL-padded
+    once the watermark proves no partner can arrive. Both sides' unmatched
+    emissions trail by the watermark delay, so batch-oracle comparisons must
+    cut BOTH sides off before the stream tail (post-drain, never in-stream —
+    see ``stream_stream_left_join``). The output keeps one coalesced key
+    column (either side may be NULL-padded)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key_col] == rw[key_col])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_lag}"))
+    )
+    j = lw.join(rw, cond, "fullOuter")
+    return j.withColumn("_key", F.coalesce(lw[key_col], rw[key_col])).drop(
+        lw[key_col], rw[key_col]
+    )
+
+
 def deduplicated_stream(
     events: DataFrame,
     keys: list[str],
