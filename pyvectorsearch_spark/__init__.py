@@ -119,3 +119,7 @@ from pyvectorsearch_spark.operators.multimodal import (  # noqa: F401
     image_dhash_pairs,
 )
 from pyvectorsearch_spark.operators.textops import boilerplate_prefixes  # noqa: F401
+from pyvectorsearch_spark.operators.linalg import (  # noqa: F401
+    power_iteration_top_component,
+)
+from pyvectorsearch_spark.operators.incremental import delta_join_counts  # noqa: F401
