@@ -497,7 +497,101 @@ ORDER BY p.event_type, p.hod
 """
 
 
+RKMV_K = 8  # small on purpose: 96% of sf0.01 windows exceed capacity, so the estimator actually fires
+
+
+def q_events_rolling_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for rolling distinct users: per-bucket KMV k-min
+    sketches merged across the trailing-1h window — per-bucket state is
+    capped at k hashes however large the audience, unlike the exact
+    set-array variant whose arrays grow with it. KMV merge is "k smallest
+    of the union", so the merged sketch equals the k smallest distinct
+    hashes of the whole window — exactly what the oracle recomputes from
+    raw rows; the estimate (k−1)/u_k (exact below capacity) is therefore
+    engine-identical, like every KMV number in `operators/sketches.py`.
+    The exact windowed distinct rides along as the accuracy reference.
+    Returns (bucket, n_window, kmv_estimate)."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.sketches import kmv_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (F.floor(F.unix_timestamp("ts") / 900) * 900).cast("bigint")
+    tb = (
+        ev.select(b.alias("bucket"), kmv_hash(F.col("user_id")).alias("_u"))
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_set("_u")).alias("_all"))
+        .withColumn("_sk", F.slice("_all", 1, RKMV_K))
+    )
+    grid = tb.agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+    dense = grid.select(
+        F.explode(F.sequence("_lo", "_hi", F.lit(900))).alias("bucket")
+    )
+    tbd = (
+        dense.join(tb, "bucket", "left")
+        .withColumn("_sk", F.coalesce("_sk", F.array().cast("array<double>")))
+        .withColumn("_all", F.coalesce("_all", F.array().cast("array<double>")))
+    )
+    w = Window.orderBy("bucket").rowsBetween(-3, 0)
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_sk").over(w)))),
+        1,
+        RKMV_K,
+    )
+    n_exact = F.size(
+        F.array_distinct(F.flatten(F.collect_list("_all").over(w)))
+    ).cast("bigint")
+    rolled = tbd.select(
+        "bucket",
+        n_exact.alias("n_window"),
+        merged.alias("_m"),
+    ).select(
+        "bucket",
+        "n_window",
+        F.size("_m").cast("bigint").alias("_n_m"),
+        F.try_element_at("_m", F.lit(RKMV_K)).alias("_uk"),
+    )
+    est = F.when(
+        F.col("_uk").isNotNull(), F.round((RKMV_K - 1) / F.col("_uk"), 3)
+    ).otherwise(F.col("_n_m").cast("double"))
+    return rolled.select(
+        "bucket", "n_window", est.alias("kmv_estimate")
+    ).orderBy("bucket")
+
+
+def _oracle_rolling_kmv() -> str:
+    from pyvectorsearch_spark.operators.sketches import duckdb_kmv_hash
+
+    u = duckdb_kmv_hash("user_id")
+    return f"""
+WITH e AS (
+  SELECT DISTINCT (floor(epoch(ts) / 900) * 900)::BIGINT AS bucket, {u} AS u
+  FROM events
+),
+grid AS (SELECT unnest(range(min(bucket), max(bucket) + 900, 900)) AS bucket FROM e)
+SELECT g.bucket,
+       (SELECT count(DISTINCT e.u) FROM e
+        WHERE e.bucket BETWEEN g.bucket - 2700 AND g.bucket)::BIGINT AS n_window,
+       coalesce(
+         (SELECT round({RKMV_K - 1} / u, 3) FROM (
+            SELECT DISTINCT e.u AS u FROM e
+            WHERE e.bucket BETWEEN g.bucket - 2700 AND g.bucket
+            ORDER BY u LIMIT 1 OFFSET {RKMV_K - 1}
+         )),
+         (SELECT count(DISTINCT e.u) FROM e
+          WHERE e.bucket BETWEEN g.bucket - 2700 AND g.bucket)::DOUBLE
+       ) AS kmv_estimate
+FROM grid g
+ORDER BY g.bucket
+"""
+
+
+ORACLE_ROLLING_KMV = _oracle_rolling_kmv()
+
+
 QUERIES = {
+    "events_rolling_distinct_kmv": q_events_rolling_distinct_kmv,
     "events_seasonal_hourly": q_events_seasonal_hourly,
     "events_rolling_distinct": q_events_rolling_distinct,
     "events_resample_15m": q_events_resample_15m,
@@ -508,6 +602,7 @@ QUERIES = {
     "events_ewma": q_events_ewma,
 }
 ORACLES = {
+    "events_rolling_distinct_kmv": ORACLE_ROLLING_KMV,
     "events_seasonal_hourly": ORACLE_SEASONAL_HOURLY,
     "events_rolling_distinct": ORACLE_ROLLING_DISTINCT,
     "events_resample_15m": ORACLE_RESAMPLE,
