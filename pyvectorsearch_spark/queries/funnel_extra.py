@@ -351,7 +351,141 @@ FROM tagged GROUP BY user_id ORDER BY user_id
 """
 
 
+AOK_K = 32
+AOK_CUTOFF = "2024-01-02 00:00:00"  # day-1 cohort window
+
+
+def q_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-ALGEBRA twin of the exact audience matrix: per-type KMV k-min
+    sketches combined with the Beyer et al. set-operation estimators —
+    union via (k−1)/θ on the merged sketch (merge = k smallest of the
+    union, provably equal to the k smallest distinct hashes of the union
+    itself), intersection via the K_ab/k Jaccard fraction of merge
+    elements present in BOTH sketches. Per-type state is k hashes
+    regardless of audience size; the estimators are pure integer/rounded
+    arithmetic on md5 hashes, so every estimate is engine-exact and
+    hash-checked, with the exact overlap riding along as the reference.
+    Scale shape: the sketch build is the two-phase k-min of
+    `operators/sketches.kmv_distinct`; the pair stage joins types×k rows."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.sketches import kmv_hash
+
+    # day-1 cohorts: month-long audiences saturate (every user does every
+    # type), so the window restriction is what makes overlap discriminative
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(AOK_CUTOFF).cast("timestamp")
+    )
+    d = ev.select(
+        "event_type", kmv_hash(F.col("user_id")).alias("_u")
+    ).distinct()
+    shard = (F.col("_u") * 16).cast("int")
+    w1 = Window.partitionBy("event_type", shard).orderBy("_u")
+    w2 = Window.partitionBy("event_type").orderBy("_u")
+    sk = (
+        d.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= AOK_K)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= AOK_K)
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("_u")).alias("_sk"))
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("_sk").alias("_sa"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("_sk").alias("_sb"))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("_sa", "_sb"))), 1, AOK_K
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .withColumn("_m", merged)
+        .withColumn("_theta", F.try_element_at("_m", F.lit(AOK_K)))
+        .withColumn(
+            "_kab",
+            F.size(
+                F.filter(
+                    F.col("_m"),
+                    lambda h: F.array_contains("_sa", h)
+                    & F.array_contains("_sb", h),
+                )
+            ),
+        )
+    )
+    est_union = F.when(
+        F.col("_theta").isNotNull(), F.round((AOK_K - 1) / F.col("_theta"), 3)
+    ).otherwise(F.size("_m").cast("double"))
+    est_j = F.round(F.col("_kab") / float(AOK_K), 6)
+    exact = (
+        d.withColumnRenamed("event_type", "type_a")
+        .join(
+            d.withColumnRenamed("event_type", "type_b").withColumnRenamed(
+                "_u", "_u2"
+            ),
+            F.col("_u") == F.col("_u2"),
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_both_exact"))
+    )
+    return (
+        pairs.join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("n_both_exact", F.lit(0)).cast("bigint").alias("n_both_exact"),
+            F.col("_kab").cast("bigint").alias("k_ab"),
+            est_j.alias("est_jaccard"),
+            est_union.alias("est_union"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _oracle_audience_kmv() -> str:
+    from pyvectorsearch_spark.operators.sketches import duckdb_kmv_hash
+
+    u = duckdb_kmv_hash("user_id")
+    return f"""
+WITH d AS (SELECT DISTINCT event_type, {u} AS u FROM events
+           WHERE ts < TIMESTAMP '{AOK_CUTOFF}'),
+sk AS (
+  SELECT event_type, list_sort(list(u ORDER BY u))[1:{AOK_K}] AS s,
+         list_sort(list(u ORDER BY u)) AS full_s
+  FROM d GROUP BY event_type
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.s AS sa, b.s AS sb,
+         list_sort(list_distinct(a.full_s || b.full_s))[1:{AOK_K}] AS m
+  FROM sk a, sk b WHERE a.event_type < b.event_type
+),
+c AS (
+  SELECT type_a, type_b, m,
+         CASE WHEN len(m) >= {AOK_K} THEN m[{AOK_K}] ELSE NULL END AS theta,
+         len(list_filter(m, h -> list_contains(sa, h) AND list_contains(sb, h))) AS kab
+  FROM p
+),
+ex AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*)::BIGINT AS n_both
+  FROM d a JOIN d b ON a.u = b.u AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT c.type_a, c.type_b,
+       coalesce(ex.n_both, 0)::BIGINT AS n_both_exact,
+       c.kab::BIGINT AS k_ab,
+       round(c.kab / {float(AOK_K)}, 6) AS est_jaccard,
+       CASE WHEN c.theta IS NOT NULL THEN round({AOK_K - 1} / c.theta, 3)
+            ELSE len(c.m)::DOUBLE END AS est_union
+FROM c LEFT JOIN ex USING (type_a, type_b)
+ORDER BY c.type_a, c.type_b
+"""
+
+
+ORACLE_AUDIENCE_KMV = _oracle_audience_kmv()
+
+
 QUERIES = {
+    "audience_overlap_kmv": q_audience_overlap_kmv,
     "cep_clean_conversions": q_cep_clean_conversions,
     "audience_overlap": q_audience_overlap,
     "event_funnel": q_event_funnel,
@@ -360,6 +494,7 @@ QUERIES = {
     "session_paths": q_session_paths,
 }
 ORACLES = {
+    "audience_overlap_kmv": ORACLE_AUDIENCE_KMV,
     "cep_clean_conversions": ORACLE_CEP_CLEAN,
     "audience_overlap": ORACLE_AUDIENCE_OVERLAP,
     "event_funnel": ORACLE_EVENT_FUNNEL,
