@@ -454,7 +454,107 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING KEYED UPSERT (SCD1 latest-wins) via foreachBatch: every
+    micro-batch MERGES into a stored per-user dimension — new keys insert,
+    existing keys overwrite when the arriving event is later ((ts,
+    event_id) order, so ties are deterministic) — the materialized-view
+    maintenance pattern file sinks can't express (append-only). The
+    multi-file landing forces several real merge rounds; each round
+    rewrites the keyed dim atomically (tmp + rename) so a crashed batch
+    can't leave a torn table, and the merge is idempotent (latest-wins is
+    associative/commutative over batches), which is what makes foreachBatch
+    retries safe. Final state must equal the batch argmax oracle — batching
+    is invisible, the exactly-once-EFFECT contract."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyvectorsearch_spark.queries.streaming import _events_landing
+    from pyvectorsearch_spark.sources.tables import dataset_tag
+
+    landing = _events_landing(spark, sf_dir)
+    load_table(spark, sf_dir, "events")  # nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    base = dataset_tag(sf_dir, "events")
+    dim = os.path.join(tempfile.gettempdir(), f"pvs_user_dim_{base}")
+    ck = f"{dim}.ck"
+    if not os.path.isdir(dim) or not os.path.isdir(ck):
+        shutil.rmtree(dim, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+        stream = spark.readStream.schema(raw_schema).parquet(landing)
+        ts_type = dict(stream.dtypes).get("ts")
+        if ts_type == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        stream = stream.select(
+            "user_id", "event_id", "event_type", "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        )
+
+        def merge(batch, batch_id):
+            from pyspark.sql import Window
+
+            sp = batch.sparkSession
+            cur = (
+                sp.read.parquet(dim)
+                if os.path.isdir(dim)
+                else sp.createDataFrame([], batch.schema)
+            )
+            w = Window.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+            merged = (
+                cur.unionByName(batch)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            tmp = f"{dim}.tmp-{uuid.uuid4().hex[:8]}"
+            merged.coalesce(4).write.parquet(tmp)
+            old = f"{dim}.old-{uuid.uuid4().hex[:8]}"
+            if os.path.isdir(dim):
+                os.rename(dim, old)
+            os.rename(tmp, dim)
+            shutil.rmtree(old, ignore_errors=True)
+
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    out = spark.read.parquet(dim)
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("vc").alias("last_cents"),
+    ).orderBy("user_id")
+
+
+ORACLE_UPSERT_STREAM = """
+WITH r AS (
+  SELECT user_id, event_id, event_type,
+         round(value * 100)::BIGINT AS vc,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       vc AS last_cents
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "events_upsert_stream": q_events_upsert_stream,
     "click_full_join_stream": q_click_full_join_stream,
     "click_left_join_stream": q_click_left_join_stream,
     "docs_curate_stream": q_docs_curate_stream,
@@ -464,6 +564,7 @@ QUERIES = {
     "events_topk_stream": q_events_topk_stream,
 }
 ORACLES = {
+    "events_upsert_stream": ORACLE_UPSERT_STREAM,
     "click_full_join_stream": ORACLE_CLICK_FULL_JOIN,
     "click_left_join_stream": ORACLE_CLICK_LEFT_JOIN,
     "docs_curate_stream": ORACLE_DOCS_CURATE_STREAM,
