@@ -596,3 +596,121 @@ ORDER BY q.query_id
 
 QUERIES.update({"range_count_grid": q_range_count_grid})
 ORACLES.update({"range_count_grid": ORACLE_RANGE_COUNT})
+
+
+SI_K = 5
+SI_PROBES = 8
+
+
+def q_knn_stream_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INSERT path driven end to end BY THE STREAMING ENGINE: vectors
+    arrive as a multi-file stream, every micro-batch is cell-assigned with
+    the index's closed-form expression and appended to cell-partitioned
+    parquet (`streaming/ingest.stream_index_ingest` — the streaming
+    replacement for the reference's insert rebalancing cascade,
+    pktree.hpp:1262-1355), and exact kNN then runs OVER THE INGESTED
+    dataset with stats recomputed from what actually landed. Geometry
+    (origin/width) comes from the cached batch index — the build-once
+    model a production ingest pipeline would pin. Exact ⇒ the same
+    brute-force oracle as the batch grid query proves the streamed index
+    equals the batch-built one."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyvectorsearch_spark.index.cache import build_or_load
+    from pyvectorsearch_spark.index.grid import CELL_SEP, GridIndex
+    from pyvectorsearch_spark.streaming.ingest import stream_index_ingest
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("p2", F.slice("embedding", 1, 2))
+        .select("vec_id", "p2")
+    )
+    geom = build_or_load(
+        spark,
+        f"grid2d_occ16_{dataset_tag(sf_dir, 'embeddings')}",
+        load=GridIndex.load,
+        build=lambda: GridIndex.build(
+            emb, vec_col="p2", id_col="vec_id", target_occupancy=16
+        ),
+    )
+    base = dataset_tag(sf_dir, "embeddings")
+    landing = os.path.join(tempfile.gettempdir(), f"pvs_emb_landing6_{base}")
+    if not os.path.isdir(landing):
+        tmp = f"{landing}.tmp-{uuid.uuid4().hex[:8]}"
+        emb.repartition(6).write.parquet(tmp)
+        try:
+            os.rename(tmp, landing)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(landing):
+                raise
+    out = os.path.join(tempfile.gettempdir(), f"pvs_emb_ingested_{base}")
+    ck = f"{out}.ck"
+    if not os.path.isdir(out) or not os.path.isdir(ck):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+        schema = spark.read.parquet(landing).schema
+        stream = spark.readStream.schema(schema).parquet(landing)
+        assign = lambda df: df.withColumn(  # noqa: E731
+            "cell",
+            GridIndex._cell_expr(
+                "p2", geom.origin, geom.width, geom.fine_level,
+                geom.dim, geom.rr, geom.ratio,
+            ),
+        )
+        q = stream_index_ingest(
+            stream, assign=assign, out_path=out, checkpoint=ck
+        )
+        q.awaitTermination(300)
+    ingested = spark.read.parquet(out)
+    parts = F.split("cell", CELL_SEP)
+    stats = ingested.groupBy("cell").agg(F.count("*").cast("long").alias("count")).select(
+        "cell",
+        F.element_at(parts, 1).cast("int").alias("level"),
+        F.slice(parts, 2, geom.dim).cast("array<long>").alias("coords"),
+        "count",
+    )
+    idx = GridIndex(
+        df=ingested,
+        stats_df=stats,
+        origin=geom.origin,
+        width=geom.width,
+        dim=geom.dim,
+        rank=geom.rank,
+        rr=geom.rr,
+        ratio=geom.ratio,
+        fine_level=geom.fine_level,
+        id_col="vec_id",
+        vec_col="p2",
+    )
+    probes = emb.filter(F.col("vec_id") < SI_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("p2").alias("qvec")
+    )
+    out_df = idx.knn(probes, SI_K)
+    return out_df.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank"
+    )
+
+
+_SI_D2 = duckdb_l2_sq("q.qvec", "e.p2", 2)
+
+ORACLE_KNN_STREAM_INGESTED = f"""
+WITH base AS (SELECT vec_id, embedding[1:2] AS p2 FROM embeddings),
+q AS (SELECT vec_id AS query_id, p2 AS qvec FROM base WHERE vec_id < {SI_PROBES}),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_SI_D2} AS d
+  FROM q CROSS JOIN base e
+), ranked AS (
+  SELECT query_id, neighbor_id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(d, 6) AS dist_sq, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {SI_K}
+"""
+
+QUERIES.update({"knn_stream_ingested": q_knn_stream_ingested})
+ORACLES.update({"knn_stream_ingested": ORACLE_KNN_STREAM_INGESTED})
