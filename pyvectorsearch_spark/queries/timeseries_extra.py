@@ -590,7 +590,165 @@ ORDER BY g.bucket
 ORACLE_ROLLING_KMV = _oracle_rolling_kmv()
 
 
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear TREND of hourly volume: OLS slope/intercept of count
+    vs hour index from EXACT integer moment sums (n, Σx, Σy, Σxy, Σx² —
+    all bigint; division and rounding only at the end), so the fit is
+    engine-identical (the Zipf-fit determinism ladder on the time axis).
+    One map-side aggregate to types×hours rows, then a types-sized moment
+    rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    hb = (F.floor(F.unix_timestamp("ts") / 3600)).cast("bigint")
+    hc = ev.groupBy("event_type", hb.alias("h")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    base = hc.groupBy("event_type").agg(F.min("h").alias("_h0"))
+    d = hc.join(base, "event_type").select(
+        "event_type", (F.col("h") - F.col("_h0")).alias("x"), "y"
+    )
+    m = d.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    slope = F.when(
+        den != 0,
+        F.round((m["n"] * m["sxy"] - m["sx"] * m["sy"]) / den.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    intercept = F.round(
+        (m["sy"] - F.col("slope") * m["sx"]) / m["n"].cast("double"), 6
+    )
+    return (
+        m.withColumn("slope", slope)
+        .withColumn("intercept", intercept)
+        .select("event_type", "n", "slope", "intercept")
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_TREND = """
+WITH hc AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS h, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, h - min(h) OVER (PARTITION BY event_type) AS x, y FROM hc
+),
+m AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+            ELSE 0.0 END AS slope,
+       round((sy - (CASE WHEN n * sxx - sx * sx <> 0
+            THEN round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+            ELSE 0.0 END) * sx) / CAST(n AS DOUBLE), 6) AS intercept
+FROM m ORDER BY event_type
+"""
+
+
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the cumulative sum of
+    hourly-count deviations from the type mean peaks (in |S|) at the most
+    likely level-shift point (Page 1954's offline CUSUM scan). Determinism
+    ladder: deviations are exact (count·n − total, all bigint — the mean is
+    never materialized as a float), the running sum is an ordered window
+    over the dense hour grid, and the argmax tie-breaks on the earliest
+    bucket — so the detected changepoint and its magnitude are
+    engine-identical. Dense grid ⇒ zero-count hours count as deviations
+    (a silent outage IS a level shift). Scale: one map-side hourly rollup,
+    one grid window per type, one types-sized argmax."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hb = (F.floor(F.unix_timestamp("ts") / 3600)).cast("bigint")
+    hc = ev.groupBy("event_type", hb.alias("h")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    grid = hc.groupBy("event_type").agg(
+        F.min("h").alias("_lo"), F.max("h").alias("_hi")
+    )
+    dense = grid.select(
+        "event_type", F.explode(F.sequence("_lo", "_hi")).alias("h")
+    )
+    dn = dense.join(hc, ["event_type", "h"], "left").withColumn(
+        "y", F.coalesce("y", F.lit(0)).cast("bigint")
+    )
+    tot = dn.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("nh"),
+        F.sum("y").cast("bigint").alias("ty"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # scaled deviation y*nh - ty keeps everything integer; S is its exact
+    # running sum (bigint), |S| compared in integers, argmax ties -> min h
+    dev = dn.join(tot, "event_type").withColumn(
+        "_s", F.sum(F.col("y") * F.col("nh") - F.col("ty")).over(w).cast("bigint")
+    )
+    wmax = Window.partitionBy("event_type").orderBy(
+        F.abs("_s").desc(), F.asc("h")
+    )
+    return (
+        dev.withColumn("_rk", F.row_number().over(wmax))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("cp_hour"),
+            F.round(F.abs("_s") / F.col("nh").cast("double"), 6).alias(
+                "cusum_peak"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_CHANGEPOINT = """
+WITH hc AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS h, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, unnest(range(min(h), max(h) + 1)) AS h
+  FROM hc GROUP BY event_type
+),
+dn AS (
+  SELECT g.event_type, g.h, coalesce(hc.y, 0)::BIGINT AS y
+  FROM grid g LEFT JOIN hc ON hc.event_type = g.event_type AND hc.h = g.h
+),
+tot AS (
+  SELECT event_type, count(*)::BIGINT AS nh, sum(y)::BIGINT AS ty
+  FROM dn GROUP BY event_type
+),
+cs AS (
+  SELECT dn.event_type, dn.h,
+         sum(dn.y * tot.nh - tot.ty) OVER (
+           PARTITION BY dn.event_type ORDER BY dn.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::BIGINT AS s,
+         tot.nh
+  FROM dn JOIN tot USING (event_type)
+),
+pk AS (
+  SELECT event_type, h AS cp_hour, round(abs(s) / CAST(nh AS DOUBLE), 6) AS cusum_peak,
+         row_number() OVER (PARTITION BY event_type ORDER BY abs(s) DESC, h ASC) AS rk
+  FROM cs
+)
+SELECT event_type, cp_hour, cusum_peak FROM pk WHERE rk = 1
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "events_trend": q_events_trend,
+    "events_changepoint": q_events_changepoint,
     "events_rolling_distinct_kmv": q_events_rolling_distinct_kmv,
     "events_seasonal_hourly": q_events_seasonal_hourly,
     "events_rolling_distinct": q_events_rolling_distinct,
@@ -602,6 +760,8 @@ QUERIES = {
     "events_ewma": q_events_ewma,
 }
 ORACLES = {
+    "events_trend": ORACLE_EVENTS_TREND,
+    "events_changepoint": ORACLE_EVENTS_CHANGEPOINT,
     "events_rolling_distinct_kmv": ORACLE_ROLLING_KMV,
     "events_seasonal_hourly": ORACLE_SEASONAL_HOURLY,
     "events_rolling_distinct": ORACLE_ROLLING_DISTINCT,
