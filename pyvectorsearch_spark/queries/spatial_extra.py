@@ -121,3 +121,78 @@ ORDER BY e.vec_id
 
 QUERIES.update({"spatial_dbscan": q_spatial_dbscan})
 ORACLES.update({"spatial_dbscan": ORACLE_SPATIAL_DBSCAN})
+
+
+CITIES_CSV = "/root/reference/example_cpp/dutch_cities.csv"
+DELFT = (52.0117, 4.3592)
+CITIES_K = 5
+CITIES_R = 0.1
+
+
+def q_cities_example(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REFERENCE'S OWN EXAMPLE WORKLOAD as a registered query
+    (`example_cpp/main.cpp:68-85`): read the Dutch-cities CSV, index the
+    (lat, lng) points, and answer both probes from Delft's coordinates —
+    the 5 nearest cities (kNN, sorted) and every city within radius 0.1
+    (range) — in one result, tagged by probe kind. Grid-pruned search is
+    exact, so the oracle brute-forces the same CSV in DuckDB. Ids derive
+    from md5(city) so ranking tie-breaks are engine-stable (the example's
+    row order is not a contract)."""
+    from pyvectorsearch_spark.index.grid import GridIndex
+    from pyvectorsearch_spark.sources.tables import load_cities_csv
+
+    cities = (
+        load_cities_csv(spark, CITIES_CSV)
+        .withColumn(
+            "pt_id",
+            F.conv(F.substring(F.md5("city"), 1, 12), 16, 10).cast("bigint"),
+        )
+        .withColumn("pt", F.array(F.col("lat"), F.col("lng")).cast("array<double>"))
+        .select("pt_id", "pt", "city")
+    )
+    idx = GridIndex.build(cities, vec_col="pt", id_col="pt_id", target_occupancy=8)
+    probe = spark.createDataFrame(
+        [(0, [float(DELFT[0]), float(DELFT[1])])], "query_id long, qvec array<double>"
+    )
+    knn = idx.knn(probe, CITIES_K, payload=["city"]).select(
+        F.lit("knn").alias("probe"),
+        "city",
+        F.round("dist", 6).alias("dist_sq"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    rng = idx.range(probe, CITIES_R, payload=["city"]).select(
+        F.lit("range").alias("probe"),
+        "city",
+        F.round("dist", 6).alias("dist_sq"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+    return knn.unionByName(rng).orderBy("probe", "dist_sq", "city")
+
+
+ORACLE_CITIES_EXAMPLE = f"""
+WITH c AS (
+  SELECT city,
+         ('0x' || substr(md5(city), 1, 12))::BIGINT AS pt_id,
+         CAST(lat AS DOUBLE) AS lat, CAST(lng AS DOUBLE) AS lng
+  FROM read_csv('{CITIES_CSV}', header = true)
+),
+d AS (
+  SELECT city, pt_id,
+         (lat - {DELFT[0]!r}) ^ 2 + (lng - {DELFT[1]!r}) ^ 2 AS d2
+  FROM c
+),
+knn AS (
+  SELECT 'knn' AS probe, city, round(d2, 6) AS dist_sq,
+         row_number() OVER (ORDER BY d2 ASC, pt_id ASC)::INT AS rank
+  FROM d QUALIFY rank <= {CITIES_K}
+),
+rng AS (
+  SELECT 'range' AS probe, city, round(d2, 6) AS dist_sq, NULL::INT AS rank
+  FROM d WHERE d2 <= {CITIES_R * CITIES_R!r}
+)
+SELECT * FROM knn UNION ALL SELECT * FROM rng
+ORDER BY probe, dist_sq, city
+"""
+
+QUERIES.update({"cities_example": q_cities_example})
+ORACLES.update({"cities_example": ORACLE_CITIES_EXAMPLE})
