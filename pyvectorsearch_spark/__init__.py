@@ -123,3 +123,4 @@ from pyvectorsearch_spark.operators.linalg import (  # noqa: F401
     power_iteration_top_component,
 )
 from pyvectorsearch_spark.operators.incremental import delta_join_counts  # noqa: F401
+from pyvectorsearch_spark.operators.textops import bpe_learn  # noqa: F401

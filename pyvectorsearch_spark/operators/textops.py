@@ -926,3 +926,79 @@ def boilerplate_prefixes(
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def bpe_learn(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    rounds: int = 6,
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn the
+    ``rounds`` most frequent symbol-pair merges over the corpus vocabulary.
+    Each round counts adjacent symbol pairs (weighted by word frequency),
+    promotes the most frequent pair to a merged symbol (ties → lexically
+    smallest pair), and rewrites the vocabulary — the canonical subword-
+    vocabulary construction of LLM data pipelines.
+
+    Scale shape: the corpus collapses ONCE to the (word, count) vocabulary
+    table (map-side combined — the only corpus-sized pass); every round
+    then runs on that vocabulary-sized table: one pair explode + count, a
+    1-row argmax collect (constant driver footprint, like k-means
+    centroids), and a projection rewrite. Lineage is checkpointed per round.
+
+    Determinism contract: pair counts are exact integers, the argmax
+    tie-break is total, and the merge rewrite is one left-to-right
+    non-overlapping ``replace`` pass over the space-joined symbol string —
+    Spark and DuckDB implement identical resume-after-replacement
+    semantics (verified), so an immediately repeated symbol run merges
+    once per pass rather than cascading within the round (a documented,
+    engine-stable simplification of the classic in-word fixpoint; rule
+    LEARNING — the interesting output — is unaffected on natural text).
+
+    Returns the learned merge table (merge_rank, pair, merged,
+    n_occurrences)."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    sym0 = F.concat(
+        F.lit(" "),
+        F.concat_ws(" ", F.filter(F.split("w", ""), lambda x: x != "")),
+        F.lit(" "),
+    )
+    cur = words.select("cnt", sym0.alias("s")).localCheckpoint(eager=True)
+    merges = []
+    for r in range(rounds):
+        syms = F.split(F.trim("s"), " ")
+        pair_arr = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        counts = (
+            cur.select("cnt", F.explode(pair_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("bigint").alias("n"))
+        )
+        best = counts.orderBy(F.desc("n"), F.asc("pair")).first()
+        if best is None:
+            break
+        pair, n = best["pair"], int(best["n"])
+        merged = pair.replace(" ", "")
+        merges.append((r + 1, pair, merged, n))
+        cur = cur.select(
+            "cnt",
+            F.replace(
+                F.col("s"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+            ).alias("s"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, merged string, n_occurrences long"
+    )

@@ -264,7 +264,113 @@ ORDER BY source, prefix
 ORACLE_TEXT_BOILERPLATE = _oracle_boilerplate()
 
 
+BPE_ROUNDS = 6
+
+
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: the 6 most frequent
+    symbol-pair merges learned over the corpus vocabulary (Sennrich 2016)
+    — the canonical subword-vocabulary construction. The corpus collapses
+    once to the (word, count) table; every round runs on that
+    vocabulary-sized table with a 1-row argmax. Integer counts, total
+    tie-break, and engine-identical replace semantics make the learned
+    merge table hash-checkable; the oracle unrolls the same rounds as CTE
+    layers."""
+    from pyvectorsearch_spark.operators.textops import bpe_learn
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bpe_learn(docs, rounds=BPE_ROUNDS).orderBy("merge_rank")
+
+
+ORACLE_TEXT_BPE = f"""
+WITH words AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest({_TOK}) AS w FROM documents
+  ) GROUP BY w
+),
+w0 AS MATERIALIZED (
+  SELECT cnt,
+         ' ' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), ' ') || ' ' AS s
+  FROM words
+),
+p1 AS MATERIALIZED (
+  SELECT pair, sum(cnt)::BIGINT AS n FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy) - 0), i -> sy[i] || ' ' || sy[i + 1])) AS pair
+    FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM w0)
+    WHERE len(sy) >= 2
+  ) GROUP BY pair
+),
+b1 AS MATERIALIZED (SELECT pair, n FROM p1 ORDER BY n DESC, pair ASC LIMIT 1),
+w1 AS MATERIALIZED (
+  SELECT cnt, replace(s, ' ' || b1.pair || ' ', ' ' || replace(b1.pair, ' ', '') || ' ') AS s
+  FROM w0, b1
+),
+p2 AS MATERIALIZED (
+  SELECT pair, sum(cnt)::BIGINT AS n FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy) - 0), i -> sy[i] || ' ' || sy[i + 1])) AS pair
+    FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM w1)
+    WHERE len(sy) >= 2
+  ) GROUP BY pair
+),
+b2 AS MATERIALIZED (SELECT pair, n FROM p2 ORDER BY n DESC, pair ASC LIMIT 1),
+w2 AS MATERIALIZED (
+  SELECT cnt, replace(s, ' ' || b2.pair || ' ', ' ' || replace(b2.pair, ' ', '') || ' ') AS s
+  FROM w1, b2
+),
+p3 AS MATERIALIZED (
+  SELECT pair, sum(cnt)::BIGINT AS n FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy) - 0), i -> sy[i] || ' ' || sy[i + 1])) AS pair
+    FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM w2)
+    WHERE len(sy) >= 2
+  ) GROUP BY pair
+),
+b3 AS MATERIALIZED (SELECT pair, n FROM p3 ORDER BY n DESC, pair ASC LIMIT 1),
+w3 AS MATERIALIZED (
+  SELECT cnt, replace(s, ' ' || b3.pair || ' ', ' ' || replace(b3.pair, ' ', '') || ' ') AS s
+  FROM w2, b3
+),
+p4 AS MATERIALIZED (
+  SELECT pair, sum(cnt)::BIGINT AS n FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy) - 0), i -> sy[i] || ' ' || sy[i + 1])) AS pair
+    FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM w3)
+    WHERE len(sy) >= 2
+  ) GROUP BY pair
+),
+b4 AS MATERIALIZED (SELECT pair, n FROM p4 ORDER BY n DESC, pair ASC LIMIT 1),
+w4 AS MATERIALIZED (
+  SELECT cnt, replace(s, ' ' || b4.pair || ' ', ' ' || replace(b4.pair, ' ', '') || ' ') AS s
+  FROM w3, b4
+),
+p5 AS MATERIALIZED (
+  SELECT pair, sum(cnt)::BIGINT AS n FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy) - 0), i -> sy[i] || ' ' || sy[i + 1])) AS pair
+    FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM w4)
+    WHERE len(sy) >= 2
+  ) GROUP BY pair
+),
+b5 AS MATERIALIZED (SELECT pair, n FROM p5 ORDER BY n DESC, pair ASC LIMIT 1),
+w5 AS MATERIALIZED (
+  SELECT cnt, replace(s, ' ' || b5.pair || ' ', ' ' || replace(b5.pair, ' ', '') || ' ') AS s
+  FROM w4, b5
+),
+p6 AS MATERIALIZED (
+  SELECT pair, sum(cnt)::BIGINT AS n FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy) - 0), i -> sy[i] || ' ' || sy[i + 1])) AS pair
+    FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM w5)
+    WHERE len(sy) >= 2
+  ) GROUP BY pair
+),
+b6 AS MATERIALIZED (SELECT pair, n FROM p6 ORDER BY n DESC, pair ASC LIMIT 1),
+w6 AS MATERIALIZED (
+  SELECT cnt, replace(s, ' ' || b6.pair || ' ', ' ' || replace(b6.pair, ' ', '') || ' ') AS s
+  FROM w5, b6
+)
+SELECT * FROM (SELECT 1 AS merge_rank, pair, replace(pair, ' ', '') AS merged, n AS n_occurrences FROM b1 UNION ALL SELECT 2 AS merge_rank, pair, replace(pair, ' ', '') AS merged, n AS n_occurrences FROM b2 UNION ALL SELECT 3 AS merge_rank, pair, replace(pair, ' ', '') AS merged, n AS n_occurrences FROM b3 UNION ALL SELECT 4 AS merge_rank, pair, replace(pair, ' ', '') AS merged, n AS n_occurrences FROM b4 UNION ALL SELECT 5 AS merge_rank, pair, replace(pair, ' ', '') AS merged, n AS n_occurrences FROM b5 UNION ALL SELECT 6 AS merge_rank, pair, replace(pair, ' ', '') AS merged, n AS n_occurrences FROM b6) ORDER BY merge_rank
+"""
+
+
 QUERIES = {
+    "text_bpe_merges": q_text_bpe_merges,
     "text_boilerplate": q_text_boilerplate,
     "text_top_terms": q_text_top_terms,
     "text_bigram_lm": q_text_bigram_lm,
@@ -272,6 +378,7 @@ QUERIES = {
     "text_zipf": q_text_zipf,
 }
 ORACLES = {
+    "text_bpe_merges": ORACLE_TEXT_BPE,
     "text_boilerplate": ORACLE_TEXT_BOILERPLATE,
     "text_top_terms": ORACLE_TOP_TERMS,
     "text_bigram_lm": ORACLE_BIGRAM_LM,

@@ -108,3 +108,21 @@ def test_c4_all_dropped_keeps_doc(spark):
     df = spark.createDataFrame([(1, "short")], "doc_id int, text string")
     r = c4_line_filter(df).collect()[0]
     assert r["n_lines"] == 1 and r["n_kept"] == 0 and r["cleaned"] == ""
+
+
+def test_bpe_learn_textbook_merges(spark):
+    """'low lower lowest' ×weights: the most frequent pair is learned
+    first, merged symbols participate in later rounds, ties break
+    lexically."""
+    from pyvectorsearch_spark.operators.textops import bpe_learn
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest")], "doc_id long, text string"
+    )
+    rows = bpe_learn(docs, rounds=3).collect()
+    got = [(r["merge_rank"], r["pair"], r["merged"], r["n_occurrences"]) for r in rows]
+    # 'l o' and 'o w' both appear 5x -> lexical tie-break picks 'l o';
+    # round 2 then sees 'lo w' 5x; round 3 merges 'low' pairs onward
+    assert got[0] == (1, "l o", "lo", 5)
+    assert got[1] == (2, "lo w", "low", 5)
+    assert got[2][0] == 3 and got[2][3] >= 1
