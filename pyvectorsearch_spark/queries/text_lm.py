@@ -369,7 +369,149 @@ SELECT * FROM (SELECT 1 AS merge_rank, pair, replace(pair, ' ', '') AS merged, n
 """
 
 
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the application half of `text_bpe_merges`: the
+    learned merge rules (collected once, 6 literal constants)
+    rewrite the vocabulary in rank order, and the corpus subword spectrum
+    falls out as a frequency-weighted rollup of the encoded symbols — the
+    top-15 subwords by corpus occurrences. Encoding happens on the
+    VOCABULARY (one row per distinct word), never per document occurrence;
+    document frequencies re-weight via the word counts."""
+    from pyvectorsearch_spark.operators.textops import bpe_learn
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    merges = [
+        (r["pair"], r["merged"])
+        for r in bpe_learn(docs, rounds=BPE_ROUNDS).orderBy("merge_rank").collect()
+    ]
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    sym = F.concat(
+        F.lit(" "),
+        F.concat_ws(" ", F.filter(F.split("w", ""), lambda x: x != "")),
+        F.lit(" "),
+    )
+    for pair, merged in merges:
+        sym = F.replace(sym, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    enc = words.select(
+        "cnt", F.explode(F.split(F.trim(sym), " ")).alias("subword")
+    )
+    freq = enc.groupBy("subword").agg(
+        F.sum("cnt").cast("bigint").alias("n_occurrences")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("subword"))
+    return (
+        freq.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 15)
+        .select("rnk", "subword", "n_occurrences")
+        .orderBy("rnk")
+    )
+
+
+ORACLE_TEXT_BPE_ENCODE = f"""
+WITH words AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest({_TOK}) AS w FROM documents
+  ) GROUP BY w
+),
+w0 AS MATERIALIZED (
+  SELECT cnt,
+         ' ' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), ' ') || ' ' AS s
+  FROM words
+),
+p1 AS MATERIALIZED (
+  SELECT pair, sum(cnt)::BIGINT AS n FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy) - 0), i -> sy[i] || ' ' || sy[i + 1])) AS pair
+    FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM w0)
+    WHERE len(sy) >= 2
+  ) GROUP BY pair
+),
+b1 AS MATERIALIZED (SELECT pair, n FROM p1 ORDER BY n DESC, pair ASC LIMIT 1),
+w1 AS MATERIALIZED (
+  SELECT cnt, replace(s, ' ' || b1.pair || ' ', ' ' || replace(b1.pair, ' ', '') || ' ') AS s
+  FROM w0, b1
+),
+p2 AS MATERIALIZED (
+  SELECT pair, sum(cnt)::BIGINT AS n FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy) - 0), i -> sy[i] || ' ' || sy[i + 1])) AS pair
+    FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM w1)
+    WHERE len(sy) >= 2
+  ) GROUP BY pair
+),
+b2 AS MATERIALIZED (SELECT pair, n FROM p2 ORDER BY n DESC, pair ASC LIMIT 1),
+w2 AS MATERIALIZED (
+  SELECT cnt, replace(s, ' ' || b2.pair || ' ', ' ' || replace(b2.pair, ' ', '') || ' ') AS s
+  FROM w1, b2
+),
+p3 AS MATERIALIZED (
+  SELECT pair, sum(cnt)::BIGINT AS n FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy) - 0), i -> sy[i] || ' ' || sy[i + 1])) AS pair
+    FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM w2)
+    WHERE len(sy) >= 2
+  ) GROUP BY pair
+),
+b3 AS MATERIALIZED (SELECT pair, n FROM p3 ORDER BY n DESC, pair ASC LIMIT 1),
+w3 AS MATERIALIZED (
+  SELECT cnt, replace(s, ' ' || b3.pair || ' ', ' ' || replace(b3.pair, ' ', '') || ' ') AS s
+  FROM w2, b3
+),
+p4 AS MATERIALIZED (
+  SELECT pair, sum(cnt)::BIGINT AS n FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy) - 0), i -> sy[i] || ' ' || sy[i + 1])) AS pair
+    FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM w3)
+    WHERE len(sy) >= 2
+  ) GROUP BY pair
+),
+b4 AS MATERIALIZED (SELECT pair, n FROM p4 ORDER BY n DESC, pair ASC LIMIT 1),
+w4 AS MATERIALIZED (
+  SELECT cnt, replace(s, ' ' || b4.pair || ' ', ' ' || replace(b4.pair, ' ', '') || ' ') AS s
+  FROM w3, b4
+),
+p5 AS MATERIALIZED (
+  SELECT pair, sum(cnt)::BIGINT AS n FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy) - 0), i -> sy[i] || ' ' || sy[i + 1])) AS pair
+    FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM w4)
+    WHERE len(sy) >= 2
+  ) GROUP BY pair
+),
+b5 AS MATERIALIZED (SELECT pair, n FROM p5 ORDER BY n DESC, pair ASC LIMIT 1),
+w5 AS MATERIALIZED (
+  SELECT cnt, replace(s, ' ' || b5.pair || ' ', ' ' || replace(b5.pair, ' ', '') || ' ') AS s
+  FROM w4, b5
+),
+p6 AS MATERIALIZED (
+  SELECT pair, sum(cnt)::BIGINT AS n FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy) - 0), i -> sy[i] || ' ' || sy[i + 1])) AS pair
+    FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM w5)
+    WHERE len(sy) >= 2
+  ) GROUP BY pair
+),
+b6 AS MATERIALIZED (SELECT pair, n FROM p6 ORDER BY n DESC, pair ASC LIMIT 1),
+w6 AS MATERIALIZED (
+  SELECT cnt, replace(s, ' ' || b6.pair || ' ', ' ' || replace(b6.pair, ' ', '') || ' ') AS s
+  FROM w5, b6
+),
+enc AS (
+  SELECT subword, sum(cnt)::BIGINT AS n_occurrences
+  FROM (SELECT cnt, unnest(string_split(trim(s), ' ')) AS subword FROM w6)
+  GROUP BY subword
+),
+r AS (
+  SELECT subword, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, subword ASC)::INT AS rnk
+  FROM enc
+)
+SELECT rnk, subword, n_occurrences FROM r WHERE rnk <= 15 ORDER BY rnk
+"""
+
+
 QUERIES = {
+    "text_bpe_encode": q_text_bpe_encode,
     "text_bpe_merges": q_text_bpe_merges,
     "text_boilerplate": q_text_boilerplate,
     "text_top_terms": q_text_top_terms,
@@ -378,6 +520,7 @@ QUERIES = {
     "text_zipf": q_text_zipf,
 }
 ORACLES = {
+    "text_bpe_encode": ORACLE_TEXT_BPE_ENCODE,
     "text_bpe_merges": ORACLE_TEXT_BPE,
     "text_boilerplate": ORACLE_TEXT_BOILERPLATE,
     "text_top_terms": ORACLE_TOP_TERMS,
