@@ -510,7 +510,91 @@ SELECT rnk, subword, n_occurrences FROM r WHERE rnk <= 15 ORDER BY rnk
 """
 
 
+PMI_MIN_DF = 20
+PMI_MAX_DF = 400
+PMI_MIN_PAIR = 30
+PMI_TOP = 20
+
+
+def q_text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top document-level PMI term pairs (Church &
+    Hanks 1990) — which words co-occur in documents far more than their
+    marginals predict, the query-expansion / phrase-lexicon signal.
+    Scale levers stated in the plan: terms prefilter to a df band
+    (stopword-ish ubiquity and rare noise both drop — the pair fan-out is
+    quadratic in per-doc DISTINCT band terms, so the band IS the cost
+    bound), pairs below a support floor drop before any scoring, and PMI's
+    ln-ladder is rounded for engine parity. Returns the top-20 by
+    (pmi desc, pair asc)."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
+    )
+    df_tab = dt.groupBy("t").agg(F.count("*").cast("bigint").alias("df"))
+    band = df_tab.filter(
+        (F.col("df") >= PMI_MIN_DF) & (F.col("df") <= PMI_MAX_DF)
+    )
+    dtb = dt.join(band, "t")
+    a = dtb.select("doc_id", F.col("t").alias("ta"), F.col("df").alias("dfa"))
+    b = dtb.select("doc_id", F.col("t").alias("tb"), F.col("df").alias("dfb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb", "dfa", "dfb")
+        .agg(F.count("*").cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= PMI_MIN_PAIR)
+    )
+    nd = docs.agg(F.count("*").cast("bigint").alias("nd"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") * F.col("nd")).cast("double")
+            / (F.col("dfa") * F.col("dfb")).cast("double")
+        ),
+        6,
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("ta"), F.asc("tb"))
+    return (
+        pairs.crossJoin(F.broadcast(nd))
+        .withColumn("pmi", pmi)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= PMI_TOP)
+        .select("rnk", "ta", "tb", "n_pair", "pmi")
+        .orderBy("rnk")
+    )
+
+
+ORACLE_TEXT_PMI = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({_TOK}) AS t FROM documents
+),
+dfs AS (SELECT t, count(*)::BIGINT AS df FROM dt GROUP BY t),
+band AS (SELECT t, df FROM dfs WHERE df BETWEEN {PMI_MIN_DF} AND {PMI_MAX_DF}),
+dtb AS (SELECT dt.doc_id, dt.t, band.df FROM dt JOIN band USING (t)),
+p AS (
+  SELECT a.t AS ta, b.t AS tb, a.df AS dfa, b.df AS dfb, count(*)::BIGINT AS n_pair
+  FROM dtb a JOIN dtb b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= {PMI_MIN_PAIR}
+),
+nd AS (SELECT count(*)::BIGINT AS nd FROM documents),
+sc AS (
+  SELECT ta, tb, n_pair,
+         round(ln(CAST(n_pair * nd.nd AS DOUBLE) / CAST(dfa * dfb AS DOUBLE)), 6) AS pmi
+  FROM p, nd
+),
+r AS (
+  SELECT ta, tb, n_pair, pmi,
+         row_number() OVER (ORDER BY pmi DESC, ta ASC, tb ASC)::INT AS rnk
+  FROM sc
+)
+SELECT rnk, ta, tb, n_pair, pmi FROM r WHERE rnk <= {PMI_TOP} ORDER BY rnk
+"""
+
+
 QUERIES = {
+    "text_pmi_pairs": q_text_pmi_pairs,
     "text_bpe_encode": q_text_bpe_encode,
     "text_bpe_merges": q_text_bpe_merges,
     "text_boilerplate": q_text_boilerplate,
@@ -520,6 +604,7 @@ QUERIES = {
     "text_zipf": q_text_zipf,
 }
 ORACLES = {
+    "text_pmi_pairs": ORACLE_TEXT_PMI,
     "text_bpe_encode": ORACLE_TEXT_BPE_ENCODE,
     "text_bpe_merges": ORACLE_TEXT_BPE,
     "text_boilerplate": ORACLE_TEXT_BOILERPLATE,
