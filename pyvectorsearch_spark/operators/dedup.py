@@ -442,10 +442,14 @@ def hamming_pairs_bucketed(
         *[
             F.struct(
                 F.lit(j).alias("blk"),
-                (
-                    F.shiftrightunsigned("simhash", bounds[j])
-                    % F.lit(1 << (bounds[j + 1] - bounds[j]))
-                ).alias("val"),
+                # Mask, not %: Spark's % follows the dividend's sign, so a
+                # bits-64 hash with bit 63 set (negative long) would get a
+                # different chunk-0 value than a positive hash with the same
+                # low bits, silently dropping pairs and breaking the lossless
+                # pigeonhole guarantee. bitwiseAND extracts sign-independently.
+                F.shiftrightunsigned("simhash", bounds[j])
+                .bitwiseAND(F.lit((1 << (bounds[j + 1] - bounds[j])) - 1))
+                .alias("val"),
             )
             for j in range(b)
         ]

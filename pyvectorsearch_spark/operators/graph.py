@@ -174,7 +174,18 @@ def triangle_stats(
     the final rounded ratio.
 
     Returns (n_nodes, n_edges, n_triangles, n_wedges, gcc_r)."""
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    # The oriented triangle join requires canonical a<b edges; enforce it
+    # defensively (least/greatest + self-loop drop + distinct) so a caller
+    # passing both orientations or unordered pairs cannot silently skew the
+    # census.
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))

@@ -165,10 +165,13 @@ def cms_lookup(
     )
     keep = [c for c in probes.columns]
     pb = probes.select(*keep, cells.alias("_c")).select(*keep, "_c.row", "_c.bucket")
+    # LEFT join + coalesce(0): a cell absent from the sketch means count 0,
+    # so an unseen term must estimate 0 (CMS never underestimates) instead of
+    # being excluded from the min (overestimate) or dropped from the output.
     return (
-        pb.join(sketch, ["row", "bucket"])
+        pb.join(sketch, ["row", "bucket"], "left")
         .groupBy(*keep)
-        .agg(F.min("cnt").alias("cms_estimate"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
     )
 
 
@@ -315,3 +318,141 @@ def quantile_bins(
         )
         .orderBy("bin_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — Flajolet et al. 2007. Most HLL implementations are NOT
+# cross-engine comparable (register layouts and hash functions differ), which
+# is why `kmv_distinct` is this package's default sketch. This one is: it is
+# built on the same 52-bit md5 hash, the register index/rank are pure integer
+# expressions, and the harmonic sum is kept EXACT by scaling each 2^(-M_j)
+# term to the integer 2^(RANK_MAX - M_j) (max register sum = m * 2^RANK_MAX
+# = 2^53 — exact in bigint and double). The whole estimate — raw HLL and the
+# small-range linear-counting branch — is therefore a deterministic function
+# of the value set, bit-identical in Spark and DuckDB, and oracle-checkable
+# like KMV/CMS.
+#
+# Scale shape: identical to any exact distinct — one map-side-combined
+# groupBy over distinct (group, register) pairs; the register table is
+# m rows/group and mergeable by per-register max, which is the whole point
+# of HLL state at 100 TB (union across shards/epochs without re-reading).
+# ---------------------------------------------------------------------------
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+# rank looks at the 44 bits above the register index; w == 0 => rank 45
+HLL_RANK_MAX = 52 - HLL_P + 1
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_RANK_MAX)
+
+
+def _hll_hash_int(col: Column) -> Column:
+    """52-bit md5 hash as a bigint (the unscaled cousin of ``kmv_hash``)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, HEX_DIGITS), 16, 10).cast(
+        "bigint"
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    *,
+    by: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (p=8, m=256 registers).
+
+    Returns (``by``, n_distinct_exact, hll_estimate, n_empty_registers,
+    harmonic_scaled) — ``harmonic_scaled`` is the exact integer register
+    checksum sum(2^(RANK_MAX - M_j)) over all m registers (empties included),
+    which pins the FULL register state; ``hll_estimate`` applies the standard
+    small-range correction (linear counting m*ln(m/V) when the raw estimate
+    <= 2.5m and V empty registers remain). ``n_distinct_exact`` rides along
+    as the accuracy reference (the dedupe needed for the register max IS an
+    exact distinct at this fixture scale; at 100 TB drop it and keep the
+    register table only).
+    """
+    h = _hll_hash_int(F.col(value_col))
+    j = h.bitwiseAND(F.lit(HLL_M - 1))
+    w = (h / HLL_M).cast("bigint")  # arithmetic shift right p bits (h >= 0)
+    # rank = trailing zeros of w + 1 (von Mises-style bit trick: w & -w is
+    # the lowest set bit; bit_count(lowbit - 1) counts the zeros below it)
+    rank = F.when(w == 0, F.lit(HLL_RANK_MAX)).otherwise(
+        F.bit_count(w.bitwiseAND(-w) - 1) + 1
+    )
+    d = df.select(F.col(by), j.alias("_j"), rank.alias("_rank"))
+    reg = d.groupBy(by, "_j").agg(F.max("_rank").alias("_mj"))
+    per = reg.groupBy(by).agg(
+        F.count("*").cast("bigint").alias("_n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RANK_MAX} - _mj)"))
+        .cast("bigint")
+        .alias("_s_present"),
+    )
+    # absent registers contribute 2^RANK_MAX each; no need to materialize them
+    s = (
+        F.col("_s_present")
+        + (F.lit(HLL_M) - F.col("_n_present")) * F.lit(1 << HLL_RANK_MAX)
+    ).cast("bigint")
+    v = (F.lit(HLL_M) - F.col("_n_present")).cast("bigint")
+    raw = F.lit(_HLL_NUM) / s.cast("double")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    exact = (
+        df.select(F.col(by), F.col(value_col).alias("_v"))
+        .distinct()
+        .groupBy(by)
+        .agg(F.count("*").cast("bigint").alias("n_distinct_exact"))
+    )
+    return exact.join(per, by).select(
+        by,
+        "n_distinct_exact",
+        F.round(est, 3).alias("hll_estimate"),
+        v.alias("n_empty_registers"),
+        s.alias("harmonic_scaled"),
+    )
+
+
+def duckdb_hll_sql(table_expr: str, by: str, value_expr: str) -> str:
+    """DuckDB twin of ``hll_distinct`` (identical hash/registers/estimate)."""
+    rank_max = HLL_RANK_MAX
+    top = 1 << rank_max
+    h = (
+        f"('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, {HEX_DIGITS}))"
+        "::BIGINT"
+    )
+    return f"""
+WITH hh AS (
+  SELECT {by} AS grp, {h} AS h FROM {table_expr}
+),
+jr AS (
+  SELECT grp, h & {HLL_M - 1} AS j,
+         CASE WHEN h // {HLL_M} = 0 THEN {rank_max}
+              ELSE bit_count(((h // {HLL_M}) & -(h // {HLL_M})) - 1) + 1
+         END AS rank
+  FROM hh
+),
+reg AS (SELECT grp, j, max(rank) AS mj FROM jr GROUP BY grp, j),
+per AS (
+  SELECT grp, count(*)::BIGINT AS n_present,
+         sum((1::BIGINT << ({rank_max} - mj)))::BIGINT AS s_present
+  FROM reg GROUP BY grp
+),
+fin AS (
+  SELECT grp, (s_present + ({HLL_M} - n_present) * {top}::BIGINT)::BIGINT AS s,
+         ({HLL_M} - n_present)::BIGINT AS v
+  FROM per
+),
+ex AS (
+  SELECT grp, count(*)::BIGINT AS n_distinct_exact FROM (
+    SELECT DISTINCT {by} AS grp, {value_expr} AS v FROM {table_expr}
+  ) GROUP BY grp
+)
+SELECT ex.grp, ex.n_distinct_exact,
+       round(CASE WHEN ({_HLL_NUM!r} / s) <= {2.5 * HLL_M}
+                   AND v > 0
+             THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
+             ELSE {_HLL_NUM!r} / s END, 3) AS hll_estimate,
+       v AS n_empty_registers, s AS harmonic_scaled
+FROM ex JOIN fin ON ex.grp = fin.grp
+"""

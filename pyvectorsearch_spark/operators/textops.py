@@ -445,18 +445,19 @@ def pii_redact(
     Adds (n_emails, n_phones, n_ips, ``out_col``) to the input frame.
     """
     c = F.col(text_col)
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
-        ),
-        PII_IP_RE,
-        "[IP]",
-    )
+    # Counts follow the same sequential order as the replacements: phones are
+    # counted on the email-redacted text and IPs on the phone-redacted text,
+    # so a phone-shaped substring inside an email local part (e.g.
+    # 'a+12345678@x.com') is not double-counted as a phone after the email
+    # rule already consumed it — counts always agree with the output tags.
+    after_email = F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]")
+    after_phone = F.regexp_replace(after_email, PII_PHONE_RE, "[PHONE]")
+    red = F.regexp_replace(after_phone, PII_IP_RE, "[IP]")
     return df.select(
         "*",
         F.regexp_count(c, F.lit(PII_EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(c, F.lit(PII_PHONE_RE)).alias("n_phones"),
-        F.regexp_count(c, F.lit(PII_IP_RE)).alias("n_ips"),
+        F.regexp_count(after_email, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(after_phone, F.lit(PII_IP_RE)).alias("n_ips"),
         red.alias(out_col),
     )
 
@@ -1001,4 +1002,112 @@ def bpe_learn(
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, merged string, n_occurrences long"
+    )
+
+
+# -- web-corpus cleaning ----------------------------------------------------
+
+_HTML_SCRIPT_RE = r"(?s)<script[^>]*>.*?</script>"
+_HTML_STYLE_RE = r"(?s)<style[^>]*>.*?</style>"
+_HTML_TAG_RE = r"<[^>]+>"
+# fixed entity ladder; &amp; decodes LAST so '&amp;lt;' yields the literal
+# '&lt;' instead of double-decoding to '<'
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_clean(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "clean",
+) -> DataFrame:
+    """Common-Crawl-style HTML-to-text extraction: drop <script>/<style>
+    blocks (content included), strip remaining tags, decode the basic
+    entities, collapse whitespace. All patterns are RE2-compatible
+    (non-greedy + (?s), no lookaround), so the DuckDB oracle runs the
+    identical regexes.
+
+    Pure columnar ``regexp_replace`` projections — zero shuffle; at 100 TB
+    this pipelines inside the scan stage (the same shape as ``pii_redact``/
+    ``c4_line_filter``: cleaning costs no data movement at all).
+
+    Adds (n_tags, ``out_col``) — ``n_tags`` counts markup tags removed
+    (script/style content is part of its enclosing tag pair's removal)."""
+    c = F.col(text_col)
+    noscript = F.regexp_replace(
+        F.regexp_replace(c, _HTML_SCRIPT_RE, " "), _HTML_STYLE_RE, " "
+    )
+    notags = F.regexp_replace(noscript, _HTML_TAG_RE, " ")
+    dec = notags
+    for ent, ch in _HTML_ENTITIES:
+        dec = F.regexp_replace(dec, re_escape_literal(ent), ch)
+    clean = F.trim(F.regexp_replace(dec, r"\s+", " "))
+    return df.select(
+        "*",
+        F.regexp_count(noscript, F.lit(_HTML_TAG_RE)).alias("n_tags"),
+        clean.alias(out_col),
+    )
+
+
+def re_escape_literal(s: str) -> str:
+    """Escape a literal for use in a regex (both Java and RE2)."""
+    import re as _re
+
+    return _re.escape(s)
+
+
+def duckdb_html_clean_sql(text_expr: str) -> str:
+    """DuckDB twin of ``html_clean``'s clean column (identical regex chain)."""
+    e = f"regexp_replace(regexp_replace({text_expr}, '{_HTML_SCRIPT_RE}', ' ', 'g'), '{_HTML_STYLE_RE}', ' ', 'g')"
+    e = f"regexp_replace({e}, '{_HTML_TAG_RE}', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        lit = ent.replace("#", "#")
+        ch_sql = ch.replace("'", "''")
+        e = f"regexp_replace({e}, '{re_escape_literal(lit)}', '{ch_sql}', 'g')"
+    return f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
+
+
+URL_RE = r"https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_%?=&+-]*)?"
+URL_DOMAIN_GROUP_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    blocked_suffixes: list[str] | None = None,
+) -> DataFrame:
+    """Per-domain URL census over a text corpus: extract every http(s) URL,
+    roll up to (domain, n_urls, n_docs, blocked) — the input for the
+    URL-blocklist / per-domain-cap filters web-scale curation runs before
+    anything else (C4 badlist, RefinedWeb domain rules).
+
+    Scale shape: extraction is a zero-shuffle scan projection
+    (``regexp_extract_all``); only (doc, domain) pairs shuffle into the
+    domain rollup (map-side combined). The blocklist is a literal suffix
+    test compiled into the projection — no blocklist join for a list this
+    size; a million-entry blocklist would become a broadcast join instead.
+    """
+    blocked = blocked_suffixes or []
+    doms = F.expr(
+        f"regexp_extract_all({text_col}, '{URL_DOMAIN_GROUP_RE}', 1)"
+    )
+    per_doc = df.select(F.explode(doms).alias("domain"))
+    is_blocked = F.lit(False)
+    for suf in blocked:
+        is_blocked = is_blocked | F.col("domain").endswith(suf)
+    n_docs_src = df.select(F.explode(F.array_distinct(doms)).alias("domain"))
+    urls = per_doc.groupBy("domain").agg(F.count("*").cast("bigint").alias("n_urls"))
+    docs = n_docs_src.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return urls.join(docs, "domain").select(
+        "domain", "n_urls", "n_docs", is_blocked.alias("blocked")
     )

@@ -211,6 +211,10 @@ ORACLE_PII = f"""
 WITH en AS (SELECT doc_id, {_ENRICH_SQL} AS txt FROM documents),
 red AS (
   SELECT doc_id, txt,
+         regexp_replace(txt, '{PII_EMAIL_RE}', '[EMAIL]', 'g') AS t_email,
+         regexp_replace(regexp_replace(txt,
+           '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+           '{PII_PHONE_RE}', '[PHONE]', 'g') AS t_phone,
          regexp_replace(regexp_replace(regexp_replace(txt,
            '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
            '{PII_PHONE_RE}', '[PHONE]', 'g'),
@@ -219,8 +223,8 @@ red AS (
 )
 SELECT doc_id,
        len(regexp_extract_all(txt, '{PII_EMAIL_RE}'))::INT AS n_emails,
-       len(regexp_extract_all(txt, '{PII_PHONE_RE}'))::INT AS n_phones,
-       len(regexp_extract_all(txt, '{PII_IP_RE}'))::INT AS n_ips,
+       len(regexp_extract_all(t_email, '{PII_PHONE_RE}'))::INT AS n_phones,
+       len(regexp_extract_all(t_phone, '{PII_IP_RE}'))::INT AS n_ips,
        md5(redacted) AS red_digest
 FROM red ORDER BY doc_id
 """
