@@ -43,6 +43,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     udf,
     vector,
     vector_extra,
+    web_extra,
 )
 
 
@@ -104,6 +105,7 @@ _MODULES = [
     basket_extra,  # likewise (2-itemset support/lift mining)
     spatial_extra,  # likewise (grid-bin ε-distance join)
     multimodal_extra,  # likewise (image dHash / audio fingerprint pairs)
+    web_extra,  # likewise (HTML extraction / URL census)
 ]
 
 

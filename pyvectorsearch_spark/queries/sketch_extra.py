@@ -262,14 +262,54 @@ FROM asg GROUP BY bin_idx ORDER BY bin_idx
 """
 
 
+def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct estimates, both regimes in one result: per-type
+    distinct USERS (~150 true << 2.5m — the linear-counting small-range
+    branch fires) unioned with per-type distinct EVENT IDS (thousands — the
+    raw harmonic estimator fires). The `harmonic_scaled` integer register
+    checksum pins the full register state, so the hash match proves the
+    sketch bit-identically, not just the rounded estimate."""
+    from pyvectorsearch_spark.operators.sketches import hll_distinct
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    users = hll_distinct(ev, by="event_type", value_col="user_id").select(
+        F.lit("users").alias("metric"), "*"
+    )
+    eids = hll_distinct(ev, by="event_type", value_col="event_id").select(
+        F.lit("event_ids").alias("metric"), "*"
+    )
+    return users.unionByName(eids).orderBy("metric", "event_type")
+
+
+def _hll_oracle() -> str:
+    from pyvectorsearch_spark.operators.sketches import duckdb_hll_sql
+
+    u = duckdb_hll_sql("events", "event_type", "user_id")
+    e = duckdb_hll_sql("events", "event_type", "event_id")
+    return f"""
+WITH u AS ({u}), e AS ({e})
+SELECT 'users' AS metric, grp AS event_type, n_distinct_exact, hll_estimate,
+       n_empty_registers, harmonic_scaled FROM u
+UNION ALL
+SELECT 'event_ids' AS metric, grp AS event_type, n_distinct_exact,
+       hll_estimate, n_empty_registers, harmonic_scaled FROM e
+ORDER BY metric, event_type
+"""
+
+
+ORACLE_SKETCH_HLL_USERS = _hll_oracle()
+
+
 QUERIES = {
     "sketch_kmv_users": q_sketch_kmv_users,
+    "sketch_hll_users": q_sketch_hll_users,
     "sketch_cms_terms": q_sketch_cms_terms,
     "sketch_hist_quantiles": q_sketch_hist_quantiles,
     "price_decile_bins": q_price_decile_bins,
 }
 ORACLES = {
     "sketch_kmv_users": ORACLE_SKETCH_KMV_USERS,
+    "sketch_hll_users": ORACLE_SKETCH_HLL_USERS,
     "sketch_cms_terms": ORACLE_SKETCH_CMS_TERMS,
     "sketch_hist_quantiles": ORACLE_SKETCH_HIST_QUANTILES,
     "price_decile_bins": ORACLE_PRICE_DECILE_BINS,

@@ -1,0 +1,98 @@
+"""Unit tests for the round-4 additions: HyperLogLog distinct sketch, HTML
+extraction, and the URL census (oracle-parity covers the registered queries;
+these pin operator semantics on hand-checkable inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.operators.sketches import HLL_M, hll_distinct
+from pyvectorsearch_spark.operators.textops import html_clean, url_stats
+
+
+def test_hll_small_range_is_linear_counting_and_accurate(spark):
+    # 50 distinct values << m=256: the linear-counting branch fires and is
+    # typically within a few percent at this load factor
+    df = spark.createDataFrame([("g", i) for i in range(50)], "g string, v int")
+    r = hll_distinct(df, by="g", value_col="v").collect()[0]
+    assert r["n_distinct_exact"] == 50
+    assert r["n_empty_registers"] > 0
+    assert abs(r["hll_estimate"] - 50) / 50 < 0.15
+
+
+def test_hll_raw_estimator_accuracy(spark):
+    # 5000 distinct >> m: the raw harmonic estimator fires; standard error
+    # is ~1.04/sqrt(256) = 6.5%, assert a generous 3-sigma band
+    df = spark.createDataFrame(
+        [("g", i) for i in range(5000)], "g string, v int"
+    )
+    r = hll_distinct(df, by="g", value_col="v").collect()[0]
+    assert r["n_distinct_exact"] == 5000
+    assert abs(r["hll_estimate"] - 5000) / 5000 < 0.20
+
+
+def test_hll_duplicate_insensitive(spark):
+    # the sketch is a function of the value SET: duplicates change nothing
+    once = spark.createDataFrame([("g", i) for i in range(300)], "g string, v int")
+    thrice = once.union(once).union(once)
+    a = hll_distinct(once, by="g", value_col="v").collect()[0]
+    b = hll_distinct(thrice, by="g", value_col="v").collect()[0]
+    assert a["harmonic_scaled"] == b["harmonic_scaled"]
+    assert a["hll_estimate"] == b["hll_estimate"]
+
+
+def test_hll_register_checksum_bounds(spark):
+    # every register empty except those hit: harmonic_scaled <= m * 2^45
+    df = spark.createDataFrame([("g", 1)], "g string, v int")
+    r = hll_distinct(df, by="g", value_col="v").collect()[0]
+    assert r["n_empty_registers"] == HLL_M - 1
+    assert r["harmonic_scaled"] < HLL_M * (1 << 45)
+
+
+def test_html_clean_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                '<html><body><h1>Hi</h1><p>a &amp; b &lt;c&gt;</p>'
+                "<script>drop()</script><style>x{}</style>ok</body></html>",
+            ),
+            (2, "no markup at all"),
+            (3, "&amp;lt; stays encoded once"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in html_clean(df).collect()}
+    assert rows[1].clean == 'Hi a & b <c> ok'
+    # html, body, h1, /h1, p, /p, /body, /html = 8 tags after script/style
+    # blocks (content included) are gone
+    assert rows[1].n_tags == 8
+    assert rows[2].clean == "no markup at all" and rows[2].n_tags == 0
+    # &amp; decodes last: '&amp;lt;' -> '&lt;' literally, never '<'
+    assert rows[3].clean == "&lt; stays encoded once"
+
+
+def test_html_clean_multiline_script(spark):
+    df = spark.createDataFrame(
+        [(1, "before<script>\nline1\nline2\n</script>after")],
+        "doc_id bigint, text string",
+    )
+    r = html_clean(df).collect()[0]
+    assert r.clean == "before after"
+
+
+def test_url_stats_counts_and_blocklist(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "go https://a.example.org/x and https://a.example.org/y"),
+            (2, "see https://a.example.org/z plus http://ads.bad.net/p"),
+            (3, "nothing here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.domain: r for r in url_stats(df, blocked_suffixes=[".bad.net"]).collect()}
+    assert out["a.example.org"].n_urls == 3
+    assert out["a.example.org"].n_docs == 2
+    assert out["a.example.org"].blocked is False
+    assert out["ads.bad.net"].n_urls == 1 and out["ads.bad.net"].blocked is True
+    assert set(out) == {"a.example.org", "ads.bad.net"}
