@@ -85,3 +85,124 @@ def dbscan(
     return labeled.unionByName(out_noise).select(
         F.col("p").alias(id_col), "role", "cluster"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-round Lloyd k-means over integer-quantized vectors — the canonical
+# curation clustering (cluster-balanced sampling, semantic sharding,
+# SemDeDup's first stage). Determinism ladder: (1) vectors quantize to
+# integer milli-units up front, so every distance is an EXACT bigint;
+# (2) argmin ties break on the smaller centroid id; (3) centroid updates
+# round half-up via pure integer arithmetic ((2S'+N) div (2N) on an
+# offset-shifted positive numerator), so every round is a bit-exact function
+# of the previous one in any engine — the oracle replays identical rounds as
+# CTE layers (the power-iteration-PCA pattern).
+#
+# Scale shape: per round, ONE zero-shuffle assignment pass (distances
+# against k*dim literal centroids inside the scan stage) and one
+# map-side-combined groupBy to k*dim sum cells; only those k*dim integers
+# reach the driver (constant footprint, the IVF-centroid pattern — at
+# k*dim beyond driver comfort, swap the collect for a broadcast-joined
+# centroid table without touching the round structure).
+# ---------------------------------------------------------------------------
+
+KM_SCALE = 1000  # milli-unit quantization
+KM_OFFSET = 100_000  # shifts update numerators positive (|q| << OFFSET)
+
+
+def _km_quantize(vec_col: str) -> F.Column:
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * KM_SCALE, 0).cast("bigint"),
+    )
+
+
+def _km_assign(base: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Append (_c, _d2): nearest centroid id and its exact integer squared
+    distance. Centroids are literals — the pass is a scan-stage projection."""
+    d2s = []
+    for ci, cv in enumerate(cents):
+        arr = F.array(*[F.lit(int(v)).cast("bigint") for v in cv])
+        d2s.append(
+            F.aggregate(
+                F.zip_with(F.col("_q"), arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ).alias(f"_d2_{ci}")
+        )
+    withd = base.select("*", *d2s)
+    best = F.least(*[F.col(f"_d2_{ci}") for ci in range(len(cents))])
+    c = F.lit(None).cast("int")
+    # first centroid achieving the min wins (ids ascend) — build the CASE
+    # from the last id backwards so earlier WHENs take precedence
+    for ci in reversed(range(len(cents))):
+        c = F.when(F.col(f"_d2_{ci}") == best, F.lit(ci)).otherwise(c)
+    return withd.select(
+        "_id", "_q", c.alias("_c"), best.alias("_d2")
+    )
+
+
+def kmeans_fixed(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    rounds: int = 2,
+) -> DataFrame:
+    """Fixed-``rounds`` Lloyd k-means, engine-exact end to end.
+
+    Init: the quantized vectors of the ``k`` smallest ids. Each round:
+    exact-integer argmin assignment, then integer round-half-up centroid
+    means (empty clusters keep their previous centroid). After the last
+    update a final assignment labels every point.
+
+    Returns one row per cluster: (cluster, n_members, inertia,
+    members_xor) — ``inertia`` the exact bigint sum of squared quantized
+    distances, ``members_xor`` the order-independent 52-bit-md5 XOR of the
+    member ids (pins the exact partition, the ``audit_checksums`` trick).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), _km_quantize(vec_col).alias("_q")
+    )
+    init = base.orderBy("_id").limit(k).collect()
+    cents = [list(r["_q"]) for r in init]
+    dim = len(cents[0])
+    for _ in range(rounds):
+        assigned = _km_assign(base, cents)
+        sums = (
+            assigned.select("_c", F.posexplode("_q").alias("_d", "_v"))
+            .groupBy("_c", "_d")
+            .agg(
+                F.sum("_v").cast("bigint").alias("_s"),
+                F.count("*").cast("bigint").alias("_n"),
+            )
+            .collect()
+        )
+        cell = {(r["_c"], r["_d"]): (r["_s"], r["_n"]) for r in sums}
+        new_cents = []
+        for ci in range(k):
+            cv = []
+            for d in range(dim):
+                if (ci, d) in cell:
+                    s, n = cell[(ci, d)]
+                    sp = s + n * KM_OFFSET  # positive numerator
+                    cv.append((2 * sp + n) // (2 * n) - KM_OFFSET)
+                else:  # empty cluster: keep previous centroid
+                    cv.append(cents[ci][d])
+            new_cents.append(cv)
+        cents = new_cents
+    final = _km_assign(base, cents)
+    h = F.conv(F.substring(F.md5(F.col("_id").cast("string")), 1, 13), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        final.select("_c", "_d2", h.alias("_h"))
+        .groupBy("_c")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("_d2").cast("bigint").alias("inertia"),
+            F.expr("bit_xor(_h)").cast("bigint").alias("members_xor"),
+        )
+        .select(F.col("_c").alias("cluster"), "n_members", "inertia", "members_xor")
+    )

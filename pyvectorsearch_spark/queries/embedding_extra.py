@@ -305,16 +305,96 @@ FROM w10 w, n10 n
 ORDER BY j
 """
 
+KM_K = 8
+KM_ROUNDS = 2
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-2-round Lloyd k-means over the integer-quantized embeddings
+    (k=8, init = the 8 smallest vec_ids): per-cluster sizes, exact bigint
+    inertia, and the order-independent member-id XOR — the full partition is
+    hash-checked because every round is engine-exact integer arithmetic
+    (the unrolled-round oracle replays identical CTE layers)."""
+    from pyvectorsearch_spark.operators.clustering import kmeans_fixed
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return kmeans_fixed(
+        emb, id_col="vec_id", vec_col="embedding", k=KM_K, rounds=KM_ROUNDS
+    ).orderBy("cluster")
+
+
+def _kmeans_oracle(k: int, rounds: int, dim: int) -> str:
+    """Unrolled-round DuckDB twin of ``kmeans_fixed`` (same quantization,
+    argmin tie-break, and integer round-half-up centroid update)."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (q.qv[i]-cc.cv[i])*(q.qv[i]-cc.cv[i])))"
+    )
+    parts = [f"""
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv AS cv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k})
+)"""]
+    for r in range(rounds):
+        parts.append(f"""
+a{r} AS (
+  SELECT vec_id, qv, c, d2 FROM (
+    SELECT vec_id, qv, c, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM (SELECT q.vec_id, q.qv, cc.c, {d2} AS d2 FROM q, c{r} cc)
+  ) WHERE rn = 1
+),
+u{r} AS (
+  SELECT c, t.i AS d, sum(qv[t.i])::BIGINT AS s, count(*)::BIGINT AS n
+  FROM a{r}, range(1, {dim + 1}) t(i) GROUP BY c, t.i
+),
+c{r + 1} AS (
+  SELECT cc.c,
+         list(CASE WHEN u.s IS NULL THEN cc.cv[t.i]
+              ELSE ((2*(u.s + u.n*100000) + u.n) // (2*u.n)) - 100000 END
+              ORDER BY t.i) AS cv
+  FROM c{r} cc CROSS JOIN range(1, {dim + 1}) t(i)
+  LEFT JOIN u{r} u ON u.c = cc.c AND u.d = t.i
+  GROUP BY cc.c
+)""")
+    parts.append(f"""
+afin AS (
+  SELECT vec_id, c, d2 FROM (
+    SELECT vec_id, c, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM (SELECT q.vec_id, cc.c, {d2} AS d2 FROM q, c{rounds} cc)
+  ) WHERE rn = 1
+)""")
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT c AS cluster, count(*)::BIGINT AS n_members, sum(d2)::BIGINT AS inertia,
+       bit_xor(('0x' || substr(md5(vec_id::VARCHAR), 1, 13))::BIGINT)::BIGINT
+         AS members_xor
+FROM afin GROUP BY c ORDER BY cluster
+"""
+
+
+ORACLE_EMBEDDING_KMEANS = _kmeans_oracle(KM_K, KM_ROUNDS, DIM)
+
 
 QUERIES = {
     "embedding_top_component": q_embedding_top_component,
     "embedding_outliers": q_embedding_outliers,
     "embedding_negatives": q_embedding_negatives,
     "embedding_drift": q_embedding_drift,
+    "embedding_kmeans": q_embedding_kmeans,
 }
 ORACLES = {
     "embedding_top_component": ORACLE_TOP_COMPONENT,
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "embedding_negatives": ORACLE_EMBEDDING_NEGATIVES,
     "embedding_drift": ORACLE_EMBEDDING_DRIFT,
+    "embedding_kmeans": ORACLE_EMBEDDING_KMEANS,
 }

@@ -96,3 +96,52 @@ def test_url_stats_counts_and_blocklist(spark):
     assert out["a.example.org"].blocked is False
     assert out["ads.bad.net"].n_urls == 1 and out["ads.bad.net"].blocked is True
     assert set(out) == {"a.example.org", "ads.bad.net"}
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+
+
+def test_kmeans_two_blobs(spark):
+    from pyvectorsearch_spark.operators.clustering import kmeans_fixed
+
+    # two tight, well-separated 2-d blobs; ids 0/1 (one in each blob) seed
+    # the centroids, so Lloyd must recover the blobs exactly
+    blob_a = [(i, [0.1 + 0.001 * i, 0.1]) for i in range(0, 10, 2)]
+    blob_b = [(i, [0.9 + 0.001 * i, 0.9]) for i in range(1, 11, 2)]
+    df = _vec_df(spark, blob_a + blob_b)
+    out = kmeans_fixed(df, id_col="vec_id", vec_col="v", k=2, rounds=2).collect()
+    sizes = sorted(r["n_members"] for r in out)
+    assert sizes == [5, 5]
+    # tight blobs -> tiny within-cluster inertia
+    assert all(r["inertia"] < 1000 for r in out)
+
+
+def test_kmeans_inertia_nonincreasing(spark):
+    from pyvectorsearch_spark.operators.clustering import kmeans_fixed
+
+    from pyvectorsearch_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    tot = {}
+    for rounds in (1, 2, 3):
+        out = kmeans_fixed(
+            emb, id_col="vec_id", vec_col="embedding", k=4, rounds=rounds
+        ).collect()
+        tot[rounds] = sum(r["inertia"] for r in out)
+    # Lloyd monotonicity (integer rounding can add ~per-dim slack; allow it)
+    assert tot[2] <= tot[1] + 64
+    assert tot[3] <= tot[2] + 64
+
+
+def test_kmeans_empty_cluster_survives(spark):
+    from pyvectorsearch_spark.operators.clustering import kmeans_fixed
+
+    # three seeds but only two real locations: one cluster may end empty —
+    # the run must not error and the members must still sum to the input
+    rows = [(0, [0.0, 0.0]), (1, [0.001, 0.0]), (2, [1.0, 1.0]),
+            (3, [0.0, 0.001]), (4, [1.0, 0.999])]
+    df = _vec_df(spark, rows)
+    out = kmeans_fixed(df, id_col="vec_id", vec_col="v", k=3, rounds=2).collect()
+    assert sum(r["n_members"] for r in out) == 5
