@@ -142,29 +142,9 @@ def _km_assign(base: DataFrame, cents: list[list[int]]) -> DataFrame:
     )
 
 
-def kmeans_fixed(
-    df: DataFrame,
-    *,
-    id_col: str,
-    vec_col: str,
-    k: int = 8,
-    rounds: int = 2,
-) -> DataFrame:
-    """Fixed-``rounds`` Lloyd k-means, engine-exact end to end.
-
-    Init: the quantized vectors of the ``k`` smallest ids. Each round:
-    exact-integer argmin assignment, then integer round-half-up centroid
-    means (empty clusters keep their previous centroid). After the last
-    update a final assignment labels every point.
-
-    Returns one row per cluster: (cluster, n_members, inertia,
-    members_xor) — ``inertia`` the exact bigint sum of squared quantized
-    distances, ``members_xor`` the order-independent 52-bit-md5 XOR of the
-    member ids (pins the exact partition, the ``audit_checksums`` trick).
-    """
-    base = df.select(
-        F.col(id_col).alias("_id"), _km_quantize(vec_col).alias("_q")
-    )
+def _km_train(base: DataFrame, k: int, rounds: int) -> list[list[int]]:
+    """Run the Lloyd rounds, returning the final centroids (k x dim ints).
+    Each round collects only the k*dim sum cells (constant footprint)."""
     init = base.orderBy("_id").limit(k).collect()
     cents = [list(r["_q"]) for r in init]
     dim = len(cents[0])
@@ -192,7 +172,61 @@ def kmeans_fixed(
                     cv.append(cents[ci][d])
             new_cents.append(cv)
         cents = new_cents
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    rounds: int = 2,
+    _internal: bool = False,
+) -> DataFrame:
+    """Per-point cluster labels from the same fixed-round Lloyd training as
+    ``kmeans_fixed``: returns (``_id``, ``_q``, ``_c``, ``_d2``) when
+    ``_internal`` (for the rollup) else (``id_col``, cluster, d2) — the
+    assignment surface cluster-balanced sampling / semantic sharding builds
+    on. The final labeling pass is a zero-shuffle projection against k*dim
+    literal centroids."""
+    base = df.select(
+        F.col(id_col).alias("_id"), _km_quantize(vec_col).alias("_q")
+    )
+    cents = _km_train(base, k, rounds)
     final = _km_assign(base, cents)
+    if _internal:
+        return final
+    return final.select(
+        F.col("_id").alias(id_col),
+        F.col("_c").alias("cluster"),
+        F.col("_d2").alias("d2"),
+    )
+
+
+def kmeans_fixed(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    rounds: int = 2,
+) -> DataFrame:
+    """Fixed-``rounds`` Lloyd k-means, engine-exact end to end.
+
+    Init: the quantized vectors of the ``k`` smallest ids. Each round:
+    exact-integer argmin assignment, then integer round-half-up centroid
+    means (empty clusters keep their previous centroid). After the last
+    update a final assignment labels every point.
+
+    Returns one row per cluster: (cluster, n_members, inertia,
+    members_xor) — ``inertia`` the exact bigint sum of squared quantized
+    distances, ``members_xor`` the order-independent 52-bit-md5 XOR of the
+    member ids (pins the exact partition, the ``audit_checksums`` trick).
+    """
+    final = kmeans_assign(
+        df, id_col=id_col, vec_col=vec_col, k=k, rounds=rounds, _internal=True
+    )
     h = F.conv(F.substring(F.md5(F.col("_id").cast("string")), 1, 13), 16, 10).cast(
         "bigint"
     )

@@ -309,3 +309,56 @@ def kcore_peel(
         .filter(F.col("deg") >= k)
         .select(F.col("a").alias("node"), "deg")
     )
+
+
+def mutual_knn_pairs(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Mutual (reciprocal) kNN graph: the pairs (a, b) where b is among a's
+    k nearest neighbors AND a is among b's — the standard symmetric-graph
+    construction for kNN-based clustering/dedup (a much higher-precision
+    edge set than the one-directional kNN graph, which hub nodes pollute).
+
+    Determinism: neighbor ranking orders by (dist, id) with the fixed-fold
+    ``l2_sq`` distance, so ranks are engine-exact and the oracle replays the
+    same window. Returns (d1, d2, rank_ab, rank_ba, dist_r), d1 < d2.
+
+    Scale shape: the directed kNN here is the exhaustive self-join twin
+    (correctness anchor, oracle-checkable); at corpus scale feed the same
+    mutualization join from the blocked/IVF kNN instead — the second phase
+    (edge ⋈ reversed-edge on the two ids, then a<b) is one equi-join on the
+    k·n directed-edge table regardless of how the edges were produced.
+    """
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.functions.vector import l2_sq
+
+    a = vectors.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"))
+    d = (
+        a.join(b, F.col("_ia") != F.col("_ib"))
+        .withColumn("_dist", l2_sq("_va", "_vb"))
+        .select("_ia", "_ib", "_dist")
+    )
+    w = Window.partitionBy("_ia").orderBy(F.asc("_dist"), F.asc("_ib"))
+    e = d.withColumn("_rnk", F.row_number().over(w)).filter(F.col("_rnk") <= k)
+    e1 = e.select(
+        F.col("_ia").alias("d1"),
+        F.col("_ib").alias("d2"),
+        F.col("_rnk").alias("rank_ab"),
+        F.col("_dist").alias("_dab"),
+    )
+    e2 = e.select(
+        F.col("_ib").alias("d1"),
+        F.col("_ia").alias("d2"),
+        F.col("_rnk").alias("rank_ba"),
+    )
+    return (
+        e1.join(e2, ["d1", "d2"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "rank_ab", "rank_ba", F.round("_dab", 6).alias("dist_r"))
+    )

@@ -105,3 +105,48 @@ def interpolate_gaps(
         F.round(interp, round_dp).alias("filled"),
         v.isNull().cast("int").alias("was_gap"),
     )
+
+
+def sweep_peak_concurrency(
+    intervals: DataFrame,
+    *,
+    start_col: str,
+    end_col: str,
+    bucket_col_fn=None,
+) -> DataFrame:
+    """Sweep-line peak concurrency over [start, end) intervals: how many are
+    simultaneously open at each boundary date, rolled up to the per-bucket
+    (e.g. monthly) peak and its earliest attainment date.
+
+    Scale shape: the classic delta-collapse — intervals reduce map-side to
+    per-date (+opens, -closes) deltas BEFORE any ordered scan, so the
+    running-sum window orders the distinct-date table only (dates-sized,
+    thousands of rows for years of data), never the fact table. The single-
+    partition window over that tiny table is deliberate and bounded — the
+    same shape as ``hist_quantiles``'s cumulative walk.
+
+    Returns (bucket, peak_concurrent, peak_date) with
+    bucket = ``bucket_col_fn(date)`` (default: month truncation).
+    """
+    from pyspark.sql import Window
+
+    if bucket_col_fn is None:
+        bucket_col_fn = lambda c: F.date_trunc("month", c).cast("date")  # noqa: E731
+    opens = intervals.select(F.col(start_col).alias("d"), F.lit(1).alias("delta"))
+    closes = intervals.select(F.col(end_col).alias("d"), F.lit(-1).alias("delta"))
+    deltas = (
+        opens.unionByName(closes)
+        .groupBy("d")
+        .agg(F.sum("delta").cast("bigint").alias("net"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = deltas.select("d", F.sum("net").over(w).alias("open_now"))
+    bucketed = cum.select(bucket_col_fn(F.col("d")).alias("bucket"), "d", "open_now")
+    peak = bucketed.groupBy("bucket").agg(F.max("open_now").alias("peak_concurrent"))
+    first = (
+        bucketed.join(peak, "bucket")
+        .filter(F.col("open_now") == F.col("peak_concurrent"))
+        .groupBy("bucket", "peak_concurrent")
+        .agg(F.min("d").alias("peak_date"))
+    )
+    return first.select("bucket", "peak_concurrent", "peak_date")

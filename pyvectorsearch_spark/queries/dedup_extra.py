@@ -24,8 +24,8 @@ from pyvectorsearch_spark.operators.dedup import (
     angular_bucket_model,
     embedding_dup_pairs_bucketed,
 )
-from pyvectorsearch_spark.queries.dedup import MIN_COSINE
-from pyvectorsearch_spark.sources.tables import dataset_tag, load_table
+from pyvectorsearch_spark.queries.dedup import BANDS, MIN_COSINE, N_HASHES
+from pyvectorsearch_spark.sources.tables import dataset_tag, load_table, spread
 
 
 def q_dedup_embedding_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,3 +758,103 @@ ORACLE_DEDUP_KCORE = _oracle_kcore()
 
 QUERIES.update({"dedup_kcore": q_dedup_kcore})
 ORACLES.update({"dedup_kcore": ORACLE_DEDUP_KCORE})
+
+
+# --- MinHash estimator accuracy -------------------------------------------
+
+MH_ACC_THRESHOLD = 0.25  # low cut so genuinely-mid pairs are in the report
+
+
+def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-vs-truth accuracy report: for every LSH candidate pair at a
+    low signature-estimate cut, the 16-component signature estimate, the
+    EXACT shingle Jaccard, and the absolute error — the eval that tells you
+    whether the (n_hashes, bands) operating point is trustworthy before you
+    dedup 100 TB with it. The eval itself is hash-checked (the sq8-recall
+    pattern: both the approximation and the truth are SQL-expressible).
+
+    Scale shape: LSH candidates as usual; the exact side joins the pair
+    list (candidates, not the corpus square) back to per-doc distinct
+    shingle SETS, so exact verification touches only candidate pairs."""
+    from pyvectorsearch_spark.functions.text import shingles, tokens
+    from pyvectorsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, threshold=MH_ACC_THRESHOLD
+    )
+    ss = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(shingles(tokens("text"), 3)).alias("sset"),
+    ).filter(F.size("sset") > 0)
+    s1 = ss.select(F.col("doc_id").alias("d1"), F.col("sset").alias("ss1"))
+    s2 = ss.select(F.col("doc_id").alias("d2"), F.col("sset").alias("ss2"))
+    inter = F.size(F.array_intersect("ss1", "ss2")).cast("double")
+    uni = (F.size("ss1") + F.size("ss2") - F.size(F.array_intersect("ss1", "ss2"))).cast(
+        "double"
+    )
+    exact = inter / uni
+    est = F.round("est_jaccard", 6)
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            est.alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - F.round(exact, 6)), 6).alias("abs_err"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+def _minhash_accuracy_oracle() -> str:
+    from pyvectorsearch_spark.queries.dedup import (
+        _BAND_KEY,
+        _SH,
+        _SIG,
+        _TOK,
+    )
+
+    rows = N_HASHES // BANDS  # noqa: F841 — _BAND_KEY already bakes it in
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+sh AS (SELECT doc_id, {_SH} AS s FROM toks WHERE len({_SH}) > 0),
+sig AS (SELECT doc_id, {_SIG} AS sig FROM sh),
+sset AS (SELECT doc_id, list_distinct(s) AS ss FROM sh),
+banded AS (
+  SELECT doc_id, b, md5({_BAND_KEY}) AS bkey
+  FROM sig, unnest(range(0, {BANDS})) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT d1, d2,
+         round(list_sum(list_transform(range(1, {N_HASHES + 1}),
+                  i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END))
+           / {float(N_HASHES)}, 6) AS est_jaccard
+  FROM cand JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id
+),
+ex AS (
+  SELECT d1, d2, est_jaccard,
+         round(len(list_intersect(a.ss, b.ss))
+               / (len(a.ss) + len(b.ss)
+                  - len(list_intersect(a.ss, b.ss)))::DOUBLE, 6)
+           AS exact_jaccard
+  FROM est JOIN sset a ON d1 = a.doc_id JOIN sset b ON d2 = b.doc_id
+  WHERE est_jaccard >= {MH_ACC_THRESHOLD}
+)
+SELECT d1, d2, est_jaccard, exact_jaccard,
+       round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+FROM ex ORDER BY d1, d2
+"""
+
+
+ORACLE_DEDUP_MINHASH_ACCURACY = _minhash_accuracy_oracle()
+
+QUERIES.update({"dedup_minhash_accuracy": q_dedup_minhash_accuracy})
+ORACLES.update({"dedup_minhash_accuracy": ORACLE_DEDUP_MINHASH_ACCURACY})

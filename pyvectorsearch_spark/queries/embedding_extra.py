@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyvectorsearch_spark.functions.vector import duckdb_dot
+from pyvectorsearch_spark.functions.vector import duckdb_dot, duckdb_l2_sq
 from pyvectorsearch_spark.operators.embeddings import centroid_outliers
 from pyvectorsearch_spark.sources.tables import load_table, spread
 
@@ -371,9 +371,12 @@ afin AS (
     FROM (SELECT q.vec_id, cc.c, {d2} AS d2 FROM q, c{rounds} cc)
   ) WHERE rn = 1
 )""")
-    body = ",".join(parts)
+    return ",".join(parts)
+
+
+def _kmeans_oracle_final(k: int, rounds: int, dim: int) -> str:
     return f"""
-WITH {body}
+WITH {_kmeans_oracle(k, rounds, dim)}
 SELECT c AS cluster, count(*)::BIGINT AS n_members, sum(d2)::BIGINT AS inertia,
        bit_xor(('0x' || substr(md5(vec_id::VARCHAR), 1, 13))::BIGINT)::BIGINT
          AS members_xor
@@ -381,7 +384,97 @@ FROM afin GROUP BY c ORDER BY cluster
 """
 
 
-ORACLE_EMBEDDING_KMEANS = _kmeans_oracle(KM_K, KM_ROUNDS, DIM)
+ORACLE_EMBEDDING_KMEANS = _kmeans_oracle_final(KM_K, KM_ROUNDS, DIM)
+
+
+MKNN_K = 5
+
+
+def q_knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual (reciprocal) k=5 NN graph over the embeddings: symmetric
+    high-precision edge set for kNN clustering; ranks are engine-exact
+    ((dist, id) ordering over the fixed-fold l2_sq distance)."""
+    from pyvectorsearch_spark.operators.graph import mutual_knn_pairs
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return mutual_knn_pairs(
+        emb, id_col="vec_id", vec_col="embedding", k=MKNN_K
+    ).orderBy("d1", "d2")
+
+
+_MK_L2 = duckdb_l2_sq("a.embedding", "b.embedding", DIM)
+
+ORACLE_KNN_MUTUAL_GRAPH = f"""
+WITH d AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {_MK_L2} AS dist
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id
+),
+e AS (
+  SELECT ia, ib, dist,
+         row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rnk
+  FROM d QUALIFY rnk <= {MKNN_K}
+)
+SELECT e1.ia AS d1, e1.ib AS d2, e1.rnk AS rank_ab, e2.rnk AS rank_ba,
+       round(e1.dist, 6) AS dist_r
+FROM e e1 JOIN e e2 ON e1.ia = e2.ib AND e1.ib = e2.ia
+WHERE e1.ia < e1.ib
+ORDER BY d1, d2
+"""
+
+
+SCB_M = 16
+
+
+def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling (the DataComp/SemDeDup-style diversity
+    lever): k-means-label the embedding space, then keep a fixed per-cluster
+    quota ranked by deterministic md5 — so dense regions stop dominating the
+    mixture. Per-cluster totals, sampled counts, and the sampled-id XOR are
+    hash-checked; the sample itself is reproducible (same corpus -> same
+    sample)."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.clustering import kmeans_assign
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    asg = kmeans_assign(
+        emb, id_col="vec_id", vec_col="embedding", k=KM_K, rounds=KM_ROUNDS
+    )
+    h = F.md5(F.col("vec_id").cast("string"))
+    w = Window.partitionBy("cluster").orderBy(h, F.col("vec_id"))
+    ranked = asg.withColumn("_sr", F.row_number().over(w))
+    hx = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 13), 16, 10
+        ).cast("bigint")
+    return (
+        ranked.groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum((F.col("_sr") <= SCB_M).cast("bigint")).alias("n_sampled"),
+            F.expr(
+                f"bit_xor(CASE WHEN _sr <= {SCB_M} THEN "
+                "conv(substring(md5(CAST(vec_id AS STRING)), 1, 13), 16, 10) "
+                "ELSE 0 END)"
+            ).cast("bigint").alias("sample_xor"),
+        )
+        .orderBy("cluster")
+    )
+
+
+ORACLE_SAMPLE_CLUSTER_BALANCED = f"""
+WITH {_kmeans_oracle(KM_K, KM_ROUNDS, DIM)},
+smp AS (
+  SELECT c, vec_id,
+         row_number() OVER (
+           PARTITION BY c ORDER BY md5(vec_id::VARCHAR), vec_id) AS sr
+  FROM afin
+)
+SELECT c AS cluster, count(*)::BIGINT AS n_total,
+       sum(CASE WHEN sr <= {SCB_M} THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+       bit_xor(CASE WHEN sr <= {SCB_M}
+               THEN ('0x' || substr(md5(vec_id::VARCHAR), 1, 13))::BIGINT
+               ELSE 0 END)::BIGINT AS sample_xor
+FROM smp GROUP BY c ORDER BY cluster
+"""
 
 
 QUERIES = {
@@ -390,6 +483,8 @@ QUERIES = {
     "embedding_negatives": q_embedding_negatives,
     "embedding_drift": q_embedding_drift,
     "embedding_kmeans": q_embedding_kmeans,
+    "knn_mutual_graph": q_knn_mutual_graph,
+    "sample_cluster_balanced": q_sample_cluster_balanced,
 }
 ORACLES = {
     "embedding_top_component": ORACLE_TOP_COMPONENT,
@@ -397,4 +492,6 @@ ORACLES = {
     "embedding_negatives": ORACLE_EMBEDDING_NEGATIVES,
     "embedding_drift": ORACLE_EMBEDDING_DRIFT,
     "embedding_kmeans": ORACLE_EMBEDDING_KMEANS,
+    "knn_mutual_graph": ORACLE_KNN_MUTUAL_GRAPH,
+    "sample_cluster_balanced": ORACLE_SAMPLE_CLUSTER_BALANCED,
 }

@@ -746,6 +746,57 @@ ORDER BY event_type
 """
 
 
+
+def q_fulfillment_peak_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: how many line items were simultaneously
+    open (ordered but not yet shipped) at the monthly peak, and the earliest
+    date the peak was hit. The fact table collapses map-side to per-date
+    deltas before the only ordered scan (dates-sized)."""
+    from pyvectorsearch_spark.operators.timeseries import sweep_peak_concurrency
+
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("e")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("s")
+    )
+    iv = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("s") < F.col("e")
+    )
+    out = sweep_peak_concurrency(iv, start_col="s", end_col="e")
+    # dates stringified on both sides: DuckDB DATE surfaces as pandas
+    # Timestamp, Spark's as datetime.date (the retention-cohort precedent)
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        "peak_concurrent",
+        F.date_format("peak_date", "yyyy-MM-dd").alias("peak_date"),
+    ).orderBy("bucket")
+
+
+ORACLE_FULFILLMENT_PEAK = """
+WITH iv AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS s, CAST(l.l_shipdate AS DATE) AS e
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(o.o_orderdate AS DATE) < CAST(l.l_shipdate AS DATE)
+),
+dl AS (
+  SELECT d, sum(delta)::BIGINT AS net FROM (
+    SELECT s AS d, 1 AS delta FROM iv
+    UNION ALL SELECT e AS d, -1 AS delta FROM iv
+  ) GROUP BY d
+),
+c AS (SELECT d, sum(net) OVER (ORDER BY d)::BIGINT AS open_now FROM dl),
+b AS (SELECT date_trunc('month', d)::DATE AS bucket, d, open_now FROM c),
+p AS (
+  SELECT bucket, max(open_now)::BIGINT AS peak_concurrent FROM b GROUP BY bucket
+)
+SELECT CAST(b.bucket AS VARCHAR) AS bucket, p.peak_concurrent,
+       CAST(min(b.d) AS VARCHAR) AS peak_date
+FROM b JOIN p ON b.bucket = p.bucket AND b.open_now = p.peak_concurrent
+GROUP BY b.bucket, p.peak_concurrent
+ORDER BY b.bucket
+"""
+
 QUERIES = {
     "events_trend": q_events_trend,
     "events_changepoint": q_events_changepoint,
@@ -758,6 +809,7 @@ QUERIES = {
     "events_anomalies": q_events_anomalies,
     "events_hopping": q_events_hopping,
     "events_ewma": q_events_ewma,
+    "fulfillment_peak_monthly": q_fulfillment_peak_monthly,
 }
 ORACLES = {
     "events_trend": ORACLE_EVENTS_TREND,
@@ -771,4 +823,5 @@ ORACLES = {
     "events_anomalies": ORACLE_ANOMALIES,
     "events_hopping": ORACLE_HOPPING,
     "events_ewma": ORACLE_EVENTS_EWMA,
+    "fulfillment_peak_monthly": ORACLE_FULFILLMENT_PEAK,
 }
