@@ -240,3 +240,59 @@ def kmeans_fixed(
         )
         .select(F.col("_c").alias("cluster"), "n_members", "inertia", "members_xor")
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-center selection (Gonzalez 1985, the 2-approximation): start
+    from the smallest id; each round add the point FARTHEST from its nearest
+    already-chosen center (ties → smallest id). The classic coreset /
+    data-pruning selector — maximal coverage of the embedding space with k
+    exemplars, the diversity-first dual of ``sample_cluster_balanced``.
+
+    Engine-exact via the same milli-unit quantization as ``kmeans_fixed``:
+    every min-distance is an exact bigint, every argmax tie-breaks on id, so
+    the full selection ORDER is deterministic and the oracle unrolls the k
+    rounds as CTE layers.
+
+    Scale shape: k-1 rounds of one zero-shuffle distance projection against
+    ≤ k literal centers + one TakeOrdered(1) job (the global argmax); only
+    the k chosen rows ever reach the driver.
+
+    Returns (sel_order, ``id_col``, far_d2) — ``far_d2`` the exact squared
+    quantized distance that made the point the farthest (0 for the seed).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), _km_quantize(vec_col).alias("_q")
+    )
+    seed = base.orderBy("_id").limit(1).collect()[0]
+    chosen = [(1, seed["_id"], list(seed["_q"]), 0)]
+    for r in range(2, k + 1):
+        d2s = []
+        for _, _, cv, _ in chosen:
+            arr = F.array(*[F.lit(int(v)).cast("bigint") for v in cv])
+            d2s.append(
+                F.aggregate(
+                    F.zip_with(F.col("_q"), arr, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("bigint"),
+                    lambda a, v: a + v,
+                )
+            )
+        dmin = d2s[0] if len(d2s) == 1 else F.least(*d2s)
+        far = (
+            base.select("_id", "_q", dmin.alias("_dmin"))
+            .orderBy(F.desc("_dmin"), F.asc("_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((r, far["_id"], list(far["_q"]), int(far["_dmin"])))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(o, i, d) for (o, i, _, d) in chosen],
+        f"sel_order int, {id_col} bigint, far_d2 bigint",
+    )

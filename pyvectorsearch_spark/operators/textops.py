@@ -1111,3 +1111,48 @@ def url_stats(
     return urls.join(docs, "domain").select(
         "domain", "n_urls", "n_docs", is_blocked.alias("blocked")
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 32,
+) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al. 2009): each token hashes
+    to one of ``dim`` buckets with a ± sign drawn from the next hash bit (the
+    unbiasing trick), per-doc signed counts summed per bucket — the fixed-
+    width featurizer for linear probes over unbounded vocabularies (no
+    vocabulary table, no OOV).
+
+    Determinism: bucket and sign come from the 52-bit md5, so the vector is
+    a pure function of the token multiset; the digest pins every component
+    in bucket order. Scale shape: explode → map-side-combined
+    groupBy(doc, bucket) → per-doc assembly; the shuffle carries (doc,
+    bucket, partial-count) rows, never raw tokens twice.
+
+    Returns (``id_col``, nnz, l1_norm, vec_digest)."""
+    h = F.conv(F.substring(F.md5(F.col("_t")), 1, 13), 16, 10).cast("bigint")
+    e = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t"))
+    hb = e.select(
+        "_id",
+        (h % dim).alias("_b"),
+        F.when((h / dim).cast("bigint") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("_sgn"),
+    )
+    cells = hb.groupBy("_id", "_b").agg(F.sum("_sgn").cast("bigint").alias("_c"))
+    nz = cells.filter(F.col("_c") != 0)
+    vec_str = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_b", "_c"))),
+            lambda s: F.concat(s["_b"].cast("string"), F.lit(":"), s["_c"].cast("string")),
+        ),
+        ",",
+    )
+    return nz.groupBy("_id").agg(
+        F.count("*").cast("bigint").alias("nnz"),
+        F.sum(F.abs("_c")).cast("bigint").alias("l1_norm"),
+        F.md5(vec_str).alias("vec_digest"),
+    ).select(F.col("_id").alias(id_col), "nnz", "l1_norm", "vec_digest")

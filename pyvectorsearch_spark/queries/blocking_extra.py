@@ -175,11 +175,145 @@ GROUP BY source ORDER BY source
 ORACLE_SN = _oracle_sn()
 
 
+
+# --- Fellegi-Sunter record linkage ----------------------------------------
+# Fixed m/u agreement weights (log2(m/u) literals, rounded to 4 dp so the
+# three-term score sum is engine-exact): name (m=.9, u=.001), balance-within-
+# 50-cents (m=.8, u=.05), market segment (m=.95, u=.2).
+FS_W = {
+    "name": (9.8138, -3.3205),
+    "bal": (4.0, -2.2479),
+    "seg": (2.2479, -4.0),
+}
+FS_LINK = 10.0
+FS_POSSIBLE = 0.0
+
+
+def q_er_customer_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (the ER scoring model,
+    1969): a planted dirty source B (every 5th customer re-keyed with a
+    mangled name and a rounded balance) is linked back to source A inside
+    nation blocks. Field agreements (normalized name, balance within 50
+    cents — integer-cents exact, segment) weight by fixed log2(m/u)
+    literals; pairs classify link / possible / non-link. Only nation-blocked
+    candidates are scored (never the corpus square); the output keeps every
+    non-'non-link' pair, hash-checked with its agreement pattern and
+    rounded score."""
+    cust = spread(load_table(spark, sf_dir, "customer"))
+    a = cust.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_nationkey").alias("nk"),
+        F.lower(F.regexp_replace("c_name", "[^A-Za-z0-9]", "")).alias("a_name"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("a_cents"),
+        F.col("c_mktsegment").alias("a_seg"),
+    )
+    b1 = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("b_key"),
+        F.col("c_nationkey").alias("nk"),
+        F.concat(
+            F.lower(F.regexp_replace("c_name", "[^A-Za-z0-9]", "")), F.lit("inc")
+        ).alias("b_name"),
+        (F.round(F.col("c_acctbal")) * 100).cast("bigint").alias("b_cents"),
+        F.col("c_mktsegment").alias("b_seg"),
+    )
+    # second dirty stratum: unrecognizable name, exact balance, same segment
+    # -> lands in the 'possible' review band (name_d + bal_a + seg_a > 0)
+    b2 = cust.filter(F.col("c_custkey") % 7 == 3).select(
+        (F.col("c_custkey") + 2000000).alias("b_key"),
+        F.col("c_nationkey").alias("nk"),
+        F.concat(F.lit("anon"), F.col("c_custkey").cast("string")).alias("b_name"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("b_cents"),
+        F.col("c_mktsegment").alias("b_seg"),
+    )
+    b = b1.unionByName(b2)
+    cand = a.join(b, "nk")
+    name_agree = (
+        (F.col("a_name") == F.col("b_name"))
+        | (F.concat(F.col("a_name"), F.lit("inc")) == F.col("b_name"))
+        | (F.col("a_name") == F.concat(F.col("b_name"), F.lit("inc")))
+    )
+    bal_agree = F.abs(F.col("a_cents") - F.col("b_cents")) <= 50
+    seg_agree = F.col("a_seg") == F.col("b_seg")
+
+    def w(flag, key):
+        agree, disagree = FS_W[key]
+        return F.when(flag, F.lit(agree)).otherwise(F.lit(disagree))
+
+    score = F.round(
+        w(name_agree, "name") + w(bal_agree, "bal") + w(seg_agree, "seg"), 4
+    )
+    klass = (
+        F.when(score >= FS_LINK, F.lit("link"))
+        .when(score >= FS_POSSIBLE, F.lit("possible"))
+        .otherwise(F.lit("non-link"))
+    )
+    return (
+        cand.select(
+            "a_key",
+            "b_key",
+            name_agree.alias("name_agree"),
+            bal_agree.alias("bal_agree"),
+            seg_agree.alias("seg_agree"),
+            score.alias("score_r"),
+            klass.alias("klass"),
+        )
+        .filter(F.col("klass") != "non-link")
+        .orderBy("a_key", "b_key")
+    )
+
+
+ORACLE_ER_LINKAGE = f"""
+WITH a AS (
+  SELECT c_custkey AS a_key, c_nationkey AS nk,
+         lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) AS a_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS a_cents,
+         c_mktsegment AS a_seg
+  FROM customer
+),
+b AS (
+  SELECT c_custkey + 1000000 AS b_key, c_nationkey AS nk,
+         lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || 'inc'
+           AS b_name,
+         CAST(round(c_acctbal) * 100 AS BIGINT) AS b_cents,
+         c_mktsegment AS b_seg
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey + 2000000 AS b_key, c_nationkey AS nk,
+         'anon' || c_custkey AS b_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS b_cents,
+         c_mktsegment AS b_seg
+  FROM customer WHERE c_custkey % 7 = 3
+),
+sc AS (
+  SELECT a_key, b_key,
+         (a_name = b_name OR a_name || 'inc' = b_name
+          OR a_name = b_name || 'inc') AS name_agree,
+         (abs(a_cents - b_cents) <= 50) AS bal_agree,
+         (a_seg = b_seg) AS seg_agree
+  FROM a JOIN b USING (nk)
+),
+w AS (
+  SELECT a_key, b_key, name_agree, bal_agree, seg_agree,
+         round(CASE WHEN name_agree THEN 9.8138 ELSE -3.3205 END
+             + CASE WHEN bal_agree THEN 4.0 ELSE -2.2479 END
+             + CASE WHEN seg_agree THEN 2.2479 ELSE -4.0 END, 4) AS score_r
+  FROM sc
+)
+SELECT a_key, b_key, name_agree, bal_agree, seg_agree, score_r,
+       CASE WHEN score_r >= 10.0 THEN 'link'
+            WHEN score_r >= 0.0 THEN 'possible'
+            ELSE 'non-link' END AS klass
+FROM w WHERE score_r >= 0.0
+ORDER BY a_key, b_key
+"""
+
 QUERIES = {
     "bloom_semijoin_stats": q_bloom_semijoin_stats,
     "sorted_neighborhood_stats": q_sorted_neighborhood_stats,
+    "er_customer_linkage": q_er_customer_linkage,
 }
 ORACLES = {
     "bloom_semijoin_stats": ORACLE_BLOOM,
     "sorted_neighborhood_stats": ORACLE_SN,
+    "er_customer_linkage": ORACLE_ER_LINKAGE,
 }

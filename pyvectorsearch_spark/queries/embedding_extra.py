@@ -443,8 +443,6 @@ def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.md5(F.col("vec_id").cast("string"))
     w = Window.partitionBy("cluster").orderBy(h, F.col("vec_id"))
     ranked = asg.withColumn("_sr", F.row_number().over(w))
-    hx = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 13), 16, 10
-        ).cast("bigint")
     return (
         ranked.groupBy("cluster")
         .agg(
@@ -477,6 +475,58 @@ FROM smp GROUP BY c ORDER BY cluster
 """
 
 
+KC_K = 8
+
+
+def q_sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embeddings (k=8): the exact
+    selection ORDER and each round's farthest squared distance are
+    hash-checked against an oracle that unrolls the identical rounds."""
+    from pyvectorsearch_spark.operators.clustering import kcenter_coreset
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return kcenter_coreset(
+        emb, id_col="vec_id", vec_col="embedding", k=KC_K
+    ).orderBy("sel_order")
+
+
+def _kcenter_oracle(k: int, dim: int) -> str:
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (q.qv[i]-cc.qv[i])*(q.qv[i]-cc.qv[i])))"
+    )
+    parts = [f"""
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cen1 AS (
+  SELECT 1 AS ord, vec_id, qv, 0::BIGINT AS far
+  FROM q ORDER BY vec_id LIMIT 1
+)"""]
+    for r in range(2, k + 1):
+        parts.append(f"""
+d{r} AS (
+  SELECT q.vec_id, q.qv, min({d2})::BIGINT AS dmin
+  FROM q, cen{r - 1} cc GROUP BY q.vec_id, q.qv
+),
+pick{r} AS (
+  SELECT {r} AS ord, vec_id, qv, dmin AS far
+  FROM d{r} ORDER BY dmin DESC, vec_id LIMIT 1
+),
+cen{r} AS (SELECT * FROM cen{r - 1} UNION ALL SELECT * FROM pick{r})""")
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT ord AS sel_order, vec_id, far AS far_d2 FROM cen{k} ORDER BY ord
+"""
+
+
+ORACLE_SAMPLE_KCENTER = _kcenter_oracle(KC_K, DIM)
+
+
 QUERIES = {
     "embedding_top_component": q_embedding_top_component,
     "embedding_outliers": q_embedding_outliers,
@@ -485,6 +535,7 @@ QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
     "knn_mutual_graph": q_knn_mutual_graph,
     "sample_cluster_balanced": q_sample_cluster_balanced,
+    "sample_kcenter_coreset": q_sample_kcenter_coreset,
 }
 ORACLES = {
     "embedding_top_component": ORACLE_TOP_COMPONENT,
@@ -494,4 +545,5 @@ ORACLES = {
     "embedding_kmeans": ORACLE_EMBEDDING_KMEANS,
     "knn_mutual_graph": ORACLE_KNN_MUTUAL_GRAPH,
     "sample_cluster_balanced": ORACLE_SAMPLE_CLUSTER_BALANCED,
+    "sample_kcenter_coreset": ORACLE_SAMPLE_KCENTER,
 }

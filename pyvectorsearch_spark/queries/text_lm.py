@@ -593,6 +593,67 @@ SELECT rnk, ta, tb, n_pair, pmi FROM r WHERE rnk <= {PMI_TOP} ORDER BY rnk
 """
 
 
+
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per source,
+    split documents into head/middle/tail thirds by the corpus-trained
+    bigram-LM score (best scores first; ntile ties follow the engine-exact
+    (score, doc_id) order), reporting per-bucket counts, score band, and the
+    member-id XOR. Head buckets feed training mixtures at full weight,
+    tails get downsampled — the standard quality-mixture lever.
+
+    Scale note: ntile ranks per source (one ordered partition per source,
+    the bounded-cardinality caveat documented on ``hist_quantiles``); at
+    petabyte scale swap the rank for a histogram cut over the same scores.
+    """
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lm = bigram_lm_score(docs, smooth=LM_SMOOTH)
+    src = docs.select("doc_id", "source")
+    joined = lm.join(src, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    tiled = joined.withColumn("bucket", F.ntile(3).over(w))
+    return (
+        tiled.groupBy("source", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("avg_logprob").alias("best_logprob"),
+            F.min("avg_logprob").alias("worst_logprob"),
+            F.expr(
+                "bit_xor(CAST(conv(substring(md5(CAST(doc_id AS STRING)),"
+                " 1, 13), 16, 10) AS BIGINT))"
+            ).cast("bigint").alias("members_xor"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+_LM_CTE = ORACLE_BIGRAM_LM.strip().removeprefix("WITH ").rsplit("SELECT doc_id, sum(tf)", 1)[0].rstrip().rstrip(",")
+
+ORACLE_CCNET_BUCKETS = f"""
+WITH {_LM_CTE},
+lm AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+         round(round(sum(c), 6) / sum(tf), 6) AS avg_logprob
+  FROM sc GROUP BY doc_id
+),
+tiled AS (
+  SELECT d.source, lm.doc_id, lm.avg_logprob,
+         ntile(3) OVER (PARTITION BY d.source
+                        ORDER BY lm.avg_logprob DESC, lm.doc_id ASC) AS bucket
+  FROM lm JOIN documents d USING (doc_id)
+)
+SELECT source, bucket, count(*)::BIGINT AS n_docs,
+       max(avg_logprob) AS best_logprob,
+       min(avg_logprob) AS worst_logprob,
+       bit_xor(('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT)::BIGINT
+         AS members_xor
+FROM tiled GROUP BY source, bucket ORDER BY source, bucket
+"""
+
 QUERIES = {
     "text_pmi_pairs": q_text_pmi_pairs,
     "text_bpe_encode": q_text_bpe_encode,
@@ -600,6 +661,7 @@ QUERIES = {
     "text_boilerplate": q_text_boilerplate,
     "text_top_terms": q_text_top_terms,
     "text_bigram_lm": q_text_bigram_lm,
+    "text_ccnet_buckets": q_text_ccnet_buckets,
     "text_c4_clean": q_text_c4_clean,
     "text_zipf": q_text_zipf,
 }
@@ -610,6 +672,7 @@ ORACLES = {
     "text_boilerplate": ORACLE_TEXT_BOILERPLATE,
     "text_top_terms": ORACLE_TOP_TERMS,
     "text_bigram_lm": ORACLE_BIGRAM_LM,
+    "text_ccnet_buckets": ORACLE_CCNET_BUCKETS,
     "text_c4_clean": ORACLE_C4_CLEAN,
     "text_zipf": ORACLE_TEXT_ZIPF,
 }

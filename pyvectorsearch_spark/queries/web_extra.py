@@ -137,11 +137,52 @@ ORDER BY u.domain
 """
 
 
+FH_DIM = 32
+
+
+def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization of every document (32 buckets, signed):
+    nnz, L1 mass, and a digest pinning every component in bucket order —
+    the vocabulary-free fixed-width featurizer, hash-checked end to end."""
+    from pyvectorsearch_spark.operators.textops import feature_hash
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return feature_hash(docs, dim=FH_DIM).orderBy("doc_id")
+
+
+def _fh_oracle() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_tokens
+
+    h = "('0x' || substr(md5(t), 1, 13))::BIGINT"
+    return f"""
+WITH e AS (
+  SELECT doc_id, unnest({duckdb_tokens("text")}) AS t FROM documents
+),
+hb AS (
+  SELECT doc_id, {h} % {FH_DIM} AS b,
+         CASE WHEN ({h} // {FH_DIM}) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM e
+),
+cells AS (
+  SELECT doc_id, b, sum(sgn)::BIGINT AS c FROM hb GROUP BY doc_id, b
+),
+nz AS (SELECT * FROM cells WHERE c != 0)
+SELECT doc_id, count(*)::BIGINT AS nnz, sum(abs(c))::BIGINT AS l1_norm,
+       md5(string_agg(b || ':' || c, ',' ORDER BY b)) AS vec_digest
+FROM nz GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLE_TEXT_FEATURE_HASHING = _fh_oracle()
+
+
 QUERIES = {
     "text_html_clean": q_text_html_clean,
     "text_url_stats": q_text_url_stats,
+    "text_feature_hashing": q_text_feature_hashing,
 }
 ORACLES = {
     "text_html_clean": ORACLE_TEXT_HTML_CLEAN,
     "text_url_stats": ORACLE_TEXT_URL_STATS,
+    "text_feature_hashing": ORACLE_TEXT_FEATURE_HASHING,
 }
