@@ -1113,3 +1113,89 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("d1", "d2", "n_common", "containment")
     )
+
+
+def incremental_dedup_delta(
+    corpus: DataFrame,
+    delta: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Production-shape incremental dedup: screen a NEW batch against the
+    existing corpus without ever re-pairing the corpus with itself. Two
+    stages, both delta-driven:
+
+    1. exact: md5 digest anti-screen (delta digests vs corpus digest set);
+    2. near: MinHash band keys of the exact survivors equi-join the CORPUS
+       band table — candidates are (delta x corpus) bucket collisions only,
+       then the signature estimate applies the usual threshold.
+
+    Scale shape: the corpus side contributes one digest groupBy and one
+    band table (both corpus-sized but REUSABLE artifacts across batches —
+    persist them and each new batch costs only its own hashing plus the
+    bucket joins); the O(corpus²) self-pair space is never touched, which
+    is the whole point: daily-batch dedup at 100 TB re-pairs ~0.1% of the
+    pair volume a full re-run would.
+
+    Returns one row per delta doc: (``id_col``, verdict, match_id) with
+    verdict ∈ {exact_dup, near_dup, unique}; ``match_id`` the smallest
+    matching corpus id (NULL for unique). Delta docs may match multiple
+    corpus docs — the min keeps the report one-row-per-doc."""
+    c_dig = corpus.select(
+        F.md5(F.col(text_col)).alias("_digest"),
+        F.col(id_col).alias("_cid"),
+    ).groupBy("_digest").agg(F.min("_cid").alias("_cid"))
+    d_dig = delta.select(F.col(id_col).alias("_did"), F.md5(F.col(text_col)).alias("_digest"))
+    exact = d_dig.join(c_dig, "_digest").select(
+        "_did", F.col("_cid").alias("_match")
+    ).groupBy("_did").agg(F.min("_match").alias("_match"))
+
+    survivors = delta.join(
+        exact.select(F.col("_did").alias(id_col)), id_col, "left_anti"
+    )
+    c_sig = minhash_signatures(
+        corpus, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes
+    ).withColumnRenamed(id_col, "_cid")
+    d_sig = minhash_signatures(
+        survivors, id_col=id_col, text_col=text_col, n=n, n_hashes=n_hashes
+    ).withColumnRenamed(id_col, "_did")
+    rows = n_hashes // bands
+    c_band = c_sig.select(
+        "_cid", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
+    ).select("_cid", "bk.band", "bk.bkey")
+    d_band = d_sig.select(
+        "_did", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
+    ).select("_did", "bk.band", "bk.bkey")
+    cand = d_band.join(c_band, ["band", "bkey"]).select("_did", "_cid").distinct()
+    est = F.expr(
+        "aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1, 0)), 0, "
+        "(acc, v) -> acc + v)"
+    ) / float(n_hashes)
+    near = (
+        cand.join(d_sig.select("_did", F.col("sig").alias("sig1")), "_did")
+        .join(c_sig.select("_cid", F.col("sig").alias("sig2")), "_cid")
+        .withColumn("_est", est)
+        .filter(F.col("_est") >= threshold)
+        .groupBy("_did")
+        .agg(F.min("_cid").alias("_match"))
+    )
+    d_ids = delta.select(F.col(id_col).alias("_did"))
+    verdict = (
+        F.when(F.col("_ex").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("_nr").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("unique"))
+    )
+    return (
+        d_ids.join(exact.withColumnRenamed("_match", "_ex"), "_did", "left")
+        .join(near.withColumnRenamed("_match", "_nr"), "_did", "left")
+        .select(
+            F.col("_did").alias(id_col),
+            verdict.alias("verdict"),
+            F.coalesce("_ex", "_nr").alias("match_id"),
+        )
+    )

@@ -371,16 +371,42 @@ def hll_distinct(
     exact distinct at this fixture scale; at 100 TB drop it and keep the
     register table only).
     """
+    reg = hll_registers(df, by=by, value_col=value_col)
+    per = hll_fold(reg, by=by)
+    exact = (
+        df.select(F.col(by), F.col(value_col).alias("_v"))
+        .distinct()
+        .groupBy(by)
+        .agg(F.count("*").cast("bigint").alias("n_distinct_exact"))
+    )
+    return exact.join(per, by).select(
+        by,
+        "n_distinct_exact",
+        "hll_estimate",
+        "n_empty_registers",
+        "harmonic_scaled",
+    )
+
+
+def hll_registers(df: DataFrame, *, by: str, value_col: str) -> DataFrame:
+    """The mergeable HLL state: (``by``, _j, _mj) register maxima — the
+    groupBy is exactly what a streaming complete-mode aggregate holds."""
     h = _hll_hash_int(F.col(value_col))
     j = h.bitwiseAND(F.lit(HLL_M - 1))
     w = (h / HLL_M).cast("bigint")  # arithmetic shift right p bits (h >= 0)
-    # rank = trailing zeros of w + 1 (von Mises-style bit trick: w & -w is
-    # the lowest set bit; bit_count(lowbit - 1) counts the zeros below it)
+    # rank = trailing zeros of w + 1 (bit trick: w & -w is the lowest set
+    # bit; bit_count(lowbit - 1) counts the zeros below it)
     rank = F.when(w == 0, F.lit(HLL_RANK_MAX)).otherwise(
         F.bit_count(w.bitwiseAND(-w) - 1) + 1
     )
     d = df.select(F.col(by), j.alias("_j"), rank.alias("_rank"))
-    reg = d.groupBy(by, "_j").agg(F.max("_rank").alias("_mj"))
+    return d.groupBy(by, "_j").agg(F.max("_rank").alias("_mj"))
+
+
+def hll_fold(reg: DataFrame, *, by: str) -> DataFrame:
+    """Registers → estimate: (``by``, hll_estimate, n_empty_registers,
+    harmonic_scaled). Pure fold over the m-rows-per-group state — usable on
+    a drained streaming register table exactly as on a batch one."""
     per = reg.groupBy(by).agg(
         F.count("*").cast("bigint").alias("_n_present"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RANK_MAX} - _mj)"))
@@ -398,15 +424,8 @@ def hll_distinct(
         (raw <= 2.5 * HLL_M) & (v > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
     ).otherwise(raw)
-    exact = (
-        df.select(F.col(by), F.col(value_col).alias("_v"))
-        .distinct()
-        .groupBy(by)
-        .agg(F.count("*").cast("bigint").alias("n_distinct_exact"))
-    )
-    return exact.join(per, by).select(
+    return per.select(
         by,
-        "n_distinct_exact",
         F.round(est, 3).alias("hll_estimate"),
         v.alias("n_empty_registers"),
         s.alias("harmonic_scaled"),

@@ -24,7 +24,7 @@ from pyvectorsearch_spark.operators.dedup import (
     angular_bucket_model,
     embedding_dup_pairs_bucketed,
 )
-from pyvectorsearch_spark.queries.dedup import BANDS, MIN_COSINE, N_HASHES
+from pyvectorsearch_spark.queries.dedup import BANDS, LSH_THRESHOLD, MIN_COSINE, N_HASHES
 from pyvectorsearch_spark.sources.tables import dataset_tag, load_table, spread
 
 
@@ -858,3 +858,98 @@ ORACLE_DEDUP_MINHASH_ACCURACY = _minhash_accuracy_oracle()
 
 QUERIES.update({"dedup_minhash_accuracy": q_dedup_minhash_accuracy})
 ORACLES.update({"dedup_minhash_accuracy": ORACLE_DEDUP_MINHASH_ACCURACY})
+
+
+# --- incremental delta dedup ----------------------------------------------
+
+
+def q_dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup (the daily-ingest shape): corpus =
+    doc_id % 5 != 0; delta = the % 5 == 0 slice plus re-keyed copies of the
+    % 7 == 0 corpus docs (planted exact dups). Every delta doc gets a
+    verdict (exact_dup / near_dup / unique) and its smallest matching corpus
+    id; the corpus pair space is never touched. All three verdicts fire at
+    sf0.01 (57 / 40 / 60)."""
+    from pyvectorsearch_spark.operators.dedup import incremental_dedup_delta
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    nat = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    planted = corpus.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    delta = nat.unionByName(planted)
+    return incremental_dedup_delta(corpus, delta, threshold=LSH_THRESHOLD).orderBy(
+        "doc_id"
+    )
+
+
+def _incremental_delta_oracle() -> str:
+    from pyvectorsearch_spark.queries.dedup import (
+        _BAND_KEY,
+        _SH,
+        _SIG,
+        _TOK,
+        LSH_THRESHOLD,
+    )
+
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+delta AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 != 0 AND doc_id % 7 = 0
+),
+cdig AS (SELECT md5(text) AS dg, min(doc_id) AS cid FROM corpus GROUP BY dg),
+ex AS (
+  SELECT d.doc_id AS did, min(c.cid) AS m
+  FROM delta d JOIN cdig c ON md5(d.text) = c.dg GROUP BY did
+),
+surv AS (
+  SELECT * FROM delta WHERE doc_id NOT IN (SELECT did FROM ex)
+),
+ctoks AS (SELECT doc_id, {_TOK} AS t FROM corpus),
+csh AS (SELECT doc_id, {_SH} AS s FROM ctoks WHERE len({_SH}) > 0),
+csig AS (SELECT doc_id, {_SIG} AS sig FROM csh),
+dtoks AS (SELECT doc_id, {_TOK} AS t FROM surv),
+dsh AS (SELECT doc_id, {_SH} AS s FROM dtoks WHERE len({_SH}) > 0),
+dsig AS (SELECT doc_id, {_SIG} AS sig FROM dsh),
+cband AS (
+  SELECT doc_id AS cid, b, md5({_BAND_KEY}) AS bkey
+  FROM csig, unnest(range(0, {BANDS})) AS u(b)
+),
+dband AS (
+  SELECT doc_id AS did, b, md5({_BAND_KEY}) AS bkey
+  FROM dsig, unnest(range(0, {BANDS})) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT d.did, c.cid
+  FROM dband d JOIN cband c ON d.b = c.b AND d.bkey = c.bkey
+),
+est AS (
+  SELECT did, cid,
+         list_sum(list_transform(range(1, {N_HASHES + 1}),
+                  i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END))
+           / {float(N_HASHES)} AS e
+  FROM cand JOIN dsig s1 ON did = s1.doc_id JOIN csig s2 ON cid = s2.doc_id
+),
+near AS (
+  SELECT did, min(cid) AS m FROM est WHERE e >= {LSH_THRESHOLD} GROUP BY did
+)
+SELECT d.doc_id,
+       CASE WHEN ex.m IS NOT NULL THEN 'exact_dup'
+            WHEN near.m IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS verdict,
+       coalesce(ex.m, near.m) AS match_id
+FROM delta d
+LEFT JOIN ex ON d.doc_id = ex.did
+LEFT JOIN near ON d.doc_id = near.did
+ORDER BY d.doc_id
+"""
+
+
+ORACLE_DEDUP_INCREMENTAL_DELTA = _incremental_delta_oracle()
+
+QUERIES.update({"dedup_incremental_delta": q_dedup_incremental_delta})
+ORACLES.update({"dedup_incremental_delta": ORACLE_DEDUP_INCREMENTAL_DELTA})

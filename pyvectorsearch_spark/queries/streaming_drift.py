@@ -86,5 +86,65 @@ def q_events_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"events_psi_stream": q_events_psi_stream}
-ORACLES = {"events_psi_stream": ORACLE_EVENTS_PSI}
+def q_events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch built BY THE STREAMING ENGINE: the
+    stateful complete-mode aggregate holds exactly the mergeable HLL state
+    (per-(event_type, register) rank maxima — m rows/group, the textbook
+    bounded-state streaming distinct), drained after the multi-batch
+    arrival; the estimate fold runs on the drained registers. Same
+    hash/register/estimator ladder as `sketch_hll_users`, so a batch SQL
+    oracle verifies the streamed sketch bit-for-bit."""
+    import uuid as _uuid
+
+    from pyvectorsearch_spark.operators.sketches import (
+        HLL_M,
+        HLL_RANK_MAX,
+        hll_fold,
+    )
+
+    path = _events_landing(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    j = h.bitwiseAND(F.lit(HLL_M - 1))
+    w = (h / HLL_M).cast("bigint")
+    rank = F.when(w == 0, F.lit(HLL_RANK_MAX)).otherwise(
+        F.bit_count(w.bitwiseAND(-w) - 1) + 1
+    )
+    reg = (
+        stream.select("event_type", j.alias("_j"), rank.alias("_rank"))
+        .groupBy("event_type", "_j")
+        .agg(F.max("_rank").alias("_mj"))
+    )
+    name = f"events_hll_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        reg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return hll_fold(spark.table(name), by="event_type").orderBy("event_type")
+
+
+def _hll_stream_oracle() -> str:
+    from pyvectorsearch_spark.operators.sketches import duckdb_hll_sql
+
+    inner = duckdb_hll_sql("events", "event_type", "user_id")
+    return f"""
+WITH u AS ({inner})
+SELECT grp AS event_type, hll_estimate, n_empty_registers, harmonic_scaled
+FROM u ORDER BY event_type
+"""
+
+
+ORACLE_EVENTS_HLL_STREAM = _hll_stream_oracle()
+
+
+QUERIES = {"events_psi_stream": q_events_psi_stream,
+           "events_hll_stream": q_events_hll_stream}
+ORACLES = {"events_psi_stream": ORACLE_EVENTS_PSI,
+           "events_hll_stream": ORACLE_EVENTS_HLL_STREAM}

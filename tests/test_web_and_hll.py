@@ -145,3 +145,45 @@ def test_kmeans_empty_cluster_survives(spark):
     df = _vec_df(spark, rows)
     out = kmeans_fixed(df, id_col="vec_id", vec_col="v", k=3, rounds=2).collect()
     assert sum(r["n_members"] for r in out) == 5
+
+
+def test_incremental_dedup_delta_verdicts(spark):
+    from pyvectorsearch_spark.operators.dedup import incremental_dedup_delta
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "totally different words entirely here now ok fine"),
+        ],
+        "doc_id bigint, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),  # exact of 1
+            (11, "one two three four five six seven eight XXXX"),  # near of 2
+            (12, "nothing in common with anything in the corpus at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in incremental_dedup_delta(corpus, delta, threshold=0.3).collect()
+    }
+    assert out[10] == ("exact_dup", 1)
+    assert out[11][0] == "near_dup" and out[11][1] == 2
+    assert out[12] == ("unique", None)
+
+
+def test_incremental_dedup_exact_wins_over_near(spark):
+    from pyvectorsearch_spark.operators.dedup import incremental_dedup_delta
+
+    # a delta doc that exactly matches corpus doc 5 AND near-matches doc 1
+    # must report exact_dup with the exact match id
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(1, text + " extra"), (5, text)], "doc_id bigint, text string"
+    )
+    delta = spark.createDataFrame([(9, text)], "doc_id bigint, text string")
+    r = incremental_dedup_delta(corpus, delta, threshold=0.3).collect()[0]
+    assert (r["verdict"], r["match_id"]) == ("exact_dup", 5)
