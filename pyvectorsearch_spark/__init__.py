@@ -124,3 +124,25 @@ from pyvectorsearch_spark.operators.linalg import (  # noqa: F401
 )
 from pyvectorsearch_spark.operators.incremental import delta_join_counts  # noqa: F401
 from pyvectorsearch_spark.operators.textops import bpe_learn  # noqa: F401
+from pyvectorsearch_spark.operators.sketches import (  # noqa: F401
+    hll_distinct,
+    hll_fold,
+    hll_registers,
+)
+from pyvectorsearch_spark.operators.textops import (  # noqa: F401
+    feature_hash,
+    html_clean,
+    url_stats,
+)
+from pyvectorsearch_spark.operators.clustering import (  # noqa: F401
+    kcenter_coreset,
+    kmeans_assign,
+    kmeans_fixed,
+)
+from pyvectorsearch_spark.operators.graph import mutual_knn_pairs  # noqa: F401
+from pyvectorsearch_spark.operators.timeseries import (  # noqa: F401
+    sweep_peak_concurrency,
+)
+from pyvectorsearch_spark.operators.dedup import (  # noqa: F401
+    incremental_dedup_delta,
+)

@@ -766,6 +766,60 @@ class GridIndex:
         )
         return merged.filter(F.col("n_in_range") > 0)
 
+    def box(
+        self,
+        queries: DataFrame,
+        *,
+        query_id: str = "query_id",
+        lo_col: str = "qlo",
+        hi_col: str = "qhi",
+        payload: Iterable[str] = (),
+    ) -> DataFrame:
+        """Axis-aligned box search: every point with qlo_c <= x_c <= qhi_c
+        on all axes — the rectangular companion the reference's ball-only
+        API lacks (its geometry supports it directly: cells are boxes, so
+        classification is per-axis interval overlap instead of the
+        point-to-box distance of pktree.hpp:1129-1162).
+
+        Driver-mode candidate selection (same regime as :meth:`range`'s
+        driver path): per-query overlapping cells from the stats table,
+        then ONE partition-pruned scan + containment filter; cells wholly
+        inside every query box could skip the filter (the accept-whole
+        shortcut) — kept filtered for a single plan shape, correctness-
+        neutral. A distributed twin would swap the numpy classification for
+        per-axis interval predicates on the broadcast stats join, exactly
+        as ``_box_bounds_expr`` does for balls.
+
+        Returns (query_id, neighbor_id, *payload)."""
+        q_rows = queries.select(query_id, lo_col, hi_col).collect()
+        wanted: set[str] = set()
+        for r in q_rows:
+            qlo = np.asarray(list(r[1]), dtype=np.float64)
+            qhi = np.asarray(list(r[2]), dtype=np.float64)
+            for cell, level, coords, _cnt in self.stats:
+                clo, chi = self._cell_box(level, coords)
+                if bool(np.all(clo <= qhi) and np.all(qlo <= chi)):
+                    wanted.add(cell)
+        pruned = self.df.filter(F.col("cell").isin(list(wanted)))
+        qs = queries.select(
+            F.col(query_id).alias("_qid"),
+            F.col(lo_col).alias("_qlo"),
+            F.col(hi_col).alias("_qhi"),
+        )
+        inside = F.forall(
+            F.zip_with(F.col(self.vec_col), F.col("_qlo"), lambda x, l: x >= l),
+            lambda b: b,
+        ) & F.forall(
+            F.zip_with(F.col(self.vec_col), F.col("_qhi"), lambda x, h: x <= h),
+            lambda b: b,
+        )
+        cols = [
+            F.col("_qid").alias(query_id),
+            F.col(self.id_col).alias("neighbor_id"),
+            *[F.col(c) for c in payload],
+        ]
+        return pruned.crossJoin(F.broadcast(qs)).filter(inside).select(*cols)
+
     # ---------------- persistence ----------------
 
     def write(

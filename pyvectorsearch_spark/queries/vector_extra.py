@@ -714,3 +714,57 @@ FROM ranked WHERE rank <= {SI_K}
 
 QUERIES.update({"knn_stream_ingested": q_knn_stream_ingested})
 ORACLES.update({"knn_stream_ingested": ORACLE_KNN_STREAM_INGESTED})
+
+
+# --- axis-aligned box search ----------------------------------------------
+
+BOX_PROBES = 10
+BOX_HALF = 0.12  # half-width of each probe's query box
+
+
+def q_range_box_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis-aligned box search through the grid index (the rectangular
+    companion the reference's ball-only API lacks; cells are boxes, so
+    classification is per-axis interval overlap). Probes are boxes of
+    half-width 0.12 centered on the first 10 vectors; exact ⇒ plain SQL
+    containment oracle."""
+    from pyvectorsearch_spark.index.grid import GridIndex
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("p2", F.slice("embedding", 1, 2))
+        .select("vec_id", "p2")
+    )
+    probes = emb.filter(F.col("vec_id") < BOX_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("p2", lambda x: x - BOX_HALF).alias("qlo"),
+        F.transform("p2", lambda x: x + BOX_HALF).alias("qhi"),
+    )
+    idx = build_or_load(
+        spark,
+        f"grid2d_occ16_{dataset_tag(sf_dir, 'embeddings')}",
+        load=GridIndex.load,
+        build=lambda: GridIndex.build(
+            emb, vec_col="p2", id_col="vec_id", target_occupancy=16
+        ),
+    )
+    return idx.box(probes).orderBy("query_id", "neighbor_id")
+
+
+ORACLE_RANGE_BOX_GRID = f"""
+WITH base AS (SELECT vec_id, embedding[1:2] AS p2 FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(p2, x -> x - {BOX_HALF!r}) AS qlo,
+         list_transform(p2, x -> x + {BOX_HALF!r}) AS qhi
+  FROM base WHERE vec_id < {BOX_PROBES}
+)
+SELECT q.query_id, e.vec_id AS neighbor_id
+FROM q CROSS JOIN base e
+WHERE e.p2[1] >= q.qlo[1] AND e.p2[1] <= q.qhi[1]
+  AND e.p2[2] >= q.qlo[2] AND e.p2[2] <= q.qhi[2]
+ORDER BY query_id, neighbor_id
+"""
+
+QUERIES.update({"range_box_grid": q_range_box_grid})
+ORACLES.update({"range_box_grid": ORACLE_RANGE_BOX_GRID})

@@ -187,3 +187,26 @@ def test_incremental_dedup_exact_wins_over_near(spark):
     delta = spark.createDataFrame([(9, text)], "doc_id bigint, text string")
     r = incremental_dedup_delta(corpus, delta, threshold=0.3).collect()[0]
     assert (r["verdict"], r["match_id"]) == ("exact_dup", 5)
+
+
+def test_grid_box_search_semantics(spark):
+    from pyvectorsearch_spark.index.grid import GridIndex
+
+    rows = [(i, [float(i) / 10.0, float(i) / 10.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<float>")
+    idx = GridIndex.build(df, vec_col="v", id_col="vec_id", target_occupancy=4)
+    probes = spark.createDataFrame(
+        [
+            (1, [0.15, 0.15], [0.45, 0.45]),  # points 2,3,4
+            (2, [5.0, 5.0], [6.0, 6.0]),      # empty
+            (3, [-1.0, -1.0], [2.0, 2.0]),    # everything
+        ],
+        "query_id bigint, qlo array<float>, qhi array<float>",
+    )
+    out = idx.box(probes).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert got[1] == {2, 3, 4}
+    assert 2 not in got
+    assert got[3] == set(range(10))
