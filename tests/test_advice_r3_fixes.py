@@ -100,3 +100,50 @@ def test_triangle_stats_uncanonical_input(spark):
     assert row["n_triangles"] == 1
     assert row["n_wedges"] == 5
     assert row["gcc_r"] == 0.6
+
+
+# --- property: pigeonhole completeness over arbitrary 64-bit hash sets -----
+
+from hypothesis import HealthCheck, given, settings as hyp_settings, strategies as st
+
+_hash64 = st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
+
+
+@given(
+    hashes=st.lists(_hash64, min_size=2, max_size=10, unique=True),
+    flips=st.sets(st.integers(min_value=0, max_value=63), min_size=0, max_size=3),
+)
+@hyp_settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hamming_bucketed_lossless_property(spark, hashes, flips):
+    """Property: for ANY 64-bit hash set (negative longs included) plus one
+    planted neighbor within max_hamming=3 flips, the pigeonhole join finds
+    exactly the brute-force pair set — the lossless guarantee the chunk-sign
+    fix restored."""
+    base = hashes[0]
+    planted = base
+    for b in flips:
+        planted ^= 1 << b
+    planted = planted - (1 << 64) if planted >= (1 << 63) else planted
+    vals = list(hashes)
+    if planted not in vals:
+        vals.append(planted)
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id bigint, h bigint")
+    got = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in hamming_pairs_bucketed(
+            df, id_col="id", hash_col="h", bits=64, max_hamming=3
+        ).collect()
+    }
+    want = set()
+    for i, a in rows:
+        for j, b in rows:
+            if i < j:
+                d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+                if d <= 3:
+                    want.add((i, j, d))
+    assert got == want

@@ -210,3 +210,50 @@ def test_grid_box_search_semantics(spark):
     assert got[1] == {2, 3, 4}
     assert 2 not in got
     assert got[3] == set(range(10))
+
+
+def test_round4_ops_empty_input_stable_schema(spark):
+    """Empty inputs must yield empty results with the declared schema, not
+    errors (the per-batch caller contract)."""
+    from pyvectorsearch_spark.operators.dedup import incremental_dedup_delta
+    from pyvectorsearch_spark.operators.graph import mutual_knn_pairs
+    from pyvectorsearch_spark.operators.sketches import hll_distinct
+    from pyvectorsearch_spark.operators.textops import (
+        feature_hash,
+        html_clean,
+        url_stats,
+    )
+    from pyvectorsearch_spark.operators.timeseries import sweep_peak_concurrency
+
+    edocs = spark.createDataFrame([], "doc_id long, text string")
+    h = html_clean(edocs)
+    assert h.collect() == [] and h.columns == ["doc_id", "text", "n_tags", "clean"]
+    u = url_stats(edocs)
+    assert u.collect() == [] and u.columns == ["domain", "n_urls", "n_docs", "blocked"]
+    f = feature_hash(edocs)
+    assert f.collect() == [] and f.columns == ["doc_id", "nnz", "l1_norm", "vec_digest"]
+
+    eev = spark.createDataFrame([], "event_type string, user_id long")
+    s = hll_distinct(eev, by="event_type", value_col="user_id")
+    assert s.collect() == [] and s.columns == [
+        "event_type", "n_distinct_exact", "hll_estimate",
+        "n_empty_registers", "harmonic_scaled",
+    ]
+
+    eiv = spark.createDataFrame([], "s date, e date")
+    p = sweep_peak_concurrency(eiv, start_col="s", end_col="e")
+    assert p.collect() == [] and p.columns == [
+        "bucket", "peak_concurrent", "peak_date",
+    ]
+
+    evec = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    m = mutual_knn_pairs(evec, k=3)
+    assert m.collect() == [] and m.columns == [
+        "d1", "d2", "rank_ab", "rank_ba", "dist_r",
+    ]
+
+    # empty DELTA against a non-empty corpus: all verdict machinery must
+    # survive with zero output rows
+    corpus = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    d = incremental_dedup_delta(corpus, edocs)
+    assert d.collect() == [] and d.columns == ["doc_id", "verdict", "match_id"]
