@@ -1156,3 +1156,41 @@ def feature_hash(
         F.sum(F.abs("_c")).cast("bigint").alias("l1_norm"),
         F.md5(vec_str).alias("vec_digest"),
     ).select(F.col("_id").alias(id_col), "nnz", "l1_norm", "vec_digest")
+
+
+# URL canonicalization — the dedup key web crawls use BEFORE fetching:
+# fragment and tracking params stripped, scheme/host lowercased, default
+# ports and trailing slashes dropped. Pure RE2-compatible regex chain, so
+# the DuckDB oracle replays it verbatim.
+_URL_FRAG_RE = r"#.*$"
+_URL_UTM_RE = r"utm_[a-z]+=[^&#]*&?"
+_URL_TIDY_RE = r"[?&]+$"
+_URL_PREFIX_RE = r"^[A-Za-z]+://[^/?#]+"
+_URL_PORT_RE = r":(443|80)$"
+_URL_SLASH_RE = r"/$"
+
+
+def url_canonical(col: Column | str) -> Column:
+    """Canonical form of a URL column (see module constant chain)."""
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, _URL_FRAG_RE, "")
+    u = F.regexp_replace(u, _URL_UTM_RE, "")
+    u = F.regexp_replace(u, _URL_TIDY_RE, "")
+    prefix = F.regexp_replace(
+        F.lower(F.regexp_extract(u, _URL_PREFIX_RE, 0)), _URL_PORT_RE, ""
+    )
+    rest = F.regexp_replace(u, _URL_PREFIX_RE, "")
+    return F.regexp_replace(F.concat(prefix, rest), _URL_SLASH_RE, "")
+
+
+def duckdb_url_canonical_sql(expr: str) -> str:
+    """DuckDB twin of ``url_canonical`` (identical regex chain)."""
+    u = f"regexp_replace({expr}, '{_URL_FRAG_RE}', '')"
+    u = f"regexp_replace({u}, '{_URL_UTM_RE}', '', 'g')"
+    u = f"regexp_replace({u}, '{_URL_TIDY_RE}', '')"
+    prefix = (
+        f"regexp_replace(lower(regexp_extract({u}, '{_URL_PREFIX_RE}')), "
+        f"'{_URL_PORT_RE}', '')"
+    )
+    rest = f"regexp_replace({u}, '{_URL_PREFIX_RE}', '')"
+    return f"regexp_replace({prefix} || {rest}, '{_URL_SLASH_RE}', '')"

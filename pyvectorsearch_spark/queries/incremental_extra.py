@@ -368,3 +368,90 @@ ORACLES = {
     "asof_click_conversion": ORACLE_ASOF_CLICK_CONVERSION,
     "conversion_lag_quantiles": ORACLE_CONVERSION_LAG_QUANTILES,
 }
+
+
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: within each
+    purchase's 1-hour click window, the FIRST and LAST clicks earn 40% of
+    the purchase value each and the middles share the remaining 20% (one
+    click -> 100%, two -> 50/50). Positions order by (click ts, click id) —
+    engine-exact — and credits are integer-cents products rounded at the
+    end. Same bounded user-keyed join shape as `attribution_linear`; only
+    the credit rule differs, which is the point: the join is the operator,
+    attribution rules are projections over it."""
+    from pyspark.sql import Window
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("_pts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("_vc"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("_cts"),
+    )
+    j = p.join(
+        c,
+        (p["user_id"] == c["user_id"])
+        & (F.col("_cts") <= F.col("_pts"))
+        & (F.col("_cts") >= F.col("_pts") - F.expr(f"INTERVAL {ATTR_WINDOW_S} SECOND")),
+    ).drop(c["user_id"])
+    w = Window.partitionBy("purchase_id").orderBy(F.asc("_cts"), F.asc("click_id"))
+    pos = (
+        j.withColumn("_pos", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("purchase_id")))
+    )
+    share = (
+        F.when(F.col("_n") == 1, F.lit(1.0))
+        .when(F.col("_n") == 2, F.lit(0.5))
+        .when(F.col("_pos") == 1, F.lit(0.4))
+        .when(F.col("_pos") == F.col("_n"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("_n") - 2))
+    )
+    return pos.select(
+        "purchase_id",
+        "click_id",
+        F.col("_pos").alias("pos"),
+        F.col("_n").cast("bigint").alias("n_clicks"),
+        F.round(F.col("_vc") * share / 100.0, 4).alias("credit_r"),
+    ).orderBy("purchase_id", "pos")
+
+
+ORACLE_ATTRIBUTION_POSITION = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, ts FROM events
+  WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.purchase_id, p.vc, c.click_id, c.ts AS cts
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL {ATTR_WINDOW_S} SECOND
+),
+pos AS (
+  SELECT purchase_id, vc, click_id,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY cts ASC, click_id ASC) AS pos,
+         count(*) OVER (PARTITION BY purchase_id) AS n
+  FROM j
+)
+SELECT purchase_id, click_id, CAST(pos AS INT) AS pos, n::BIGINT AS n_clicks,
+       round(vc * (CASE WHEN n = 1 THEN 1.0
+                        WHEN n = 2 THEN 0.5
+                        WHEN pos = 1 THEN 0.4
+                        WHEN pos = n THEN 0.4
+                        ELSE 0.2 / (n - 2) END) / 100.0, 4) AS credit_r
+FROM pos ORDER BY purchase_id, pos
+"""
+
+QUERIES.update({"attribution_position": q_attribution_position})
+ORACLES.update({"attribution_position": ORACLE_ATTRIBUTION_POSITION})

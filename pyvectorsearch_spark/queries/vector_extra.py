@@ -768,3 +768,95 @@ ORDER BY query_id, neighbor_id
 
 QUERIES.update({"range_box_grid": q_range_box_grid})
 ORACLES.update({"range_box_grid": ORACLE_RANGE_BOX_GRID})
+
+
+# --- MRR (mean reciprocal rank) -------------------------------------------
+
+MRR_K = 10
+MRR_PROBES = 20
+
+
+def q_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank eval: per probe, 1/rank of the FIRST same-label
+    neighbor in the cosine top-10 (0 when none) — the navigational-search
+    companion to nDCG/recall; ranking and reciprocal are engine-exact, so
+    the metric itself is hash-checked. The cross-probe mean is one trivial
+    aggregate away and deliberately left to the caller (per-probe rows are
+    the auditable artifact)."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < MRR_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("_ql"),
+    )
+    nn = knn_join(
+        emb, probes.select("query_id", "qvec"), MRR_K + 1, metric="cosine"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    wk = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    nn = nn.withColumn("_r", F.row_number().over(wk)).filter(F.col("_r") <= MRR_K)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_nl"))
+    rel = (
+        nn.join(lab, "neighbor_id")
+        .join(probes.select("query_id", "_ql"), "query_id")
+        .filter(F.col("_nl") == F.col("_ql"))
+        .groupBy("query_id", "_ql")
+        .agg(F.min("_r").cast("int").alias("first_rel_rank"))
+    )
+    allq = probes.select("query_id", "_ql")
+    return (
+        allq.join(rel, ["query_id", "_ql"], "left")
+        .select(
+            "query_id",
+            F.col("_ql").alias("label"),
+            "first_rel_rank",
+            F.when(
+                F.col("first_rel_rank").isNotNull(),
+                F.round(1.0 / F.col("first_rel_rank"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rr"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _oracle_mrr() -> str:
+    from pyvectorsearch_spark.functions.vector import duckdb_cosine
+
+    cos = duckdb_cosine("d.embedding", "q.embedding", 64)
+    return f"""
+WITH q AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < {MRR_PROBES}
+),
+p AS (
+  SELECT q.vec_id AS query_id, q.label AS ql, d.vec_id AS neighbor_id,
+         d.label AS nl, {cos} AS c
+  FROM embeddings d, q
+  WHERE d.vec_id <> q.vec_id
+),
+r AS (
+  SELECT query_id, ql, nl,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rk
+  FROM p
+),
+fr AS (
+  SELECT query_id, ql, CAST(min(rk) AS INT) AS first_rel_rank
+  FROM r WHERE rk <= {MRR_K} AND nl = ql
+  GROUP BY query_id, ql
+)
+SELECT q.vec_id AS query_id, q.label AS label, fr.first_rel_rank,
+       CASE WHEN fr.first_rel_rank IS NOT NULL
+            THEN round(1.0 / fr.first_rel_rank, 6) ELSE 0.0 END AS rr
+FROM q LEFT JOIN fr ON q.vec_id = fr.query_id
+ORDER BY query_id
+"""
+
+
+ORACLE_MRR = _oracle_mrr()
+
+QUERIES.update({"mrr_report": q_mrr_report})
+ORACLES.update({"mrr_report": ORACLE_MRR})

@@ -176,13 +176,88 @@ FROM nz GROUP BY doc_id ORDER BY doc_id
 ORACLE_TEXT_FEATURE_HASHING = _fh_oracle()
 
 
+def _planted_url() -> F.Column:
+    """Four surface variants per (g, k) group — case, fragment, tracking
+    params, default port + trailing slash — all canonicalizing to
+    https://site{g}.example.org/p/{k}."""
+    q = F.expr("doc_id div 4")
+    m = F.col("doc_id") % 4
+    g = (q % 20).cast("string")
+    k = (q % 50).cast("string")
+    lo = F.concat(F.lit("https://site"), g, F.lit(".example.org/p/"), k)
+    up = F.concat(F.lit("HTTPS://SITE"), g, F.lit(".EXAMPLE.ORG/p/"), k)
+    return (
+        F.when(m == 0, lo)
+        .when(m == 1, F.concat(up, F.lit("#frag")))
+        .when(m == 2, F.concat(lo, F.lit("?utm_source=news&utm_id=7")))
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), g, F.lit(".example.org:443/p/"), k, F.lit("/")
+            )
+        )
+    )
+
+
+_PLANTED_URL_SQL = """CASE doc_id % 4
+  WHEN 0 THEN 'https://site' || ((doc_id // 4) % 20) || '.example.org/p/'
+              || ((doc_id // 4) % 50)
+  WHEN 1 THEN 'HTTPS://SITE' || ((doc_id // 4) % 20) || '.EXAMPLE.ORG/p/'
+              || ((doc_id // 4) % 50) || '#frag'
+  WHEN 2 THEN 'https://site' || ((doc_id // 4) % 20) || '.example.org/p/'
+              || ((doc_id // 4) % 50) || '?utm_source=news&utm_id=7'
+  ELSE 'https://site' || ((doc_id // 4) % 20) || '.example.org:443/p/'
+       || ((doc_id // 4) % 50) || '/'
+END"""
+
+
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (the pre-fetch dedup key of every web
+    crawl): four surface variants per group — case, #fragment, utm_*
+    params, :443 + trailing slash — collapse to one canonical URL; per
+    canonical: doc count, distinct raw variants, keeper (min doc id)."""
+    from pyvectorsearch_spark.operators.textops import url_canonical
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    u = docs.select("doc_id", _planted_url().alias("url"))
+    c = u.select(
+        "doc_id", "url", url_canonical(F.col("url")).alias("canonical")
+    )
+    return (
+        c.groupBy("canonical")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .orderBy("canonical")
+    )
+
+
+def _url_canonical_oracle() -> str:
+    from pyvectorsearch_spark.operators.textops import duckdb_url_canonical_sql
+
+    return f"""
+WITH u AS (SELECT doc_id, {_PLANTED_URL_SQL} AS url FROM documents),
+c AS (SELECT doc_id, url, {duckdb_url_canonical_sql("url")} AS canonical FROM u)
+SELECT canonical, count(*)::BIGINT AS n_docs,
+       count(DISTINCT url)::BIGINT AS n_raw_variants,
+       min(doc_id) AS keep_doc
+FROM c GROUP BY canonical ORDER BY canonical
+"""
+
+
+ORACLE_DEDUP_URL_CANONICAL = _url_canonical_oracle()
+
+
 QUERIES = {
     "text_html_clean": q_text_html_clean,
     "text_url_stats": q_text_url_stats,
     "text_feature_hashing": q_text_feature_hashing,
+    "dedup_url_canonical": q_dedup_url_canonical,
 }
 ORACLES = {
     "text_html_clean": ORACLE_TEXT_HTML_CLEAN,
     "text_url_stats": ORACLE_TEXT_URL_STATS,
     "text_feature_hashing": ORACLE_TEXT_FEATURE_HASHING,
+    "dedup_url_canonical": ORACLE_DEDUP_URL_CANONICAL,
 }

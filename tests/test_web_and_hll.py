@@ -257,3 +257,31 @@ def test_round4_ops_empty_input_stable_schema(spark):
     corpus = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     d = incremental_dedup_delta(corpus, edocs)
     assert d.collect() == [] and d.columns == ["doc_id", "verdict", "match_id"]
+
+
+def test_url_canonical_edge_cases(spark):
+    from pyvectorsearch_spark.operators.textops import url_canonical
+
+    cases = [
+        (1, "HTTPS://WWW.Example.ORG/A/B"),        # case: host lowered, path kept
+        (2, "https://x.org:443/p"),                 # default port stripped
+        (3, "http://x.org:80/p"),                   # default http port stripped
+        (4, "https://x.org:8080/p"),                # non-default port kept
+        (5, "https://x.org/p?utm_source=a&q=1"),    # utm stripped, q kept
+        (6, "https://x.org/p?utm_source=a"),        # only-utm -> bare path
+        (7, "https://x.org/p#sec"),                 # fragment stripped
+        (8, "https://x.org/p/"),                    # trailing slash stripped
+    ]
+    df = spark.createDataFrame(cases, "id bigint, u string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", url_canonical(F.col("u")).alias("c")).collect()
+    }
+    assert got[1] == "https://www.example.org/A/B"
+    assert got[2] == "https://x.org/p"
+    assert got[3] == "http://x.org/p"
+    assert got[4] == "https://x.org:8080/p"
+    assert got[5] == "https://x.org/p?q=1"
+    assert got[6] == "https://x.org/p"
+    assert got[7] == "https://x.org/p"
+    assert got[8] == "https://x.org/p"
