@@ -158,3 +158,222 @@ FROM rows ORDER BY tbl
 
 QUERIES.update({"delete_propagation_stats": q_delete_propagation_stats})
 ORACLES.update({"delete_propagation_stats": ORACLE_DELETE_PROPAGATION})
+
+
+# --- schema discovery: foreign-key / inclusion-dependency profiling --------
+
+FK_CANDIDATES = [
+    # (child table, child col, parent table, parent col)
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),  # expected NON-fk probe
+]
+FK_THRESHOLD = 0.99
+
+
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key) discovery — the schema-inference
+    profiler data-lake catalogs run: for each candidate (child.col ->
+    parent.col), the containment ratio |distinct(child) ∩ distinct(parent)|
+    / |distinct(child)| and an is_fk verdict at 0.99. The five real TPC-H
+    FKs confirm; the events.user_id -> customer probe is the planted
+    negative. Scale shape: each side reduces to its distinct key set
+    map-side (the same exact-distinct reduction as the sketches); the
+    containment join moves key sets, never rows."""
+    parts = []
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        child = (
+            spread(load_table(spark, sf_dir, ct))
+            .select(F.col(cc).cast("bigint").alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+        parent = (
+            load_table(spark, sf_dir, pt)
+            .select(F.col(pc).cast("bigint").alias("k"))
+            .distinct()
+        )
+        matched = child.join(parent, "k", "left_semi")
+        n_child = child.agg(F.count("*").cast("bigint").alias("n")).select(
+            F.lit(f"{ct}.{cc}->{pt}.{pc}").alias("candidate"),
+            F.col("n").alias("n_child_keys"),
+        )
+        n_match = matched.agg(F.count("*").cast("bigint").alias("n_matched"))
+        parts.append(n_child.crossJoin(n_match))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    ratio = F.round(F.col("n_matched") / F.col("n_child_keys"), 6)
+    return out.select(
+        "candidate",
+        "n_child_keys",
+        "n_matched",
+        ratio.alias("containment_r"),
+        (ratio >= FK_THRESHOLD).alias("is_fk"),
+    ).orderBy("candidate")
+
+
+def _fk_oracle() -> str:
+    sels = []
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        sels.append(f"""
+SELECT '{ct}.{cc}->{pt}.{pc}' AS candidate,
+       (SELECT count(DISTINCT {cc}) FROM {ct} WHERE {cc} IS NOT NULL)::BIGINT
+         AS n_child_keys,
+       (SELECT count(*) FROM
+          (SELECT DISTINCT {cc} AS k FROM {ct} WHERE {cc} IS NOT NULL) c
+          WHERE k IN (SELECT {pc} FROM {pt}))::BIGINT AS n_matched""")
+    u = "\nUNION ALL".join(sels)
+    return f"""
+WITH base AS ({u})
+SELECT candidate, n_child_keys, n_matched,
+       round(n_matched / CAST(n_child_keys AS DOUBLE), 6) AS containment_r,
+       (round(n_matched / CAST(n_child_keys AS DOUBLE), 6) >= {FK_THRESHOLD})
+         AS is_fk
+FROM base ORDER BY candidate
+"""
+
+
+ORACLE_FK_DISCOVERY = _fk_oracle()
+
+
+# --- functional-dependency check ------------------------------------------
+
+FD_CANDIDATES = [
+    # (table, determinant, dependent)
+    ("orders", "o_orderkey", "o_custkey"),       # key -> anything: holds
+    ("customer", "c_custkey", "c_nationkey"),    # key -> attr: holds
+    ("lineitem", "l_orderkey", "l_suppkey"),     # multi-line orders: violated
+    ("events", "user_id", "event_type"),         # users do many things: violated
+]
+
+
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (A -> B): for each candidate, the
+    number of determinant groups, the groups carrying >1 distinct dependent
+    (violations), and the holds verdict — the normalization /
+    data-contract check. One map-side-combined distinct + one groups-sized
+    aggregate per candidate; no joins."""
+    parts = []
+    for t, a, b in FD_CANDIDATES:
+        g = (
+            spread(load_table(spark, sf_dir, t))
+            .select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+            .distinct()
+            .groupBy("_a")
+            .agg(F.count("*").alias("_nb"))
+        )
+        parts.append(
+            g.agg(
+                F.lit(f"{t}: {a}->{b}").alias("candidate"),
+                F.count("*").cast("bigint").alias("n_groups"),
+                F.sum((F.col("_nb") > 1).cast("bigint"))
+                .cast("bigint")
+                .alias("n_violating_groups"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "candidate",
+        "n_groups",
+        "n_violating_groups",
+        (F.col("n_violating_groups") == 0).alias("holds"),
+    ).orderBy("candidate")
+
+
+def _fd_oracle() -> str:
+    sels = []
+    for t, a, b in FD_CANDIDATES:
+        sels.append(f"""
+SELECT '{t}: {a}->{b}' AS candidate,
+       count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating_groups
+FROM (SELECT {a} AS a, count(DISTINCT {b}) AS nb FROM {t} GROUP BY {a})""")
+    u = "\nUNION ALL".join(sels)
+    return f"""
+WITH base AS ({u})
+SELECT candidate, n_groups, n_violating_groups,
+       (n_violating_groups = 0) AS holds
+FROM base ORDER BY candidate
+"""
+
+
+ORACLE_FD_CHECK = _fd_oracle()
+
+
+# --- Benford first-digit audit --------------------------------------------
+
+import math as _math
+
+BENFORD = {d: round(_math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+
+def q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-numbers screen for financial columns: observed first-digit
+    shares vs log10(1 + 1/d), with per-digit absolute deviation. One
+    map-side-combined 9-row aggregate; the verdict (total variation
+    distance) is a trivial fold over the result. Shares and deviations are
+    rounded so the report is engine-exact."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    d1 = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(d1.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("_t"))
+    exp = F.create_map(
+        *[x for d, v in BENFORD.items() for x in (F.lit(d), F.lit(v))]
+    )
+    share = F.round(F.col("n") / F.col("_t"), 6)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            share.alias("share_r"),
+            F.element_at(exp, F.col("digit")).alias("benford_r"),
+            F.round(F.abs(share - F.element_at(exp, F.col("digit"))), 6).alias(
+                "abs_dev_r"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_SQL_CASE = "CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END"
+
+ORACLE_AUDIT_BENFORD = f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS digit,
+         count(*)::BIGINT AS n
+  FROM orders WHERE o_totalprice > 0 GROUP BY digit
+),
+t AS (SELECT sum(n)::BIGINT AS tt FROM c)
+SELECT digit, n, round(n / CAST(tt AS DOUBLE), 6) AS share_r,
+       CAST({_BENFORD_SQL_CASE} AS DOUBLE) AS benford_r,
+       round(abs(round(n / CAST(tt AS DOUBLE), 6)
+                 - CAST({_BENFORD_SQL_CASE} AS DOUBLE)), 6) AS abs_dev_r
+FROM c CROSS JOIN t ORDER BY digit
+"""
+
+QUERIES.update({
+    "fk_discovery": q_fk_discovery,
+    "fd_check": q_fd_check,
+    "audit_benford": q_audit_benford,
+})
+ORACLES.update({
+    "fk_discovery": ORACLE_FK_DISCOVERY,
+    "fd_check": ORACLE_FD_CHECK,
+    "audit_benford": ORACLE_AUDIT_BENFORD,
+})
