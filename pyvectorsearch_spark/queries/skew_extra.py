@@ -12,6 +12,7 @@ Operators exercised:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.operators.quality import winsorize_stats
 from pyvectorsearch_spark.sources.tables import load_table, spread
@@ -241,15 +242,153 @@ FROM a ORDER BY l_returnflag
 """
 
 
+
+def q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order value per priority class — the
+    inequality profile of a spend/size distribution (Lorenz form
+    G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over ascending ranks). Ranks are
+    integer row_numbers on the engine-exact (cents, id) order and the two
+    sums are exact bigints, so G is deterministic to the final rounded
+    division. Per-group ranking sorts one partition per group — the same
+    bounded-cardinality caveat as `hist_quantiles`; histogram-cut Lorenz
+    is the unbounded-group path."""
+    from pyspark.sql import Window
+
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderpriority",
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_vc"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.asc("_vc"), F.asc("k"))
+    r = o.withColumn("_i", F.row_number().over(w))
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("_vc").cast("bigint").alias("_sx"),
+            F.sum(F.col("_i") * F.col("_vc")).cast("bigint").alias("_six"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round(
+                2.0 * F.col("_six") / (F.col("n") * F.col("_sx"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini_r"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDERS_GINI = """
+WITH v AS (
+  SELECT o_orderpriority, o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS vc
+  FROM orders
+),
+r AS (
+  SELECT o_orderpriority, vc,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY vc ASC, k ASC) AS i
+  FROM v
+),
+g AS (
+  SELECT o_orderpriority, count(*)::BIGINT AS n,
+         sum(vc)::BIGINT AS sx, sum(i * vc)::BIGINT AS six
+  FROM r GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       round(2.0 * six / (n * CAST(sx AS DOUBLE))
+             - (n + 1.0) / n, 6) AS gini_r
+FROM g ORDER BY o_orderpriority
+"""
+
+
+def q_price_qty_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of price vs quantity per return flag — the
+    robust (monotone, outlier-proof) companion to `price_qty_corr`'s
+    Pearson: both variables replace values with integer row_number ranks
+    (deterministic (cents, id) tie order), then the Pearson formula runs on
+    EXACT bigint rank moments — no float accumulation anywhere before the
+    final division."""
+    from pyspark.sql import Window
+
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        "l_returnflag",
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("_pc"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("_qc"),
+    )
+    wp = Window.partitionBy("l_returnflag").orderBy("_pc", "k1", "k2")
+    wq = Window.partitionBy("l_returnflag").orderBy("_qc", "k1", "k2")
+    r = li.withColumn("_rp", F.row_number().over(wp)).withColumn(
+        "_rq", F.row_number().over(wq)
+    )
+    agg = r.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_rp").cast("bigint").alias("sp"),
+        F.sum("_rq").cast("bigint").alias("sq"),
+        F.sum(F.col("_rp") * F.col("_rp")).cast("bigint").alias("spp"),
+        F.sum(F.col("_rq") * F.col("_rq")).cast("bigint").alias("sqq"),
+        F.sum(F.col("_rp") * F.col("_rq")).cast("bigint").alias("spq"),
+    )
+    num = F.col("n") * F.col("spq") - F.col("sp") * F.col("sq")
+    den = F.sqrt(
+        (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(num / den, 6).alias("spearman_r"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_PRICE_QTY_SPEARMAN = """
+WITH v AS (
+  SELECT l_returnflag, l_orderkey AS k1, l_linenumber AS k2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc
+  FROM lineitem
+),
+r AS (
+  SELECT l_returnflag,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY pc, k1, k2) AS rp,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY qc, k1, k2) AS rq
+  FROM v
+),
+g AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n,
+         sum(rp)::BIGINT AS sp, sum(rq)::BIGINT AS sq,
+         sum(rp * rp)::BIGINT AS spp, sum(rq * rq)::BIGINT AS sqq,
+         sum(rp * rq)::BIGINT AS spq
+  FROM r GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n * spq - sp * sq)
+             / (sqrt(CAST(n * spp - sp * sp AS DOUBLE))
+                * sqrt(CAST(n * sqq - sq * sq AS DOUBLE))), 6) AS spearman_r
+FROM g ORDER BY l_returnflag
+"""
+
 QUERIES = {
     "skew_orders": q_skew_orders,
     "events_winsorize": q_events_winsorize,
     "join_size_estimate": q_join_size_estimate,
     "price_qty_corr": q_price_qty_corr,
+    "orders_gini": q_orders_gini,
+    "price_qty_spearman": q_price_qty_spearman,
 }
 ORACLES = {
     "skew_orders": ORACLE_SKEW_ORDERS,
     "events_winsorize": ORACLE_EVENTS_WINSORIZE,
     "join_size_estimate": ORACLE_JOIN_SIZE_ESTIMATE,
     "price_qty_corr": ORACLE_PRICE_QTY_CORR,
+    "orders_gini": ORACLE_ORDERS_GINI,
+    "price_qty_spearman": ORACLE_PRICE_QTY_SPEARMAN,
 }
