@@ -1194,3 +1194,95 @@ def duckdb_url_canonical_sql(expr: str) -> str:
     )
     rest = f"regexp_replace({u}, '{_URL_PREFIX_RE}', '')"
     return f"regexp_replace({prefix} || {rest}, '{_URL_SLASH_RE}', '')"
+
+
+def nb_classify(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained on the corpus's own labels and
+    applied back to every document (add-1 smoothing) — the classic
+    supervised lang-ID / topical classifier, done entirely in engine-exact
+    arithmetic: per-(term, label) log-likelihoods and per-label priors are
+    rounded to ``round_dp`` before use, per-doc scores are rounded sums of
+    rounded tf-weighted contributions (the `bigram_lm_score` ladder), and
+    the argmax tie-breaks on label ascending — so the trained model AND
+    every prediction are oracle-checkable.
+
+    Scale shape: the corpus reduces once to (doc, term, tf) map-side; the
+    model is a (vocabulary × labels) table built from the same reduction
+    (never broadcast — it joins on term); scoring is one term-keyed join +
+    one (doc, label) rollup + a labels-sized argmax window per doc.
+
+    Returns (``id_col``, true_label, pred_label)."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        tokens(text_col).alias("_t"),
+    )
+    tf = (
+        base.select("_id", "_lbl", F.explode("_t").alias("_w"))
+        .groupBy("_id", "_lbl", "_w")
+        .agg(F.count("*").cast("bigint").alias("_tf"))
+    )
+    # model: n_wl per (term, label); ct_l total tokens per label; V vocab
+    n_wl = tf.groupBy("_w", F.col("_lbl").alias("_ml")).agg(
+        F.sum("_tf").cast("bigint").alias("_nwl")
+    )
+    ct = tf.groupBy(F.col("_lbl").alias("_ml")).agg(
+        F.sum("_tf").cast("bigint").alias("_ct")
+    )
+    vocab = tf.select("_w").distinct()
+    v = vocab.agg(F.count("*").cast("bigint").alias("_v"))
+    # full (term x label) grid with smoothing default for unseen pairs
+    grid = (
+        vocab.crossJoin(ct)
+        .join(n_wl, ["_w", "_ml"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "_w",
+            "_ml",
+            F.round(
+                F.log(
+                    (F.coalesce("_nwl", F.lit(0)) + 1).cast("double")
+                    / (F.col("_ct") + F.col("_v")).cast("double")
+                ),
+                round_dp,
+            ).alias("_lnp"),
+        )
+    )
+    n_docs = base.groupBy(F.col("_lbl").alias("_ml")).agg(
+        F.count("*").cast("bigint").alias("_nd")
+    )
+    tot = base.agg(F.count("*").cast("bigint").alias("_n"))
+    prior = n_docs.crossJoin(F.broadcast(tot)).select(
+        "_ml",
+        F.round(F.log(F.col("_nd").cast("double") / F.col("_n")), round_dp).alias(
+            "_lnprior"
+        ),
+    )
+    scores = (
+        tf.join(grid, "_w")
+        .groupBy("_id", "_lbl", "_ml")
+        .agg(F.round(F.sum(F.col("_tf") * F.col("_lnp")), round_dp).alias("_s"))
+        .join(prior, "_ml")
+        .select(
+            "_id",
+            "_lbl",
+            "_ml",
+            F.round(F.col("_s") + F.col("_lnprior"), round_dp).alias("_score"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_score"), F.asc("_ml"))
+    best = scores.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1)
+    return best.select(
+        F.col("_id").alias(id_col),
+        F.col("_lbl").alias("true_label"),
+        F.col("_ml").alias("pred_label"),
+    )

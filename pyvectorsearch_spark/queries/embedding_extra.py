@@ -527,6 +527,57 @@ SELECT ord AS sel_order, vec_id, far AS far_d2 FROM cen{k} ORDER BY ord
 ORACLE_SAMPLE_KCENTER = _kcenter_oracle(KC_K, DIM)
 
 
+MKC_K = 2
+
+
+def q_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mutual-kNN graph's purpose: reciprocal-neighbor pairs fused into
+    clusters by connected components (min-label propagation on the real
+    engine; recursive-CTE oracle) — kNN-graph clustering with the
+    hub-resistant edge set. Reports per-cluster size for every non-trivial
+    cluster."""
+    from pyvectorsearch_spark.operators.graph import (
+        connected_components,
+        mutual_knn_pairs,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    pairs = mutual_knn_pairs(emb, id_col="vec_id", vec_col="embedding", k=MKC_K)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("cluster")
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+        .orderBy("cluster")
+    )
+
+
+ORACLE_MUTUAL_KNN_CLUSTERS = f"""
+WITH RECURSIVE d AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {_MK_L2} AS dist
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id
+),
+e0 AS (
+  SELECT ia, ib,
+         row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rnk
+  FROM d QUALIFY rnk <= {MKC_K}
+),
+mk AS (
+  SELECT e1.ia AS d1, e1.ib AS d2
+  FROM e0 e1 JOIN e0 e2 ON e1.ia = e2.ib AND e1.ib = e2.ia
+  WHERE e1.ia < e1.ib
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM mk UNION SELECT d2, d1 FROM mk),
+reach(node, lbl) AS (
+    SELECT a, a FROM edges
+  UNION
+    SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+SELECT cluster, count(*)::BIGINT AS n_members
+FROM comp GROUP BY cluster ORDER BY cluster
+"""
+
+
 QUERIES = {
     "embedding_top_component": q_embedding_top_component,
     "embedding_outliers": q_embedding_outliers,
@@ -536,6 +587,7 @@ QUERIES = {
     "knn_mutual_graph": q_knn_mutual_graph,
     "sample_cluster_balanced": q_sample_cluster_balanced,
     "sample_kcenter_coreset": q_sample_kcenter_coreset,
+    "mutual_knn_clusters": q_mutual_knn_clusters,
 }
 ORACLES = {
     "embedding_top_component": ORACLE_TOP_COMPONENT,
@@ -546,4 +598,5 @@ ORACLES = {
     "knn_mutual_graph": ORACLE_KNN_MUTUAL_GRAPH,
     "sample_cluster_balanced": ORACLE_SAMPLE_CLUSTER_BALANCED,
     "sample_kcenter_coreset": ORACLE_SAMPLE_KCENTER,
+    "mutual_knn_clusters": ORACLE_MUTUAL_KNN_CLUSTERS,
 }

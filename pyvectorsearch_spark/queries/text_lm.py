@@ -654,6 +654,68 @@ SELECT source, bucket, count(*)::BIGINT AS n_docs,
 FROM tiled GROUP BY source, bucket ORDER BY source, bucket
 """
 
+
+def q_text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes language classification confusion matrix: the model
+    trains on the corpus's own lang labels (add-1 smoothing) and classifies
+    every document back; (true, predicted, count) cells are hash-checked
+    because the whole train+apply pipeline is engine-exact rounded
+    arithmetic (a trained ML model as an oracle-checkable query)."""
+    from pyvectorsearch_spark.operators.textops import nb_classify
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pred = nb_classify(docs)
+    return (
+        pred.groupBy("true_label", "pred_label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+ORACLE_TEXT_NB_CONFUSION = f"""
+WITH base AS (SELECT doc_id, lang, {_TOK} AS t FROM documents),
+tf AS (
+  SELECT doc_id, lang, w, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, lang, unnest(t) AS w FROM base
+  ) GROUP BY doc_id, lang, w
+),
+nwl AS (SELECT w, lang AS ml, sum(tf)::BIGINT AS nwl FROM tf GROUP BY w, ml),
+ct AS (SELECT lang AS ml, sum(tf)::BIGINT AS ct FROM tf GROUP BY ml),
+vocab AS (SELECT DISTINCT w FROM tf),
+v AS (SELECT count(*)::BIGINT AS v FROM vocab),
+grid AS (
+  SELECT vocab.w, ct.ml,
+         round(ln((coalesce(nwl.nwl, 0) + 1)
+                  / CAST(ct.ct + v.v AS DOUBLE)), 6) AS lnp
+  FROM vocab CROSS JOIN ct
+  LEFT JOIN nwl ON nwl.w = vocab.w AND nwl.ml = ct.ml
+  CROSS JOIN v
+),
+nd AS (SELECT lang AS ml, count(*)::BIGINT AS nd FROM base GROUP BY ml),
+tot AS (SELECT count(*)::BIGINT AS n FROM base),
+prior AS (
+  SELECT ml, round(ln(nd / CAST(n AS DOUBLE)), 6) AS lnprior
+  FROM nd CROSS JOIN tot
+),
+sc AS (
+  SELECT tf.doc_id, tf.lang AS tl, grid.ml,
+         round(round(sum(tf.tf * grid.lnp), 6) + any_value(prior.lnprior), 6)
+           AS score
+  FROM tf JOIN grid ON tf.w = grid.w
+  JOIN prior ON prior.ml = grid.ml
+  GROUP BY tf.doc_id, tf.lang, grid.ml
+),
+best AS (
+  SELECT doc_id, tl, ml,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, ml ASC) AS r
+  FROM sc
+)
+SELECT tl AS true_label, ml AS pred_label, count(*)::BIGINT AS n
+FROM best WHERE r = 1
+GROUP BY tl, ml ORDER BY true_label, pred_label
+"""
+
 QUERIES = {
     "text_pmi_pairs": q_text_pmi_pairs,
     "text_bpe_encode": q_text_bpe_encode,
@@ -662,6 +724,7 @@ QUERIES = {
     "text_top_terms": q_text_top_terms,
     "text_bigram_lm": q_text_bigram_lm,
     "text_ccnet_buckets": q_text_ccnet_buckets,
+    "text_nb_confusion": q_text_nb_confusion,
     "text_c4_clean": q_text_c4_clean,
     "text_zipf": q_text_zipf,
 }
@@ -673,6 +736,7 @@ ORACLES = {
     "text_top_terms": ORACLE_TOP_TERMS,
     "text_bigram_lm": ORACLE_BIGRAM_LM,
     "text_ccnet_buckets": ORACLE_CCNET_BUCKETS,
+    "text_nb_confusion": ORACLE_TEXT_NB_CONFUSION,
     "text_c4_clean": ORACLE_C4_CLEAN,
     "text_zipf": ORACLE_TEXT_ZIPF,
 }
