@@ -174,3 +174,61 @@ def centroid_drift(
         cos.alias("cos_r"),
         F.round(1.0 - cos, round_dp).alias("drift_r"),
     )
+
+
+def maxsim_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    *,
+    doc_col: str = "doc",
+    tok_id: str = "tok_id",
+    tok_vec: str = "embedding",
+    k: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim retrieval: documents and
+    queries are SETS of token vectors; score(q, d) = Σ over q's tokens of
+    the max cosine against d's tokens. The modern multi-vector retrieval
+    primitive single-vector kNN can't express (per-token alignment).
+
+    Determinism: per-pair cosines round to ``round_dp`` before the exact
+    max; the per-(query, doc) sum of rounded maxima rounds again — the
+    standard ladder, so rankings (score desc, doc asc) are engine-exact.
+
+    Scale shape: query tokens broadcast (queries are small by definition);
+    the token-pair table is |q_tokens| × |doc_tokens| rows but collapses
+    immediately through two map-side-combined aggregates (max, then sum) —
+    at corpus scale feed ``doc_tokens`` from a first-stage candidate
+    retriever instead of the full corpus, exactly like the re-rank stage
+    it is in production.
+
+    Returns (query_doc, rank, ``doc_col``, maxsim_r)."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.functions.vector import cosine_sim
+
+    q = query_tokens.select(
+        F.col(doc_col).alias("_qd"),
+        F.col(tok_vec).alias("_qv"),
+        F.col(tok_id).alias("_qt"),
+    )
+    d = doc_tokens.select(F.col(doc_col).alias("_dd"), F.col(tok_vec).alias("_dv"))
+    pairs = d.join(F.broadcast(q), F.col("_qd") != F.col("_dd"))
+    c = F.round(cosine_sim("_qv", "_dv"), round_dp)
+    per_tok = pairs.select("_qd", "_qt", "_dd", c.alias("_c")).groupBy(
+        "_qd", "_qt", "_dd"
+    ).agg(F.max("_c").alias("_m"))
+    scores = per_tok.groupBy("_qd", "_dd").agg(
+        F.round(F.sum("_m"), round_dp).alias("_s")
+    )
+    w = Window.partitionBy("_qd").orderBy(F.desc("_s"), F.asc("_dd"))
+    return (
+        scores.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select(
+            F.col("_qd").alias("query_doc"),
+            F.col("_r").cast("int").alias("rank"),
+            F.col("_dd").alias(doc_col),
+            F.col("_s").alias("maxsim_r"),
+        )
+    )

@@ -419,9 +419,63 @@ FROM t LEFT JOIN h USING (query_id) ORDER BY query_id
 ORACLE_SQ8_RECALL = _oracle_sq8_recall()
 
 
+
+MS_TOKS = 4  # token vectors per synthetic multi-vector document
+MS_QUERIES = 5
+MS_K = 3
+
+
+def q_knn_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim retrieval: embeddings group
+    into multi-vector documents (4 token vectors each, doc = vec_id div 4);
+    the first 5 docs query the rest. Per-token max cosine + per-pair summed
+    score, top-3 per query — rankings engine-exact through the rounded
+    ladder, so the multi-vector retrieval itself is hash-checked."""
+    from pyvectorsearch_spark.operators.embeddings import maxsim_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    toks = emb.select(
+        F.expr(f"vec_id div {MS_TOKS}").alias("doc"),
+        F.col("vec_id").alias("tok_id"),
+        "embedding",
+    )
+    qt = toks.filter(F.col("doc") < MS_QUERIES)
+    return maxsim_topk(toks, qt, k=MS_K).orderBy("query_doc", "rank")
+
+
+def _oracle_maxsim() -> str:
+    from pyvectorsearch_spark.functions.vector import duckdb_cosine
+
+    cos = duckdb_cosine("d.embedding", "q.embedding", 64)
+    return f"""
+WITH t AS (
+  SELECT vec_id // {MS_TOKS} AS doc, vec_id AS tok_id, embedding
+  FROM embeddings
+),
+q AS (SELECT * FROM t WHERE doc < {MS_QUERIES}),
+p AS (
+  SELECT q.doc AS qd, q.tok_id AS qt, d.doc AS dd,
+         round({cos}, 6) AS c
+  FROM t d JOIN q ON q.doc != d.doc
+),
+m AS (SELECT qd, qt, dd, max(c) AS mc FROM p GROUP BY qd, qt, dd),
+s AS (SELECT qd, dd, round(sum(mc), 6) AS sc FROM m GROUP BY qd, dd),
+r AS (
+  SELECT qd, dd, sc,
+         row_number() OVER (PARTITION BY qd ORDER BY sc DESC, dd ASC) AS rk
+  FROM s
+)
+SELECT qd AS query_doc, CAST(rk AS INT) AS rank, dd AS doc, sc AS maxsim_r
+FROM r WHERE rk <= {MS_K} ORDER BY query_doc, rank
+"""
+
+
+ORACLE_KNN_MAXSIM = _oracle_maxsim()
+
 QUERIES = {
     "knn_filtered": q_knn_filtered,
     "hybrid_rrf": q_hybrid_rrf,
+    "knn_maxsim": q_knn_maxsim,
     "knn_sq8": q_knn_sq8,
     "knn_mmr": q_knn_mmr,
     "sq8_recall_report": q_sq8_recall_report,
@@ -429,6 +483,7 @@ QUERIES = {
 ORACLES = {
     "knn_filtered": ORACLE_KNN_FILTERED,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
+    "knn_maxsim": ORACLE_KNN_MAXSIM,
     "knn_sq8": ORACLE_KNN_SQ8,
     "knn_mmr": ORACLE_KNN_MMR,
     "sq8_recall_report": ORACLE_SQ8_RECALL,

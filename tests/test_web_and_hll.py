@@ -285,3 +285,28 @@ def test_url_canonical_edge_cases(spark):
     assert got[6] == "https://x.org/p"
     assert got[7] == "https://x.org/p"
     assert got[8] == "https://x.org/p"
+
+
+def test_hll_registers_mergeable(spark):
+    """The HLL state claim: registers of A ∪ B == per-register max of the
+    two register tables — union across shards/epochs without re-reading."""
+    from pyvectorsearch_spark.operators.sketches import (
+        hll_fold,
+        hll_registers,
+    )
+
+    a = spark.createDataFrame([("g", i) for i in range(0, 400)], "g string, v int")
+    b = spark.createDataFrame([("g", i) for i in range(200, 700)], "g string, v int")
+    ra, rb = hll_registers(a, by="g", value_col="v"), hll_registers(
+        b, by="g", value_col="v"
+    )
+    merged = (
+        ra.unionByName(rb)
+        .groupBy("g", "_j")
+        .agg(F.max("_mj").alias("_mj"))
+    )
+    direct = hll_registers(a.union(b), by="g", value_col="v")
+    fm = hll_fold(merged, by="g").collect()[0]
+    fd = hll_fold(direct, by="g").collect()[0]
+    assert fm["harmonic_scaled"] == fd["harmonic_scaled"]
+    assert fm["hll_estimate"] == fd["hll_estimate"]
