@@ -797,6 +797,109 @@ GROUP BY b.bucket, p.peak_concurrent
 ORDER BY b.bucket
 """
 
+
+STL_W = 12  # centered trend window: +/- 12 hourly buckets
+
+
+def q_events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition on the hourly dense grid per event
+    type: trend = centered rolling mean (exact integer window sums),
+    seasonal = hour-of-day mean of the detrended series (rounded ladder),
+    residual = the rest. Reports the 24-hour seasonal profile per type with
+    within-hour residual mass — the classic trend/seasonal/residual split,
+    engine-exact through the rounding ladder, composed from the existing
+    resample + window machinery."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.timeseries import resample_counts
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    grid = resample_counts(ev, by="event_type", ts_col="ts", width_s=3600)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(-STL_W, STL_W)
+    )
+    trend = F.round(F.sum("n").over(w) / F.count("n").over(w), 6)
+    dt = grid.select(
+        "event_type",
+        "bucket_epoch",
+        "n",
+        F.round(F.col("n") - trend, 6).alias("_d"),
+    )
+    hod = F.expr("(bucket_epoch % 86400) div 3600").cast("int")
+    byhod = dt.select("event_type", hod.alias("hod"), "_d")
+    seas = byhod.groupBy("event_type", "hod").agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.round(F.round(F.sum("_d"), 6) / F.count("*"), 6).alias("seasonal_r"),
+    )
+    resid = (
+        byhod.join(seas, ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hod",
+            F.round(F.abs(F.round(F.col("_d") - F.col("seasonal_r"), 6)), 6).alias(
+                "_ar"
+            ),
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.round(F.sum("_ar"), 6).alias("sum_abs_resid_r"))
+    )
+    return (
+        seas.join(resid, ["event_type", "hod"])
+        .select("event_type", "hod", "n_cells", "seasonal_r", "sum_abs_resid_r")
+        .orderBy("event_type", "hod")
+    )
+
+
+ORACLE_EVENTS_STL = f"""
+WITH hist AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS be,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, be
+),
+grid AS (
+  SELECT h.event_type, gs.be, coalesce(hist.n, 0)::BIGINT AS n
+  FROM (
+    SELECT event_type, unnest(range(mn, mx + 3600, 3600)) AS be
+    FROM (SELECT event_type, min(be) AS mn, max(be) AS mx
+          FROM hist GROUP BY event_type)
+  ) gs(event_type, be)
+  JOIN (SELECT DISTINCT event_type FROM hist) h ON h.event_type = gs.event_type
+  LEFT JOIN hist ON hist.event_type = gs.event_type AND hist.be = gs.be
+),
+tr AS (
+  SELECT event_type, be, n,
+         round(sum(n) OVER w / CAST(count(n) OVER w AS DOUBLE), 6) AS trend
+  FROM grid
+  WINDOW w AS (PARTITION BY event_type ORDER BY be
+               ROWS BETWEEN {STL_W} PRECEDING AND {STL_W} FOLLOWING)
+),
+dt AS (
+  SELECT event_type, CAST((be % 86400) // 3600 AS INT) AS hod,
+         round(n - trend, 6) AS d
+  FROM tr
+),
+seas AS (
+  SELECT event_type, hod, count(*)::BIGINT AS n_cells,
+         round(round(sum(d), 6) / count(*), 6) AS seasonal_r
+  FROM dt GROUP BY event_type, hod
+),
+resid AS (
+  SELECT dt.event_type, dt.hod,
+         round(sum(round(abs(round(dt.d - seas.seasonal_r, 6)), 6)), 6)
+           AS sum_abs_resid_r
+  FROM dt JOIN seas ON dt.event_type = seas.event_type AND dt.hod = seas.hod
+  GROUP BY dt.event_type, dt.hod
+)
+SELECT seas.event_type, seas.hod, seas.n_cells, seas.seasonal_r,
+       resid.sum_abs_resid_r
+FROM seas JOIN resid ON seas.event_type = resid.event_type
+                    AND seas.hod = resid.hod
+ORDER BY seas.event_type, seas.hod
+"""
+
 QUERIES = {
     "events_trend": q_events_trend,
     "events_changepoint": q_events_changepoint,
@@ -810,6 +913,7 @@ QUERIES = {
     "events_hopping": q_events_hopping,
     "events_ewma": q_events_ewma,
     "fulfillment_peak_monthly": q_fulfillment_peak_monthly,
+    "events_stl_decompose": q_events_stl_decompose,
 }
 ORACLES = {
     "events_trend": ORACLE_EVENTS_TREND,
@@ -824,4 +928,5 @@ ORACLES = {
     "events_hopping": ORACLE_HOPPING,
     "events_ewma": ORACLE_EVENTS_EWMA,
     "fulfillment_peak_monthly": ORACLE_FULFILLMENT_PEAK,
+    "events_stl_decompose": ORACLE_EVENTS_STL,
 }
