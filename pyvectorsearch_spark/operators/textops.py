@@ -1286,3 +1286,29 @@ def nb_classify(
         F.col("_lbl").alias("true_label"),
         F.col("_ml").alias("pred_label"),
     )
+
+
+# Porter-step-1-style suffix stemming as a fixed regex chain (sses->ss,
+# ies->i, drop trailing s unless -ss/-us, strip -ing/-ed from stems >= 3
+# chars). Replacement group syntax differs per engine ($1 Java, \1 RE2)
+# but semantics are identical; the rule ORDER is part of the contract.
+
+
+def stem_token(col: Column) -> Column:
+    """Apply the fixed stemming rule chain to a (lowercase) token column."""
+    c = F.regexp_replace(col, "sses$", "ss")
+    c = F.regexp_replace(c, "ies$", "i")
+    c = F.regexp_replace(c, "([^su])s$", "$1")
+    c = F.regexp_replace(c, "(.{3,})ing$", "$1")
+    c = F.regexp_replace(c, "(.{3,})ed$", "$1")
+    return c
+
+
+def duckdb_stem_sql(expr: str) -> str:
+    """DuckDB twin of ``stem_token`` (same rules, RE2 replacement syntax)."""
+    c = f"regexp_replace({expr}, 'sses$', 'ss')"
+    c = f"regexp_replace({c}, 'ies$', 'i')"
+    c = f"regexp_replace({c}, '([^su])s$', '\\1')"
+    c = f"regexp_replace({c}, '(.{{3,}})ing$', '\\1')"
+    c = f"regexp_replace({c}, '(.{{3,}})ed$', '\\1')"
+    return c

@@ -231,3 +231,140 @@ ORACLES = {
     "text_length_histogram": ORACLE_TEXT_LENGTH_HISTOGRAM,
     "vocab_novelty": ORACLE_VOCAB_NOVELTY,
 }
+
+
+# --- stemming + class-based TF-IDF ----------------------------------------
+
+
+def q_text_stem_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary reduction from the fixed-rule stemmer (Porter step-1
+    style): per source, token count, distinct raw terms, distinct stems,
+    and the reduction ratio — the normalization step between tokenization
+    and indexing; stemming is a zero-shuffle projection on the exploded
+    token stream, the rollup is one map-side-combined aggregate."""
+    from pyvectorsearch_spark.operators.textops import stem_token
+    from pyvectorsearch_spark.functions.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    e = docs.select("source", F.explode(tokens("text")).alias("w"))
+    s = e.select("source", "w", stem_token(F.col("w")).alias("st"))
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.countDistinct("w").cast("bigint").alias("n_raw_terms"),
+            F.countDistinct("st").cast("bigint").alias("n_stems"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_raw_terms",
+            "n_stems",
+            F.round(1.0 - F.col("n_stems") / F.col("n_raw_terms"), 6).alias(
+                "reduction_r"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _stem_oracle() -> str:
+    from pyvectorsearch_spark.operators.textops import duckdb_stem_sql
+
+    return f"""
+WITH e AS (
+  SELECT source, unnest({duckdb_tokens("text")}) AS w FROM documents
+),
+s AS (SELECT source, w, {duckdb_stem_sql("w")} AS st FROM e)
+SELECT source, count(*)::BIGINT AS n_tokens,
+       count(DISTINCT w)::BIGINT AS n_raw_terms,
+       count(DISTINCT st)::BIGINT AS n_stems,
+       round(1.0 - count(DISTINCT st) / CAST(count(DISTINCT w) AS DOUBLE), 6)
+         AS reduction_r
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+ORACLE_TEXT_STEM_VOCAB = _stem_oracle()
+
+
+CTFIDF_K = 5
+
+
+def q_text_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic topic-labeling score): per source
+    class c and term t, ctfidf = (tf_tc / w_c) * ln(1 + A / f_t) with w_c
+    the class token count, A the mean class size, f_t the corpus term
+    frequency — the per-CLASS keyword extractor (vs `text_tfidf`'s
+    per-document one). Top-5 terms per source, rounded ladder throughout.
+    Scale shape: the corpus reduces once to (class, term, tf) map-side;
+    everything after is vocabulary-sized."""
+    from pyvectorsearch_spark.functions.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    e = docs.select("source", F.explode(tokens("text")).alias("w"))
+    tfc = e.groupBy("source", "w").agg(F.count("*").cast("bigint").alias("tf"))
+    wc = tfc.groupBy("source").agg(F.sum("tf").cast("bigint").alias("wc"))
+    ft = tfc.groupBy("w").agg(F.sum("tf").cast("bigint").alias("ft"))
+    a = wc.agg(
+        (F.sum("wc") / F.count("*")).alias("a")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        tfc.join(wc, "source")
+        .join(ft, "w")
+        .crossJoin(F.broadcast(a))
+        .select(
+            "source",
+            "w",
+            "tf",
+            F.round(
+                (F.col("tf") / F.col("wc"))
+                * F.log(1.0 + F.col("a") / F.col("ft")),
+                9,
+            ).alias("ctfidf_r"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("ctfidf_r"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= CTFIDF_K)
+        .select("source", F.col("rank").cast("int").alias("rank"), "w", "ctfidf_r")
+        .orderBy("source", "rank")
+    )
+
+
+ORACLE_TEXT_CTFIDF = f"""
+WITH e AS (
+  SELECT source, unnest({duckdb_tokens("text")}) AS w FROM documents
+),
+tfc AS (SELECT source, w, count(*)::BIGINT AS tf FROM e GROUP BY source, w),
+wc AS (SELECT source, sum(tf)::BIGINT AS wc FROM tfc GROUP BY source),
+ft AS (SELECT w, sum(tf)::BIGINT AS ft FROM tfc GROUP BY w),
+a AS (SELECT sum(wc) / CAST(count(*) AS DOUBLE) AS a FROM wc),
+sc AS (
+  SELECT tfc.source, tfc.w, tfc.tf,
+         round((tfc.tf / CAST(wc.wc AS DOUBLE))
+               * ln(1.0 + a.a / ft.ft), 9) AS ctfidf_r
+  FROM tfc JOIN wc ON tfc.source = wc.source
+  JOIN ft ON tfc.w = ft.w CROSS JOIN a
+),
+r AS (
+  SELECT source, w, ctfidf_r,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY ctfidf_r DESC, w ASC) AS rank
+  FROM sc
+)
+SELECT source, CAST(rank AS INT) AS rank, w, ctfidf_r
+FROM r WHERE rank <= {CTFIDF_K} ORDER BY source, rank
+"""
+
+QUERIES.update({
+    "text_stem_vocab": q_text_stem_vocab,
+    "text_ctfidf": q_text_ctfidf,
+})
+ORACLES.update({
+    "text_stem_vocab": ORACLE_TEXT_STEM_VOCAB,
+    "text_ctfidf": ORACLE_TEXT_CTFIDF,
+})
