@@ -900,6 +900,115 @@ FROM seas JOIN resid ON seas.event_type = resid.event_type
 ORDER BY seas.event_type, seas.hod
 """
 
+
+BURST_FACTOR = 2.0  # bucket is bursting when count > factor x trailing mean
+BURST_TRAIL = 24  # trailing-mean lookback (hourly buckets), current excluded
+
+
+def q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection (Kleinberg-lite threshold runs): hourly buckets whose
+    count exceeds 2x the trailing-24h mean flag as bursting; consecutive
+    flagged buckets fuse into burst intervals via the lag-gap sessionization
+    trick on the flagged subset. Per burst: start/end epoch, length, peak
+    count — all integer/rounded-exact. Shuffle shape: the dense grid is the
+    input (one type-keyed exchange serves the trailing window, the flag lag,
+    and the interval rollup)."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.timeseries import resample_counts
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    grid = resample_counts(ev, by="event_type", ts_col="ts", width_s=3600)
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(-BURST_TRAIL, -1)
+    )
+    trail = F.round(F.sum("n").over(wt) / F.count("n").over(wt), 6)
+    flagged = grid.select(
+        "event_type",
+        "bucket_epoch",
+        "n",
+        (
+            F.col("n").cast("double")
+            > F.lit(BURST_FACTOR) * F.coalesce(trail, F.lit(0.0))
+        ).alias("_hot"),
+    ).filter(F.col("_hot"))
+    wl = Window.partitionBy("event_type").orderBy("bucket_epoch")
+    runs = flagged.withColumn(
+        "_new",
+        (
+            F.coalesce(
+                F.col("bucket_epoch") - F.lag("bucket_epoch").over(wl),
+                F.lit(999999),
+            )
+            > 3600
+        ).cast("int"),
+    ).withColumn(
+        "_run",
+        F.sum("_new").over(
+            wl.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        runs.groupBy("event_type", "_run")
+        .agg(
+            F.min("bucket_epoch").alias("start_epoch"),
+            F.max("bucket_epoch").alias("end_epoch"),
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.max("n").cast("bigint").alias("peak_n"),
+        )
+        .select("event_type", "start_epoch", "end_epoch", "n_buckets", "peak_n")
+        .orderBy("event_type", "start_epoch")
+    )
+
+
+ORACLE_EVENTS_BURSTS = f"""
+WITH hist AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS be,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, be
+),
+grid AS (
+  SELECT h.event_type, gs.be, coalesce(hist.n, 0)::BIGINT AS n
+  FROM (
+    SELECT event_type, unnest(range(mn, mx + 3600, 3600)) AS be
+    FROM (SELECT event_type, min(be) AS mn, max(be) AS mx
+          FROM hist GROUP BY event_type)
+  ) gs(event_type, be)
+  JOIN (SELECT DISTINCT event_type FROM hist) h ON h.event_type = gs.event_type
+  LEFT JOIN hist ON hist.event_type = gs.event_type AND hist.be = gs.be
+),
+tr AS (
+  SELECT event_type, be, n,
+         round(sum(n) OVER w / CAST(count(n) OVER w AS DOUBLE), 6) AS trail
+  FROM grid
+  WINDOW w AS (PARTITION BY event_type ORDER BY be
+               ROWS BETWEEN {BURST_TRAIL} PRECEDING AND 1 PRECEDING)
+),
+hot AS (
+  SELECT event_type, be, n FROM tr
+  WHERE CAST(n AS DOUBLE) > {BURST_FACTOR!r} * coalesce(trail, 0.0)
+),
+marks AS (
+  SELECT event_type, be, n,
+         CASE WHEN coalesce(be - lag(be) OVER (PARTITION BY event_type
+                                               ORDER BY be), 999999) > 3600
+              THEN 1 ELSE 0 END AS newrun
+  FROM hot
+),
+runs AS (
+  SELECT event_type, be, n,
+         sum(newrun) OVER (PARTITION BY event_type ORDER BY be) AS run
+  FROM marks
+)
+SELECT event_type, min(be) AS start_epoch, max(be) AS end_epoch,
+       count(*)::BIGINT AS n_buckets, max(n)::BIGINT AS peak_n
+FROM runs GROUP BY event_type, run
+ORDER BY event_type, start_epoch
+"""
+
 QUERIES = {
     "events_trend": q_events_trend,
     "events_changepoint": q_events_changepoint,
@@ -914,6 +1023,7 @@ QUERIES = {
     "events_ewma": q_events_ewma,
     "fulfillment_peak_monthly": q_fulfillment_peak_monthly,
     "events_stl_decompose": q_events_stl_decompose,
+    "events_bursts": q_events_bursts,
 }
 ORACLES = {
     "events_trend": ORACLE_EVENTS_TREND,
@@ -929,4 +1039,5 @@ ORACLES = {
     "events_ewma": ORACLE_EVENTS_EWMA,
     "fulfillment_peak_monthly": ORACLE_FULFILLMENT_PEAK,
     "events_stl_decompose": ORACLE_EVENTS_STL,
+    "events_bursts": ORACLE_EVENTS_BURSTS,
 }
