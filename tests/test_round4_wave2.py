@@ -1,0 +1,99 @@
+"""Unit tests for the round-4 second-wave operators on hand-checkable
+inputs (oracle parity covers the registered queries; these pin operator
+semantics directly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_nb_classify_separable_corpus(spark):
+    from pyvectorsearch_spark.operators.textops import nb_classify
+
+    rows = [
+        (1, "apple banana apple fruit", "food"),
+        (2, "banana fruit apple apple", "food"),
+        (3, "gear piston engine motor", "cars"),
+        (4, "engine motor gear gear", "cars"),
+        (5, "apple fruit banana", "food"),
+        (6, "piston engine gear", "cars"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r["doc_id"]: r["pred_label"] for r in nb_classify(df).collect()}
+    assert all(out[i] == "food" for i in (1, 2, 5))
+    assert all(out[i] == "cars" for i in (3, 4, 6))
+
+
+def test_maxsim_prefers_aligned_tokens(spark):
+    from pyvectorsearch_spark.operators.embeddings import maxsim_topk
+
+    # query doc 0 has two orthogonal unit tokens; doc 1 matches both, doc 2
+    # matches only one -> doc 1 must outrank doc 2
+    rows = [
+        (0, 100, [1.0, 0.0]),
+        (0, 101, [0.0, 1.0]),
+        (1, 110, [1.0, 0.0]),
+        (1, 111, [0.0, 1.0]),
+        (2, 120, [1.0, 0.0]),
+        (2, 121, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc bigint, tok_id bigint, embedding array<double>")
+    q = df.filter(F.col("doc") == 0)
+    out = maxsim_topk(df, q, k=2).collect()
+    by_rank = {r["rank"]: (r["doc"], r["maxsim_r"]) for r in out}
+    assert by_rank[1][0] == 1 and by_rank[1][1] == 2.0
+    assert by_rank[2][0] == 2 and by_rank[2][1] == 1.0
+
+
+def test_stem_token_rules(spark):
+    from pyvectorsearch_spark.operators.textops import stem_token
+
+    cases = {
+        "classes": "class",
+        "ponies": "poni",
+        "cats": "cat",
+        "glass": "glass",   # -ss protected
+        "bus": "bus",       # -us protected
+        "running": "runn",
+        "jumped": "jump",
+        "bed": "bed",       # too short for -ed strip
+        "sing": "sing",     # too short for -ing strip
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "t string")
+    got = {
+        r["t"]: r["s"]
+        for r in df.select("t", stem_token(F.col("t")).alias("s")).collect()
+    }
+    assert got == cases
+
+
+def test_kcenter_selects_extremes(spark):
+    from pyvectorsearch_spark.operators.clustering import kcenter_coreset
+
+    # seed = id 0 at origin; farthest point is (10, 0); then (0, 8)
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.1, 0.1]),
+        (2, [10.0, 0.0]),
+        (3, [0.0, 8.0]),
+        (4, [5.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+    out = kcenter_coreset(df, id_col="vec_id", vec_col="v", k=3).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["sel_order"])]
+    assert order == [0, 2, 3]
+
+
+def test_mutual_knn_symmetry_and_k_bound(spark):
+    from pyvectorsearch_spark.operators.graph import mutual_knn_pairs
+
+    rows = [(i, [float(i), 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = mutual_knn_pairs(df, k=1).collect()
+    # k=1 on a line: only adjacent pairs where each is the other's nearest;
+    # 0-1 qualifies (0's NN is 1, 1's NN is 0 by id tie-break), 2-3 and 4-5
+    pairs = sorted((r["d1"], r["d2"]) for r in out)
+    for d1, d2 in pairs:
+        assert d1 < d2
+    assert (0, 1) in pairs
+    assert all(r["rank_ab"] <= 1 and r["rank_ba"] <= 1 for r in out)
