@@ -146,6 +146,8 @@ def _km_train(base: DataFrame, k: int, rounds: int) -> list[list[int]]:
     """Run the Lloyd rounds, returning the final centroids (k x dim ints).
     Each round collects only the k*dim sum cells (constant footprint)."""
     init = base.orderBy("_id").limit(k).collect()
+    if not init:
+        raise ValueError("kmeans: input has no rows (cannot seed centroids)")
     cents = [list(r["_q"]) for r in init]
     dim = len(cents[0])
     for _ in range(rounds):
@@ -270,8 +272,12 @@ def kcenter_coreset(
     base = df.select(
         F.col(id_col).alias("_id"), _km_quantize(vec_col).alias("_q")
     )
-    seed = base.orderBy("_id").limit(1).collect()[0]
+    seed_rows = base.orderBy("_id").limit(1).collect()
+    if not seed_rows:
+        raise ValueError("kcenter: input has no rows (cannot seed selection)")
+    seed = seed_rows[0]
     chosen = [(1, seed["_id"], list(seed["_q"]), 0)]
+    taken = {seed["_id"]}
     for r in range(2, k + 1):
         d2s = []
         for _, _, cv, _ in chosen:
@@ -290,6 +296,9 @@ def kcenter_coreset(
             .limit(1)
             .collect()[0]
         )
+        if far["_id"] in taken:
+            break  # k > n: every remaining point IS a center (dmin 0)
+        taken.add(far["_id"])
         chosen.append((r, far["_id"], list(far["_q"]), int(far["_dmin"])))
     spark = df.sparkSession
     return spark.createDataFrame(

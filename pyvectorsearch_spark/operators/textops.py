@@ -1068,9 +1068,8 @@ def duckdb_html_clean_sql(text_expr: str) -> str:
     e = f"regexp_replace(regexp_replace({text_expr}, '{_HTML_SCRIPT_RE}', ' ', 'g'), '{_HTML_STYLE_RE}', ' ', 'g')"
     e = f"regexp_replace({e}, '{_HTML_TAG_RE}', ' ', 'g')"
     for ent, ch in _HTML_ENTITIES:
-        lit = ent.replace("#", "#")
         ch_sql = ch.replace("'", "''")
-        e = f"regexp_replace({e}, '{re_escape_literal(lit)}', '{ch_sql}', 'g')"
+        e = f"regexp_replace({e}, '{re_escape_literal(ent)}', '{ch_sql}', 'g')"
     return f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
 
 
@@ -1163,7 +1162,11 @@ def feature_hash(
 # ports and trailing slashes dropped. Pure RE2-compatible regex chain, so
 # the DuckDB oracle replays it verbatim.
 _URL_FRAG_RE = r"#.*$"
-_URL_UTM_RE = r"utm_[a-z]+=[^&#]*&?"
+# anchored to a parameter delimiter (kept via group 1) so a non-tracking
+# param whose NAME merely contains 'utm_' (e.g. ?xutm_a=1) is untouched;
+# case-insensitive name, delimiter runs collapsed by _URL_DELIM_RE after
+_URL_UTM_RE = r"([?&])[uU][tT][mM]_[A-Za-z]+=[^&#]*"
+_URL_DELIM_RE = r"([?&])[?&]+"
 _URL_TIDY_RE = r"[?&]+$"
 _URL_PREFIX_RE = r"^[A-Za-z]+://[^/?#]+"
 _URL_PORT_RE = r":(443|80)$"
@@ -1174,7 +1177,8 @@ def url_canonical(col: Column | str) -> Column:
     """Canonical form of a URL column (see module constant chain)."""
     u = F.col(col) if isinstance(col, str) else col
     u = F.regexp_replace(u, _URL_FRAG_RE, "")
-    u = F.regexp_replace(u, _URL_UTM_RE, "")
+    u = F.regexp_replace(u, _URL_UTM_RE, "$1")
+    u = F.regexp_replace(u, _URL_DELIM_RE, "$1")
     u = F.regexp_replace(u, _URL_TIDY_RE, "")
     prefix = F.regexp_replace(
         F.lower(F.regexp_extract(u, _URL_PREFIX_RE, 0)), _URL_PORT_RE, ""
@@ -1186,7 +1190,8 @@ def url_canonical(col: Column | str) -> Column:
 def duckdb_url_canonical_sql(expr: str) -> str:
     """DuckDB twin of ``url_canonical`` (identical regex chain)."""
     u = f"regexp_replace({expr}, '{_URL_FRAG_RE}', '')"
-    u = f"regexp_replace({u}, '{_URL_UTM_RE}', '', 'g')"
+    u = f"regexp_replace({u}, '{_URL_UTM_RE}', '\\1', 'g')"
+    u = f"regexp_replace({u}, '{_URL_DELIM_RE}', '\\1', 'g')"
     u = f"regexp_replace({u}, '{_URL_TIDY_RE}', '')"
     prefix = (
         f"regexp_replace(lower(regexp_extract({u}, '{_URL_PREFIX_RE}')), "

@@ -259,9 +259,13 @@ def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per candidate; no joins."""
     parts = []
     for t, a, b in FD_CANDIDATES:
+        # NULL dependents are excluded so the distinct-count semantics match
+        # SQL COUNT(DISTINCT b) (which ignores NULLs) — a {x, NULL} group is
+        # one distinct dependent, not a violation
         g = (
             spread(load_table(spark, sf_dir, t))
             .select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+            .filter(F.col("_b").isNotNull())
             .distinct()
             .groupBy("_a")
             .agg(F.count("*").alias("_nb"))

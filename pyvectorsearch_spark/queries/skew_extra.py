@@ -326,24 +326,25 @@ def q_price_qty_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = li.withColumn("_rp", F.row_number().over(wp)).withColumn(
         "_rq", F.row_number().over(wq)
     )
+    # Distinct ranks (row_number, no ties) admit the closed form
+    # rho = 1 - 6*sum(d^2) / (n*(n^2-1)); sum(d^2) accumulates in
+    # DECIMAL(38,0) (DuckDB: HUGEINT), which stays exact to n ~ 10^12 rows
+    # per group — the raw-moment form overflows bigint at n ~ 7*10^4.
+    d2 = ((F.col("_rp") - F.col("_rq")) * (F.col("_rp") - F.col("_rq"))).cast(
+        "decimal(38,0)"
+    )
     agg = r.groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("_rp").cast("bigint").alias("sp"),
-        F.sum("_rq").cast("bigint").alias("sq"),
-        F.sum(F.col("_rp") * F.col("_rp")).cast("bigint").alias("spp"),
-        F.sum(F.col("_rq") * F.col("_rq")).cast("bigint").alias("sqq"),
-        F.sum(F.col("_rp") * F.col("_rq")).cast("bigint").alias("spq"),
+        F.sum(d2).alias("sd2"),
     )
-    num = F.col("n") * F.col("spq") - F.col("sp") * F.col("sq")
-    den = F.sqrt(
-        (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")).cast("double")
-    ) * F.sqrt(
-        (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
+    rho = 1.0 - 6.0 * F.col("sd2").cast("double") / (
+        F.col("n").cast("double")
+        * (F.col("n").cast("double") * F.col("n").cast("double") - 1.0)
     )
     return agg.select(
         "l_returnflag",
         "n",
-        F.round(num / den, 6).alias("spearman_r"),
+        F.round(rho, 6).alias("spearman_r"),
     ).orderBy("l_returnflag")
 
 
@@ -364,15 +365,13 @@ r AS (
 ),
 g AS (
   SELECT l_returnflag, count(*)::BIGINT AS n,
-         sum(rp)::BIGINT AS sp, sum(rq)::BIGINT AS sq,
-         sum(rp * rp)::BIGINT AS spp, sum(rq * rq)::BIGINT AS sqq,
-         sum(rp * rq)::BIGINT AS spq
+         sum(CAST((rp - rq) * (rp - rq) AS HUGEINT)) AS sd2
   FROM r GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       round((n * spq - sp * sq)
-             / (sqrt(CAST(n * spp - sp * sp AS DOUBLE))
-                * sqrt(CAST(n * sqq - sq * sq AS DOUBLE))), 6) AS spearman_r
+       round(1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)),
+             6) AS spearman_r
 FROM g ORDER BY l_returnflag
 """
 

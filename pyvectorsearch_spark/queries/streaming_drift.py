@@ -96,28 +96,15 @@ def q_events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle verifies the streamed sketch bit-for-bit."""
     import uuid as _uuid
 
-    from pyvectorsearch_spark.operators.sketches import (
-        HLL_M,
-        HLL_RANK_MAX,
-        hll_fold,
-    )
+    from pyvectorsearch_spark.operators.sketches import hll_fold, hll_registers
 
     path = _events_landing(spark, sf_dir)
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path)
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
-    ).cast("bigint")
-    j = h.bitwiseAND(F.lit(HLL_M - 1))
-    w = (h / HLL_M).cast("bigint")
-    rank = F.when(w == 0, F.lit(HLL_RANK_MAX)).otherwise(
-        F.bit_count(w.bitwiseAND(-w) - 1) + 1
-    )
-    reg = (
-        stream.select("event_type", j.alias("_j"), rank.alias("_rank"))
-        .groupBy("event_type", "_j")
-        .agg(F.max("_rank").alias("_mj"))
-    )
+    # the SAME operator as the batch sketch (select + groupBy/agg only, so
+    # it runs unchanged on a streaming DataFrame) — streamed and batch
+    # register state cannot drift apart
+    reg = hll_registers(stream, by="event_type", value_col="user_id")
     name = f"events_hll_stream_{_uuid.uuid4().hex[:8]}"
     q = (
         reg.writeStream.format("memory")

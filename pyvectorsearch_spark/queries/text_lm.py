@@ -66,8 +66,7 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs, smooth=LM_SMOOTH).orderBy("doc_id")
 
 
-ORACLE_BIGRAM_LM = f"""
-WITH tokd AS (SELECT doc_id, {_TOK} AS t FROM documents),
+_BIGRAM_LM_CTES = f"""tokd AS (SELECT doc_id, {_TOK} AS t FROM documents),
 v AS (
   SELECT count(DISTINCT term)::DOUBLE AS v
   FROM (SELECT unnest(t) AS term FROM tokd)
@@ -89,7 +88,10 @@ sc AS (
   SELECT doc_id, tf,
          tf * round(ln((cbg + {LM_SMOOTH}) / (cuni + {LM_SMOOTH} * v.v)), 6) AS c
   FROM att CROSS JOIN v
-)
+)"""
+
+ORACLE_BIGRAM_LM = f"""
+WITH {_BIGRAM_LM_CTES}
 SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
        round(round(sum(c), 6) / sum(tf), 6) AS avg_logprob
 FROM sc GROUP BY doc_id ORDER BY doc_id
@@ -631,10 +633,8 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LM_CTE = ORACLE_BIGRAM_LM.strip().removeprefix("WITH ").rsplit("SELECT doc_id, sum(tf)", 1)[0].rstrip().rstrip(",")
-
 ORACLE_CCNET_BUCKETS = f"""
-WITH {_LM_CTE},
+WITH {_BIGRAM_LM_CTES},
 lm AS (
   SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
          round(round(sum(c), 6) / sum(tf), 6) AS avg_logprob

@@ -925,15 +925,18 @@ def q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-BURST_TRAIL, -1)
     )
     trail = F.round(F.sum("n").over(wt) / F.count("n").over(wt), 6)
+    # the first bucket of a series has no trailing history — it cannot be
+    # judged (coalescing the NULL trail to 0 would flag EVERY series start
+    # as a burst, since the grid begins at each group's first active hour)
     flagged = grid.select(
         "event_type",
         "bucket_epoch",
         "n",
-        (
-            F.col("n").cast("double")
-            > F.lit(BURST_FACTOR) * F.coalesce(trail, F.lit(0.0))
-        ).alias("_hot"),
-    ).filter(F.col("_hot"))
+        trail.alias("_trail"),
+    ).filter(
+        F.col("_trail").isNotNull()
+        & (F.col("n").cast("double") > F.lit(BURST_FACTOR) * F.col("_trail"))
+    )
     wl = Window.partitionBy("event_type").orderBy("bucket_epoch")
     runs = flagged.withColumn(
         "_new",
@@ -989,7 +992,8 @@ tr AS (
 ),
 hot AS (
   SELECT event_type, be, n FROM tr
-  WHERE CAST(n AS DOUBLE) > {BURST_FACTOR!r} * coalesce(trail, 0.0)
+  WHERE trail IS NOT NULL
+    AND CAST(n AS DOUBLE) > {BURST_FACTOR!r} * trail
 ),
 marks AS (
   SELECT event_type, be, n,

@@ -97,3 +97,57 @@ def test_mutual_knn_symmetry_and_k_bound(spark):
         assert d1 < d2
     assert (0, 1) in pairs
     assert all(r["rank_ab"] <= 1 and r["rank_ba"] <= 1 for r in out)
+
+
+def test_kmeans_kcenter_empty_input_raise(spark):
+    import pytest
+
+    from pyvectorsearch_spark.operators.clustering import (
+        kcenter_coreset,
+        kmeans_fixed,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, v array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        kmeans_fixed(empty, id_col="vec_id", vec_col="v", k=2, rounds=1)
+    with pytest.raises(ValueError, match="no rows"):
+        kcenter_coreset(empty, id_col="vec_id", vec_col="v", k=2)
+
+
+def test_kcenter_k_exceeds_n_no_duplicates(spark):
+    from pyvectorsearch_spark.operators.clustering import kcenter_coreset
+
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+    out = kcenter_coreset(df, id_col="vec_id", vec_col="v", k=8).collect()
+    ids = [r["vec_id"] for r in out]
+    assert len(ids) == len(set(ids)) <= 3
+
+
+def test_bursts_first_bucket_not_flagged(spark):
+    """A flat series must report ZERO bursts — in particular the first
+    bucket (whose trailing window is empty) must not fire."""
+    import datetime as dt
+
+    from pyvectorsearch_spark.operators.timeseries import resample_counts
+
+    # mirror the query's logic on a flat synthetic series
+    from pyspark.sql import Window
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, h, m))
+        for h in range(6)
+        for m in (0, 30)
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    grid = resample_counts(ev, by="event_type", ts_col="ts", width_s=3600)
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(-24, -1)
+    )
+    trail = F.round(F.sum("n").over(wt) / F.count("n").over(wt), 6)
+    flagged = grid.select("n", trail.alias("_t")).filter(
+        F.col("_t").isNotNull() & (F.col("n").cast("double") > 2.0 * F.col("_t"))
+    )
+    assert flagged.count() == 0

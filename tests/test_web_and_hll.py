@@ -271,6 +271,10 @@ def test_url_canonical_edge_cases(spark):
         (6, "https://x.org/p?utm_source=a"),        # only-utm -> bare path
         (7, "https://x.org/p#sec"),                 # fragment stripped
         (8, "https://x.org/p/"),                    # trailing slash stripped
+        (9, "https://x.org/p?xutm_a=1"),            # NOT a utm param: kept
+        (10, "https://x.org/p?UTM_SOURCE=a"),       # uppercase utm stripped
+        (11, "https://x.org/p?utm_a=1&utm_b=2"),    # every utm param goes
+        (12, "https://x.org/p?q=1&utm_a=2"),        # non-utm neighbor kept
     ]
     df = spark.createDataFrame(cases, "id bigint, u string")
     got = {
@@ -285,6 +289,10 @@ def test_url_canonical_edge_cases(spark):
     assert got[6] == "https://x.org/p"
     assert got[7] == "https://x.org/p"
     assert got[8] == "https://x.org/p"
+    assert got[9] == "https://x.org/p?xutm_a=1"
+    assert got[10] == "https://x.org/p"
+    assert got[11] == "https://x.org/p"
+    assert got[12] == "https://x.org/p?q=1"
 
 
 def test_hll_registers_mergeable(spark):
