@@ -381,3 +381,62 @@ ORACLES.update({
     "fd_check": ORACLE_FD_CHECK,
     "audit_benford": ORACLE_AUDIT_BENFORD,
 })
+
+
+# --- privacy: k-anonymity / l-diversity profile ----------------------------
+
+KANON_K = 5
+KANON_L = 2
+
+
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity profile (Sweeney 2002 / Machanavajjhala
+    2007) over the customer quasi-identifier (nation, market segment,
+    account-balance band): per QI group size, distinct sensitive values
+    (the balance itself as the sensitive attribute), and the k=5 / l=2
+    verdicts — the re-identification-risk screen run before releasing any
+    joined extract. One map-side-combined rollup; the report is
+    QI-cardinality-sized."""
+    c = spread(load_table(spark, sf_dir, "customer"))
+    band = (F.floor(F.col("c_acctbal") / 1000.0)).cast("bigint")
+    g = (
+        c.select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            band.alias("bal_band"),
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("_sv"),
+        )
+        .groupBy("nation", "segment", "bal_band")
+        .agg(
+            F.count("*").cast("bigint").alias("group_size"),
+            F.countDistinct("_sv").cast("bigint").alias("n_sensitive"),
+        )
+    )
+    return g.select(
+        "nation",
+        "segment",
+        "bal_band",
+        "group_size",
+        "n_sensitive",
+        (F.col("group_size") >= KANON_K).alias("k_anonymous"),
+        (F.col("n_sensitive") >= KANON_L).alias("l_diverse"),
+    ).orderBy("nation", "segment", "bal_band")
+
+
+ORACLE_PRIVACY_K_ANONYMITY = f"""
+WITH g AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         count(*)::BIGINT AS group_size,
+         count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT
+           AS n_sensitive
+  FROM customer GROUP BY nation, segment, bal_band
+)
+SELECT nation, segment, bal_band, group_size, n_sensitive,
+       (group_size >= {KANON_K}) AS k_anonymous,
+       (n_sensitive >= {KANON_L}) AS l_diverse
+FROM g ORDER BY nation, segment, bal_band
+"""
+
+QUERIES.update({"privacy_k_anonymity": q_privacy_k_anonymity})
+ORACLES.update({"privacy_k_anonymity": ORACLE_PRIVACY_K_ANONYMITY})
