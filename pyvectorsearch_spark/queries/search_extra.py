@@ -488,3 +488,111 @@ ORACLES = {
     "knn_mmr": ORACLE_KNN_MMR,
     "sq8_recall_report": ORACLE_SQ8_RECALL,
 }
+
+
+# --- three-stage retrieval pipeline: BM25 -> cosine re-rank -> MMR ---------
+
+RP_DEPTH = 15
+RP_K = 5
+RP_LAM = 0.7
+
+
+def q_pipeline_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production retrieval stack as ONE composed query: lexical recall
+    (BM25 top-15 for the fixed term set) → semantic re-rank (cosine of each
+    candidate's embedding against probe vec 0 over the doc_id = vec_id
+    bridge) → MMR diversification (top-5, λ=0.7). Every stage is bounded
+    after BM25 (depth × depth sims), every score goes through the rounded
+    ladder, and the oracle replays the whole stack — recall CTEs, re-rank,
+    and the unrolled greedy MMR steps — so the END-TO-END pipeline is
+    hash-checked, not just its stages."""
+    from pyvectorsearch_spark.operators.knn import mmr_rerank
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand0 = bm25_rank(docs, BM25_TERMS, k1=BM25_K1, b=BM25_B, topk=RP_DEPTH)
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    cand = (
+        cand0.join(emb, cand0["doc_id"] == emb["vec_id"])
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("doc_id").alias("id"),
+            F.round(cosine_sim("embedding", "qvec"), 6).alias("rel_r"),
+        )
+    )
+    cemb = emb.join(
+        F.broadcast(cand.select("id")), emb["vec_id"] == F.col("id")
+    ).select("id", "embedding")
+    x = cemb.alias("x")
+    y = cemb.select(
+        F.col("id").alias("b"), F.col("embedding").alias("_bemb")
+    ).alias("y")
+    sims = x.join(y, F.col("x.id") != F.col("b")).select(
+        F.col("x.id").alias("a"),
+        "b",
+        F.round(cosine_sim("embedding", "_bemb"), 6).alias("sim_r"),
+    )
+    out = mmr_rerank(cand, sims, k=RP_K, lam=RP_LAM)
+    return out.select(
+        F.col("id").alias("doc_id"), "mmr_rank", "score_r"
+    ).orderBy("mmr_rank")
+
+
+def _oracle_pipeline_retrieval() -> str:
+    from pyvectorsearch_spark.queries.text_rank import _ORACLE_BM25_BODY
+
+    cos_q = duckdb_cosine("e.embedding", "q.qvec", DIM)
+    cos_p = duckdb_cosine("x.embedding", "y.embedding", DIM)
+    lam = f"CAST({RP_LAM!r} AS DOUBLE)"
+    one_minus = f"CAST({1.0 - RP_LAM!r} AS DOUBLE)"
+    steps = []
+    prev = "sel1"
+    for i in range(2, RP_K + 1):
+        steps.append(
+            f"""cand{i} AS (
+  SELECT c.id, round({lam} * c.rel - {one_minus} * max(s.sim), 6) AS score
+  FROM cand c JOIN sims s
+    ON s.a = c.id AND s.b IN (SELECT id FROM {prev})
+  WHERE c.id NOT IN (SELECT id FROM {prev})
+  GROUP BY c.id, c.rel
+),
+pick{i} AS (
+  SELECT id, {i} AS mmr_rank, score FROM cand{i}
+  ORDER BY score DESC, id LIMIT 1
+),
+sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})"""
+        )
+        prev = f"sel{i}"
+    steps_sql = ",\n".join(steps)
+    return f"""{_ORACLE_BM25_BODY},
+cand0 AS (
+  SELECT doc_id FROM scored ORDER BY bm25 DESC, doc_id LIMIT {RP_DEPTH}
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT c.doc_id AS id, round({cos_q}, 6) AS rel
+  FROM cand0 c JOIN embeddings e ON e.vec_id = c.doc_id CROSS JOIN q
+),
+ce AS (
+  SELECT c.id, e.embedding FROM cand c JOIN embeddings e ON e.vec_id = c.id
+),
+sims AS (
+  SELECT x.id AS a, y.id AS b, round({cos_p}, 6) AS sim
+  FROM ce x JOIN ce y ON x.id <> y.id
+),
+sel1 AS (
+  SELECT id, 1 AS mmr_rank, rel AS score FROM cand
+  ORDER BY rel DESC, id LIMIT 1
+),
+{steps_sql}
+SELECT id AS doc_id, mmr_rank, score AS score_r
+FROM {prev} ORDER BY mmr_rank
+"""
+
+
+ORACLE_PIPELINE_RETRIEVAL = _oracle_pipeline_retrieval()
+
+QUERIES.update({"pipeline_retrieval": q_pipeline_retrieval})
+ORACLES.update({"pipeline_retrieval": ORACLE_PIPELINE_RETRIEVAL})

@@ -318,3 +318,54 @@ def test_hll_registers_mergeable(spark):
     fd = hll_fold(direct, by="g").collect()[0]
     assert fm["harmonic_scaled"] == fd["harmonic_scaled"]
     assert fm["hll_estimate"] == fd["hll_estimate"]
+
+
+# --- property: delta dedup vs ground truth ---------------------------------
+
+from hypothesis import HealthCheck, given, settings as hyp_settings, strategies as st
+
+_word = st.integers(min_value=0, max_value=40).map(lambda n: f"w{n}")
+_doc = st.lists(_word, min_size=4, max_size=12).map(" ".join)
+
+
+@given(
+    corpus=st.lists(_doc, min_size=2, max_size=6),
+    delta=st.lists(_doc, min_size=1, max_size=4),
+    copy_idx=st.integers(min_value=0, max_value=5),
+)
+@hyp_settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_dedup_exact_verdicts_property(
+    spark, corpus, delta, copy_idx
+):
+    """Property: the exact_dup verdict set is EXACTLY the delta docs whose
+    text occurs verbatim in the corpus (with the smallest matching id), for
+    arbitrary corpora — including a planted copy so the non-empty case
+    always fires. (The near tier is probabilistic by design — LSH — so the
+    property pins the exact tier and verdict partitioning only.)"""
+    from pyvectorsearch_spark.operators.dedup import incremental_dedup_delta
+
+    crows = [(i, t) for i, t in enumerate(corpus)]
+    drows = [(100 + i, t) for i, t in enumerate(delta)]
+    drows.append((200, corpus[copy_idx % len(corpus)]))
+    c = spark.createDataFrame(crows, "doc_id bigint, text string")
+    d = spark.createDataFrame(drows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in incremental_dedup_delta(c, d, threshold=0.9).collect()
+    }
+    ctext = {}
+    for i, t in crows:
+        ctext.setdefault(t, i)
+    assert set(out) == {i for i, _ in drows}
+    for did, t in drows:
+        verdict, match = out[did]
+        if t in ctext:
+            assert verdict == "exact_dup" and match == ctext[t]
+        else:
+            assert verdict in ("near_dup", "unique")
+            if verdict == "unique":
+                assert match is None
