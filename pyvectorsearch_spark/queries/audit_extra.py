@@ -440,3 +440,85 @@ FROM g ORDER BY nation, segment, bal_band
 
 QUERIES.update({"privacy_k_anonymity": q_privacy_k_anonymity})
 ORACLES.update({"privacy_k_anonymity": ORACLE_PRIVACY_K_ANONYMITY})
+
+
+# --- data repair: group-mean imputation ------------------------------------
+
+
+def q_repair_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value repair by group-mean imputation: event values are
+    deterministically nulled (event_id % 7 == 0 — the planted-defect
+    pattern) then imputed with their event type's mean over the SURVIVING
+    values (integer-cents sums ⇒ the mean is an exact rational, rounded
+    once). Per type: row/null counts, the imputed fill value, and the
+    post-repair total — repair provably changed only what it claimed.
+    One map-side rollup computes the fill values; the repair itself is a
+    types-sized broadcast join onto the scan."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    holed = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.round(F.col("value") * 100).cast("bigint"))
+        .alias("_vc"),
+    )
+    fill = holed.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("_vc").isNull().cast("bigint")).cast("bigint").alias("n_nulls"),
+        F.round(F.sum("_vc") / F.count("_vc"), 2).alias("fill_r"),
+    )
+    repaired = (
+        holed.join(F.broadcast(fill), "event_type")
+        .select(
+            "event_type",
+            F.coalesce(
+                F.col("_vc").cast("double") / 100.0, F.col("fill_r") / 100.0
+            ).alias("_v"),
+        )
+    )
+    total = repaired.groupBy("event_type").agg(
+        F.round(F.sum(F.round(F.col("_v"), 6)), 2).alias("repaired_total_r")
+    )
+    return (
+        fill.join(total, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "n_nulls",
+            F.round(F.col("fill_r") / 100.0, 4).alias("fill_value_r"),
+            "repaired_total_r",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_REPAIR_IMPUTE = """
+WITH holed AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS vc
+  FROM events
+),
+fill AS (
+  SELECT event_type, count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN vc IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         round(sum(vc) / CAST(count(vc) AS DOUBLE), 2) AS fill_r
+  FROM holed GROUP BY event_type
+),
+rep AS (
+  SELECT h.event_type,
+         coalesce(CAST(h.vc AS DOUBLE) / 100.0, f.fill_r / 100.0) AS v
+  FROM holed h JOIN fill f ON h.event_type = f.event_type
+),
+tot AS (
+  SELECT event_type, round(sum(round(v, 6)), 2) AS repaired_total_r
+  FROM rep GROUP BY event_type
+)
+SELECT fill.event_type, n_rows, n_nulls,
+       round(fill_r / 100.0, 4) AS fill_value_r, repaired_total_r
+FROM fill JOIN tot ON fill.event_type = tot.event_type
+ORDER BY fill.event_type
+"""
+
+QUERIES.update({"repair_impute": q_repair_impute})
+ORACLES.update({"repair_impute": ORACLE_REPAIR_IMPUTE})

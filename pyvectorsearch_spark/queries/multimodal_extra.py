@@ -6,6 +6,7 @@ golden pair tests in tests/test_multimodal.py)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,8 +38,77 @@ def q_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthetic_media_with_dups(spark, 96, n_dups=6).coalesce(4)
     return audio_fingerprint_pairs(media).orderBy("d1", "d2")
 
+
+def q_multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Spark multimodal INGESTION path: media blobs land as
+    individual files and are read back with the built-in ``binaryFile``
+    source (path, length, content), then verified byte-for-byte against
+    the in-memory truth (md5 + length per media id, id recovered from the
+    file name). A correct ingest reports n_digest_match == n_files per
+    kind — the self-verifying round trip. Binary generation is not
+    SQL-expressible, so this is a documented rows-only row like the other
+    multimodal entries; the byte-level check is INSIDE the query and
+    golden-tested locally.
+
+    Scale shape: binaryFile parallelizes file listing/reads across
+    executors (one row per file, content never collected); the verify join
+    is media-id keyed."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyvectorsearch_spark.operators.multimodal import synthetic_media
+
+    media = synthetic_media(spark, n=48)
+    base = os.path.join(tempfile.gettempdir(), "pvs_binfile_landing_48_v1")
+    if not os.path.isdir(base):
+        tmp = f"{base}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        for r in media.select("media_id", "kind", "blob").collect():
+            with open(os.path.join(tmp, f"{r['kind']}_{r['media_id']}.bin"), "wb") as f:
+                f.write(bytes(r["blob"]))
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(base):
+                raise
+    files = spark.read.format("binaryFile").load(base)
+    mid = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"_(\d+)\.bin$", 1
+    ).cast("bigint")
+    got = files.select(
+        mid.alias("media_id"),
+        F.md5("content").alias("got_digest"),
+        F.col("length").cast("bigint").alias("got_len"),
+    )
+    truth = media.select(
+        "media_id",
+        "kind",
+        F.md5("blob").alias("want_digest"),
+        F.length("blob").cast("bigint").alias("want_len"),
+    )
+    j = truth.join(got, "media_id")
+    return (
+        j.groupBy("kind")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum((F.col("got_digest") == F.col("want_digest")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_digest_match"),
+            F.sum((F.col("got_len") == F.col("want_len")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_len_match"),
+            F.sum("got_len").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
 QUERIES = {
     "multimodal_image_dhash": q_image_dhash_pairs,
     "multimodal_audio_fingerprint": q_audio_fingerprint_pairs,
+    "multimodal_binaryfile_ingest": q_multimodal_binaryfile_ingest,
 }
 ORACLES: dict[str, str] = {}

@@ -153,3 +153,18 @@ def test_audio_fingerprint_finds_planted_dups_only(spark):
     got = {(r["d1"], r["d2"]) for r in rows}
     assert got == {(i, i + 200000) for i in (1, 4, 7, 10, 13, 16)}
     assert all(0 <= r["hamming"] <= 4 for r in rows)
+
+
+def test_binaryfile_ingest_all_match(spark):
+    """Every blob landed as a file must read back byte-identical through
+    the binaryFile source (the canonical multimodal ingestion path)."""
+    from pyvectorsearch_spark.queries.multimodal_extra import (
+        q_multimodal_binaryfile_ingest,
+    )
+
+    rows = q_multimodal_binaryfile_ingest(spark, "unused").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_files"] == 16
+        assert r["n_digest_match"] == r["n_files"]
+        assert r["n_len_match"] == r["n_files"]
