@@ -578,6 +578,65 @@ FROM comp GROUP BY cluster ORDER BY cluster
 """
 
 
+def q_embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality eval: per k-means cluster, the majority true label
+    and its purity share (argmax with label tie-break) — the standard
+    "did unsupervised structure recover the labels?" readout over the same
+    engine-exact assignment the other k-means queries share; the oracle
+    reuses the unrolled-round CTE."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.clustering import kmeans_assign
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    asg = kmeans_assign(
+        emb, id_col="vec_id", vec_col="embedding", k=KM_K, rounds=KM_ROUNDS
+    )
+    lab = emb.select("vec_id", "label")
+    j = asg.join(lab, "vec_id")
+    cell = j.groupBy("cluster", "label").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = cell.groupBy("cluster").agg(F.sum("n").cast("bigint").alias("n_total"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    top = cell.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1)
+    return (
+        top.join(tot, "cluster")
+        .select(
+            "cluster",
+            "n_total",
+            F.col("label").alias("majority_label"),
+            F.col("n").cast("bigint").alias("n_majority"),
+            F.round(F.col("n") / F.col("n_total"), 6).alias("purity_r"),
+        )
+        .orderBy("cluster")
+    )
+
+
+ORACLE_EMBEDDING_CLUSTER_PURITY = f"""
+WITH {_kmeans_oracle(KM_K, KM_ROUNDS, DIM)},
+j AS (
+  SELECT a.c AS cluster, e.label FROM afin a
+  JOIN embeddings e ON e.vec_id = a.vec_id
+),
+cell AS (
+  SELECT cluster, label, count(*)::BIGINT AS n FROM j GROUP BY cluster, label
+),
+tot AS (SELECT cluster, sum(n)::BIGINT AS n_total FROM cell GROUP BY cluster),
+top AS (
+  SELECT cluster, label, n,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n DESC, label ASC) AS r
+  FROM cell
+)
+SELECT top.cluster, tot.n_total, top.label AS majority_label,
+       top.n AS n_majority, round(top.n / CAST(tot.n_total AS DOUBLE), 6)
+         AS purity_r
+FROM top JOIN tot ON top.cluster = tot.cluster
+WHERE top.r = 1 ORDER BY top.cluster
+"""
+
+
 QUERIES = {
     "embedding_top_component": q_embedding_top_component,
     "embedding_outliers": q_embedding_outliers,
@@ -588,6 +647,7 @@ QUERIES = {
     "sample_cluster_balanced": q_sample_cluster_balanced,
     "sample_kcenter_coreset": q_sample_kcenter_coreset,
     "mutual_knn_clusters": q_mutual_knn_clusters,
+    "embedding_cluster_purity": q_embedding_cluster_purity,
 }
 ORACLES = {
     "embedding_top_component": ORACLE_TOP_COMPONENT,
@@ -599,4 +659,5 @@ ORACLES = {
     "sample_cluster_balanced": ORACLE_SAMPLE_CLUSTER_BALANCED,
     "sample_kcenter_coreset": ORACLE_SAMPLE_KCENTER,
     "mutual_knn_clusters": ORACLE_MUTUAL_KNN_CLUSTERS,
+    "embedding_cluster_purity": ORACLE_EMBEDDING_CLUSTER_PURITY,
 }

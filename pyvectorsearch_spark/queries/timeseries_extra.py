@@ -1013,6 +1013,92 @@ FROM runs GROUP BY event_type, run
 ORDER BY event_type, start_epoch
 """
 
+
+FC_SEASON = 24  # seasonal-naive lag: one day of hourly buckets
+
+
+def q_events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest on the dense hourly grid: the
+    seasonal-naive forecast (count 24 h earlier) vs the naive one (previous
+    hour) scored per type with MAE and bias over every bucket that has both
+    references — the forecasting EVAL harness, entirely in exact integer
+    arithmetic (counts are ints, errors are int differences; only the final
+    mean divides). The model that wins here sets the baseline any fancier
+    forecaster must beat. One type-keyed exchange serves both lags and the
+    rollup."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.timeseries import resample_counts
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    grid = resample_counts(ev, by="event_type", ts_col="ts", width_s=3600)
+    w = Window.partitionBy("event_type").orderBy("bucket_epoch")
+    lagged = grid.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("_naive"),
+        F.lag("n", FC_SEASON).over(w).alias("_snaive"),
+    ).filter(F.col("_naive").isNotNull() & F.col("_snaive").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum(F.abs(F.col("n") - F.col("_naive")))
+            .cast("bigint")
+            .alias("_ae_n"),
+            F.sum(F.abs(F.col("n") - F.col("_snaive")))
+            .cast("bigint")
+            .alias("_ae_s"),
+            F.sum(F.col("n") - F.col("_snaive")).cast("bigint").alias("_bias_s"),
+        )
+        .select(
+            "event_type",
+            "n_buckets",
+            F.round(F.col("_ae_n") / F.col("n_buckets"), 6).alias("mae_naive_r"),
+            F.round(F.col("_ae_s") / F.col("n_buckets"), 6).alias(
+                "mae_seasonal_r"
+            ),
+            F.round(F.col("_bias_s") / F.col("n_buckets"), 6).alias(
+                "bias_seasonal_r"
+            ),
+            (F.col("_ae_s") < F.col("_ae_n")).alias("seasonal_wins"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_FORECAST_BACKTEST = f"""
+WITH hist AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS be,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, be
+),
+grid AS (
+  SELECT h.event_type, gs.be, coalesce(hist.n, 0)::BIGINT AS n
+  FROM (
+    SELECT event_type, unnest(range(mn, mx + 3600, 3600)) AS be
+    FROM (SELECT event_type, min(be) AS mn, max(be) AS mx
+          FROM hist GROUP BY event_type)
+  ) gs(event_type, be)
+  JOIN (SELECT DISTINCT event_type FROM hist) h ON h.event_type = gs.event_type
+  LEFT JOIN hist ON hist.event_type = gs.event_type AND hist.be = gs.be
+),
+lagd AS (
+  SELECT event_type, n,
+         lag(n, 1) OVER w AS naive, lag(n, {FC_SEASON}) OVER w AS snaive
+  FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY be)
+),
+ok AS (SELECT * FROM lagd WHERE naive IS NOT NULL AND snaive IS NOT NULL)
+SELECT event_type, count(*)::BIGINT AS n_buckets,
+       round(sum(abs(n - naive)) / CAST(count(*) AS DOUBLE), 6) AS mae_naive_r,
+       round(sum(abs(n - snaive)) / CAST(count(*) AS DOUBLE), 6)
+         AS mae_seasonal_r,
+       round(sum(n - snaive) / CAST(count(*) AS DOUBLE), 6) AS bias_seasonal_r,
+       (sum(abs(n - snaive)) < sum(abs(n - naive))) AS seasonal_wins
+FROM ok GROUP BY event_type ORDER BY event_type
+"""
+
 QUERIES = {
     "events_trend": q_events_trend,
     "events_changepoint": q_events_changepoint,
@@ -1028,6 +1114,7 @@ QUERIES = {
     "fulfillment_peak_monthly": q_fulfillment_peak_monthly,
     "events_stl_decompose": q_events_stl_decompose,
     "events_bursts": q_events_bursts,
+    "events_forecast_backtest": q_events_forecast_backtest,
 }
 ORACLES = {
     "events_trend": ORACLE_EVENTS_TREND,
@@ -1044,4 +1131,5 @@ ORACLES = {
     "fulfillment_peak_monthly": ORACLE_FULFILLMENT_PEAK,
     "events_stl_decompose": ORACLE_EVENTS_STL,
     "events_bursts": ORACLE_EVENTS_BURSTS,
+    "events_forecast_backtest": ORACLE_FORECAST_BACKTEST,
 }
