@@ -362,3 +362,93 @@ def mutual_knn_pairs(
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2", "rank_ab", "rank_ba", F.round("_dab", 6).alias("dist_r"))
     )
+
+
+def connected_components_twostar(
+    pairs: DataFrame,
+    *,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    2014) — the O(log n)-round alternative to ``connected_components``'s
+    min-label propagation, whose round count is the graph DIAMETER. Near-dup
+    graphs are near-cliques (diameter 2-3), so min-label is the right
+    default there; a long-chain graph (10^6-hop paths in lineage/session
+    graphs) needs this one, which contracts chains exponentially.
+
+    Each round: large-star hangs every neighbor LARGER than u onto the
+    minimum of u's closed neighborhood; small-star re-hangs the smaller
+    ones. Both are one groupBy(min) + one join over the edge list;
+    lineage is checkpointed per round and convergence (edge set stable)
+    piggybacks on the checkpoint action via an order-independent checksum.
+
+    Returns (node, cluster) — identical contract (and, by the CC property
+    test, identical output) to ``connected_components``."""
+    e = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    ).distinct().localCheckpoint(eager=True)
+
+    def _star(edges: DataFrame, large: bool) -> DataFrame:
+        # undirected neighborhood of every node; m = min of the CLOSED
+        # neighborhood. Large-star hangs strict-larger neighbors onto m;
+        # small-star hangs v <= u INCLUDING u itself (the canonical
+        # formulation — dropping the u -> m edge would dissolve finished
+        # stars back to nothing).
+        nbr = edges.select(F.col("u").alias("c"), F.col("v").alias("n")).union(
+            edges.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        )
+        closed = nbr.union(nbr.select(F.col("c"), F.col("c").alias("n")).distinct())
+        m = closed.groupBy("c").agg(F.min("n").alias("m"))
+        side = nbr if large else closed
+        j = side.join(m, "c")
+        cond = F.col("n") > F.col("c") if large else F.col("n") <= F.col("c")
+        out = (
+            j.filter(cond)
+            .select(
+                F.least("n", "m").alias("u"), F.greatest("n", "m").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return out
+
+    def _checksum(edges: DataFrame):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("u"), F.col("v"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        row = edges.select(h.alias("_h")).agg(
+            F.count("*").alias("n"), F.expr("bit_xor(_h)").alias("x")
+        ).first()
+        return (row["n"], row["x"])
+
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"two-star CC: no convergence in {max_iter} rounds")
+    # converged: the edge set is a star forest (v -> its component min u)
+    lbl = e.select(F.col("v").alias("node"), F.col("u").alias("cluster"))
+    roots = nodes.join(
+        lbl.select(F.col("node").alias("n2")), nodes["node"] == F.col("n2"), "left_anti"
+    ).select("node", F.col("node").alias("cluster"))
+    return lbl.union(roots)

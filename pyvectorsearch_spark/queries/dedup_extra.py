@@ -953,3 +953,38 @@ ORACLE_DEDUP_INCREMENTAL_DELTA = _incremental_delta_oracle()
 
 QUERIES.update({"dedup_incremental_delta": q_dedup_incremental_delta})
 ORACLES.update({"dedup_incremental_delta": ORACLE_DEDUP_INCREMENTAL_DELTA})
+
+
+# --- connected components, log-round algorithm ----------------------------
+
+
+def q_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same near-dup clustering contract as `dedup_clusters`, computed
+    by the alternating large-star/small-star algorithm (Kiveris 2014) —
+    O(log n) rounds regardless of graph diameter, the scale path when the
+    similarity graph has long chains (min-label propagation needs diameter
+    rounds). Same recursive-CTE oracle; the hypothesis property test pins
+    algorithm equivalence on arbitrary graphs."""
+    from pyvectorsearch_spark.operators.dedup import jaccard_similarity_pairs
+    from pyvectorsearch_spark.operators.graph import connected_components_twostar
+    from pyvectorsearch_spark.queries.dedup import JACCARD_THRESHOLD, ORACLE_CLUSTERS  # noqa: F401
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_similarity_pairs(docs, threshold=JACCARD_THRESHOLD)
+    comp = connected_components_twostar(pairs)
+    return docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        docs["doc_id"],
+        F.coalesce("cluster", docs["doc_id"]).alias("cluster_id"),
+    )
+
+
+def _twostar_oracle() -> str:
+    from pyvectorsearch_spark.queries.dedup import ORACLE_CLUSTERS
+
+    return ORACLE_CLUSTERS
+
+
+ORACLE_DEDUP_CLUSTERS_TWOSTAR = _twostar_oracle()
+
+QUERIES.update({"dedup_clusters_twostar": q_dedup_clusters_twostar})
+ORACLES.update({"dedup_clusters_twostar": ORACLE_DEDUP_CLUSTERS_TWOSTAR})

@@ -151,3 +151,53 @@ def test_bursts_first_bucket_not_flagged(spark):
         F.col("_t").isNotNull() & (F.col("n").cast("double") > 2.0 * F.col("_t"))
     )
     assert flagged.count() == 0
+
+
+def test_twostar_cc_chain_and_cliques(spark):
+    from pyvectorsearch_spark.operators.graph import connected_components_twostar
+
+    # a 7-node chain (the min-label worst case) + a separate triangle
+    edges = [(i, i + 1) for i in range(6)] + [(10, 11), (11, 12), (10, 12)]
+    pairs = spark.createDataFrame(edges, "d1 bigint, d2 bigint")
+    out = {
+        r["node"]: r["cluster"]
+        for r in connected_components_twostar(pairs).collect()
+    }
+    assert all(out[i] == 0 for i in range(7))
+    assert all(out[i] == 10 for i in (10, 11, 12))
+
+
+from hypothesis import HealthCheck, given, settings as hyp_settings, strategies as st
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=14), st.integers(min_value=0, max_value=14)
+)
+
+
+@given(edges=st.lists(_edge, min_size=1, max_size=20))
+@hyp_settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_twostar_cc_equals_minlabel_property(spark, edges):
+    """Property: the log-round two-star algorithm and diameter-round
+    min-label propagation produce the IDENTICAL (node, component-min)
+    labeling on arbitrary graphs (self-loops dropped on both sides)."""
+    from pyvectorsearch_spark.operators.graph import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    clean = [(a, b) for a, b in edges if a != b]
+    if not clean:
+        clean = [(0, 1)]
+    pairs = spark.createDataFrame(clean, "d1 bigint, d2 bigint")
+    a = {
+        r["node"]: r["cluster"] for r in connected_components(pairs).collect()
+    }
+    b = {
+        r["node"]: r["cluster"]
+        for r in connected_components_twostar(pairs).collect()
+    }
+    assert a == b
