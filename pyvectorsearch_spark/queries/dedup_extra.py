@@ -988,3 +988,83 @@ ORACLE_DEDUP_CLUSTERS_TWOSTAR = _twostar_oracle()
 
 QUERIES.update({"dedup_clusters_twostar": q_dedup_clusters_twostar})
 ORACLES.update({"dedup_clusters_twostar": ORACLE_DEDUP_CLUSTERS_TWOSTAR})
+
+
+# --- per-document novelty vs the corpus ------------------------------------
+
+
+def q_delta_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-valuation companion to `dedup_incremental_delta`: for every
+    delta document (the % 5 == 0 slice), the fraction of its DISTINCT word
+    3-grams never seen in the corpus (% 5 != 0) — high-novelty docs are
+    the ones worth paying for; near-zero novelty flags paraphrased or
+    templated rehashes that exact/LSH screens miss. Scale shape: the
+    corpus reduces to its distinct-shingle set once (reusable across
+    batches, like the band table); the delta anti-joins it on the shingle
+    key — no pair enumeration at all."""
+    from pyvectorsearch_spark.functions.text import shingles, tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    cs = corpus.select(
+        F.explode(F.array_distinct(shingles(tokens("text"), 3))).alias("s")
+    ).distinct()
+    ds = delta.select(
+        "doc_id", F.explode(F.array_distinct(shingles(tokens("text"), 3))).alias("s")
+    )
+    tot = ds.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_grams"))
+    novel = (
+        ds.join(cs, "s", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_novel"))
+    )
+    return (
+        tot.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)) / F.col("n_grams"), 6
+            ).alias("novelty_r"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _delta_novelty_oracle() -> str:
+    from pyvectorsearch_spark.queries.dedup import _SH, _TOK
+
+    return f"""
+WITH ctoks AS (
+  SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id % 5 != 0
+),
+cs AS (
+  SELECT DISTINCT unnest(list_distinct({_SH.replace("t", "t", 1)})) AS s
+  FROM ctoks
+),
+dtoks AS (
+  SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id % 5 = 0
+),
+ds AS (
+  SELECT doc_id, unnest(list_distinct({_SH})) AS s FROM dtoks
+),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM ds GROUP BY doc_id),
+novel AS (
+  SELECT doc_id, count(*)::BIGINT AS n_novel FROM ds
+  WHERE s NOT IN (SELECT s FROM cs) GROUP BY doc_id
+)
+SELECT tot.doc_id, tot.n_grams,
+       coalesce(novel.n_novel, 0)::BIGINT AS n_novel,
+       round(coalesce(novel.n_novel, 0) / CAST(tot.n_grams AS DOUBLE), 6)
+         AS novelty_r
+FROM tot LEFT JOIN novel ON tot.doc_id = novel.doc_id
+ORDER BY tot.doc_id
+"""
+
+
+ORACLE_DELTA_NOVELTY = _delta_novelty_oracle()
+
+QUERIES.update({"delta_novelty": q_delta_novelty})
+ORACLES.update({"delta_novelty": ORACLE_DELTA_NOVELTY})
