@@ -236,15 +236,34 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select("doc", "bk.band", "bk.bkey")
-    a, b = banded.alias("a"), banded.alias("b")
+    probe = banded
+    if probe_flips:
+        def _flip(pos: int):
+            ch = F.substring("bkey", pos, 1)
+            return F.concat(
+                F.substring("bkey", 1, pos - 1),
+                F.when(ch == "0", F.lit("1")).otherwise(F.lit("0")),
+                F.substring("bkey", pos + 1, rows_per_band),
+            )
+
+        variants = F.array(
+            F.col("bkey"), *[_flip(p) for p in range(1, rows_per_band + 1)]
+        )
+        probe = banded.select(
+            "doc", "band", F.explode(variants).alias("bkey")
+        )
+    a, b = probe.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a.doc") != F.col("b.doc")),
         )
-        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .select(
+            F.least("a.doc", "b.doc").alias("d1"),
+            F.greatest("a.doc", "b.doc").alias("d2"),
+        )
         .distinct()
     )
     s1 = sig.select(F.col("doc").alias("d1"), F.col("sig").alias("sig1"))
@@ -927,6 +946,7 @@ def srp_lsh_pairs(
     bands: int = 4,
     min_cosine: float = 0.95,
     salt: str = "srp",
+    probe_flips: int = 0,
 ) -> DataFrame:
     """Hyperplane (signed-random-projection) LSH near-dup candidates with
     exact cosine verification — Charikar 2002's cosine LSH, the
@@ -949,9 +969,20 @@ def srp_lsh_pairs(
     one equi-join on (band, key); exact verify joins fetch only candidate
     vectors. No broadcast, no collect, no model artifact.
 
+    ``probe_flips=1`` enables MULTI-PROBE (Lv et al., VLDB 2007 adapted to
+    sign bits): the probe side additionally emits every band key with one
+    bit flipped, so pairs whose keys differ by a single bit in some band
+    still collide — recall rises steeply (a near-threshold pair straddling
+    one hyperplane no longer needs a clean band) for (rows_per_band + 1)×
+    probe fan-out instead of more bands/tables. The candidate set stays a
+    deterministic function of the input, so the verified output remains
+    hash-checkable.
+
     Returns (d1, d2, cosine) with d1 < d2, cosine ≥ min_cosine (rounded 6)."""
     if n_bits % bands:
         raise ValueError(f"bands must divide n_bits, got {n_bits=} {bands=}")
+    if probe_flips not in (0, 1):
+        raise ValueError(f"probe_flips must be 0 or 1, got {probe_flips}")
     H = _srp_hyperplanes(n_bits, dim, salt)
     rows_per_band = n_bits // bands
 
@@ -991,15 +1022,34 @@ def srp_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc", "bk.band", "bk.bkey")
-    a, b = banded.alias("a"), banded.alias("b")
+    probe = banded
+    if probe_flips:
+        def _flip(pos: int):
+            ch = F.substring("bkey", pos, 1)
+            return F.concat(
+                F.substring("bkey", 1, pos - 1),
+                F.when(ch == "0", F.lit("1")).otherwise(F.lit("0")),
+                F.substring("bkey", pos + 1, rows_per_band),
+            )
+
+        variants = F.array(
+            F.col("bkey"), *[_flip(p) for p in range(1, rows_per_band + 1)]
+        )
+        probe = banded.select(
+            "doc", "band", F.explode(variants).alias("bkey")
+        )
+    a, b = probe.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a.doc") != F.col("b.doc")),
         )
-        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .select(
+            F.least("a.doc", "b.doc").alias("d1"),
+            F.greatest("a.doc", "b.doc").alias("d2"),
+        )
         .distinct()
     )
     # Two-phase verify: short band keys are deliberately recall-heavy, so

@@ -1068,3 +1068,87 @@ ORACLE_DELTA_NOVELTY = _delta_novelty_oracle()
 
 QUERIES.update({"delta_novelty": q_delta_novelty})
 ORACLES.update({"delta_novelty": ORACLE_DELTA_NOVELTY})
+
+
+SRP_MP_MIN_COSINE = 0.2  # low cut: multiprobe exists to catch mid-band pairs
+
+
+def q_dedup_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP LSH (Lv et al. 2007 adapted to sign bits): the probe
+    side also emits every band key with ONE bit flipped, so near-threshold
+    pairs straddling a single hyperplane still collide — recall rises for a
+    5x probe fan-out instead of more hash tables. Candidates stay
+    deterministic, so the exact-cosine-verified output is hash-checked
+    like `dedup_srp_lsh` despite probabilistic recall."""
+    from pyvectorsearch_spark.operators.dedup import srp_lsh_pairs
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return srp_lsh_pairs(
+        emb,
+        dim=64,
+        n_bits=SRP_BITS,
+        bands=SRP_BANDS,
+        min_cosine=SRP_MP_MIN_COSINE,
+        probe_flips=1,
+    ).orderBy("d1", "d2")
+
+
+def _oracle_srp_multiprobe() -> str:
+    from pyvectorsearch_spark.operators.dedup import _srp_hyperplanes
+
+    H = _srp_hyperplanes(SRP_BITS, 64)
+    rows = SRP_BITS // SRP_BANDS
+
+    def proj(j: int) -> str:
+        lits = ", ".join(f"{float(h)!r}" for h in H[j])
+        return (
+            f"list_sum(list_transform(range(1, 65), i -> "
+            f"CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]))"
+        )
+
+    def band_key(b: int) -> str:
+        return " || ".join(
+            f"(CASE WHEN {proj(b * rows + r)} >= 0 THEN '1' ELSE '0' END)"
+            for r in range(rows)
+        )
+
+    keys = ", ".join(f"{band_key(b)} AS bk{b}" for b in range(SRP_BANDS))
+    banded_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, bk{b} AS bkey FROM sig"
+        for b in range(SRP_BANDS)
+    )
+    flips = " UNION ALL ".join(
+        f"""SELECT vec_id, band,
+       substr(bkey, 1, {p - 1})
+       || (CASE substr(bkey, {p}, 1) WHEN '0' THEN '1' ELSE '0' END)
+       || substr(bkey, {p + 1}) AS bkey
+FROM banded"""
+        for p in range(1, rows + 1)
+    )
+    cos = duckdb_cosine("e1.embedding", "e2.embedding", 64)
+    return f"""
+WITH sig AS (SELECT vec_id, {keys} FROM embeddings),
+banded AS ({banded_rows}),
+probe AS (SELECT * FROM banded UNION ALL {flips}),
+cand AS (
+  SELECT DISTINCT least(a.vec_id, b.vec_id) AS d1,
+         greatest(a.vec_id, b.vec_id) AS d2
+  FROM probe a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id != b.vec_id
+),
+v AS (
+  SELECT d1, d2, round({cos}, 6) AS cosine
+  FROM cand
+  JOIN embeddings e1 ON e1.vec_id = d1
+  JOIN embeddings e2 ON e2.vec_id = d2
+)
+SELECT d1, d2, cosine FROM v
+WHERE cosine >= {SRP_MP_MIN_COSINE}
+ORDER BY d1, d2
+"""
+
+
+ORACLE_DEDUP_SRP_MULTIPROBE = _oracle_srp_multiprobe()
+
+QUERIES.update({"dedup_srp_multiprobe": q_dedup_srp_multiprobe})
+ORACLES.update({"dedup_srp_multiprobe": ORACLE_DEDUP_SRP_MULTIPROBE})

@@ -201,3 +201,25 @@ def test_twostar_cc_equals_minlabel_property(spark, edges):
         for r in connected_components_twostar(pairs).collect()
     }
     assert a == b
+
+
+def test_srp_multiprobe_superset_recall(spark):
+    """Multi-probe SRP must find a SUPERSET of the exact-probe pairs at the
+    same threshold (the extra probes only ADD collisions)."""
+    from pyvectorsearch_spark.operators.dedup import srp_lsh_pairs
+    from pyvectorsearch_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = {
+        (r["d1"], r["d2"])
+        for r in srp_lsh_pairs(emb, dim=64, min_cosine=0.2).collect()
+    }
+    multi = {
+        (r["d1"], r["d2"])
+        for r in srp_lsh_pairs(
+            emb, dim=64, min_cosine=0.2, probe_flips=1
+        ).collect()
+    }
+    assert base <= multi
+    assert len(multi) > len(base)
