@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.operators.sampling import BUCKETS, pack_greedy
 from pyvectorsearch_spark.queries.sampling import PACK_BUDGET, _bucket_sql
-from pyvectorsearch_spark.sources.tables import load_table
+from pyvectorsearch_spark.sources.tables import load_table, spread
 
 PACK_SUB_SHARDS = 4
 
@@ -435,3 +435,92 @@ ORACLES = {
     "sample_weighted_k": ORACLE_SAMPLE_WEIGHTED_K,
     "sample_exact_frac": ORACLE_SAMPLE_EXACT_FRAC,
 }
+
+
+# --- weighted sampling WITH replacement ------------------------------------
+
+SWR_TRIALS = 10
+
+
+def q_sample_weighted_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITH replacement (the independent-draws
+    counterpart of `sample_weighted_k`'s A-Res without-replacement): each
+    of 10 trials independently draws one order with probability
+    proportional to its total price, via the Gumbel-max trick on the
+    deterministic md5 uniform (argmax of w·u^... expressed as the exact
+    comparable key ln(u)/w — rounded ladder, ties on key then id). The
+    'random' draws are a pure function of (salt, trial, id), so the sample
+    itself is hash-checked and reproducible; a new salt is a new epoch.
+
+    Scale shape: trials broadcast onto the fact scan (one row per (trial,
+    order) pair collapses immediately through the per-trial argmax
+    window); at petabyte scale swap the window for per-trial TakeOrdered —
+    same semantics, bounded memory."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.sketches import HEX_DIGITS
+
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_wc"),
+    )
+    trials = spark.range(SWR_TRIALS).select(F.col("id").cast("int").alias("trial"))
+    j = o.crossJoin(F.broadcast(trials))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("swr1"), F.col("trial"), F.col("o_orderkey")
+                    )
+                ),
+                1,
+                HEX_DIGITS,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(16**HEX_DIGITS))
+    )
+    # Gumbel-max comparable key: maximize ln(u)/w  (u in (0,1) => ln(u) < 0;
+    # larger weight => key closer to 0 => more likely the max). Rounded so
+    # the ordering is engine-exact.
+    key = F.round(F.log(u) / F.col("_wc"), 18)
+    w = Window.partitionBy("trial").orderBy(F.desc("_key"), F.asc("o_orderkey"))
+    picked = (
+        j.select("trial", "o_orderkey", "_wc", key.alias("_key"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+    )
+    return picked.select(
+        "trial",
+        F.col("o_orderkey").alias("picked_key"),
+        F.round(F.col("_wc") / 100.0, 2).alias("weight_r"),
+    ).orderBy("trial")
+
+
+ORACLE_SAMPLE_WEIGHTED_REPLACEMENT = f"""
+WITH t AS (SELECT unnest(range(0, {SWR_TRIALS})) AS trial),
+j AS (
+  SELECT t.trial, o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS wc,
+         ('0x' || substr(md5('swr1:' || t.trial || ':' || o.o_orderkey),
+                         1, 13))::BIGINT / {float(16**13)!r} AS u
+  FROM orders o CROSS JOIN t
+),
+keyed AS (
+  SELECT trial, o_orderkey, wc, round(ln(u) / wc, 18) AS k FROM j
+),
+r AS (
+  SELECT trial, o_orderkey, wc,
+         row_number() OVER (PARTITION BY trial
+                            ORDER BY k DESC, o_orderkey ASC) AS rn
+  FROM keyed
+)
+SELECT CAST(trial AS INT) AS trial, o_orderkey AS picked_key,
+       round(wc / 100.0, 2) AS weight_r
+FROM r WHERE rn = 1 ORDER BY trial
+"""
+
+QUERIES.update({"sample_weighted_replacement": q_sample_weighted_replacement})
+ORACLES.update({"sample_weighted_replacement": ORACLE_SAMPLE_WEIGHTED_REPLACEMENT})
