@@ -236,34 +236,15 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select("doc", "bk.band", "bk.bkey")
-    probe = banded
-    if probe_flips:
-        def _flip(pos: int):
-            ch = F.substring("bkey", pos, 1)
-            return F.concat(
-                F.substring("bkey", 1, pos - 1),
-                F.when(ch == "0", F.lit("1")).otherwise(F.lit("0")),
-                F.substring("bkey", pos + 1, rows_per_band),
-            )
-
-        variants = F.array(
-            F.col("bkey"), *[_flip(p) for p in range(1, rows_per_band + 1)]
-        )
-        probe = banded.select(
-            "doc", "band", F.explode(variants).alias("bkey")
-        )
-    a, b = probe.alias("a"), banded.alias("b")
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc") != F.col("b.doc")),
+            & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.least("a.doc", "b.doc").alias("d1"),
-            F.greatest("a.doc", "b.doc").alias("d2"),
-        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .distinct()
     )
     s1 = sig.select(F.col("doc").alias("d1"), F.col("sig").alias("sig1"))
