@@ -1,0 +1,133 @@
+"""Hypothesis properties for round-4 operators: invariants that example
+tests can't pin (idempotence, brute-force agreement over the input space)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings as hyp_settings, strategies as st
+from pyspark.sql import functions as F
+
+_seg = st.text(alphabet="abcXYZ019-", min_size=1, max_size=6)
+_url = st.builds(
+    lambda scheme, host, path, utm, q, frag, slash: (
+        f"{scheme}://{host}.example-{host}.org/{path}"
+        + ("?utm_source=" + utm if utm else "")
+        + (("&" if utm else "?") + "q=" + q if q else "")
+        + ("#" + frag if frag else "")
+        + ("/" if slash else "")
+    ),
+    scheme=st.sampled_from(["http", "https", "HTTPS"]),
+    host=_seg,
+    path=_seg,
+    utm=st.one_of(st.none(), _seg),
+    q=st.one_of(st.none(), _seg),
+    frag=st.one_of(st.none(), _seg),
+    slash=st.booleans(),
+)
+
+
+@given(urls=st.lists(_url, min_size=1, max_size=8))
+@hyp_settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_url_canonical_idempotent(spark, urls):
+    """Property: canonicalization is idempotent — applying it to its own
+    output changes nothing (the invariant that makes the canonical form a
+    valid dedup KEY; a non-idempotent normalizer splits equal URLs across
+    epochs)."""
+    from pyvectorsearch_spark.operators.textops import url_canonical
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(url_canonical(F.col("u")).alias("c1"))
+    twice = once.select("c1", url_canonical(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+
+
+_vec = st.lists(
+    st.integers(min_value=-3000, max_value=3000).map(lambda v: v / 1000.0),
+    min_size=3,
+    max_size=3,
+)
+
+
+@given(
+    vecs=st.lists(_vec, min_size=3, max_size=10, unique_by=tuple),
+    k=st.integers(min_value=2, max_value=3),
+)
+@hyp_settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kmeans_assign_is_bruteforce_argmin(spark, vecs, k):
+    """Property: the engine's assignment equals the Python brute-force
+    argmin over the SAME trained centroids (quantization, tie-break, and
+    update rule replayed exactly)."""
+    from pyvectorsearch_spark.operators.clustering import (
+        KM_OFFSET,
+        _km_quantize,
+        _km_train,
+        kmeans_assign,
+    )
+
+    rows = [(i, list(v)) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+    base = df.select(
+        F.col("vec_id").alias("_id"), _km_quantize("v").alias("_q")
+    )
+    cents = _km_train(base, k, rounds=2)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(
+            df, id_col="vec_id", vec_col="v", k=k, rounds=2
+        ).collect()
+    }
+    qrows = {r["_id"]: list(r["_q"]) for r in base.collect()}
+    for vid, q in qrows.items():
+        d2s = [sum((a - b) ** 2 for a, b in zip(q, c)) for c in cents]
+        want = min(range(k), key=lambda ci: (d2s[ci], ci))
+        assert got[vid] == want, (vid, got[vid], want, d2s)
+    assert KM_OFFSET > 3000  # the positivity-shift precondition holds
+
+
+_iv = st.tuples(
+    st.integers(min_value=0, max_value=20), st.integers(min_value=1, max_value=10)
+).map(lambda t: (t[0], t[0] + t[1]))
+
+
+@given(intervals=st.lists(_iv, min_size=1, max_size=12))
+@hyp_settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sweep_concurrency_matches_bruteforce(spark, intervals):
+    """Property: the delta-collapse sweep equals brute-force point-in-
+    interval counting at every boundary date, for arbitrary [start, end)
+    interval sets (days mapped onto a fixed month)."""
+    import datetime as dt
+
+    from pyvectorsearch_spark.operators.timeseries import sweep_peak_concurrency
+
+    base = dt.date(2024, 3, 1)
+    rows = [
+        (base + dt.timedelta(days=s), base + dt.timedelta(days=e))
+        for s, e in intervals
+    ]
+    df = spark.createDataFrame(rows, "s date, e date")
+    out = {
+        r["bucket"]: (r["peak_concurrent"], r["peak_date"])
+        for r in sweep_peak_concurrency(df, start_col="s", end_col="e").collect()
+    }
+    # brute force: open count at each boundary date, peak per month bucket
+    dates = sorted({d for iv in rows for d in iv})
+    best: dict = {}
+    for d in dates:
+        open_now = sum(1 for s, e in rows if s <= d < e)
+        b = d.replace(day=1)
+        cur = best.get(b)
+        if cur is None or open_now > cur[0]:
+            best[b] = (open_now, d)
+    assert out == best
