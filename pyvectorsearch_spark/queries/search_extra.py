@@ -17,7 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyvectorsearch_spark.functions.text import duckdb_tokens
 from pyvectorsearch_spark.functions.vector import (
     cosine_sim,
     duckdb_cosine,
