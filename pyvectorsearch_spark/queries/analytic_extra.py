@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyvectorsearch_spark.sources.tables import load_table
+from pyvectorsearch_spark.sources.tables import load_table, spread
 
 
 def _t(spark, sf_dir, name):
@@ -377,3 +377,76 @@ ORACLES = {
     "doc_top_words": ORACLE_TOP_WORDS,
     "order_quantity_arrays": ORACLE_QTY_ARRAYS,
 }
+
+
+# --- RFM customer segmentation ---------------------------------------------
+
+RFM_SPLIT = "1996-01-01"  # recency reference: days before this anchor
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation: per customer, Recency (days from last
+    order to the fixed anchor), Frequency (order count), Monetary (total
+    spend in integer cents); each dimension scores 1-3 by fixed value
+    bands (engine-exact integer thresholds — rank-based terciles would
+    need a global sort; fixed bands are the unbounded-cardinality path),
+    rolled up to segment counts and per-segment spend. The standard
+    marketing-analytics shape, all-integer until the final rounded
+    division."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    per = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_SPLIT).cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        ).alias("_rec"),
+        F.count("*").cast("bigint").alias("_freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("_mon"),
+    )
+    r = (
+        F.when(F.col("_rec") <= 90, 3)
+        .when(F.col("_rec") <= 365, 2)
+        .otherwise(1)
+    )
+    f = F.when(F.col("_freq") >= 12, 3).when(F.col("_freq") >= 6, 2).otherwise(1)
+    m = (
+        F.when(F.col("_mon") >= 200_000_000, 3)
+        .when(F.col("_mon") >= 100_000_000, 2)
+        .otherwise(1)
+    )
+    seg = F.concat(r.cast("string"), f.cast("string"), m.cast("string"))
+    return (
+        per.select(seg.alias("segment"), "_mon")
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.sum("_mon") / 100.0, 2).alias("total_spend_r"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_CUSTOMER_RFM = f"""
+WITH per AS (
+  SELECT o_custkey,
+         date_diff('day', max(CAST(o_orderdate AS DATE)),
+                   DATE '{RFM_SPLIT}') AS rec,
+         count(*)::BIGINT AS freq,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS mon
+  FROM orders GROUP BY o_custkey
+),
+sc AS (
+  SELECT (CASE WHEN rec <= 90 THEN 3 WHEN rec <= 365 THEN 2 ELSE 1 END)
+         || (CASE WHEN freq >= 12 THEN 3 WHEN freq >= 6 THEN 2 ELSE 1 END)
+         || (CASE WHEN mon >= 200000000 THEN 3
+                  WHEN mon >= 100000000 THEN 2 ELSE 1 END) AS segment,
+         mon
+  FROM per
+)
+SELECT segment, count(*)::BIGINT AS n_customers,
+       round(sum(mon) / 100.0, 2) AS total_spend_r
+FROM sc GROUP BY segment ORDER BY segment
+"""
+
+QUERIES.update({"customer_rfm": q_customer_rfm})
+ORACLES.update({"customer_rfm": ORACLE_CUSTOMER_RFM})

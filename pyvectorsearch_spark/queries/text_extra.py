@@ -368,3 +368,88 @@ ORACLES.update({
     "text_stem_vocab": ORACLE_TEXT_STEM_VOCAB,
     "text_ctfidf": ORACLE_TEXT_CTFIDF,
 })
+
+
+# --- KWIC concordance ------------------------------------------------------
+
+KWIC_CTX = 3  # context words either side
+
+
+def q_text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance for the corpus trigger phrase: every
+    match with 3 words of context either side, all snippets per document
+    joined in position order — the human-review surface behind phrase
+    search (matches alone don't show HOW a phrase is used). Zero-shuffle
+    scan projection like `phrase_match`; snippets are pure array slices."""
+    from pyvectorsearch_spark.functions.text import tokens
+    from pyvectorsearch_spark.queries.text_rank import PHRASE
+
+    words = PHRASE.split()
+    L = len(words)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = tokens("text")
+
+    def is_match(i):
+        conds = None
+        for j, w in enumerate(words):
+            c = F.element_at(F.col("_t"), (i + j).cast("int")) == w
+            conds = c if conds is None else (conds & c)
+        return conds
+
+    d = docs.select("doc_id", t.alias("_t"))
+    pos = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size("_t") - (L - 1), F.lit(1))),
+        is_match,
+    )
+    snip = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.slice(
+            F.col("_t"),
+            F.greatest(i - KWIC_CTX, F.lit(1)),
+            F.least(i + L - 1 + KWIC_CTX, F.size("_t"))
+            - F.greatest(i - KWIC_CTX, F.lit(1))
+            + 1,
+        ),
+    )
+    out = d.select(
+        "doc_id",
+        F.transform(pos, snip).alias("_snips"),
+    ).filter(F.size("_snips") > 0)
+    return out.select(
+        "doc_id",
+        F.size("_snips").alias("n_matches"),
+        F.array_join("_snips", " | ").alias("kwic"),
+    ).orderBy("doc_id")
+
+
+def _kwic_oracle() -> str:
+    from pyvectorsearch_spark.queries.text_rank import PHRASE
+
+    words = PHRASE.split()
+    L = len(words)
+    conds = " AND ".join(f"t[i + {j}] = '{w}'" for j, w in enumerate(words))
+    return f"""
+WITH d AS (SELECT doc_id, {duckdb_tokens("text")} AS t FROM documents),
+p AS (
+  SELECT doc_id, t,
+         list_filter(range(1, greatest(len(t) - {L - 1}, 1) + 1),
+                     i -> {conds}) AS pos
+  FROM d
+),
+s AS (
+  SELECT doc_id, len(pos)::INT AS n_matches,
+         array_to_string(
+           list_transform(pos, i -> array_to_string(
+             t[greatest(i - {KWIC_CTX}, 1):least(i + {L - 1 + KWIC_CTX}, len(t))],
+             ' ')),
+           ' | ') AS kwic
+  FROM p WHERE len(pos) > 0
+)
+SELECT doc_id, n_matches, kwic FROM s ORDER BY doc_id
+"""
+
+
+ORACLE_TEXT_KWIC = _kwic_oracle()
+
+QUERIES.update({"text_kwic": q_text_kwic})
+ORACLES.update({"text_kwic": ORACLE_TEXT_KWIC})
