@@ -450,3 +450,160 @@ FROM sc GROUP BY segment ORDER BY segment
 
 QUERIES.update({"customer_rfm": q_customer_rfm})
 ORACLES.update({"customer_rfm": ORACLE_CUSTOMER_RFM})
+
+
+# --- market concentration (HHI) --------------------------------------------
+
+
+def q_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per part type
+    prefix: each brand's revenue share of the segment, squared and summed
+    (HHI in the standard 0–10000 points scale) plus the brand count and
+    top-brand share — the antitrust-style concentration screen, and the
+    supply-chain risk metric ('is this segment single-vendor?'). Exact
+    integer cents until the share division; shares round to 6 dp before
+    squaring so the index is engine-exact. Two map-side rollups
+    (segment×brand, then segment); nothing row-sized shuffles twice."""
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("_rc"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.split(F.col("p_type"), " ").getItem(0).alias("segment"),
+        F.col("p_brand").alias("brand"),
+    )
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cell = j.groupBy("segment", "brand").agg(
+        F.sum("_rc").cast("bigint").alias("_rev")
+    )
+    seg = cell.groupBy("segment").agg(
+        F.sum("_rev").cast("bigint").alias("_tot"),
+        F.count("*").cast("bigint").alias("n_brands"),
+    )
+    share = F.round(F.col("_rev") / F.col("_tot"), 6)
+    scored = cell.join(seg, "segment").select(
+        "segment", "n_brands", share.alias("_sh")
+    )
+    return (
+        scored.groupBy("segment", "n_brands")
+        .agg(
+            F.round(F.sum(F.round(F.col("_sh") * F.col("_sh") * 10000, 6)), 2)
+            .alias("hhi_r"),
+            F.round(F.max("_sh"), 6).alias("top_share_r"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_BRAND_HHI = """
+WITH j AS (
+  SELECT split_part(p.p_type, ' ', 1) AS segment, p.p_brand AS brand,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS rc
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+cell AS (
+  SELECT segment, brand, sum(rc)::BIGINT AS rev FROM j GROUP BY segment, brand
+),
+seg AS (
+  SELECT segment, sum(rev)::BIGINT AS tot, count(*)::BIGINT AS n_brands
+  FROM cell GROUP BY segment
+),
+sc AS (
+  SELECT cell.segment, seg.n_brands,
+         round(cell.rev / CAST(seg.tot AS DOUBLE), 6) AS sh
+  FROM cell JOIN seg ON cell.segment = seg.segment
+)
+SELECT segment, n_brands,
+       round(sum(round(sh * sh * 10000, 6)), 2) AS hhi_r,
+       round(max(sh), 6) AS top_share_r
+FROM sc GROUP BY segment, n_brands ORDER BY segment
+"""
+
+QUERIES.update({"brand_hhi": q_brand_hhi})
+ORACLES.update({"brand_hhi": ORACLE_BRAND_HHI})
+
+
+# --- power-law tail index (Hill estimator) ---------------------------------
+
+HILL_K = 50
+
+
+def q_orders_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index per order priority:
+    alpha-hat = k / sum(ln(x_(i) / x_(k+1))) over each group's k=50 largest
+    order totals — the heavy-tail diagnostic behind capacity planning and
+    the Zipf fit's distributional cousin (`text_zipf` fits ranks; Hill fits
+    the value tail). Order statistics come from a bounded per-group top-k
+    window over integer cents (ties → key order), the ln ladder rounds per
+    term, so the estimate is engine-exact. Only k+1 rows per group ever
+    sort."""
+    from pyspark.sql import Window
+
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_vc"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("_vc"), F.asc("o_orderkey")
+    )
+    top = o.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= HILL_K + 1
+    )
+    xk1 = top.filter(F.col("_r") == HILL_K + 1).select(
+        "o_orderpriority", F.col("_vc").alias("_xk1")
+    )
+    terms = (
+        top.filter(F.col("_r") <= HILL_K)
+        .join(xk1, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "_xk1",
+            F.round(
+                F.log(F.col("_vc").cast("double") / F.col("_xk1")), 6
+            ).alias("_t"),
+        )
+    )
+    return (
+        terms.groupBy("o_orderpriority", "_xk1")
+        .agg(F.round(F.sum("_t"), 6).alias("_s"))
+        .select(
+            "o_orderpriority",
+            F.lit(HILL_K).cast("int").alias("k"),
+            F.round(F.col("_xk1") / 100.0, 2).alias("x_threshold_r"),
+            F.round(F.lit(float(HILL_K)) / F.col("_s"), 6).alias("alpha_r"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDERS_HILL = f"""
+WITH v AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS vc
+  FROM orders
+),
+r AS (
+  SELECT o_orderpriority, vc,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY vc DESC, o_orderkey ASC) AS rn
+  FROM v
+),
+xk1 AS (
+  SELECT o_orderpriority, vc AS xk1 FROM r WHERE rn = {HILL_K + 1}
+),
+terms AS (
+  SELECT r.o_orderpriority, xk1.xk1,
+         round(ln(r.vc / CAST(xk1.xk1 AS DOUBLE)), 6) AS t
+  FROM r JOIN xk1 ON r.o_orderpriority = xk1.o_orderpriority
+  WHERE r.rn <= {HILL_K}
+)
+SELECT o_orderpriority, CAST({HILL_K} AS INT) AS k,
+       round(xk1 / 100.0, 2) AS x_threshold_r,
+       round({float(HILL_K)!r} / round(sum(t), 6), 6) AS alpha_r
+FROM terms GROUP BY o_orderpriority, xk1 ORDER BY o_orderpriority
+"""
+
+QUERIES.update({"orders_hill_tail": q_orders_hill_tail})
+ORACLES.update({"orders_hill_tail": ORACLE_ORDERS_HILL})
