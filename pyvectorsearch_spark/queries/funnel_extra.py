@@ -502,3 +502,98 @@ ORACLES = {
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "session_paths": ORACLE_SESSION_PATHS,
 }
+
+
+# --- cohort lifetime value (LTV) --------------------------------------------
+
+
+def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: customers grouped by first-order YEAR, cumulative
+    revenue per cohort by years-since-acquisition — the curve a data team
+    reads to see whether newer cohorts monetize faster (`event_retention`
+    counts who comes back; this prices what they spend).
+
+    Determinism: revenue is exact integer cents end-to-end; the cumulative
+    sum runs over the tiny (cohort × offset) cell table, ordered by the
+    integer offset — no float enters until the final /100 display round.
+
+    Scale: one map-side min() per customer for the cohort key (customer-
+    partitioned), one rollup to cohort×offset cells (≤ years² rows), and
+    the running sum windows over THAT — aggregate-then-window, never a
+    window over raw orders."""
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_custkey",
+        F.year("o_orderdate").alias("_yr"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_rc"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("_yr").alias("cohort_year"))
+    cells = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort_year", (F.col("_yr") - F.col("cohort_year")).alias("year_offset"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+            F.sum("_rc").cast("bigint").alias("_rev"),
+        )
+    )
+    sz = first.groupBy("cohort_year").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    w = Window.partitionBy("cohort_year").orderBy("year_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.join(sz, "cohort_year")
+        .withColumn("_cum", F.sum("_rev").over(w).cast("bigint"))
+        .select(
+            "cohort_year",
+            "year_offset",
+            "cohort_size",
+            "n_active",
+            "n_orders",
+            F.round(F.col("_rev") / 100.0, 2).alias("revenue_r"),
+            F.round(F.col("_cum") / 100.0, 2).alias("cum_revenue_r"),
+            F.round(
+                F.col("_cum") / (F.col("cohort_size") * F.lit(100.0)), 2
+            ).alias("ltv_per_customer_r"),
+        )
+        .orderBy("cohort_year", "year_offset")
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS yr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS rc
+  FROM orders
+),
+first AS (
+  SELECT o_custkey, min(yr) AS cohort_year FROM o GROUP BY o_custkey
+),
+cells AS (
+  SELECT f.cohort_year, o.yr - f.cohort_year AS year_offset,
+         count(*)::BIGINT AS n_orders,
+         count(DISTINCT o.o_custkey)::BIGINT AS n_active,
+         sum(o.rc)::BIGINT AS rev
+  FROM o JOIN first f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+),
+sz AS (
+  SELECT cohort_year, count(*)::BIGINT AS cohort_size
+  FROM first GROUP BY cohort_year
+),
+cum AS (
+  SELECT c.*, sz.cohort_size,
+         sum(c.rev) OVER (PARTITION BY c.cohort_year
+                          ORDER BY c.year_offset)::BIGINT AS cumrev
+  FROM cells c JOIN sz ON c.cohort_year = sz.cohort_year
+)
+SELECT cohort_year, year_offset, cohort_size, n_active, n_orders,
+       round(rev / 100.0, 2) AS revenue_r,
+       round(cumrev / 100.0, 2) AS cum_revenue_r,
+       round(cumrev / (cohort_size * 100.0), 2) AS ltv_per_customer_r
+FROM cum ORDER BY cohort_year, year_offset
+"""
+
+QUERIES.update({"customer_cohort_ltv": q_customer_cohort_ltv})
+ORACLES.update({"customer_cohort_ltv": ORACLE_COHORT_LTV})

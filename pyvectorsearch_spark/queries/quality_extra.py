@@ -213,3 +213,108 @@ ORACLES = {
     "validate_orders": ORACLE_VALIDATE_ORDERS,
     "events_mi": ORACLE_EVENTS_MI,
 }
+
+
+# --- two-sample Kolmogorov–Smirnov drift -------------------------------------
+
+
+def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift per event type: D = the
+    largest ECDF gap of the `value` feature between the first and second
+    half of the month (same split as `events_psi_drift`). PSI needs bins
+    and an epsilon; KS is the bin-free companion — it catches a median
+    shift that PSI's wide buckets smear away.
+
+    Fully integer until display: values are cents, the ECDF gap is compared
+    as |c1·N2 − c2·N1| (bigint cross-multiplied — no float ever enters the
+    argmax), ties break to the smallest value, and only the final D and its
+    location round for display. Engine-exact by construction.
+
+    Scale: the fact table collapses to distinct (type, value-cent) cells in
+    one map-side combine; the ECDF window orders THOSE cells per type — an
+    aggregate-then-window over the value domain, never a sort of raw
+    events."""
+    from pyspark.sql import Window
+
+    ev = spread(load_table(spark, sf_dir, "events")).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("_vc"),
+        (F.dayofmonth("ts") >= PSI_SPLIT_DAY).alias("_cur"),
+    )
+    cells = ev.groupBy("event_type", "_vc").agg(
+        F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).cast("bigint").alias("_a"),
+        F.sum(F.when(F.col("_cur"), 1).otherwise(0)).cast("bigint").alias("_b"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("_a").cast("bigint").alias("n_early"),
+        F.sum("_b").cast("bigint").alias("n_late"),
+    )
+    w = Window.partitionBy("event_type").orderBy("_vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ecdf = (
+        cells.withColumn("_ca", F.sum("_a").over(w).cast("bigint"))
+        .withColumn("_cb", F.sum("_b").over(w).cast("bigint"))
+        .join(tot, "event_type")
+        .withColumn(
+            "_gap",
+            F.abs(F.col("_ca") * F.col("n_late") - F.col("_cb") * F.col("n_early")),
+        )
+    )
+    wmax = Window.partitionBy("event_type").orderBy(
+        F.desc("_gap"), F.asc("_vc")
+    )
+    return (
+        ecdf.withColumn("_rk", F.row_number().over(wmax))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            F.round(
+                F.col("_gap")
+                / (F.col("n_early") * F.col("n_late")).cast("double"),
+                6,
+            ).alias("ks_d_r"),
+            F.round(F.col("_vc") / 100.0, 2).alias("d_at_value_r"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_KS = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc,
+         (day(CAST(ts AS TIMESTAMP)) >= {PSI_SPLIT_DAY}) AS cur
+  FROM events
+),
+cells AS (
+  SELECT event_type, vc,
+         sum(CASE WHEN cur THEN 0 ELSE 1 END)::BIGINT AS a,
+         sum(CASE WHEN cur THEN 1 ELSE 0 END)::BIGINT AS b
+  FROM ev GROUP BY event_type, vc
+),
+tot AS (
+  SELECT event_type, sum(a)::BIGINT AS n_early, sum(b)::BIGINT AS n_late
+  FROM cells GROUP BY event_type
+),
+ecdf AS (
+  SELECT c.event_type, c.vc, t.n_early, t.n_late,
+         abs(sum(c.a) OVER (PARTITION BY c.event_type ORDER BY c.vc) * t.n_late
+             - sum(c.b) OVER (PARTITION BY c.event_type ORDER BY c.vc)
+               * t.n_early)::BIGINT AS gap
+  FROM cells c JOIN tot t ON c.event_type = t.event_type
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY gap DESC, vc ASC) AS rn
+  FROM ecdf
+)
+SELECT event_type, n_early, n_late,
+       round(gap / CAST(n_early * n_late AS DOUBLE), 6) AS ks_d_r,
+       round(vc / 100.0, 2) AS d_at_value_r
+FROM rk WHERE rn = 1 ORDER BY event_type
+"""
+
+QUERIES.update({"events_ks_drift": q_events_ks_drift})
+ORACLES.update({"events_ks_drift": ORACLE_EVENTS_KS})

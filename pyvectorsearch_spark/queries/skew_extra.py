@@ -391,3 +391,137 @@ ORACLES = {
     "orders_gini": ORACLE_ORDERS_GINI,
     "price_qty_spearman": ORACLE_PRICE_QTY_SPEARMAN,
 }
+
+
+# --- robust outliers: median / MAD ------------------------------------------
+
+MAD_K = 3
+
+
+def q_orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per order priority: exact median and MAD
+    (median absolute deviation) of the order total, and the count of
+    orders beyond median ± 3·MAD — the screen that survives the heavy
+    tail that wrecks a z-score rule (`events_anomalies` z-scores a
+    rolling window; MAD is its batch, distribution-robust sibling).
+
+    Exactness: everything is integer cents. The median is the smallest
+    cent value whose cumulative count reaches rank floor((n+1)/2) — the
+    lower median, computed from a per-group value histogram, NOT a sort of
+    raw rows; the MAD repeats the same ladder on integer deviations; the
+    outlier rule compares bigints. Zero floats before the display round.
+
+    Scale: two aggregate-then-window passes over distinct (priority, cents)
+    cells — the value domain, not the row count — then one rollup. The
+    same histogram-rank trick that makes `events_winsorize` exact."""
+    from pyspark.sql import Window
+
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_vc"),
+    )
+    hist = o.groupBy("o_orderpriority", "_vc").agg(
+        F.count("*").cast("bigint").alias("_c")
+    )
+    tot = hist.groupBy("o_orderpriority").agg(
+        F.sum("_c").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("_vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w).cast("bigint")).join(
+        tot, "o_orderpriority"
+    )
+    rank = F.floor((F.col("n") + 1) / 2).cast("bigint")
+    med = (
+        cum.filter(F.col("_cum") >= rank)
+        .groupBy("o_orderpriority", "n")
+        .agg(F.min("_vc").cast("bigint").alias("_med"))
+    )
+    dev = (
+        o.join(med, "o_orderpriority")
+        .groupBy(
+            "o_orderpriority",
+            "n",
+            "_med",
+            F.abs(F.col("_vc") - F.col("_med")).alias("_d"),
+        )
+        .agg(F.count("*").cast("bigint").alias("_c"))
+    )
+    wd = Window.partitionBy("o_orderpriority").orderBy("_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dcum = dev.withColumn("_cum", F.sum("_c").over(wd).cast("bigint"))
+    mad = (
+        dcum.filter(
+            F.col("_cum") >= F.floor((F.col("n") + 1) / 2).cast("bigint")
+        )
+        .groupBy("o_orderpriority", "n", "_med")
+        .agg(F.min("_d").cast("bigint").alias("_mad"))
+    )
+    out = (
+        o.join(mad, "o_orderpriority")
+        .groupBy("o_orderpriority", "n", "_med", "_mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("_vc") - F.col("_med"))
+                    > F.lit(MAD_K) * F.col("_mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+    return out.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("_med") / 100.0, 2).alias("median_r"),
+        F.round(F.col("_mad") / 100.0, 2).alias("mad_r"),
+        "n_outliers",
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_ORDERS_MAD = f"""
+WITH o AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS vc
+  FROM orders
+),
+hist AS (SELECT g, vc, count(*)::BIGINT AS c FROM o GROUP BY g, vc),
+tot AS (SELECT g, sum(c)::BIGINT AS n FROM hist GROUP BY g),
+cum AS (
+  SELECT h.g, h.vc, t.n,
+         sum(h.c) OVER (PARTITION BY h.g ORDER BY h.vc)::BIGINT AS cm
+  FROM hist h JOIN tot t ON h.g = t.g
+),
+med AS (
+  SELECT g, n, min(vc)::BIGINT AS med FROM cum
+  WHERE cm >= (n + 1) // 2 GROUP BY g, n
+),
+dev AS (
+  SELECT o.g, m.n, m.med, abs(o.vc - m.med)::BIGINT AS d,
+         count(*)::BIGINT AS c
+  FROM o JOIN med m ON o.g = m.g GROUP BY 1, 2, 3, 4
+),
+dcum AS (
+  SELECT g, n, med, d,
+         sum(c) OVER (PARTITION BY g ORDER BY d)::BIGINT AS cm
+  FROM dev
+),
+mad AS (
+  SELECT g, n, med, min(d)::BIGINT AS mad FROM dcum
+  WHERE cm >= (n + 1) // 2 GROUP BY g, n, med
+)
+SELECT o.g AS o_orderpriority, m.n,
+       round(m.med / 100.0, 2) AS median_r,
+       round(m.mad / 100.0, 2) AS mad_r,
+       sum(CASE WHEN abs(o.vc - m.med) > {MAD_K} * m.mad
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM o JOIN mad m ON o.g = m.g
+GROUP BY o.g, m.n, m.med, m.mad ORDER BY o.g
+"""
+
+QUERIES.update({"orders_mad_outliers": q_orders_mad_outliers})
+ORACLES.update({"orders_mad_outliers": ORACLE_ORDERS_MAD})

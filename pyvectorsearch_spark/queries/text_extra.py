@@ -453,3 +453,105 @@ ORACLE_TEXT_KWIC = _kwic_oracle()
 
 QUERIES.update({"text_kwic": q_text_kwic})
 ORACLES.update({"text_kwic": ORACLE_TEXT_KWIC})
+
+
+# --- character-entropy quality signal ----------------------------------------
+
+ENTROPY_ALPHABET = list("abcdefghijklmnopqrstuvwxyz") + [" "]
+
+
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document, rolled up per source —
+    the cheap gibberish/boilerplate screen: natural prose sits near ~4.1
+    bits over [a-z ]; keyboard mash, base64 blobs, and repeated padding
+    fall far outside the band. Complements `text_quality`'s ratio
+    heuristics with an information-theoretic one.
+
+    Zero-shuffle design: each symbol's count is a pure scan-stage
+    expression (length minus length-after-replace over a FIXED 27-symbol
+    alphabet — no per-character explode, which at 100 TB would be a
+    row-per-byte blow-up), per-doc H = log2(n) − Σ c·log2(c)/n with the
+    per-term 6-dp round, then H is fixed to integer micro-bits so the
+    per-source mean is an exact bigint sum. The only shuffle is the final
+    sources-sized rollup.
+
+    Determinism: counts are integers; log2 terms round to 6 dp before any
+    sum; per-doc entropy rounds to micro-bits (bigint) before the group
+    mean — engine-exact end-to-end."""
+    lower = F.lower(F.col("text"))
+
+    def cnt(sym: str):
+        return (
+            F.length(lower) - F.length(F.replace(lower, F.lit(sym), F.lit("")))
+        ).cast("bigint")
+
+    counts = [cnt(s) for s in ENTROPY_ALPHABET]
+    n = sum(counts[1:], counts[0])
+    terms = [
+        F.when(c > 0, F.round(c.cast("double") * F.log2(c.cast("double")), 6))
+        .otherwise(F.lit(0.0))
+        for c in counts
+    ]
+    ssum = sum(terms[1:], terms[0])
+    h = F.when(
+        n > 0,
+        F.round(F.log2(n.cast("double")) - ssum / n.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.round(h * 1000000).cast("bigint").alias("_hu")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.sum("_hu") / (F.count("*") * F.lit(1000000.0)), 4).alias(
+                "avg_entropy_r"
+            ),
+            F.round(F.min("_hu") / 1000000.0, 4).alias("min_entropy_r"),
+            F.round(F.max("_hu") / 1000000.0, 4).alias("max_entropy_r"),
+        )
+        .orderBy("source")
+    )
+
+
+def _entropy_oracle() -> str:
+    cnts = [
+        f"(length(lt) - length(replace(lt, '{s}', '')))::BIGINT"
+        if s != " "
+        else "(length(lt) - length(replace(lt, ' ', '')))::BIGINT"
+        for s in ENTROPY_ALPHABET
+    ]
+    cols = ",\n         ".join(
+        f"{c} AS c{i}" for i, c in enumerate(cnts)
+    )
+    nsum = " + ".join(f"c{i}" for i in range(len(cnts)))
+    tsum = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN round(c{i} * log2(c{i}), 6) ELSE 0.0 END)"
+        for i in range(len(cnts))
+    )
+    return f"""
+WITH lt AS (SELECT source, lower(text) AS lt FROM documents),
+c AS (
+  SELECT source,
+         {cols}
+  FROM lt
+),
+h AS (
+  SELECT source,
+         CAST(round((CASE WHEN ({nsum}) > 0
+              THEN round(log2(({nsum})::DOUBLE) - ({tsum}) / ({nsum})::DOUBLE, 6)
+              ELSE 0.0 END) * 1000000) AS BIGINT) AS hu
+  FROM c
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(sum(hu) / (count(*) * 1000000.0), 4) AS avg_entropy_r,
+       round(min(hu) / 1000000.0, 4) AS min_entropy_r,
+       round(max(hu) / 1000000.0, 4) AS max_entropy_r
+FROM h GROUP BY source ORDER BY source
+"""
+
+
+ORACLE_TEXT_CHAR_ENTROPY = _entropy_oracle()
+
+QUERIES.update({"text_char_entropy": q_text_char_entropy})
+ORACLES.update({"text_char_entropy": ORACLE_TEXT_CHAR_ENTROPY})

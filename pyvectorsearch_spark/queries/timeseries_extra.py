@@ -1133,3 +1133,112 @@ ORACLES = {
     "events_bursts": ORACLE_EVENTS_BURSTS,
     "events_forecast_backtest": ORACLE_FORECAST_BACKTEST,
 }
+
+
+# --- autocorrelation function (ACF) -----------------------------------------
+
+ACF_MAX_LAG = 6
+
+
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of hourly event volume at lags 1..6 per event type —
+    the seasonality/persistence diagnostic that tells a forecaster which
+    lags carry signal (the companion to `events_trend`'s level fit and
+    `events_stl_decompose`'s fixed 24 h seasonal: ACF *finds* the period).
+
+    Determinism ladder (the `events_trend` pattern on lag pairs): lag pairs
+    come from an equi-join of the DENSE hour grid against itself shifted by
+    the lag (gap hours count as 0 — a silent outage decorrelates), Pearson
+    moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact bigints, and division /
+    sqrt / rounding happen once at the end, so r_k is engine-identical.
+
+    Scale: one map-side hourly rollup shrinks the fact table to types×hours
+    rows; the lag fan-out (6×) and self-join run on that tiny grid, never
+    on raw events. The join key (event_type, h) is the grid's natural
+    partitioning — one shuffle of the grid, reused across all lags."""
+    ev = load_table(spark, sf_dir, "events")
+    hb = (F.floor(F.unix_timestamp("ts") / 3600)).cast("bigint")
+    hc = ev.groupBy("event_type", hb.alias("h")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    grid = hc.groupBy("event_type").agg(
+        F.min("h").alias("_lo"), F.max("h").alias("_hi")
+    )
+    dense = grid.select(
+        "event_type", F.explode(F.sequence("_lo", "_hi")).alias("h")
+    )
+    dn = dense.join(hc, ["event_type", "h"], "left").withColumn(
+        "y", F.coalesce("y", F.lit(0)).cast("bigint")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    shifted = dn.crossJoin(F.broadcast(lags)).select(
+        "event_type", "lag", (F.col("h") + F.col("lag")).alias("h"),
+        F.col("y").alias("x"),
+    )
+    pairs = shifted.join(dn, ["event_type", "h"]).select(
+        "event_type", "lag", "x", "y"
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    den2 = (m["n"] * m["sxx"] - m["sx"] * m["sx"]) * (
+        m["n"] * m["syy"] - m["sy"] * m["sy"]
+    )
+    r = F.when(
+        den2 > 0,
+        F.round(
+            (m["n"] * m["sxy"] - m["sx"] * m["sy"])
+            / F.sqrt(den2.cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        m.select("event_type", "lag", "n", r.alias("acf_r"))
+        .orderBy("event_type", "lag")
+    )
+
+
+ORACLE_EVENTS_ACF = f"""
+WITH hc AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS h, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, unnest(range(min(h), max(h) + 1)) AS h
+  FROM hc GROUP BY event_type
+),
+dn AS (
+  SELECT g.event_type, g.h, coalesce(hc.y, 0)::BIGINT AS y
+  FROM grid g LEFT JOIN hc ON g.event_type = hc.event_type AND g.h = hc.h
+),
+lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1}))::INT AS lag),
+pairs AS (
+  SELECT a.event_type, l.lag, a.y AS x, b.y AS y
+  FROM dn a CROSS JOIN lags l
+  JOIN dn b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+),
+m AS (
+  SELECT event_type, lag, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+  FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, lag, n,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt(CAST((n * sxx - sx * sx)
+                                   * (n * syy - sy * sy) AS DOUBLE)), 6)
+            ELSE 0.0 END AS acf_r
+FROM m ORDER BY event_type, lag
+"""
+
+QUERIES.update({"events_acf": q_events_acf})
+ORACLES.update({"events_acf": ORACLE_EVENTS_ACF})
