@@ -522,3 +522,122 @@ ORDER BY fill.event_type
 
 QUERIES.update({"repair_impute": q_repair_impute})
 ORACLES.update({"repair_impute": ORACLE_REPAIR_IMPUTE})
+
+
+# --- chi-square independence test --------------------------------------------
+
+
+def q_audit_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between `source` and `lang` over the
+    document corpus: is language composition uniform across sources, or do
+    some crawls skew (the stratification check a sampling plan depends on —
+    if lang ⊥̸ source, a per-source sample is NOT language-balanced)?
+    Reports X², degrees of freedom, and the worst cell by contribution.
+    The categorical sibling of `events_mi`'s mutual information.
+
+    Determinism: observed counts and margins are bigints; each expected
+    value is one double division of bigints; per-cell contributions round
+    to 6 dp, fix to integer micro-units, and the global sum is an exact
+    bigint — no float accumulation order anywhere.
+
+    Scale: one map-side contingency rollup (sources×langs cells), two
+    margin rollups of that, and an argmax over cells — nothing bigger
+    than the cell table ever shuffles."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    rt = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("_rt"))
+    ct = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("_ct"))
+    n = obs.agg(F.sum("o").cast("bigint").alias("_n"))
+    cells = (
+        obs.join(rt, "source")
+        .join(ct, "lang")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "_e", (F.col("_rt") * F.col("_ct")) / F.col("_n").cast("double")
+        )
+        .withColumn(
+            "_t",
+            F.round(
+                (F.col("o") - F.col("_e")) * (F.col("o") - F.col("_e"))
+                / F.col("_e"),
+                6,
+            ),
+        )
+        .withColumn("_tu", F.round(F.col("_t") * 1000000).cast("bigint"))
+    )
+    nr = rt.agg(F.count("*").cast("bigint").alias("_nr"))
+    nc = ct.agg(F.count("*").cast("bigint").alias("_nc"))
+    wmax = Window.orderBy(F.desc("_tu"), F.asc("source"), F.asc("lang"))
+    top = cells.withColumn("_rk", F.row_number().over(wmax)).filter(
+        F.col("_rk") == 1
+    )
+    agg = cells.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum("_tu").cast("bigint").alias("_chi_u"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(
+            F.broadcast(
+                top.select(
+                    F.col("source").alias("worst_source"),
+                    F.col("lang").alias("worst_lang"),
+                    F.round(F.col("_tu") / 1000000.0, 4).alias(
+                        "worst_contrib_r"
+                    ),
+                )
+            )
+        )
+        .select(
+            "n_cells",
+            ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("bigint").alias("df"),
+            F.round(F.col("_chi_u") / 1000000.0, 4).alias("chi2_r"),
+            "worst_source",
+            "worst_lang",
+            "worst_contrib_r",
+        )
+    )
+
+
+ORACLE_AUDIT_CHI2 = """
+WITH obs AS (
+  SELECT source, lang, count(*)::BIGINT AS o
+  FROM documents GROUP BY source, lang
+),
+rt AS (SELECT source, sum(o)::BIGINT AS rt FROM obs GROUP BY source),
+ct AS (SELECT lang, sum(o)::BIGINT AS ct FROM obs GROUP BY lang),
+n AS (SELECT sum(o)::BIGINT AS n FROM obs),
+cells AS (
+  SELECT obs.source, obs.lang,
+         CAST(round(round((obs.o - (rt.rt * ct.ct) / CAST(n.n AS DOUBLE))
+                          * (obs.o - (rt.rt * ct.ct) / CAST(n.n AS DOUBLE))
+                          / ((rt.rt * ct.ct) / CAST(n.n AS DOUBLE)), 6)
+                    * 1000000) AS BIGINT) AS tu
+  FROM obs JOIN rt ON obs.source = rt.source
+  JOIN ct ON obs.lang = ct.lang CROSS JOIN n
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_cells, sum(tu)::BIGINT AS chi_u FROM cells
+),
+dims AS (
+  SELECT (SELECT count(*) FROM rt)::BIGINT AS nr,
+         (SELECT count(*) FROM ct)::BIGINT AS nc
+),
+top AS (
+  SELECT source AS worst_source, lang AS worst_lang,
+         round(tu / 1000000.0, 4) AS worst_contrib_r
+  FROM cells ORDER BY tu DESC, source ASC, lang ASC LIMIT 1
+)
+SELECT agg.n_cells, ((dims.nr - 1) * (dims.nc - 1))::BIGINT AS df,
+       round(agg.chi_u / 1000000.0, 4) AS chi2_r,
+       top.worst_source, top.worst_lang, top.worst_contrib_r
+FROM agg, dims, top
+"""
+
+QUERIES.update({"audit_chi2_independence": q_audit_chi2_independence})
+ORACLES.update({"audit_chi2_independence": ORACLE_AUDIT_CHI2})

@@ -1152,3 +1152,105 @@ ORACLE_DEDUP_SRP_MULTIPROBE = _oracle_srp_multiprobe()
 
 QUERIES.update({"dedup_srp_multiprobe": q_dedup_srp_multiprobe})
 ORACLES.update({"dedup_srp_multiprobe": ORACLE_DEDUP_SRP_MULTIPROBE})
+
+
+# --- degree assortativity of the near-dup graph ------------------------------
+
+
+def q_dedup_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the SimHash near-dup graph: the Pearson
+    correlation between the degrees at the two ends of every edge (Newman
+    2002). Positive ⇒ hubs link to hubs (template families chaining into
+    one mega-cluster — single-linkage dedup will over-merge); negative ⇒
+    hubs link to leaves (star-shaped boilerplate around a canonical doc).
+    The structural companion to `dedup_triangles`' clustering coefficient.
+
+    Determinism: degrees are integer counts, each undirected edge
+    contributes both orientations (the standard symmetrization), and the
+    correlation comes from exact bigint moment sums with one final rounded
+    division — the `price_qty_corr` ladder on graph degrees.
+
+    Scale: degrees come from one count per node over the edge list; the
+    two degree joins are node-keyed equi-joins on the edges table (each a
+    co-partitioned shuffle of edge-list size, never corpus size); moments
+    collapse map-side to one row."""
+    from pyvectorsearch_spark.operators.dedup import simhash_pairs
+    from pyvectorsearch_spark.queries.dedup import MAX_HAMMING
+    from pyvectorsearch_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = simhash_pairs(docs, max_hamming=MAX_HAMMING)
+    e = pairs.select(
+        F.least("d1", "d2").alias("a"), F.greatest("d1", "d2").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
+    xy = (
+        und.join(deg.select(F.col("a"), F.col("d").alias("x")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("d").alias("y")), "b"
+        )
+        .select("x", "y")
+    )
+    m = xy.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    den2 = (m["m"] * m["sxx"] - m["sx"] * m["sx"]) * (
+        m["m"] * m["syy"] - m["sy"] * m["sy"]
+    )
+    r = F.when(
+        den2 > 0,
+        F.round(
+            (m["m"] * m["sxy"] - m["sx"] * m["sy"])
+            / F.sqrt(den2.cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        (F.col("m") / 2).cast("bigint").alias("n_edges"),
+        r.alias("assortativity_r"),
+    )
+
+
+def _oracle_assortativity() -> str:
+    from pyvectorsearch_spark.queries.dedup import _simhash_oracle
+
+    return f"""
+WITH pairs AS ({_simhash_oracle()}),
+e AS (
+  SELECT DISTINCT least(d1, d2) AS a, greatest(d1, d2) AS b
+  FROM pairs WHERE d1 <> d2
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a, count(*)::BIGINT AS d FROM und GROUP BY a),
+xy AS (
+  SELECT dx.d AS x, dy.d AS y
+  FROM und u
+  JOIN deg dx ON dx.a = u.a
+  JOIN deg dy ON dy.a = u.b
+),
+m AS (
+  SELECT count(*)::BIGINT AS m, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+  FROM xy
+)
+SELECT (m // 2)::BIGINT AS n_edges,
+       CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) > 0
+            THEN round((m * sxy - sx * sy)
+                       / sqrt(CAST((m * sxx - sx * sx)
+                                   * (m * syy - sy * sy) AS DOUBLE)), 6)
+            ELSE 0.0 END AS assortativity_r
+FROM m
+"""
+
+
+ORACLE_DEDUP_ASSORTATIVITY = _oracle_assortativity()
+
+QUERIES.update({"dedup_assortativity": q_dedup_assortativity})
+ORACLES.update({"dedup_assortativity": ORACLE_DEDUP_ASSORTATIVITY})

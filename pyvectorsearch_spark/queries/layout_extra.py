@@ -74,3 +74,98 @@ ORACLES = {
     "layout_zorder_stats": ORACLE_LAYOUT_ZORDER,
     "sample_shuffle_order": ORACLE_SHUFFLE_ORDER,
 }
+
+
+# --- rendezvous (HRW) shard assignment ---------------------------------------
+
+HRW_NODES = 8
+HRW_SALT = "hrw-v1"
+
+
+def q_layout_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment balance report:
+    every document goes to the node whose md5(salt || node || id) score is
+    highest (Thaler–Ravishankar 1996) — the consistent-placement scheme
+    where removing one node remaps ONLY that node's keys (vs mod-N, which
+    reshuffles everything). The report proves the placement is balanced:
+    per-node key counts, share, and byte load.
+
+    Determinism: the score is the same md5→48-bit integer construction the
+    sampling family uses — a pure function of (salt, node, id) — and the
+    argmax tie-breaks on the lowest node id, so the assignment is
+    engine-exact and reproducible forever.
+
+    Scale: the node axis is a tiny broadcast fan-out (N rows per key
+    map-side, no shuffle until the per-node rollup); at 100 TB this is the
+    shard router you'd run per batch — no global state, no coordination,
+    and adding node N+1 moves exactly ~1/(N+1) of keys."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    nodes = spark.range(HRW_NODES).select(F.col("id").cast("int").alias("node"))
+    score = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(HRW_SALT + "#"),
+                    F.col("node").cast("string"),
+                    F.lit("#"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    scored = docs.crossJoin(F.broadcast(nodes)).withColumn("_s", score)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_s"), F.asc("node"))
+    assigned = scored.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") == 1
+    )
+    tot = docs.agg(F.count("*").cast("bigint").alias("_n")).select("_n")
+    return (
+        assigned.groupBy("node")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("n_chars").cast("bigint").alias("bytes_load"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            "n_keys",
+            F.round(F.col("n_keys") / F.col("_n").cast("double"), 6).alias(
+                "share_r"
+            ),
+            "bytes_load",
+        )
+        .orderBy("node")
+    )
+
+
+ORACLE_LAYOUT_RENDEZVOUS = f"""
+WITH nodes AS (SELECT unnest(range({HRW_NODES}))::INT AS node),
+scored AS (
+  SELECT d.doc_id, d.n_chars, n.node,
+         ('0x' || substr(md5('{HRW_SALT}#' || n.node::VARCHAR || '#'
+                             || d.doc_id::VARCHAR), 1, 12))::BIGINT AS s
+  FROM documents d CROSS JOIN nodes n
+),
+assigned AS (
+  SELECT doc_id, n_chars, node,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, node ASC) AS rk
+  FROM scored
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT a.node, count(*)::BIGINT AS n_keys,
+       round(count(*) / CAST(t.n AS DOUBLE), 6) AS share_r,
+       sum(a.n_chars)::BIGINT AS bytes_load
+FROM assigned a CROSS JOIN tot t
+WHERE a.rk = 1
+GROUP BY a.node, t.n ORDER BY a.node
+"""
+
+QUERIES.update({"layout_rendezvous": q_layout_rendezvous})
+ORACLES.update({"layout_rendezvous": ORACLE_LAYOUT_RENDEZVOUS})
