@@ -607,3 +607,86 @@ FROM terms GROUP BY o_orderpriority, xk1 ORDER BY o_orderpriority
 
 QUERIES.update({"orders_hill_tail": q_orders_hill_tail})
 ORACLES.update({"orders_hill_tail": ORACLE_ORDERS_HILL})
+
+
+# --- Pareto / ABC classification ---------------------------------------------
+
+ABC_A_PCT = 80
+ABC_B_PCT = 95
+
+
+def q_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification of parts by revenue: class A =
+    the head parts covering the first 80% of cumulative revenue, B = to
+    95%, C = the tail — the '20% of SKUs drive 80% of revenue' census
+    behind stock-priority decisions (the classed, business-rule cousin of
+    `customer_revenue_deciles`' equal-count bands).
+
+    Determinism: revenue is integer cents; the cumulative-share class
+    boundaries compare cum·100 ≤ pct·total as bigints (shares never become
+    floats until display); ordering ties break on partkey.
+
+    Scale: revenue-per-part is one map-side rollup of lineitem; the
+    cumulative window orders the parts-sized aggregate, never lineitem —
+    and the final report is 3 rows."""
+    from pyspark.sql import Window
+
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("_rc"),
+    )
+    per = li.groupBy("l_partkey").agg(F.sum("_rc").cast("bigint").alias("_rev"))
+    tot = per.agg(F.sum("_rev").cast("bigint").alias("_tot"))
+    w = Window.orderBy(F.desc("_rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    classed = (
+        per.withColumn("_cum", F.sum("_rev").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("_cum") * 100 <= F.col("_tot") * ABC_A_PCT, "A")
+            .when(F.col("_cum") * 100 <= F.col("_tot") * ABC_B_PCT, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(F.sum("_rev") / 100.0, 2).alias("revenue_r"),
+            F.round(
+                F.sum("_rev") / F.max("_tot").cast("double"), 6
+            ).alias("revenue_share_r"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ORACLE_PART_ABC = f"""
+WITH per AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(rev)::BIGINT AS tot FROM per),
+classed AS (
+  SELECT p.rev, t.tot,
+         sum(p.rev) OVER (ORDER BY p.rev DESC, p.l_partkey ASC)::BIGINT AS cum
+  FROM per p CROSS JOIN tot t
+),
+lab AS (
+  SELECT rev, tot,
+         CASE WHEN cum * 100 <= tot * {ABC_A_PCT} THEN 'A'
+              WHEN cum * 100 <= tot * {ABC_B_PCT} THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM classed
+)
+SELECT abc_class, count(*)::BIGINT AS n_parts,
+       round(sum(rev) / 100.0, 2) AS revenue_r,
+       round(sum(rev) / CAST(max(tot) AS DOUBLE), 6) AS revenue_share_r
+FROM lab GROUP BY abc_class ORDER BY abc_class
+"""
+
+QUERIES.update({"part_abc_classes": q_part_abc_classes})
+ORACLES.update({"part_abc_classes": ORACLE_PART_ABC})

@@ -641,3 +641,70 @@ FROM agg, dims, top
 
 QUERIES.update({"audit_chi2_independence": q_audit_chi2_independence})
 ORACLES.update({"audit_chi2_independence": ORACLE_AUDIT_CHI2})
+
+
+# --- Merkle-style range checksums --------------------------------------------
+
+MERKLE_RANGES = 16
+
+
+def q_audit_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-level Merkle layer under `audit_checksums`' single root: the
+    orders key space splits into 16 contiguous o_orderkey ranges, each with
+    its own XOR row-hash checksum — two clusters compare 16 fingerprints
+    and re-scan ONLY the ranges that disagree (log-style drill-down instead
+    of a 100 TB full rescan; contiguous ranges, unlike mod-N buckets, mean
+    the re-scan is one key-range predicate that prunes at the parquet
+    level).
+
+    Determinism: the range width derives from max(o_orderkey) by exact
+    integer division; row hashes are the shared 52-bit md5 construction;
+    XOR is order-independent, so shuffles/partitioning can't change any
+    fingerprint.
+
+    Scale: one map-side-combined aggregate (count + bit_xor per range);
+    the width lookup is a 1-row broadcast, not a driver round-trip."""
+    o = spread(load_table(spark, sf_dir, "orders"))
+    rh = _row_hash(
+        *[F.col(c).cast("string")
+          for c in ["o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_orderpriority"]]
+    )
+    mx = o.agg(F.max("o_orderkey").cast("bigint").alias("_mx"))
+    w = (F.col("_mx") + MERKLE_RANGES) / MERKLE_RANGES
+    ranged = o.crossJoin(F.broadcast(mx)).select(
+        F.floor(F.col("o_orderkey") / F.floor(w)).cast("int").alias("range_id"),
+        F.col("o_orderkey").alias("_k"),
+        rh.alias("_rh"),
+    )
+    return (
+        ranged.groupBy("range_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("_k").cast("bigint").alias("key_lo"),
+            F.max("_k").cast("bigint").alias("key_hi"),
+            F.expr("bit_xor(_rh)").cast("bigint").alias("checksum"),
+        )
+        .orderBy("range_id")
+    )
+
+
+ORACLE_AUDIT_MERKLE = f"""
+WITH mx AS (SELECT max(o_orderkey)::BIGINT AS mx FROM orders),
+ranged AS (
+  SELECT CAST(floor(o.o_orderkey
+              / floor((mx.mx + {MERKLE_RANGES}) / {MERKLE_RANGES}.0)) AS INT)
+           AS range_id,
+         o.o_orderkey AS k,
+         {_duck_row_hash(["o_orderkey", "o_custkey", "o_orderstatus",
+                          "o_orderpriority"])} AS rh
+  FROM orders o CROSS JOIN mx
+)
+SELECT range_id, count(*)::BIGINT AS n_rows,
+       min(k)::BIGINT AS key_lo, max(k)::BIGINT AS key_hi,
+       bit_xor(rh)::BIGINT AS checksum
+FROM ranged GROUP BY range_id ORDER BY range_id
+"""
+
+QUERIES.update({"audit_merkle_ranges": q_audit_merkle_ranges})
+ORACLES.update({"audit_merkle_ranges": ORACLE_AUDIT_MERKLE})

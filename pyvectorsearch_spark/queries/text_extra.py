@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyvectorsearch_spark.functions.text import duckdb_tokens
+from pyvectorsearch_spark.functions.text import duckdb_tokens, tokens
 from pyvectorsearch_spark.operators.textops import chunk_text, tfidf_top_terms
 from pyvectorsearch_spark.sources.tables import load_table, spread
 
@@ -555,3 +555,95 @@ ORACLE_TEXT_CHAR_ENTROPY = _entropy_oracle()
 
 QUERIES.update({"text_char_entropy": q_text_char_entropy})
 ORACLES.update({"text_char_entropy": ORACLE_TEXT_CHAR_ENTROPY})
+
+
+# --- Flesch reading-ease score -----------------------------------------------
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source: 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), with syllables approximated by vowel-group
+    runs ([aeiouy]+ — the standard cheap estimator) and sentences by
+    terminal-punctuation runs. Prose-quality screen #3 beside
+    `text_quality`'s ratios and `text_char_entropy`'s information rate:
+    this one catches wall-of-text run-ons (no sentence breaks) and
+    syllable-dense jargon.
+
+    Determinism: the three counts are integers from scan-stage regexes
+    (plain character classes — identical RE2/Java semantics); the score is
+    ONE final double expression rounded to 6 dp, fixed to micro-units so
+    the per-source mean is an exact bigint sum.
+
+    Scale: zero-shuffle per-doc scoring in the scan stage; one
+    sources-sized rollup — the `text_quality` plan shape."""
+    lower = F.lower(F.col("text"))
+    words = F.size(tokens(F.col("text"))).cast("bigint")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("bigint")
+    sylls = F.greatest(
+        F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), 0)), F.lit(1)
+    ).cast("bigint")
+    score = F.when(
+        words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words / sents.cast("double"))
+            - F.lit(84.6) * (sylls / words.cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.round(score * 1000000).cast("bigint").alias("_fu"),
+        words.alias("_w"),
+        sents.alias("_s"),
+        sylls.alias("_y"),
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.sum("_fu") / (F.count("*") * F.lit(1000000.0)), 4).alias(
+                "avg_flesch_r"
+            ),
+            F.round(
+                F.sum("_w") / F.sum("_s").cast("double"), 4
+            ).alias("words_per_sentence_r"),
+            F.round(
+                F.sum("_y") / F.sum("_w").cast("double"), 4
+            ).alias("syllables_per_word_r"),
+        )
+        .orderBy("source")
+    )
+
+
+_READ_TOK = duckdb_tokens("text")
+
+ORACLE_TEXT_READABILITY = f"""
+WITH c AS (
+  SELECT source,
+         len({_READ_TOK})::BIGINT AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS s,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)::BIGINT
+           AS y
+  FROM documents
+),
+h AS (
+  SELECT source, w, s, y,
+         CAST(round((CASE WHEN w > 0
+              THEN round(206.835 - 1.015 * (w / s::DOUBLE)
+                         - 84.6 * (y / w::DOUBLE), 6)
+              ELSE 0.0 END) * 1000000) AS BIGINT) AS fu
+  FROM c
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(sum(fu) / (count(*) * 1000000.0), 4) AS avg_flesch_r,
+       round(sum(w) / CAST(sum(s) AS DOUBLE), 4) AS words_per_sentence_r,
+       round(sum(y) / CAST(sum(w) AS DOUBLE), 4) AS syllables_per_word_r
+FROM h GROUP BY source ORDER BY source
+"""
+
+QUERIES.update({"text_readability": q_text_readability})
+ORACLES.update({"text_readability": ORACLE_TEXT_READABILITY})

@@ -740,3 +740,136 @@ ORACLES = {
     "text_c4_clean": ORACLE_C4_CLEAN,
     "text_zipf": ORACLE_TEXT_ZIPF,
 }
+
+
+# --- Heaps'-law vocabulary growth fit ----------------------------------------
+
+
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) ≈ K·N^β from a log–log OLS
+    over the per-document cumulative (tokens seen, distinct terms seen)
+    curve in doc_id order. β tells a pipeline how fast NEW vocabulary
+    keeps arriving as the corpus grows — the capacity-planning twin of
+    `text_zipf` (Zipf fits the frequency ladder at a fixed size; Heaps
+    extrapolates the vocabulary AT 100× the size) and the curve behind
+    `vocab_novelty`'s single delta point.
+
+    Determinism ladder: each term's first document is an integer min;
+    per-doc token counts and cumulative sums are bigints; ln(N)/ln(V)
+    round to 6 dp and fix to integer micro-units; the OLS moments multiply
+    as DECIMAL(38,0) (DuckDB HUGEINT — the Spearman overflow lesson:
+    micro-unit squares pass 2^63 at ~10⁴ points), so slope and intercept
+    are engine-exact.
+
+    Scale: one explode → (term, first-doc) min rollup; everything after is
+    docs-sized (the cumulative window orders per-DOC cells, never tokens).
+    At 100 TB the doc_id order key would be ingest time — same plan."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("_t")
+    )
+    ntok = docs.select("doc_id", F.size("_t").cast("bigint").alias("_k"))
+    first = (
+        docs.select("doc_id", F.explode(F.array_distinct("_t")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("_fd"))
+    )
+    new = first.groupBy(F.col("_fd").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("_v")
+    )
+    cells = ntok.join(new, "doc_id", "left").withColumn(
+        "_v", F.coalesce("_v", F.lit(0)).cast("bigint")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pts = (
+        cells.withColumn("_N", F.sum("_k").over(w).cast("bigint"))
+        .withColumn("_V", F.sum("_v").over(w).cast("bigint"))
+        .filter((F.col("_N") > 0) & (F.col("_V") > 0))
+        .select(
+            F.round(F.log(F.col("_N").cast("double")) * 1000000)
+            .cast("bigint")
+            .alias("_xu"),
+            F.round(F.log(F.col("_V").cast("double")) * 1000000)
+            .cast("bigint")
+            .alias("_yu"),
+        )
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = pts.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum("_xu").cast("bigint").alias("_sx"),
+        F.sum("_yu").cast("bigint").alias("_sy"),
+        F.sum(d(F.col("_xu")) * d(F.col("_yu"))).alias("_sxy"),
+        F.sum(d(F.col("_xu")) * d(F.col("_xu"))).alias("_sxx"),
+    )
+    num = d(m["n_points"]) * m["_sxy"] - d(m["_sx"]) * d(m["_sy"])
+    den = d(m["n_points"]) * m["_sxx"] - d(m["_sx"]) * d(m["_sx"])
+    beta = F.when(
+        den != 0, F.round(num.cast("double") / den.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        m.withColumn("beta_r", beta)
+        .withColumn(
+            "ln_k_r",
+            F.round(
+                (F.col("_sy") - F.col("beta_r") * F.col("_sx"))
+                / (F.col("n_points") * F.lit(1000000.0)),
+                6,
+            ),
+        )
+        .select("n_points", "beta_r", "ln_k_r")
+    )
+
+
+_HEAPS_TOK = duckdb_tokens("text")
+
+ORACLE_TEXT_HEAPS = f"""
+WITH toks AS (SELECT doc_id, {_HEAPS_TOK} AS t FROM documents),
+ntok AS (SELECT doc_id, len(t)::BIGINT AS k FROM toks),
+first AS (
+  SELECT term, min(doc_id) AS fd
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+  GROUP BY term
+),
+nw AS (SELECT fd AS doc_id, count(*)::BIGINT AS v FROM first GROUP BY fd),
+cells AS (
+  SELECT ntok.doc_id, ntok.k, coalesce(nw.v, 0)::BIGINT AS v
+  FROM ntok LEFT JOIN nw ON ntok.doc_id = nw.doc_id
+),
+cum AS (
+  SELECT sum(k) OVER (ORDER BY doc_id)::BIGINT AS N,
+         sum(v) OVER (ORDER BY doc_id)::BIGINT AS V
+  FROM cells
+),
+pts AS (
+  SELECT CAST(round(ln(N::DOUBLE) * 1000000) AS BIGINT) AS xu,
+         CAST(round(ln(V::DOUBLE) * 1000000) AS BIGINT) AS yu
+  FROM cum WHERE N > 0 AND V > 0
+),
+m AS (
+  SELECT count(*)::BIGINT AS n_points,
+         sum(xu)::BIGINT AS sx, sum(yu)::BIGINT AS sy,
+         sum(xu::HUGEINT * yu::HUGEINT) AS sxy,
+         sum(xu::HUGEINT * xu::HUGEINT) AS sxx
+  FROM pts
+),
+b AS (
+  SELECT n_points, sx, sy,
+         CASE WHEN n_points::HUGEINT * sxx - sx::HUGEINT * sx::HUGEINT <> 0
+              THEN round(CAST(n_points::HUGEINT * sxy
+                              - sx::HUGEINT * sy::HUGEINT AS DOUBLE)
+                         / CAST(n_points::HUGEINT * sxx
+                                - sx::HUGEINT * sx::HUGEINT AS DOUBLE), 6)
+              ELSE 0.0 END AS beta_r
+  FROM m
+)
+SELECT n_points, beta_r,
+       round((sy - beta_r * sx) / (n_points * 1000000.0), 6) AS ln_k_r
+FROM b
+"""
+
+QUERIES.update({"text_heaps_law": q_text_heaps_law})
+ORACLES.update({"text_heaps_law": ORACLE_TEXT_HEAPS})
