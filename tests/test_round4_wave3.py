@@ -238,3 +238,111 @@ def test_wave3_schema_stable_across_sf(spark, mod, fn):
     a = q(spark, SF_SMOKE).schema
     b = q(spark, "/root/testdata/sf0.01").schema
     assert a == b
+
+
+def _py_tokens(text):
+    import re
+
+    return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ") if t]
+
+
+def test_heaps_law_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.text_lm import q_text_heaps_law
+
+    got = q_text_heaps_law(spark, SF_SMOKE).collect()[0]
+    docs = _pq("documents").sort_values("doc_id")
+    seen, pts, n_cum, v_cum = set(), [], 0, 0
+    for _, row in docs.iterrows():
+        toks = _py_tokens(row["text"])
+        n_cum += len(toks)
+        v_cum += len(set(toks) - seen)
+        seen |= set(toks)
+        if n_cum > 0 and v_cum > 0:
+            pts.append((np.log(n_cum), np.log(v_cum)))
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    n = len(x)
+    beta = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    lnk = (y.sum() - beta * x.sum()) / n
+    assert got["n_points"] == n
+    assert abs(got["beta_r"] - beta) < 1e-4
+    assert abs(got["ln_k_r"] - lnk) < 1e-3
+    # the synthetic corpus draws from a tiny fixed vocabulary, so V(N)
+    # saturates almost immediately: beta ~ 0 is CORRECT here (a natural
+    # corpus would sit near 0.4-0.6); pin the saturation instead
+    assert 0.0 <= got["beta_r"] < 0.1
+
+
+def test_abc_classes_match_pandas(spark):
+    from pyvectorsearch_spark.queries.analytic_extra import q_part_abc_classes
+
+    got = {r["abc_class"]: r for r in q_part_abc_classes(spark, SF_SMOKE).collect()}
+    li = _pq("lineitem")
+    li["rc"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    per = (
+        li.groupby("l_partkey")["rc"].sum().reset_index()
+        .sort_values(["rc", "l_partkey"], ascending=[False, True])
+    )
+    tot = per["rc"].sum()
+    cum = per["rc"].cumsum()
+    cls = np.where(cum * 100 <= tot * 80, "A", np.where(cum * 100 <= tot * 95, "B", "C"))
+    per["cls"] = cls
+    agg = per.groupby("cls")["rc"].agg(["size", "sum"])
+    for c in ["A", "B", "C"]:
+        assert got[c]["n_parts"] == agg.loc[c, "size"]
+        assert abs(got[c]["revenue_r"] - agg.loc[c, "sum"] / 100.0) < 0.011
+    # structural invariants (the synthetic revenue is near-uniform, so no
+    # Pareto concentration here — A simply holds ~80% of parts): class A
+    # covers at most 80% of revenue, all classes together cover 100%
+    assert got["A"]["revenue_share_r"] <= 0.80
+    total_share = sum(got[c]["revenue_share_r"] for c in ["A", "B", "C"])
+    assert abs(total_share - 1.0) < 1e-4
+
+
+def test_merkle_ranges_match_hashlib(spark):
+    from pyvectorsearch_spark.queries.audit_extra import (
+        MERKLE_RANGES,
+        q_audit_merkle_ranges,
+    )
+
+    got = {r["range_id"]: r for r in q_audit_merkle_ranges(spark, SF_SMOKE).collect()}
+    o = _pq("orders")
+    mx = int(o["o_orderkey"].max())
+    w = int(np.floor((mx + MERKLE_RANGES) / MERKLE_RANGES))
+    exp = {}
+    for _, row in o.iterrows():
+        rid = int(row["o_orderkey"]) // w
+        s = "\x1f".join(
+            str(row[c]) for c in
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+        )
+        h = int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+        n, lo, hi, x = exp.get(rid, (0, None, None, 0))
+        k = int(row["o_orderkey"])
+        exp[rid] = (n + 1, k if lo is None else min(lo, k),
+                    k if hi is None else max(hi, k), x ^ h)
+    assert set(got) == set(exp)
+    for rid, (n, lo, hi, x) in exp.items():
+        r = got[rid]
+        assert (r["n_rows"], r["key_lo"], r["key_hi"], r["checksum"]) == (n, lo, hi, x)
+
+
+def test_readability_matches_python(spark):
+    import re
+
+    from pyvectorsearch_spark.queries.text_extra import q_text_readability
+
+    got = {r["source"]: r for r in q_text_readability(spark, SF_SMOKE).collect()}
+    docs = _pq("documents")
+    scores = {}
+    for _, row in docs.iterrows():
+        w = len(_py_tokens(row["text"]))
+        s = max(len(re.findall(r"[.!?]+", row["text"])), 1)
+        y = max(len(re.findall(r"[aeiouy]+", row["text"].lower())), 1)
+        f = 206.835 - 1.015 * (w / s) - 84.6 * (y / w) if w > 0 else 0.0
+        scores.setdefault(row["source"], []).append(f)
+    for src, arr in scores.items():
+        assert got[src]["n_docs"] == len(arr)
+        assert abs(got[src]["avg_flesch_r"] - np.mean(arr)) < 1e-3
