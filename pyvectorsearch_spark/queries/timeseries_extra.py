@@ -1242,3 +1242,296 @@ FROM m ORDER BY event_type, lag
 
 QUERIES.update({"events_acf": q_events_acf})
 ORACLES.update({"events_acf": ORACLE_EVENTS_ACF})
+
+
+# --- Haar wavelet energy decomposition ---------------------------------------
+
+HAAR_LEVELS = 4
+
+
+def q_events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy spectrum of hourly volume per event type: detail
+    energy at scales 2h/4h/8h/16h — which time scale carries the variance?
+    (spiky traffic → energy at fine scales; slow regime shifts → coarse;
+    the multi-resolution companion to `events_acf`'s single-lag view and
+    `events_stl_decompose`'s fixed daily season).
+
+    Determinism: a level-k detail coefficient is the SIGNED integer sum
+    Σ y·(1 − 2·parity(h >> (k−1))) over each 2^k-hour block of the dense
+    grid (missing hours contribute 0 by construction), energy is the exact
+    bigint Σd²; only the display share divides.
+
+    Scale: one hourly rollup of the fact table; the level fan-out is a
+    4-row broadcast against the types×hours grid; each level is one
+    map-side-combinable aggregate on (type, level, block)."""
+    ev = load_table(spark, sf_dir, "events")
+    hb = (F.floor(F.unix_timestamp("ts") / 3600)).cast("bigint")
+    hc = ev.groupBy("event_type", hb.alias("h")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    base = hc.groupBy("event_type").agg(F.min("h").alias("_h0"))
+    rel = hc.join(base, "event_type").select(
+        "event_type", (F.col("h") - F.col("_h0")).alias("hr"), "y"
+    )
+    levels = spark.range(1, HAAR_LEVELS + 1).select(
+        F.col("id").cast("int").alias("level")
+    )
+    fan = rel.crossJoin(F.broadcast(levels))
+    sign = 1 - 2 * (
+        F.expr("shiftrightunsigned(hr, level - 1)").bitwiseAND(F.lit(1))
+    )
+    det = fan.groupBy(
+        "event_type",
+        "level",
+        F.expr("shiftrightunsigned(hr, level)").alias("_blk"),
+    ).agg(F.sum(F.col("y") * sign).cast("bigint").alias("_d"))
+    en = det.groupBy("event_type", "level").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum(F.col("_d") * F.col("_d")).cast("bigint").alias("energy"),
+    )
+    tot = en.groupBy("event_type").agg(
+        F.sum("energy").cast("bigint").alias("_tot")
+    )
+    return (
+        en.join(tot, "event_type")
+        .select(
+            "event_type",
+            "level",
+            "n_blocks",
+            "energy",
+            F.when(
+                F.col("_tot") > 0,
+                F.round(F.col("energy") / F.col("_tot").cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("energy_share_r"),
+        )
+        .orderBy("event_type", "level")
+    )
+
+
+ORACLE_EVENTS_HAAR = f"""
+WITH hc AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS h, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+rel AS (
+  SELECT event_type, h - min(h) OVER (PARTITION BY event_type) AS hr, y FROM hc
+),
+lv AS (SELECT unnest(range(1, {HAAR_LEVELS + 1}))::INT AS level),
+det AS (
+  SELECT event_type, level, hr >> level AS blk,
+         sum(y * (1 - 2 * ((hr >> (level - 1)) & 1)))::BIGINT AS d
+  FROM rel CROSS JOIN lv
+  GROUP BY event_type, level, blk
+),
+en AS (
+  SELECT event_type, level, count(*)::BIGINT AS n_blocks,
+         sum(d * d)::BIGINT AS energy
+  FROM det GROUP BY event_type, level
+),
+tot AS (SELECT event_type, sum(energy)::BIGINT AS tot FROM en GROUP BY event_type)
+SELECT en.event_type, en.level, en.n_blocks, en.energy,
+       CASE WHEN tot.tot > 0
+            THEN round(en.energy / CAST(tot.tot AS DOUBLE), 6)
+            ELSE 0.0 END AS energy_share_r
+FROM en JOIN tot ON en.event_type = tot.event_type
+ORDER BY en.event_type, en.level
+"""
+
+QUERIES.update({"events_haar_energy": q_events_haar_energy})
+ORACLES.update({"events_haar_energy": ORACLE_EVENTS_HAAR})
+
+
+# --- cross-type volume correlation matrix ------------------------------------
+
+
+def q_events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between every PAIR of event types' hourly volume
+    on the shared global dense grid — do purchases co-move with clicks, or
+    does an error spike suppress everything else? (`events_mi` bins one
+    type's values; this correlates volumes ACROSS types.) The upper
+    triangle (type_a < type_b) of the type×type matrix.
+
+    Determinism: counts on the GLOBAL hour range (so every pair aligns on
+    the identical grid, zeros filled) and exact bigint Pearson moments;
+    one rounded division per pair.
+
+    Scale: the fact table collapses to types×hours once; the pair fan-out
+    is a self-join of that tiny grid on the hour key; moments collapse
+    map-side to types² rows."""
+    ev = load_table(spark, sf_dir, "events")
+    hb = (F.floor(F.unix_timestamp("ts") / 3600)).cast("bigint")
+    hc = ev.groupBy("event_type", hb.alias("h")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    rng = hc.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    hours = rng.select(F.explode(F.sequence("_lo", "_hi")).alias("h"))
+    types = hc.select("event_type").distinct()
+    dense = (
+        hours.crossJoin(F.broadcast(types))
+        .join(hc, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    a = dense.select(
+        F.col("event_type").alias("type_a"), "h", F.col("y").alias("x")
+    )
+    b = dense.select(
+        F.col("event_type").alias("type_b"), "h", F.col("y").alias("y")
+    )
+    pairs = a.join(b, "h").filter(F.col("type_a") < F.col("type_b"))
+    m = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    den2 = (m["n_hours"] * m["sxx"] - m["sx"] * m["sx"]) * (
+        m["n_hours"] * m["syy"] - m["sy"] * m["sy"]
+    )
+    r = F.when(
+        den2 > 0,
+        F.round(
+            (m["n_hours"] * m["sxy"] - m["sx"] * m["sy"])
+            / F.sqrt(den2.cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return m.select("type_a", "type_b", "n_hours", r.alias("corr_r")).orderBy(
+        "type_a", "type_b"
+    )
+
+
+ORACLE_EVENTS_TYPE_CORR = """
+WITH hc AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS h, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT min(h) AS lo, max(h) AS hi FROM hc),
+hours AS (SELECT unnest(range(lo, hi + 1)) AS h FROM rng),
+types AS (SELECT DISTINCT event_type FROM hc),
+dense AS (
+  SELECT t.event_type, hr.h, coalesce(hc.y, 0)::BIGINT AS y
+  FROM hours hr CROSS JOIN types t
+  LEFT JOIN hc ON hc.event_type = t.event_type AND hc.h = hr.h
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.y AS x, b.y AS y
+  FROM dense a JOIN dense b ON a.h = b.h AND a.event_type < b.event_type
+),
+m AS (
+  SELECT type_a, type_b, count(*)::BIGINT AS n_hours,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+  FROM pairs GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n_hours,
+       CASE WHEN (n_hours * sxx - sx * sx) * (n_hours * syy - sy * sy) > 0
+            THEN round((n_hours * sxy - sx * sy)
+                       / sqrt(CAST((n_hours * sxx - sx * sx)
+                                   * (n_hours * syy - sy * sy) AS DOUBLE)), 6)
+            ELSE 0.0 END AS corr_r
+FROM m ORDER BY type_a, type_b
+"""
+
+QUERIES.update({"events_type_correlation": q_events_type_correlation})
+ORACLES.update({"events_type_correlation": ORACLE_EVENTS_TYPE_CORR})
+
+
+# --- inter-event burstiness ----------------------------------------------------
+
+
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of inter-event gaps per
+    event type (gaps between a user's consecutive events of that type,
+    pooled across users): B→−1 is a metronome, B≈0 Poisson, B→+1 bursty.
+    Tells the capacity planner whether `events_bursts`' episodes are
+    anomalies or the steady state of a heavy-tailed arrival process.
+
+    Determinism: gaps are integer seconds from a per-(user,type) ordered
+    window; μ/σ come from exact bigint moment sums (n, Σg, Σg² — σ² =
+    (n·Σg² − (Σg)²)/n² stays integer-exact in DECIMAL/HUGEINT through the
+    products); one final sqrt + division rounds for display.
+
+    Scale: the window partitions by (user, type) — bounded per-user state,
+    one shuffle of the fact table; moments collapse map-side to one row
+    per type."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("_s"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("_s", "event_id")
+    gaps = (
+        ev.withColumn("_prev", F.lag("_s", 1).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select("event_type", (F.col("_s") - F.col("_prev")).alias("_g"))
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = gaps.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.sum("_g").cast("bigint").alias("_sg"),
+        F.sum(d(F.col("_g")) * d(F.col("_g"))).alias("_sg2"),
+    )
+    var_num = d(m["n_gaps"]) * m["_sg2"] - d(m["_sg"]) * d(m["_sg"])
+    mu = m["_sg"].cast("double") / m["n_gaps"].cast("double")
+    sigma = F.sqrt(var_num.cast("double")) / m["n_gaps"].cast("double")
+    return (
+        m.select(
+            "event_type",
+            "n_gaps",
+            F.round(mu / 3600.0, 4).alias("mean_gap_hours_r"),
+            F.round(
+                F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu)).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("burstiness_r"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_BURSTINESS = """
+WITH ev AS (
+  SELECT event_type, user_id, epoch(ts)::BIGINT AS s, event_id FROM events
+),
+gaps AS (
+  SELECT event_type,
+         s - lag(s) OVER (PARTITION BY event_type, user_id
+                          ORDER BY s, event_id) AS g
+  FROM ev
+),
+m AS (
+  SELECT event_type, count(*)::BIGINT AS n_gaps,
+         sum(g)::BIGINT AS sg, sum(g::HUGEINT * g::HUGEINT) AS sg2
+  FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       round((sg / CAST(n_gaps AS DOUBLE)) / 3600.0, 4) AS mean_gap_hours_r,
+       round(CASE WHEN sqrt(CAST(n_gaps::HUGEINT * sg2
+                                 - sg::HUGEINT * sg::HUGEINT AS DOUBLE))
+                       / n_gaps
+                       + sg / CAST(n_gaps AS DOUBLE) > 0
+             THEN (sqrt(CAST(n_gaps::HUGEINT * sg2
+                             - sg::HUGEINT * sg::HUGEINT AS DOUBLE)) / n_gaps
+                   - sg / CAST(n_gaps AS DOUBLE))
+                  / (sqrt(CAST(n_gaps::HUGEINT * sg2
+                               - sg::HUGEINT * sg::HUGEINT AS DOUBLE)) / n_gaps
+                     + sg / CAST(n_gaps AS DOUBLE))
+             ELSE 0.0 END, 6) AS burstiness_r
+FROM m ORDER BY event_type
+"""
+
+QUERIES.update({"events_burstiness": q_events_burstiness})
+ORACLES.update({"events_burstiness": ORACLE_EVENTS_BURSTINESS})
