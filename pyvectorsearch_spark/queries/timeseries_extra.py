@@ -1269,9 +1269,21 @@ def q_events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hc = ev.groupBy("event_type", hb.alias("h")).agg(
         F.count("*").cast("bigint").alias("y")
     )
-    base = hc.groupBy("event_type").agg(F.min("h").alias("_h0"))
-    rel = hc.join(base, "event_type").select(
-        "event_type", (F.col("h") - F.col("_h0")).alias("hr"), "y"
+    base = hc.groupBy("event_type").agg(
+        F.min("h").alias("_lo"), F.max("h").alias("_hi")
+    )
+    dense = base.select(
+        "event_type",
+        "_lo",
+        F.explode(F.sequence("_lo", "_hi")).alias("h"),
+    )
+    rel = (
+        dense.join(hc, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            (F.col("h") - F.col("_lo")).alias("hr"),
+            F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+        )
     )
     levels = spark.range(1, HAAR_LEVELS + 1).select(
         F.col("id").cast("int").alias("level")
@@ -1315,8 +1327,13 @@ WITH hc AS (
   SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS h, count(*)::BIGINT AS y
   FROM events GROUP BY 1, 2
 ),
+grid AS (
+  SELECT event_type, min(h) AS lo, unnest(range(min(h), max(h) + 1)) AS h
+  FROM hc GROUP BY event_type
+),
 rel AS (
-  SELECT event_type, h - min(h) OVER (PARTITION BY event_type) AS hr, y FROM hc
+  SELECT g.event_type, g.h - g.lo AS hr, coalesce(hc.y, 0)::BIGINT AS y
+  FROM grid g LEFT JOIN hc ON g.event_type = hc.event_type AND g.h = hc.h
 ),
 lv AS (SELECT unnest(range(1, {HAAR_LEVELS + 1}))::INT AS level),
 det AS (

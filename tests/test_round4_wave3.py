@@ -346,3 +346,77 @@ def test_readability_matches_python(spark):
     for src, arr in scores.items():
         assert got[src]["n_docs"] == len(arr)
         assert abs(got[src]["avg_flesch_r"] - np.mean(arr)) < 1e-3
+
+
+def _hourly_counts(ev):
+    h = (ev["ts"].astype("datetime64[us]").astype("int64") // 10**6) // 3600
+    return h
+
+
+def test_haar_energy_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.timeseries_extra import q_events_haar_energy
+
+    got = {
+        (r["event_type"], r["level"]): (r["n_blocks"], r["energy"])
+        for r in q_events_haar_energy(spark, SF_SMOKE).collect()
+    }
+    ev = _pq("events")
+    h = _hourly_counts(ev)
+    for etype, grp in ev.groupby("event_type"):
+        hh = h[grp.index]
+        lo = hh.min()
+        rel = (hh - lo).to_numpy()
+        n_hours = rel.max() + 1
+        y = np.zeros(n_hours, dtype=np.int64)
+        np.add.at(y, rel, 1)
+        for level in range(1, 5):
+            blocks = {}
+            for hr in range(n_hours):
+                sgn = 1 - 2 * ((hr >> (level - 1)) & 1)
+                blk = hr >> level
+                blocks[blk] = blocks.get(blk, 0) + int(y[hr]) * sgn
+            energy = sum(d * d for d in blocks.values())
+            nb, en = got[(etype, level)]
+            assert nb == len(blocks) and en == energy, (etype, level)
+
+
+def test_type_correlation_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.timeseries_extra import (
+        q_events_type_correlation,
+    )
+
+    got = {(r["type_a"], r["type_b"]): r["corr_r"]
+           for r in q_events_type_correlation(spark, SF_SMOKE).collect()}
+    ev = _pq("events")
+    h = _hourly_counts(ev)
+    lo, hi = h.min(), h.max()
+    series = {}
+    for etype, grp in ev.groupby("event_type"):
+        y = np.zeros(hi - lo + 1, dtype=np.int64)
+        np.add.at(y, (h[grp.index] - lo).to_numpy(), 1)
+        series[etype] = y.astype(float)
+    types = sorted(series)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            exp = np.corrcoef(series[a], series[b])[0, 1]
+            assert abs(got[(a, b)] - exp) < 1e-5, (a, b)
+
+
+def test_burstiness_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.timeseries_extra import q_events_burstiness
+
+    got = {r["event_type"]: r for r in q_events_burstiness(spark, SF_SMOKE).collect()}
+    ev = _pq("events").copy()
+    ev["s"] = ev["ts"].astype("datetime64[us]").astype("int64") // 10**6
+    for etype, grp in ev.groupby("event_type"):
+        gaps = []
+        for _, u in grp.groupby("user_id"):
+            us = u.sort_values(["s", "event_id"])["s"].to_numpy()
+            gaps.extend(np.diff(us).tolist())
+        g = np.array(gaps, dtype=float)
+        mu, sigma = g.mean(), g.std()  # population std, ddof=0
+        exp_b = (sigma - mu) / (sigma + mu) if sigma + mu > 0 else 0.0
+        r = got[etype]
+        assert r["n_gaps"] == len(g)
+        assert abs(r["mean_gap_hours_r"] - mu / 3600.0) < 1e-3
+        assert abs(r["burstiness_r"] - exp_b) < 1e-5
