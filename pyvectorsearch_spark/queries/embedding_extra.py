@@ -661,3 +661,111 @@ ORACLES = {
     "mutual_knn_clusters": ORACLE_MUTUAL_KNN_CLUSTERS,
     "embedding_cluster_purity": ORACLE_EMBEDDING_CLUSTER_PURITY,
 }
+
+
+# --- TwoNN intrinsic dimensionality ------------------------------------------
+
+
+def q_embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): using only
+    each point's two nearest neighbors, ID ≈ n / Σ ln(r2/r1). Embeddings
+    that nominally live in 64-d usually concentrate on a much lower-
+    dimensional manifold — the number that says whether an IVF/PQ index
+    will work (low ID ⇒ cells stay balanced) and how aggressively JL/SQ8
+    can compress (`knn_jl_recall`'s shadow price).
+
+    Determinism: neighbor ranks order by the fixed-fold l2_sq then id (the
+    `knn_mutual_graph` ladder); ln(d2/d1) = ln of an exact double ratio,
+    rounded to 6 dp and fixed to micro-units per point, so the sum is an
+    exact bigint. Duplicate points (r1 = 0) are excluded and counted.
+
+    Scale: the exhaustive self-join twin is the correctness anchor (the
+    oracle replays it); at corpus scale the same per-point (d1, d2) pairs
+    come from the blocked/IVF kNN at k=2 — everything downstream is one
+    map-side-combined 1-row aggregate."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.functions.vector import l2_sq
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("_ia"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("_ib"), F.col("embedding").alias("_vb"))
+    d = (
+        a.join(b, F.col("_ia") != F.col("_ib"))
+        .withColumn("_d", l2_sq("_va", "_vb"))
+        .select("_ia", "_ib", "_d")
+    )
+    w = Window.partitionBy("_ia").orderBy(F.asc("_d"), F.asc("_ib"))
+    two = (
+        d.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= 2)
+        .groupBy("_ia")
+        .agg(
+            F.min(F.when(F.col("_rnk") == 1, F.col("_d"))).alias("_d1"),
+            F.min(F.when(F.col("_rnk") == 2, F.col("_d"))).alias("_d2"),
+        )
+    )
+    # ln(r2/r1) = 0.5 * ln(d2_sq/d1_sq); micro-fix per point, exact sum
+    mu = two.select(
+        "_ia",
+        F.when(
+            F.col("_d1") > 0,
+            F.round(F.log(F.col("_d2") / F.col("_d1")) * 500000).cast("bigint"),
+        ).alias("_lu"),
+    )
+    agg = mu.agg(
+        F.sum(F.when(F.col("_lu").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_points"),
+        F.sum(F.when(F.col("_lu").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_degenerate"),
+        F.sum("_lu").cast("bigint").alias("_slu"),
+    )
+    return agg.select(
+        "n_points",
+        "n_degenerate",
+        F.round(
+            F.col("n_points") * F.lit(1000000.0) / F.col("_slu").cast("double"),
+            4,
+        ).alias("intrinsic_dim_r"),
+    )
+
+
+_ID_L2 = duckdb_l2_sq("a.embedding", "b.embedding", DIM)
+
+ORACLE_EMBEDDING_INTRINSIC_DIM = f"""
+WITH d AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {_ID_L2} AS dist
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id
+),
+rk AS (
+  SELECT ia, dist,
+         row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rnk
+  FROM d
+),
+two AS (
+  SELECT ia,
+         min(CASE WHEN rnk = 1 THEN dist END) AS d1,
+         min(CASE WHEN rnk = 2 THEN dist END) AS d2
+  FROM rk WHERE rnk <= 2 GROUP BY ia
+),
+mu AS (
+  SELECT ia, CASE WHEN d1 > 0
+                  THEN CAST(round(ln(d2 / d1) * 500000) AS BIGINT)
+             END AS lu
+  FROM two
+),
+agg AS (
+  SELECT sum(CASE WHEN lu IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_points,
+         sum(CASE WHEN lu IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_degenerate,
+         sum(lu)::BIGINT AS slu
+  FROM mu
+)
+SELECT n_points, n_degenerate,
+       round(n_points * 1000000.0 / CAST(slu AS DOUBLE), 4) AS intrinsic_dim_r
+FROM agg
+"""
+
+QUERIES.update({"embedding_intrinsic_dim": q_embedding_intrinsic_dim})
+ORACLES.update({"embedding_intrinsic_dim": ORACLE_EMBEDDING_INTRINSIC_DIM})

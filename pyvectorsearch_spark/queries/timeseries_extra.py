@@ -1552,3 +1552,150 @@ FROM m ORDER BY event_type
 
 QUERIES.update({"events_burstiness": q_events_burstiness})
 ORACLES.update({"events_burstiness": ORACLE_EVENTS_BURSTINESS})
+
+
+# --- Mann–Kendall trend test --------------------------------------------------
+
+MK_Z_CRIT = 1.959964
+
+
+def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on DAILY volume per event type:
+    S = Σ_{i<j} sign(y_j − y_i) over the dense day grid, tie-corrected
+    variance, and the Z statistic with a ±1.96 verdict — the rank-based,
+    distribution-free complement to `events_trend`'s OLS slope (OLS finds
+    a line; MK certifies monotonicity without assuming one).
+
+    Determinism: S, the tie groups, and the variance numerator are ALL
+    exact bigint counts; Z divides once at the end. Sign pairs come from
+    a self-join with i<j on the day index.
+
+    Scale: the pair table is quadratic in DAYS, not rows — bounded by the
+    calendar (10 years ≈ 3,650 days ⇒ ~6.7M pairs per type), so the
+    quadratic join is safe at any corpus size; the fact table itself
+    collapses to types×days map-side first."""
+    ev = load_table(spark, sf_dir, "events")
+    db = F.to_date("ts").alias("d")
+    dc = ev.groupBy("event_type", db).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    rng = dc.groupBy("event_type").agg(
+        F.min("d").alias("_lo"), F.max("d").alias("_hi")
+    )
+    dense = rng.select(
+        "event_type",
+        F.explode(F.sequence("_lo", "_hi")).alias("d"),
+    )
+    dn = dense.join(dc, ["event_type", "d"], "left").select(
+        "event_type",
+        F.datediff(F.col("d"), F.lit("1970-01-01")).cast("bigint").alias("i"),
+        F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+    )
+    a = dn.select("event_type", F.col("i").alias("_i"), F.col("y").alias("_yi"))
+    b = dn.select("event_type", F.col("i").alias("_j"), F.col("y").alias("_yj"))
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("_i") < F.col("_j"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("_yj") - F.col("_yi")).cast("bigint"))
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = dn.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_days"))
+    ties = (
+        dn.groupBy("event_type", "y")
+        .agg(F.count("*").cast("bigint").alias("_t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            )
+            .cast("bigint")
+            .alias("_tie")
+        )
+    )
+    m = s.join(n, "event_type").join(ties, "event_type")
+    var18 = (
+        m["n_days"] * (m["n_days"] - 1) * (2 * m["n_days"] + 5) - m["_tie"]
+    )
+    z = F.when(
+        m["s_stat"] > 0,
+        (m["s_stat"] - 1) / F.sqrt(var18.cast("double") / 18.0),
+    ).when(
+        m["s_stat"] < 0,
+        (m["s_stat"] + 1) / F.sqrt(var18.cast("double") / 18.0),
+    ).otherwise(F.lit(0.0))
+    return (
+        m.withColumn("z_r", F.round(z, 6))
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            "z_r",
+            F.when(F.col("z_r") > MK_Z_CRIT, "increasing")
+            .when(F.col("z_r") < -MK_Z_CRIT, "decreasing")
+            .otherwise("no_trend")
+            .alias("trend"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_MANN_KENDALL = f"""
+WITH dc AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(min(d), max(d), INTERVAL 1 DAY)) AS d
+  FROM dc GROUP BY event_type
+),
+dn AS (
+  SELECT g.event_type,
+         date_diff('day', DATE '1970-01-01', CAST(g.d AS DATE))::BIGINT AS i,
+         coalesce(dc.y, 0)::BIGINT AS y
+  FROM grid g LEFT JOIN dc ON g.event_type = dc.event_type
+                           AND CAST(g.d AS DATE) = dc.d
+),
+s AS (
+  SELECT a.event_type,
+         sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+                  ELSE 0 END)::BIGINT AS s_stat
+  FROM dn a JOIN dn b ON a.event_type = b.event_type AND a.i < b.i
+  GROUP BY a.event_type
+),
+n AS (SELECT event_type, count(*)::BIGINT AS n_days FROM dn GROUP BY event_type),
+ties AS (
+  SELECT event_type,
+         sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie
+  FROM (SELECT event_type, y, count(*)::BIGINT AS t
+        FROM dn GROUP BY event_type, y)
+  GROUP BY event_type
+),
+m AS (
+  SELECT s.event_type, s.s_stat, n.n_days,
+         n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie AS var18
+  FROM s JOIN n ON s.event_type = n.event_type
+  JOIN ties ON s.event_type = ties.event_type
+),
+zc AS (
+  SELECT event_type, n_days, s_stat,
+         round(CASE WHEN s_stat > 0
+                    THEN (s_stat - 1) / sqrt(var18 / 18.0)
+                    WHEN s_stat < 0
+                    THEN (s_stat + 1) / sqrt(var18 / 18.0)
+                    ELSE 0.0 END, 6) AS z_r
+  FROM m
+)
+SELECT event_type, n_days, s_stat, z_r,
+       CASE WHEN z_r > {MK_Z_CRIT} THEN 'increasing'
+            WHEN z_r < -{MK_Z_CRIT} THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM zc ORDER BY event_type
+"""
+
+QUERIES.update({"events_mann_kendall": q_events_mann_kendall})
+ORACLES.update({"events_mann_kendall": ORACLE_EVENTS_MANN_KENDALL})
