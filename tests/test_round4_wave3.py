@@ -420,3 +420,64 @@ def test_burstiness_matches_numpy(spark):
         assert r["n_gaps"] == len(g)
         assert abs(r["mean_gap_hours_r"] - mu / 3600.0) < 1e-3
         assert abs(r["burstiness_r"] - exp_b) < 1e-5
+
+
+def test_intrinsic_dim_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.embedding_extra import (
+        q_embedding_intrinsic_dim,
+    )
+
+    got = q_embedding_intrinsic_dim(spark, SF_SMOKE).collect()[0]
+    emb = _pq("embeddings")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    idx = np.argsort(d2, axis=1)
+    r1 = d2[np.arange(len(X)), idx[:, 0]]
+    r2 = d2[np.arange(len(X)), idx[:, 1]]
+    ok = r1 > 0
+    # TwoNN: ID = n / sum(ln(r2/r1)) on true distances = 2n / sum(ln ratio of squares)
+    s = 0.5 * np.log(r2[ok] / r1[ok]).sum()
+    exp_id = ok.sum() / s
+    assert got["n_points"] == int(ok.sum())
+    assert got["n_degenerate"] == int((~ok).sum())
+    assert abs(got["intrinsic_dim_r"] - exp_id) < 0.01
+    # 64-d gaussian-ish synthetic data: ID must be positive and <= ambient
+    assert 0 < got["intrinsic_dim_r"] <= 70
+
+
+def test_mann_kendall_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.timeseries_extra import (
+        q_events_mann_kendall,
+    )
+
+    got = {r["event_type"]: r for r in q_events_mann_kendall(spark, SF_SMOKE).collect()}
+    ev = _pq("events")
+    days = pd.Series(
+        ev["ts"].to_numpy().astype("datetime64[D]").astype("int64"),
+        index=ev.index,
+    )
+    for etype, grp in ev.groupby("event_type"):
+        dd = days[grp.index]
+        lo, hi = int(dd.min()), int(dd.max())
+        n = hi - lo + 1
+        y = np.zeros(n, dtype=np.int64)
+        np.add.at(y, (dd - lo).to_numpy(), 1)
+        s = 0
+        for i in range(n):
+            s += np.sign(y[i + 1:] - y[i]).sum()
+        _, t_counts = np.unique(y, return_counts=True)
+        tie = (t_counts * (t_counts - 1) * (2 * t_counts + 5)).sum()
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        if s > 0:
+            z = (s - 1) / np.sqrt(var)
+        elif s < 0:
+            z = (s + 1) / np.sqrt(var)
+        else:
+            z = 0.0
+        r = got[etype]
+        assert r["n_days"] == n and r["s_stat"] == s
+        assert abs(r["z_r"] - z) < 1e-5
+        exp_trend = ("increasing" if z > 1.959964
+                     else "decreasing" if z < -1.959964 else "no_trend")
+        assert r["trend"] == exp_trend
