@@ -305,3 +305,75 @@ def kcenter_coreset(
         [(o, i, d) for (o, i, _, d) in chosen],
         f"sel_order int, {id_col} bigint, far_d2 bigint",
     )
+
+
+def kmeans_silhouette(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    rounds: int = 2,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster over the same
+    fixed-round Lloyd training as ``kmeans_fixed``: for each point,
+    a = distance to its own centroid, b = distance to the nearest OTHER
+    centroid, s = (b − a) / max(a, b) — the O(n·k) silhouette variant
+    (Hruschka 2004) that scales where the classic O(n²) pairwise form
+    cannot. Returns (cluster, n_members, mean_silhouette_r,
+    n_negative) — negative s = points sitting closer to a foreign
+    centroid, the "wrong side of the boundary" census.
+
+    Determinism: squared distances are exact integers on the quantized
+    grid; each point's s rounds to 6 dp and fixes to integer micro-units,
+    so cluster means are exact bigint sums. The scoring pass is zero-
+    shuffle (k×dim literal centroids in the scan stage), the rollup
+    map-side combined."""
+    base = df.select(
+        F.col(id_col).alias("_id"), _km_quantize(vec_col).alias("_q")
+    )
+    cents = _km_train(base, k, rounds)
+    scored = _km_assign(base, cents)
+    d2s = []
+    for ci, cv in enumerate(cents):
+        arr = F.array(*[F.lit(int(v)).cast("bigint") for v in cv])
+        d2s.append(
+            F.aggregate(
+                F.zip_with(F.col("_q"), arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ).alias(f"_d2_{ci}")
+        )
+    wide = scored.select("_id", "_c", "_d2", *d2s)
+    second = F.least(
+        *[
+            F.when(F.col("_c") != ci, F.col(f"_d2_{ci}"))
+            for ci in range(len(cents))
+        ]
+    )
+    a = F.sqrt(F.col("_d2").cast("double"))
+    b = F.sqrt(second.cast("double"))
+    s = F.when(
+        F.greatest(a, b) > 0, F.round((b - a) / F.greatest(a, b), 6)
+    ).otherwise(F.lit(0.0))
+    su = wide.select(
+        "_c", F.round(s * 1000000).cast("bigint").alias("_su")
+    )
+    return (
+        su.groupBy("_c")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.round(
+                F.sum("_su") / (F.count("*") * F.lit(1000000.0)), 4
+            ).alias("mean_silhouette_r"),
+            F.sum(F.when(F.col("_su") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+        )
+        .select(
+            F.col("_c").alias("cluster"),
+            "n_members",
+            "mean_silhouette_r",
+            "n_negative",
+        )
+    )

@@ -769,3 +769,59 @@ FROM agg
 
 QUERIES.update({"embedding_intrinsic_dim": q_embedding_intrinsic_dim})
 ORACLES.update({"embedding_intrinsic_dim": ORACLE_EMBEDDING_INTRINSIC_DIM})
+
+
+# --- simplified silhouette ----------------------------------------------------
+
+
+def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette over the shared engine-exact
+    k-means assignment — the unsupervised companion to
+    `embedding_cluster_purity`'s label-based readout: purity asks "did we
+    recover the labels?", silhouette asks "are the clusters even separated?"
+    (negative-s counts localize boundary confusion to specific clusters).
+    The oracle replays the unrolled Lloyd rounds plus the two-distance
+    scoring CTE."""
+    from pyvectorsearch_spark.operators.clustering import kmeans_silhouette
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return kmeans_silhouette(
+        emb, id_col="vec_id", vec_col="embedding", k=KM_K, rounds=KM_ROUNDS
+    ).orderBy("cluster")
+
+
+def _silhouette_oracle() -> str:
+    d2 = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        "i -> (q.qv[i]-cc.cv[i])*(q.qv[i]-cc.cv[i])))"
+    )
+    return f"""
+WITH {_kmeans_oracle(KM_K, KM_ROUNDS, DIM)},
+alld AS (
+  SELECT q.vec_id, cc.c, {d2} AS d2 FROM q, c{KM_ROUNDS} cc
+),
+own AS (SELECT vec_id, c AS oc, d2 AS da FROM afin),
+sec AS (
+  SELECT alld.vec_id, min(alld.d2) AS db
+  FROM alld JOIN own ON alld.vec_id = own.vec_id AND alld.c <> own.oc
+  GROUP BY alld.vec_id
+),
+s AS (
+  SELECT own.oc AS c,
+         CAST(round((CASE WHEN greatest(sqrt(own.da), sqrt(sec.db)) > 0
+              THEN round((sqrt(sec.db) - sqrt(own.da))
+                         / greatest(sqrt(own.da), sqrt(sec.db)), 6)
+              ELSE 0.0 END) * 1000000) AS BIGINT) AS su
+  FROM own JOIN sec ON own.vec_id = sec.vec_id
+)
+SELECT c AS cluster, count(*)::BIGINT AS n_members,
+       round(sum(su) / (count(*) * 1000000.0), 4) AS mean_silhouette_r,
+       sum(CASE WHEN su < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative
+FROM s GROUP BY c ORDER BY cluster
+"""
+
+
+ORACLE_EMBEDDING_SILHOUETTE = _silhouette_oracle()
+
+QUERIES.update({"embedding_silhouette": q_embedding_silhouette})
+ORACLES.update({"embedding_silhouette": ORACLE_EMBEDDING_SILHOUETTE})

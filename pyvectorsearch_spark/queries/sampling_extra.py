@@ -524,3 +524,101 @@ FROM r WHERE rn = 1 ORDER BY trial
 
 QUERIES.update({"sample_weighted_replacement": q_sample_weighted_replacement})
 ORACLES.update({"sample_weighted_replacement": ORACLE_SAMPLE_WEIGHTED_REPLACEMENT})
+
+
+# --- Neyman allocation report -------------------------------------------------
+
+NEYMAN_BUDGET = 100
+
+
+def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sampling allocation over the document
+    sources: n_h ∝ N_h·σ_h (stratum size × length std-dev) for a fixed
+    budget of 100 — the design table that says WHERE a QA sample buys the
+    most variance reduction, versus naive proportional allocation
+    (`sample_stratified` executes a plan; this designs one).
+
+    Determinism: per-stratum moments (N, Σx, Σx²) are exact bigints on
+    integer char counts; N_h·σ_h = sqrt(N·Σx² − (Σx)²) — ONE sqrt of an
+    exact integer, micro-fixed per stratum so the denominator sum is an
+    exact bigint; allocations floor deterministically.
+
+    Scale: one map-side moment rollup to sources-sized cells; everything
+    after is arithmetic on that tiny table."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("bigint").alias("_x")
+    )
+    m = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_x").cast("bigint").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).cast("bigint").alias("_sx2"),
+    )
+    # N_h * sigma_h = sqrt(N*Sx2 - Sx^2)  (population sigma), exact integer
+    # under the sqrt; micro-fix so the cross-stratum sum is order-free
+    ns = F.sqrt(
+        (m["n_docs"] * m["_sx2"] - m["_sx"] * m["_sx"]).cast("double")
+    )
+    w = m.withColumn("_nsu", F.round(ns * 1000000).cast("bigint"))
+    tot = w.agg(
+        F.sum("_nsu").cast("bigint").alias("_tot"),
+        F.sum("n_docs").cast("bigint").alias("_nall"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.sqrt(
+                    (
+                        (F.col("n_docs") * F.col("_sx2") - F.col("_sx") * F.col("_sx"))
+                        / (F.col("n_docs") * F.col("n_docs"))
+                    ).cast("double")
+                ),
+                4,
+            ).alias("sigma_chars_r"),
+            F.round(F.col("_nsu") / F.col("_tot").cast("double"), 6).alias(
+                "neyman_share_r"
+            ),
+            F.floor(
+                F.lit(NEYMAN_BUDGET) * F.col("_nsu") / F.col("_tot")
+            )
+            .cast("bigint")
+            .alias("neyman_alloc"),
+            F.floor(
+                F.lit(NEYMAN_BUDGET) * F.col("n_docs") / F.col("_nall")
+            )
+            .cast("bigint")
+            .alias("prop_alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SAMPLE_NEYMAN = f"""
+WITH m AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS sx,
+         sum(n_chars * n_chars)::BIGINT AS sx2
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, sx, sx2,
+         CAST(round(sqrt(CAST(n_docs * sx2 - sx * sx AS DOUBLE)) * 1000000)
+              AS BIGINT) AS nsu
+  FROM m
+),
+tot AS (SELECT sum(nsu)::BIGINT AS tot, sum(n_docs)::BIGINT AS nall FROM w)
+SELECT w.source, w.n_docs,
+       round(sqrt(CAST(w.n_docs * w.sx2 - w.sx * w.sx AS DOUBLE)
+                  / (w.n_docs * w.n_docs)), 4) AS sigma_chars_r,
+       round(w.nsu / CAST(t.tot AS DOUBLE), 6) AS neyman_share_r,
+       CAST(floor({NEYMAN_BUDGET} * w.nsu / CAST(t.tot AS DOUBLE)) AS BIGINT)
+         AS neyman_alloc,
+       CAST(floor({NEYMAN_BUDGET} * w.n_docs / CAST(t.nall AS DOUBLE)) AS BIGINT)
+         AS prop_alloc
+FROM w CROSS JOIN tot t ORDER BY w.source
+"""
+
+QUERIES.update({"sample_neyman_allocation": q_sample_neyman_allocation})
+ORACLES.update({"sample_neyman_allocation": ORACLE_SAMPLE_NEYMAN})

@@ -647,3 +647,80 @@ FROM h GROUP BY source ORDER BY source
 
 QUERIES.update({"text_readability": q_text_readability})
 ORACLES.update({"text_readability": ORACLE_TEXT_READABILITY})
+
+
+# --- source vocabulary-overlap matrix ------------------------------------------
+
+
+def q_text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between every pair of sources: |V_a ∩ V_b| /
+    |V_a ∪ V_b| over distinct token sets — the corpus-mixture diagnostic
+    that says which crawls are stylistic near-clones (merge their quotas)
+    and which bring genuinely new language (`dedup_source_matrix` compares
+    DOCUMENT overlap; this compares the LANGUAGE itself, which catches
+    same-register-different-pages sources document dedup misses).
+
+    Determinism: pure integer set sizes — intersection from a term
+    equi-join, union by inclusion–exclusion; one rounded division.
+
+    Scale: the corpus reduces once to distinct (source, term); the pair
+    intersection is a term-keyed equi-join of that reduced table (shuffle
+    bounded by vocabulary, not corpus); sources² stays tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    ).distinct()
+    v = st.groupBy("source").agg(F.count("*").cast("bigint").alias("_v"))
+    a = st.select(F.col("source").alias("source_a"), "t")
+    b = st.select(F.col("source").alias("source_b"), "t")
+    inter = (
+        a.join(b, "t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    va = v.select(F.col("source").alias("source_a"), F.col("_v").alias("_va"))
+    vb = v.select(F.col("source").alias("source_b"), F.col("_v").alias("_vb"))
+    return (
+        inter.join(va, "source_a")
+        .join(vb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_va") + F.col("_vb") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard_r"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_VOC_TOK = duckdb_tokens("text")
+
+ORACLE_TEXT_VOCAB_OVERLAP = f"""
+WITH st AS (
+  SELECT DISTINCT source, unnest(list_distinct({_VOC_TOK})) AS t
+  FROM documents
+),
+v AS (SELECT source, count(*)::BIGINT AS v FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_shared
+  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_shared,
+       round(i.n_shared / CAST(va.v + vb.v - i.n_shared AS DOUBLE), 6)
+         AS jaccard_r
+FROM inter i
+JOIN v va ON i.source_a = va.source
+JOIN v vb ON i.source_b = vb.source
+ORDER BY i.source_a, i.source_b
+"""
+
+QUERIES.update({"text_vocab_overlap": q_text_vocab_overlap})
+ORACLES.update({"text_vocab_overlap": ORACLE_TEXT_VOCAB_OVERLAP})
