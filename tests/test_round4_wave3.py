@@ -481,3 +481,94 @@ def test_mann_kendall_matches_numpy(spark):
         exp_trend = ("increasing" if z > 1.959964
                      else "decreasing" if z < -1.959964 else "no_trend")
         assert r["trend"] == exp_trend
+
+
+def test_silhouette_matches_numpy(spark):
+    from pyvectorsearch_spark.operators.clustering import (
+        _km_quantize,
+        _km_train,
+    )
+    from pyvectorsearch_spark.queries.embedding_extra import (
+        KM_K,
+        KM_ROUNDS,
+        q_embedding_silhouette,
+    )
+    from pyvectorsearch_spark.sources.tables import load_table
+
+    got = {r["cluster"]: r for r in q_embedding_silhouette(spark, SF_SMOKE).collect()}
+    # independent scoring against the SAME trained centroids (training
+    # itself is pinned by the unrolled-round oracle of embedding_kmeans)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.select(
+        emb.vec_id.alias("_id"), _km_quantize("embedding").alias("_q")
+    )
+    cents = np.array(_km_train(base, KM_K, KM_ROUNDS), dtype=np.int64)
+    pdf = _pq("embeddings")
+    Q = np.stack([
+        np.round(v.astype(np.float64) * 1000).astype(np.int64)
+        for v in pdf["embedding"].to_numpy()
+    ])
+    d2 = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    # argmin with cluster-id tie-break = plain argmin (first occurrence)
+    own = d2.argmin(axis=1)
+    a = np.sqrt(d2[np.arange(len(Q)), own].astype(float))
+    d2m = d2.astype(float).copy()
+    d2m[np.arange(len(Q)), own] = np.inf
+    b = np.sqrt(d2m.min(axis=1))
+    mx = np.maximum(a, b)
+    s = np.where(mx > 0, (b - a) / np.where(mx > 0, mx, 1.0), 0.0)
+    for c in range(KM_K):
+        mask = own == c
+        r = got[c]
+        assert r["n_members"] == int(mask.sum())
+        assert abs(r["mean_silhouette_r"] - s[mask].mean()) < 1e-3
+        assert r["n_negative"] == int((s[mask] < -1e-12).sum())
+
+
+def test_neyman_allocation_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.sampling_extra import (
+        NEYMAN_BUDGET,
+        q_sample_neyman_allocation,
+    )
+
+    got = q_sample_neyman_allocation(spark, SF_SMOKE).toPandas()
+    docs = _pq("documents")
+    ns = {}
+    for src, grp in docs.groupby("source"):
+        x = grp["n_chars"].to_numpy().astype(float)
+        ns[src] = (len(x), len(x) * x.std())  # population std
+    tot = sum(v for _, v in ns.values())
+    nall = sum(n for n, _ in ns.values())
+    for _, r in got.iterrows():
+        n, nsig = ns[r["source"]]
+        assert r["n_docs"] == n
+        assert abs(r["neyman_share_r"] - nsig / tot) < 1e-5
+        assert r["neyman_alloc"] == int(np.floor(NEYMAN_BUDGET * nsig / tot))
+        assert r["prop_alloc"] == int(np.floor(NEYMAN_BUDGET * n / nall))
+    # a fixed-length stratum would get sigma 0 and alloc 0; all shares sum ~1
+    assert abs(got["neyman_share_r"].sum() - 1.0) < 1e-3
+
+
+def test_vocab_overlap_matches_python(spark):
+    from pyvectorsearch_spark.queries.text_extra import q_text_vocab_overlap
+
+    got = {(r["source_a"], r["source_b"]): r
+           for r in q_text_vocab_overlap(spark, SF_SMOKE).collect()}
+    docs = _pq("documents")
+    vocab = {}
+    for src, grp in docs.groupby("source"):
+        v = set()
+        for t in grp["text"]:
+            v |= set(_py_tokens(t))
+        vocab[src] = v
+    srcs = sorted(vocab)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            inter = len(vocab[sa] & vocab[sb])
+            if inter == 0:
+                assert (sa, sb) not in got
+                continue
+            r = got[(sa, sb)]
+            assert r["n_shared"] == inter
+            exp_j = inter / len(vocab[sa] | vocab[sb])
+            assert abs(r["jaccard_r"] - exp_j) < 1e-5
