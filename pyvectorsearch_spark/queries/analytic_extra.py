@@ -690,3 +690,172 @@ FROM lab GROUP BY abc_class ORDER BY abc_class
 
 QUERIES.update({"part_abc_classes": q_part_abc_classes})
 ORACLES.update({"part_abc_classes": ORACLE_PART_ABC})
+
+
+# --- accumulating-snapshot order lifecycle ------------------------------------
+
+
+def q_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot lifecycle rollup: per order, the milestone
+    dates (order placed → first line shipped → last line shipped) collapse
+    into stage durations; the report aggregates per order-year × priority —
+    the classic warehouse accumulating-snapshot pattern (one row per
+    process instance, milestones as columns) the star-schema queries here
+    otherwise don't exercise.
+
+    Determinism: milestones are integer date mins/maxes, durations exact
+    day differences, averages exact integer sums divided once.
+
+    Scale: one map-side milestone rollup of lineitem keyed by order, one
+    broadcast-joinable orders probe, one years×priorities report rollup."""
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("_sd")
+    )
+    miles = li.groupBy("l_orderkey").agg(
+        F.min("_sd").alias("_first_ship"),
+        F.max("_sd").alias("_last_ship"),
+        F.count("*").cast("bigint").alias("_n_lines"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("_od"),
+        F.year("o_orderdate").alias("order_year"),
+    )
+    j = o.join(miles, o.o_orderkey == miles.l_orderkey)
+    lead = F.datediff("_first_ship", "_od").cast("bigint")
+    window_d = F.datediff("_last_ship", "_first_ship").cast("bigint")
+    return (
+        j.groupBy("order_year", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("_n_lines").cast("bigint").alias("n_lines"),
+            F.round(F.sum(lead) / F.count("*").cast("double"), 4).alias(
+                "avg_days_to_first_ship_r"
+            ),
+            F.round(F.sum(window_d) / F.count("*").cast("double"), 4).alias(
+                "avg_ship_window_days_r"
+            ),
+            F.max(lead).cast("bigint").alias("max_days_to_first_ship"),
+        )
+        .orderBy("order_year", "o_orderpriority")
+    )
+
+
+ORACLE_ORDER_LIFECYCLE = """
+WITH miles AS (
+  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship,
+         max(CAST(l_shipdate AS DATE)) AS last_ship,
+         count(*)::BIGINT AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT year(CAST(o.o_orderdate AS DATE)) AS order_year,
+         o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE), m.first_ship)::BIGINT
+           AS lead,
+         date_diff('day', m.first_ship, m.last_ship)::BIGINT AS win,
+         m.n_lines
+  FROM orders o JOIN miles m ON o.o_orderkey = m.l_orderkey
+)
+SELECT order_year, o_orderpriority, count(*)::BIGINT AS n_orders,
+       sum(n_lines)::BIGINT AS n_lines,
+       round(sum(lead) / CAST(count(*) AS DOUBLE), 4)
+         AS avg_days_to_first_ship_r,
+       round(sum(win) / CAST(count(*) AS DOUBLE), 4)
+         AS avg_ship_window_days_r,
+       max(lead)::BIGINT AS max_days_to_first_ship
+FROM j GROUP BY order_year, o_orderpriority
+ORDER BY order_year, o_orderpriority
+"""
+
+QUERIES.update({"order_lifecycle": q_order_lifecycle})
+ORACLES.update({"order_lifecycle": ORACLE_ORDER_LIFECYCLE})
+
+
+# --- month-over-month growth ---------------------------------------------------
+
+
+def q_orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per order priority: monthly exact-
+    cents revenue cells, the previous month's value by lag over the DENSE
+    month sequence (a silent zero month must show as −100%, not be
+    skipped), and the growth rate — the BI staple missing between the
+    moving-average and trend queries.
+
+    Determinism: integer cents everywhere; growth divides exact bigints
+    once, rounded 6 dp. Scale: one map-side monthly rollup, then windows
+    over priority×month cells only."""
+    from pyspark.sql import Window
+
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderpriority",
+        F.trunc("o_orderdate", "month").alias("_m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_rc"),
+    )
+    cells = o.groupBy("o_orderpriority", "_m").agg(
+        F.sum("_rc").cast("bigint").alias("_rev")
+    )
+    rng = cells.groupBy("o_orderpriority").agg(
+        F.min("_m").alias("_lo"), F.max("_m").alias("_hi")
+    )
+    dense = rng.select(
+        "o_orderpriority",
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr("interval 1 month"))
+        ).alias("_m"),
+    )
+    dn = dense.join(cells, ["o_orderpriority", "_m"], "left").withColumn(
+        "_rev", F.coalesce("_rev", F.lit(0)).cast("bigint")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("_m")
+    g = dn.withColumn("_prev", F.lag("_rev", 1).over(w)).filter(
+        F.col("_prev").isNotNull()
+    )
+    return g.select(
+        "o_orderpriority",
+        F.date_format("_m", "yyyy-MM").alias("month"),
+        F.round(F.col("_rev") / 100.0, 2).alias("revenue_r"),
+        F.when(
+            F.col("_prev") > 0,
+            F.round(
+                (F.col("_rev") - F.col("_prev")) / F.col("_prev").cast("double"),
+                6,
+            ),
+        ).alias("mom_growth_r"),
+    ).orderBy("o_orderpriority", "month")
+
+
+ORACLE_ORDERS_MOM = """
+WITH cells AS (
+  SELECT o_orderpriority, date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev
+  FROM orders GROUP BY 1, 2
+),
+rng AS (
+  SELECT o_orderpriority,
+         unnest(generate_series(min(m), max(m), INTERVAL 1 MONTH)) AS m
+  FROM cells GROUP BY o_orderpriority
+),
+dn AS (
+  SELECT r.o_orderpriority, CAST(r.m AS DATE) AS m,
+         coalesce(c.rev, 0)::BIGINT AS rev
+  FROM rng r LEFT JOIN cells c
+    ON r.o_orderpriority = c.o_orderpriority AND CAST(r.m AS DATE) = c.m
+),
+g AS (
+  SELECT o_orderpriority, m, rev,
+         lag(rev) OVER (PARTITION BY o_orderpriority ORDER BY m) AS prev
+  FROM dn
+)
+SELECT o_orderpriority, strftime(m, '%Y-%m') AS month,
+       round(rev / 100.0, 2) AS revenue_r,
+       CASE WHEN prev > 0
+            THEN round((rev - prev) / CAST(prev AS DOUBLE), 6)
+       END AS mom_growth_r
+FROM g WHERE prev IS NOT NULL
+ORDER BY o_orderpriority, month
+"""
+
+QUERIES.update({"orders_mom_growth": q_orders_mom_growth})
+ORACLES.update({"orders_mom_growth": ORACLE_ORDERS_MOM})

@@ -318,3 +318,89 @@ FROM rk WHERE rn = 1 ORDER BY event_type
 
 QUERIES.update({"events_ks_drift": q_events_ks_drift})
 ORACLES.update({"events_ks_drift": ORACLE_EVENTS_KS})
+
+
+# --- corpus composition diversity ---------------------------------------------
+
+
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition diversity along each categorical axis (source,
+    lang): Shannon entropy of the mix, the effective category count
+    exp(H) ("20 sources that behave like 7.3"), and KL divergence from the
+    uniform mix — the one-row summary a mixture rebalancer optimizes
+    against (`sample_weighted_mixture` changes the mix; this scores it).
+
+    Determinism: category counts are bigints; per-category p·ln(p) terms
+    round to 6 dp and fix to micro-units so the entropy sum is exact; the
+    KL-to-uniform identity ln(K) − H uses the same fixed value.
+
+    Scale: one map-side rollup per axis over the corpus, then arithmetic
+    on category-sized cells."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def axis(col: str) -> DataFrame:
+        c = docs.groupBy(col).agg(F.count("*").cast("bigint").alias("_n"))
+        tot = c.agg(
+            F.sum("_n").cast("bigint").alias("_t"),
+            F.count("*").cast("bigint").alias("_k"),
+        )
+        terms = c.crossJoin(F.broadcast(tot)).select(
+            "_t",
+            "_k",
+            F.round(
+                (F.col("_n") / F.col("_t").cast("double"))
+                * F.log(F.col("_n") / F.col("_t").cast("double"))
+                * -1000000
+            )
+            .cast("bigint")
+            .alias("_hu"),
+        )
+        return terms.groupBy("_t", "_k").agg(
+            F.sum("_hu").cast("bigint").alias("_h")
+        ).select(
+            F.lit(col).alias("axis"),
+            F.col("_k").alias("n_categories"),
+            F.round(F.col("_h") / 1000000.0, 4).alias("entropy_nats_r"),
+            F.round(F.exp(F.col("_h") / 1000000.0), 4).alias(
+                "effective_categories_r"
+            ),
+            (
+                F.round(
+                    F.log(F.col("_k").cast("double"))
+                    - F.col("_h") / 1000000.0,
+                    4,
+                )
+                + F.lit(0.0)  # normalize IEEE -0.0 (exact-uniform mixes)
+            ).alias("kl_to_uniform_r"),
+        )
+
+    return axis("source").unionByName(axis("lang")).orderBy("axis")
+
+
+def _diversity_oracle() -> str:
+    def axis(col: str) -> str:
+        return f"""
+SELECT '{col}' AS axis, k AS n_categories,
+       round(h / 1000000.0, 4) AS entropy_nats_r,
+       round(exp(h / 1000000.0), 4) AS effective_categories_r,
+       round(ln(k) - h / 1000000.0, 4) + 0.0 AS kl_to_uniform_r
+FROM (
+  SELECT max(k) AS k, sum(hu)::BIGINT AS h FROM (
+    SELECT (SELECT count(DISTINCT {col}) FROM documents) AS k,
+           CAST(round((n / t) * ln(n / t) * -1000000) AS BIGINT) AS hu
+    FROM (
+      SELECT count(*)::BIGINT AS n,
+             (SELECT count(*) FROM documents)::DOUBLE AS t
+      FROM documents GROUP BY {col}
+    )
+  )
+)
+"""
+
+    return axis("source") + " UNION ALL " + axis("lang") + " ORDER BY axis"
+
+
+ORACLE_CORPUS_DIVERSITY = _diversity_oracle()
+
+QUERIES.update({"corpus_diversity": q_corpus_diversity})
+ORACLES.update({"corpus_diversity": ORACLE_CORPUS_DIVERSITY})
