@@ -572,3 +572,67 @@ def test_vocab_overlap_matches_python(spark):
             assert r["n_shared"] == inter
             exp_j = inter / len(vocab[sa] | vocab[sb])
             assert abs(r["jaccard_r"] - exp_j) < 1e-5
+
+
+def test_order_lifecycle_matches_pandas(spark):
+    from pyvectorsearch_spark.queries.analytic_extra import q_order_lifecycle
+
+    got = {(r["order_year"], r["o_orderpriority"]): r
+           for r in q_order_lifecycle(spark, SF_SMOKE).collect()}
+    o = _pq("orders")
+    li = _pq("lineitem")
+    m = li.groupby("l_orderkey")["l_shipdate"].agg(["min", "max", "size"])
+    j = o.join(m, on="o_orderkey", how="inner")
+    j["yr"] = pd.to_datetime(j["o_orderdate"]).dt.year
+    j["lead"] = (pd.to_datetime(j["min"]) - pd.to_datetime(j["o_orderdate"])).dt.days
+    j["win"] = (pd.to_datetime(j["max"]) - pd.to_datetime(j["min"])).dt.days
+    for (yr, prio), grp in j.groupby(["yr", "o_orderpriority"]):
+        r = got[(yr, prio)]
+        assert r["n_orders"] == len(grp)
+        assert r["n_lines"] == grp["size"].sum()
+        assert abs(r["avg_days_to_first_ship_r"] - grp["lead"].mean()) < 1e-3
+        assert abs(r["avg_ship_window_days_r"] - grp["win"].mean()) < 1e-3
+        assert r["max_days_to_first_ship"] == grp["lead"].max()
+
+
+def test_mom_growth_matches_pandas(spark):
+    from pyvectorsearch_spark.queries.analytic_extra import q_orders_mom_growth
+
+    got = q_orders_mom_growth(spark, SF_SMOKE).toPandas()
+    o = _pq("orders")
+    o["m"] = pd.to_datetime(o["o_orderdate"]).dt.to_period("M")
+    o["rc"] = (o["o_totalprice"] * 100).round().astype("int64")
+    for prio, grp in o.groupby("o_orderpriority"):
+        cells = grp.groupby("m")["rc"].sum()
+        full = cells.reindex(
+            pd.period_range(cells.index.min(), cells.index.max(), freq="M"),
+            fill_value=0,
+        )
+        sub = got[got.o_orderpriority == prio].set_index("month")
+        assert len(sub) == len(full) - 1
+        prev = None
+        for per, rev in full.items():
+            if prev is not None:
+                r = sub.loc[str(per)]
+                assert abs(r["revenue_r"] - rev / 100.0) < 0.011
+                if prev > 0:
+                    assert abs(r["mom_growth_r"] - (rev - prev) / prev) < 1e-5
+                else:
+                    assert pd.isna(r["mom_growth_r"])
+            prev = rev
+
+
+def test_corpus_diversity_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.quality_extra import q_corpus_diversity
+
+    got = {r["axis"]: r for r in q_corpus_diversity(spark, SF_SMOKE).collect()}
+    docs = _pq("documents")
+    for axis in ["source", "lang"]:
+        p = docs[axis].value_counts(normalize=True).to_numpy()
+        h = float(-(p * np.log(p)).sum())
+        r = got[axis]
+        assert r["n_categories"] == len(p)
+        assert abs(r["entropy_nats_r"] - h) < 1e-3
+        assert abs(r["effective_categories_r"] - np.exp(h)) < 1e-2
+        assert abs(r["kl_to_uniform_r"] - (np.log(len(p)) - h)) < 1e-3
+        assert r["kl_to_uniform_r"] >= 0.0
