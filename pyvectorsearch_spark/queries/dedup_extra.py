@@ -1254,3 +1254,90 @@ ORACLE_DEDUP_ASSORTATIVITY = _oracle_assortativity()
 
 QUERIES.update({"dedup_assortativity": q_dedup_assortativity})
 ORACLES.update({"dedup_assortativity": ORACLE_DEDUP_ASSORTATIVITY})
+
+
+# --- dedup threshold sensitivity curve -----------------------------------------
+
+
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity curve for SimHash dedup: for every Hamming
+    cutoff 0..MAX_HAMMING, the cumulative pair count and the number of
+    documents swept into SOME pair — the tuning table that shows where the
+    near-dup graph percolates (pairs explode, docs-involved jumps toward
+    the corpus) so the cutoff is chosen from data, not folklore.
+
+    Determinism: pure integer counts off the exact (d1, d2, hamming) pair
+    table; doc involvement is a distinct count per threshold.
+
+    Scale: one pair generation (the expensive part, shared across all
+    thresholds), then a thresholds-sized broadcast fan-out over the pair
+    list — the curve costs no more than one dedup run."""
+    from pyvectorsearch_spark.operators.dedup import simhash_pairs
+    from pyvectorsearch_spark.queries.dedup import MAX_HAMMING
+    from pyvectorsearch_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = simhash_pairs(docs, max_hamming=MAX_HAMMING)
+    th = spark.range(MAX_HAMMING + 1).select(
+        F.col("id").cast("int").alias("threshold")
+    )
+    fan = pairs.crossJoin(F.broadcast(th)).filter(
+        F.col("hamming") <= F.col("threshold")
+    )
+    cum = fan.groupBy("threshold").agg(
+        F.count("*").cast("bigint").alias("n_pairs_cum")
+    )
+    docs_in = (
+        fan.select(
+            "threshold", F.explode(F.array("d1", "d2")).alias("_doc")
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("_doc").cast("bigint").alias("n_docs_involved"))
+    )
+    return (
+        th.join(cum, "threshold", "left")
+        .join(docs_in, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs_cum", F.lit(0)).cast("bigint").alias(
+                "n_pairs_cum"
+            ),
+            F.coalesce("n_docs_involved", F.lit(0)).cast("bigint").alias(
+                "n_docs_involved"
+            ),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _threshold_curve_oracle() -> str:
+    from pyvectorsearch_spark.queries.dedup import MAX_HAMMING, _simhash_oracle
+
+    return f"""
+WITH pairs AS ({_simhash_oracle()}),
+th AS (SELECT unnest(range({MAX_HAMMING + 1}))::INT AS threshold),
+fan AS (
+  SELECT t.threshold, p.d1, p.d2 FROM pairs p
+  JOIN th t ON p.hamming <= t.threshold
+),
+cum AS (
+  SELECT threshold, count(*)::BIGINT AS n_pairs_cum FROM fan GROUP BY threshold
+),
+di AS (
+  SELECT threshold, count(DISTINCT doc)::BIGINT AS n_docs_involved
+  FROM (SELECT threshold, d1 AS doc FROM fan
+        UNION ALL SELECT threshold, d2 AS doc FROM fan)
+  GROUP BY threshold
+)
+SELECT t.threshold, coalesce(c.n_pairs_cum, 0)::BIGINT AS n_pairs_cum,
+       coalesce(di.n_docs_involved, 0)::BIGINT AS n_docs_involved
+FROM th t LEFT JOIN cum c ON t.threshold = c.threshold
+LEFT JOIN di ON t.threshold = di.threshold
+ORDER BY t.threshold
+"""
+
+
+ORACLE_DEDUP_THRESHOLD_CURVE = _threshold_curve_oracle()
+
+QUERIES.update({"dedup_threshold_curve": q_dedup_threshold_curve})
+ORACLES.update({"dedup_threshold_curve": ORACLE_DEDUP_THRESHOLD_CURVE})

@@ -597,3 +597,155 @@ FROM cum ORDER BY cohort_year, year_offset
 
 QUERIES.update({"customer_cohort_ltv": q_customer_cohort_ltv})
 ORACLES.update({"customer_cohort_ltv": ORACLE_COHORT_LTV})
+
+
+# --- Kaplan-Meier customer survival -------------------------------------------
+
+KM_CENSOR_DAYS = 90
+KM_HORIZONS = [180, 365, 730, 1460]
+
+
+def q_customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of customer activity lifetime: duration =
+    days from a customer's first to last order, with customers still
+    ordering within 90 days of the dataset edge CENSORED (they may yet
+    return — dropping them would bias lifetime downward, the mistake KM
+    exists to fix). Reports Ŝ at fixed horizons — the retention curve
+    (`event_retention` counts cohort comebacks; KM handles the
+    right-censoring those counts ignore).
+
+    Determinism: durations and risk-set sizes are exact integer counts
+    (risk set at t = #{duration ≥ t}, the histogram-rank trick); each
+    factor ln(1 − d/n) rounds to micro-units so the product is an exact
+    bigint sum in log space; a risk set that empties (d = n) drops Ŝ to
+    exactly 0 via a cumulative flag, never −inf.
+
+    Scale: one per-customer rollup, one durations histogram, one
+    horizons-sized broadcast fan-out — the curve aggregates cells, not
+    customers."""
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("_d")
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.min("_d").alias("_f"), F.max("_d").alias("_l")
+    )
+    mx = o.agg(F.max("_d").alias("_mx"))
+    base = cust.crossJoin(F.broadcast(mx)).select(
+        F.datediff("_l", "_f").cast("bigint").alias("_t"),
+        (F.datediff("_mx", "_l") < KM_CENSOR_DAYS).alias("_cens"),
+    )
+    hist = base.groupBy("_t").agg(
+        F.count("*").cast("bigint").alias("_c"),
+        F.sum(F.when(~F.col("_cens"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_d_ev"),
+    )
+    tot = base.agg(F.count("*").cast("bigint").alias("_n_all"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        hist.withColumn(
+            "_before", F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("bigint")
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_n_risk", F.col("_n_all") - F.col("_before"))
+        .filter(F.col("_d_ev") > 0)
+    )
+    terms = risk.select(
+        "_t",
+        "_d_ev",
+        "_n_risk",
+        F.when(F.col("_d_ev") < F.col("_n_risk"),
+               F.round(
+                   F.log(1.0 - F.col("_d_ev") / F.col("_n_risk").cast("double"))
+                   * 1000000
+               ).cast("bigint"))
+        .otherwise(F.lit(None))
+        .alias("_lu"),
+        (F.col("_d_ev") >= F.col("_n_risk")).cast("int").alias("_zero"),
+    )
+    horizons = spark.createDataFrame(
+        [(h,) for h in KM_HORIZONS], "horizon_days bigint"
+    )
+    fan = horizons.crossJoin(terms).filter(F.col("_t") <= F.col("horizon_days"))
+    agg = fan.groupBy("horizon_days").agg(
+        F.sum("_d_ev").cast("bigint").alias("n_events"),
+        F.sum("_lu").cast("bigint").alias("_slu"),
+        F.max("_zero").alias("_z"),
+    )
+    return (
+        horizons.join(agg, "horizon_days", "left")
+        .select(
+            "horizon_days",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.when(F.coalesce(F.col("_z"), F.lit(0)) == 1, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.exp(
+                        F.coalesce(F.col("_slu"), F.lit(0)) / 1000000.0
+                    ),
+                    4,
+                )
+            )
+            .alias("s_km_r"),
+        )
+        .orderBy("horizon_days")
+    )
+
+
+def _km_survival_oracle() -> str:
+    hz = ", ".join(str(h) for h in KM_HORIZONS)
+    return f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+),
+cust AS (
+  SELECT o_custkey, min(d) AS f, max(d) AS l FROM o GROUP BY o_custkey
+),
+mx AS (SELECT max(d) AS mxd FROM o),
+base AS (
+  SELECT date_diff('day', f, l)::BIGINT AS t,
+         (date_diff('day', l, mx.mxd) < {KM_CENSOR_DAYS}) AS cens
+  FROM cust CROSS JOIN mx
+),
+hist AS (
+  SELECT t, count(*)::BIGINT AS c,
+         sum(CASE WHEN cens THEN 0 ELSE 1 END)::BIGINT AS d_ev
+  FROM base GROUP BY t
+),
+tot AS (SELECT count(*)::BIGINT AS n_all FROM base),
+risk AS (
+  SELECT h.t, h.d_ev,
+         (t2.n_all - coalesce(sum(h.c) OVER (ORDER BY h.t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+           AS n_risk
+  FROM hist h CROSS JOIN tot t2
+),
+terms AS (
+  SELECT t, d_ev, n_risk,
+         CASE WHEN d_ev < n_risk
+              THEN CAST(round(ln(1.0 - d_ev / CAST(n_risk AS DOUBLE))
+                              * 1000000) AS BIGINT) END AS lu,
+         CASE WHEN d_ev >= n_risk THEN 1 ELSE 0 END AS z
+  FROM risk WHERE d_ev > 0
+),
+hzs AS (SELECT unnest([{hz}])::BIGINT AS horizon_days),
+agg AS (
+  SELECT hz.horizon_days, sum(t.d_ev)::BIGINT AS n_events,
+         sum(t.lu)::BIGINT AS slu, max(t.z) AS z
+  FROM hzs hz JOIN terms t ON t.t <= hz.horizon_days
+  GROUP BY hz.horizon_days
+)
+SELECT h.horizon_days, coalesce(a.n_events, 0)::BIGINT AS n_events,
+       CASE WHEN coalesce(a.z, 0) = 1 THEN 0.0
+            ELSE round(exp(coalesce(a.slu, 0) / 1000000.0), 4) END AS s_km_r
+FROM hzs h LEFT JOIN agg a ON h.horizon_days = a.horizon_days
+ORDER BY h.horizon_days
+"""
+
+
+ORACLE_CUSTOMER_SURVIVAL_KM = _km_survival_oracle()
+
+QUERIES.update({"customer_survival_km": q_customer_survival_km})
+ORACLES.update({"customer_survival_km": ORACLE_CUSTOMER_SURVIVAL_KM})

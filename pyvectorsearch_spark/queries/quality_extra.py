@@ -404,3 +404,94 @@ ORACLE_CORPUS_DIVERSITY = _diversity_oracle()
 
 QUERIES.update({"corpus_diversity": q_corpus_diversity})
 ORACLES.update({"corpus_diversity": ORACLE_CORPUS_DIVERSITY})
+
+
+# --- two-proportion z-test (A/B) -----------------------------------------------
+
+AB_Z_CRIT = 1.959964
+
+
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase conversion between a deterministic
+    A/B split (even vs odd user_id standing in for control/treatment):
+    per-arm converter shares, the pooled-variance z statistic, and the
+    ±1.96 verdict — the experiment-readout primitive (`events_ks_drift`
+    compares distributions; this tests ONE success rate the way an A/B
+    dashboard does).
+
+    Determinism: converters and arm sizes are exact distinct counts; z is
+    a single closed-form expression of four bigints, rounded 6 dp.
+
+    Scale: one distinct-user rollup (map-side combined) and a 1-row
+    report."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    users = ev.groupBy((F.col("user_id") % 2 == 0).alias("_arm_a"),
+                       "user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("_conv")
+    )
+    m = users.agg(
+        F.sum(F.when(F.col("_arm_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("_arm_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("_arm_a"), F.col("_conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.when(~F.col("_arm_a"), F.col("_conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    p1 = m["x_a"] / m["n_a"].cast("double")
+    p2 = m["x_b"] / m["n_b"].cast("double")
+    pp = (m["x_a"] + m["x_b"]) / (m["n_a"] + m["n_b"]).cast("double")
+    se = F.sqrt(
+        pp * (1.0 - pp) * (1.0 / m["n_a"].cast("double") + 1.0 / m["n_b"].cast("double"))
+    )
+    z = F.when(se > 0, F.round((p1 - p2) / se, 6)).otherwise(F.lit(0.0))
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(p1, 6).alias("conv_a_r"),
+        F.round(p2, 6).alias("conv_b_r"),
+        z.alias("z_r"),
+        (F.abs(z) > AB_Z_CRIT).alias("significant"),
+    )
+
+
+ORACLE_EVENTS_AB = f"""
+WITH users AS (
+  SELECT (user_id % 2 = 0) AS arm_a, user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT sum(CASE WHEN arm_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN arm_a THEN 0 ELSE 1 END)::BIGINT AS n_b,
+         sum(CASE WHEN arm_a THEN conv ELSE 0 END)::BIGINT AS x_a,
+         sum(CASE WHEN arm_a THEN 0 ELSE conv END)::BIGINT AS x_b
+  FROM users
+)
+SELECT n_a, n_b,
+       round(x_a / CAST(n_a AS DOUBLE), 6) AS conv_a_r,
+       round(x_b / CAST(n_b AS DOUBLE), 6) AS conv_b_r,
+       CASE WHEN sqrt(((x_a + x_b) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - (x_a + x_b) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / n_a + 1.0 / n_b)) > 0
+            THEN round((x_a / CAST(n_a AS DOUBLE) - x_b / CAST(n_b AS DOUBLE))
+                       / sqrt(((x_a + x_b) / CAST(n_a + n_b AS DOUBLE))
+                              * (1.0 - (x_a + x_b) / CAST(n_a + n_b AS DOUBLE))
+                              * (1.0 / n_a + 1.0 / n_b)), 6)
+            ELSE 0.0 END AS z_r,
+       abs(CASE WHEN sqrt(((x_a + x_b) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - (x_a + x_b) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / n_a + 1.0 / n_b)) > 0
+            THEN round((x_a / CAST(n_a AS DOUBLE) - x_b / CAST(n_b AS DOUBLE))
+                       / sqrt(((x_a + x_b) / CAST(n_a + n_b AS DOUBLE))
+                              * (1.0 - (x_a + x_b) / CAST(n_a + n_b AS DOUBLE))
+                              * (1.0 / n_a + 1.0 / n_b)), 6)
+            ELSE 0.0 END) > {AB_Z_CRIT} AS significant
+FROM m
+"""
+
+QUERIES.update({"events_ab_test": q_events_ab_test})
+ORACLES.update({"events_ab_test": ORACLE_EVENTS_AB})

@@ -1699,3 +1699,141 @@ FROM zc ORDER BY event_type
 
 QUERIES.update({"events_mann_kendall": q_events_mann_kendall})
 ORACLES.update({"events_mann_kendall": ORACLE_EVENTS_MANN_KENDALL})
+
+
+# --- lead-lag cross-correlation (CCF) -----------------------------------------
+
+CCF_MAX_LAG = 3
+
+
+def q_events_ccf_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation between event-type pairs: corr(A at t,
+    B at t+lag) for lags −3..+3 hours on the shared dense grid, reporting
+    each pair's best lag (max |r|, ties → smallest lag) — does one signal
+    LEAD the other? (`events_type_correlation` is this at lag 0; the lag
+    argmax is what turns co-movement into an ordering hint.)
+
+    Determinism: the `events_acf` bigint-moment ladder per (pair, lag);
+    the argmax compares micro-fixed |r| integers with a deterministic
+    tie-break.
+
+    Scale: all fan-outs (7 lags × type pairs) run on the types×hours grid;
+    the fact table is touched once."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hb = (F.floor(F.unix_timestamp("ts") / 3600)).cast("bigint")
+    hc = ev.groupBy("event_type", hb.alias("h")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    rng = hc.agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"))
+    hours = rng.select(F.explode(F.sequence("_lo", "_hi")).alias("h"))
+    types = hc.select("event_type").distinct()
+    dense = (
+        hours.crossJoin(F.broadcast(types))
+        .join(hc, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h",
+            F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = dense.crossJoin(F.broadcast(lags)).select(
+        F.col("event_type").alias("type_a"),
+        "lag",
+        (F.col("h") + F.col("lag")).alias("h"),
+        F.col("y").alias("x"),
+    )
+    b = dense.select(
+        F.col("event_type").alias("type_b"), "h", F.col("y").alias("y")
+    )
+    pairs = a.join(b, "h").filter(F.col("type_a") < F.col("type_b"))
+    m = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    den2 = (m["n"] * m["sxx"] - m["sx"] * m["sx"]) * (
+        m["n"] * m["syy"] - m["sy"] * m["sy"]
+    )
+    r = F.when(
+        den2 > 0,
+        F.round(
+            (m["n"] * m["sxy"] - m["sx"] * m["sy"])
+            / F.sqrt(den2.cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    scored = m.select(
+        "type_a", "type_b", "lag", r.alias("r"),
+        F.round(F.abs(r) * 1000000).cast("bigint").alias("_au"),
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy(
+        F.desc("_au"), F.asc("lag")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").alias("best_lag"),
+            F.col("r").alias("best_corr_r"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_EVENTS_CCF = f"""
+WITH hc AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS h, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT min(h) AS lo, max(h) AS hi FROM hc),
+hours AS (SELECT unnest(range(lo, hi + 1)) AS h FROM rng),
+types AS (SELECT DISTINCT event_type FROM hc),
+dense AS (
+  SELECT t.event_type, hr.h, coalesce(hc.y, 0)::BIGINT AS y
+  FROM hours hr CROSS JOIN types t
+  LEFT JOIN hc ON hc.event_type = t.event_type AND hc.h = hr.h
+),
+lags AS (SELECT unnest(range(-{CCF_MAX_LAG}, {CCF_MAX_LAG + 1}))::INT AS lag),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         a.y AS x, b.y AS y
+  FROM dense a CROSS JOIN lags l
+  JOIN dense b ON b.h = a.h + l.lag AND a.event_type < b.event_type
+),
+m AS (
+  SELECT type_a, type_b, lag, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+  FROM pairs GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT type_a, type_b, lag,
+         CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+              THEN round((n * sxy - sx * sy)
+                         / sqrt(CAST((n * sxx - sx * sx)
+                                     * (n * syy - sy * sy) AS DOUBLE)), 6)
+              ELSE 0.0 END AS r
+  FROM m
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY type_a, type_b
+    ORDER BY CAST(round(abs(r) * 1000000) AS BIGINT) DESC, lag ASC) AS rn
+  FROM sc
+)
+SELECT type_a, type_b, lag AS best_lag, r AS best_corr_r
+FROM rk WHERE rn = 1 ORDER BY type_a, type_b
+"""
+
+QUERIES.update({"events_ccf_leadlag": q_events_ccf_leadlag})
+ORACLES.update({"events_ccf_leadlag": ORACLE_EVENTS_CCF})
