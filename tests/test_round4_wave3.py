@@ -636,3 +636,109 @@ def test_corpus_diversity_matches_numpy(spark):
         assert abs(r["effective_categories_r"] - np.exp(h)) < 1e-2
         assert abs(r["kl_to_uniform_r"] - (np.log(len(p)) - h)) < 1e-3
         assert r["kl_to_uniform_r"] >= 0.0
+
+
+def test_ccf_leadlag_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.timeseries_extra import (
+        q_events_ccf_leadlag,
+    )
+
+    got = {(r["type_a"], r["type_b"]): r
+           for r in q_events_ccf_leadlag(spark, SF_SMOKE).collect()}
+    ev = _pq("events")
+    h = _hourly_counts(ev)
+    lo, hi = h.min(), h.max()
+    series = {}
+    for etype, grp in ev.groupby("event_type"):
+        y = np.zeros(hi - lo + 1, dtype=np.int64)
+        np.add.at(y, (h[grp.index] - lo).to_numpy(), 1)
+        series[etype] = y.astype(float)
+    types = sorted(series)
+    grid_lo, grid_hi = 0, hi - lo
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            best = None
+            for lag in range(-3, 4):
+                # pair x(t) with y(t+lag) for t, t+lag both inside the grid
+                s = max(grid_lo, grid_lo - lag)
+                e = min(grid_hi, grid_hi - lag)
+                x = series[ta][s:e + 1]
+                y = series[tb][s + lag:e + lag + 1]
+                c = np.corrcoef(x, y)[0, 1] if x.std() > 0 and y.std() > 0 else 0.0
+                key = (round(abs(c) * 1e6), -lag)
+                if best is None or key > best[0]:
+                    best = (key, lag, c)
+            r = got[(ta, tb)]
+            assert r["best_lag"] == best[1], (ta, tb, r["best_lag"], best[1])
+            assert abs(r["best_corr_r"] - best[2]) < 1e-5
+
+
+def test_km_survival_matches_python(spark):
+    from pyvectorsearch_spark.queries.funnel_extra import (
+        KM_CENSOR_DAYS,
+        KM_HORIZONS,
+        q_customer_survival_km,
+    )
+
+    got = {r["horizon_days"]: r for r in q_customer_survival_km(spark, SF_SMOKE).collect()}
+    o = _pq("orders")
+    d = pd.to_datetime(o["o_orderdate"])
+    per = pd.DataFrame({"f": d.groupby(o["o_custkey"]).min(),
+                        "l": d.groupby(o["o_custkey"]).max()})
+    mx = d.max()
+    per["t"] = (per["l"] - per["f"]).dt.days
+    per["cens"] = (mx - per["l"]).dt.days < KM_CENSOR_DAYS
+    times = np.sort(per.loc[~per.cens, "t"].unique())
+    for hz in KM_HORIZONS:
+        s, n_ev = 1.0, 0
+        for t in times:
+            if t > hz:
+                break
+            n_risk = int((per["t"] >= t).sum())
+            d_ev = int(((per["t"] == t) & (~per["cens"])).sum())
+            n_ev += d_ev
+            s *= 1.0 - d_ev / n_risk
+        r = got[hz]
+        assert r["n_events"] == n_ev
+        assert abs(r["s_km_r"] - s) < 1e-3, (hz, r["s_km_r"], s)
+
+
+def test_threshold_curve_matches_python(spark):
+    from pyvectorsearch_spark.operators.dedup import simhash_pairs
+    from pyvectorsearch_spark.queries.dedup import MAX_HAMMING
+    from pyvectorsearch_spark.queries.dedup_extra import q_dedup_threshold_curve
+    from pyvectorsearch_spark.sources.tables import load_table, spread
+
+    got = {r["threshold"]: r for r in q_dedup_threshold_curve(spark, SF_SMOKE).collect()}
+    docs = spread(load_table(spark, SF_SMOKE, "documents"))
+    pairs = simhash_pairs(docs, max_hamming=MAX_HAMMING).toPandas()
+    for t in range(MAX_HAMMING + 1):
+        sub = pairs[pairs.hamming <= t]
+        r = got[t]
+        assert r["n_pairs_cum"] == len(sub)
+        assert r["n_docs_involved"] == len(set(sub.d1) | set(sub.d2))
+    # monotone by construction
+    cums = [got[t]["n_pairs_cum"] for t in range(MAX_HAMMING + 1)]
+    assert cums == sorted(cums)
+
+
+def test_ab_test_matches_python(spark):
+    from pyvectorsearch_spark.queries.quality_extra import q_events_ab_test
+
+    got = q_events_ab_test(spark, SF_SMOKE).collect()[0]
+    ev = _pq("events")
+    conv = ev.groupby("user_id")["event_type"].apply(
+        lambda s: int((s == "purchase").any())
+    )
+    arm_a = conv.index % 2 == 0
+    n_a, n_b = int(arm_a.sum()), int((~arm_a).sum())
+    x_a, x_b = int(conv[arm_a].sum()), int(conv[~arm_a].sum())
+    p1, p2 = x_a / n_a, x_b / n_b
+    pp = (x_a + x_b) / (n_a + n_b)
+    se = np.sqrt(pp * (1 - pp) * (1 / n_a + 1 / n_b))
+    z = (p1 - p2) / se if se > 0 else 0.0
+    assert (got["n_a"], got["n_b"]) == (n_a, n_b)
+    assert abs(got["conv_a_r"] - p1) < 1e-5
+    assert abs(got["conv_b_r"] - p2) < 1e-5
+    assert abs(got["z_r"] - z) < 1e-5
+    assert got["significant"] == (abs(z) > 1.959964)
