@@ -746,3 +746,47 @@ ORACLES = {
     "customer_order_distribution": ORACLE_CUST_DIST,
     "cheapest_shipment_per_part": ORACLE_CHEAPEST,
 }
+
+
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path over the semi-structured props column:
+    ``parse_json`` once into the binary VARIANT encoding, then
+    ``variant_get`` typed extraction and ``schema_of_variant_agg`` shape
+    inference per event type — the engine-native answer to schemaless
+    columns (`events_props_json` re-parses JSON TEXT per extraction; at
+    100 TB you parse once, store VARIANT, and every downstream extraction
+    is a binary field probe, which is the point of this twin).
+
+    Determinism: integer extraction + bigint sums; the inferred schema
+    string is a deterministic function of the values."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        e.select("event_type", k.alias("_k"), v.alias("_v"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("_k").cast("bigint").alias("n_distinct_k"),
+            F.sum("_k").cast("bigint").alias("sum_k"),
+            F.min("_k").cast("int").alias("min_k"),
+            F.max("_k").cast("int").alias("max_k"),
+            F.schema_of_variant_agg("_v").alias("props_schema"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PROPS_VARIANT = """
+SELECT event_type, count(*)::BIGINT AS n_rows,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT))::BIGINT
+         AS n_distinct_k,
+       sum(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS INT))::INT AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT))::INT AS max_k,
+       'OBJECT<k: BIGINT>' AS props_schema
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES.update({"events_props_variant": events_props_variant})
+ORACLES.update({"events_props_variant": ORACLE_PROPS_VARIANT})

@@ -297,3 +297,103 @@ def stateful_running_counts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class MinMaxStateProcessor:
+    """Stateful processor for ``stateful_minmax_tws`` (Spark 4
+    ``transformWithStateInPandas``): per-key running (count, min, max) in a
+    named ValueState. Defined engine-agnostically (duck-typed handle/state)
+    so the accumulation logic is unit-testable without the TWS runtime —
+    which matters here because the TWS Python runner needs ``protobuf``,
+    absent from this container (see ``stateful_minmax_tws``)."""
+
+    def __init__(self, key_col: str, value_col: str) -> None:
+        self._key_col = key_col
+        self._value_col = value_col
+
+    def init(self, handle) -> None:
+        self._agg = handle.getValueState("agg", "n long, mn double, mx double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        if self._agg.exists():
+            n, mn, mx = self._agg.get()
+        else:
+            n, mn, mx = 0, None, None
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            bmn = float(pdf[self._value_col].min())
+            bmx = float(pdf[self._value_col].max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        self._agg.update((n, mn, mx))
+        yield pd.DataFrame(
+            {
+                self._key_col: [key[0]],
+                "running_count": [n],
+                "running_min": [mn],
+                "running_max": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """Whether the transformWithState Python runtime can start: its state
+    protocol needs ``google.protobuf``, which this container lacks (the
+    engine crashes at runner init with ImportError otherwise)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_minmax_tws(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator on Spark 4's ``transformWithStateInPandas``
+    (the arbitrary-state successor to ``applyInPandasWithState``, with
+    NAMED state variables — value/list/map states and timers — instead of
+    one opaque tuple): per-key running (count, min, max) carried in a
+    ValueState across micro-batches.
+
+    Same exact-oracle property as ``stateful_running_counts``: each key's
+    last emission equals the global batch aggregate for any row→batch
+    split. ENV GATE: the TWS Python runner requires ``protobuf`` (absent
+    in this container — the operator raises a clear EnvironmentError
+    instead of crashing the stream mid-flight; the accumulation logic in
+    ``MinMaxStateProcessor`` is unit-tested directly, and
+    ``stateful_running_counts`` covers the runnable custom-state path).
+
+    Scale: one (long, double, double) state value per key in the state
+    store (RocksDB-backed on a cluster); one shuffle per batch on the key."""
+    if not tws_available():
+        raise EnvironmentError(
+            "transformWithStateInPandas needs the 'protobuf' package for its "
+            "state-server protocol; it is not installed in this environment. "
+            "Use stateful_running_counts (applyInPandasWithState) instead."
+        )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _P(MinMaxStateProcessor, StatefulProcessor):
+        pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_P(key_col, value_col),
+        outputStructType=(
+            f"{key_col} long, running_count long, "
+            "running_min double, running_max double"
+        ),
+        outputMode="Append",
+        timeMode="None",
+    )

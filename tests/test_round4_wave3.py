@@ -742,3 +742,60 @@ def test_ab_test_matches_python(spark):
     assert abs(got["conv_b_r"] - p2) < 1e-5
     assert abs(got["z_r"] - z) < 1e-5
     assert got["significant"] == (abs(z) > 1.959964)
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+
+    def getValueState(self, name, schema):
+        return self.state
+
+
+def test_tws_minmax_processor_logic():
+    """Drive the transformWithState processor directly (the TWS runtime
+    needs protobuf, absent here — `tws_available` gates the engine path;
+    the accumulation semantics are pinned engine-free)."""
+    from pyvectorsearch_spark.streaming.ingest import (
+        MinMaxStateProcessor,
+        stateful_minmax_tws,
+        tws_available,
+    )
+
+    p = MinMaxStateProcessor("user_id", "value")
+    p.init(_FakeHandle())
+    batches = [
+        pd.DataFrame({"value": [5.0, 1.0]}),
+        pd.DataFrame({"value": []}),
+        pd.DataFrame({"value": [9.0]}),
+    ]
+    outs = []
+    for b in batches:
+        outs.extend(p.handleInputRows((7,), iter([b]), None))
+    last = outs[-1]
+    assert last["running_count"].iloc[0] == 3
+    assert last["running_min"].iloc[0] == 1.0
+    assert last["running_max"].iloc[0] == 9.0
+    # monotone across batches (the exact-oracle property)
+    counts = [o["running_count"].iloc[0] for o in outs]
+    assert counts == sorted(counts)
+    # env gate fails loud, not mid-stream
+    if not tws_available():
+        import pytest as _pytest
+
+        with _pytest.raises(EnvironmentError, match="protobuf"):
+            stateful_minmax_tws(None)
