@@ -314,3 +314,106 @@ ORACLES = {
     "sketch_hist_quantiles": ORACLE_SKETCH_HIST_QUANTILES,
     "price_decile_bins": ORACLE_PRICE_DECILE_BINS,
 }
+
+
+# --- AMS F2 (second frequency moment) sketch -----------------------------------
+
+AMS_SKETCHES = 16
+
+
+def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alon–Matias–Szegedy F₂ sketch over user activity: 16 independent
+    ±1-hash sketches X_i = Σ_u s_i(u)·f_u — each a plain map-side SUM over
+    events (no per-user state at all!) — estimate F₂ = mean(X_i²) against
+    the exact Σf². F₂ is the self-join size / skew second moment: the
+    one-pass answer to "how bad is this key's skew" that
+    `join_size_estimate` reads off exact histograms. The sketch is O(R)
+    memory at ANY key cardinality and merges by addition across shards.
+
+    Determinism: s_i(u) = parity of an md5 nibble of (i, u) — the shared
+    engine-exact hash family; every X_i and the exact F₂ are bigints; one
+    division at the end.
+
+    Scale: the estimate path never groups by user — R partial sums in one
+    map-side-combined aggregate; the exact path (for the report's truth
+    column) is one user rollup."""
+    ev = spread(load_table(spark, sf_dir, "events")).select("user_id")
+    r = spark.range(AMS_SKETCHES).select(F.col("id").cast("int").alias("i"))
+    sign = 1 - 2 * (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("i").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    xs = (
+        ev.crossJoin(F.broadcast(r))
+        .groupBy("i")
+        .agg(F.sum(sign).cast("bigint").alias("_x"))
+    )
+    est = xs.agg(
+        F.count("*").cast("bigint").alias("_r"),
+        F.sum(F.col("_x") * F.col("_x")).cast("bigint").alias("_sx2"),
+    )
+    true = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("_f"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum(F.col("_f") * F.col("_f")).cast("bigint").alias("f2_true"),
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(true))
+        .select(
+            "n_users",
+            "f2_true",
+            F.round(F.col("_sx2") / F.col("_r").cast("double"), 2).alias(
+                "f2_estimate_r"
+            ),
+            F.round(
+                F.abs(
+                    F.col("_sx2") / F.col("_r").cast("double")
+                    - F.col("f2_true")
+                )
+                / F.col("f2_true").cast("double"),
+                6,
+            ).alias("rel_err_r"),
+        )
+    )
+
+
+ORACLE_SKETCH_AMS = f"""
+WITH r AS (SELECT unnest(range({AMS_SKETCHES}))::INT AS i),
+xs AS (
+  SELECT r.i,
+         sum(1 - 2 * (('0x' || substr(md5(r.i::VARCHAR || ':'
+                       || e.user_id::VARCHAR), 1, 1))::BIGINT % 2))::BIGINT
+           AS x
+  FROM events e CROSS JOIN r GROUP BY r.i
+),
+est AS (SELECT count(*)::BIGINT AS rr, sum(x * x)::BIGINT AS sx2 FROM xs),
+tru AS (
+  SELECT count(*)::BIGINT AS n_users, sum(f * f)::BIGINT AS f2_true
+  FROM (SELECT user_id, count(*)::BIGINT AS f FROM events GROUP BY user_id)
+)
+SELECT t.n_users, t.f2_true,
+       round(e.sx2 / CAST(e.rr AS DOUBLE), 2) AS f2_estimate_r,
+       round(abs(e.sx2 / CAST(e.rr AS DOUBLE) - t.f2_true)
+             / CAST(t.f2_true AS DOUBLE), 6) AS rel_err_r
+FROM est e CROSS JOIN tru t
+"""
+
+QUERIES.update({"sketch_ams_f2": q_sketch_ams_f2})
+ORACLES.update({"sketch_ams_f2": ORACLE_SKETCH_AMS})

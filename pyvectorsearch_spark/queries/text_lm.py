@@ -873,3 +873,178 @@ FROM b
 
 QUERIES.update({"text_heaps_law": q_text_heaps_law})
 ORACLES.update({"text_heaps_law": ORACLE_TEXT_HEAPS})
+
+
+# --- Dunning log-likelihood keyness -------------------------------------------
+
+LLR_TOP_K = 3
+LLR_MIN_COUNT = 5
+
+
+def q_text_loglikelihood_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source by Dunning's log-likelihood ratio
+    (G², 1993): for each (source, term), contrast the term's in-source
+    rate against the rest of the corpus via G² = 2·Σ obs·ln(obs/exp) over
+    the 2×2 contingency — the statistically-grounded keyness measure
+    beside `text_ctfidf`'s heuristic (G² knows a 10× rate bump on 3
+    occurrences is noise; tf-idf doesn't). Top-3 per source, min count 5.
+
+    Determinism: all four cells and margins are bigints; each obs·ln(obs/
+    exp) term rounds to 6 dp and micro-fixes; ranking orders by the exact
+    micro integer with a term tie-break.
+
+    Scale: one (source, term) rollup + a terms-sized margin rollup —
+    corpus touched once; the 2×2 algebra runs on cells."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    cell = st.groupBy("source", "t").agg(
+        F.count("*").cast("bigint").alias("a")
+    )
+    tm = cell.groupBy("t").agg(F.sum("a").cast("bigint").alias("_tt"))
+    sm = cell.groupBy("source").agg(F.sum("a").cast("bigint").alias("_ts"))
+    n = cell.agg(F.sum("a").cast("bigint").alias("_n"))
+    j = (
+        cell.join(tm, "t")
+        .join(sm, "source")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("a") >= LLR_MIN_COUNT)
+    )
+    # 2x2: a = in-source count, b = elsewhere count, c = other terms in
+    # source, d = other terms elsewhere
+    b = F.col("_tt") - F.col("a")
+    c = F.col("_ts") - F.col("a")
+    d = F.col("_n") - F.col("_tt") - F.col("_ts") + F.col("a")
+
+    def term(obs, row_m, col_m):
+        e = row_m.cast("double") * col_m.cast("double") / F.col("_n")
+        return F.when(
+            obs > 0, F.round(obs.cast("double") * F.log(obs / e), 6)
+        ).otherwise(F.lit(0.0))
+
+    g2 = 2.0 * (
+        term(F.col("a"), F.col("_ts"), F.col("_tt"))
+        + term(b, F.col("_n") - F.col("_ts"), F.col("_tt"))
+        + term(c, F.col("_ts"), F.col("_n") - F.col("_tt"))
+        + term(d, F.col("_n") - F.col("_ts"), F.col("_n") - F.col("_tt"))
+    )
+    scored = j.select(
+        "source",
+        "t",
+        "a",
+        F.round(g2 * 1000000).cast("bigint").alias("_gu"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("_gu"), F.asc("t"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= LLR_TOP_K)
+        .select(
+            "source",
+            F.col("_rk").cast("int").alias("rank"),
+            F.col("t").alias("term"),
+            F.col("a").alias("n_in_source"),
+            F.round(F.col("_gu") / 1000000.0, 4).alias("g2_r"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+ORACLE_TEXT_LLR = f"""
+WITH st AS (SELECT source, unnest({_TOK}) AS t FROM documents),
+cell AS (SELECT source, t, count(*)::BIGINT AS a FROM st GROUP BY source, t),
+tm AS (SELECT t, sum(a)::BIGINT AS tt FROM cell GROUP BY t),
+sm AS (SELECT source, sum(a)::BIGINT AS ts FROM cell GROUP BY source),
+n AS (SELECT sum(a)::BIGINT AS n FROM cell),
+j AS (
+  SELECT cell.source, cell.t, cell.a, tm.tt, sm.ts, n.n
+  FROM cell JOIN tm ON cell.t = tm.t JOIN sm ON cell.source = sm.source
+  CROSS JOIN n
+  WHERE cell.a >= {LLR_MIN_COUNT}
+),
+g AS (
+  SELECT source, t, a,
+    CAST(round(2.0 * (
+      (CASE WHEN a > 0 THEN round(a * ln(a / (ts * CAST(tt AS DOUBLE) / n)), 6) ELSE 0.0 END)
+    + (CASE WHEN tt - a > 0 THEN round((tt - a) * ln((tt - a) / ((n - ts) * CAST(tt AS DOUBLE) / n)), 6) ELSE 0.0 END)
+    + (CASE WHEN ts - a > 0 THEN round((ts - a) * ln((ts - a) / (ts * CAST(n - tt AS DOUBLE) / n)), 6) ELSE 0.0 END)
+    + (CASE WHEN n - tt - ts + a > 0 THEN round((n - tt - ts + a) * ln((n - tt - ts + a) / ((n - ts) * CAST(n - tt AS DOUBLE) / n)), 6) ELSE 0.0 END)
+    ) * 1000000) AS BIGINT) AS gu
+  FROM j
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY gu DESC, t ASC) AS rnk
+  FROM g
+)
+SELECT source, rnk::INT AS rank, t AS term, a AS n_in_source,
+       round(gu / 1000000.0, 4) AS g2_r
+FROM rk WHERE rnk <= {LLR_TOP_K} ORDER BY source, rank
+"""
+
+QUERIES.update({"text_loglikelihood_terms": q_text_loglikelihood_terms})
+ORACLES.update({"text_loglikelihood_terms": ORACLE_TEXT_LLR})
+
+
+# --- Yule's K lexical richness ---------------------------------------------------
+
+
+def q_text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K lexical-richness characteristic per source: K = 10⁴·(Σf² −
+    N)/N² over term frequencies, plus vocabulary size and the hapax-
+    legomenon share — K is length-invariant where a raw type/token ratio
+    is not, so sources of different sizes compare honestly (repetitive
+    template text scores high K; rich prose low). Completes the lexical
+    profile beside Zipf (shape), Heaps (growth), and entropy (rate).
+
+    Determinism: N, V, Σf², and hapax counts are exact bigints; two final
+    rounded divisions.
+
+    Scale: one (source, term) frequency rollup, then a sources-sized
+    moment rollup — map-side combined, corpus touched once."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    f = st.groupBy("source", "t").agg(F.count("*").cast("bigint").alias("_f"))
+    return (
+        f.groupBy("source")
+        .agg(
+            F.sum("_f").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("vocabulary"),
+            F.sum(F.col("_f") * F.col("_f")).cast("bigint").alias("_sf2"),
+            F.sum(F.when(F.col("_f") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocabulary",
+            "n_hapax",
+            F.round(
+                F.lit(10000.0)
+                * (F.col("_sf2") - F.col("n_tokens"))
+                / (F.col("n_tokens") * F.col("n_tokens")).cast("double"),
+                4,
+            ).alias("yule_k_r"),
+            F.round(
+                F.col("n_hapax") / F.col("vocabulary").cast("double"), 6
+            ).alias("hapax_ratio_r"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TEXT_YULE_K = f"""
+WITH st AS (SELECT source, unnest({_TOK}) AS t FROM documents),
+f AS (SELECT source, t, count(*)::BIGINT AS f FROM st GROUP BY source, t)
+SELECT source, sum(f)::BIGINT AS n_tokens, count(*)::BIGINT AS vocabulary,
+       sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+       round(10000.0 * (sum(f * f) - sum(f))
+             / CAST(sum(f) * sum(f) AS DOUBLE), 4) AS yule_k_r,
+       round(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio_r
+FROM f GROUP BY source ORDER BY source
+"""
+
+QUERIES.update({"text_yule_k": q_text_yule_k})
+ORACLES.update({"text_yule_k": ORACLE_TEXT_YULE_K})
