@@ -799,3 +799,91 @@ def test_tws_minmax_processor_logic():
 
         with _pytest.raises(EnvironmentError, match="protobuf"):
             stateful_minmax_tws(None)
+
+
+def test_yule_k_matches_python(spark):
+    from pyvectorsearch_spark.queries.text_lm import q_text_yule_k
+
+    got = {r["source"]: r for r in q_text_yule_k(spark, SF_SMOKE).collect()}
+    docs = _pq("documents")
+    for src, grp in docs.groupby("source"):
+        freq = {}
+        for t in grp["text"]:
+            for w in _py_tokens(t):
+                freq[w] = freq.get(w, 0) + 1
+        n = sum(freq.values())
+        sf2 = sum(f * f for f in freq.values())
+        hapax = sum(1 for f in freq.values() if f == 1)
+        r = got[src]
+        assert r["n_tokens"] == n and r["vocabulary"] == len(freq)
+        assert r["n_hapax"] == hapax
+        assert abs(r["yule_k_r"] - 1e4 * (sf2 - n) / (n * n)) < 1e-3
+        assert abs(r["hapax_ratio_r"] - hapax / len(freq)) < 1e-5
+
+
+def test_ams_f2_matches_hashlib(spark):
+    from pyvectorsearch_spark.queries.sketch_extra import (
+        AMS_SKETCHES,
+        q_sketch_ams_f2,
+    )
+
+    got = q_sketch_ams_f2(spark, SF_SMOKE).collect()[0]
+    ev = _pq("events")
+    freq = ev["user_id"].value_counts()
+    f2 = int((freq**2).sum())
+    assert got["n_users"] == len(freq)
+    assert got["f2_true"] == f2
+    xs = []
+    for i in range(AMS_SKETCHES):
+        x = 0
+        for u, f in freq.items():
+            nib = int(hashlib.md5(f"{i}:{u}".encode()).hexdigest()[0], 16)
+            x += (1 - 2 * (nib % 2)) * int(f)
+        xs.append(x)
+    est = sum(x * x for x in xs) / AMS_SKETCHES
+    assert abs(got["f2_estimate_r"] - est) < 0.01
+    assert abs(got["rel_err_r"] - abs(est - f2) / f2) < 1e-5
+    # the estimator is unbiased with variance <= 2*F2^2/R: demand sanity
+    assert got["rel_err_r"] < 1.0
+
+
+def test_loglikelihood_matches_python(spark):
+    import math
+
+    from pyvectorsearch_spark.queries.text_lm import (
+        LLR_MIN_COUNT,
+        LLR_TOP_K,
+        q_text_loglikelihood_terms,
+    )
+
+    got = q_text_loglikelihood_terms(spark, SF_SMOKE).toPandas()
+    docs = _pq("documents")
+    cell, tm, sm, n = {}, {}, {}, 0
+    for _, row in docs.iterrows():
+        for w in _py_tokens(row["text"]):
+            cell[(row["source"], w)] = cell.get((row["source"], w), 0) + 1
+            tm[w] = tm.get(w, 0) + 1
+            sm[row["source"]] = sm.get(row["source"], 0) + 1
+            n += 1
+    for src in sorted(sm):
+        scored = []
+        for (s, t), a in cell.items():
+            if s != src or a < LLR_MIN_COUNT:
+                continue
+            tt, ts = tm[t], sm[src]
+            g2 = 0.0
+            for obs, rm, cm in [
+                (a, ts, tt),
+                (tt - a, n - ts, tt),
+                (ts - a, ts, n - tt),
+                (n - tt - ts + a, n - ts, n - tt),
+            ]:
+                if obs > 0:
+                    g2 += round(obs * math.log(obs / (rm * float(cm) / n)), 6)
+            scored.append((round(2.0 * g2 * 1e6), t, a))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        sub = got[got.source == src].sort_values("rank")
+        assert len(sub) == min(LLR_TOP_K, len(scored))
+        for (gu, t, a), (_, r) in zip(scored[:LLR_TOP_K], sub.iterrows()):
+            assert r["term"] == t and r["n_in_source"] == a
+            assert abs(r["g2_r"] - gu / 1e6) < 1e-3
