@@ -84,7 +84,10 @@ def q_scd2_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SCD2 = f"""
+# Reusable CTE chain producing the merged SCD2 dimension as `merged`
+# (k, seg, vf, vt) — shared by the merge-stats oracle and the as-of
+# enrichment oracle so both replay the IDENTICAL merge.
+_SCD2_MERGED_CTES = f"""
 WITH cust AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
 closed AS (
   SELECT k, 'OLDSEG' AS seg, {T0}::BIGINT AS vf, {T1}::BIGINT AS vt
@@ -122,6 +125,10 @@ merged AS (
   SELECT k, nseg, {T2}::BIGINT, NULL::BIGINT FROM j
   WHERE in_new AND (NOT in_cur OR cseg IS DISTINCT FROM nseg)
 )
+"""
+
+ORACLE_SCD2 = f"""
+{_SCD2_MERGED_CTES}
 SELECT vf AS valid_from, coalesce(vt, -1) AS valid_to,
        count(*)::BIGINT AS n_rows,
        count(DISTINCT k)::BIGINT AS n_keys,
@@ -202,3 +209,71 @@ ORACLES = {
     "scd2_merge_stats": ORACLE_SCD2,
     "snapshot_diff_stats": ORACLE_SNAPSHOT_DIFF,
 }
+
+
+# --- as-of enrichment against the SCD2 dimension -------------------------------
+
+ASOF_TS_MOD = 2500
+
+
+def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup — the reason SCD2 exists: each fact joins
+    to the customer-segment VERSION valid at its event time (vf ≤ ts < vt,
+    open rows unbounded), so facts before a segment change enrich with the
+    OLD segment and facts after with the new. Facts are orders with a
+    deterministic event time (o_orderkey mod 2500, spanning all three
+    version epochs); the dimension is the same merged SCD2 table
+    `scd2_merge_stats` pins, so the two queries share one truth.
+
+    Determinism: integer times, one interval match per fact by
+    construction (version intervals partition each key's timeline — the
+    n_facts total proves no fact matched twice or vanished).
+
+    Scale: an equi-join on the customer key with a residual interval
+    filter — versions per key are bounded (here ≤ 3), so this is the
+    standard bounded-fan-out dimension lookup, broadcast-able when the
+    dimension fits."""
+    current, snapshot = _state_and_snapshot(spark, sf_dir)
+    dim = scd2_merge(current, snapshot, key="k", tracked=["seg"], batch_ts=T2)
+    facts = spread(load_table(spark, sf_dir, "orders")).select(
+        F.col("o_custkey").alias("k"),
+        (F.col("o_orderkey") % ASOF_TS_MOD).cast("bigint").alias("_ts"),
+    )
+    j = facts.join(
+        dim,
+        (facts.k == dim.k)
+        & (F.col("_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("_ts") < F.col("valid_to"))),
+        "left",
+    )
+    return (
+        j.groupBy(F.coalesce("seg", F.lit("UNMATCHED")).alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_facts"),
+            F.countDistinct(facts.k).cast("bigint").alias("n_keys"),
+            F.min("_ts").cast("bigint").alias("min_ts"),
+            F.max("_ts").cast("bigint").alias("max_ts"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_SCD2_ASOF = f"""
+{_SCD2_MERGED_CTES},
+facts AS (
+  SELECT o_custkey AS k, (o_orderkey % {ASOF_TS_MOD})::BIGINT AS ts
+  FROM orders
+),
+jf AS (
+  SELECT f.k, f.ts, m.seg
+  FROM facts f LEFT JOIN merged m
+    ON f.k = m.k AND f.ts >= m.vf AND (m.vt IS NULL OR f.ts < m.vt)
+)
+SELECT coalesce(seg, 'UNMATCHED') AS segment, count(*)::BIGINT AS n_facts,
+       count(DISTINCT k)::BIGINT AS n_keys,
+       min(ts)::BIGINT AS min_ts, max(ts)::BIGINT AS max_ts
+FROM jf GROUP BY 1 ORDER BY segment
+"""
+
+QUERIES.update({"scd2_asof_enrich": q_scd2_asof_enrich})
+ORACLES.update({"scd2_asof_enrich": ORACLE_SCD2_ASOF})

@@ -525,3 +525,120 @@ GROUP BY o.g, m.n, m.med, m.mad ORDER BY o.g
 
 QUERIES.update({"orders_mad_outliers": q_orders_mad_outliers})
 ORACLES.update({"orders_mad_outliers": ORACLE_ORDERS_MAD})
+
+
+# --- deterministic bootstrap confidence interval --------------------------------
+
+BOOT_B = 64
+BOOT_LO_RANK = 2   # floor(0.025*64) + 1
+BOOT_HI_RANK = 63  # ceil(0.975*64)
+
+
+def q_orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% confidence interval for the mean order total via 64
+    DETERMINISTIC half-subsample replicas (replica b keeps order i iff the
+    md5(b:i) 48-bit uniform falls below ½ — the subsample bootstrap,
+    reproducible forever, no RNG): the uncertainty bar that turns
+    `profile_orders`' point mean into an interval.
+
+    Determinism: replica membership is a pure hash predicate; replica
+    means come from exact integer-cent sums (one rounded division each,
+    micro-fixed); the CI endpoints are exact order statistics (ranks 2 and
+    63 of 64) with a replica-id tie-break.
+
+    Scale: the B-way fan-out is a broadcast of 64 ints against the fact
+    scan — one shuffle of B×priority-sized cells, never a row resample
+    (classic resample-with-replacement would multiply the data; the
+    hash-subsample form is the one that works at 100 TB)."""
+    from pyspark.sql import Window
+
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_rc"),
+    )
+    reps = spark.range(BOOT_B).select(F.col("id").cast("int").alias("b"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    kept = o.crossJoin(F.broadcast(reps)).filter(u < F.lit(1 << 47))
+    means = kept.groupBy("b").agg(
+        F.round(
+            (F.sum("_rc") / F.count("*").cast("double")) * 10000
+        )
+        .cast("bigint")
+        .alias("_mu")
+    )
+    w = Window.orderBy("_mu", "b")
+    ranked = means.withColumn("_rk", F.row_number().over(w))
+    lo = ranked.filter(F.col("_rk") == BOOT_LO_RANK).select(
+        F.round(F.col("_mu") / 1000000.0, 4).alias("ci_lo_r")
+    )
+    hi = ranked.filter(F.col("_rk") == BOOT_HI_RANK).select(
+        F.round(F.col("_mu") / 1000000.0, 4).alias("ci_hi_r")
+    )
+    full = o.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("_rc") / (F.count("*") * F.lit(100.0)), 4).alias(
+            "mean_full_r"
+        ),
+    )
+    return (
+        full.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_orders",
+            F.lit(BOOT_B).cast("int").alias("n_replicas"),
+            "mean_full_r",
+            "ci_lo_r",
+            "ci_hi_r",
+        )
+    )
+
+
+ORACLE_ORDERS_BOOTSTRAP = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS rc
+  FROM orders
+),
+reps AS (SELECT unnest(range({BOOT_B}))::INT AS b),
+kept AS (
+  SELECT r.b, o.rc FROM o CROSS JOIN reps r
+  WHERE ('0x' || substr(md5(r.b::VARCHAR || ':' || o.o_orderkey::VARCHAR),
+                        1, 12))::BIGINT < {1 << 47}
+),
+means AS (
+  SELECT b, CAST(round((sum(rc) / CAST(count(*) AS DOUBLE)) * 10000)
+                 AS BIGINT) AS mu
+  FROM kept GROUP BY b
+),
+ranked AS (
+  SELECT mu, row_number() OVER (ORDER BY mu, b) AS rk FROM means
+),
+lo AS (SELECT round(mu / 1000000.0, 4) AS ci_lo_r FROM ranked
+       WHERE rk = {BOOT_LO_RANK}),
+hi AS (SELECT round(mu / 1000000.0, 4) AS ci_hi_r FROM ranked
+       WHERE rk = {BOOT_HI_RANK}),
+fl AS (
+  SELECT count(*)::BIGINT AS n_orders,
+         round(sum(rc) / (count(*) * 100.0), 4) AS mean_full_r
+  FROM o
+)
+SELECT fl.n_orders, CAST({BOOT_B} AS INT) AS n_replicas,
+       fl.mean_full_r, lo.ci_lo_r, hi.ci_hi_r
+FROM fl CROSS JOIN lo CROSS JOIN hi
+"""
+
+QUERIES.update({"orders_bootstrap_ci": q_orders_bootstrap_ci})
+ORACLES.update({"orders_bootstrap_ci": ORACLE_ORDERS_BOOTSTRAP})
