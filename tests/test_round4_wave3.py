@@ -887,3 +887,45 @@ def test_loglikelihood_matches_python(spark):
         for (gu, t, a), (_, r) in zip(scored[:LLR_TOP_K], sub.iterrows()):
             assert r["term"] == t and r["n_in_source"] == a
             assert abs(r["g2_r"] - gu / 1e6) < 1e-3
+
+
+def test_scd2_asof_every_fact_matches_exactly_once(spark):
+    from pyvectorsearch_spark.queries.scd_extra import q_scd2_asof_enrich
+
+    got = q_scd2_asof_enrich(spark, SF_SMOKE).toPandas()
+    n_orders = len(_pq("orders"))
+    # version intervals partition each key's timeline: totals must add to
+    # exactly one enrichment per fact, and nothing may be UNMATCHED (every
+    # custkey exists in the dimension with coverage from t=0)
+    assert got["n_facts"].sum() == n_orders
+    assert "UNMATCHED" not in set(got["segment"])
+    # pre-change epochs must surface: OLDSEG (closed history) and CHANGED
+    assert "OLDSEG" in set(got["segment"])
+    assert "CHANGED" in set(got["segment"])
+
+
+def test_bootstrap_ci_matches_hashlib(spark):
+    from pyvectorsearch_spark.queries.skew_extra import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        q_orders_bootstrap_ci,
+    )
+
+    got = q_orders_bootstrap_ci(spark, SF_SMOKE).collect()[0]
+    o = _pq("orders")
+    rc = (o["o_totalprice"] * 100).round().astype("int64")
+    keys = o["o_orderkey"].astype(str)
+    mus = []
+    for b in range(BOOT_B):
+        mask = np.array([
+            int(hashlib.md5(f"{b}:{k}".encode()).hexdigest()[:12], 16) < (1 << 47)
+            for k in keys
+        ])
+        s, n = int(rc[mask].sum()), int(mask.sum())
+        mus.append(round((s / n) * 10000))
+    mus.sort()
+    assert abs(got["ci_lo_r"] - mus[BOOT_LO_RANK - 1] / 1e6) < 1e-4
+    assert abs(got["ci_hi_r"] - mus[BOOT_HI_RANK - 1] / 1e6) < 1e-4
+    # the full mean must sit inside its own CI
+    assert got["ci_lo_r"] <= got["mean_full_r"] <= got["ci_hi_r"]
