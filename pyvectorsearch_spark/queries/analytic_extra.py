@@ -859,3 +859,132 @@ ORDER BY o_orderpriority, month
 
 QUERIES.update({"orders_mom_growth": q_orders_mom_growth})
 ORACLES.update({"orders_mom_growth": ORACLE_ORDERS_MOM})
+
+
+# --- Little's law WIP readout ----------------------------------------------------
+
+
+def q_orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's-law work-in-progress readout over order fulfillment
+    intervals [order date, last ship date): arrival rate λ (orders/day),
+    mean time-in-system W (days), average WIP L̄ = λ·W, plus the PEAK
+    concurrent WIP and the peak-to-average burst factor — the capacity
+    numbers behind `fulfillment_peak_monthly`'s per-month peaks (L̄ says
+    what the steady state costs; peak/L̄ says how much headroom bursts
+    demand).
+
+    Determinism: all quantities derive from exact integer day sums — the
+    delta-collapse running count weighted by the gap to the next boundary
+    date gives Σ open·days exactly; three rounded divisions at the end.
+
+    Scale: intervals collapse map-side to per-date (+open, −close) deltas;
+    the ordered walk runs over the distinct-date table (calendar-bounded),
+    never over orders."""
+    from pyspark.sql import Window
+
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("_sd")
+    )
+    ends = li.groupBy("l_orderkey").agg(F.max("_sd").alias("_end"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("_start")
+    )
+    iv = o.join(ends, o.o_orderkey == ends.l_orderkey).select(
+        F.datediff(F.col("_start"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("_s"),
+        F.datediff(F.col("_end"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("_e"),
+    ).filter(F.col("_e") > F.col("_s"))
+    deltas = (
+        iv.select(F.col("_s").alias("_d"), F.lit(1).alias("_c"))
+        .unionByName(iv.select(F.col("_e").alias("_d"), F.lit(-1).alias("_c")))
+        .groupBy("_d")
+        .agg(F.sum("_c").cast("bigint").alias("_delta"))
+    )
+    w = Window.orderBy("_d")
+    walk = (
+        deltas.withColumn("_open", F.sum("_delta").over(w).cast("bigint"))
+        .withColumn("_next", F.lead("_d", 1).over(w))
+        .withColumn(
+            "_days",
+            F.coalesce(F.col("_next") - F.col("_d"), F.lit(0)).cast("bigint"),
+        )
+    )
+    sweep = walk.agg(
+        F.sum(F.col("_open") * F.col("_days")).cast("bigint").alias("_open_days"),
+        F.max("_open").cast("bigint").alias("peak_wip"),
+        F.min("_d").cast("bigint").alias("_d0"),
+        F.max("_d").cast("bigint").alias("_d1"),
+    )
+    n = iv.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("_e") - F.col("_s")).cast("bigint").alias("_dur_days"),
+    )
+    j = sweep.crossJoin(F.broadcast(n)).withColumn(
+        "_window", F.col("_d1") - F.col("_d0")
+    )
+    return j.select(
+        "n_orders",
+        F.col("_window").alias("window_days"),
+        "peak_wip",
+        F.round(F.col("n_orders") / F.col("_window").cast("double"), 4).alias(
+            "lambda_per_day_r"
+        ),
+        F.round(F.col("_dur_days") / F.col("n_orders").cast("double"), 4).alias(
+            "w_days_r"
+        ),
+        F.round(F.col("_open_days") / F.col("_window").cast("double"), 4).alias(
+            "l_avg_wip_r"
+        ),
+        F.round(
+            F.col("peak_wip")
+            * F.col("_window").cast("double")
+            / F.col("_open_days"),
+            4,
+        ).alias("peak_to_avg_r"),
+    )
+
+
+ORACLE_ORDERS_LITTLES = """
+WITH ends AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS e FROM lineitem
+  GROUP BY l_orderkey
+),
+iv AS (
+  SELECT date_diff('day', DATE '1970-01-01',
+                   CAST(o.o_orderdate AS DATE))::BIGINT AS s,
+         date_diff('day', DATE '1970-01-01', ends.e)::BIGINT AS e
+  FROM orders o JOIN ends ON o.o_orderkey = ends.l_orderkey
+  WHERE date_diff('day', CAST(o.o_orderdate AS DATE), ends.e) > 0
+),
+deltas AS (
+  SELECT d, sum(c)::BIGINT AS delta FROM (
+    SELECT s AS d, 1 AS c FROM iv UNION ALL SELECT e AS d, -1 AS c FROM iv
+  ) GROUP BY d
+),
+walk AS (
+  SELECT d, sum(delta) OVER (ORDER BY d)::BIGINT AS open,
+         coalesce(lead(d) OVER (ORDER BY d) - d, 0)::BIGINT AS days
+  FROM deltas
+),
+sweep AS (
+  SELECT sum(open * days)::BIGINT AS open_days, max(open)::BIGINT AS peak_wip,
+         min(d)::BIGINT AS d0, max(d)::BIGINT AS d1
+  FROM walk
+),
+n AS (
+  SELECT count(*)::BIGINT AS n_orders, sum(e - s)::BIGINT AS dur_days FROM iv
+)
+SELECT n.n_orders, (s.d1 - s.d0) AS window_days, s.peak_wip,
+       round(n.n_orders / CAST(s.d1 - s.d0 AS DOUBLE), 4) AS lambda_per_day_r,
+       round(n.dur_days / CAST(n.n_orders AS DOUBLE), 4) AS w_days_r,
+       round(s.open_days / CAST(s.d1 - s.d0 AS DOUBLE), 4) AS l_avg_wip_r,
+       round(s.peak_wip * CAST(s.d1 - s.d0 AS DOUBLE) / s.open_days, 4)
+         AS peak_to_avg_r
+FROM sweep s CROSS JOIN n
+"""
+
+QUERIES.update({"orders_littles_law": q_orders_littles_law})
+ORACLES.update({"orders_littles_law": ORACLE_ORDERS_LITTLES})

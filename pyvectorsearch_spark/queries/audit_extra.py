@@ -708,3 +708,83 @@ FROM ranged GROUP BY range_id ORDER BY range_id
 
 QUERIES.update({"audit_merkle_ranges": q_audit_merkle_ranges})
 ORACLES.update({"audit_merkle_ranges": ORACLE_AUDIT_MERKLE})
+
+
+# --- price last-digit preference ------------------------------------------------
+
+
+def q_audit_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit-preference audit on order totals: the distribution of the
+    CENTS residue bucketed by its tens digit (…x0–…x9) with a chi-square
+    against uniform — human-entered or rule-generated prices pile on .00 /
+    .99 ("psychological pricing"); organically-computed totals don't.
+    First-digit Benford (`audit_benford`) screens magnitudes; last-digit
+    preference screens the other end of the number.
+
+    Determinism: residues and counts are bigints; the per-bucket chi²
+    terms micro-fix before the sum.
+
+    Scale: one map-side 10-cell rollup; the report is 10 rows + the
+    stat."""
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        F.floor(
+            (F.round(F.col("o_totalprice") * 100).cast("bigint") % 100) / 10
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = o.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("_t"))
+    scored = obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("_t").cast("double"), 6).alias("share_r"),
+        F.round(
+            (F.col("n") - F.col("_t") / 10.0)
+            * (F.col("n") - F.col("_t") / 10.0)
+            / (F.col("_t") / 10.0)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("_cu"),
+    )
+    chi = scored.agg(
+        F.round(F.sum("_cu") / 1000000.0, 4).alias("_chi")
+    )
+    return (
+        scored.crossJoin(F.broadcast(chi))
+        .select(
+            "digit",
+            "n",
+            "share_r",
+            F.round(F.col("_cu") / 1000000.0, 4).alias("chi2_contrib_r"),
+            F.col("_chi").alias("chi2_total_r"),
+        )
+        .orderBy("digit")
+    )
+
+
+ORACLE_AUDIT_PRICE_DIGITS = """
+WITH o AS (
+  SELECT CAST((CAST(round(o_totalprice * 100) AS BIGINT) % 100) // 10 AS INT)
+           AS digit
+  FROM orders
+),
+obs AS (SELECT digit, count(*)::BIGINT AS n FROM o GROUP BY digit),
+tot AS (SELECT sum(n)::BIGINT AS t FROM obs),
+sc AS (
+  SELECT obs.digit, obs.n,
+         round(obs.n / CAST(t.t AS DOUBLE), 6) AS share_r,
+         CAST(round((obs.n - t.t / 10.0) * (obs.n - t.t / 10.0)
+                    / (t.t / 10.0) * 1000000) AS BIGINT) AS cu
+  FROM obs CROSS JOIN tot t
+),
+chi AS (SELECT round(sum(cu) / 1000000.0, 4) AS chi FROM sc)
+SELECT sc.digit, sc.n, sc.share_r,
+       round(sc.cu / 1000000.0, 4) AS chi2_contrib_r,
+       chi.chi AS chi2_total_r
+FROM sc CROSS JOIN chi ORDER BY sc.digit
+"""
+
+QUERIES.update({"audit_price_digits": q_audit_price_digits})
+ORACLES.update({"audit_price_digits": ORACLE_AUDIT_PRICE_DIGITS})
