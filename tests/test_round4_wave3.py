@@ -933,3 +933,69 @@ def test_bootstrap_ci_matches_hashlib(spark):
     assert abs(got["ci_hi_r"] - mus[BOOT_HI_RANK - 1] / 1e6) < 1e-4
     # the full mean must sit inside its own CI
     assert got["ci_lo_r"] <= got["mean_full_r"] <= got["ci_hi_r"]
+
+
+def test_littles_law_matches_pandas(spark):
+    from pyvectorsearch_spark.queries.analytic_extra import q_orders_littles_law
+
+    got = q_orders_littles_law(spark, SF_SMOKE).collect()[0]
+    o = _pq("orders")
+    li = _pq("lineitem")
+    ends = li.groupby("l_orderkey")["l_shipdate"].max()
+    j = o.join(ends.rename("e"), on="o_orderkey", how="inner")
+    s = pd.Series(
+        j["o_orderdate"].to_numpy().astype("datetime64[D]").astype("int64"),
+        index=j.index,
+    )
+    ed = pd.Series(
+        j["e"].to_numpy().astype("datetime64[D]").astype("int64"),
+        index=j.index,
+    )
+    mask = ed > s
+    s, ed = s[mask], ed[mask]
+    n, dur = len(s), int((ed - s).sum())
+    lo, hi = int(min(s.min(), ed.min())), int(max(s.max(), ed.max()))
+    window = hi - lo
+    # daily open counts via delta walk
+    days = np.zeros(window + 1, dtype=np.int64)
+    np.add.at(days, (s - lo).to_numpy(), 1)
+    np.add.at(days, (ed - lo).to_numpy(), -1)
+    open_curve = np.cumsum(days)
+    open_days = int(open_curve[:-1].sum())  # open count holds until next day
+    peak = int(open_curve.max())
+    assert got["n_orders"] == n and got["window_days"] == window
+    assert got["peak_wip"] == peak
+    assert abs(got["lambda_per_day_r"] - n / window) < 1e-3
+    assert abs(got["w_days_r"] - dur / n) < 1e-3
+    assert abs(got["l_avg_wip_r"] - open_days / window) < 1e-3
+    # Little's law identity: L = lambda * W (holds exactly here since
+    # open_days == total duration by the [start, end) convention; the
+    # displayed 4-dp rounding of lambda amplifies by W ~ 1000 days, so
+    # tolerance scales with W)
+    assert abs(got["l_avg_wip_r"]
+               - got["lambda_per_day_r"] * got["w_days_r"]) \
+        < 1e-4 * got["w_days_r"] + 1e-3
+
+
+def test_price_digits_matches_pandas(spark):
+    from pyvectorsearch_spark.queries.audit_extra import q_audit_price_digits
+
+    got = {r["digit"]: r for r in q_audit_price_digits(spark, SF_SMOKE).collect()}
+    o = _pq("orders")
+    cents = (o["o_totalprice"] * 100).round().astype("int64") % 100
+    digits = cents // 10
+    counts = digits.value_counts().to_dict()
+    t = len(o)
+    chi = sum(
+        round((counts.get(d, 0) - t / 10.0) ** 2 / (t / 10.0) * 1e6) / 1e6
+        for d in range(10)
+        if d in counts
+    )
+    for d in range(10):
+        if d not in counts:
+            assert d not in got
+            continue
+        r = got[d]
+        assert r["n"] == counts[d]
+        assert abs(r["chi2_total_r"] - chi) < 1e-3
+    assert abs(sum(r["share_r"] for r in got.values()) - 1.0) < 1e-4
