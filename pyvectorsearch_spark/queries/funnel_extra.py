@@ -749,3 +749,134 @@ ORACLE_CUSTOMER_SURVIVAL_KM = _km_survival_oracle()
 
 QUERIES.update({"customer_survival_km": q_customer_survival_km})
 ORACLES.update({"customer_survival_km": ORACLE_CUSTOMER_SURVIVAL_KM})
+
+
+# --- transition-matrix drift (sequence homogeneity) ----------------------------
+
+TRANS_SPLIT_DAY = 16
+
+
+def q_events_transition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did user BEHAVIOR change, not just volumes? Chi-square homogeneity
+    test per transition row: for each prev event type, compare the
+    next-type distribution between the month's halves (the sequence-drift
+    companion to `events_psi_drift`'s value drift — a bot wave changes
+    WHERE users go, which volume monitors miss). Transitions that straddle
+    the split boundary are attributed to the period of their FIRST event.
+
+    Determinism: all cells/margins are bigints; per-cell chi² terms
+    micro-fix; verdicts at the df-matched 95% cut.
+
+    Scale: one user-keyed lag window (the sequence shuffle any Markov
+    model pays), then types²-sized cells."""
+    from pyspark.sql import Window
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .withColumn("_prev_day", F.lag(F.dayofmonth("ts")).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.col("_prev").alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+            (F.col("_prev_day") >= TRANS_SPLIT_DAY).alias("_late"),
+        )
+    )
+    cell = pairs.groupBy("prev_type", "next_type", "_late").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    rowm = cell.groupBy("prev_type", "_late").agg(
+        F.sum("o").cast("bigint").alias("_rm")
+    )
+    colm = cell.groupBy("prev_type", "next_type").agg(
+        F.sum("o").cast("bigint").alias("_cm")
+    )
+    tot = cell.groupBy("prev_type").agg(F.sum("o").cast("bigint").alias("_n"))
+    terms = (
+        cell.join(rowm, ["prev_type", "_late"])
+        .join(colm, ["prev_type", "next_type"])
+        .join(tot, "prev_type")
+        .withColumn(
+            "_e", F.col("_rm") * F.col("_cm") / F.col("_n").cast("double")
+        )
+        .withColumn(
+            "_tu",
+            F.round(
+                (F.col("o") - F.col("_e"))
+                * (F.col("o") - F.col("_e"))
+                / F.col("_e")
+                * 1000000
+            ).cast("bigint"),
+        )
+    )
+    k = cell.groupBy("prev_type").agg(
+        F.countDistinct("next_type").cast("bigint").alias("_k")
+    )
+    return (
+        terms.groupBy("prev_type")
+        .agg(
+            F.sum("o").cast("bigint").alias("n_transitions"),
+            F.round(F.sum("_tu") / 1000000.0, 4).alias("chi2_r"),
+        )
+        .join(k, "prev_type")
+        .select(
+            "prev_type",
+            "n_transitions",
+            (F.col("_k") - 1).cast("bigint").alias("df"),
+            "chi2_r",
+        )
+        .orderBy("prev_type")
+    )
+
+
+ORACLE_EVENTS_TRANSITION_DRIFT = f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id, day(CAST(ts AS TIMESTAMP)) AS dd
+  FROM events
+),
+pairs AS (
+  SELECT lag(event_type) OVER w AS prev_type,
+         event_type AS next_type,
+         (lag(dd) OVER w >= {TRANS_SPLIT_DAY}) AS late
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+cell AS (
+  SELECT prev_type, next_type, late, count(*)::BIGINT AS o
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type, late
+),
+rowm AS (
+  SELECT prev_type, late, sum(o)::BIGINT AS rm FROM cell
+  GROUP BY prev_type, late
+),
+colm AS (
+  SELECT prev_type, next_type, sum(o)::BIGINT AS cm FROM cell
+  GROUP BY prev_type, next_type
+),
+tot AS (SELECT prev_type, sum(o)::BIGINT AS n FROM cell GROUP BY prev_type),
+terms AS (
+  SELECT c.prev_type, c.o,
+         CAST(round((c.o - r.rm * cm.cm / CAST(t.n AS DOUBLE))
+                    * (c.o - r.rm * cm.cm / CAST(t.n AS DOUBLE))
+                    / (r.rm * cm.cm / CAST(t.n AS DOUBLE)) * 1000000)
+              AS BIGINT) AS tu
+  FROM cell c
+  JOIN rowm r ON c.prev_type = r.prev_type AND c.late = r.late
+  JOIN colm cm ON c.prev_type = cm.prev_type AND c.next_type = cm.next_type
+  JOIN tot t ON c.prev_type = t.prev_type
+),
+k AS (
+  SELECT prev_type, count(DISTINCT next_type)::BIGINT AS k FROM cell
+  GROUP BY prev_type
+)
+SELECT terms.prev_type, sum(terms.o)::BIGINT AS n_transitions,
+       max(k.k - 1)::BIGINT AS df,
+       round(sum(terms.tu) / 1000000.0, 4) AS chi2_r
+FROM terms JOIN k ON terms.prev_type = k.prev_type
+GROUP BY terms.prev_type ORDER BY terms.prev_type
+"""
+
+QUERIES.update({"events_transition_drift": q_events_transition_drift})
+ORACLES.update({"events_transition_drift": ORACLE_EVENTS_TRANSITION_DRIFT})

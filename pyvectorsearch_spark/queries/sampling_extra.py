@@ -622,3 +622,56 @@ FROM w CROSS JOIN tot t ORDER BY w.source
 
 QUERIES.update({"sample_neyman_allocation": q_sample_neyman_allocation})
 ORACLES.update({"sample_neyman_allocation": ORACLE_SAMPLE_NEYMAN})
+
+
+# --- effective sample size of a weighted design ---------------------------------
+
+
+def q_sample_mixture_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size (Kish 1965) of length-weighted sampling per
+    source: ESS = (Σw)²/Σw² with w = n_chars — how many EQUAL-WEIGHT docs
+    the weighted design is statistically worth. Efficiency = ESS/n exposes
+    where heavy-tailed lengths make importance weighting wasteful (the
+    diagnostic that says whether `sample_weighted_k`'s design needs weight
+    clipping before it runs).
+
+    Determinism: Σw is bigint; Σw² accumulates in DECIMAL(38,0)/HUGEINT
+    (char-count squares overflow bigint near ~10⁹ docs); one rounded
+    division per source.
+
+    Scale: one map-side moment rollup to sources-sized cells."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("bigint").alias("_w")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_w").cast("bigint").alias("_sw"),
+        F.sum(d(F.col("_w")) * d(F.col("_w"))).alias("_sw2"),
+    )
+    ess = (d(m["_sw"]) * d(m["_sw"])).cast("double") / m["_sw2"].cast("double")
+    return m.select(
+        "source",
+        "n_docs",
+        F.round(ess, 4).alias("ess_r"),
+        F.round(ess / F.col("n_docs").cast("double"), 6).alias("efficiency_r"),
+    ).orderBy("source")
+
+
+ORACLE_SAMPLE_MIXTURE_ESS = """
+WITH m AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS sw,
+         sum(n_chars::HUGEINT * n_chars::HUGEINT) AS sw2
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs,
+       round(CAST(sw::HUGEINT * sw::HUGEINT AS DOUBLE) / CAST(sw2 AS DOUBLE), 4)
+         AS ess_r,
+       round(CAST(sw::HUGEINT * sw::HUGEINT AS DOUBLE) / CAST(sw2 AS DOUBLE)
+             / n_docs, 6) AS efficiency_r
+FROM m ORDER BY source
+"""
+
+QUERIES.update({"sample_mixture_ess": q_sample_mixture_ess})
+ORACLES.update({"sample_mixture_ess": ORACLE_SAMPLE_MIXTURE_ESS})

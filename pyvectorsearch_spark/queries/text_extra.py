@@ -724,3 +724,57 @@ ORDER BY i.source_a, i.source_b
 
 QUERIES.update({"text_vocab_overlap": q_text_vocab_overlap})
 ORACLES.update({"text_vocab_overlap": ORACLE_TEXT_VOCAB_OVERLAP})
+
+
+# --- deflate compression-ratio quality signal ------------------------------------
+
+ZLIB_LEVEL = 6
+
+
+def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate compression ratio per document (zlib level 6), rolled up per
+    source — the classic cheap redundancy detector (CCNet/Gopher-style
+    filters): boilerplate and repeated templates compress far below
+    natural prose; random gibberish barely compresses at all. The
+    dictionary-based signal `text_repetition`'s n-gram rules and
+    `text_char_entropy`'s order-0 rate both miss long-range repeats on.
+
+    NO SQL ORACLE (DuckDB has no deflate) — the driver records a
+    rows-only check; the golden test recomputes every ratio with the same
+    zlib from the raw parquet, and the per-source means are integer
+    micro-fixed so the rollup is order-free.
+
+    Scale: an Arrow-batched mapInPandas over the scan (zlib releases the
+    GIL; bytes never shuffle — only (source, ratio-micro) cells do)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+
+    def score(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            n = raw.str.len().astype("int64")
+            comp = raw.map(lambda b: len(zlib.compress(b, ZLIB_LEVEL)))
+            ratio = (comp / n.clip(lower=1) * 1000000).round().astype("int64")
+            yield pd.DataFrame({"source": pdf["source"], "_ru": ratio})
+
+    cells = docs.mapInPandas(score, schema="source string, _ru long")
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.sum("_ru") / (F.count("*") * F.lit(1000000.0)), 4).alias(
+                "avg_ratio_r"
+            ),
+            F.round(F.min("_ru") / 1000000.0, 4).alias("min_ratio_r"),
+            F.round(F.max("_ru") / 1000000.0, 4).alias("max_ratio_r"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES.update({"text_compression_ratio": q_text_compression_ratio})
+# no ORACLES entry: deflate is not SQL-expressible; rows-only driver check +
+# the zlib golden test in tests/test_round4_wave3.py

@@ -999,3 +999,77 @@ def test_price_digits_matches_pandas(spark):
         assert r["n"] == counts[d]
         assert abs(r["chi2_total_r"] - chi) < 1e-3
     assert abs(sum(r["share_r"] for r in got.values()) - 1.0) < 1e-4
+
+
+def test_transition_drift_matches_pandas(spark):
+    from pyvectorsearch_spark.queries.funnel_extra import (
+        TRANS_SPLIT_DAY,
+        q_events_transition_drift,
+    )
+
+    got = {r["prev_type"]: r
+           for r in q_events_transition_drift(spark, SF_SMOKE).collect()}
+    ev = _pq("events").sort_values(["user_id", "ts", "event_id"])
+    cells = {}
+    for _, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        days = pd.to_datetime(grp["ts"]).dt.day.tolist()
+        for i in range(1, len(types)):
+            key = (types[i - 1], types[i], days[i - 1] >= TRANS_SPLIT_DAY)
+            cells[key] = cells.get(key, 0) + 1
+    prevs = sorted({k[0] for k in cells})
+    for p in prevs:
+        sub = {(nt, lt): o for (pt, nt, lt), o in cells.items() if pt == p}
+        n = sum(sub.values())
+        rowm = {}
+        colm = {}
+        for (nt, lt), o in sub.items():
+            rowm[lt] = rowm.get(lt, 0) + o
+            colm[nt] = colm.get(nt, 0) + o
+        chi = sum(
+            round((o - rowm[lt] * colm[nt] / n) ** 2
+                  / (rowm[lt] * colm[nt] / n) * 1e6) / 1e6
+            for (nt, lt), o in sub.items()
+        )
+        r = got[p]
+        assert r["n_transitions"] == n
+        assert r["df"] == len(colm) - 1
+        assert abs(r["chi2_r"] - chi) < 1e-3
+
+
+def test_mixture_ess_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.sampling_extra import q_sample_mixture_ess
+
+    got = {r["source"]: r for r in q_sample_mixture_ess(spark, SF_SMOKE).collect()}
+    docs = _pq("documents")
+    for src, grp in docs.groupby("source"):
+        w = grp["n_chars"].to_numpy().astype(float)
+        ess = w.sum() ** 2 / (w**2).sum()
+        r = got[src]
+        assert r["n_docs"] == len(w)
+        assert abs(r["ess_r"] - ess) < 1e-2
+        assert abs(r["efficiency_r"] - ess / len(w)) < 1e-4
+        assert 0 < r["efficiency_r"] <= 1.0 + 1e-9  # Kish bound
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from pyvectorsearch_spark.queries.text_extra import (
+        ZLIB_LEVEL,
+        q_text_compression_ratio,
+    )
+
+    got = {r["source"]: r for r in q_text_compression_ratio(spark, SF_SMOKE).collect()}
+    docs = _pq("documents")
+    by_src = {}
+    for _, row in docs.iterrows():
+        raw = row["text"].encode("utf-8")
+        ru = round(len(zlib.compress(raw, ZLIB_LEVEL)) / max(len(raw), 1) * 1e6)
+        by_src.setdefault(row["source"], []).append(ru)
+    for src, arr in by_src.items():
+        r = got[src]
+        assert r["n_docs"] == len(arr)
+        assert abs(r["avg_ratio_r"] - sum(arr) / (len(arr) * 1e6)) < 1e-4
+        assert abs(r["min_ratio_r"] - min(arr) / 1e6) < 1e-4
+        assert abs(r["max_ratio_r"] - max(arr) / 1e6) < 1e-4
