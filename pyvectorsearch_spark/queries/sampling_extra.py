@@ -675,3 +675,147 @@ FROM m ORDER BY source
 
 QUERIES.update({"sample_mixture_ess": q_sample_mixture_ess})
 ORACLES.update({"sample_mixture_ess": ORACLE_SAMPLE_MIXTURE_ESS})
+
+
+# --- near-dup-aware GroupKFold split ---------------------------------------------
+
+GKF_FOLDS = 5
+GKF_SALT = "gkf-v1"
+
+
+def q_sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold assignment: folds hash the near-dup CLUSTER id
+    (from the Jaccard connected components), so a document and its near-
+    duplicates always land in the SAME fold — the eval-integrity rule
+    naive per-doc splitting breaks (a test doc whose twin sits in train is
+    a leaked answer; `text_decontamination` screens external benchmarks,
+    this screens the split itself). The report quantifies the danger: how
+    many multi-doc clusters the naive per-doc hash split would straddle
+    across folds, and how many documents sit in those leaking clusters.
+
+    Determinism: cluster ids are the engine-exact component minima the
+    dedup family pins; both fold hashes are md5 mod K; all counts bigint.
+
+    Scale: one extra md5 projection over the already-computed cluster
+    assignment — the split costs nothing beyond the dedup pass it reuses."""
+    from pyvectorsearch_spark.operators.dedup import jaccard_similarity_pairs
+    from pyvectorsearch_spark.operators.graph import dup_clusters
+    from pyvectorsearch_spark.queries.dedup import JACCARD_THRESHOLD
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_similarity_pairs(docs, threshold=JACCARD_THRESHOLD)
+    cl = dup_clusters(docs, pairs).select("doc_id", "cluster_id")
+
+    def fold_of(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(GKF_SALT + "#"), col.cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % GKF_FOLDS
+        ).cast("int")
+
+    flagged = cl.select(
+        "doc_id",
+        "cluster_id",
+        fold_of(F.col("cluster_id")).alias("_fg"),
+        fold_of(F.col("doc_id")).alias("_fn"),
+    )
+    per_fold = flagged.groupBy(F.col("_fg").alias("fold")).agg(
+        F.count("*").cast("bigint").alias("n_docs_group"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters_group"),
+    )
+    naive = flagged.groupBy(F.col("_fn").alias("fold")).agg(
+        F.count("*").cast("bigint").alias("n_docs_naive")
+    )
+    leak = (
+        flagged.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("_sz"),
+            F.countDistinct("_fn").cast("bigint").alias("_nf"),
+        )
+        .filter((F.col("_sz") > 1) & (F.col("_nf") > 1))
+        .agg(
+            F.count("*").cast("bigint").alias("leak_clusters"),
+            F.coalesce(F.sum("_sz"), F.lit(0)).cast("bigint").alias("leak_docs"),
+        )
+    )
+    return (
+        per_fold.join(naive, "fold")
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "fold",
+            "n_docs_group",
+            "n_clusters_group",
+            "n_docs_naive",
+            "leak_clusters",
+            "leak_docs",
+        )
+        .orderBy("fold")
+    )
+
+
+def _gkf_oracle() -> str:
+    from pyvectorsearch_spark.queries.dedup import _JACCARD_CTES
+
+    fold_c = (
+        f"(('0x' || substr(md5('{GKF_SALT}#' || cluster_id::VARCHAR), 1, 12))"
+        f"::BIGINT % {GKF_FOLDS})::INT"
+    )
+    fold_d = (
+        f"(('0x' || substr(md5('{GKF_SALT}#' || doc_id::VARCHAR), 1, 12))"
+        f"::BIGINT % {GKF_FOLDS})::INT"
+    )
+    return f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM jpairs
+  UNION
+  SELECT d2, d1 FROM jpairs
+),
+reach(node, lbl) AS (
+    SELECT a, a FROM edges
+  UNION
+    SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+cl AS (
+  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+flagged AS (
+  SELECT doc_id, cluster_id, {fold_c} AS fg, {fold_d} AS fn FROM cl
+),
+per_fold AS (
+  SELECT fg AS fold, count(*)::BIGINT AS n_docs_group,
+         count(DISTINCT cluster_id)::BIGINT AS n_clusters_group
+  FROM flagged GROUP BY fg
+),
+naive AS (
+  SELECT fn AS fold, count(*)::BIGINT AS n_docs_naive FROM flagged GROUP BY fn
+),
+leak AS (
+  SELECT count(*)::BIGINT AS leak_clusters,
+         coalesce(sum(sz), 0)::BIGINT AS leak_docs
+  FROM (
+    SELECT cluster_id, count(*)::BIGINT AS sz,
+           count(DISTINCT fn)::BIGINT AS nf
+    FROM flagged GROUP BY cluster_id
+  ) WHERE sz > 1 AND nf > 1
+)
+SELECT p.fold, p.n_docs_group, p.n_clusters_group, n.n_docs_naive,
+       l.leak_clusters, l.leak_docs
+FROM per_fold p JOIN naive n ON p.fold = n.fold CROSS JOIN leak l
+ORDER BY p.fold
+"""
+
+
+ORACLE_SAMPLE_GROUP_KFOLD = _gkf_oracle()
+
+QUERIES.update({"sample_group_kfold": q_sample_group_kfold})
+ORACLES.update({"sample_group_kfold": ORACLE_SAMPLE_GROUP_KFOLD})
