@@ -790,3 +790,100 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 QUERIES.update({"events_props_variant": events_props_variant})
 ORACLES.update({"events_props_variant": ORACLE_PROPS_VARIANT})
+
+
+# One SQL text, two engines: Spark 4's WITH RECURSIVE executes this string
+# directly, and the oracle IS the same string run by DuckDB — zero
+# translation gap by construction.
+_TREE_SQL = """
+WITH RECURSIVE chain (k, depth) AS (
+  SELECT c_custkey, 0 FROM customer WHERE c_custkey = 0
+  UNION ALL
+  SELECT c.c_custkey, ch.depth + 1
+  FROM customer c JOIN chain ch
+    ON CAST(FLOOR(c.c_custkey / 10) AS BIGINT) = ch.k
+  WHERE c.c_custkey <> 0
+),
+rev AS (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rc
+  FROM orders GROUP BY o_custkey
+)
+SELECT chain.depth,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(chain.k) AS BIGINT) AS min_key,
+       CAST(MAX(chain.k) AS BIGINT) AS max_key,
+       ROUND(COALESCE(SUM(rev.rc), 0) / CAST(100 AS DOUBLE), 2)
+         AS subtree_level_revenue_r
+FROM chain LEFT JOIN rev ON chain.k = rev.o_custkey
+GROUP BY chain.depth
+ORDER BY chain.depth
+"""
+
+
+def customer_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE (SPARK-24497): customers form a synthetic
+    10-ary referral tree (parent = custkey÷10, rooted at 0) and the
+    recursion walks it to assign every customer a depth, with per-level
+    counts and revenue — the hierarchy-explosion query (org charts, BOM,
+    category trees) that needed iterative driver loops before Spark 4.
+    The ORACLE IS THE SAME SQL STRING run by DuckDB — no translation gap.
+
+    Determinism: integer keys and depths; exact cents.
+
+    Scale: each recursion level is one equi-join on the parent key
+    (depth ≈ log₁₀(max key) levels, so ~7 joins at a billion customers) —
+    the same plan a driver-side loop would produce, minus the driver."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TREE_SQL)
+
+
+QUERIES.update({"customer_tree_depth": customer_tree_depth})
+ORACLES.update({"customer_tree_depth": _TREE_SQL})
+
+
+def status_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT → UNPIVOT inverse property on the engine itself: orders pivot
+    to a wide (priority × status-count-columns) table, then
+    ``DataFrame.unpivot`` (Spark's melt) folds it back to long form — and
+    the oracle is the DIRECT long-form GROUP BY, so the round trip is
+    proven lossless (the wide-table detour must change nothing). Covers
+    the unpivot half of the reshape surface (`status_pivot` covers
+    pivot).
+
+    Scale: one map-side rollup to priority×status cells; pivot/unpivot
+    reshape those few rows only."""
+    o = _t(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        ids=["o_orderpriority"],
+        values=statuses,
+        variableColumnName="status",
+        valueColumnName="n_orders",
+    )
+    return (
+        long.select(
+            "o_orderpriority",
+            "status",
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+ORACLE_STATUS_UNPIVOT = """
+SELECT o_orderpriority, o_orderstatus AS status, count(*)::BIGINT AS n_orders
+FROM orders
+WHERE o_orderstatus IN ('F', 'O', 'P')
+GROUP BY o_orderpriority, o_orderstatus
+ORDER BY o_orderpriority, status
+"""
+
+QUERIES.update({"status_unpivot_roundtrip": status_unpivot_roundtrip})
+ORACLES.update({"status_unpivot_roundtrip": ORACLE_STATUS_UNPIVOT})
