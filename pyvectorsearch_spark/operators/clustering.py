@@ -377,3 +377,68 @@ def kmeans_silhouette(
             "n_negative",
         )
     )
+
+
+def kmeans_calinski_harabasz(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    rounds: int = 2,
+) -> DataFrame:
+    """Calinski–Harabasz variance-ratio index over the fixed-round Lloyd
+    partition: CH = (B/(k−1)) / (W/(n−k)) with W = within-cluster and B =
+    between-cluster squared distance mass — the cluster-count selection
+    criterion beside the per-cluster silhouette (CH compares PARTITIONS;
+    silhouette localizes boundary trouble).
+
+    Engine-exact: W is the exact bigint inertia; the global mean uses the
+    SAME integer round-half-up as the centroid update; B = Σ n_c·‖c_c−g‖²
+    is pure integer arithmetic on the collected (constant-size) centroids;
+    CH divides once at the end.
+
+    Scale: one assignment pass (zero-shuffle literal centroids), a k-sized
+    rollup, and one dim-sized global-sum aggregate."""
+    base = df.select(
+        F.col(id_col).alias("_id"), _km_quantize(vec_col).alias("_q")
+    )
+    cents = _km_train(base, k, rounds)
+    dim = len(cents[0])
+    assigned = _km_assign(base, cents)
+    per = (
+        assigned.groupBy("_c")
+        .agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum("_d2").cast("bigint").alias("_w"),
+        )
+        .collect()
+    )
+    gsums = (
+        base.select(F.posexplode("_q").alias("_d", "_v"))
+        .groupBy("_d")
+        .agg(F.sum("_v").cast("bigint").alias("_s"), F.count("*").alias("_n"))
+        .collect()
+    )
+    n_total = int(gsums[0]["_n"])
+    g = [0] * dim
+    for r in gsums:
+        sp = int(r["_s"]) + n_total * KM_OFFSET
+        g[int(r["_d"])] = (2 * sp + n_total) // (2 * n_total) - KM_OFFSET
+    counts = {int(r["_c"]): int(r["_n"]) for r in per}
+    w = sum(int(r["_w"]) for r in per)
+    b = sum(
+        counts.get(ci, 0)
+        * sum((cv[d] - g[d]) * (cv[d] - g[d]) for d in range(dim))
+        for ci, cv in enumerate(cents)
+    )
+    k_eff = len(counts)
+    spark = df.sparkSession
+    ch = 0.0
+    if k_eff > 1 and n_total > k_eff and w > 0:
+        ch = round((b / (k_eff - 1)) / (w / (n_total - k_eff)), 4)
+    return spark.createDataFrame(
+        [(n_total, k_eff, w, b, ch)],
+        "n_points long, k_clusters long, within_ss long, between_ss long, "
+        "ch_index_r double",
+    )

@@ -452,3 +452,67 @@ def connected_components_twostar(
         lbl.select(F.col("node").alias("n2")), nodes["node"] == F.col("n2"), "left_anti"
     ).select("node", F.col("node").alias("cluster"))
     return lbl.union(roots)
+
+
+def bfs_hops(
+    pairs: DataFrame,
+    *,
+    seed,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, hops) BFS distance from ``seed`` over the undirected pair
+    graph — the reachability/radius primitive beside the component labels
+    (``connected_components`` says WHO is transitively linked; this says
+    HOW FAR, which is the chain-length evidence behind the over-merge
+    diagnostics: a hop-7 "duplicate" is single-linkage glue, not a copy).
+
+    Distributed min-distance propagation (Bellman–Ford on unit weights):
+    dist(v) = min(dist(v), min over neighbors dist(u) + 1) per round, same
+    co-partitioned edge join + lazy-checkpoint convergence trick as
+    ``connected_components`` — one job per round, edges never re-exchange.
+    Rounds = graph eccentricity of the seed, bounded by ``max_iter``.
+
+    Returns only REACHED nodes; unreached nodes are absent (callers count
+    them by anti-joining the node set).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .repartition("b")
+        .localCheckpoint(eager=True)
+    )
+    spark = pairs.sparkSession
+    dist = spark.createDataFrame([(int(seed), 0)], "node long, hops int")
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(dist, edges["b"] == dist["node"])
+            .groupBy("a")
+            .agg((F.min("hops") + 1).alias("nhops"))
+            .select(F.col("a").alias("node"), F.col("nhops"))
+        )
+        nxt = (
+            dist.select("node", "hops")
+            .join(nbr.withColumnRenamed("nhops", "_cand")
+                  .withColumnRenamed("node", "_n"),
+                  F.col("node") == F.col("_n"), "full")
+            .select(
+                F.coalesce("node", "_n").alias("node"),
+                F.least(
+                    F.coalesce("hops", F.lit(max_iter + 1)),
+                    F.coalesce("_cand", F.lit(max_iter + 1)),
+                ).cast("int").alias("hops"),
+                (
+                    F.col("hops").isNull()
+                    | (F.coalesce("_cand", F.lit(max_iter + 1)) < F.col("hops"))
+                ).cast("int").alias("_changed"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = nxt.agg(F.max("_changed")).collect()[0][0]
+        dist = nxt.select("node", "hops")
+        if not changed:
+            return dist
+    raise RuntimeError(f"bfs_hops: no convergence in {max_iter} rounds")

@@ -1341,3 +1341,93 @@ ORACLE_DEDUP_THRESHOLD_CURVE = _threshold_curve_oracle()
 
 QUERIES.update({"dedup_threshold_curve": q_dedup_threshold_curve})
 ORACLES.update({"dedup_threshold_curve": ORACLE_DEDUP_THRESHOLD_CURVE})
+
+
+# --- BFS hop-distance profile ----------------------------------------------------
+
+BFS_MAX_HOPS = 25
+
+
+def q_dedup_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance profile of the SimHash near-dup graph from its smallest
+    doc id: how many documents sit 1, 2, 3… hops away, plus the unreached
+    remainder — the chain-length evidence behind single-linkage
+    over-merge (`dedup_clusters` links a hop-7 "duplicate" into the seed's
+    cluster; this query shows the 7). Engine side is distributed unit-
+    weight Bellman–Ford (co-partitioned edge joins, one job per round);
+    the oracle recomputes distances with a recursive CTE.
+
+    Scale: rounds = seed eccentricity (near-dup graphs: 2–4); each round
+    is one equi-join on the pre-partitioned edge table."""
+    from pyvectorsearch_spark.operators.dedup import simhash_pairs
+    from pyvectorsearch_spark.operators.graph import bfs_hops
+    from pyvectorsearch_spark.queries.dedup import MAX_HAMMING
+    from pyvectorsearch_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = simhash_pairs(docs, max_hamming=MAX_HAMMING)
+    pairs = pairs.localCheckpoint(eager=True)  # reused: seed scan + 2 passes
+    seed = pairs.agg(F.min("d1")).collect()[0][0]
+    reached = bfs_hops(pairs, seed=seed, max_iter=BFS_MAX_HOPS)
+    nodes = (
+        pairs.select(F.col("d1").alias("node"))
+        .union(pairs.select(F.col("d2").alias("node")))
+        .distinct()
+    )
+    unreached = nodes.join(reached, "node", "left_anti").agg(
+        F.count("*").cast("bigint").alias("_n")
+    )
+    prof = reached.groupBy("hops").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+    return (
+        prof.select(F.col("hops").cast("int").alias("hops"), "n_nodes")
+        .unionByName(
+            unreached.select(
+                F.lit(-1).cast("int").alias("hops"),
+                F.col("_n").alias("n_nodes"),
+            )
+        )
+        .filter(F.col("n_nodes") > 0)
+        .orderBy("hops")
+    )
+
+
+def _bfs_oracle() -> str:
+    from pyvectorsearch_spark.queries.dedup import _simhash_oracle
+
+    return f"""
+WITH RECURSIVE pairs AS ({_simhash_oracle()}),
+e AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2, d1 FROM pairs
+),
+seed AS (SELECT min(a) AS s FROM e),
+walk (node, hops) AS (
+    SELECT s, 0 FROM seed
+  UNION
+    SELECT e.a, w.hops + 1
+    FROM e JOIN walk w ON e.b = w.node
+    WHERE w.hops < {BFS_MAX_HOPS}
+),
+reached AS (SELECT node, min(hops)::INT AS hops FROM walk GROUP BY node),
+prof AS (
+  SELECT hops, count(*)::BIGINT AS n_nodes FROM reached GROUP BY hops
+),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+unreached AS (
+  SELECT -1::INT AS hops, count(*)::BIGINT AS n_nodes
+  FROM nodes WHERE node NOT IN (SELECT node FROM reached)
+)
+SELECT hops, n_nodes FROM prof
+UNION ALL
+SELECT hops, n_nodes FROM unreached WHERE n_nodes > 0
+ORDER BY hops
+"""
+
+
+ORACLE_DEDUP_BFS_HOPS = _bfs_oracle()
+
+QUERIES.update({"dedup_bfs_hops": q_dedup_bfs_hops})
+ORACLES.update({"dedup_bfs_hops": ORACLE_DEDUP_BFS_HOPS})

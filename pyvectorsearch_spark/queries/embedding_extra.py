@@ -825,3 +825,67 @@ ORACLE_EMBEDDING_SILHOUETTE = _silhouette_oracle()
 
 QUERIES.update({"embedding_silhouette": q_embedding_silhouette})
 ORACLES.update({"embedding_silhouette": ORACLE_EMBEDDING_SILHOUETTE})
+
+
+# --- Calinski–Harabasz variance-ratio index ---------------------------------------
+
+
+def q_embedding_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level cluster quality: the Calinski–Harabasz variance
+    ratio over the shared engine-exact k-means assignment (within/between
+    squared mass both exact integers; the global mean uses the identical
+    round-half-up ladder as the centroid update, so the oracle replays
+    everything bit-for-bit). The k-selection criterion beside
+    `embedding_silhouette`'s per-cluster view."""
+    from pyvectorsearch_spark.operators.clustering import (
+        kmeans_calinski_harabasz,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return kmeans_calinski_harabasz(
+        emb, id_col="vec_id", vec_col="embedding", k=KM_K, rounds=KM_ROUNDS
+    )
+
+
+def _ch_oracle() -> str:
+    d2g = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        "i -> (cc.cv[i]-g.gv[i])*(cc.cv[i]-g.gv[i])))"
+    )
+    return f"""
+WITH {_kmeans_oracle(KM_K, KM_ROUNDS, DIM)},
+gm AS (
+  SELECT t.i AS d, sum(qv[t.i])::BIGINT AS s, count(*)::BIGINT AS n
+  FROM q, range(1, {DIM + 1}) t(i) GROUP BY t.i
+),
+g AS (
+  SELECT list(((2*(s + n*100000) + n) // (2*n)) - 100000 ORDER BY d) AS gv,
+         max(n)::BIGINT AS n_total
+  FROM gm
+),
+per AS (
+  SELECT c, count(*)::BIGINT AS nc, sum(d2)::BIGINT AS w FROM afin GROUP BY c
+),
+btw AS (
+  SELECT sum(per.nc * {d2g})::BIGINT AS b
+  FROM per JOIN c{KM_ROUNDS} cc ON per.c = cc.c CROSS JOIN g
+),
+agg AS (
+  SELECT (SELECT n_total FROM g) AS n_points,
+         (SELECT count(*) FROM per)::BIGINT AS k_clusters,
+         (SELECT sum(w) FROM per)::BIGINT AS within_ss,
+         (SELECT b FROM btw) AS between_ss
+)
+SELECT n_points, k_clusters, within_ss, between_ss,
+       CASE WHEN k_clusters > 1 AND n_points > k_clusters AND within_ss > 0
+            THEN round((between_ss / CAST(k_clusters - 1 AS DOUBLE))
+                       / (within_ss / CAST(n_points - k_clusters AS DOUBLE)), 4)
+            ELSE 0.0 END AS ch_index_r
+FROM agg
+"""
+
+
+ORACLE_EMBEDDING_CH = _ch_oracle()
+
+QUERIES.update({"embedding_calinski_harabasz": q_embedding_calinski_harabasz})
+ORACLES.update({"embedding_calinski_harabasz": ORACLE_EMBEDDING_CH})
