@@ -1113,3 +1113,79 @@ def test_group_kfold_no_cluster_straddles_group_folds(spark):
     per = cl.groupby("fg")["doc_id"].size()
     for _, r in got.iterrows():
         assert r["n_docs_group"] == per.get(r["fold"], 0)
+
+
+def test_bfs_hops_matches_python(spark):
+    from collections import deque
+
+    from pyvectorsearch_spark.operators.dedup import simhash_pairs
+    from pyvectorsearch_spark.queries.dedup import MAX_HAMMING
+    from pyvectorsearch_spark.queries.dedup_extra import q_dedup_bfs_hops
+    from pyvectorsearch_spark.sources.tables import load_table, spread
+
+    got = {r["hops"]: r["n_nodes"] for r in q_dedup_bfs_hops(spark, SF_SMOKE).collect()}
+    docs = spread(load_table(spark, SF_SMOKE, "documents"))
+    pairs = simhash_pairs(docs, max_hamming=MAX_HAMMING).toPandas()
+    adj = {}
+    for a, b in zip(pairs.d1, pairs.d2):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seed = min(adj)
+    dist = {seed: 0}
+    q = deque([seed])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    prof = {}
+    for h in dist.values():
+        prof[h] = prof.get(h, 0) + 1
+    unreached = len(adj) - len(dist)
+    exp = dict(prof)
+    if unreached:
+        exp[-1] = unreached
+    assert got == exp
+
+
+def test_calinski_harabasz_matches_numpy(spark):
+    from pyvectorsearch_spark.operators.clustering import (
+        KM_OFFSET,
+        _km_quantize,
+        _km_train,
+    )
+    from pyvectorsearch_spark.queries.embedding_extra import (
+        KM_K,
+        KM_ROUNDS,
+        q_embedding_calinski_harabasz,
+    )
+    from pyvectorsearch_spark.sources.tables import load_table
+
+    got = q_embedding_calinski_harabasz(spark, SF_SMOKE).collect()[0]
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.select(emb.vec_id.alias("_id"), _km_quantize("embedding").alias("_q"))
+    cents = np.array(_km_train(base, KM_K, KM_ROUNDS), dtype=np.int64)
+    pdf = _pq("embeddings")
+    Q = np.stack([
+        np.round(v.astype(np.float64) * 1000).astype(np.int64)
+        for v in pdf["embedding"].to_numpy()
+    ])
+    d2 = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    own = d2.argmin(axis=1)
+    w = int(d2[np.arange(len(Q)), own].sum())
+    n = len(Q)
+    s = Q.sum(axis=0).astype(object)
+    g = np.array([
+        (2 * (int(si) + n * KM_OFFSET) + n) // (2 * n) - KM_OFFSET for si in s
+    ], dtype=np.int64)
+    counts = np.bincount(own, minlength=KM_K)
+    b = int(sum(
+        int(counts[ci]) * int(((cents[ci] - g) ** 2).sum())
+        for ci in range(KM_K)
+    ))
+    k_eff = int((counts > 0).sum())
+    ch = (b / (k_eff - 1)) / (w / (n - k_eff))
+    assert got["n_points"] == n and got["k_clusters"] == k_eff
+    assert got["within_ss"] == w and got["between_ss"] == b
+    assert abs(got["ch_index_r"] - ch) < 1e-2
