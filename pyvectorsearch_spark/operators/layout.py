@@ -88,3 +88,52 @@ def zorder_layout_stats(
         .agg(F.count("*").cast("bigint").alias("n_rows"), *aggs)
         .orderBy("file_id")
     )
+
+
+def hrw_assign(
+    df,
+    *,
+    id_col: str = "doc_id",
+    n_nodes: int = 8,
+    salt: str = "hrw-v1",
+):
+    """Rendezvous (highest-random-weight) assignment: each key goes to the
+    node with the highest md5(salt#node#id) score (Thaler–Ravishankar
+    1996). Returns ``df`` with an added ``node`` column.
+
+    THE property that justifies HRW over mod-N: removing node X remaps
+    ONLY the keys that were on X (every other key's argmax is unchanged —
+    its winning node still scores the same), so a topology change moves
+    1/N of the data instead of (N−1)/N. Pinned by a property test.
+
+    Scale: the node axis is an n_nodes-row broadcast fan-out; the argmax
+    is a per-key window over n_nodes rows — no shuffle of the data beyond
+    the id-keyed window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    nodes = spark.range(n_nodes).select(F.col("id").cast("int").alias("node"))
+    score = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + "#"),
+                    F.col("node").cast("string"),
+                    F.lit("#"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    scored = df.crossJoin(F.broadcast(nodes)).withColumn("_s", score)
+    w = Window.partitionBy(id_col).orderBy(F.desc("_s"), F.asc("node"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_s", "_rk")
+    )

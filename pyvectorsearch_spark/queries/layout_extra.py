@@ -99,31 +99,10 @@ def q_layout_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, no shuffle until the per-node rollup); at 100 TB this is the
     shard router you'd run per batch — no global state, no coordination,
     and adding node N+1 moves exactly ~1/(N+1) of keys."""
-    from pyspark.sql import Window
+    from pyvectorsearch_spark.operators.layout import hrw_assign
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    nodes = spark.range(HRW_NODES).select(F.col("id").cast("int").alias("node"))
-    score = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(HRW_SALT + "#"),
-                    F.col("node").cast("string"),
-                    F.lit("#"),
-                    F.col("doc_id").cast("string"),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    scored = docs.crossJoin(F.broadcast(nodes)).withColumn("_s", score)
-    w = Window.partitionBy("doc_id").orderBy(F.desc("_s"), F.asc("node"))
-    assigned = scored.withColumn("_rk", F.row_number().over(w)).filter(
-        F.col("_rk") == 1
-    )
+    assigned = hrw_assign(docs, id_col="doc_id", n_nodes=HRW_NODES, salt=HRW_SALT)
     tot = docs.agg(F.count("*").cast("bigint").alias("_n")).select("_n")
     return (
         assigned.groupBy("node")
