@@ -788,3 +788,85 @@ FROM sc CROSS JOIN chi ORDER BY sc.digit
 
 QUERIES.update({"audit_price_digits": q_audit_price_digits})
 ORACLES.update({"audit_price_digits": ORACLE_AUDIT_PRICE_DIGITS})
+
+
+# --- duplicate-invoice screen ------------------------------------------------------
+
+DUPINV_WINDOW_DAYS = 7
+DUPINV_PLANT_EVERY = 97
+DUPINV_KEY_OFFSET = 10_000_000
+
+
+def q_audit_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-billing screen: pairs of orders from the SAME customer with
+    the SAME exact cents total within 7 days — the classic accounts-
+    payable duplicate-invoice rule (exact dedup misses these: different
+    keys and dates; the business key is (customer, amount, date window)).
+    The synthetic totals are collision-free, so every 97th order PLANTS a
+    deterministic echo (same customer and total, +3 days, offset key —
+    the `repair_impute` planted-fixture pattern); the screen must recover
+    exactly the planted pairs, by construction 3-day gaps.
+
+    Determinism: exact cents equality, integer day gaps, deterministic
+    plants.
+
+    Scale: the self-join keys on (custkey, cents) — per-key fan-out is the
+    same-amount multiplicity (≈1 organically), never a customer-wide cross
+    product; the date window is a residual filter."""
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("_k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_rc"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("_d"),
+    )
+    echo = o.filter(F.col("_k") % DUPINV_PLANT_EVERY == 0).select(
+        "o_custkey",
+        (F.col("_k") + DUPINV_KEY_OFFSET).alias("_k"),
+        "_rc",
+        (F.col("_d") + 3).alias("_d"),
+    )
+    full = o.unionByName(echo)
+    a = full.select("o_custkey", "_rc", F.col("_k").alias("_k1"), F.col("_d").alias("_d1"))
+    b = full.select("o_custkey", "_rc", F.col("_k").alias("_k2"), F.col("_d").alias("_d2"))
+    pairs = (
+        a.join(b, ["o_custkey", "_rc"])
+        .filter(
+            (F.col("_k1") < F.col("_k2"))
+            & (F.abs(F.col("_d1") - F.col("_d2")) <= DUPINV_WINDOW_DAYS)
+        )
+        .select(
+            F.abs(F.col("_d1") - F.col("_d2")).cast("int").alias("day_gap")
+        )
+    )
+    return (
+        pairs.groupBy("day_gap")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("day_gap")
+    )
+
+
+ORACLE_AUDIT_DUPINV = f"""
+WITH base AS (
+  SELECT o_custkey, o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS rc,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))::BIGINT
+           AS d
+  FROM orders
+),
+o AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT o_custkey, k + {DUPINV_KEY_OFFSET}, rc, d + 3
+  FROM base WHERE k % {DUPINV_PLANT_EVERY} = 0
+)
+SELECT CAST(abs(a.d - b.d) AS INT) AS day_gap, count(*)::BIGINT AS n_pairs
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.rc = b.rc AND a.k < b.k
+WHERE abs(a.d - b.d) <= {DUPINV_WINDOW_DAYS}
+GROUP BY day_gap ORDER BY day_gap
+"""
+
+QUERIES.update({"audit_duplicate_invoices": q_audit_duplicate_invoices})
+ORACLES.update({"audit_duplicate_invoices": ORACLE_AUDIT_DUPINV})

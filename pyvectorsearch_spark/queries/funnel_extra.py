@@ -880,3 +880,97 @@ GROUP BY terms.prev_type ORDER BY terms.prev_type
 
 QUERIES.update({"events_transition_drift": q_events_transition_drift})
 ORACLES.update({"events_transition_drift": ORACLE_EVENTS_TRANSITION_DRIFT})
+
+
+# --- DAU / WAU / MAU engagement ---------------------------------------------------
+
+
+def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-engagement staples: average DAU, average rolling-7-day
+    WAU, MAU (distinct users over the whole month), and the DAU/MAU
+    stickiness ratio — one row. Distinct-user counting at three horizons
+    from ONE (user, day) dedup pass; WAU windows slide over the per-day
+    user sets via a 7-day self-range join on the day spine (exact distinct
+    per window, not an approximation).
+
+    Determinism: pure integer distinct counts; two display divisions.
+
+    Scale: the corpus collapses to distinct (user, day) once; WAU's
+    window fan-out is 7× that cell table, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("_d"),
+    ).distinct()
+    dau = ud.groupBy("_d").agg(F.count("*").cast("bigint").alias("_dau"))
+    rng = ud.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    days = rng.select(F.explode(F.sequence("_lo", "_hi")).alias("_day"))
+    # exact rolling-7-day distinct users: day spine x (user, day) range join
+    wau = (
+        days.join(
+            ud,
+            (F.col("_d") > F.col("_day") - 7) & (F.col("_d") <= F.col("_day")),
+        )
+        .groupBy("_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("_wau"))
+    )
+    mau = ud.agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau"),
+        F.count("*").cast("bigint").alias("_user_days"),
+    )
+    davg = dau.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("_dau").cast("bigint").alias("_sdau"),
+    )
+    wavg = wau.agg(F.sum("_wau").cast("bigint").alias("_swau"),
+                   F.count("*").cast("bigint").alias("_nw"))
+    return (
+        davg.crossJoin(F.broadcast(mau))
+        .crossJoin(F.broadcast(wavg))
+        .select(
+            "n_days",
+            "mau",
+            F.round(F.col("_sdau") / F.col("n_days").cast("double"), 4).alias(
+                "avg_dau_r"
+            ),
+            F.round(F.col("_swau") / F.col("_nw").cast("double"), 4).alias(
+                "avg_wau_r"
+            ),
+            F.round(
+                F.col("_sdau")
+                / (F.col("n_days") * F.col("mau")).cast("double"),
+                6,
+            ).alias("stickiness_r"),
+        )
+    )
+
+
+ORACLE_EVENTS_DAU_MAU = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS d
+  FROM events
+),
+dau AS (SELECT d, count(*)::BIGINT AS dau FROM ud GROUP BY d),
+rng AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+days AS (SELECT unnest(range(lo, hi + 1)) AS day FROM rng),
+wau AS (
+  SELECT days.day, count(DISTINCT ud.user_id)::BIGINT AS wau
+  FROM days JOIN ud ON ud.d > days.day - 7 AND ud.d <= days.day
+  GROUP BY days.day
+),
+mau AS (SELECT count(DISTINCT user_id)::BIGINT AS mau FROM ud),
+davg AS (SELECT count(*)::BIGINT AS n_days, sum(dau)::BIGINT AS sdau FROM dau),
+wavg AS (SELECT sum(wau)::BIGINT AS swau, count(*)::BIGINT AS nw FROM wau)
+SELECT davg.n_days, mau.mau,
+       round(davg.sdau / CAST(davg.n_days AS DOUBLE), 4) AS avg_dau_r,
+       round(wavg.swau / CAST(wavg.nw AS DOUBLE), 4) AS avg_wau_r,
+       round(davg.sdau / CAST(davg.n_days * mau.mau AS DOUBLE), 6)
+         AS stickiness_r
+FROM davg CROSS JOIN mau CROSS JOIN wavg
+"""
+
+QUERIES.update({"events_dau_mau": q_events_dau_mau})
+ORACLES.update({"events_dau_mau": ORACLE_EVENTS_DAU_MAU})
