@@ -1189,3 +1189,49 @@ def test_calinski_harabasz_matches_numpy(spark):
     assert got["n_points"] == n and got["k_clusters"] == k_eff
     assert got["within_ss"] == w and got["between_ss"] == b
     assert abs(got["ch_index_r"] - ch) < 1e-2
+
+
+def test_dau_mau_matches_pandas(spark):
+    from pyvectorsearch_spark.queries.funnel_extra import q_events_dau_mau
+
+    got = q_events_dau_mau(spark, SF_SMOKE).collect()[0]
+    ev = _pq("events")
+    days = pd.Series(
+        ev["ts"].to_numpy().astype("datetime64[D]").astype("int64"),
+        index=ev.index,
+    )
+    ud = set(zip(ev["user_id"], days))
+    by_day = {}
+    for u, d in ud:
+        by_day.setdefault(d, set()).add(u)
+    lo, hi = min(by_day), max(by_day)
+    dau = [len(by_day.get(d, set())) for d in range(lo, hi + 1)]
+    wau = []
+    for d in range(lo, hi + 1):
+        users = set()
+        for dd in range(d - 6, d + 1):
+            users |= by_day.get(dd, set())
+        wau.append(len(users))
+    mau = len({u for u, _ in ud})
+    assert got["n_days"] == len([d for d in dau if d > 0]) or got["n_days"] == len(dau)
+    assert got["mau"] == mau
+    assert abs(got["avg_dau_r"] - sum(dau) / got["n_days"]) < 1e-2
+    assert abs(got["avg_wau_r"] - sum(wau) / len(wau)) < 1e-2
+    # sanity: DAU <= WAU <= MAU on averages
+    assert got["avg_dau_r"] <= got["avg_wau_r"] + 1e-9 <= mau + 1e-9
+    assert abs(got["stickiness_r"] - got["avg_dau_r"] / mau) < 1e-3
+
+
+def test_duplicate_invoices_finds_exactly_the_plants(spark):
+    from pyvectorsearch_spark.queries.audit_extra import (
+        DUPINV_PLANT_EVERY,
+        q_audit_duplicate_invoices,
+    )
+
+    got = q_audit_duplicate_invoices(spark, SF_SMOKE).toPandas()
+    o = _pq("orders")
+    n_planted = int((o["o_orderkey"] % DUPINV_PLANT_EVERY == 0).sum())
+    # organic duplicates are zero on this corpus (probed in-session), so
+    # the screen must recover exactly the planted 3-day echoes
+    assert got["n_pairs"].sum() == n_planted
+    assert set(got["day_gap"]) == {3}
