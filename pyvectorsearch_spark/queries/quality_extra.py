@@ -495,3 +495,41 @@ FROM m
 
 QUERIES.update({"events_ab_test": q_events_ab_test})
 ORACLES.update({"events_ab_test": ORACLE_EVENTS_AB})
+
+
+# --- df.stat crosstab ---------------------------------------------------------------
+
+
+def q_documents_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.stat.crosstab` — the contingency-table convenience API —
+    pivots source×lang counts to a wide table; unpivoting it back to long
+    form must equal the direct GROUP BY (same inverse-pair proof as
+    `status_unpivot_roundtrip`, here covering the df.stat surface the
+    chi-square test consumes as cells)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ct = docs.stat.crosstab("source", "lang")
+    langs = [c for c in ct.columns if c != "source_lang"]
+    long = ct.unpivot(
+        ids=["source_lang"],
+        values=sorted(langs),
+        variableColumnName="lang",
+        valueColumnName="n_docs",
+    )
+    return (
+        long.filter(F.col("n_docs") > 0)
+        .select(
+            F.col("source_lang").alias("source"),
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+ORACLE_DOCUMENTS_CROSSTAB = """
+SELECT source, lang, count(*)::BIGINT AS n_docs
+FROM documents GROUP BY source, lang ORDER BY source, lang
+"""
+
+QUERIES.update({"documents_crosstab": q_documents_crosstab})
+ORACLES.update({"documents_crosstab": ORACLE_DOCUMENTS_CROSSTAB})
