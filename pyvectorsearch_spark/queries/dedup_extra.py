@@ -1431,3 +1431,123 @@ ORACLE_DEDUP_BFS_HOPS = _bfs_oracle()
 
 QUERIES.update({"dedup_bfs_hops": q_dedup_bfs_hops})
 ORACLES.update({"dedup_bfs_hops": ORACLE_DEDUP_BFS_HOPS})
+
+
+# --- modularity of the LPA partition ----------------------------------------------
+
+
+def q_dedup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the label-propagation communities over the
+    SimHash graph — the number that says whether `dedup_lpa_communities`'
+    partition actually carves the graph at its joints (Q≈0: no better
+    than random; Q>0.3: real community structure worth trusting for
+    finer-than-CC dedup groups).
+
+    Exactness: Q = (4m·E_in − Σ_c d_c²)/(4m²) — every term an exact
+    bigint (intra-community edges, per-community degree mass, edge
+    count); ONE rounded division total.
+
+    Scale: two label joins against the edge list (node-keyed equi-joins)
+    and communities-sized rollups."""
+    from pyvectorsearch_spark.operators.dedup import simhash_pairs
+    from pyvectorsearch_spark.operators.graph import label_propagation
+    from pyvectorsearch_spark.queries.dedup import MAX_HAMMING
+    from pyvectorsearch_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = simhash_pairs(docs, max_hamming=MAX_HAMMING)
+    e = pairs.select(
+        F.least("d1", "d2").alias("a"), F.greatest("d1", "d2").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    e = e.localCheckpoint(eager=True)  # reused by labels + 3 passes below
+    labels = label_propagation(e, src="a", dst="b", iters=LPA_ITERS)
+    la = labels.select(F.col("node").alias("a"), F.col("community").alias("_ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("community").alias("_cb"))
+    m = e.count()
+    e_in = (
+        e.join(la, "a").join(lb, "b")
+        .filter(F.col("_ca") == F.col("_cb"))
+        .count()
+    )
+    und = e.select("a").union(e.select(F.col("b").alias("a")))
+    deg = und.groupBy("a").agg(F.count("*").cast("bigint").alias("_d"))
+    dc = (
+        deg.join(la, "a")
+        .groupBy("_ca")
+        .agg(F.sum("_d").cast("bigint").alias("_dc"))
+    )
+    stats = dc.agg(
+        F.count("*").cast("bigint").alias("n_communities"),
+        F.sum(F.col("_dc") * F.col("_dc")).cast("bigint").alias("_sd2"),
+    )
+    return stats.select(
+        "n_communities",
+        F.lit(int(m)).cast("bigint").alias("n_edges"),
+        F.lit(int(e_in)).cast("bigint").alias("n_intra_edges"),
+        F.round(
+            (4 * F.lit(int(m)) * F.lit(int(e_in)) - F.col("_sd2"))
+            / (4.0 * F.lit(int(m)) * F.lit(int(m))),
+            6,
+        ).alias("q_modularity_r"),
+    )
+
+
+def _modularity_oracle() -> str:
+    from pyvectorsearch_spark.queries.dedup import _simhash_oracle
+
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(
+            f"""c{i} AS (
+  SELECT e.a, l.lbl, count(*)::BIGINT AS n
+  FROM edges e JOIN {prev} l ON l.node = e.b
+  GROUP BY e.a, l.lbl
+),
+l{i} AS (
+  SELECT a AS node, lbl FROM (
+    SELECT a, lbl,
+           row_number() OVER (PARTITION BY a ORDER BY n DESC, lbl ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    return f"""
+WITH pairs AS ({_simhash_oracle()}),
+ue AS (
+  SELECT DISTINCT least(d1, d2) AS a, greatest(d1, d2) AS b
+  FROM pairs WHERE d1 <> d2
+),
+edges AS (
+  SELECT a, b FROM ue UNION ALL SELECT b AS a, a AS b FROM ue
+),
+l0 AS (SELECT DISTINCT b AS node, b AS lbl FROM edges),
+{", ".join(rounds)},
+m AS (SELECT count(*)::BIGINT AS m FROM ue),
+ein AS (
+  SELECT count(*)::BIGINT AS e_in
+  FROM ue JOIN {prev} la ON ue.a = la.node
+  JOIN {prev} lb ON ue.b = lb.node
+  WHERE la.lbl = lb.lbl
+),
+deg AS (SELECT a, count(*)::BIGINT AS d FROM edges GROUP BY a),
+dc AS (
+  SELECT l.lbl, sum(deg.d)::BIGINT AS dc
+  FROM deg JOIN {prev} l ON deg.a = l.node GROUP BY l.lbl
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n_communities, sum(dc * dc)::BIGINT AS sd2
+  FROM dc
+)
+SELECT s.n_communities, m.m AS n_edges, ein.e_in AS n_intra_edges,
+       round((4 * m.m * ein.e_in - s.sd2) / (4.0 * m.m * m.m), 6)
+         AS q_modularity_r
+FROM stats s CROSS JOIN m CROSS JOIN ein
+"""
+
+
+ORACLE_DEDUP_MODULARITY = _modularity_oracle()
+
+QUERIES.update({"dedup_modularity": q_dedup_modularity})
+ORACLES.update({"dedup_modularity": ORACLE_DEDUP_MODULARITY})
