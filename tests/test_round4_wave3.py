@@ -1235,3 +1235,40 @@ def test_duplicate_invoices_finds_exactly_the_plants(spark):
     # the screen must recover exactly the planted 3-day echoes
     assert got["n_pairs"].sum() == n_planted
     assert set(got["day_gap"]) == {3}
+
+
+def test_modularity_matches_python(spark):
+    from pyvectorsearch_spark.operators.dedup import simhash_pairs
+    from pyvectorsearch_spark.operators.graph import label_propagation
+    from pyvectorsearch_spark.queries.dedup import MAX_HAMMING
+    from pyvectorsearch_spark.queries.dedup_extra import (
+        LPA_ITERS,
+        q_dedup_modularity,
+    )
+    from pyvectorsearch_spark.sources.tables import load_table, spread
+    from pyspark.sql import functions as F
+
+    got = q_dedup_modularity(spark, SF_SMOKE).collect()[0]
+    docs = spread(load_table(spark, SF_SMOKE, "documents"))
+    pairs = simhash_pairs(docs, max_hamming=MAX_HAMMING)
+    e = pairs.select(
+        F.least("d1", "d2").alias("a"), F.greatest("d1", "d2").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    lab = {r["node"]: r["community"]
+           for r in label_propagation(e, src="a", dst="b",
+                                      iters=LPA_ITERS).collect()}
+    edges = [(r["a"], r["b"]) for r in e.collect()]
+    m = len(edges)
+    e_in = sum(1 for a, b in edges if lab[a] == lab[b])
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    dc = {}
+    for node, d in deg.items():
+        dc[lab[node]] = dc.get(lab[node], 0) + d
+    q = (4 * m * e_in - sum(v * v for v in dc.values())) / (4.0 * m * m)
+    assert got["n_edges"] == m and got["n_intra_edges"] == e_in
+    assert got["n_communities"] == len(dc)
+    assert abs(got["q_modularity_r"] - q) < 1e-5
+    assert -0.5 <= got["q_modularity_r"] <= 1.0  # modularity bounds
