@@ -117,9 +117,14 @@ def _km_quantize(vec_col: str) -> F.Column:
     )
 
 
-def _km_assign(base: DataFrame, cents: list[list[int]]) -> DataFrame:
+def _km_assign(
+    base: DataFrame, cents: list[list[int]], *, keep_distances: bool = False
+) -> DataFrame:
     """Append (_c, _d2): nearest centroid id and its exact integer squared
-    distance. Centroids are literals — the pass is a scan-stage projection."""
+    distance. Centroids are literals — the pass is a scan-stage projection.
+    ``keep_distances`` also keeps every per-centroid ``_d2_{ci}`` column
+    (silhouette needs the second-nearest; recomputing them would double the
+    k×dim scan-stage arithmetic)."""
     d2s = []
     for ci, cv in enumerate(cents):
         arr = F.array(*[F.lit(int(v)).cast("bigint") for v in cv])
@@ -137,8 +142,9 @@ def _km_assign(base: DataFrame, cents: list[list[int]]) -> DataFrame:
     # from the last id backwards so earlier WHENs take precedence
     for ci in reversed(range(len(cents))):
         c = F.when(F.col(f"_d2_{ci}") == best, F.lit(ci)).otherwise(c)
+    keep = [f"_d2_{ci}" for ci in range(len(cents))] if keep_distances else []
     return withd.select(
-        "_id", "_q", c.alias("_c"), best.alias("_d2")
+        "_id", "_q", c.alias("_c"), best.alias("_d2"), *keep
     )
 
 
@@ -333,18 +339,7 @@ def kmeans_silhouette(
         F.col(id_col).alias("_id"), _km_quantize(vec_col).alias("_q")
     )
     cents = _km_train(base, k, rounds)
-    scored = _km_assign(base, cents)
-    d2s = []
-    for ci, cv in enumerate(cents):
-        arr = F.array(*[F.lit(int(v)).cast("bigint") for v in cv])
-        d2s.append(
-            F.aggregate(
-                F.zip_with(F.col("_q"), arr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("bigint"),
-                lambda a, v: a + v,
-            ).alias(f"_d2_{ci}")
-        )
-    wide = scored.select("_id", "_c", "_d2", *d2s)
+    wide = _km_assign(base, cents, keep_distances=True)
     second = F.least(
         *[
             F.when(F.col("_c") != ci, F.col(f"_d2_{ci}"))

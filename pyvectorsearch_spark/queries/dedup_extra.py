@@ -1183,6 +1183,9 @@ def q_dedup_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = pairs.select(
         F.least("d1", "d2").alias("a"), F.greatest("d1", "d2").alias("b")
     ).filter(F.col("a") != F.col("b")).distinct()
+    # the SimHash pair generation above is the dominant cost and feeds
+    # three plan branches (degrees + both degree joins): materialize once
+    e = e.localCheckpoint(eager=True)
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
     xy = (
@@ -1200,13 +1203,19 @@ def q_dedup_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
     )
-    den2 = (m["m"] * m["sxx"] - m["sx"] * m["sx"]) * (
-        m["m"] * m["syy"] - m["sy"] * m["sy"]
+    # variance factors in DECIMAL(38,0): micro-unit moment products
+    # pass 2^63 at realistic hourly magnitudes (the Spearman
+    # overflow lesson) -- bigint would wrap silently with ANSI off
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    den2 = (
+        (dd(m["m"]) * dd(m["sxx"]) - dd(m["sx"]) * dd(m["sx"]))
+        * (dd(m["m"]) * dd(m["syy"]) - dd(m["sy"]) * dd(m["sy"]))
     )
     r = F.when(
         den2 > 0,
         F.round(
-            (m["m"] * m["sxy"] - m["sx"] * m["sy"])
+            (dd(m["m"]) * dd(m["sxy"])
+             - dd(m["sx"]) * dd(m["sy"])).cast("double")
             / F.sqrt(den2.cast("double")),
             6,
         ),
@@ -1241,10 +1250,10 @@ m AS (
   FROM xy
 )
 SELECT (m // 2)::BIGINT AS n_edges,
-       CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) > 0
-            THEN round((m * sxy - sx * sy)
-                       / sqrt(CAST((m * sxx - sx * sx)
-                                   * (m * syy - sy * sy) AS DOUBLE)), 6)
+       CASE WHEN (m::HUGEINT * sxx - sx::HUGEINT * sx) * (m::HUGEINT * syy - sy::HUGEINT * sy) > 0
+            THEN round(CAST(m::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+                       / sqrt(CAST((m::HUGEINT * sxx - sx::HUGEINT * sx)
+                                   * (m::HUGEINT * syy - sy::HUGEINT * sy) AS DOUBLE)), 6)
             ELSE 0.0 END AS assortativity_r
 FROM m
 """
@@ -1278,6 +1287,9 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = simhash_pairs(docs, max_hamming=MAX_HAMMING)
+    # pair generation feeds both the cumulative-count and docs-involved
+    # branches: materialize once instead of re-running the kernel per branch
+    pairs = pairs.localCheckpoint(eager=True)
     th = spark.range(MAX_HAMMING + 1).select(
         F.col("id").cast("int").alias("threshold")
     )

@@ -908,10 +908,13 @@ def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = ud.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
     days = rng.select(F.explode(F.sequence("_lo", "_hi")).alias("_day"))
     # exact rolling-7-day distinct users: day spine x (user, day) range join
+    # (LEFT join: a >=7-day outage must contribute WAU = 0 to the average,
+    # not vanish from it — the dense-grid principle)
     wau = (
         days.join(
             ud,
             (F.col("_d") > F.col("_day") - 7) & (F.col("_d") <= F.col("_day")),
+            "left",
         )
         .groupBy("_day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("_wau"))
@@ -958,7 +961,7 @@ rng AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
 days AS (SELECT unnest(range(lo, hi + 1)) AS day FROM rng),
 wau AS (
   SELECT days.day, count(DISTINCT ud.user_id)::BIGINT AS wau
-  FROM days JOIN ud ON ud.d > days.day - 7 AND ud.d <= days.day
+  FROM days LEFT JOIN ud ON ud.d > days.day - 7 AND ud.d <= days.day
   GROUP BY days.day
 ),
 mau AS (SELECT count(DISTINCT user_id)::BIGINT AS mau FROM ud),

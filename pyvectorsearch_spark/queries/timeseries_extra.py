@@ -1188,13 +1188,19 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
     )
-    den2 = (m["n"] * m["sxx"] - m["sx"] * m["sx"]) * (
-        m["n"] * m["syy"] - m["sy"] * m["sy"]
+    # variance factors in DECIMAL(38,0): micro-unit moment products
+    # pass 2^63 at realistic hourly magnitudes (the Spearman
+    # overflow lesson) -- bigint would wrap silently with ANSI off
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    den2 = (
+        (dd(m["n"]) * dd(m["sxx"]) - dd(m["sx"]) * dd(m["sx"]))
+        * (dd(m["n"]) * dd(m["syy"]) - dd(m["sy"]) * dd(m["sy"]))
     )
     r = F.when(
         den2 > 0,
         F.round(
-            (m["n"] * m["sxy"] - m["sx"] * m["sy"])
+            (dd(m["n"]) * dd(m["sxy"])
+             - dd(m["sx"]) * dd(m["sy"])).cast("double")
             / F.sqrt(den2.cast("double")),
             6,
         ),
@@ -1232,10 +1238,10 @@ m AS (
   FROM pairs GROUP BY event_type, lag
 )
 SELECT event_type, lag, n,
-       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
-            THEN round((n * sxy - sx * sy)
-                       / sqrt(CAST((n * sxx - sx * sx)
-                                   * (n * syy - sy * sy) AS DOUBLE)), 6)
+       CASE WHEN (n::HUGEINT * sxx - sx::HUGEINT * sx) * (n::HUGEINT * syy - sy::HUGEINT * sy) > 0
+            THEN round(CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+                       / sqrt(CAST((n::HUGEINT * sxx - sx::HUGEINT * sx)
+                                   * (n::HUGEINT * syy - sy::HUGEINT * sy) AS DOUBLE)), 6)
             ELSE 0.0 END AS acf_r
 FROM m ORDER BY event_type, lag
 """
@@ -1409,13 +1415,19 @@ def q_events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
     )
-    den2 = (m["n_hours"] * m["sxx"] - m["sx"] * m["sx"]) * (
-        m["n_hours"] * m["syy"] - m["sy"] * m["sy"]
+    # variance factors in DECIMAL(38,0): micro-unit moment products
+    # pass 2^63 at realistic hourly magnitudes (the Spearman
+    # overflow lesson) -- bigint would wrap silently with ANSI off
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    den2 = (
+        (dd(m["n_hours"]) * dd(m["sxx"]) - dd(m["sx"]) * dd(m["sx"]))
+        * (dd(m["n_hours"]) * dd(m["syy"]) - dd(m["sy"]) * dd(m["sy"]))
     )
     r = F.when(
         den2 > 0,
         F.round(
-            (m["n_hours"] * m["sxy"] - m["sx"] * m["sy"])
+            (dd(m["n_hours"]) * dd(m["sxy"])
+             - dd(m["sx"]) * dd(m["sy"])).cast("double")
             / F.sqrt(den2.cast("double")),
             6,
         ),
@@ -1450,10 +1462,10 @@ m AS (
   FROM pairs GROUP BY type_a, type_b
 )
 SELECT type_a, type_b, n_hours,
-       CASE WHEN (n_hours * sxx - sx * sx) * (n_hours * syy - sy * sy) > 0
-            THEN round((n_hours * sxy - sx * sy)
-                       / sqrt(CAST((n_hours * sxx - sx * sx)
-                                   * (n_hours * syy - sy * sy) AS DOUBLE)), 6)
+       CASE WHEN (n_hours::HUGEINT * sxx - sx::HUGEINT * sx) * (n_hours::HUGEINT * syy - sy::HUGEINT * sy) > 0
+            THEN round(CAST(n_hours::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+                       / sqrt(CAST((n_hours::HUGEINT * sxx - sx::HUGEINT * sx)
+                                   * (n_hours::HUGEINT * syy - sy::HUGEINT * sy) AS DOUBLE)), 6)
             ELSE 0.0 END AS corr_r
 FROM m ORDER BY type_a, type_b
 """
@@ -1758,13 +1770,19 @@ def q_events_ccf_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
     )
-    den2 = (m["n"] * m["sxx"] - m["sx"] * m["sx"]) * (
-        m["n"] * m["syy"] - m["sy"] * m["sy"]
+    # variance factors in DECIMAL(38,0): micro-unit moment products
+    # pass 2^63 at realistic hourly magnitudes (the Spearman
+    # overflow lesson) -- bigint would wrap silently with ANSI off
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    den2 = (
+        (dd(m["n"]) * dd(m["sxx"]) - dd(m["sx"]) * dd(m["sx"]))
+        * (dd(m["n"]) * dd(m["syy"]) - dd(m["sy"]) * dd(m["sy"]))
     )
     r = F.when(
         den2 > 0,
         F.round(
-            (m["n"] * m["sxy"] - m["sx"] * m["sy"])
+            (dd(m["n"]) * dd(m["sxy"])
+             - dd(m["sx"]) * dd(m["sy"])).cast("double")
             / F.sqrt(den2.cast("double")),
             6,
         ),
@@ -1818,10 +1836,10 @@ m AS (
 ),
 sc AS (
   SELECT type_a, type_b, lag,
-         CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
-              THEN round((n * sxy - sx * sy)
-                         / sqrt(CAST((n * sxx - sx * sx)
-                                     * (n * syy - sy * sy) AS DOUBLE)), 6)
+         CASE WHEN (n::HUGEINT * sxx - sx::HUGEINT * sx) * (n::HUGEINT * syy - sy::HUGEINT * sy) > 0
+              THEN round(CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+                         / sqrt(CAST((n::HUGEINT * sxx - sx::HUGEINT * sx)
+                                     * (n::HUGEINT * syy - sy::HUGEINT * sy) AS DOUBLE)), 6)
               ELSE 0.0 END AS r
   FROM m
 ),

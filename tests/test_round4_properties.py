@@ -167,23 +167,29 @@ def test_ks_statistic_properties(spark):
     assert rows, "no event types?"
     for r in rows:
         assert 0.0 <= r["ks_d_r"] <= 1.0
-    # degenerate self-comparison: run the oracle's ladder with cur = NOT cur
-    # flipped halves — identical multisets => D must be 0 on equal halves
+    # degenerate self-comparison: build two EXACTLY equal halves (keep an
+    # even number of occurrences per (type, value), alternate them between
+    # halves) -- identical multisets mean every ECDF prefix gap is exactly 0
     con = duckdb.connect()
     con.execute("CREATE VIEW events AS SELECT * FROM "
                 "'/root/testdata/sf0.001/events.parquet'")
     d0 = con.sql("""
       WITH ev AS (
         SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc,
-               (row_number() OVER (PARTITION BY event_type, value
-                                   ORDER BY event_id) % 2 = 0) AS cur
+               row_number() OVER (PARTITION BY event_type, value
+                                  ORDER BY event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type, value) AS c
         FROM events
+      ),
+      evened AS (
+        SELECT event_type, vc, (rn % 2 = 0) AS cur
+        FROM ev WHERE rn <= c - (c % 2)
       ),
       cells AS (
         SELECT event_type, vc,
                sum(CASE WHEN cur THEN 0 ELSE 1 END)::BIGINT AS a,
                sum(CASE WHEN cur THEN 1 ELSE 0 END)::BIGINT AS b
-        FROM ev GROUP BY event_type, vc
+        FROM evened GROUP BY event_type, vc
       )
       SELECT max(abs(ca * nb - cb * na)) AS gap FROM (
         SELECT sum(a) OVER w AS ca, sum(b) OVER w AS cb,
@@ -193,8 +199,7 @@ def test_ks_statistic_properties(spark):
         WINDOW w AS (PARTITION BY event_type ORDER BY vc)
       )
     """).fetchone()[0]
-    # halves interleaved per identical value: ECDFs track within one step
-    assert d0 is not None
+    assert d0 == 0  # equal halves => KS gap exactly zero at every prefix
 
 
 def test_mad_median_robust_to_outlier_injection(spark):
