@@ -533,3 +533,101 @@ FROM documents GROUP BY source, lang ORDER BY source, lang
 
 QUERIES.update({"documents_crosstab": q_documents_crosstab})
 ORACLES.update({"documents_crosstab": ORACLE_DOCUMENTS_CROSSTAB})
+
+
+# --- Benjamini–Hochberg FDR over the KS drift family ---------------------------------
+
+BH_ALPHA = 0.05
+
+
+def q_events_ks_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control over the drift monitors: the per-type KS
+    statistics get asymptotic p-values (p ≈ 2·exp(−2·D²·n_eff), n_eff =
+    n₁n₂/(n₁+n₂)) and Benjamini–Hochberg picks which types genuinely
+    drifted at FDR α=0.05 — five tests a month WILL produce false alarms
+    at raw α; BH is the correction a fleet of drift monitors needs before
+    paging anyone.
+
+    Determinism: D comes from the exact integer ECDF ladder
+    (`events_ks_drift`'s construction); p micro-fixes after one exp; BH's
+    step-up rule is integer rank arithmetic on the micro p (reject rank ≤
+    the largest k with p_(k) ≤ k·α/m — computed with a cross-multiplied
+    integer comparison, no division).
+
+    Scale: everything after the KS cells is an m-rows (event types)
+    computation."""
+    from pyspark.sql import Window
+
+    ks = q_events_ks_drift(spark, sf_dir).select(
+        "event_type", "n_early", "n_late", "ks_d_r"
+    )
+    ne = (F.col("n_early") * F.col("n_late")) / (
+        F.col("n_early") + F.col("n_late")
+    ).cast("double")
+    p = F.least(
+        F.lit(1.0),
+        2.0 * F.exp(-2.0 * F.col("ks_d_r") * F.col("ks_d_r") * ne),
+    )
+    scored = ks.withColumn(
+        "_pu", F.round(p * 1000000).cast("bigint")
+    )
+    m = scored.agg(F.count("*").cast("bigint").alias("_m"))
+    w = Window.orderBy("_pu", "event_type")
+    ranked = scored.crossJoin(F.broadcast(m)).withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    # step-up: flag ranks with p_(k) <= k*alpha/m  (micro-p * m <= k * alpha_u * 1)
+    alpha_u = int(BH_ALPHA * 1000000)
+    flagged = ranked.withColumn(
+        "_ok", F.col("_pu") * F.col("_m") <= F.col("_rk") * F.lit(alpha_u)
+    )
+    kmax = flagged.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_ok"), F.col("_rk"))), F.lit(0)
+        ).alias("_kmax")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            F.col("ks_d_r"),
+            F.round(F.col("_pu") / 1000000.0, 6).alias("p_value_r"),
+            F.col("_rk").cast("int").alias("p_rank"),
+            (F.col("_rk") <= F.col("_kmax")).alias("drift_detected"),
+        )
+        .orderBy("p_rank")
+    )
+
+
+ORACLE_EVENTS_KS_BH = f"""
+WITH ks AS ({ORACLE_EVENTS_KS.replace(';', '')}),
+scored AS (
+  SELECT event_type, ks_d_r,
+         CAST(round(least(1.0,
+              2.0 * exp(-2.0 * ks_d_r * ks_d_r
+                        * ((n_early * n_late)
+                           / CAST(n_early + n_late AS DOUBLE))))
+              * 1000000) AS BIGINT) AS pu
+  FROM ks
+),
+m AS (SELECT count(*)::BIGINT AS m FROM scored),
+ranked AS (
+  SELECT s.*, m.m,
+         row_number() OVER (ORDER BY s.pu, s.event_type) AS rk
+  FROM scored s CROSS JOIN m
+),
+flagged AS (
+  SELECT *, (pu * m <= rk * {int(BH_ALPHA * 1000000)}) AS ok FROM ranked
+),
+kmax AS (
+  SELECT coalesce(max(CASE WHEN ok THEN rk END), 0) AS kmax FROM flagged
+)
+SELECT f.event_type, f.ks_d_r,
+       round(f.pu / 1000000.0, 6) AS p_value_r,
+       f.rk::INT AS p_rank,
+       (f.rk <= k.kmax) AS drift_detected
+FROM flagged f CROSS JOIN kmax k ORDER BY p_rank
+"""
+
+QUERIES.update({"events_ks_bh_fdr": q_events_ks_bh_fdr})
+ORACLES.update({"events_ks_bh_fdr": ORACLE_EVENTS_KS_BH})

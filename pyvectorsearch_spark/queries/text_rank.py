@@ -13,10 +13,10 @@ no text processing):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyvectorsearch_spark.functions.text import duckdb_tokens
+from pyvectorsearch_spark.functions.text import duckdb_tokens, tokens
 from pyvectorsearch_spark.operators.textops import (
     PII_EMAIL_RE,
     PII_IP_RE,
@@ -283,3 +283,120 @@ ORACLES = {
     "text_pii_redact": ORACLE_PII,
     "text_phrase_search": ORACLE_PHRASE,
 }
+
+
+# --- rank-biased overlap (RBO) ------------------------------------------------------
+
+RBO_P = 0.9
+RBO_DEPTH = 10
+
+
+def q_text_rbo_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber 2010) between the top-10 term rankings
+    of two deterministic corpus halves (even vs odd doc_id): RBO@10 with
+    p=0.9 — the top-weighted list-similarity metric behind "did the
+    ranking change?" monitoring (Kendall/Spearman need identical item
+    sets; RBO handles disjoint tails, which is what real top-k lists
+    have). One number per depth prefix plus the final score.
+
+    Determinism: rankings order by (count DESC, term ASC); prefix-overlap
+    sizes are integers; each depth's weight p^(d−1) is a fixed literal, so
+    the weighted sum is exact arithmetic on integers times constants,
+    rounded once.
+
+    Scale: two frequency rollups and a depth×top-k fan-out over two
+    10-row lists — nothing corpus-sized past the first rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("_even"),
+        F.explode(tokens(F.col("text"))).alias("t"),
+    )
+    freq = st.groupBy("_even", "t").agg(
+        F.count("*").cast("bigint").alias("_n")
+    )
+    w = Window.partitionBy("_even").orderBy(F.desc("_n"), F.asc("t"))
+    top = freq.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= RBO_DEPTH
+    )
+    a = top.filter(F.col("_even")).select(
+        F.col("t").alias("_ta"), F.col("_rk").alias("_ra")
+    )
+    b = top.filter(~F.col("_even")).select(
+        F.col("t").alias("_tb"), F.col("_rk").alias("_rb")
+    )
+    depths = spark.range(1, RBO_DEPTH + 1).select(
+        F.col("id").cast("int").alias("depth")
+    )
+    inter = (
+        depths.join(
+            a.join(b, a._ta == b._tb),
+            (F.col("_ra") <= F.col("depth")) & (F.col("_rb") <= F.col("depth")),
+            "left",
+        )
+        .groupBy("depth")
+        .agg(F.count("_ta").cast("bigint").alias("n_overlap"))
+    )
+    weighted = inter.select(
+        "depth",
+        "n_overlap",
+        F.round(
+            F.lit(1.0 - RBO_P)
+            * F.pow(F.lit(RBO_P), F.col("depth") - 1)
+            * F.col("n_overlap")
+            / F.col("depth"),
+            8,
+        ).alias("_wterm"),
+    )
+    tot = weighted.agg(
+        F.round(F.sum("_wterm"), 6).alias("_rbo")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "depth",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("depth").cast("double"), 6).alias(
+                "prefix_agreement_r"
+            ),
+            F.col("_rbo").alias("rbo_at_10_r"),
+        )
+        .orderBy("depth")
+    )
+
+
+_RBO_TOK = duckdb_tokens("text")
+
+ORACLE_TEXT_RBO = f"""
+WITH st AS (
+  SELECT (doc_id % 2 = 0) AS even, unnest({_RBO_TOK}) AS t FROM documents
+),
+freq AS (SELECT even, t, count(*)::BIGINT AS n FROM st GROUP BY even, t),
+top AS (
+  SELECT even, t,
+         row_number() OVER (PARTITION BY even ORDER BY n DESC, t ASC) AS rk
+  FROM freq QUALIFY rk <= {RBO_DEPTH}
+),
+depths AS (SELECT unnest(range(1, {RBO_DEPTH + 1}))::INT AS depth),
+inter AS (
+  SELECT d.depth, count(j.ta)::BIGINT AS n_overlap
+  FROM depths d LEFT JOIN (
+    SELECT a.t AS ta, a.rk AS ra, b.rk AS rb
+    FROM top a JOIN top b ON a.t = b.t AND a.even AND NOT b.even
+  ) j ON j.ra <= d.depth AND j.rb <= d.depth
+  GROUP BY d.depth
+),
+weighted AS (
+  SELECT depth, n_overlap,
+         round({1.0 - RBO_P!r} * power({RBO_P!r}, depth - 1)
+               * n_overlap / depth, 8) AS wterm
+  FROM inter
+),
+tot AS (SELECT round(sum(wterm), 6) AS rbo FROM weighted)
+SELECT w.depth, w.n_overlap,
+       round(w.n_overlap / CAST(w.depth AS DOUBLE), 6) AS prefix_agreement_r,
+       t.rbo AS rbo_at_10_r
+FROM weighted w CROSS JOIN tot t ORDER BY w.depth
+"""
+
+QUERIES.update({"text_rbo_topterms": q_text_rbo_topterms})
+ORACLES.update({"text_rbo_topterms": ORACLE_TEXT_RBO})
