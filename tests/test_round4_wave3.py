@@ -1272,3 +1272,61 @@ def test_modularity_matches_python(spark):
     assert got["n_communities"] == len(dc)
     assert abs(got["q_modularity_r"] - q) < 1e-5
     assert -0.5 <= got["q_modularity_r"] <= 1.0  # modularity bounds
+
+
+def test_rbo_matches_python(spark):
+    from pyvectorsearch_spark.queries.text_rank import (
+        RBO_DEPTH,
+        RBO_P,
+        q_text_rbo_topterms,
+    )
+
+    got = q_text_rbo_topterms(spark, SF_SMOKE).toPandas()
+    docs = _pq("documents")
+    freq = {True: {}, False: {}}
+    for _, row in docs.iterrows():
+        even = row["doc_id"] % 2 == 0
+        for w in _py_tokens(row["text"]):
+            freq[even][w] = freq[even].get(w, 0) + 1
+    tops = {}
+    for even, f in freq.items():
+        ranked = sorted(f.items(), key=lambda kv: (-kv[1], kv[0]))
+        tops[even] = [t for t, _ in ranked[:RBO_DEPTH]]
+    rbo = 0.0
+    for _, r in got.iterrows():
+        d = int(r["depth"])
+        ov = len(set(tops[True][:d]) & set(tops[False][:d]))
+        assert r["n_overlap"] == ov, (d, r["n_overlap"], ov)
+        rbo += round((1 - RBO_P) * RBO_P ** (d - 1) * ov / d, 8)
+    assert abs(got["rbo_at_10_r"].iloc[0] - rbo) < 1e-5
+    assert 0.0 <= got["rbo_at_10_r"].iloc[0] <= 1.0
+
+
+def test_ks_bh_fdr_matches_scipy_free_python(spark):
+    from pyvectorsearch_spark.queries.quality_extra import (
+        BH_ALPHA,
+        q_events_ks_bh_fdr,
+        q_events_ks_drift,
+    )
+
+    got = q_events_ks_bh_fdr(spark, SF_SMOKE).toPandas()
+    ks = {r["event_type"]: r for r in q_events_ks_drift(spark, SF_SMOKE).collect()}
+    ps = {}
+    for et, r in ks.items():
+        ne = r["n_early"] * r["n_late"] / (r["n_early"] + r["n_late"])
+        p = min(1.0, 2.0 * np.exp(-2.0 * r["ks_d_r"] ** 2 * ne))
+        ps[et] = round(p * 1e6) / 1e6
+    order = sorted(ps, key=lambda e: (ps[e], e))
+    m = len(order)
+    kmax = 0
+    for i, et in enumerate(order, 1):
+        if ps[et] <= i * BH_ALPHA / m:
+            kmax = i
+    for _, r in got.iterrows():
+        assert abs(r["p_value_r"] - ps[r["event_type"]]) < 2e-6
+        exp_rank = order.index(r["event_type"]) + 1
+        assert r["p_rank"] == exp_rank
+        assert bool(r["drift_detected"]) == (exp_rank <= kmax)
+    # BH monotonicity: the rejected set is a prefix of the p-ordering
+    rej = got.sort_values("p_rank")["drift_detected"].tolist()
+    assert rej == sorted(rej, reverse=True)
