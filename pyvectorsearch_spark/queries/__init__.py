@@ -22,6 +22,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     pipeline,
     pipeline_extra,
     quality_extra,
+    quality_wave3,
     relational,
     sampling,
     sampling_extra,
@@ -106,6 +107,7 @@ _MODULES = [
     spatial_extra,  # likewise (grid-bin ε-distance join)
     multimodal_extra,  # likewise (image dHash / audio fingerprint pairs)
     web_extra,  # likewise (HTML extraction / URL census)
+    quality_wave3,  # likewise (round-4 stats additions, kept out of the window)
 ]
 
 

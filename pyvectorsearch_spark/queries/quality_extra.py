@@ -316,8 +316,6 @@ SELECT event_type, n_early, n_late,
 FROM rk WHERE rn = 1 ORDER BY event_type
 """
 
-QUERIES.update({"events_ks_drift": q_events_ks_drift})
-ORACLES.update({"events_ks_drift": ORACLE_EVENTS_KS})
 
 
 # --- corpus composition diversity ---------------------------------------------
@@ -402,8 +400,6 @@ FROM (
 
 ORACLE_CORPUS_DIVERSITY = _diversity_oracle()
 
-QUERIES.update({"corpus_diversity": q_corpus_diversity})
-ORACLES.update({"corpus_diversity": ORACLE_CORPUS_DIVERSITY})
 
 
 # --- two-proportion z-test (A/B) -----------------------------------------------
@@ -493,8 +489,6 @@ SELECT n_a, n_b,
 FROM m
 """
 
-QUERIES.update({"events_ab_test": q_events_ab_test})
-ORACLES.update({"events_ab_test": ORACLE_EVENTS_AB})
 
 
 # --- df.stat crosstab ---------------------------------------------------------------
@@ -531,8 +525,6 @@ SELECT source, lang, count(*)::BIGINT AS n_docs
 FROM documents GROUP BY source, lang ORDER BY source, lang
 """
 
-QUERIES.update({"documents_crosstab": q_documents_crosstab})
-ORACLES.update({"documents_crosstab": ORACLE_DOCUMENTS_CROSSTAB})
 
 
 # --- Benjamini–Hochberg FDR over the KS drift family ---------------------------------
@@ -629,5 +621,9 @@ SELECT f.event_type, f.ks_d_r,
 FROM flagged f CROSS JOIN kmax k ORDER BY p_rank
 """
 
-QUERIES.update({"events_ks_bh_fdr": q_events_ks_bh_fdr})
-ORACLES.update({"events_ks_bh_fdr": ORACLE_EVENTS_KS_BH})
+
+
+# NOTE: the round-4 additions in this file (KS drift, diversity, A/B, crosstab,
+# BH-FDR) register via queries/quality_wave3.py, which sits AFTER the driver's
+# pinned 50-entry window — keeping the window membership byte-stable across
+# rounds (the round-2 verdict's "keep the window stable" directive).
