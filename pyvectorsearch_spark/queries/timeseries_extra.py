@@ -1855,3 +1855,170 @@ FROM rk WHERE rn = 1 ORDER BY type_a, type_b
 
 QUERIES.update({"events_ccf_leadlag": q_events_ccf_leadlag})
 ORACLES.update({"events_ccf_leadlag": ORACLE_EVENTS_CCF})
+
+
+# --- fixed-frequency periodogram -----------------------------------------------------
+
+PERIODOGRAM_PERIODS = [24, 12, 168]
+
+
+def q_events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier power at the candidate periods (24 h, 12 h, one
+    week) per event type — the frequency-domain member of the spectral
+    family: ACF sees lags, Haar sees dyadic scales, STL assumes 24 h; the
+    periodogram RANKS the candidate periods by how much variance each
+    frequency actually carries (power = (Σy·cos)² + (Σy·sin)² over the
+    dense mean-centered grid).
+
+    Determinism: the trig factors round to 6 dp per hour (the ln-ladder
+    convention for transcendental parity), each product micro-fixes to a
+    bigint, sums are exact, and the squares accumulate in DECIMAL/HUGEINT;
+    mean-centering uses exact counts (y·n − total, never a float mean).
+
+    Scale: trig projection is scan-stage arithmetic on the types×hours
+    grid; one rollup per (type, period)."""
+    ev = load_table(spark, sf_dir, "events")
+    hb = (F.floor(F.unix_timestamp("ts") / 3600)).cast("bigint")
+    hc = ev.groupBy("event_type", hb.alias("h")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    rng = hc.groupBy("event_type").agg(
+        F.min("h").alias("_lo"), F.max("h").alias("_hi")
+    )
+    dense = rng.select(
+        "event_type", "_lo", F.explode(F.sequence("_lo", "_hi")).alias("h")
+    )
+    dn = (
+        dense.join(hc, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            (F.col("h") - F.col("_lo")).alias("hr"),
+            F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    tot = dn.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum("y").cast("bigint").alias("_ty"),
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in PERIODOGRAM_PERIODS], "period int"
+    )
+    fan = dn.join(tot, "event_type").crossJoin(F.broadcast(periods))
+    # mean-centered value scaled by n: yc = y*n - ty (exact integer)
+    yc = F.col("y") * F.col("_n") - F.col("_ty")
+    ang = 2.0 * 3.141592653589793 * F.col("hr") / F.col("period").cast("double")
+    cosr = F.round(F.cos(ang), 6)
+    sinr = F.round(F.sin(ang), 6)
+    proj = fan.select(
+        "event_type",
+        "period",
+        "_n",
+        F.round(yc * cosr * 1000000).cast("bigint").alias("_cu"),
+        F.round(yc * sinr * 1000000).cast("bigint").alias("_su"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = proj.groupBy("event_type", "period", "_n").agg(
+        F.sum("_cu").cast("bigint").alias("_sc"),
+        F.sum("_su").cast("bigint").alias("_ss"),
+    )
+    power = (d(m["_sc"]) * d(m["_sc"]) + d(m["_ss"]) * d(m["_ss"])).cast(
+        "double"
+    )
+    scored = m.select(
+        "event_type",
+        "period",
+        # normalize out the micro scale, the n-scaling of yc, and grid size
+        F.round(
+            power
+            / (
+                F.lit(1e12)
+                * (F.col("_n") * F.col("_n")).cast("double")
+                * F.col("_n").cast("double")
+            ),
+            4,
+        ).alias("power_r"),
+    )
+    tot2 = scored.groupBy("event_type").agg(
+        F.sum(F.round(F.col("power_r") * 10000).cast("bigint")).alias("_tp")
+    )
+    return (
+        scored.join(tot2, "event_type")
+        .select(
+            "event_type",
+            "period",
+            "power_r",
+            F.when(
+                F.col("_tp") > 0,
+                F.round(
+                    F.round(F.col("power_r") * 10000).cast("bigint")
+                    / F.col("_tp").cast("double"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("power_share_r"),
+        )
+        .orderBy("event_type", "period")
+    )
+
+
+_PG_LIST = ", ".join(str(p) for p in PERIODOGRAM_PERIODS)
+
+ORACLE_EVENTS_PERIODOGRAM = f"""
+WITH hc AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS h, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, min(h) AS lo, unnest(range(min(h), max(h) + 1)) AS h
+  FROM hc GROUP BY event_type
+),
+dn AS (
+  SELECT g.event_type, g.h - g.lo AS hr, coalesce(hc.y, 0)::BIGINT AS y
+  FROM grid g LEFT JOIN hc ON g.event_type = hc.event_type AND g.h = hc.h
+),
+tot AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(y)::BIGINT AS ty
+  FROM dn GROUP BY event_type
+),
+periods AS (SELECT unnest([{_PG_LIST}])::INT AS period),
+proj AS (
+  SELECT dn.event_type, p.period, t.n,
+         CAST(round((dn.y * t.n - t.ty)
+              * round(cos(2.0 * 3.141592653589793 * dn.hr / p.period), 6)
+              * 1000000) AS BIGINT) AS cu,
+         CAST(round((dn.y * t.n - t.ty)
+              * round(sin(2.0 * 3.141592653589793 * dn.hr / p.period), 6)
+              * 1000000) AS BIGINT) AS su
+  FROM dn JOIN tot t ON dn.event_type = t.event_type
+  CROSS JOIN periods p
+),
+m AS (
+  SELECT event_type, period, n,
+         sum(cu)::BIGINT AS sc, sum(su)::BIGINT AS ss
+  FROM proj GROUP BY event_type, period, n
+),
+scored AS (
+  SELECT event_type, period,
+         round(CAST(sc::HUGEINT * sc::HUGEINT + ss::HUGEINT * ss::HUGEINT
+                    AS DOUBLE)
+               / (1e12 * CAST(n * n AS DOUBLE) * CAST(n AS DOUBLE)), 4)
+           AS power_r
+  FROM m
+),
+tot2 AS (
+  SELECT event_type,
+         sum(CAST(round(power_r * 10000) AS BIGINT))::BIGINT AS tp
+  FROM scored GROUP BY event_type
+)
+SELECT s.event_type, s.period, s.power_r,
+       CASE WHEN t.tp > 0
+            THEN round(CAST(round(s.power_r * 10000) AS BIGINT)
+                       / CAST(t.tp AS DOUBLE), 4)
+            ELSE 0.0 END AS power_share_r
+FROM scored s JOIN tot2 t ON s.event_type = t.event_type
+ORDER BY s.event_type, s.period
+"""
+
+QUERIES.update({"events_periodogram": q_events_periodogram})
+ORACLES.update({"events_periodogram": ORACLE_EVENTS_PERIODOGRAM})

@@ -1330,3 +1330,32 @@ def test_ks_bh_fdr_matches_scipy_free_python(spark):
     # BH monotonicity: the rejected set is a prefix of the p-ordering
     rej = got.sort_values("p_rank")["drift_detected"].tolist()
     assert rej == sorted(rej, reverse=True)
+
+
+def test_periodogram_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.timeseries_extra import (
+        PERIODOGRAM_PERIODS,
+        q_events_periodogram,
+    )
+
+    got = {(r["event_type"], r["period"]): r["power_r"]
+           for r in q_events_periodogram(spark, SF_SMOKE).collect()}
+    ev = _pq("events")
+    h = _hourly_counts(ev)
+    for etype, grp in ev.groupby("event_type"):
+        hh = h[grp.index]
+        lo = hh.min()
+        n_hours = hh.max() - lo + 1
+        y = np.zeros(n_hours, dtype=np.int64)
+        np.add.at(y, (hh - lo).to_numpy(), 1)
+        n, ty = len(y), int(y.sum())
+        yc = y.astype(np.int64) * n - ty
+        hr = np.arange(n_hours)
+        for p in PERIODOGRAM_PERIODS:
+            ang = 2 * np.pi * hr / p
+            cu = np.round(yc * np.round(np.cos(ang), 6) * 1e6)
+            su = np.round(yc * np.round(np.sin(ang), 6) * 1e6)
+            power = (cu.sum() ** 2 + su.sum() ** 2) / (1e12 * n * n * n)
+            assert abs(got[(etype, p)] - power) < 2e-3, (etype, p)
+        # (no cross-period dominance assertion: low-frequency trend power
+        # legitimately lands in the 168 h bin for some synthetic types)
