@@ -889,3 +889,129 @@ ORACLE_EMBEDDING_CH = _ch_oracle()
 
 QUERIES.update({"embedding_calinski_harabasz": q_embedding_calinski_harabasz})
 ORACLES.update({"embedding_calinski_harabasz": ORACLE_EMBEDDING_CH})
+
+
+# --- hubness census -------------------------------------------------------------------
+
+HUB_K = 5
+
+
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness census of the embedding space (Radovanović 2010): the
+    k-occurrence N_k(x) = how many points count x among their k nearest
+    neighbors. High-dimensional spaces grow HUBS (points in everyone's
+    neighbor list — they poison kNN classification and graph clustering)
+    and antihubs (in nobody's). Reports the N_k distribution's exact
+    moments (mean is k by construction — a built-in self-check), its
+    skewness (THE hubness indicator), the max hub, and the antihub count.
+    Directly actionable for `knn_mutual_graph` (mutuality filters hubs)
+    and IVF list balance.
+
+    Determinism: N_k counts are integers from the (dist, id)-ordered kNN
+    ranks; skewness uses exact DECIMAL/HUGEINT central-moment sums with
+    one final double expression.
+
+    Scale: the directed kNN is the exhaustive oracle-checkable twin (at
+    corpus scale the same census reads the blocked/IVF kNN edge table);
+    the census itself is one neighbor-keyed count."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.functions.vector import l2_sq
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("_ia"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("_ib"), F.col("embedding").alias("_vb"))
+    d = (
+        a.join(b, F.col("_ia") != F.col("_ib"))
+        .withColumn("_d", l2_sq("_va", "_vb"))
+        .select("_ia", "_ib", "_d")
+    )
+    w = Window.partitionBy("_ia").orderBy(F.asc("_d"), F.asc("_ib"))
+    e = d.withColumn("_rnk", F.row_number().over(w)).filter(
+        F.col("_rnk") <= HUB_K
+    )
+    nk = e.groupBy("_ib").agg(F.count("*").cast("bigint").alias("_nk"))
+    allp = emb.select(F.col("vec_id").alias("_ib")).join(
+        nk, "_ib", "left"
+    ).select(F.coalesce("_nk", F.lit(0)).cast("bigint").alias("_nk"))
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = allp.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum("_nk").cast("bigint").alias("_s1"),
+        F.sum(dd(F.col("_nk")) * dd(F.col("_nk"))).alias("_s2"),
+        F.sum(dd(F.col("_nk")) * dd(F.col("_nk")) * dd(F.col("_nk"))).alias(
+            "_s3"
+        ),
+        F.max("_nk").cast("bigint").alias("max_k_occurrence"),
+        F.sum(F.when(F.col("_nk") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_antihubs"),
+    )
+    # central moments from raw: m2 = s2/n - mu^2 ; m3 = s3/n - 3mu*s2/n + 2mu^3
+    n = m["n_points"].cast("double")
+    mu = m["_s1"].cast("double") / n
+    m2 = m["_s2"].cast("double") / n - mu * mu
+    m3 = (
+        m["_s3"].cast("double") / n
+        - 3.0 * mu * (m["_s2"].cast("double") / n)
+        + 2.0 * mu * mu * mu
+    )
+    skew = F.when(m2 > 0, F.round(m3 / F.pow(F.sqrt(m2), 3.0), 6)).otherwise(
+        F.lit(0.0)
+    )
+    return m.select(
+        "n_points",
+        F.round(mu, 6).alias("mean_k_occurrence_r"),  # == k, self-check
+        skew.alias("skewness_r"),
+        "max_k_occurrence",
+        "n_antihubs",
+    )
+
+
+_HUB_L2 = duckdb_l2_sq("a.embedding", "b.embedding", DIM)
+
+ORACLE_KNN_HUBNESS = f"""
+WITH d AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {_HUB_L2} AS dist
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id
+),
+e AS (
+  SELECT ia, ib,
+         row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rnk
+  FROM d QUALIFY rnk <= {HUB_K}
+),
+nk AS (SELECT ib, count(*)::BIGINT AS nk FROM e GROUP BY ib),
+allp AS (
+  SELECT coalesce(nk.nk, 0)::BIGINT AS nk
+  FROM embeddings emb LEFT JOIN nk ON emb.vec_id = nk.ib
+),
+m AS (
+  SELECT count(*)::BIGINT AS n_points, sum(nk)::BIGINT AS s1,
+         sum(nk::HUGEINT * nk::HUGEINT) AS s2,
+         sum(nk::HUGEINT * nk::HUGEINT * nk::HUGEINT) AS s3,
+         max(nk)::BIGINT AS max_k_occurrence,
+         sum(CASE WHEN nk = 0 THEN 1 ELSE 0 END)::BIGINT AS n_antihubs
+  FROM allp
+)
+SELECT n_points,
+       round(s1 / CAST(n_points AS DOUBLE), 6) AS mean_k_occurrence_r,
+       CASE WHEN CAST(s2 AS DOUBLE) / n_points
+                 - (s1 / CAST(n_points AS DOUBLE))
+                   * (s1 / CAST(n_points AS DOUBLE)) > 0
+            THEN round((CAST(s3 AS DOUBLE) / n_points
+                        - 3.0 * (s1 / CAST(n_points AS DOUBLE))
+                              * (CAST(s2 AS DOUBLE) / n_points)
+                        + 2.0 * (s1 / CAST(n_points AS DOUBLE))
+                              * (s1 / CAST(n_points AS DOUBLE))
+                              * (s1 / CAST(n_points AS DOUBLE)))
+                       / power(sqrt(CAST(s2 AS DOUBLE) / n_points
+                                    - (s1 / CAST(n_points AS DOUBLE))
+                                      * (s1 / CAST(n_points AS DOUBLE))),
+                               3.0), 6)
+            ELSE 0.0 END AS skewness_r,
+       max_k_occurrence, n_antihubs
+FROM m
+"""
+
+QUERIES.update({"knn_hubness": q_knn_hubness})
+ORACLES.update({"knn_hubness": ORACLE_KNN_HUBNESS})

@@ -778,3 +778,85 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"text_compression_ratio": q_text_compression_ratio})
 # no ORACLES entry: deflate is not SQL-expressible; rows-only driver check +
 # the zlib golden test in tests/test_round4_wave3.py
+
+
+# --- LIX readability ------------------------------------------------------------------
+
+LIX_LONG_CHARS = 6
+
+
+def q_text_lix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIX readability per source (Björnsson 1968): words/sentences +
+    100·(long words)/words with long = more than 6 characters — the
+    language-agnostic index used across Nordic/European corpora where
+    Flesch's syllable counting misfires (`text_readability` is the
+    English-tuned twin; disagreement between the two flags odd prose).
+
+    Determinism: three integer counts per doc in the scan stage, one
+    rounded expression, micro-fixed per-source means.
+
+    Scale: the `text_quality` zero-extra-shuffle shape."""
+    words_arr = tokens(F.col("text"))
+    words = F.size(words_arr).cast("bigint")
+    longw = F.size(
+        F.filter(words_arr, lambda t: F.length(t) > LIX_LONG_CHARS)
+    ).cast("bigint")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("bigint")
+    lix = F.when(
+        words > 0,
+        F.round(
+            words / sents.cast("double")
+            + 100.0 * longw / words.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.round(lix * 1000000).cast("bigint").alias("_lu"),
+        longw.alias("_lw"),
+        words.alias("_w"),
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.sum("_lu") / (F.count("*") * F.lit(1000000.0)), 4).alias(
+                "avg_lix_r"
+            ),
+            F.round(F.sum("_lw") / F.sum("_w").cast("double"), 6).alias(
+                "long_word_ratio_r"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_LIX_TOK = duckdb_tokens("text")
+
+ORACLE_TEXT_LIX = f"""
+WITH c AS (
+  SELECT source,
+         len({_LIX_TOK})::BIGINT AS w,
+         len(list_filter({_LIX_TOK}, t -> length(t) > {LIX_LONG_CHARS}))::BIGINT
+           AS lw,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS s
+  FROM documents
+),
+h AS (
+  SELECT source, w, lw,
+         CAST(round((CASE WHEN w > 0
+              THEN round(w / s::DOUBLE + 100.0 * lw / w::DOUBLE, 6)
+              ELSE 0.0 END) * 1000000) AS BIGINT) AS lu
+  FROM c
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(sum(lu) / (count(*) * 1000000.0), 4) AS avg_lix_r,
+       round(sum(lw) / CAST(sum(w) AS DOUBLE), 6) AS long_word_ratio_r
+FROM h GROUP BY source ORDER BY source
+"""
+
+QUERIES.update({"text_lix": q_text_lix})
+ORACLES.update({"text_lix": ORACLE_TEXT_LIX})
