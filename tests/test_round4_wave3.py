@@ -1359,3 +1359,62 @@ def test_periodogram_matches_numpy(spark):
             assert abs(got[(etype, p)] - power) < 2e-3, (etype, p)
         # (no cross-period dominance assertion: low-frequency trend power
         # legitimately lands in the 168 h bin for some synthetic types)
+
+
+def test_hubness_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.embedding_extra import (
+        HUB_K,
+        q_knn_hubness,
+    )
+
+    got = q_knn_hubness(spark, SF_SMOKE).collect()[0]
+    emb = _pq("embeddings")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    nk = np.zeros(len(X), dtype=np.int64)
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    # rank by (dist, vec_id): argsort over lexicographic keys
+    for i in range(len(X)):
+        keys = sorted(range(len(X)), key=lambda j: (d2[i, j], ids[j]))
+        for j in keys[:HUB_K]:
+            nk[j] += 1
+    mu = nk.mean()
+    m2 = ((nk - mu) ** 2).mean()
+    m3 = ((nk - mu) ** 3).mean()
+    skew = m3 / m2**1.5 if m2 > 0 else 0.0
+    assert got["n_points"] == len(X)
+    assert abs(got["mean_k_occurrence_r"] - HUB_K) < 1e-9  # identity
+    assert abs(got["skewness_r"] - skew) < 1e-4
+    assert got["max_k_occurrence"] == int(nk.max())
+    assert got["n_antihubs"] == int((nk == 0).sum())
+
+
+def test_lix_matches_python(spark):
+    import re
+
+    from pyvectorsearch_spark.queries.text_extra import (
+        LIX_LONG_CHARS,
+        q_text_lix,
+    )
+
+    got = {r["source"]: r for r in q_text_lix(spark, SF_SMOKE).collect()}
+    docs = _pq("documents")
+    acc = {}
+    for _, row in docs.iterrows():
+        ws = _py_tokens(row["text"])
+        w = len(ws)
+        lw = sum(1 for t in ws if len(t) > LIX_LONG_CHARS)
+        s = max(len(re.findall(r"[.!?]+", row["text"])), 1)
+        lix = w / s + 100.0 * lw / w if w > 0 else 0.0
+        a = acc.setdefault(row["source"], [0, 0.0, 0, 0])
+        a[0] += 1
+        a[1] += lix
+        a[2] += lw
+        a[3] += w
+    for src, (n, slix, lw, w) in acc.items():
+        r = got[src]
+        assert r["n_docs"] == n
+        assert abs(r["avg_lix_r"] - slix / n) < 1e-3
+        assert abs(r["long_word_ratio_r"] - lw / w) < 1e-5
