@@ -47,6 +47,12 @@ NO_CARTESIAN = [
     ("relational", "customer_tree_depth"),
     ("relational", "status_unpivot_roundtrip"),
     ("sketch_extra", "q_sketch_ams_f2"),
+    ("text_rank", "q_text_rbo_topterms"),
+    ("quality_wave3", "q_events_ks_bh_fdr"),
+    ("timeseries_extra", "q_events_periodogram"),
+    ("text_extra", "q_text_lix"),
+    ("scd_extra", "q_scd2_asof_enrich"),
+    ("sampling_extra", "q_sample_group_kfold"),
 ]
 
 
