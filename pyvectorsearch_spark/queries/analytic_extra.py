@@ -988,3 +988,179 @@ FROM sweep s CROSS JOIN n
 
 QUERIES.update({"orders_littles_law": q_orders_littles_law})
 ORACLES.update({"orders_littles_law": ORACLE_ORDERS_LITTLES})
+
+
+# --- order aging buckets ---------------------------------------------------------
+
+
+def q_orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receivables-style aging report: orders not yet fully shipped as of
+    the dataset's horizon (max ship date), bucketed by how long they have
+    been open (0-30 / 31-60 / 61-90 / 90+ days) per priority with exact-
+    cents value at risk — the finance staple beside the lifecycle
+    averages (an average hides the 90+ tail; the bucket table IS the
+    collections worklist).
+
+    "Open" is deterministic here: an order whose LAST line ships after
+    the horizon minus 30 days counts as in-flight at the horizon (a fixed
+    business rule on the synthetic data — documented, not discovered).
+
+    Determinism: integer day arithmetic, fixed bucket edges, exact cents.
+    Scale: one milestone rollup + a buckets-sized report."""
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("_sd")
+    )
+    miles = li.groupBy("l_orderkey").agg(F.max("_sd").alias("_last"))
+    horizon = li.agg(F.max("_sd").alias("_hz"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("_od"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_rc"),
+    )
+    j = (
+        o.join(miles, o.o_orderkey == miles.l_orderkey)
+        .crossJoin(F.broadcast(horizon))
+        .filter(F.datediff(F.col("_hz"), F.col("_last")) < 30)
+        .withColumn("_age", F.datediff(F.col("_hz"), F.col("_od")))
+    )
+    bucket = (
+        F.when(F.col("_age") <= 30, "00-30")
+        .when(F.col("_age") <= 60, "31-60")
+        .when(F.col("_age") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return (
+        j.groupBy("o_orderpriority", bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("_rc") / 100.0, 2).alias("value_r"),
+            F.max("_age").cast("bigint").alias("max_age_days"),
+        )
+        .orderBy("o_orderpriority", "age_bucket")
+    )
+
+
+ORACLE_ORDERS_AGING = """
+WITH miles AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+hz AS (SELECT max(CAST(l_shipdate AS DATE)) AS hz FROM lineitem),
+j AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE), hz.hz) AS age,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS rc
+  FROM orders o JOIN miles m ON o.o_orderkey = m.l_orderkey
+  CROSS JOIN hz
+  WHERE date_diff('day', m.last_ship, hz.hz) < 30
+)
+SELECT o_orderpriority,
+       CASE WHEN age <= 30 THEN '00-30' WHEN age <= 60 THEN '31-60'
+            WHEN age <= 90 THEN '61-90' ELSE '90+' END AS age_bucket,
+       count(*)::BIGINT AS n_orders,
+       round(sum(rc) / 100.0, 2) AS value_r,
+       max(age)::BIGINT AS max_age_days
+FROM j GROUP BY 1, 2 ORDER BY o_orderpriority, age_bucket
+"""
+
+QUERIES.update({"orders_aging_buckets": q_orders_aging_buckets})
+ORACLES.update({"orders_aging_buckets": ORACLE_ORDERS_AGING})
+
+
+# --- lead-time tail percentiles ----------------------------------------------------
+
+LEADTIME_PCTS = [50, 90, 99]
+
+
+def q_orders_leadtime_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-time SLA tails per priority: exact p50/p90/p99 of days from
+    order to FIRST shipment via the histogram-rank ladder (the
+    `orders_mad_outliers` trick on day counts) — the tail the lifecycle
+    AVERAGES hide, and the number an SLA is actually written against.
+
+    Determinism: integer days, rank = ceil(q·n), smallest day value whose
+    cumulative count reaches the rank. Scale: aggregate-then-window over
+    distinct (priority, days) cells."""
+    from pyspark.sql import Window
+
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("_sd")
+    )
+    first = li.groupBy("l_orderkey").agg(F.min("_sd").alias("_first"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("_od"),
+    )
+    lead = o.join(first, o.o_orderkey == first.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("_first"), F.col("_od")).cast("bigint").alias("_ld"),
+    ).filter(F.col("_ld") >= 0)
+    hist = lead.groupBy("o_orderpriority", "_ld").agg(
+        F.count("*").cast("bigint").alias("_c")
+    )
+    tot = hist.groupBy("o_orderpriority").agg(
+        F.sum("_c").cast("bigint").alias("_n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("_ld").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w).cast("bigint")).join(
+        tot, "o_orderpriority"
+    )
+    pcts = spark.createDataFrame([(p,) for p in LEADTIME_PCTS], "pct int")
+    fan = cum.crossJoin(F.broadcast(pcts)).filter(
+        F.col("_cum") * 100 >= F.col("pct") * F.col("_n")
+    )
+    return (
+        fan.groupBy("o_orderpriority", "pct", "_n")
+        .agg(F.min("_ld").cast("bigint").alias("lead_days"))
+        .select(
+            "o_orderpriority",
+            "pct",
+            F.col("_n").alias("n_orders"),
+            "lead_days",
+        )
+        .orderBy("o_orderpriority", "pct")
+    )
+
+
+_LT_PCTS = ", ".join(str(p) for p in LEADTIME_PCTS)
+
+ORACLE_ORDERS_LEADTIME = f"""
+WITH first AS (
+  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS fs
+  FROM lineitem GROUP BY l_orderkey
+),
+lead AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE), f.fs)::BIGINT AS ld
+  FROM orders o JOIN first f ON o.o_orderkey = f.l_orderkey
+  WHERE date_diff('day', CAST(o.o_orderdate AS DATE), f.fs) >= 0
+),
+hist AS (
+  SELECT o_orderpriority, ld, count(*)::BIGINT AS c
+  FROM lead GROUP BY o_orderpriority, ld
+),
+tot AS (
+  SELECT o_orderpriority, sum(c)::BIGINT AS n FROM hist
+  GROUP BY o_orderpriority
+),
+cum AS (
+  SELECT h.o_orderpriority, h.ld, t.n,
+         sum(h.c) OVER (PARTITION BY h.o_orderpriority
+                        ORDER BY h.ld)::BIGINT AS cm
+  FROM hist h JOIN tot t ON h.o_orderpriority = t.o_orderpriority
+),
+pcts AS (SELECT unnest([{_LT_PCTS}])::INT AS pct)
+SELECT c.o_orderpriority, p.pct, max(c.n)::BIGINT AS n_orders,
+       min(c.ld)::BIGINT AS lead_days
+FROM cum c CROSS JOIN pcts p
+WHERE c.cm * 100 >= p.pct * c.n
+GROUP BY c.o_orderpriority, p.pct
+ORDER BY c.o_orderpriority, p.pct
+"""
+
+QUERIES.update({"orders_leadtime_tails": q_orders_leadtime_tails})
+ORACLES.update({"orders_leadtime_tails": ORACLE_ORDERS_LEADTIME})
