@@ -1418,3 +1418,61 @@ def test_lix_matches_python(spark):
         assert r["n_docs"] == n
         assert abs(r["avg_lix_r"] - slix / n) < 1e-3
         assert abs(r["long_word_ratio_r"] - lw / w) < 1e-5
+
+
+def test_aging_buckets_match_pandas(spark):
+    from pyvectorsearch_spark.queries.analytic_extra import (
+        q_orders_aging_buckets,
+    )
+
+    got = q_orders_aging_buckets(spark, SF_SMOKE).toPandas()
+    o = _pq("orders")
+    li = _pq("lineitem")
+    last = li.groupby("l_orderkey")["l_shipdate"].max()
+    hz = li["l_shipdate"].max()
+    j = o.join(last.rename("last"), on="o_orderkey", how="inner")
+    open_mask = (hz - j["last"]).dt.days < 30
+    j = j[open_mask]
+    age = (hz - pd.to_datetime(j["o_orderdate"])).dt.days
+    bucket = np.where(age <= 30, "00-30",
+                      np.where(age <= 60, "31-60",
+                               np.where(age <= 90, "61-90", "90+")))
+    j = j.assign(age=age, bucket=bucket,
+                 rc=(j["o_totalprice"] * 100).round().astype("int64"))
+    for (prio, b), grp in j.groupby(["o_orderpriority", "bucket"]):
+        r = got[(got.o_orderpriority == prio) & (got.age_bucket == b)]
+        assert len(r) == 1
+        assert r["n_orders"].iloc[0] == len(grp)
+        assert abs(r["value_r"].iloc[0] - grp["rc"].sum() / 100.0) < 0.011
+        assert r["max_age_days"].iloc[0] == grp["age"].max()
+    assert got["n_orders"].sum() == len(j)
+
+
+def test_leadtime_tails_match_numpy(spark):
+    from pyvectorsearch_spark.queries.analytic_extra import (
+        LEADTIME_PCTS,
+        q_orders_leadtime_tails,
+    )
+
+    got = {(r["o_orderpriority"], r["pct"]): r
+           for r in q_orders_leadtime_tails(spark, SF_SMOKE).collect()}
+    o = _pq("orders")
+    li = _pq("lineitem")
+    first = li.groupby("l_orderkey")["l_shipdate"].min()
+    j = o.join(first.rename("fs"), on="o_orderkey", how="inner")
+    j["ld"] = (pd.to_datetime(j["fs"]) - pd.to_datetime(j["o_orderdate"])).dt.days
+    j = j[j["ld"] >= 0]
+    for prio, grp in j.groupby("o_orderpriority"):
+        v = np.sort(grp["ld"].to_numpy())
+        n = len(v)
+        for pct in LEADTIME_PCTS:
+            # smallest value whose cumulative count reaches ceil(pct*n/100)
+            rank = -(-pct * n // 100)  # ceil
+            exp = v[rank - 1]
+            r = got[(prio, pct)]
+            assert r["n_orders"] == n
+            assert r["lead_days"] == exp, (prio, pct, r["lead_days"], exp)
+        # tail monotonicity
+        assert (got[(prio, 50)]["lead_days"]
+                <= got[(prio, 90)]["lead_days"]
+                <= got[(prio, 99)]["lead_days"])
