@@ -1164,3 +1164,76 @@ ORDER BY c.o_orderpriority, p.pct
 
 QUERIES.update({"orders_leadtime_tails": q_orders_leadtime_tails})
 ORACLES.update({"orders_leadtime_tails": ORACLE_ORDERS_LEADTIME})
+
+
+# --- repeat-customer revenue share ---------------------------------------------------
+
+
+def q_orders_repeat_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loyalty KPI: per order-year, the share of revenue from REPEAT
+    customers (first order in a prior year) vs new ones, plus the repeat-
+    customer count — the retention-economics readout on top of the cohort
+    LTV table (LTV follows a cohort forward; this cuts each year between
+    new and returning money).
+
+    Determinism: the first-order year is an integer min per customer;
+    revenue is exact cents; one rounded share per year.
+
+    Scale: one customer-keyed min rollup broadcast back over the orders
+    scan, then a years-sized report."""
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_custkey",
+        F.year("o_orderdate").alias("_yr"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_rc"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("_yr").alias("_fy"))
+    j = o.join(first, "o_custkey").withColumn(
+        "_repeat", F.col("_yr") > F.col("_fy")
+    )
+    return (
+        j.groupBy(F.col("_yr").alias("order_year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct(F.when(F.col("_repeat"), F.col("o_custkey")))
+            .cast("bigint")
+            .alias("n_repeat_customers"),
+            F.round(
+                F.sum(F.when(F.col("_repeat"), F.col("_rc")).otherwise(0))
+                / 100.0,
+                2,
+            ).alias("repeat_revenue_r"),
+            F.round(F.sum("_rc") / 100.0, 2).alias("total_revenue_r"),
+            F.round(
+                F.sum(F.when(F.col("_repeat"), F.col("_rc")).otherwise(0))
+                / F.sum("_rc").cast("double"),
+                6,
+            ).alias("repeat_share_r"),
+        )
+        .orderBy("order_year")
+    )
+
+
+ORACLE_ORDERS_REPEAT_SHARE = """
+WITH o AS (
+  SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS yr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS rc
+  FROM orders
+),
+first AS (SELECT o_custkey, min(yr) AS fy FROM o GROUP BY o_custkey),
+j AS (
+  SELECT o.yr, o.rc, o.o_custkey, (o.yr > f.fy) AS rp
+  FROM o JOIN first f ON o.o_custkey = f.o_custkey
+)
+SELECT yr AS order_year, count(*)::BIGINT AS n_orders,
+       count(DISTINCT CASE WHEN rp THEN o_custkey END)::BIGINT
+         AS n_repeat_customers,
+       round(sum(CASE WHEN rp THEN rc ELSE 0 END) / 100.0, 2)
+         AS repeat_revenue_r,
+       round(sum(rc) / 100.0, 2) AS total_revenue_r,
+       round(sum(CASE WHEN rp THEN rc ELSE 0 END) / CAST(sum(rc) AS DOUBLE), 6)
+         AS repeat_share_r
+FROM j GROUP BY yr ORDER BY order_year
+"""
+
+QUERIES.update({"orders_repeat_revenue_share": q_orders_repeat_revenue_share})
+ORACLES.update({"orders_repeat_revenue_share": ORACLE_ORDERS_REPEAT_SHARE})
