@@ -1476,3 +1476,31 @@ def test_leadtime_tails_match_numpy(spark):
         assert (got[(prio, 50)]["lead_days"]
                 <= got[(prio, 90)]["lead_days"]
                 <= got[(prio, 99)]["lead_days"])
+
+
+def test_repeat_revenue_share_matches_pandas(spark):
+    from pyvectorsearch_spark.queries.analytic_extra import (
+        q_orders_repeat_revenue_share,
+    )
+
+    got = {r["order_year"]: r
+           for r in q_orders_repeat_revenue_share(spark, SF_SMOKE).collect()}
+    o = _pq("orders")
+    o["yr"] = pd.to_datetime(o["o_orderdate"]).dt.year
+    o["rc"] = (o["o_totalprice"] * 100).round().astype("int64")
+    fy = o.groupby("o_custkey")["yr"].min().rename("fy")
+    o = o.join(fy, on="o_custkey")
+    o["rp"] = o["yr"] > o["fy"]
+    for yr, grp in o.groupby("yr"):
+        r = got[yr]
+        assert r["n_orders"] == len(grp)
+        assert r["n_repeat_customers"] == grp.loc[grp.rp, "o_custkey"].nunique()
+        assert abs(r["repeat_revenue_r"] - grp.loc[grp.rp, "rc"].sum() / 100) < 0.011
+        assert abs(r["repeat_share_r"]
+                   - grp.loc[grp.rp, "rc"].sum() / grp["rc"].sum()) < 1e-5
+    # first year is all-new by construction
+    first_year = min(got)
+    assert got[first_year]["repeat_share_r"] == 0.0
+    # repeat share grows as cohorts age
+    years = sorted(got)
+    assert got[years[-1]]["repeat_share_r"] > got[years[0]]["repeat_share_r"]
