@@ -1015,3 +1015,100 @@ FROM m
 
 QUERIES.update({"knn_hubness": q_knn_hubness})
 ORACLES.update({"knn_hubness": ORACLE_KNN_HUBNESS})
+
+
+# --- epsilon-radius pair curve ---------------------------------------------------------
+
+EPS_LADDER = [1.0, 1.1, 1.2, 1.3, 1.4]
+
+
+def q_embedding_radius_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-sensitivity curve for radius search / ε-graph construction:
+    cumulative pair counts and touched-point counts at a ladder of L2
+    radii spanning the corpus's near-neighbor band (1.0-1.4; the p0.1-p50
+    percentiles of the pairwise-distance distribution, bracketing
+    `range_search`'s 1.1) — the embedding-space twin of
+    `dedup_threshold_curve` (that one
+    tunes a Hamming cutoff; this tunes the ε behind `range_search`,
+    `spatial_radius_join`, and any DBSCAN-style ε-graph: where does the
+    pair graph percolate?).
+
+    Determinism: exact fixed-fold squared distances compared to exact
+    squared-radius literals; integer counts.
+
+    Scale: ONE pair-distance pass (the expensive part) fans out over the
+     5-radius broadcast ladder — the curve costs one radius join, not
+    five; at corpus scale the same fan-out reads the grid/IVF candidate
+    pairs instead of the exhaustive twin."""
+    from pyvectorsearch_spark.functions.vector import l2_sq
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("_ia"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("_ib"), F.col("embedding").alias("_vb"))
+    max_eps2 = max(EPS_LADDER) ** 2
+    pairs = (
+        a.join(b, F.col("_ia") < F.col("_ib"))
+        .withColumn("_d", l2_sq("_va", "_vb"))
+        .filter(F.col("_d") <= F.lit(max_eps2))
+        .select("_ia", "_ib", "_d")
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # one distance pass, 2 branches
+    eps = spark.createDataFrame(
+        [(float(e),) for e in EPS_LADDER], "epsilon double"
+    )
+    fan = pairs.crossJoin(F.broadcast(eps)).filter(
+        F.col("_d") <= F.col("epsilon") * F.col("epsilon")
+    )
+    cnt = fan.groupBy("epsilon").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    touched = (
+        fan.select("epsilon", F.explode(F.array("_ia", "_ib")).alias("_p"))
+        .groupBy("epsilon")
+        .agg(F.countDistinct("_p").cast("bigint").alias("n_points_touched"))
+    )
+    return (
+        eps.join(cnt, "epsilon", "left")
+        .join(touched, "epsilon", "left")
+        .select(
+            F.round("epsilon", 2).alias("epsilon_r"),
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_points_touched", F.lit(0))
+            .cast("bigint")
+            .alias("n_points_touched"),
+        )
+        .orderBy("epsilon_r")
+    )
+
+
+_RC_L2 = duckdb_l2_sq("a.embedding", "b.embedding", DIM)
+_EPS_LIST = ", ".join(repr(float(e)) for e in EPS_LADDER)
+
+ORACLE_EMBEDDING_RADIUS_CURVE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {_RC_L2} AS d
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+),
+eps AS (SELECT unnest([{_EPS_LIST}])::DOUBLE AS epsilon),
+fan AS (
+  SELECT e.epsilon, p.ia, p.ib FROM pairs p
+  JOIN eps e ON p.d <= e.epsilon * e.epsilon
+),
+cnt AS (SELECT epsilon, count(*)::BIGINT AS n_pairs FROM fan GROUP BY epsilon),
+touched AS (
+  SELECT epsilon, count(DISTINCT pt)::BIGINT AS n_points_touched
+  FROM (SELECT epsilon, ia AS pt FROM fan
+        UNION ALL SELECT epsilon, ib FROM fan)
+  GROUP BY epsilon
+)
+SELECT round(e.epsilon, 2) AS epsilon_r,
+       coalesce(c.n_pairs, 0)::BIGINT AS n_pairs,
+       coalesce(t.n_points_touched, 0)::BIGINT AS n_points_touched
+FROM eps e LEFT JOIN cnt c ON e.epsilon = c.epsilon
+LEFT JOIN touched t ON e.epsilon = t.epsilon
+ORDER BY epsilon_r
+"""
+
+QUERIES.update({"embedding_radius_curve": q_embedding_radius_curve})
+ORACLES.update({"embedding_radius_curve": ORACLE_EMBEDDING_RADIUS_CURVE})

@@ -1504,3 +1504,30 @@ def test_repeat_revenue_share_matches_pandas(spark):
     # repeat share grows as cohorts age
     years = sorted(got)
     assert got[years[-1]]["repeat_share_r"] > got[years[0]]["repeat_share_r"]
+
+
+def test_radius_curve_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.embedding_extra import (
+        EPS_LADDER,
+        q_embedding_radius_curve,
+    )
+
+    got = {r["epsilon_r"]: r
+           for r in q_embedding_radius_curve(spark, SF_SMOKE).collect()}
+    emb = _pq("embeddings")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    # engine distance: fixed-fold float32-accumulated? compare via float64
+    # (distances here are far from the epsilon^2 boundaries; the count is
+    # insensitive to sub-1e-6 accumulation differences)
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    iu = np.triu_indices(len(X), 1)
+    dd = d2[iu]
+    for e in EPS_LADDER:
+        mask = dd <= e * e
+        r = got[round(e, 2)]
+        assert r["n_pairs"] == int(mask.sum()), e
+        ii, jj = iu[0][mask], iu[1][mask]
+        assert r["n_points_touched"] == len(set(ii) | set(jj))
+    # monotone percolation
+    ordered = [got[round(e, 2)]["n_pairs"] for e in EPS_LADDER]
+    assert ordered == sorted(ordered)
