@@ -860,3 +860,200 @@ FROM h GROUP BY source ORDER BY source
 
 QUERIES.update({"text_lix": q_text_lix})
 ORACLES.update({"text_lix": ORACLE_TEXT_LIX})
+
+
+# --- quality-signal redundancy matrix ---------------------------------------------------
+
+
+def q_text_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-redundancy audit over the quality screens: the Pearson
+    correlation between every PAIR of per-doc signals — composite quality
+    score, char entropy, Flesch, and LIX. Two screens that correlate at
+    0.95 are one screen paid for twice; a negative pair flags signals
+    pulling filtering decisions in opposite directions. The meta-analysis
+    that decides which screens earn a slot in `pipeline_curate`.
+
+    Determinism: each signal is its existing engine-exact micro-fixed
+    ladder; the correlations use the DECIMAL(38,0) moment construction on
+    the micro integers.
+
+    Scale: all four signals are scan-stage expressions computed in ONE
+    pass over the corpus; the moment rollup is 6 pairs × one row."""
+    from pyvectorsearch_spark.operators.textops import quality_score_col
+
+    lower = F.lower(F.col("text"))
+
+    def cnt(sym: str):
+        return (
+            F.length(lower) - F.length(F.replace(lower, F.lit(sym), F.lit("")))
+        ).cast("bigint")
+
+    counts = [cnt(s) for s in ENTROPY_ALPHABET]
+    n = sum(counts[1:], counts[0])
+    terms = [
+        F.when(c > 0, F.round(c.cast("double") * F.log2(c.cast("double")), 6))
+        .otherwise(F.lit(0.0))
+        for c in counts
+    ]
+    ssum = sum(terms[1:], terms[0])
+    entropy = F.when(
+        n > 0, F.round(F.log2(n.cast("double")) - ssum / n.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+
+    words_arr = tokens(F.col("text"))
+    words = F.size(words_arr).cast("bigint")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("bigint")
+    sylls = F.greatest(
+        F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), 0)), F.lit(1)
+    ).cast("bigint")
+    flesch = F.when(
+        words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words / sents.cast("double"))
+            - F.lit(84.6) * (sylls / words.cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    longw = F.size(
+        F.filter(words_arr, lambda t: F.length(t) > LIX_LONG_CHARS)
+    ).cast("bigint")
+    lix = F.when(
+        words > 0,
+        F.round(
+            words / sents.cast("double") + 100.0 * longw / words.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    quality = quality_score_col(F.col("text"), words_arr)
+
+    sig = load_table(spark, sf_dir, "documents").select(
+        F.round(quality * 1000000).cast("bigint").alias("quality"),
+        F.round(entropy * 1000000).cast("bigint").alias("entropy"),
+        F.round(flesch * 1000000).cast("bigint").alias("flesch"),
+        F.round(lix * 1000000).cast("bigint").alias("lix"),
+    )
+    names = ["quality", "entropy", "flesch", "lix"]
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count("*").cast("bigint").alias("_n")]
+    for a in names:
+        aggs.append(F.sum(a).cast("bigint").alias(f"_s_{a}"))
+        for b in names:
+            if a <= b:
+                aggs.append(
+                    F.sum(dd(F.col(a)) * dd(F.col(b))).alias(f"_p_{a}_{b}")
+                )
+    m = sig.agg(*aggs)
+    out = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            key = f"_p_{a}_{b}" if a <= b else f"_p_{b}_{a}"
+            num = dd(m["_n"]) * m[key] - dd(m[f"_s_{a}"]) * dd(m[f"_s_{b}"])
+            va = dd(m["_n"]) * m[f"_p_{a}_{a}"] - dd(m[f"_s_{a}"]) * dd(
+                m[f"_s_{a}"]
+            )
+            vb = dd(m["_n"]) * m[f"_p_{b}_{b}"] - dd(m[f"_s_{b}"]) * dd(
+                m[f"_s_{b}"]
+            )
+            r = F.when(
+                (va > 0) & (vb > 0),
+                F.round(
+                    num.cast("double")
+                    / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0))
+            out.append(
+                m.select(
+                    F.lit(a).alias("signal_a"),
+                    F.lit(b).alias("signal_b"),
+                    F.col("_n").alias("n_docs"),
+                    r.alias("corr_r"),
+                )
+            )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("signal_a", "signal_b")
+
+
+def _signal_corr_oracle() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_quality
+
+    # the per-doc entropy ladder is rebuilt inline (same construction as
+    # _entropy_oracle, which emits a full rollup query rather than a fragment)
+    cnts = [
+        f"(length(lt) - length(replace(lt, '{s}', '')))::BIGINT"
+        if s != " "
+        else "(length(lt) - length(replace(lt, ' ', '')))::BIGINT"
+        for s in ENTROPY_ALPHABET
+    ]
+    cols = ",\n         ".join(f"{c} AS c{i}" for i, c in enumerate(cnts))
+    nsum = " + ".join(f"c{i}" for i in range(len(cnts)))
+    tsum = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN round(c{i} * log2(c{i}), 6) ELSE 0.0 END)"
+        for i in range(len(cnts))
+    )
+    q = duckdb_quality("raw", "tk")
+    tok = duckdb_tokens("raw")
+    names = ["quality", "entropy", "flesch", "lix"]
+    sums = ["count(*)::BIGINT AS n"]
+    for a in names:
+        sums.append(f"sum({a})::BIGINT AS s_{a}")
+        for b in names:
+            if a <= b:
+                sums.append(f"sum({a}::HUGEINT * {b}::HUGEINT) AS p_{a}_{b}")
+    pairs_sql = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            key = f"p_{a}_{b}" if a <= b else f"p_{b}_{a}"
+            num = f"(n::HUGEINT * {key} - s_{a}::HUGEINT * s_{b}::HUGEINT)"
+            va = f"(n::HUGEINT * p_{a}_{a} - s_{a}::HUGEINT * s_{a}::HUGEINT)"
+            vb = f"(n::HUGEINT * p_{b}_{b} - s_{b}::HUGEINT * s_{b}::HUGEINT)"
+            pairs_sql.append(f"""
+SELECT '{a}' AS signal_a, '{b}' AS signal_b, n AS n_docs,
+       CASE WHEN {va} > 0 AND {vb} > 0
+            THEN round(CAST({num} AS DOUBLE)
+                       / (sqrt(CAST({va} AS DOUBLE))
+                          * sqrt(CAST({vb} AS DOUBLE))), 6)
+            ELSE 0.0 END AS corr_r
+FROM m""")
+    return f"""
+WITH base AS (
+  SELECT text AS raw, lower(text) AS lt, {tok} AS tk FROM documents
+),
+c AS (
+  SELECT raw, tk,
+         {cols}
+  FROM base
+),
+sig AS (
+  SELECT
+    CAST(round({q} * 1000000) AS BIGINT) AS quality,
+    CAST(round((CASE WHEN ({nsum}) > 0
+         THEN round(log2(({nsum})::DOUBLE) - ({tsum}) / ({nsum})::DOUBLE, 6)
+         ELSE 0.0 END) * 1000000) AS BIGINT) AS entropy,
+    CAST(round((CASE WHEN len(tk) > 0
+         THEN round(206.835
+              - 1.015 * (len(tk) / greatest(len(regexp_extract_all(raw, '[.!?]+')), 1)::DOUBLE)
+              - 84.6 * (greatest(len(regexp_extract_all(lower(raw), '[aeiouy]+')), 1) / len(tk)::DOUBLE), 6)
+         ELSE 0.0 END) * 1000000) AS BIGINT) AS flesch,
+    CAST(round((CASE WHEN len(tk) > 0
+         THEN round(len(tk) / greatest(len(regexp_extract_all(raw, '[.!?]+')), 1)::DOUBLE
+              + 100.0 * len(list_filter(tk, t -> length(t) > {LIX_LONG_CHARS})) / len(tk)::DOUBLE, 6)
+         ELSE 0.0 END) * 1000000) AS BIGINT) AS lix
+  FROM c
+),
+m AS (SELECT {", ".join(sums)} FROM sig)
+{" UNION ALL ".join(pairs_sql)}
+ORDER BY signal_a, signal_b
+"""
+
+
+ORACLE_TEXT_SIGNAL_CORR = _signal_corr_oracle()
+
+QUERIES.update({"text_signal_correlation": q_text_signal_correlation})
+ORACLES.update({"text_signal_correlation": ORACLE_TEXT_SIGNAL_CORR})
