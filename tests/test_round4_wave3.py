@@ -1531,3 +1531,51 @@ def test_radius_curve_matches_numpy(spark):
     # monotone percolation
     ordered = [got[round(e, 2)]["n_pairs"] for e in EPS_LADDER]
     assert ordered == sorted(ordered)
+
+
+def test_signal_correlation_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.text_extra import (
+        q_text_signal_correlation,
+    )
+
+    got = {(r["signal_a"], r["signal_b"]): r["corr_r"]
+           for r in q_text_signal_correlation(spark, SF_SMOKE).collect()}
+    # recompute the four signals through the ENGINE's own per-doc ladders
+    # is circular; instead recompute entropy/flesch/lix in plain python and
+    # verify the correlation arithmetic over those three (quality's ladder
+    # is pinned separately by test_textops)
+    import re
+
+    from pyvectorsearch_spark.queries.text_extra import (
+        ENTROPY_ALPHABET,
+        LIX_LONG_CHARS,
+    )
+
+    docs = _pq("documents")
+    sig = {"entropy": [], "flesch": [], "lix": []}
+    for _, row in docs.iterrows():
+        t = row["text"]
+        lt = t.lower()
+        counts = np.array([lt.count(s) for s in ENTROPY_ALPHABET], dtype=float)
+        nn = counts.sum()
+        h = 0.0
+        if nn > 0:
+            pos = counts[counts > 0]
+            h = round(np.log2(nn) - (pos * np.log2(pos)).sum() / nn, 6)
+        ws = _py_tokens(t)
+        w = len(ws)
+        s = max(len(re.findall(r"[.!?]+", t)), 1)
+        y = max(len(re.findall(r"[aeiouy]+", lt)), 1)
+        fl = round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 6) if w else 0.0
+        lw = sum(1 for x in ws if len(x) > LIX_LONG_CHARS)
+        lx = round(w / s + 100.0 * lw / w, 6) if w else 0.0
+        sig["entropy"].append(round(h * 1e6))
+        sig["flesch"].append(round(fl * 1e6))
+        sig["lix"].append(round(lx * 1e6))
+    for a, b in [("entropy", "flesch"), ("entropy", "lix"), ("flesch", "lix")]:
+        exp = np.corrcoef(np.array(sig[a], float), np.array(sig[b], float))[0, 1]
+        assert abs(got[(a, b)] - exp) < 1e-4, (a, b, got[(a, b)], exp)
+    # the two readability indices must be strongly anti-correlated (higher
+    # Flesch = easier, higher LIX = harder) -- the redundancy the matrix
+    # exists to expose
+    assert got[("flesch", "lix")] < -0.8
