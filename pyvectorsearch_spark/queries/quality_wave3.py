@@ -9,11 +9,13 @@ from __future__ import annotations
 
 from pyvectorsearch_spark.queries.quality_extra import (
     ORACLE_CORPUS_DIVERSITY,
+    ORACLE_EVENTS_AB_CUPED,
     ORACLE_DOCUMENTS_CROSSTAB,
     ORACLE_EVENTS_AB,
     ORACLE_EVENTS_KS,
     ORACLE_EVENTS_KS_BH,
     q_corpus_diversity,
+    q_events_ab_cuped,
     q_documents_crosstab,
     q_events_ab_test,
     q_events_ks_bh_fdr,
@@ -26,6 +28,7 @@ QUERIES = {
     "events_ab_test": q_events_ab_test,
     "documents_crosstab": q_documents_crosstab,
     "events_ks_bh_fdr": q_events_ks_bh_fdr,
+    "events_ab_cuped": q_events_ab_cuped,
 }
 ORACLES = {
     "events_ks_drift": ORACLE_EVENTS_KS,
@@ -33,4 +36,5 @@ ORACLES = {
     "events_ab_test": ORACLE_EVENTS_AB,
     "documents_crosstab": ORACLE_DOCUMENTS_CROSSTAB,
     "events_ks_bh_fdr": ORACLE_EVENTS_KS_BH,
+    "events_ab_cuped": ORACLE_EVENTS_AB_CUPED,
 }
