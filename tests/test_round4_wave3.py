@@ -1579,3 +1579,38 @@ def test_signal_correlation_matches_numpy(spark):
     # Flesch = easier, higher LIX = harder) -- the redundancy the matrix
     # exists to expose
     assert got[("flesch", "lix")] < -0.8
+
+
+def test_cuped_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.quality_extra import (
+        PSI_SPLIT_DAY,
+        q_events_ab_cuped,
+    )
+
+    got = q_events_ab_cuped(spark, SF_SMOKE).collect()[0]
+    ev = _pq("events")
+    day = pd.to_datetime(ev["ts"]).dt.day
+    ev = ev.assign(
+        y=((day >= PSI_SPLIT_DAY) & (ev["event_type"] == "purchase")).astype(int),
+        x=(day < PSI_SPLIT_DAY).astype(int),
+    )
+    u = ev.groupby("user_id")[["y", "x"]].sum()
+    u["arm_a"] = u.index % 2 == 0
+    x, y = u["x"].to_numpy(float), u["y"].to_numpy(float)
+    n = len(u)
+    theta_den = n * (x * x).sum() - x.sum() ** 2
+    theta = round((n * (x * y).sum() - x.sum() * y.sum()) / theta_den, 6)
+    xbar = round(x.sum() / n, 6)
+    yu = np.round((y - theta * (x - xbar)) * 1e6)
+    def z(vals, arm):
+        a, b = vals[arm], vals[~arm]
+        va = a.var() / len(a) + b.var() / len(b)
+        return (a.mean() - b.mean()) / np.sqrt(va) if va > 0 else 0.0
+    arm = u["arm_a"].to_numpy()
+    assert abs(got["theta_r"] - theta) < 1e-5
+    assert abs(got["z_raw_r"] - z(y, arm)) < 1e-3
+    assert abs(got["z_cuped_r"] - z(yu, arm)) < 1e-3
+    vr = (yu[arm].var() + yu[~arm].var()) / 1e12 / (y[arm].var() + y[~arm].var())
+    assert abs(got["variance_ratio_r"] - vr) < 1e-3
+    # CUPED can only reduce (or keep) variance when theta is the OLS theta
+    assert got["variance_ratio_r"] <= 1.0 + 1e-6
