@@ -1112,3 +1112,107 @@ ORDER BY epsilon_r
 
 QUERIES.update({"embedding_radius_curve": q_embedding_radius_curve})
 ORACLES.update({"embedding_radius_curve": ORACLE_EMBEDDING_RADIUS_CURVE})
+
+
+# --- anisotropy (mean pairwise cosine) ----------------------------------------------
+
+
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy of the embedding space (Ethayarajh 2019): the mean
+    cosine between ALL pairs of (unit-normalized) vectors — ≈0 for an
+    isotropic cloud, ≫0 when everything shares a dominant direction (the
+    'cone effect' that wrecks cosine-based retrieval and is why whitening
+    exists). Computed by the CLOSED FORM (‖Σu‖² − Σ‖u‖²)/(n(n−1)) — one
+    map-side pass over the corpus, NO pair enumeration at any scale: the
+    n² statistic for the price of a sum.
+
+    Determinism: each normalized coordinate rounds to 6 dp and micro-
+    fixes; the coordinate sums and the Σ‖u‖² are exact bigints; squares
+    accumulate in DECIMAL/HUGEINT; one final division.
+
+    Scale: one aggregate producing dim+1 integers — the closed form IS
+    the 100 TB design."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    u = emb.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") / nrm, 6),
+        ).alias("_u")
+    ).filter(nrm > 0)
+    DIM_ = DIM
+    cols = [
+        F.sum(F.round(F.element_at("_u", i + 1) * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias(f"_s{i}")
+        for i in range(DIM_)
+    ]
+    sq_norm_u = F.aggregate(
+        F.transform(F.col("_u"), lambda x: F.round(x * 1000000).cast("bigint")
+                    .cast("decimal(38,0)") * F.round(x * 1000000).cast("bigint")
+                    .cast("decimal(38,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda a, v: a + v,
+    )
+    m = u.agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum(sq_norm_u).alias("_snorm"),
+        *cols,
+    )
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ssq = None
+    for i in range(DIM_):
+        term = dd(m[f"_s{i}"]) * dd(m[f"_s{i}"])
+        ssq = term if ssq is None else ssq + term
+    mean_cos = (ssq - m["_snorm"]).cast("double") / (
+        F.lit(1e12) * m["_n"].cast("double") * (m["_n"] - 1).cast("double")
+    )
+    return m.select(
+        F.col("_n").alias("n_vectors"),
+        F.round(mean_cos, 6).alias("mean_pairwise_cosine_r"),
+    )
+
+
+
+def _anisotropy_oracle() -> str:
+    s_cols = ", ".join(
+        f"sum(CAST(round(u[{i + 1}] * 1000000) AS BIGINT))::BIGINT AS s{i}"
+        for i in range(DIM)
+    )
+    ssq = " + ".join(f"s{i}::HUGEINT * s{i}::HUGEINT" for i in range(DIM))
+    return f"""
+WITH nu AS (
+  SELECT list_transform(embedding,
+           x -> round(CAST(x AS DOUBLE)
+                / sqrt(list_sum(list_transform(embedding,
+                        e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))), 6)) AS u
+  FROM embeddings
+  WHERE sqrt(list_sum(list_transform(embedding,
+        e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) > 0
+),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(list_sum(list_transform(u,
+             x -> CAST(round(x * 1000000) AS BIGINT)::HUGEINT
+                  * CAST(round(x * 1000000) AS BIGINT)::HUGEINT))) AS snorm,
+         {s_cols}
+  FROM nu
+)
+SELECT n AS n_vectors,
+       round(CAST(({ssq}) - snorm AS DOUBLE)
+             / (1e12 * CAST(n AS DOUBLE) * (n - 1)), 6)
+         AS mean_pairwise_cosine_r
+FROM m
+"""
+
+
+ORACLE_EMBEDDING_ANISOTROPY = _anisotropy_oracle()
+
+QUERIES.update({"embedding_anisotropy": q_embedding_anisotropy})
+ORACLES.update({"embedding_anisotropy": ORACLE_EMBEDDING_ANISOTROPY})
