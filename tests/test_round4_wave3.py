@@ -1614,3 +1614,23 @@ def test_cuped_matches_numpy(spark):
     assert abs(got["variance_ratio_r"] - vr) < 1e-3
     # CUPED can only reduce (or keep) variance when theta is the OLS theta
     assert got["variance_ratio_r"] <= 1.0 + 1e-6
+
+
+def test_anisotropy_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.embedding_extra import (
+        q_embedding_anisotropy,
+    )
+
+    got = q_embedding_anisotropy(spark, SF_SMOKE).collect()[0]
+    emb = _pq("embeddings")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.sqrt((X**2).sum(axis=1))
+    U = np.round(X[norms > 0] / norms[norms > 0, None], 6)
+    n = len(U)
+    # direct O(n^2) mean pairwise cosine — must equal the closed form
+    G = U @ U.T
+    direct = (G.sum() - np.trace(G)) / (n * (n - 1))
+    assert got["n_vectors"] == n
+    assert abs(got["mean_pairwise_cosine_r"] - direct) < 1e-5
+    # synthetic gaussian-ish cloud: near-isotropic
+    assert abs(got["mean_pairwise_cosine_r"]) < 0.05
