@@ -1317,3 +1317,78 @@ def duckdb_stem_sql(expr: str) -> str:
     c = f"regexp_replace({c}, '(.{{3,}})ing$', '\\1')"
     c = f"regexp_replace({c}, '(.{{3,}})ed$', '\\1')"
     return c
+
+
+# --- shared per-doc signal column builders (single source of truth for the
+# --- quality screens AND the redundancy matrix that audits them) -------------
+
+ENTROPY_ALPHABET = list("abcdefghijklmnopqrstuvwxyz") + [" "]
+LIX_LONG_CHARS = 6
+
+
+def char_entropy_col(raw: Column) -> Column:
+    """Per-doc character-level Shannon entropy over the fixed 27-symbol
+    alphabet as ONE scan-stage expression (length-minus-replace counts,
+    per-term 6-dp rounds) — shared by `text_char_entropy` and
+    `text_signal_correlation` so the audit can never drift from the
+    screen."""
+    lower = F.lower(raw)
+
+    def cnt(sym: str) -> Column:
+        return (
+            F.length(lower) - F.length(F.replace(lower, F.lit(sym), F.lit("")))
+        ).cast("bigint")
+
+    counts = [cnt(s) for s in ENTROPY_ALPHABET]
+    n = sum(counts[1:], counts[0])
+    terms = [
+        F.when(c > 0, F.round(c.cast("double") * F.log2(c.cast("double")), 6))
+        .otherwise(F.lit(0.0))
+        for c in counts
+    ]
+    ssum = sum(terms[1:], terms[0])
+    return F.when(
+        n > 0, F.round(F.log2(n.cast("double")) - ssum / n.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+
+
+def _sentence_count(raw: Column) -> Column:
+    return F.greatest(
+        F.size(F.regexp_extract_all(raw, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    ).cast("bigint")
+
+
+def flesch_col(raw: Column, tok: Column) -> Column:
+    """Per-doc Flesch reading ease (vowel-group syllables, terminal-
+    punctuation sentences), rounded 6 dp."""
+    words = F.size(tok).cast("bigint")
+    sylls = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(raw), F.lit("[aeiouy]+"), 0)),
+        F.lit(1),
+    ).cast("bigint")
+    return F.when(
+        words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words / _sentence_count(raw).cast("double"))
+            - F.lit(84.6) * (sylls / words.cast("double")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def lix_col(raw: Column, tok: Column) -> Column:
+    """Per-doc LIX readability (long word = more than 6 chars), rounded
+    6 dp."""
+    words = F.size(tok).cast("bigint")
+    longw = F.size(
+        F.filter(tok, lambda t: F.length(t) > LIX_LONG_CHARS)
+    ).cast("bigint")
+    return F.when(
+        words > 0,
+        F.round(
+            words / _sentence_count(raw).cast("double")
+            + 100.0 * longw / words.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))

@@ -1052,7 +1052,9 @@ def q_embedding_radius_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_d") <= F.lit(max_eps2))
         .select("_ia", "_ib", "_d")
     )
-    pairs = pairs.localCheckpoint(eager=True)  # one distance pass, 2 branches
+    # lazy: lineage truncation still shares ONE distance pass across the
+    # two branches, without running the O(n^2) job at plan-build time
+    pairs = pairs.localCheckpoint(eager=False)
     eps = spark.createDataFrame(
         [(float(e),) for e in EPS_LADDER], "epsilon double"
     )

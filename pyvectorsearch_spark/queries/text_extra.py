@@ -457,7 +457,10 @@ ORACLES.update({"text_kwic": ORACLE_TEXT_KWIC})
 
 # --- character-entropy quality signal ----------------------------------------
 
-ENTROPY_ALPHABET = list("abcdefghijklmnopqrstuvwxyz") + [" "]
+from pyvectorsearch_spark.operators.textops import (  # single source
+    ENTROPY_ALPHABET,
+    char_entropy_col,
+)
 
 
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,25 +481,7 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: counts are integers; log2 terms round to 6 dp before any
     sum; per-doc entropy rounds to micro-bits (bigint) before the group
     mean — engine-exact end-to-end."""
-    lower = F.lower(F.col("text"))
-
-    def cnt(sym: str):
-        return (
-            F.length(lower) - F.length(F.replace(lower, F.lit(sym), F.lit("")))
-        ).cast("bigint")
-
-    counts = [cnt(s) for s in ENTROPY_ALPHABET]
-    n = sum(counts[1:], counts[0])
-    terms = [
-        F.when(c > 0, F.round(c.cast("double") * F.log2(c.cast("double")), 6))
-        .otherwise(F.lit(0.0))
-        for c in counts
-    ]
-    ssum = sum(terms[1:], terms[0])
-    h = F.when(
-        n > 0,
-        F.round(F.log2(n.cast("double")) - ssum / n.cast("double"), 6),
-    ).otherwise(F.lit(0.0))
+    h = char_entropy_col(F.col("text"))
     docs = load_table(spark, sf_dir, "documents").select(
         "source", F.round(h * 1000000).cast("bigint").alias("_hu")
     )
@@ -517,8 +502,6 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _entropy_oracle() -> str:
     cnts = [
         f"(length(lt) - length(replace(lt, '{s}', '')))::BIGINT"
-        if s != " "
-        else "(length(lt) - length(replace(lt, ' ', '')))::BIGINT"
         for s in ENTROPY_ALPHABET
     ]
     cols = ",\n         ".join(
@@ -576,6 +559,8 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: zero-shuffle per-doc scoring in the scan stage; one
     sources-sized rollup — the `text_quality` plan shape."""
+    from pyvectorsearch_spark.operators.textops import flesch_col
+
     lower = F.lower(F.col("text"))
     words = F.size(tokens(F.col("text"))).cast("bigint")
     sents = F.greatest(
@@ -585,15 +570,7 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     sylls = F.greatest(
         F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), 0)), F.lit(1)
     ).cast("bigint")
-    score = F.when(
-        words > 0,
-        F.round(
-            F.lit(206.835)
-            - F.lit(1.015) * (words / sents.cast("double"))
-            - F.lit(84.6) * (sylls / words.cast("double")),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
+    score = flesch_col(F.col("text"), tokens(F.col("text")))
     docs = load_table(spark, sf_dir, "documents").select(
         "source",
         F.round(score * 1000000).cast("bigint").alias("_fu"),
@@ -782,7 +759,10 @@ QUERIES.update({"text_compression_ratio": q_text_compression_ratio})
 
 # --- LIX readability ------------------------------------------------------------------
 
-LIX_LONG_CHARS = 6
+from pyvectorsearch_spark.operators.textops import (  # single source
+    LIX_LONG_CHARS,
+    lix_col,
+)
 
 
 def q_text_lix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -801,18 +781,7 @@ def q_text_lix(spark: SparkSession, sf_dir: str) -> DataFrame:
     longw = F.size(
         F.filter(words_arr, lambda t: F.length(t) > LIX_LONG_CHARS)
     ).cast("bigint")
-    sents = F.greatest(
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
-        F.lit(1),
-    ).cast("bigint")
-    lix = F.when(
-        words > 0,
-        F.round(
-            words / sents.cast("double")
-            + 100.0 * longw / words.cast("double"),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
+    lix = lix_col(F.col("text"), words_arr)
     docs = load_table(spark, sf_dir, "documents").select(
         "source",
         F.round(lix * 1000000).cast("bigint").alias("_lu"),
@@ -879,55 +848,15 @@ def q_text_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: all four signals are scan-stage expressions computed in ONE
     pass over the corpus; the moment rollup is 6 pairs × one row."""
-    from pyvectorsearch_spark.operators.textops import quality_score_col
+    from pyvectorsearch_spark.operators.textops import (
+        flesch_col,
+        quality_score_col,
+    )
 
-    lower = F.lower(F.col("text"))
-
-    def cnt(sym: str):
-        return (
-            F.length(lower) - F.length(F.replace(lower, F.lit(sym), F.lit("")))
-        ).cast("bigint")
-
-    counts = [cnt(s) for s in ENTROPY_ALPHABET]
-    n = sum(counts[1:], counts[0])
-    terms = [
-        F.when(c > 0, F.round(c.cast("double") * F.log2(c.cast("double")), 6))
-        .otherwise(F.lit(0.0))
-        for c in counts
-    ]
-    ssum = sum(terms[1:], terms[0])
-    entropy = F.when(
-        n > 0, F.round(F.log2(n.cast("double")) - ssum / n.cast("double"), 6)
-    ).otherwise(F.lit(0.0))
-
+    entropy = char_entropy_col(F.col("text"))
     words_arr = tokens(F.col("text"))
-    words = F.size(words_arr).cast("bigint")
-    sents = F.greatest(
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
-        F.lit(1),
-    ).cast("bigint")
-    sylls = F.greatest(
-        F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), 0)), F.lit(1)
-    ).cast("bigint")
-    flesch = F.when(
-        words > 0,
-        F.round(
-            F.lit(206.835)
-            - F.lit(1.015) * (words / sents.cast("double"))
-            - F.lit(84.6) * (sylls / words.cast("double")),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
-    longw = F.size(
-        F.filter(words_arr, lambda t: F.length(t) > LIX_LONG_CHARS)
-    ).cast("bigint")
-    lix = F.when(
-        words > 0,
-        F.round(
-            words / sents.cast("double") + 100.0 * longw / words.cast("double"),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
+    flesch = flesch_col(F.col("text"), words_arr)
+    lix = lix_col(F.col("text"), words_arr)
     quality = quality_score_col(F.col("text"), words_arr)
 
     sig = load_table(spark, sf_dir, "documents").select(
@@ -987,8 +916,6 @@ def _signal_corr_oracle() -> str:
     # _entropy_oracle, which emits a full rollup query rather than a fragment)
     cnts = [
         f"(length(lt) - length(replace(lt, '{s}', '')))::BIGINT"
-        if s != " "
-        else "(length(lt) - length(replace(lt, ' ', '')))::BIGINT"
         for s in ENTROPY_ALPHABET
     ]
     cols = ",\n         ".join(f"{c} AS c{i}" for i, c in enumerate(cnts))

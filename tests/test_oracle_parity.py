@@ -53,7 +53,11 @@ def test_driver_window_membership_is_stable():
 
     import __spark_entry__ as e
 
-    pinned = list(json.load(open("/root/repo/CORRECTNESS_r03.json")))
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "CORRECTNESS_r03.json")
+    pinned = list(json.load(open(path)))
     current = list(e.queries())[: len(pinned)]
     assert current == pinned, (
         "driver window shifted: "

@@ -1374,8 +1374,6 @@ def test_hubness_matches_numpy(spark):
     np.fill_diagonal(d2, np.inf)
     nk = np.zeros(len(X), dtype=np.int64)
     ids = emb["vec_id"].to_numpy()
-    order = np.argsort(ids)
-    # rank by (dist, vec_id): argsort over lexicographic keys
     for i in range(len(X)):
         keys = sorted(range(len(X)), key=lambda j: (d2[i, j], ids[j]))
         for j in keys[:HUB_K]:
@@ -1572,7 +1570,31 @@ def test_signal_correlation_matches_numpy(spark):
         sig["entropy"].append(round(h * 1e6))
         sig["flesch"].append(round(fl * 1e6))
         sig["lix"].append(round(lx * 1e6))
-    for a, b in [("entropy", "flesch"), ("entropy", "lix"), ("flesch", "lix")]:
+    # quality recomputed independently too (python twin of
+    # operators.textops.quality_score_col), closing the circularity gap
+    from pyvectorsearch_spark.operators.textops import STOPWORDS
+
+    stops = {w for ws in STOPWORDS.values() for w in ws}
+    sig["quality"] = []
+    for _, row in docs.iterrows():
+        t = row["text"]
+        ws = _py_tokens(t)
+        nonalnum = (len(t) - len(re.sub(r"[^a-z0-9 ]", "", t.lower()))) / max(
+            len(t), 1
+        )
+        stop_ratio = (sum(1 for w in ws if w in stops) / max(len(ws), 1))
+        q = round(
+            min(len(ws) / 50.0, 1.0) * 0.4
+            + (1.0 - nonalnum) * 0.3
+            + min(stop_ratio * 4.0, 1.0) * 0.3,
+            6,
+        )
+        sig["quality"].append(round(q * 1e6))
+    pairs_to_check = [
+        ("entropy", "flesch"), ("entropy", "lix"), ("flesch", "lix"),
+        ("quality", "entropy"), ("quality", "flesch"), ("quality", "lix"),
+    ]
+    for a, b in pairs_to_check:
         exp = np.corrcoef(np.array(sig[a], float), np.array(sig[b], float))[0, 1]
         assert abs(got[(a, b)] - exp) < 1e-4, (a, b, got[(a, b)], exp)
     # the two readability indices must be strongly anti-correlated (higher
