@@ -1237,3 +1237,161 @@ FROM j GROUP BY yr ORDER BY order_year
 
 QUERIES.update({"orders_repeat_revenue_share": q_orders_repeat_revenue_share})
 ORACLES.update({"orders_repeat_revenue_share": ORACLE_ORDERS_REPEAT_SHARE})
+
+
+# --- revenue waterfall decomposition --------------------------------------------------
+
+
+def q_orders_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall per order-year: gross (extended price), discount
+    given back, tax collected, and the net charge — the finance
+    decomposition of TPC-H Q1's one-line formula, with the accounting
+    identity surfaced as a column (net − gross + discount − tax must be
+    exactly 0.00 in rounded cents, making silent sign errors in ANY
+    engine's money arithmetic impossible to miss).
+
+    Determinism: each term rounds to cents per LINE then sums exactly —
+    the order-independent money ladder.
+
+    Scale: one map-side rollup of lineitem joined to order years via a
+    broadcast-joinable (orderkey, year) projection."""
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("_g"),
+        F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+        .cast("bigint")
+        .alias("_d"),
+        F.round(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * F.col("l_tax")
+            * 100
+        )
+        .cast("bigint")
+        .alias("_t"),
+        F.round(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+            * 100
+        )
+        .cast("bigint")
+        .alias("_n"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("order_year")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        j.groupBy("order_year")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(F.sum("_g") / 100.0, 2).alias("gross_r"),
+            F.round(F.sum("_d") / 100.0, 2).alias("discount_r"),
+            F.round(F.sum("_t") / 100.0, 2).alias("tax_r"),
+            F.round(F.sum("_n") / 100.0, 2).alias("net_charge_r"),
+            # per-line rounding makes net != gross-discount+tax by a few
+            # cents across millions of lines; surface the exact residual so
+            # the tolerance is MEASURED, not assumed
+            F.round(
+                (F.sum("_n") - F.sum("_g") + F.sum("_d") - F.sum("_t"))
+                / 100.0,
+                2,
+            ).alias("rounding_residual_r"),
+        )
+        .orderBy("order_year")
+    )
+
+
+ORACLE_ORDERS_WATERFALL = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS g,
+         CAST(round(l_extendedprice * l_discount * 100) AS BIGINT) AS d,
+         CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100)
+              AS BIGINT) AS t,
+         CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+              AS BIGINT) AS n
+  FROM lineitem
+)
+SELECT year(CAST(o.o_orderdate AS DATE)) AS order_year,
+       count(*)::BIGINT AS n_lines,
+       round(sum(li.g) / 100.0, 2) AS gross_r,
+       round(sum(li.d) / 100.0, 2) AS discount_r,
+       round(sum(li.t) / 100.0, 2) AS tax_r,
+       round(sum(li.n) / 100.0, 2) AS net_charge_r,
+       round((sum(li.n) - sum(li.g) + sum(li.d) - sum(li.t)) / 100.0, 2)
+         AS rounding_residual_r
+FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY order_year
+"""
+
+QUERIES.update({"orders_revenue_waterfall": q_orders_revenue_waterfall})
+ORACLES.update({"orders_revenue_waterfall": ORACLE_ORDERS_WATERFALL})
+
+
+# --- RFM segment migration matrix ------------------------------------------------------
+
+MIG_SPLIT_YEAR = 1999
+
+
+def q_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix: frequency tier (1/2/3 by order
+    count on fixed integer bands) in the era BEFORE 1999 vs FROM 1999 —
+    who upgraded, who churned to zero, who entered. The dynamics view the
+    static RFM snapshot (`customer_rfm`) can't show; the diagonal is
+    loyalty, below-diagonal is decay, the '0' row is acquisition.
+
+    Determinism: tiers are integer-band CASE expressions on exact counts.
+
+    Scale: two customer rollups (one scan, conditional aggregation) and a
+    4×4 report."""
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_custkey",
+        (F.year("o_orderdate") < MIG_SPLIT_YEAR).alias("_early"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("_early"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_ne"),
+        F.sum(F.when(~F.col("_early"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_nl"),
+    )
+
+    def tier(c):
+        return (
+            F.when(F.col(c) == 0, 0)
+            .when(F.col(c) <= 3, 1)
+            .when(F.col(c) <= 7, 2)
+            .otherwise(3)
+        ).cast("int")
+
+    return (
+        per.groupBy(
+            tier("_ne").alias("tier_before"), tier("_nl").alias("tier_after")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("tier_before", "tier_after")
+    )
+
+
+ORACLE_SEGMENT_MIGRATION = f"""
+WITH per AS (
+  SELECT o_custkey,
+         sum(CASE WHEN year(CAST(o_orderdate AS DATE)) < {MIG_SPLIT_YEAR}
+                  THEN 1 ELSE 0 END)::BIGINT AS ne,
+         sum(CASE WHEN year(CAST(o_orderdate AS DATE)) >= {MIG_SPLIT_YEAR}
+                  THEN 1 ELSE 0 END)::BIGINT AS nl
+  FROM orders GROUP BY o_custkey
+)
+SELECT (CASE WHEN ne = 0 THEN 0 WHEN ne <= 3 THEN 1
+             WHEN ne <= 7 THEN 2 ELSE 3 END)::INT AS tier_before,
+       (CASE WHEN nl = 0 THEN 0 WHEN nl <= 3 THEN 1
+             WHEN nl <= 7 THEN 2 ELSE 3 END)::INT AS tier_after,
+       count(*)::BIGINT AS n_customers
+FROM per GROUP BY 1, 2 ORDER BY tier_before, tier_after
+"""
+
+QUERIES.update({"customer_segment_migration": q_customer_segment_migration})
+ORACLES.update({"customer_segment_migration": ORACLE_SEGMENT_MIGRATION})
