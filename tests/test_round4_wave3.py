@@ -1656,3 +1656,55 @@ def test_anisotropy_matches_numpy(spark):
     assert abs(got["mean_pairwise_cosine_r"] - direct) < 1e-5
     # synthetic gaussian-ish cloud: near-isotropic
     assert abs(got["mean_pairwise_cosine_r"]) < 0.05
+
+
+def test_revenue_waterfall_matches_pandas(spark):
+    from pyvectorsearch_spark.queries.analytic_extra import (
+        q_orders_revenue_waterfall,
+    )
+
+    got = {r["order_year"]: r
+           for r in q_orders_revenue_waterfall(spark, SF_SMOKE).collect()}
+    o = _pq("orders")[["o_orderkey", "o_orderdate"]]
+    li = _pq("lineitem")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    j["yr"] = pd.to_datetime(j["o_orderdate"]).dt.year
+    ep, dc, tx = j["l_extendedprice"], j["l_discount"], j["l_tax"]
+    j["g"] = (ep * 100).round().astype("int64")
+    j["d"] = (ep * dc * 100).round().astype("int64")
+    j["t"] = (ep * (1 - dc) * tx * 100).round().astype("int64")
+    j["n"] = (ep * (1 - dc) * (1 + tx) * 100).round().astype("int64")
+    for yr, grp in j.groupby("yr"):
+        r = got[yr]
+        assert r["n_lines"] == len(grp)
+        for col, key in [("g", "gross_r"), ("d", "discount_r"),
+                         ("t", "tax_r"), ("n", "net_charge_r")]:
+            assert abs(r[key] - grp[col].sum() / 100.0) < 0.011, (yr, key)
+        resid = (grp["n"].sum() - grp["g"].sum()
+                 + grp["d"].sum() - grp["t"].sum()) / 100.0
+        assert abs(r["rounding_residual_r"] - resid) < 0.011
+        # per-line rounding residual stays within a cent per line
+        assert abs(r["rounding_residual_r"]) <= 0.01 * len(grp)
+
+
+def test_segment_migration_matches_pandas(spark):
+    from pyvectorsearch_spark.queries.analytic_extra import (
+        MIG_SPLIT_YEAR,
+        q_customer_segment_migration,
+    )
+
+    got = {(r["tier_before"], r["tier_after"]): r["n_customers"]
+           for r in q_customer_segment_migration(spark, SF_SMOKE).collect()}
+    o = _pq("orders")
+    o["early"] = pd.to_datetime(o["o_orderdate"]).dt.year < MIG_SPLIT_YEAR
+    per = o.groupby("o_custkey")["early"].agg(ne="sum", n="size")
+    per["nl"] = per["n"] - per["ne"]
+
+    def tier(c):
+        return np.where(c == 0, 0, np.where(c <= 3, 1, np.where(c <= 7, 2, 3)))
+
+    per["tb"], per["ta"] = tier(per["ne"]), tier(per["nl"])
+    exp = per.groupby(["tb", "ta"]).size().to_dict()
+    assert got == {k: v for k, v in exp.items()}
+    # conservation: matrix total == number of customers with any order
+    assert sum(got.values()) == len(per)
