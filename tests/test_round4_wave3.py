@@ -1670,10 +1670,14 @@ def test_revenue_waterfall_matches_pandas(spark):
     j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
     j["yr"] = pd.to_datetime(j["o_orderdate"]).dt.year
     ep, dc, tx = j["l_extendedprice"], j["l_discount"], j["l_tax"]
-    j["g"] = (ep * 100).round().astype("int64")
-    j["d"] = (ep * dc * 100).round().astype("int64")
-    j["t"] = (ep * (1 - dc) * tx * 100).round().astype("int64")
-    j["n"] = (ep * (1 - dc) * (1 + tx) * 100).round().astype("int64")
+
+    def half_up(v):  # engine round() is half-away-from-zero, numpy half-even
+        return np.floor(v + 0.5).astype("int64")
+
+    j["g"] = half_up(ep * 100)
+    j["d"] = half_up(ep * dc * 100)
+    j["t"] = half_up(ep * (1 - dc) * tx * 100)
+    j["n"] = half_up(ep * (1 - dc) * (1 + tx) * 100)
     for yr, grp in j.groupby("yr"):
         r = got[yr]
         assert r["n_lines"] == len(grp)
