@@ -1395,3 +1395,116 @@ FROM per GROUP BY 1, 2 ORDER BY tier_before, tier_after
 
 QUERIES.update({"customer_segment_migration": q_customer_segment_migration})
 ORACLES.update({"customer_segment_migration": ORACLE_SEGMENT_MIGRATION})
+
+
+# --- cross-supplier price dispersion ---------------------------------------------------
+
+DISP_TOP = 10
+DISP_MIN_SUPPLIERS = 3
+
+
+def q_part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procurement price-dispersion screen: for parts sold by ≥3 distinct
+    suppliers, the spread of per-supplier average unit prices (max/min
+    ratio and coefficient of variation) — the 'we pay supplier A 30% more
+    for the same part' report. Top-10 by CV with part keys for the
+    follow-up.
+
+    Determinism: per-(part, supplier) average prices are exact-cents sums
+    divided once and micro-fixed; the CV ladder uses DECIMAL moments of
+    those micro integers; ranking ties break on partkey.
+
+    Scale: two rollups ((part, supplier) then part) + a bounded top-k."""
+    from pyspark.sql import Window
+
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("_rc"),
+        F.col("l_quantity").cast("bigint").alias("_q"),
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            (F.sum("_rc") / F.sum("_q").cast("double")) * 10000
+        )
+        .cast("bigint")
+        .alias("_pu")  # avg unit price in 1e-4-cent units
+    )
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = ps.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.min("_pu").cast("bigint").alias("_mn"),
+        F.max("_pu").cast("bigint").alias("_mx"),
+        F.sum("_pu").cast("bigint").alias("_s"),
+        F.sum(dd(F.col("_pu")) * dd(F.col("_pu"))).alias("_s2"),
+    ).filter(F.col("n_suppliers") >= DISP_MIN_SUPPLIERS)
+    n = per["n_suppliers"]
+    var_num = dd(n) * per["_s2"] - dd(per["_s"]) * dd(per["_s"])
+    cv = F.when(
+        per["_s"] > 0,
+        F.round(
+            F.sqrt(var_num.cast("double")) / per["_s"].cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    scored = per.select(
+        "l_partkey",
+        "n_suppliers",
+        F.round(F.col("_mx") / F.col("_mn").cast("double"), 4).alias(
+            "max_min_ratio_r"
+        ),
+        cv.alias("cv_r"),
+    )
+    w = Window.orderBy(
+        F.desc(F.round(F.col("cv_r") * 1000000).cast("bigint")),
+        F.asc("l_partkey"),
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= DISP_TOP)
+        .select(
+            F.col("_rk").cast("int").alias("rank"),
+            "l_partkey",
+            "n_suppliers",
+            "max_min_ratio_r",
+            "cv_r",
+        )
+        .orderBy("rank")
+    )
+
+
+ORACLE_PART_DISPERSION = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round((sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE))
+                    * 10000) AS BIGINT) AS pu
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+per AS (
+  SELECT l_partkey, count(*)::BIGINT AS n_suppliers,
+         min(pu)::BIGINT AS mn, max(pu)::BIGINT AS mx,
+         sum(pu)::BIGINT AS s, sum(pu::HUGEINT * pu::HUGEINT) AS s2
+  FROM ps GROUP BY l_partkey
+  HAVING count(*) >= {DISP_MIN_SUPPLIERS}
+),
+sc AS (
+  SELECT l_partkey, n_suppliers,
+         round(mx / CAST(mn AS DOUBLE), 4) AS max_min_ratio_r,
+         CASE WHEN s > 0
+              THEN round(sqrt(CAST(n_suppliers::HUGEINT * s2
+                                   - s::HUGEINT * s::HUGEINT AS DOUBLE))
+                         / CAST(s AS DOUBLE), 6)
+              ELSE 0.0 END AS cv_r
+  FROM per
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    ORDER BY CAST(round(cv_r * 1000000) AS BIGINT) DESC, l_partkey ASC) AS rn
+  FROM sc
+)
+SELECT rn::INT AS rank, l_partkey, n_suppliers, max_min_ratio_r, cv_r
+FROM rk WHERE rn <= {DISP_TOP} ORDER BY rank
+"""
+
+QUERIES.update({"part_price_dispersion": q_part_price_dispersion})
+ORACLES.update({"part_price_dispersion": ORACLE_PART_DISPERSION})
