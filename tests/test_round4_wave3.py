@@ -1712,3 +1712,32 @@ def test_segment_migration_matches_pandas(spark):
     assert got == {k: v for k, v in exp.items()}
     # conservation: matrix total == number of customers with any order
     assert sum(got.values()) == len(per)
+
+
+def test_price_dispersion_matches_pandas(spark):
+    from pyvectorsearch_spark.queries.analytic_extra import (
+        DISP_MIN_SUPPLIERS,
+        q_part_price_dispersion,
+    )
+
+    got = q_part_price_dispersion(spark, SF_SMOKE).toPandas()
+    li = _pq("lineitem")
+    li["rc"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    ps = li.groupby(["l_partkey", "l_suppkey"]).agg(
+        rc=("rc", "sum"), q=("l_quantity", "sum")
+    )
+    pu = np.floor(ps["rc"] / ps["q"] * 10000 + 0.5).astype("int64")
+    rows = []
+    for pk, grp in pu.groupby(level=0):
+        if len(grp) < DISP_MIN_SUPPLIERS:
+            continue
+        v = grp.to_numpy().astype(float)
+        n, s, s2 = len(v), v.sum(), (v**2).sum()
+        cv = np.sqrt(n * s2 - s * s) / s if s > 0 else 0.0
+        rows.append((pk, len(v), grp.max() / grp.min(), round(cv, 6)))
+    rows.sort(key=lambda r: (-round(r[3] * 1e6), r[0]))
+    for rank, (pk, ns, ratio, cv) in enumerate(rows[: len(got)], 1):
+        r = got[got["rank"] == rank].iloc[0]
+        assert r["l_partkey"] == pk and r["n_suppliers"] == ns
+        assert abs(r["max_min_ratio_r"] - ratio) < 1e-3
+        assert abs(r["cv_r"] - cv) < 1e-5
