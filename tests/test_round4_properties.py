@@ -224,3 +224,21 @@ def test_mad_median_robust_to_outlier_injection(spark):
       SELECT MIN(vc) AS med FROM cum WHERE cm >= CAST((n + 1) / 2 AS BIGINT)
     """).collect()[0]["med"]
     assert 10000 <= med <= 10700  # stays in the clean band
+
+
+def test_hrw_add_node_only_attracts(spark):
+    """The growth-side HRW invariant (dual of the removal test): ADDING a
+    node moves keys only TO the new node — no key ever moves between two
+    pre-existing nodes, and the new node attracts ~1/(N+1) of keys."""
+    from pyspark.sql import functions as F
+
+    from pyvectorsearch_spark.operators.layout import hrw_assign
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    a8 = {r["doc_id"]: r["node"]
+          for r in hrw_assign(docs, id_col="doc_id", n_nodes=8).collect()}
+    a9 = {r["doc_id"]: r["node"]
+          for r in hrw_assign(docs, id_col="doc_id", n_nodes=9).collect()}
+    moved = {k for k in a8 if a9[k] != a8[k]}
+    assert all(a9[k] == 8 for k in moved)  # every move lands on the NEW node
+    assert 0 < len(moved) < 0.25 * len(a8)  # ~1/9 expected, far below 25%
