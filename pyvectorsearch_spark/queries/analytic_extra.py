@@ -1508,3 +1508,90 @@ FROM rk WHERE rn <= {DISP_TOP} ORDER BY rank
 
 QUERIES.update({"part_price_dispersion": q_part_price_dispersion})
 ORACLES.update({"part_price_dispersion": ORACLE_PART_DISPERSION})
+
+
+# --- nation trade balance --------------------------------------------------------------
+
+
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade balance per nation: revenue where the nation SUPPLIES
+    (exports) vs where its customers BUY (imports), and the net — the
+    one-row-per-nation macro view over TPC-H Q7's pairwise trade flows.
+
+    Determinism: exact cents; two conditional rollups of the same joined
+    scan.
+
+    Scale: lineitem joins the two broadcast-sized dimension chains once;
+    nations-sized report."""
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("_rc"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("_cn")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("_sn")
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    )
+    exports = j.groupBy(F.col("_sn").alias("n_nationkey")).agg(
+        F.sum("_rc").cast("bigint").alias("_exp")
+    )
+    imports = j.groupBy(F.col("_cn").alias("n_nationkey")).agg(
+        F.sum("_rc").cast("bigint").alias("_imp")
+    )
+    return (
+        n.join(exports, "n_nationkey", "left")
+        .join(imports, "n_nationkey", "left")
+        .select(
+            "n_name",
+            F.round(F.coalesce("_exp", F.lit(0)) / 100.0, 2).alias(
+                "export_revenue_r"
+            ),
+            F.round(F.coalesce("_imp", F.lit(0)) / 100.0, 2).alias(
+                "import_revenue_r"
+            ),
+            F.round(
+                (F.coalesce("_exp", F.lit(0)) - F.coalesce("_imp", F.lit(0)))
+                / 100.0,
+                2,
+            ).alias("balance_r"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_NATION_TRADE_BALANCE = """
+WITH j AS (
+  SELECT s.s_nationkey AS sn, c.c_nationkey AS cn,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+           AS rc
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+exp AS (SELECT sn AS nk, sum(rc)::BIGINT AS e FROM j GROUP BY sn),
+imp AS (SELECT cn AS nk, sum(rc)::BIGINT AS i FROM j GROUP BY cn)
+SELECT n.n_name,
+       round(coalesce(exp.e, 0) / 100.0, 2) AS export_revenue_r,
+       round(coalesce(imp.i, 0) / 100.0, 2) AS import_revenue_r,
+       round((coalesce(exp.e, 0) - coalesce(imp.i, 0)) / 100.0, 2)
+         AS balance_r
+FROM nation n
+LEFT JOIN exp ON n.n_nationkey = exp.nk
+LEFT JOIN imp ON n.n_nationkey = imp.nk
+ORDER BY n.n_name
+"""
+
+QUERIES.update({"nation_trade_balance": q_nation_trade_balance})
+ORACLES.update({"nation_trade_balance": ORACLE_NATION_TRADE_BALANCE})

@@ -984,3 +984,72 @@ ORACLE_TEXT_SIGNAL_CORR = _signal_corr_oracle()
 
 QUERIES.update({"text_signal_correlation": q_text_signal_correlation})
 ORACLES.update({"text_signal_correlation": ORACLE_TEXT_SIGNAL_CORR})
+
+
+# --- quality-vs-length bias check --------------------------------------------------------
+
+
+def q_quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bias audit of the quality screen: mean quality score per
+    document-length decile (equal-count bins by n_chars rank) — the check
+    that catches a filter which SAYS it selects quality but actually
+    selects length (the composite score's token-count term makes this a
+    real risk; Gopher/C4 pipelines audit exactly this before trusting a
+    threshold). A flat profile = unbiased screen; a monotone ramp = your
+    quality cut is a length cut in disguise.
+
+    Determinism: deciles by integer rank over (n_chars, doc_id); quality
+    micro-fixed so decile means are exact integer sums.
+
+    Scale: one window over docs (id-tiebroken rank), one decile rollup."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.textops import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.round(
+            quality_score_col(F.col("text"), tokens(F.col("text"))) * 1000000
+        )
+        .cast("bigint")
+        .alias("_qu"),
+    )
+    w = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.round(
+                F.sum("_qu") / (F.count("*") * F.lit(1000000.0)), 4
+            ).alias("avg_quality_r"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _quality_length_oracle() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_quality
+
+    q = duckdb_quality("text", duckdb_tokens("text"))
+    return f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CAST(round({q} * 1000000) AS BIGINT) AS qu,
+         ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT decile, count(*)::BIGINT AS n_docs,
+       min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars,
+       round(sum(qu) / (count(*) * 1000000.0), 4) AS avg_quality_r
+FROM s GROUP BY decile ORDER BY decile
+"""
+
+
+ORACLE_QUALITY_LENGTH_BIAS = _quality_length_oracle()
+
+QUERIES.update({"quality_length_bias": q_quality_length_bias})
+ORACLES.update({"quality_length_bias": ORACLE_QUALITY_LENGTH_BIAS})
