@@ -1741,3 +1741,53 @@ def test_price_dispersion_matches_pandas(spark):
         assert r["l_partkey"] == pk and r["n_suppliers"] == ns
         assert abs(r["max_min_ratio_r"] - ratio) < 1e-3
         assert abs(r["cv_r"] - cv) < 1e-5
+
+
+def test_trade_balance_matches_pandas(spark):
+    from pyvectorsearch_spark.queries.analytic_extra import (
+        q_nation_trade_balance,
+    )
+
+    got = {r["n_name"]: r for r in q_nation_trade_balance(spark, SF_SMOKE).collect()}
+    li = _pq("lineitem")
+    o = _pq("orders")[["o_orderkey", "o_custkey"]]
+    c = _pq("customer")[["c_custkey", "c_nationkey"]]
+    s = _pq("supplier")[["s_suppkey", "s_nationkey"]]
+    n = _pq("nation")[["n_nationkey", "n_name"]]
+    li["rc"] = (li["l_extendedprice"] * (1 - li["l_discount"]) * 100)
+    li["rc"] = np.floor(li["rc"] + 0.5).astype("int64")
+    j = (li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(c, left_on="o_custkey", right_on="c_custkey")
+           .merge(s, left_on="l_suppkey", right_on="s_suppkey"))
+    exp = j.groupby("s_nationkey")["rc"].sum()
+    imp = j.groupby("c_nationkey")["rc"].sum()
+    total_balance = 0.0
+    for _, row in n.iterrows():
+        r = got[row["n_name"]]
+        e = exp.get(row["n_nationkey"], 0) / 100.0
+        i = imp.get(row["n_nationkey"], 0) / 100.0
+        assert abs(r["export_revenue_r"] - e) < 0.011
+        assert abs(r["import_revenue_r"] - i) < 0.011
+        assert abs(r["balance_r"] - (e - i)) < 0.011
+        total_balance += r["balance_r"]
+    # conservation: global exports == global imports, balances sum to ~0
+    assert abs(total_balance) < 0.05
+
+
+def test_quality_length_bias_matches_engine_deciles(spark):
+    from pyvectorsearch_spark.queries.text_extra import q_quality_length_bias
+
+    got = q_quality_length_bias(spark, SF_SMOKE).toPandas()
+    docs = _pq("documents")
+    assert got["n_docs"].sum() == len(docs)
+    # deciles are equal-count (+-1) and length-ordered
+    assert got["n_docs"].max() - got["n_docs"].min() <= 1
+    mins = got.sort_values("decile")["min_chars"].tolist()
+    maxs = got.sort_values("decile")["max_chars"].tolist()
+    assert all(mins[i] <= mins[i + 1] for i in range(len(mins) - 1))
+    assert all(maxs[i] <= maxs[i + 1] for i in range(len(maxs) - 1))
+    # the composite score's token-count term guarantees SOME positive length
+    # bias on this corpus: top decile must score above the bottom decile
+    top = got.loc[got.decile == 10, "avg_quality_r"].iloc[0]
+    bot = got.loc[got.decile == 1, "avg_quality_r"].iloc[0]
+    assert top > bot
