@@ -1595,3 +1595,77 @@ ORDER BY n.n_name
 
 QUERIES.update({"nation_trade_balance": q_nation_trade_balance})
 ORACLES.update({"nation_trade_balance": ORACLE_NATION_TRADE_BALANCE})
+
+
+# --- customer concentration ------------------------------------------------------------
+
+CONC_TOP = 10
+
+
+def q_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-concentration risk per year: the revenue share of that
+    year's top-10 customers — the 'how much of our business is ten
+    phone calls' number (brand HHI measures market structure; this
+    measures dependency). Deterministic top-k by (revenue, custkey).
+
+    Determinism: exact cents; integer rank window over the per-customer
+    yearly rollup.
+
+    Scale: aggregate-then-window — the rank runs over customer-year
+    cells, never raw orders."""
+    from pyspark.sql import Window
+
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_custkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_rc"),
+    )
+    per = o.groupBy("order_year", "o_custkey").agg(
+        F.sum("_rc").cast("bigint").alias("_rev")
+    )
+    w = Window.partitionBy("order_year").orderBy(
+        F.desc("_rev"), F.asc("o_custkey")
+    )
+    ranked = per.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("order_year")
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.sum("_rev").cast("bigint").alias("_tot"),
+            F.sum(F.when(F.col("_rk") <= CONC_TOP, F.col("_rev")).otherwise(0))
+            .cast("bigint")
+            .alias("_top"),
+        )
+        .select(
+            "order_year",
+            "n_customers",
+            F.round(F.col("_top") / 100.0, 2).alias("top10_revenue_r"),
+            F.round(F.col("_top") / F.col("_tot").cast("double"), 6).alias(
+                "top10_share_r"
+            ),
+        )
+        .orderBy("order_year")
+    )
+
+
+ORACLE_CUSTOMER_CONCENTRATION = f"""
+WITH per AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS yr, o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev
+  FROM orders GROUP BY 1, 2
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY yr
+                               ORDER BY rev DESC, o_custkey ASC) AS rn
+  FROM per
+)
+SELECT yr AS order_year, count(DISTINCT o_custkey)::BIGINT AS n_customers,
+       round(sum(CASE WHEN rn <= {CONC_TOP} THEN rev ELSE 0 END) / 100.0, 2)
+         AS top10_revenue_r,
+       round(sum(CASE WHEN rn <= {CONC_TOP} THEN rev ELSE 0 END)
+             / CAST(sum(rev) AS DOUBLE), 6) AS top10_share_r
+FROM rk GROUP BY yr ORDER BY order_year
+"""
+
+QUERIES.update({"customer_concentration": q_customer_concentration})
+ORACLES.update({"customer_concentration": ORACLE_CUSTOMER_CONCENTRATION})

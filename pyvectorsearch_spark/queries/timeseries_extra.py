@@ -2022,3 +2022,95 @@ ORDER BY s.event_type, s.period
 
 QUERIES.update({"events_periodogram": q_events_periodogram})
 ORACLES.update({"events_periodogram": ORACLE_EVENTS_PERIODOGRAM})
+
+
+# --- pinball (quantile) forecast loss ---------------------------------------------------
+
+PINBALL_QS = [50, 90]
+PINBALL_LAG_H = 24
+
+
+def q_events_forecast_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (pinball) loss of the seasonal-naive forecaster per event
+    type: L_q = mean(max(q·e, (q−1)·e)) with e = y − ŷ, ŷ = y(t−24 h) on
+    the dense grid — the asymmetric score a P90 capacity forecast is
+    actually judged by (`events_forecast_backtest` scores the median;
+    under-forecasting a P90 costs 9× more than over, and MAE can't see
+    that).
+
+    Determinism: errors are exact integers; per-q losses are integer
+    sums of max(q·e, (q−100)·e) in percent units; one division at the
+    end.
+
+    Scale: the lag join and loss rollup run on the types×hours grid."""
+    ev = load_table(spark, sf_dir, "events")
+    hb = (F.floor(F.unix_timestamp("ts") / 3600)).cast("bigint")
+    hc = ev.groupBy("event_type", hb.alias("h")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    rng = hc.groupBy("event_type").agg(
+        F.min("h").alias("_lo"), F.max("h").alias("_hi")
+    )
+    dense = rng.select(
+        "event_type", F.explode(F.sequence("_lo", "_hi")).alias("h")
+    )
+    dn = dense.join(hc, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    )
+    pred = dn.select(
+        "event_type",
+        (F.col("h") + PINBALL_LAG_H).alias("h"),
+        F.col("y").alias("_yhat"),
+    )
+    j = dn.join(pred, ["event_type", "h"]).withColumn(
+        "_e", (F.col("y") - F.col("_yhat")).cast("bigint")
+    )
+    qs = spark.createDataFrame([(q,) for q in PINBALL_QS], "q int")
+    fan = j.crossJoin(F.broadcast(qs)).withColumn(
+        "_loss",
+        F.greatest(
+            F.col("q") * F.col("_e"), (F.col("q") - 100) * F.col("_e")
+        ).cast("bigint"),
+    )
+    return (
+        fan.groupBy("event_type", "q")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.round(
+                F.sum("_loss") / (F.count("*") * F.lit(100.0)), 4
+            ).alias("pinball_loss_r"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+_PB_QS = ", ".join(str(q) for q in PINBALL_QS)
+
+ORACLE_EVENTS_PINBALL = f"""
+WITH hc AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS h, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, unnest(range(min(h), max(h) + 1)) AS h
+  FROM hc GROUP BY event_type
+),
+dn AS (
+  SELECT g.event_type, g.h, coalesce(hc.y, 0)::BIGINT AS y
+  FROM grid g LEFT JOIN hc ON g.event_type = hc.event_type AND g.h = hc.h
+),
+j AS (
+  SELECT a.event_type, (a.y - b.y)::BIGINT AS e
+  FROM dn a JOIN dn b
+    ON a.event_type = b.event_type AND b.h = a.h - {PINBALL_LAG_H}
+),
+qs AS (SELECT unnest([{_PB_QS}])::INT AS q)
+SELECT j.event_type, q.q, count(*)::BIGINT AS n_hours,
+       round(sum(greatest(q.q * j.e, (q.q - 100) * j.e)) / (count(*) * 100.0),
+             4) AS pinball_loss_r
+FROM j CROSS JOIN qs q
+GROUP BY j.event_type, q.q ORDER BY j.event_type, q.q
+"""
+
+QUERIES.update({"events_forecast_pinball": q_events_forecast_pinball})
+ORACLES.update({"events_forecast_pinball": ORACLE_EVENTS_PINBALL})
