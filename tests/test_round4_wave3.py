@@ -1791,3 +1791,53 @@ def test_quality_length_bias_matches_engine_deciles(spark):
     top = got.loc[got.decile == 10, "avg_quality_r"].iloc[0]
     bot = got.loc[got.decile == 1, "avg_quality_r"].iloc[0]
     assert top > bot
+
+
+def test_customer_concentration_matches_pandas(spark):
+    from pyvectorsearch_spark.queries.analytic_extra import (
+        CONC_TOP,
+        q_customer_concentration,
+    )
+
+    got = {r["order_year"]: r
+           for r in q_customer_concentration(spark, SF_SMOKE).collect()}
+    o = _pq("orders")
+    o["yr"] = pd.to_datetime(o["o_orderdate"]).dt.year
+    o["rc"] = (o["o_totalprice"] * 100).round().astype("int64")
+    for yr, grp in o.groupby("yr"):
+        per = grp.groupby("o_custkey")["rc"].sum().reset_index()
+        per = per.sort_values(["rc", "o_custkey"], ascending=[False, True])
+        top = per.head(CONC_TOP)["rc"].sum()
+        r = got[yr]
+        assert r["n_customers"] == len(per)
+        assert abs(r["top10_revenue_r"] - top / 100.0) < 0.011
+        assert abs(r["top10_share_r"] - top / per["rc"].sum()) < 1e-5
+        assert 0 < r["top10_share_r"] <= 1.0
+
+
+def test_forecast_pinball_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.timeseries_extra import (
+        PINBALL_LAG_H,
+        PINBALL_QS,
+        q_events_forecast_pinball,
+    )
+
+    got = {(r["event_type"], r["q"]): r
+           for r in q_events_forecast_pinball(spark, SF_SMOKE).collect()}
+    ev = _pq("events")
+    h = _hourly_counts(ev)
+    for etype, grp in ev.groupby("event_type"):
+        hh = h[grp.index]
+        lo = hh.min()
+        nh = hh.max() - lo + 1
+        y = np.zeros(nh, dtype=np.int64)
+        np.add.at(y, (hh - lo).to_numpy(), 1)
+        e = (y[PINBALL_LAG_H:] - y[:-PINBALL_LAG_H]).astype(np.int64)
+        for q in PINBALL_QS:
+            loss = np.maximum(q * e, (q - 100) * e).sum() / (len(e) * 100.0)
+            r = got[(etype, q)]
+            assert r["n_hours"] == len(e)
+            assert abs(r["pinball_loss_r"] - loss) < 1e-3
+        # pinball@50 is half the MAE: both non-negative, q90 emphasizes
+        # under-forecast so the two differ unless errors are symmetric zeros
+        assert got[(etype, 50)]["pinball_loss_r"] >= 0
