@@ -369,10 +369,24 @@ class GridIndex:
         dim: int,
         rr: int,
         ratio: int,
+        clamp: bool = True,
     ):
         """Closed-form cell id at ``level``: per-axis
         floor((p_c − O_c) / w_c) with w_c = width·ratio^(−slices_c)
-        (pktree.hpp:373-379,538-580) — a pure Catalyst expression."""
+        (pktree.hpp:373-379,538-580) — a pure Catalyst expression.
+
+        ``clamp=True`` (the batch-build path, where the data DEFINED the
+        box) folds numeric edge cases onto the boundary cells. Streamed
+        ingest against pinned geometry must pass ``clamp=False``: a point
+        OUTSIDE the root box then gets honest negative/oversized coords —
+        the integer lattice simply extends beyond the box, ``_cell_box``
+        is closed-form in the coords, and the pruning bounds stay lossless.
+        This replaces the reference's incremental root surgery
+        (``grow_root_to_cover_point``, pktree.hpp:841-929): no rebuild, no
+        pointer cascade — an out-of-box arrival is just a new cell id.
+        (Clamping such a point instead would file it under a boundary
+        cell whose box doesn't contain it, and pruned search could then
+        discard the cell holding the true nearest neighbor.)"""
         s = _slices(level, dim, rr)
         parts = [F.lit(str(level))]
         for c in range(dim):
@@ -381,8 +395,11 @@ class GridIndex:
                 (F.element_at(F.col(vec_col), c + 1).cast("double") - float(origin[c]))
                 / float(w_c)
             )
-            # clamp: points on the open upper edge / query-side reuse
-            coord = F.greatest(F.least(coord, F.lit((ratio ** s[c]) - 1)), F.lit(0))
+            if clamp:
+                # open-upper-edge numeric guard (in-box data only)
+                coord = F.greatest(
+                    F.least(coord, F.lit((ratio ** s[c]) - 1)), F.lit(0)
+                )
             parts.append(coord.cast("string"))
         return F.concat_ws(CELL_SEP, *parts)
 

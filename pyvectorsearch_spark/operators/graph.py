@@ -30,12 +30,24 @@ def connected_components(
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 25,
+    switch_after: int | None = 8,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """(node, cluster) for every node appearing in ``pairs``; ``cluster`` is
     the minimum node id in the node's connected component.
 
-    Raises ``RuntimeError`` if labels have not converged after ``max_iter``
-    rounds (diameter > max_iter — not a near-dup-shaped graph).
+    Auto-dispatch: min-label propagation needs diameter-many rounds — the
+    right default for near-dup graphs (near-cliques, diameter 2-3), but
+    round-bound on a long chain. If labels have not converged after
+    ``switch_after`` rounds, the call hands the ORIGINAL pair table to
+    :func:`connected_components_twostar` (O(log n) rounds; property-tested
+    equivalent output), so a pathological chain costs 8 label rounds + a
+    logarithmic two-star run instead of diameter-many jobs.
+
+    ``switch_after=None`` disables the dispatch and restores the strict
+    behavior: ``RuntimeError`` if not converged after ``max_iter`` rounds.
+    ``_stats``, when a dict, receives ``{"mode": "label"|"twostar",
+    "rounds": k}`` for tests/diagnostics.
     """
     # Pre-partition the (checkpointed-once) edge table on the lookup key so
     # every round's labels join is co-partitioned against it — checkpoint
@@ -53,7 +65,8 @@ def connected_components(
         F.least(F.col("a"), F.min("b")).alias("lbl")
     ).select(F.col("a").alias("node"), "lbl")
 
-    for _ in range(max_iter):
+    rounds = max_iter if switch_after is None else min(max_iter, switch_after)
+    for i in range(rounds):
         # min label over each node's neighborhood (one shuffle join + agg)
         nbr = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -77,7 +90,13 @@ def connected_components(
         changed = nxt.agg(F.max(F.col("_changed").cast("int"))).first()[0]
         labels = nxt.drop("_changed")
         if not changed:
+            if _stats is not None:
+                _stats.update(mode="label", rounds=i + 1)
             return labels.select("node", F.col("lbl").alias("cluster"))
+    if switch_after is not None:
+        if _stats is not None:
+            _stats.update(mode="twostar", rounds=rounds)
+        return connected_components_twostar(pairs, src=src, dst=dst)
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
 

@@ -659,6 +659,10 @@ def q_knn_stream_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
             GridIndex._cell_expr(
                 "p2", geom.origin, geom.width, geom.fine_level,
                 geom.dim, geom.rr, geom.ratio,
+                # pinned geometry + live arrivals: never clamp — an
+                # out-of-box point must keep its honest (possibly
+                # negative) coords or pruned search goes inexact
+                clamp=False,
             ),
         )
         q = stream_index_ingest(
