@@ -51,6 +51,36 @@ def duckdb_shingles(tok: str, n: int = 3) -> str:
     )
 
 
+CHARGRAM_NORM_RE = "[^a-z0-9 ]"
+
+
+def chargrams(col: Column | str, n: int = 3) -> Column:
+    """Character n-grams over normalized text (lowercase, ``[^a-z0-9 ]``
+    stripped), WITH multiplicity — the repeat count is the feature weight
+    for the char-n-gram Naive Bayes language classifier (Cavnar & Trenkle
+    1994's n-gram text categorization, the standard langid feature).
+    Guarded like ``shingles``: Spark's ``sequence(1, 0)`` counts DOWN, so
+    sub-``n``-char strings need an explicit empty-array branch."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(F.lower(c), CHARGRAM_NORM_RE, "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(s) - (n - 1)),
+        lambda i: F.substring(s, i, F.lit(n)),
+    )
+    return F.when(F.length(s) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def duckdb_chargrams(col: str, n: int = 3) -> str:
+    """DuckDB twin of ``chargrams`` (same normalization, same window)."""
+    s = f"regexp_replace(lower({col}), '{CHARGRAM_NORM_RE}', '', 'g')"
+    return (
+        f"list_transform(range(1, greatest(length({s}) - {n - 2}, 1)), "
+        f"i -> substr({s}, i::INT, {n}))"
+    )
+
+
 def minhash_signature(sh: Column, n_hashes: int = 16) -> Column:
     """MinHash signature: for permutation i, h_i(s) = md5(i || ':' || s); the
     signature component is the lexicographic min over the doc's shingles.

@@ -48,6 +48,13 @@ def _slices(level: int, dim: int, rr: int) -> list[int]:
     return [(level * rr + dim - c - 1) // dim for c in range(dim)]
 
 
+def _slices_expr(level_col, c: int, dim: int, rr: int):
+    """Column twin of ``_slices`` for one axis — whole-stage-codegen safe."""
+    return F.floor(
+        (level_col.cast("long") * rr + dim - c - 1) / float(dim)
+    ).cast("double")
+
+
 @dataclass
 class GridIndex:
     """A built grid index: cell assignment per row + cell statistics.
@@ -469,7 +476,7 @@ class GridIndex:
             functools.reduce(add, max_terms),
         )
 
-    def _scored_pairs(self, qs: DataFrame) -> DataFrame:
+    def _scored_pairs(self, qs: DataFrame, stats_df: DataFrame | None = None) -> DataFrame:
         """(query × cell) with distance bounds: queries joined against the
         broadcast stats table. The stats side is ~n/occupancy rows — the
         only table small enough to pair with every query; the data itself
@@ -485,39 +492,142 @@ class GridIndex:
         )
         mn, mx = self._box_bounds_expr(F.col("_qvec"))
         return (
-            spread.crossJoin(F.broadcast(self.stats_df))
+            spread.crossJoin(
+                F.broadcast(stats_df if stats_df is not None else self.stats_df)
+            )
             .withColumn("_min_d2", mn)
             .withColumn("_max_d2", mx)
         )
 
-    def _knn_distributed(
-        self,
-        queries: DataFrame,
-        k: int,
-        query_id: str,
-        query_vec: str,
-        payload: Iterable[str],
-    ) -> DataFrame:
-        """Exact kNN for a query TABLE: candidate selection runs as a plan,
-        not a driver loop, so 10⁶ probes scale the same as 10.
+    # Above this many cells the |Q|x|cells| scored cross-join becomes the
+    # dominant quadratic (both |Q| and |cells| grow with the data), so the
+    # distributed searches descend through a COARSE ancestor level first —
+    # the reference's recursive tree descent (pktree.hpp:978-1072 prunes
+    # subtrees before visiting children) restated as two plan stages.
+    COARSE_THRESHOLD = 2048
+    COARSE_TARGET = 320
 
-        Phase 1 (per query, window over the scored stats): accumulate cells
-        by ascending min-distance until ≥ k points are covered; the max of
-        their max-distances bounds the kth neighbor. Phase 2: keep cells
-        with min-distance ≤ that bound → (query, cell) pairs. Then one join
-        against the indexed data on ``cell`` (dynamic partition pruning on a
-        partitioned index) + exact distance + window top-k."""
-        qs = queries.select(
-            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+    def _n_cells(self) -> int:
+        """Stats-row count, cached; never collects the stats themselves."""
+        if self._local_stats is not None:
+            return len(self._local_stats)
+        if self._stats_count is None:
+            self._stats_count = self.stats_df.count()
+        return self._stats_count
+
+    def _level_hist(self) -> dict[int, int]:
+        """(level -> cell count) histogram of the stats table; one tiny
+        cells-sized aggregate for distributed stats, cached."""
+        if getattr(self, "_lvl_hist", None) is None:
+            if self._local_stats is not None:
+                hist: dict[int, int] = {}
+                for _, lvl, _, _ in self._local_stats:
+                    hist[lvl] = hist.get(lvl, 0) + 1
+            else:
+                hist = {
+                    int(r["level"]): int(r["n"])
+                    for r in self.stats_df.groupBy("level")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+            self._lvl_hist = hist
+        return self._lvl_hist
+
+    def _coarse_level(self) -> int:
+        """Ancestor level whose GROUPED cell count lands near COARSE_TARGET.
+
+        K-instantiation leaves a level PYRAMID, not a flat fine layer
+        (measured at sf1.0: 5362 cells spread over levels 0-11, bulk at
+        7-8), and grouping maps each cell to its ancestor at
+        ``min(level, lc)`` — cells already at or above lc stay themselves.
+        So the lc that actually contracts is found from the level
+        histogram: the deepest lc whose estimate (shallow cells kept +
+        deeper cells divided by ratio^(rr·gap)) fits the target. A
+        max-occupied-level heuristic picked lc=9 there and contracted
+        NOTHING (5323 of 5362 cells sat at levels ≤ 9)."""
+        hist = self._level_hist()
+        if not hist:
+            return 0
+        shrink = self.ratio ** self.rr
+        top = max(hist)
+        for lc in range(top - 1, 0, -1):
+            est = sum(
+                n if lvl <= lc else max(1, n // (shrink ** (lvl - lc)))
+                for lvl, n in hist.items()
+            )
+            if est <= self.COARSE_TARGET:
+                return lc
+        return 0
+
+    def _coarse_stats(self, coarse_level: int) -> DataFrame:
+        """Aggregate the stats table to ancestor cells at ``coarse_level``:
+        (cell, level, coords, count) rows whose box CONTAINS every member
+        cell's box (cells already at or above the coarse level group as
+        themselves), so every point-to-box bound computed on a coarse row
+        is a valid bound for all its members — the losslessness invariant
+        of the two-stage descent. One cells-sized shuffle, done once per
+        search plan."""
+        lvl = F.col("level").cast("int")
+        eff = F.least(lvl, F.lit(int(coarse_level)))
+        coarse_coords = F.array(
+            *[
+                F.floor(
+                    F.element_at("coords", c + 1).cast("double")
+                    / F.pow(
+                        F.lit(float(self.ratio)),
+                        _slices_expr(lvl, c, self.dim, self.rr)
+                        - _slices_expr(eff, c, self.dim, self.rr),
+                    )
+                ).cast("long")
+                for c in range(self.dim)
+            ]
         )
-        # The (query × cell) table is the big intermediate (|Q|·|cells|);
-        # keep its rows NARROW — scores only, no vectors/coords — so the
-        # window shuffle+sort moves a fraction of the bytes. The query
-        # vector is re-attached to the ~|Q|·(cells/query) candidates after
-        # pruning (measured 3-4x faster than carrying it through the sort).
-        pairs = self._scored_pairs(qs).select(
-            "_qid", "cell", "count", "_min_d2", "_max_d2"
+        return (
+            self.stats_df.select(
+                eff.alias("level"),
+                coarse_coords.alias("coords"),
+                F.col("count"),
+            )
+            .groupBy("level", "coords")
+            .agg(F.sum("count").cast("long").alias("count"))
+            .withColumn(
+                "cell",
+                F.concat_ws(
+                    CELL_SEP,
+                    F.col("level").cast("string"),
+                    *[
+                        F.element_at("coords", c + 1).cast("string")
+                        for c in range(self.dim)
+                    ],
+                ),
+            )
         )
+
+    def _coarse_key_expr(self, coarse_level: int):
+        """Coarse ancestor key of a fine stats row — the join key that
+        expands surviving coarse cells back to their member cells."""
+        lvl = F.col("level").cast("int")
+        eff = F.least(lvl, F.lit(int(coarse_level)))
+        parts = [eff.cast("string")]
+        for c in range(self.dim):
+            parts.append(
+                F.floor(
+                    F.element_at("coords", c + 1).cast("double")
+                    / F.pow(
+                        F.lit(float(self.ratio)),
+                        _slices_expr(lvl, c, self.dim, self.rr)
+                        - _slices_expr(eff, c, self.dim, self.rr),
+                    )
+                ).cast("long").cast("string")
+            )
+        return F.concat_ws(CELL_SEP, *parts)
+
+    def _prune_pairs(self, pairs: DataFrame, k: int) -> DataFrame:
+        """The exact two-phase candidate prune over a scored (query, cell)
+        pair table with (_qid, cell, count, _min_d2, _max_d2): returns the
+        surviving (_qid, cell) pairs. Lossless for ANY pair table whose
+        per-query rows partition ≥ the true top-k points with valid
+        point-to-box bounds (fine cells, or coarse ancestors)."""
         # Coarse pre-bound BEFORE the window: any single cell holding ≥ k
         # points caps the kth distance by its max-distance, and the min of
         # those caps per query comes from a map-side-combined aggregate —
@@ -557,11 +667,74 @@ class GridIndex:
         bounded = pref.withColumn(
             "_bound", F.max(F.when(in_prefix, F.col("_max_d2"))).over(w_all)
         )
-        cand = (
-            bounded.filter(F.col("_min_d2") <= F.col("_bound"))
-            .select("_qid", "cell")
-            .join(qs, "_qid")
+        return bounded.filter(F.col("_min_d2") <= F.col("_bound")).select(
+            "_qid", "cell"
         )
+
+    def _two_phase_keep(self, qs: DataFrame, k: int) -> DataFrame:
+        """Surviving (_qid, cell) per query — one- or two-STAGE descent.
+
+        Small index: score every (query, fine cell) pair and prune (the
+        round-2 plan). Large index (> COARSE_THRESHOLD cells): the
+        |Q|·|cells| pair table is quadratic when probes and cells both
+        scale with the data (measured 71× runtime for 10× data at sf1.0
+        before this stage), so FIRST run the same exact prune against
+        ~COARSE_TARGET ancestor cells, then score only the member cells of
+        surviving ancestors — the reference's recursive subtree prune
+        (pktree.hpp:978-1072) as two plan stages. Lossless at both stages:
+        coarse boxes contain their members' boxes, so the coarse bound ≥
+        the true kth distance and every ancestor holding a top-k point
+        survives; the fine stage then sees every top-k candidate cell."""
+        # The (query × cell) table is the big intermediate (|Q|·|cells|);
+        # keep its rows NARROW — scores only, no vectors/coords — so the
+        # window shuffle+sort moves a fraction of the bytes. The query
+        # vector is re-attached to the ~|Q|·(cells/query) candidates after
+        # pruning (measured 3-4x faster than carrying it through the sort).
+        if self._n_cells() <= self.COARSE_THRESHOLD:
+            pairs = self._scored_pairs(qs).select(
+                "_qid", "cell", "count", "_min_d2", "_max_d2"
+            )
+            return self._prune_pairs(pairs, k)
+        lc = self._coarse_level()
+        coarse = self._coarse_stats(lc).localCheckpoint(eager=False)
+        cpairs = self._scored_pairs(qs, coarse).select(
+            "_qid", "cell", "count", "_min_d2", "_max_d2"
+        )
+        ckeep = self._prune_pairs(cpairs, k).withColumnRenamed("cell", "_ckey")
+        fine = self.stats_df.withColumn("_ckey", self._coarse_key_expr(lc))
+        mn, mx = self._box_bounds_expr(F.col("_qvec"))
+        fpairs = (
+            ckeep.join(qs, "_qid")
+            .join(F.broadcast(fine), "_ckey")
+            .select(
+                "_qid", "cell", "count",
+                mn.alias("_min_d2"), mx.alias("_max_d2"),
+            )
+        )
+        return self._prune_pairs(fpairs, k)
+
+    def _knn_distributed(
+        self,
+        queries: DataFrame,
+        k: int,
+        query_id: str,
+        query_vec: str,
+        payload: Iterable[str],
+    ) -> DataFrame:
+        """Exact kNN for a query TABLE: candidate selection runs as a plan,
+        not a driver loop, so 10⁶ probes scale the same as 10.
+
+        Phase 1 (per query, window over the scored stats): accumulate cells
+        by ascending min-distance until ≥ k points are covered; the max of
+        their max-distances bounds the kth neighbor. Phase 2: keep cells
+        with min-distance ≤ that bound → (query, cell) pairs. Then one join
+        against the indexed data on ``cell`` (dynamic partition pruning on a
+        partitioned index) + exact distance + window top-k."""
+        qs = queries.select(
+            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+        )
+        keep = self._two_phase_keep(qs, k)
+        cand = keep.join(qs, "_qid")
 
         from pyvectorsearch_spark.functions.vector import l2_sq
 
@@ -604,11 +777,32 @@ class GridIndex:
         qs = queries.select(
             F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
         )
-        cand = (
-            self._scored_pairs(qs)
-            .filter(F.col("_min_d2") <= F.lit(r2))
-            .select("_qid", "cell", "_qvec")
-        )
+        if self._n_cells() <= self.COARSE_THRESHOLD:
+            cand = (
+                self._scored_pairs(qs)
+                .filter(F.col("_min_d2") <= F.lit(r2))
+                .select("_qid", "cell", "_qvec")
+            )
+        else:
+            # two-stage descent (see _two_phase_keep): reject whole coarse
+            # ancestors with min-dist > r² before scoring their members —
+            # trivially lossless (ancestor box contains member boxes, so
+            # member min-dist ≥ ancestor min-dist)
+            lc = self._coarse_level()
+            ckeep = (
+                self._scored_pairs(qs, self._coarse_stats(lc))
+                .filter(F.col("_min_d2") <= F.lit(r2))
+                .select("_qid", F.col("cell").alias("_ckey"))
+            )
+            fine = self.stats_df.withColumn("_ckey", self._coarse_key_expr(lc))
+            mn, _ = self._box_bounds_expr(F.col("_qvec"))
+            cand = (
+                ckeep.join(qs, "_qid")
+                .join(F.broadcast(fine), "_ckey")
+                .withColumn("_min_d2", mn)
+                .filter(F.col("_min_d2") <= F.lit(r2))
+                .select("_qid", "cell", "_qvec")
+            )
 
         from pyvectorsearch_spark.functions.vector import l2_sq
 

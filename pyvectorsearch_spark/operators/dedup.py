@@ -448,7 +448,17 @@ def hamming_pairs_bucketed(
                 # low bits, silently dropping pairs and breaking the lossless
                 # pigeonhole guarantee. bitwiseAND extracts sign-independently.
                 F.shiftrightunsigned("simhash", bounds[j])
-                .bitwiseAND(F.lit((1 << (bounds[j + 1] - bounds[j])) - 1))
+                # two's-complement wrap: a full 64-bit chunk (max_hamming=0
+                # over a 64-bit hash) has mask 2^64-1, which overflows a
+                # signed long literal — wrap to -1 (same bit pattern)
+                .bitwiseAND(
+                    F.lit(
+                        m - (1 << 64)
+                        if (m := (1 << (bounds[j + 1] - bounds[j])) - 1)
+                        >= (1 << 63)
+                        else m
+                    )
+                )
                 .alias("val"),
             )
             for j in range(b)

@@ -141,6 +141,136 @@ def _parse_wav(blob: bytes):
     return None
 
 
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Uncompressed 24-bit BI_RGB Windows bitmap (BITMAPINFOHEADER) —
+    pure-struct container like PPM/WAV: bottom-up rows, BGR byte order,
+    rows padded to 4 bytes. Public format (Windows BMP v3)."""
+    import struct
+
+    payload = rgb[: width * height * 3].ljust(width * height * 3, b"\x00")
+    row_out = (width * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        line = payload[y * width * 3 : (y + 1) * width * 3]
+        # RGB -> BGR per pixel
+        bgr = bytearray(line)
+        bgr[0::3], bgr[2::3] = line[2::3], line[0::3]
+        rows.append(bytes(bgr).ljust(row_out, b"\x00"))
+    data = b"".join(rows)
+    off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(data), 2835, 2835, 0, 0)
+    )
+    return header + data
+
+
+def _parse_bmp(blob: bytes):
+    """Parse an uncompressed 24-bit BMP: returns (width, height, top-down
+    RGB bytes) or None. Handles bottom-up (h>0) and top-down (h<0) rows."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"BM" or len(blob) < 54:
+        return None
+    (data_off,) = struct.unpack("<I", blob[10:14])
+    (hdr_size,) = struct.unpack("<I", blob[14:18])
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack("<ii", blob[18:26])
+    _, bpp = struct.unpack("<HH", blob[26:30])
+    (compression,) = struct.unpack("<I", blob[30:34])
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up, h = h > 0, abs(h)
+    row = (w * 3 + 3) // 4 * 4
+    body = blob[data_off : data_off + row * h]
+    if len(body) < row * h:
+        return None
+    px = np.frombuffer(body, dtype=np.uint8).reshape(h, row)[:, : w * 3]
+    px = px.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if bottom_up:
+        px = px[::-1]
+    return w, h, px.tobytes()
+
+
+def _ext80_encode(x: int) -> bytes:
+    """IEEE 754 80-bit extended float from a positive int (AIFF sample
+    rate field) — sign 0, 15-bit biased exponent, explicit-1 mantissa."""
+    import struct
+
+    if x <= 0:
+        return b"\x00" * 10
+    e = x.bit_length() - 1
+    return struct.pack(">HQ", 16383 + e, x << (63 - e))
+
+
+def _ext80_decode(b: bytes) -> int:
+    import struct
+
+    se, mant = struct.unpack(">HQ", b[:10])
+    if mant == 0:
+        return 0
+    e = (se & 0x7FFF) - 16383
+    return int(round(mant * (2.0 ** (e - 63))))
+
+
+def encode_aiff(pcm16: bytes, sample_rate: int = 16000) -> bytes:
+    """Minimal AIFF container around mono 16-bit PCM — the big-endian IFF
+    twin of ``encode_wav`` (Apple AIFF-C ancestor; pure struct, no codec).
+    ``pcm16`` is little-endian int16 bytes (same convention as
+    ``encode_wav``); AIFF stores samples big-endian, so they are byte-
+    swapped into the SSND body."""
+    import struct
+
+    import numpy as np
+
+    samples = np.frombuffer(pcm16[: len(pcm16) // 2 * 2], dtype="<i2")
+    body = samples.astype(">i2").tobytes()
+    comm = b"COMM" + struct.pack(">I", 18) + struct.pack(
+        ">hIh", 1, len(samples), 16
+    ) + _ext80_encode(sample_rate)
+    ssnd = b"SSND" + struct.pack(">I", 8 + len(body)) + struct.pack(">II", 0, 0) + body
+    if len(body) % 2:
+        ssnd += b"\x00"
+    form_len = 4 + len(comm) + len(ssnd)
+    return b"FORM" + struct.pack(">I", form_len) + b"AIFF" + comm + ssnd
+
+
+def _parse_aiff(blob: bytes):
+    """Parse mono 16-bit PCM AIFF: returns (sample_rate, int16 samples) or
+    None. Walks IFF chunks (big-endian sizes, padded to even), so extra
+    chunks are fine — the big-endian mirror of ``_parse_wav``."""
+    import struct
+
+    import numpy as np
+
+    if blob[:4] != b"FORM" or blob[8:12] != b"AIFF":
+        return None
+    pos, rate, bits, channels, nframes = 12, None, None, None, 0
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack(">I", blob[pos + 4 : pos + 8])
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"COMM" and len(body) >= 18:
+            channels, nframes, bits = struct.unpack(">hIh", body[:8])
+            rate = _ext80_decode(body[8:18])
+        elif cid == b"SSND" and rate is not None:
+            if bits != 16 or channels != 1:
+                return None
+            (offset,) = struct.unpack(">I", body[:4])
+            data = body[8 + offset : 8 + offset + nframes * 2]
+            samples = np.frombuffer(
+                data[: len(data) // 2 * 2], dtype=">i2"
+            ).astype("<i2")
+            return int(rate), samples
+        pos += 8 + size + (size % 2)
+    return None
+
+
 def synthetic_media(spark: SparkSession, n: int = 64, *, seed: int = 7) -> DataFrame:
     """Deterministic media table matching MEDIA_SCHEMA. Image blobs are REAL
     binary PPM (P6) files and audio blobs REAL mono PCM16 WAV files (payload
@@ -215,6 +345,41 @@ def synthetic_media_with_dups(
     return spark.createDataFrame(rows + dups + audio_dups, MEDIA_SCHEMA)
 
 
+def synthetic_media_mixed(
+    spark: SparkSession, n: int = 64, *, seed: int = 7, n_twins: int = 8
+) -> DataFrame:
+    """``synthetic_media`` plus CROSS-CONTAINER twins: the first ``n_twins``
+    images get a BMP re-encode of the SAME pixels (media_id + 300000) and
+    the first ``n_twins`` audio rows an AIFF re-encode of the SAME samples
+    (media_id + 400000). Decode normalizes both containers to identical
+    pixel/sample arrays, so each twin pair MUST collide exactly (Hamming 0)
+    under dHash / the energy fingerprint — the "same asset re-encoded in a
+    different container" dedup regime, with zero false-positive tolerance.
+    """
+    rows = _media_rows(n, seed)
+    twins = []
+    n_img = n_aud = 0
+    for mid, kind, blob, meta in rows:
+        if kind == "image" and n_img < n_twins:
+            w, h, rgb = _parse_ppm(blob)
+            twins.append(
+                (mid + 300000, kind, encode_bmp(w, h, rgb), {**meta, "format": "bmp"})
+            )
+            n_img += 1
+        elif kind == "audio" and n_aud < n_twins:
+            rate, samples = _parse_wav(blob)
+            twins.append(
+                (
+                    mid + 400000,
+                    kind,
+                    encode_aiff(samples.tobytes(), rate),
+                    {**meta, "format": "aiff"},
+                )
+            )
+            n_aud += 1
+    return spark.createDataFrame(rows + twins, MEDIA_SCHEMA)
+
+
 def spread_media(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Hash-repartition media rows so size-skewed blobs spread across tasks."""
     target = parts or df.sparkSession.sparkContext.defaultParallelism
@@ -237,10 +402,14 @@ def _prand_floats(blob: bytes, count: int) -> list[float]:
 def _decode_rgb(blob: bytes, width: int, height: int) -> list[float]:
     """Decode → flat H×W×3 float pixels in [0,1].
 
-    REAL for binary PPM (P6): header parse + nearest-neighbor resample, no
-    codec library needed. Compressed formats go through a gated PIL import;
-    the deterministic fake is the last resort (clearly marked)."""
-    parsed = _parse_ppm(blob)
+    REAL for binary PPM (P6) and uncompressed 24-bit BMP: header parse +
+    nearest-neighbor resample, no codec library needed — and because both
+    decode to the SAME normalized pixel grid, the dHash downstream is
+    format-invariant (a PPM and a BMP of the same image collide, the
+    cross-container dedup regime). Compressed formats go through a gated
+    PIL import; the deterministic fake is the last resort (clearly
+    marked)."""
+    parsed = _parse_ppm(blob) or _parse_bmp(blob)
     if parsed is not None:
         import numpy as np
 
@@ -265,10 +434,12 @@ def _decode_rgb(blob: bytes, width: int, height: int) -> list[float]:
 def _decode_pcm(blob: bytes, n_samples: int) -> list[float]:
     """Audio decode → n_samples floats in [-1, 1].
 
-    REAL for mono PCM16 WAV (RIFF chunk walk, no library); compressed
-    formats would go through soundfile (absent here) — deterministic fake
-    fallback keeps the shape."""
-    parsed = _parse_wav(blob)
+    REAL for mono PCM16 WAV (RIFF chunk walk) AND AIFF (big-endian IFF
+    walk) — both normalize to the same float samples, so downstream
+    fingerprints are container-invariant; compressed formats would go
+    through soundfile (absent here) — deterministic fake fallback keeps
+    the shape."""
+    parsed = _parse_wav(blob) or _parse_aiff(blob)
     if parsed is not None:
         _, samples = parsed
         x = (samples.astype("float64") / 32768.0)[:n_samples]

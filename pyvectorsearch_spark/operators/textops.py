@@ -1208,6 +1208,7 @@ def nb_classify(
     text_col: str = "text",
     label_col: str = "lang",
     round_dp: int = 6,
+    features=None,
 ) -> DataFrame:
     """Multinomial Naive Bayes trained on the corpus's own labels and
     applied back to every document (add-1 smoothing) — the classic
@@ -1223,13 +1224,21 @@ def nb_classify(
     (never broadcast — it joins on term); scoring is one term-keyed join +
     one (doc, label) rollup + a labels-sized argmax window per doc.
 
+    ``features`` swaps the featurizer: any ``text_col -> array<string>``
+    column function (default: word ``tokens``; pass
+    ``functions.text.chargrams`` for the char-n-gram langid variant —
+    Cavnar & Trenkle 1994 — which on domain-skewed corpora beats both the
+    stopword baseline and word-token features because it sees sub-word
+    orthography, not just whole-word hits).
+
     Returns (``id_col``, true_label, pred_label)."""
     from pyspark.sql import Window
 
+    feat = features if features is not None else tokens
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(label_col).alias("_lbl"),
-        tokens(text_col).alias("_t"),
+        feat(text_col).alias("_t"),
     )
     tf = (
         base.select("_id", "_lbl", F.explode("_t").alias("_w"))

@@ -33,6 +33,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     spatial_extra,
     streaming,
     streaming_drift,
+    streaming_tws,
     temporal,
     streaming_extra,
     text,
@@ -108,6 +109,8 @@ _MODULES = [
     multimodal_extra,  # likewise (image dHash / audio fingerprint pairs)
     web_extra,  # likewise (HTML extraction / URL census)
     quality_wave3,  # likewise (round-4 stats additions, kept out of the window)
+    streaming_tws,  # conditionally empty: registers transformWithState only
+    # when the container has protobuf (re-checked r5 — absent; see module)
 ]
 
 

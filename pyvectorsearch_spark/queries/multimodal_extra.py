@@ -106,9 +106,47 @@ def q_multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_multimodal_crossformat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-CONTAINER duplicate mining (round 5): the mixed fixture holds
+    the same pixels encoded as PPM *and* uncompressed 24-bit BMP, and the
+    same samples as WAV *and* AIFF — all four parsed by real pure-struct
+    decoders (`operators/multimodal.py`). Decode normalizes containers to
+    identical pixel/sample arrays, so every twin collides at Hamming 0;
+    the query reports each surviving pair with its two container formats
+    and modality. Deterministic end to end; binary decode is not
+    SQL-expressible — rows-only check like the other multimodal rows
+    (golden twin assertions in tests/test_round5_multimodal.py)."""
+    from pyvectorsearch_spark.operators.multimodal import (
+        audio_fingerprint_pairs,
+        image_dhash_pairs,
+        synthetic_media_mixed,
+    )
+
+    media = synthetic_media_mixed(spark, 72, n_twins=8).coalesce(4)
+    img = image_dhash_pairs(media, max_hamming=0).select(
+        F.lit("image").alias("modality"), "d1", "d2"
+    )
+    aud = audio_fingerprint_pairs(media, max_hamming=0).select(
+        F.lit("audio").alias("modality"), "d1", "d2"
+    )
+    fmt = media.select(
+        F.col("media_id"), F.col("meta.format").alias("fmt")
+    )
+    pairs = img.unionByName(aud)
+    return (
+        pairs.join(fmt.withColumnRenamed("media_id", "d1"), "d1")
+        .withColumnRenamed("fmt", "fmt1")
+        .join(fmt.withColumnRenamed("media_id", "d2"), "d2")
+        .withColumnRenamed("fmt", "fmt2")
+        .select("modality", "d1", "d2", "fmt1", "fmt2")
+        .orderBy("modality", "d1", "d2")
+    )
+
+
 QUERIES = {
     "multimodal_image_dhash": q_image_dhash_pairs,
     "multimodal_audio_fingerprint": q_audio_fingerprint_pairs,
     "multimodal_binaryfile_ingest": q_multimodal_binaryfile_ingest,
+    "multimodal_crossformat_pairs": q_multimodal_crossformat_pairs,
 }
 ORACLES: dict[str, str] = {}

@@ -108,11 +108,30 @@ def scale_tables(spark: SparkSession, src: str, factor: int) -> dict[str, DataFr
         if i == 0:
             return df
         arr = F.split(F.col("text"), " ")
-        n = F.size(arr)
+        # Rename ~30% of word TYPES per copy (selection keyed on
+        # md5(word:copy), so each copy renames a different subset, and the
+        # SAME subset for every doc within the copy). Rotation alone kills
+        # shingle/MinHash overlap but PRESERVES the token multiset, so
+        # order-invariant fingerprints (SimHash) collided across copies and
+        # near-dup pair counts scaled ~quadratically — a data artifact that
+        # polluted the first sf1.0 scaling run (88.6x pair growth for 10x
+        # docs). Renaming changes the multiset itself; within-copy
+        # similarity structure is untouched (same deterministic mapping).
+        renamed = F.transform(
+            arr,
+            lambda w: F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat(w, F.lit(f":{i}"))), 1, 4),
+                    16, 10,
+                ).cast("long") % 10 < 3,
+                F.concat(w, F.lit(f"q{i}")),
+            ).otherwise(w),
+        )
+        n = F.size(renamed)
         r = F.lit(i)  # every doc has >= 10 words at sf0.1, so r < n always
         rotated = F.concat(
-            F.slice(arr, r + 1, n - r),
-            F.slice(arr, F.lit(1), r),
+            F.slice(renamed, r + 1, n - r),
+            F.slice(renamed, F.lit(1), r),
             F.array(F.concat(F.lit("zq"), F.lit(str(i)))),
         )
         text = F.array_join(rotated, " ")
