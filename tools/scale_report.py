@@ -20,6 +20,38 @@ import sys
 FACTOR = 10.0
 FLAG_AT = 12.0  # 10x data + 20% headroom for shuffle constants/host noise
 
+# Measured explanations for queries whose ratio needs context (kept honest:
+# the numbers above are raw, these are the diagnoses).
+NOTES = {
+    "dedup_simhash": (
+        "intrinsic O(n²) of the exact blocked kernel on a near-dup-DENSE "
+        "fixture (~70 qualifying pairs per doc at Hamming ≤ 9 over a "
+        "~50-word shared vocabulary; the OUTPUT itself is 2.19M pairs at "
+        "sf1.0, 12.5× the sf0.1 output). Every exact algorithm degenerates "
+        "in this regime — the pigeonhole bucket path measured strictly "
+        "worse here (its hot buckets approach the full pair space). At "
+        "real-corpus density (sparse at Hamming ≤ 3-6, Manku et al. "
+        "WWW'07 use k=3 at 8B docs) the registered pigeonhole twin "
+        "`dedup_simhash_bucketed` is the linear-ish scale path; on a "
+        "dense corpus the honest answer is exact-dedup first or a lower "
+        "radius, both available as operators."
+    ),
+    "knn_grid_query_table": (
+        "12.04× ≈ linear: probes scale 10× (20 shifted copies of every "
+        "base vector) and the index deepens, so ~10× is the floor; this "
+        "query measured 70.9× BEFORE the round-5 coarse→fine descent "
+        "(223.7 s → 37.5 s at sf1.0). The residual over 10× is the coarse "
+        "stage's own |Q|×|coarse| scoring (189 ancestor cells)."
+    ),
+    "events_hourly_stream": (
+        "sub-second absolute at both scales: availableNow drains of an "
+        "8-file landing are engine/batch-overhead bound at these sizes, "
+        "not data bound — the sublinear ratio is overhead amortization, "
+        "not a throughput claim."
+    ),
+    "events_sessions_stream": "see events_hourly_stream.",
+}
+
 
 def main() -> None:
     small = json.load(open(sys.argv[1]))
@@ -62,7 +94,11 @@ def main() -> None:
         lines.append(f"| {name} | {t0:.3f} | {t1:.3f} | {ratio:.2f}×{mark} |")
     lines.append("")
     if flags:
-        lines.append(f"**Flagged superlinear:** {', '.join(flags)}")
+        lines.append(f"**Flagged (> {FLAG_AT:.0f}×):** {', '.join(flags)}")
+        for name in flags:
+            note = NOTES.get(name)
+            if note:
+                lines.append(f"- `{name}`: {note}")
     else:
         lines.append(
             "**No query scales superlinearly** — the three r4 suspects "
@@ -70,6 +106,9 @@ def main() -> None:
             "`dedup_jaccard_pairs`' hot-shingle quadratic, CC round count) "
             "all stay at-or-under the data ratio."
         )
+    for name, note in NOTES.items():
+        if name not in flags and name in dict((r[0], r) for r in rows):
+            lines.append(f"- `{name}`: {note}")
     lines.append("")
     lines.append(
         "Data: `tools/make_scale.py` derives sf1.0 from the driver's sf0.1 "
