@@ -81,6 +81,26 @@ def duckdb_chargrams(col: str, n: int = 3) -> str:
     )
 
 
+def word_ngrams(tok: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (no dedup) — the hashed-n-gram feature
+    stream for importance weighting (DSIR uses unigram+bigram counts, not
+    sets). Same empty-array guard as ``shingles``."""
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(tok) >= n, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def duckdb_word_ngrams(tok: str, n: int = 2) -> str:
+    """DuckDB twin of ``word_ngrams`` (``range(1, x)`` is empty for x <= 1,
+    so short docs need no explicit guard)."""
+    parts = " || ' ' || ".join(f"{tok}[i+{j}]" if j else f"{tok}[i]" for j in range(n))
+    return f"list_transform(range(1, len({tok}) - {n - 2}), i -> {parts})"
+
+
 def minhash_signature(sh: Column, n_hashes: int = 16) -> Column:
     """MinHash signature: for permutation i, h_i(s) = md5(i || ':' || s); the
     signature component is the lexicographic min over the doc's shingles.

@@ -509,3 +509,81 @@ def sample_stratified_exact_frac(
         .filter(F.col("sample_rank") <= F.col("_k"))
         .drop("_r1", "_k")
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    *,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights: hashed-n-gram log importance of every
+    document against a target domain (Xie, Santurkar, Ma & Liang, "Data
+    Selection for Language Models via Importance Resampling", NeurIPS 2023).
+
+    Features are word unigrams+bigrams WITH multiplicity, hashed into
+    ``n_buckets`` buckets by the corpus-standard md5→48-bit construction
+    (same as ``hash_bucket`` — so DuckDB reproduces every bucket id
+    exactly). Bucket distributions with add-1 smoothing:
+
+        p̂(b) = (tc_b + 1) / (T + B)   over docs where ``target`` holds
+        q̂(b) = (rc_b + 1) / (R + B)   over the whole (raw) pool
+
+    and the per-document log importance weight is
+
+        log w(doc) = Σ_b c_doc(b) · (log p̂(b) − log q̂(b)).
+
+    The paper resamples with Gumbel-noised weights; we keep the weight
+    computation (the data-dependent part) and leave selection to the
+    deterministic samplers in this module (e.g. flag ``log w > 0`` or
+    top-k by weight), so the whole operator stays RNG-free and
+    oracle-checkable.
+
+    Scale shape (100 TB): one explode → partial-aggregated
+    groupBy(doc, bucket); the bucket table is ``n_buckets`` rows — a
+    broadcast-joined constant regardless of corpus size; the final
+    groupBy(doc) is the only full-width shuffle. The raw/target totals are
+    a one-row aggregate (metadata, not data).
+
+    Returns ``(id_col, logweight)`` — one row per document that produced at
+    least one feature; join back to the corpus and ``coalesce`` to 0.0 for
+    featureless docs.
+    """
+    from pyvectorsearch_spark.functions.text import tokens, word_ngrams
+
+    tok = tokens(text_col)
+    grams = F.concat(tok, word_ngrams(tok, 2))
+    feats = df.select(
+        F.col(id_col), target.alias("_is_t"), F.explode(grams).alias("_g")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("_g"))), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    cb = feats.groupBy(F.col(id_col), F.col("_is_t"), bucket.alias("_b")).agg(
+        F.count("*").alias("_c")
+    )
+    bl = cb.groupBy("_b").agg(
+        F.sum("_c").alias("_rc"),
+        F.sum(F.when(F.col("_is_t"), F.col("_c")).otherwise(F.lit(0))).alias("_tc"),
+    )
+    tot = bl.agg(F.sum("_rc").alias("_R"), F.sum("_tc").alias("_T"))
+    w = bl.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        (
+            F.log((F.col("_tc") + 1) / (F.col("_T") + n_buckets))
+            - F.log((F.col("_rc") + 1) / (F.col("_R") + n_buckets))
+        ).alias("_w"),
+    )
+    return (
+        cb.join(F.broadcast(w), "_b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_c") * F.col("_w")).alias("logweight"))
+    )

@@ -819,3 +819,151 @@ ORACLE_SAMPLE_GROUP_KFOLD = _gkf_oracle()
 
 QUERIES.update({"sample_group_kfold": q_sample_group_kfold})
 ORACLES.update({"sample_group_kfold": ORACLE_SAMPLE_GROUP_KFOLD})
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al., NeurIPS 2023)
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def q_sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-n-gram importance weights of every document against the
+    English-language target domain: per-doc log importance, plus the
+    resampling keep flag (log w > 0, decided on the 6-dp rounded value so
+    both engines decide from the identical number). The weight machinery is
+    ``operators.sampling.dsir_logweights``; the distributions, hashing, and
+    smoothing are replayed exactly by the DuckDB oracle."""
+    from pyvectorsearch_spark.operators.sampling import dsir_logweights
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = dsir_logweights(
+        docs, target=F.col("lang") == DSIR_TARGET_LANG, n_buckets=DSIR_BUCKETS
+    )
+    out = (
+        docs.select("doc_id", "lang")
+        .join(w, "doc_id", "left")
+        .withColumn(
+            "logweight", F.round(F.coalesce("logweight", F.lit(0.0)), 6)
+        )
+        .withColumn("keep", (F.col("logweight") > 0).cast("int"))
+    )
+    return out.select("doc_id", "lang", "logweight", "keep").orderBy("doc_id")
+
+
+def _oracle_dsir() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_tokens, duckdb_word_ngrams
+
+    tok = duckdb_tokens("text")
+    big = duckdb_word_ngrams("t", 2)
+    b = DSIR_BUCKETS
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {tok} AS t FROM documents),
+grams AS (
+  SELECT doc_id, lang, unnest(list_concat(t, {big})) AS g FROM toks
+),
+feats AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('dsir:' || g), 1, 12))::BIGINT % {b} AS b,
+         count(*) AS c
+  FROM grams GROUP BY 1, 2, 3
+),
+bl AS (
+  SELECT b, sum(c) AS rc,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c ELSE 0 END) AS tc
+  FROM feats GROUP BY b
+),
+tot AS (SELECT sum(rc) AS r_tot, sum(tc) AS t_tot FROM bl),
+w AS (
+  SELECT b, ln((tc + 1) / (t_tot + {b}.0)) - ln((rc + 1) / (r_tot + {b}.0)) AS w
+  FROM bl CROSS JOIN tot
+),
+docw AS (
+  SELECT f.doc_id, sum(f.c * w.w) AS lw FROM feats f JOIN w USING (b) GROUP BY 1
+)
+SELECT d.doc_id, d.lang, round(coalesce(lw, 0.0), 6) AS logweight,
+       (round(coalesce(lw, 0.0), 6) > 0)::INT AS keep
+FROM documents d LEFT JOIN docw USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+ORACLE_SAMPLE_DSIR = _oracle_dsir()
+
+QUERIES.update({"sample_dsir_weights": q_sample_dsir_weights})
+ORACLES.update({"sample_dsir_weights": ORACLE_SAMPLE_DSIR})
+
+
+def q_pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed DSIR curation: importance-weight the corpus against the
+    English target, keep positive-weight docs, and report the per-source
+    selection profile — kept count, kept chars, mean kept log-importance —
+    as ONE lazy plan (weights never materialize). The shape a 100 TB
+    curation run has: the bucket table stays a broadcast constant; only the
+    per-source aggregate (≤ |sources| rows) leaves the cluster."""
+    from pyvectorsearch_spark.operators.sampling import dsir_logweights
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = dsir_logweights(
+        docs, target=F.col("lang") == DSIR_TARGET_LANG, n_buckets=DSIR_BUCKETS
+    )
+    kept = (
+        docs.join(w, "doc_id", "left")
+        .withColumn("_lw", F.round(F.coalesce("logweight", F.lit(0.0)), 6))
+        .filter(F.col("_lw") > 0)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+            F.round(F.avg("_lw"), 6).alias("avg_logweight"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_dsir_select() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_tokens, duckdb_word_ngrams
+
+    tok = duckdb_tokens("text")
+    big = duckdb_word_ngrams("t", 2)
+    b = DSIR_BUCKETS
+    return f"""
+WITH toks AS (SELECT doc_id, {tok} AS t FROM documents),
+grams AS (SELECT doc_id, unnest(list_concat(t, {big})) AS g FROM toks),
+feats AS (
+  SELECT f.doc_id, d.lang,
+         ('0x' || substr(md5('dsir:' || f.g), 1, 12))::BIGINT % {b} AS b,
+         count(*) AS c
+  FROM grams f JOIN documents d USING (doc_id) GROUP BY 1, 2, 3
+),
+bl AS (
+  SELECT b, sum(c) AS rc,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c ELSE 0 END) AS tc
+  FROM feats GROUP BY b
+),
+tot AS (SELECT sum(rc) AS r_tot, sum(tc) AS t_tot FROM bl),
+w AS (
+  SELECT b, ln((tc + 1) / (t_tot + {b}.0)) - ln((rc + 1) / (r_tot + {b}.0)) AS w
+  FROM bl CROSS JOIN tot
+),
+docw AS (
+  SELECT f.doc_id, sum(f.c * w.w) AS lw FROM feats f JOIN w USING (b) GROUP BY 1
+),
+kept AS (
+  SELECT d.source, d.n_chars, round(coalesce(lw, 0.0), 6) AS lw_r
+  FROM documents d LEFT JOIN docw USING (doc_id)
+  WHERE round(coalesce(lw, 0.0), 6) > 0
+)
+SELECT source, count(*)::BIGINT AS n_kept, sum(n_chars)::BIGINT AS kept_chars,
+       round(avg(lw_r), 6) AS avg_logweight
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
+ORACLE_PIPELINE_DSIR_SELECT = _oracle_dsir_select()
+
+QUERIES.update({"pipeline_dsir_select": q_pipeline_dsir_select})
+ORACLES.update({"pipeline_dsir_select": ORACLE_PIPELINE_DSIR_SELECT})

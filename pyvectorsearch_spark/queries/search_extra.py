@@ -595,3 +595,124 @@ ORACLE_PIPELINE_RETRIEVAL = _oracle_pipeline_retrieval()
 
 QUERIES.update({"pipeline_retrieval": q_pipeline_retrieval})
 ORACLES.update({"pipeline_retrieval": ORACLE_PIPELINE_RETRIEVAL})
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (1-bit) kNN: Hamming shortlist + exact re-rank, and the
+# recall report of the BQ path against exact brute force. Like SQ8, the code
+# is a closed-form function of the data, so the full approximate pipeline is
+# hash-checked by the oracle (index/bq.py).
+
+BQ_RERANK = 4 * K
+
+
+def q_knn_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ approximate kNN: sign-bit codes (64 dims → one bigint), Hamming
+    shortlist of depth 4k via ``bit_count(code XOR qcode)``, exact squared-L2
+    re-rank to top-k. Deterministic end-to-end (integer Hamming ties broken
+    by id), so the ANN result itself is the oracle contract."""
+    from pyvectorsearch_spark.index.bq import bq_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = bq_knn(emb, probes, K, dim=DIM, rerank=BQ_RERANK)
+    return out.select(
+        "query_id", "neighbor_id", F.round("dist", 6).alias("dist_sq"), "rank"
+    )
+
+
+_BQ_HAM = (
+    f"list_sum(list_transform(range(1, {DIM + 1}), i -> "
+    f"CASE WHEN (q.qvec[i] > 0) <> (e.embedding[i] > 0) THEN 1 ELSE 0 END))"
+)
+
+_BQ_SHORT = f"""
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id < {N_PROBES}
+),
+h AS (
+  SELECT q.qid, e.vec_id, {_BQ_HAM} AS ham, {duckdb_l2_sq("q.qvec", "e.embedding", DIM)} AS d
+  FROM q CROSS JOIN embeddings e
+),
+short AS (
+  SELECT qid, vec_id, d FROM (
+    SELECT qid, vec_id, d,
+           row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS r1
+    FROM h
+  ) WHERE r1 <= {BQ_RERANK}
+),
+bq AS (
+  SELECT qid, vec_id, d,
+         row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+  FROM short
+)"""
+
+ORACLE_KNN_BQ = f"""
+WITH {_BQ_SHORT}
+SELECT qid AS query_id, vec_id AS neighbor_id, round(d, 6) AS dist_sq, rank
+FROM bq WHERE rank <= {K}
+"""
+
+
+def q_bq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the BQ path against exact brute force, per probe — the
+    quantization-quality audit a user runs before trusting 1-bit codes.
+    Both lists are deterministic, so even the recall numbers hash-match."""
+    from pyvectorsearch_spark.index.bq import bq_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    bq = bq_knn(emb, probes, K, dim=DIM, rerank=BQ_RERANK).select(
+        "query_id", "neighbor_id"
+    )
+    exact = knn_join(emb, probes, K).select(
+        "query_id", F.col("neighbor_id").alias("_nb")
+    )
+    hits = bq.join(
+        exact,
+        (bq["query_id"] == exact["query_id"]) & (bq["neighbor_id"] == exact["_nb"]),
+    ).groupBy(bq["query_id"]).agg(F.count("*").alias("n_hits"))
+    return (
+        probes.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / K, 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_BQ_RECALL = f"""
+WITH {_BQ_SHORT},
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+    FROM h
+  ) WHERE rank <= {K}
+),
+hits AS (
+  SELECT b.qid, count(*) AS n_hits
+  FROM (SELECT qid, vec_id FROM bq WHERE rank <= {K}) b
+  JOIN exact x ON b.qid = x.qid AND b.vec_id = x.vec_id
+  GROUP BY b.qid
+)
+SELECT q.qid AS query_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(n_hits, 0) / {K}.0, 6) AS recall
+FROM q LEFT JOIN hits ON q.qid = hits.qid
+ORDER BY q.qid
+"""
+
+QUERIES.update(
+    {"knn_bq_rerank": q_knn_bq_rerank, "bq_recall_report": q_bq_recall_report}
+)
+ORACLES.update(
+    {"knn_bq_rerank": ORACLE_KNN_BQ, "bq_recall_report": ORACLE_BQ_RECALL}
+)
