@@ -587,3 +587,59 @@ def dsir_logweights(
         .groupBy(id_col)
         .agg(F.sum(F.col("_c") * F.col("_w")).alias("logweight"))
     )
+
+
+def temperature_mixture_thresholds(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    target_rows: int,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled mixture thresholds at T = 1/2: source s gets a
+    share of ``target_rows`` proportional to ``sqrt(n_s)`` — the standard
+    upsample-the-tail policy for multilingual/multi-source LM training
+    (exponent-smoothed sampling, as popularized by multilingual NMT and
+    mT5-style pipelines; T=1 is proportional, T→0 uniform).
+
+    T is fixed at 1/2 deliberately: IEEE-754 specifies ``sqrt`` as correctly
+    rounded, so ``sqrt(n_s)`` is bit-identical in every engine, unlike
+    ``pow(n, 1/T)`` whose last ulp is libm-specific. The share denominator
+    Σ√n_s is folded over sources in SORTED source order on both sides
+    (Spark: array_sort + aggregate; oracle: list_reduce over list(... ORDER
+    BY source)), so even the double SUM is bit-identical and the floor'd
+    integer thresholds — and therefore mixture MEMBERSHIP — can never flip
+    between engines.
+
+    Returns (source, n_source, threshold) — one row per source,
+    broadcast-joined by ``weighted_mixture_flag``-style membership
+    (``hash_bucket(id, salt) < threshold``). Scale shape: identical to
+    ``mixture_thresholds`` — a source-count aggregate (metadata-sized) and a
+    zero-shuffle membership projection.
+    """
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_source")
+    )
+    rts = counts.withColumn("_rt", F.sqrt(F.col("n_source").cast("double")))
+    s = rts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "_rt"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_rt"],
+        ).alias("_sum_rt")
+    )
+    thr = (
+        F.lit(float(target_rows))
+        * F.col("_rt")
+        / F.col("_sum_rt")
+        / F.col("n_source").cast("double")
+        * F.lit(float(BUCKETS))
+    )
+    return (
+        rts.crossJoin(F.broadcast(s))
+        .withColumn(
+            "threshold",
+            F.least(F.floor(thr).cast("bigint"), F.lit(BUCKETS).cast("bigint")),
+        )
+        .select("source", "n_source", "threshold")
+    )

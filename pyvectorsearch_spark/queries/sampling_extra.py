@@ -967,3 +967,75 @@ ORACLE_PIPELINE_DSIR_SELECT = _oracle_dsir_select()
 
 QUERIES.update({"pipeline_dsir_select": q_pipeline_dsir_select})
 ORACLES.update({"pipeline_dsir_select": ORACLE_PIPELINE_DSIR_SELECT})
+
+
+TMIX_TARGET = 200
+
+
+def q_sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (T=1/2) mixture of documents: per-source targets
+    ∝ √n_s — big sources downsampled, tail sources upsampled relative to
+    proportional mixing. Membership is hash-deterministic; the thresholds
+    use only IEEE-exact ops (sqrt + a sorted-order fold), so the oracle
+    reproduces them bit-for-bit (operators/sampling.py::
+    temperature_mixture_thresholds)."""
+    from pyvectorsearch_spark.operators.sampling import (
+        hash_bucket,
+        temperature_mixture_thresholds,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    thr = temperature_mixture_thresholds(docs, target_rows=TMIX_TARGET)
+    kept = docs.join(F.broadcast(thr), "source").filter(
+        hash_bucket(F.col("doc_id"), "tmix") < F.col("threshold")
+    )
+    kstats = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+    return (
+        thr.join(kstats, "source", "left")
+        .select(
+            "source",
+            "n_source",
+            "threshold",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SAMPLE_TMIX = f"""
+WITH c AS (
+  SELECT source, count(*)::BIGINT AS n_source FROM documents GROUP BY source
+),
+rts AS (SELECT source, n_source, sqrt(n_source::DOUBLE) AS rt FROM c),
+s AS (
+  SELECT list_reduce(list(rt ORDER BY source), (a, b) -> a + b) AS sum_rt
+  FROM rts
+),
+thr AS (
+  SELECT source, n_source,
+         least(floor({TMIX_TARGET}.0 * rt / sum_rt / n_source::DOUBLE
+                     * {BUCKETS}.0)::BIGINT, {BUCKETS}) AS threshold
+  FROM rts CROSS JOIN s
+),
+kept AS (
+  SELECT d.source, d.n_chars
+  FROM documents d JOIN thr USING (source)
+  WHERE {_bucket_sql("tmix")} < threshold
+),
+ks AS (
+  SELECT source, count(*)::BIGINT AS n_kept, sum(n_chars)::BIGINT AS kept_chars
+  FROM kept GROUP BY source
+)
+SELECT t.source, t.n_source, t.threshold,
+       coalesce(ks.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(ks.kept_chars, 0)::BIGINT AS kept_chars
+FROM thr t LEFT JOIN ks USING (source)
+ORDER BY t.source
+"""
+
+QUERIES.update({"sample_temperature_mixture": q_sample_temperature_mixture})
+ORACLES.update({"sample_temperature_mixture": ORACLE_SAMPLE_TMIX})

@@ -716,3 +716,91 @@ QUERIES.update(
 ORACLES.update(
     {"knn_bq_rerank": ORACLE_KNN_BQ, "bq_recall_report": ORACLE_BQ_RECALL}
 )
+
+
+BQ_CURVE_DEPTHS = (5, 10, 20, 40)
+
+
+def q_bq_rerank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the BQ path as a function of Hamming-shortlist depth —
+    the rerank-budget curve a user reads to size the shortlist (house
+    precedent: dedup_threshold_curve, embedding_radius_curve). One row per
+    depth: mean recall over the probe set. Every point is deterministic, so
+    the whole curve hash-matches the oracle."""
+    from pyvectorsearch_spark.index.bq import bq_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = knn_join(emb, probes, K).select(
+        "query_id", F.col("neighbor_id").alias("_nb")
+    )
+    curves = []
+    for d in BQ_CURVE_DEPTHS:
+        bq = bq_knn(emb, probes, K, dim=DIM, rerank=d).select(
+            "query_id", "neighbor_id"
+        )
+        hits = bq.join(
+            exact,
+            (bq["query_id"] == exact["query_id"])
+            & (bq["neighbor_id"] == exact["_nb"]),
+        ).agg(F.count("*").alias("n_hits"))
+        curves.append(
+            hits.select(
+                F.lit(d).cast("int").alias("rerank_depth"),
+                F.col("n_hits").cast("bigint").alias("n_hits"),
+                F.round(F.col("n_hits") / (N_PROBES * K), 6).alias("avg_recall"),
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("rerank_depth")
+
+
+def _oracle_bq_curve() -> str:
+    pieces = []
+    for d in BQ_CURVE_DEPTHS:
+        pieces.append(f"""
+SELECT {d} AS rerank_depth, count(*)::BIGINT AS n_hits,
+       round(count(*) / {N_PROBES * K}.0, 6) AS avg_recall
+FROM (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+    FROM (
+      SELECT qid, vec_id, d FROM (
+        SELECT qid, vec_id, d,
+               row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS r1
+        FROM h
+      ) WHERE r1 <= {d}
+    )
+  ) WHERE rank <= {K}
+) b
+JOIN (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+    FROM h
+  ) WHERE rank <= {K}
+) x ON b.qid = x.qid AND b.vec_id = x.vec_id""")
+    union = "\nUNION ALL\n".join(pieces)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id < {N_PROBES}
+),
+h AS (
+  SELECT q.qid, e.vec_id, {_BQ_HAM} AS ham,
+         {duckdb_l2_sq("q.qvec", "e.embedding", DIM)} AS d
+  FROM q CROSS JOIN embeddings e
+)
+SELECT * FROM ({union}) ORDER BY rerank_depth
+"""
+
+
+ORACLE_BQ_CURVE = _oracle_bq_curve()
+
+QUERIES.update({"bq_rerank_curve": q_bq_rerank_curve})
+ORACLES.update({"bq_rerank_curve": ORACLE_BQ_CURVE})

@@ -117,3 +117,18 @@ def test_bq_recall_is_high_on_fixture(spark):
     avg = sum(r.recall for r in rep) / len(rep)
     assert avg >= 0.5
     assert all(0.0 <= r.recall <= 1.0 for r in rep)
+
+
+def test_bq_rerank_curve_is_monotone(spark):
+    """Deeper Hamming shortlists can only add candidates, so recall@k is
+    non-decreasing in rerank depth."""
+    from pyvectorsearch_spark.queries.search_extra import q_bq_rerank_curve
+
+    rows = sorted(
+        (r.rerank_depth, r.avg_recall)
+        for r in q_bq_rerank_curve(spark, SF_T2).collect()
+    )
+    recalls = [rec for _, rec in rows]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] >= recalls[0]
+    assert 0.0 < recalls[-1] <= 1.0
