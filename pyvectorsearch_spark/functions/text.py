@@ -165,3 +165,68 @@ def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
         )
 
     return F.array(*[band_struct(b) for b in range(bands)])
+
+
+def winnow_hashes(col: Column | str, *, k: int = 8) -> Column:
+    """k-gram hash list feeding winnowing (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS scheme): md5 first 48 bits of every char k-gram
+    of the whitespace-stripped lowercase text.
+
+    MATERIALIZE this as its own column (``withColumn``) before applying
+    :func:`winnow_select` — referencing it inline inside the window lambda
+    re-evaluates the whole gram+md5 pipeline PER WINDOW (measured 94 s vs
+    4 s on the sf0.01 corpus; neither Catalyst nor DuckDB CSE inside a
+    higher-order-function lambda, so both engines need the same two-step
+    shape — see ``duckdb_winnow_hashes``/``duckdb_winnow_select``).
+    Two stacked projections stay collapse-safe: CollapseProject refuses to
+    inline a non-cheap alias referenced more than once."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(F.lower(c), "[^a-z0-9]", "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(s) - (k - 1)),
+        lambda i: F.substring(s, i, F.lit(k)),
+    )
+    return F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long")
+    )
+
+
+def winnow_select(hashes_col: Column | str, *, w: int = 4) -> Column:
+    """Window-minimum fingerprint selection over a PRE-MATERIALIZED hash
+    list: slide a window of ``w`` consecutive k-gram hashes, keep each
+    window's MINIMUM, dedupe, sort. Guarantees any shared substring of
+    length ≥ k+w-1 yields a shared fingerprint, with expected density
+    2/(w+1). Min over exact integers → deterministic in any engine. Both
+    halves together are still a zero-shuffle scan-stage projection pair."""
+    hs = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(hs) - (w - 1)),
+        lambda j: F.array_min(F.slice(hs, j, w)),
+    )
+    guarded = F.when(F.size(hs) >= w, mins).otherwise(
+        F.array().cast("array<long>")
+    )
+    return F.array_sort(F.array_distinct(guarded))
+
+
+def duckdb_winnow_hashes(col: str, *, k: int = 8) -> str:
+    """k-gram hash list for the winnowing oracle. MATERIALIZE this in a
+    subquery/CTE before applying :func:`duckdb_winnow_select` — inlining it
+    inside the window lambda makes DuckDB recompute the whole md5 list per
+    window (quadratic per-row work)."""
+    s = f"regexp_replace(lower({col}), '[^a-z0-9]', '', 'g')"
+    grams = (
+        f"list_transform(range(1, length({s}) - {k - 2}), "
+        f"i -> substr({s}, i::INT, {k}))"
+    )
+    return f"list_transform({grams}, g -> ('0x' || substr(md5(g), 1, 12))::BIGINT)"
+
+
+def duckdb_winnow_select(hashes_col: str, *, w: int = 4) -> str:
+    """Window-minimum selection over a PRE-MATERIALIZED hash-list column —
+    the second half of the ``winnow_fingerprints`` DuckDB twin."""
+    return (
+        f"list_sort(list_distinct(list_transform("
+        f"range(1, len({hashes_col}) - {w - 2}), "
+        f"j -> list_min({hashes_col}[j:j+{w - 1}]))))"
+    )
