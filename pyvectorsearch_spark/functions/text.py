@@ -230,3 +230,76 @@ def duckdb_winnow_select(hashes_col: str, *, w: int = 4) -> str:
         f"range(1, len({hashes_col}) - {w - 2}), "
         f"j -> list_min({hashes_col}[j:j+{w - 1}]))))"
     )
+
+
+CDC_W = 8  # rolling window (chars) deciding boundaries
+CDC_DIVISOR = 32  # boundary iff window-hash % DIVISOR == 0 → ~32-char chunks
+
+
+def cdc_normalized(col: Column | str) -> Column:
+    """Normalization for content-defined chunking: lowercase, collapse
+    everything outside [a-z0-9 ] (keeps word boundaries so chunk cuts are
+    content-anchored)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(c), "[^a-z0-9 ]", "")
+
+
+def cdc_boundaries(s_col: Column | str, *, w: int = CDC_W, divisor: int = CDC_DIVISOR) -> Column:
+    """Content-defined chunk boundaries (the LBFS/Venti/FastCDC primitive,
+    Muthitacharoen et al. SOSP'01): position i is a boundary iff the hash
+    of the w chars ENDING at i ≡ 0 (mod divisor). Because the decision
+    depends only on local content, an insertion early in a document shifts
+    chunk CONTENT by at most one chunk — unlike fixed-stride chunking where
+    every downstream chunk changes; that re-alignment is why CDC is the
+    storage-dedup standard.
+
+    Hash = md5 first 48 bits (cross-engine exact). Returns the sorted int
+    array of boundary end-positions over a PRE-MATERIALIZED normalized
+    string column (same two-step rule as ``winnow_hashes`` — inline reuse
+    re-evaluates the md5 scan per reference)."""
+    s = F.col(s_col) if isinstance(s_col, str) else s_col
+    return F.filter(
+        F.sequence(F.lit(w), F.greatest(F.length(s), F.lit(w - 1))),
+        lambda i: (
+            F.conv(
+                F.substring(F.md5(F.substring(s, i - (w - 1), F.lit(w))), 1, 12),
+                16,
+                10,
+            ).cast("long")
+            % divisor
+            == 0
+        )
+        & (i <= F.length(s)),
+    )
+
+
+def cdc_chunks(s_col: Column | str, bnd_col: Column | str) -> Column:
+    """Cut the normalized string at the (pre-materialized) boundary
+    positions: chunk j spans (prev boundary, boundary j], plus the tail.
+    Returns the array of chunk strings; empty array for empty text."""
+    s = F.col(s_col) if isinstance(s_col, str) else s_col
+    b = F.col(bnd_col) if isinstance(bnd_col, str) else bnd_col
+    starts = F.concat(F.array(F.lit(1)), F.transform(b, lambda x: x + 1))
+    ends = F.concat(b, F.array(F.length(s)))
+    chunks = F.zip_with(starts, ends, lambda a, e: F.substring(s, a, e - a + 1))
+    return F.filter(chunks, lambda c: F.length(c) > 0)
+
+
+def duckdb_cdc(col: str, *, w: int = CDC_W, divisor: int = CDC_DIVISOR) -> tuple[str, str, str]:
+    """DuckDB twin of the CDC pipeline: returns (normalized, boundaries,
+    chunks) SQL fragments; materialize each in its own CTE layer (the
+    no-lambda-CSE rule applies to DuckDB too)."""
+    s = f"regexp_replace(lower({col}), '[^a-z0-9 ]', '', 'g')"
+    bnd = (
+        f"list_filter(range({w}, greatest(length(s), {w - 1}) + 1), "
+        f"i -> ('0x' || substr(md5(substr(s, (i - {w - 1})::INT, {w})), 1, 12))::BIGINT "
+        f"% {divisor} = 0 AND i <= length(s))"
+    )
+    chunks = (
+        "list_filter(list_transform(range(1, len(bnd) + 2), j -> "
+        "substr(s, (CASE WHEN j = 1 THEN 1 ELSE bnd[j-1] + 1 END)::INT, "
+        "((CASE WHEN j = len(bnd) + 1 THEN length(s) ELSE bnd[j] END) "
+        "- (CASE WHEN j = 1 THEN 1 ELSE bnd[j-1] + 1 END) + 1)::INT)), "
+        "c -> length(c) > 0)"
+    )
+    return s, bnd, chunks

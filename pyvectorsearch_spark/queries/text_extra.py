@@ -1206,3 +1206,120 @@ ORACLE_DEDUP_WINNOWING_PAIRS = _oracle_winnowing_pairs()
 
 QUERIES.update({"dedup_winnowing_pairs": q_dedup_winnowing_pairs})
 ORACLES.update({"dedup_winnowing_pairs": ORACLE_DEDUP_WINNOWING_PAIRS})
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (LBFS, Muthitacharoen et al. SOSP'01): the
+# storage-dedup primitive — chunk boundaries follow CONTENT, so shared
+# passages align to identical chunks no matter where they sit in a doc.
+
+
+def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc CDC profile: chunk count, mean chunk length, and the md5
+    digest of the chunk-digest stream (pins every boundary decision)."""
+    from pyvectorsearch_spark.functions.text import (
+        cdc_boundaries,
+        cdc_chunks,
+        cdc_normalized,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    with_chunks = (
+        docs.withColumn("_s", cdc_normalized("text"))
+        .withColumn("_bnd", cdc_boundaries("_s"))
+        .withColumn("_ch", cdc_chunks("_s", "_bnd"))
+    )
+    return with_chunks.select(
+        "doc_id",
+        F.size("_ch").cast("bigint").alias("n_chunks"),
+        F.round(
+            F.aggregate("_ch", F.lit(0), lambda a, c: a + F.length(c))
+            / F.greatest(F.size("_ch"), F.lit(1)),
+            6,
+        ).alias("avg_chunk_len"),
+        F.md5(
+            F.concat_ws(",", F.transform("_ch", lambda c: F.md5(c)))
+        ).alias("chunks_digest"),
+    ).orderBy("doc_id")
+
+
+def _oracle_cdc_chunks() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_cdc
+
+    s, bnd, chunks = duckdb_cdc("text")
+    return f"""
+WITH n AS (SELECT doc_id, {s} AS s FROM documents),
+b AS (SELECT doc_id, s, {bnd} AS bnd FROM n),
+c AS (SELECT doc_id, {chunks} AS ch FROM b)
+SELECT doc_id, len(ch)::BIGINT AS n_chunks,
+       round(list_sum(list_transform(ch, x -> length(x)))
+             / greatest(len(ch), 1), 6) AS avg_chunk_len,
+       md5(array_to_string(list_transform(ch, x -> md5(x)), ',')) AS chunks_digest
+FROM c ORDER BY doc_id
+"""
+
+
+ORACLE_TEXT_CDC_CHUNKS = _oracle_cdc_chunks()
+
+QUERIES.update({"text_cdc_chunks": q_text_cdc_chunks})
+ORACLES.update({"text_cdc_chunks": ORACLE_TEXT_CDC_CHUNKS})
+
+
+def q_dedup_cdc_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level CDC storage-dedup report: total vs distinct chunks and
+    chars, and the dedup ratio 1 − distinct_chars/total_chars — the number
+    a content-addressed store would save. One explode → two bounded
+    aggregates; chunk identity travels as an md5 digest (chunks themselves
+    never shuffle twice)."""
+    from pyvectorsearch_spark.functions.text import (
+        cdc_boundaries,
+        cdc_chunks,
+        cdc_normalized,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ch = (
+        docs.withColumn("_s", cdc_normalized("text"))
+        .withColumn("_bnd", cdc_boundaries("_s"))
+        .withColumn("_ch", cdc_chunks("_s", "_bnd"))
+        .select(F.explode_outer("_ch").alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select(F.md5("c").alias("d"), F.length("c").alias("len"))
+    )
+    per = ch.groupBy("d").agg(
+        F.count("*").alias("cnt"), F.first("len").alias("len")
+    )
+    return per.agg(
+        F.sum("cnt").cast("bigint").alias("total_chunks"),
+        F.count("*").cast("bigint").alias("distinct_chunks"),
+        F.sum(F.col("cnt") * F.col("len")).cast("bigint").alias("total_chars"),
+        F.sum("len").cast("bigint").alias("distinct_chars"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("len") / F.sum(F.col("cnt") * F.col("len")).cast("double"),
+            6,
+        ).alias("dedup_ratio"),
+    )
+
+
+def _oracle_cdc_ratio() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_cdc
+
+    s, bnd, chunks = duckdb_cdc("text")
+    return f"""
+WITH n AS (SELECT doc_id, {s} AS s FROM documents),
+b AS (SELECT doc_id, s, {bnd} AS bnd FROM n),
+c AS (SELECT doc_id, {chunks} AS ch FROM b),
+e AS (SELECT md5(unnest(ch)) AS d, length(unnest(ch)) AS len FROM c),
+per AS (SELECT d, count(*) AS cnt, min(len) AS len FROM e GROUP BY d)
+SELECT sum(cnt)::BIGINT AS total_chunks, count(*)::BIGINT AS distinct_chunks,
+       sum(cnt * len)::BIGINT AS total_chars, sum(len)::BIGINT AS distinct_chars,
+       round(1.0 - sum(len) / CAST(sum(cnt * len) AS DOUBLE), 6) AS dedup_ratio
+FROM per
+"""
+
+
+ORACLE_DEDUP_CDC_RATIO = _oracle_cdc_ratio()
+
+QUERIES.update({"dedup_cdc_ratio": q_dedup_cdc_ratio})
+ORACLES.update({"dedup_cdc_ratio": ORACLE_DEDUP_CDC_RATIO})
