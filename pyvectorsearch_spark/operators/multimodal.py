@@ -727,3 +727,77 @@ def audio_fingerprint_pairs(
         bits=n_frames - 1,
         max_hamming=max_hamming,
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking over raw blob bytes (FastCDC-style gear hash —
+# Xia et al., USENIX ATC'16; same boundary idea as the text CDC in
+# functions/text.py, but byte-level and Arrow-batched since SQL cannot
+# address binary content).
+
+CDC_GEAR_MASK = (1 << 48) - 1
+CDC_BIN_DIVISOR = 512  # ~512-byte average chunks
+CDC_MIN_CHUNK = 64  # FastCDC min-size guard: skip boundary tests early
+
+
+def _gear_table() -> list:
+    """256-entry random table derived from md5 (deterministic everywhere)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"gear:{b}".encode()).hexdigest()[:12], 16)
+        for b in range(256)
+    ]
+
+
+def _cdc_chunks_bytes(blob: bytes, gear: list) -> list:
+    """Split one blob at gear-hash boundaries; returns (offset, length,
+    md5hex) per chunk. h = ((h << 1) + gear[byte]) & 48-bit mask; boundary
+    when h % divisor == 0 and the chunk has reached CDC_MIN_CHUNK."""
+    import hashlib
+
+    chunks = []
+    h = 0
+    start = 0
+    for i, b in enumerate(blob):
+        h = ((h << 1) + gear[b]) & CDC_GEAR_MASK
+        if i + 1 - start >= CDC_MIN_CHUNK and h % CDC_BIN_DIVISOR == 0:
+            seg = blob[start : i + 1]
+            chunks.append((start, len(seg), hashlib.md5(seg).hexdigest()))
+            start = i + 1
+            h = 0
+    if start < len(blob):
+        seg = blob[start:]
+        chunks.append((start, len(seg), hashlib.md5(seg).hexdigest()))
+    return chunks
+
+
+def cdc_chunk_rows(df: DataFrame, *, blob_col: str = "blob") -> DataFrame:
+    """Explode every blob into its CDC chunk rows
+    ``(media_id, kind, offset, n_bytes, digest)`` — the content-addressed
+    store's index. Arrow-batched mapInPandas: bytes never leave the worker;
+    only 8-byte offsets + 32-char digests shuffle. The 100 TB shape: chunk
+    rows are ~1% of blob bytes, and all downstream dedup joins run on
+    digests."""
+    import pandas as pd
+
+    gear = _gear_table()
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"media_id": [], "kind": [], "offset": [], "n_bytes": [], "digest": []}
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"], pdf[blob_col]):
+                for off, ln, dg in _cdc_chunks_bytes(bytes(blob), gear):
+                    out["media_id"].append(mid)
+                    out["kind"].append(kind)
+                    out["offset"].append(off)
+                    out["n_bytes"].append(ln)
+                    out["digest"].append(dg)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "kind", blob_col).mapInPandas(
+        run,
+        schema="media_id long, kind string, offset long, n_bytes long, digest string",
+    )

@@ -150,3 +150,44 @@ QUERIES = {
     "multimodal_crossformat_pairs": q_multimodal_crossformat_pairs,
 }
 ORACLES: dict[str, str] = {}
+
+
+def q_multimodal_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary content-defined chunking dedup report over the planted-dup
+    media fixture: per kind, total vs distinct chunks/bytes and the
+    content-addressed-store savings ratio. The planted near-dups differ in
+    a small byte patch, so CDC must recover most of their storage — the
+    blob-level twin of ``dedup_cdc_ratio``. Rows-only (binary content is
+    not SQL-addressable); the kernel is pinned by golden + property tests
+    in tests/test_round5_cdc_binary.py."""
+    from pyvectorsearch_spark.operators.multimodal import (
+        cdc_chunk_rows,
+        spread_media,
+        synthetic_media_with_dups,
+    )
+
+    media = spread_media(synthetic_media_with_dups(spark, 96))
+    ch = cdc_chunk_rows(media)
+    per = ch.groupBy("kind", "digest").agg(
+        F.count("*").alias("cnt"), F.first("n_bytes").alias("n_bytes")
+    )
+    return (
+        per.groupBy("kind")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total_chunks"),
+            F.count("*").cast("bigint").alias("distinct_chunks"),
+            F.sum(F.col("cnt") * F.col("n_bytes")).cast("bigint").alias("total_bytes"),
+            F.sum("n_bytes").cast("bigint").alias("distinct_bytes"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("n_bytes")
+                / F.sum(F.col("cnt") * F.col("n_bytes")).cast("double"),
+                6,
+            ).alias("dedup_ratio"),
+        )
+        .orderBy("kind")
+    )
+
+
+QUERIES.update({"multimodal_cdc_dedup": q_multimodal_cdc_dedup})
+# rows-only by design: binary chunking is not SQL-expressible
