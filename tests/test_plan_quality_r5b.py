@@ -56,3 +56,21 @@ def test_temperature_mixture_membership_is_broadcast(spark):
     plan = _plan(kept)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_ratio_plan_has_no_inferred_scan_filter(spark):
+    """Same InferFiltersFromGenerate guard as the winnowing pair join: the
+    chunk expression must never be re-inlined into a scan-stage Filter."""
+    from pyvectorsearch_spark.queries.text_extra import q_dedup_cdc_ratio
+
+    plan = (
+        q_dedup_cdc_ratio(spark, SF_T2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        stripped = line.strip().lstrip("+-*( ")
+        if stripped.startswith("Filter") or "FileScan" in line:
+            assert "md5" not in line, line[:200]
