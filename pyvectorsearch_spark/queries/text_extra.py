@@ -1323,3 +1323,76 @@ ORACLE_DEDUP_CDC_RATIO = _oracle_cdc_ratio()
 
 QUERIES.update({"dedup_cdc_ratio": q_dedup_cdc_ratio})
 ORACLES.update({"dedup_cdc_ratio": ORACLE_DEDUP_CDC_RATIO})
+
+
+def q_dedup_cdc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document copy-containment under CDC: the fraction of a doc's
+    chunk BYTES whose chunk content also occurs elsewhere in the corpus —
+    the doc-level "how much of this is copied" diagnostic that decides
+    between dropping a whole doc and trimming its duplicated passages.
+    Shape: one explode, one digest-level df aggregate joined back on the
+    digest (map-side combined; chunk bytes shuffle once as digests)."""
+    from pyspark.sql import Window as _W
+
+    from pyvectorsearch_spark.functions.text import (
+        cdc_boundaries,
+        cdc_chunks,
+        cdc_normalized,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ch = (
+        docs.withColumn("_s", cdc_normalized("text"))
+        .withColumn("_bnd", cdc_boundaries("_s"))
+        .withColumn("_ch", cdc_chunks("_s", "_bnd"))
+        .select("doc_id", F.explode_outer("_ch").alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select("doc_id", F.md5("c").alias("d"), F.length("c").alias("len"))
+    )
+    # corpus-wide occurrence count per digest, attached in one window pass
+    ch = ch.withColumn("_df", F.count("*").over(_W.partitionBy("d")))
+    per_doc = ch.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("len").cast("bigint").alias("n_chars"),
+        F.sum(F.when(F.col("_df") > 1, F.col("len")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("shared_chars"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_chars",
+        "shared_chars",
+        F.round(
+            F.col("shared_chars") / F.greatest("n_chars", F.lit(1)).cast("double"), 6
+        ).alias("containment"),
+    ).orderBy("doc_id")
+
+
+def _oracle_cdc_containment() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_cdc
+
+    s, bnd, chunks = duckdb_cdc("text")
+    return f"""
+WITH n AS (SELECT doc_id, {s} AS s FROM documents),
+b AS (SELECT doc_id, s, {bnd} AS bnd FROM n),
+c AS (SELECT doc_id, {chunks} AS ch FROM b),
+e AS (
+  SELECT doc_id, md5(unnest(ch)) AS d, length(unnest(ch)) AS len FROM c
+),
+w AS (SELECT doc_id, d, len, count(*) OVER (PARTITION BY d) AS df FROM e),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_chunks, sum(len)::BIGINT AS n_chars,
+         sum(CASE WHEN df > 1 THEN len ELSE 0 END)::BIGINT AS shared_chars
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, n_chunks, n_chars, shared_chars,
+       round(shared_chars / greatest(n_chars, 1)::DOUBLE, 6) AS containment
+FROM per ORDER BY doc_id
+"""
+
+
+ORACLE_DEDUP_CDC_CONTAINMENT = _oracle_cdc_containment()
+
+QUERIES.update({"dedup_cdc_containment": q_dedup_cdc_containment})
+ORACLES.update({"dedup_cdc_containment": ORACLE_DEDUP_CDC_CONTAINMENT})

@@ -100,3 +100,28 @@ def test_cdc_ratio_consistency(spark):
     assert row.total_chars == total_chars
     assert row.distinct_chars == distinct_chars
     assert 0.0 <= row.dedup_ratio < 1.0
+
+
+def test_cdc_containment_matches_python(spark):
+    """Independent recompute: per-doc shared-chunk byte fraction."""
+    from collections import Counter
+
+    from pyvectorsearch_spark.queries.text_extra import q_dedup_cdc_containment
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    chunks_by_doc = {
+        r.doc_id: _py_cdc(r.text) for r in docs.select("doc_id", "text").collect()
+    }
+    df: Counter = Counter()
+    for ch in chunks_by_doc.values():
+        df.update(ch)
+    got = {r.doc_id: r for r in q_dedup_cdc_containment(spark, SF_T2).collect()}
+    for d, ch in chunks_by_doc.items():
+        n_chars = sum(len(c) for c in ch)
+        shared = sum(len(c) for c in ch if df[c] > 1)
+        assert got[d].n_chunks == len(ch), d
+        assert got[d].n_chars == n_chars, d
+        assert got[d].shared_chars == shared, d
+    # the fixture has near-dups: some docs must show high containment
+    assert any(r.containment > 0.5 for r in got.values())
+    assert any(r.containment < 0.5 for r in got.values())
