@@ -182,10 +182,17 @@ def winnow_hashes(col: Column | str, *, k: int = 8) -> Column:
     inline a non-cheap alias referenced more than once."""
     c = F.col(col) if isinstance(col, str) else col
     s = F.regexp_replace(F.lower(c), "[^a-z0-9]", "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(s) - (k - 1)),
-        lambda i: F.substring(s, i, F.lit(k)),
-    )
+    # Short-input guard (same rule as shingles()): for normalized length
+    # L < k Spark's sequence(1, L-(k-1)) counts DOWN and would emit 9-L
+    # garbage grams — a phantom fingerprint for empty/short docs, while the
+    # DuckDB twin's range() is empty. Guard to an empty gram list instead.
+    grams = F.when(
+        F.length(s) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - (k - 1)),
+            lambda i: F.substring(s, i, F.lit(k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long")
     )
@@ -258,8 +265,14 @@ def cdc_boundaries(s_col: Column | str, *, w: int = CDC_W, divisor: int = CDC_DI
     string column (same two-step rule as ``winnow_hashes`` — inline reuse
     re-evaluates the md5 scan per reference)."""
     s = F.col(s_col) if isinstance(s_col, str) else s_col
+    # greatest(length, w) — NOT w-1: with w-1 a doc of normalized length
+    # exactly w-1 gets sequence(w, w-1) which counts DOWN to i = w-1; that
+    # i passes the i <= length filter and hashes substring(s, 0, w) (the
+    # whole short string), emitting a boundary the DuckDB twin (empty
+    # range) never sees. With greatest(length, w) the sequence is [w] for
+    # short docs and the i <= length filter empties it.
     return F.filter(
-        F.sequence(F.lit(w), F.greatest(F.length(s), F.lit(w - 1))),
+        F.sequence(F.lit(w), F.greatest(F.length(s), F.lit(w))),
         lambda i: (
             F.conv(
                 F.substring(F.md5(F.substring(s, i - (w - 1), F.lit(w))), 1, 12),
@@ -291,7 +304,7 @@ def duckdb_cdc(col: str, *, w: int = CDC_W, divisor: int = CDC_DIVISOR) -> tuple
     no-lambda-CSE rule applies to DuckDB too)."""
     s = f"regexp_replace(lower({col}), '[^a-z0-9 ]', '', 'g')"
     bnd = (
-        f"list_filter(range({w}, greatest(length(s), {w - 1}) + 1), "
+        f"list_filter(range({w}, greatest(length(s), {w}) + 1), "
         f"i -> ('0x' || substr(md5(substr(s, (i - {w - 1})::INT, {w})), 1, 12))::BIGINT "
         f"% {divisor} = 0 AND i <= length(s))"
     )
