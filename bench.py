@@ -122,9 +122,25 @@ def main() -> None:
         sf_val = sf
     # Per-query spread: this shared host's noise band is larger than most
     # real round-over-round deltas (r4 judged 30.6-36.2 s for identical
-    # code), so the raw N timings + median ride along with the min — the
-    # next judge can separate noise from regression without re-running.
+    # code). The full raw timings + medians go to a SIDECAR file — the
+    # driver captures only the tail of stdout, and round 5's inline
+    # runs/median blocks pushed the JSON line past that window, so the
+    # driver recorded parsed: null for the whole round. The stdout line
+    # must stay compact (< ~1.5 KB): min per query + summary stats only.
     medians = {n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in runs.items()}
+    spread = {
+        "runs": runs,  # all N raw timings per query, run-major order
+        "median": medians,
+        "median_total_sec": round(sum(medians.values()), 3),
+        "sf": sf_val,
+    }
+    spread_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SPREAD.json")
+    try:
+        with open(spread_file, "w") as fh:
+            json.dump(spread, fh)
+    except OSError:
+        spread_file = None
     out = {
         "metric": "headline_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -132,9 +148,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "n": 3,  # min-of-3 timed runs after a warm-up pass
-        "runs": runs,  # all N raw timings per query, run-major order
-        "median": medians,
-        "median_total_sec": round(sum(medians.values()), 3),
+        "median_total_sec": spread["median_total_sec"],
+        "spread_file": spread_file,
     }
     print(json.dumps(out))
     spark.stop()

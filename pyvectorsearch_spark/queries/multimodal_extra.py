@@ -191,3 +191,92 @@ def q_multimodal_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"multimodal_cdc_dedup": q_multimodal_cdc_dedup})
 # rows-only by design: binary chunking is not SQL-expressible
+
+
+def q_multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode + nearest-neighbor RESIZE to an 8x8 thumbnail grid (the
+    brief's resize step; REAL for PPM/BMP — header parse + resample, no
+    codec lib). Per width-bucket report over the thumbnail channel means
+    proves the decode/resize path end-to-end. Rows-only: binary decode is
+    not SQL-expressible (golden values pinned in
+    tests/test_round6_multimodal.py)."""
+    from pyvectorsearch_spark.operators.multimodal import (
+        image_resize_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 96).coalesce(4)
+    feats = image_resize_features(media, width=8, height=8)
+    return (
+        feats.withColumn("n_px", F.size("pixels"))
+        .groupBy("n_px")
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.round(F.avg("mean_r"), 6).alias("avg_r"),
+            F.round(F.avg("mean_g"), 6).alias("avg_g"),
+            F.round(F.avg("mean_b"), 6).alias("avg_b"),
+        )
+        .orderBy("n_px")
+    )
+
+
+def q_multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction: REAL WAV decode → rFFT power spectrum →
+    dominant bin / spectral centroid / flatness. The md5-chained PCM
+    fixture is white noise, so flatness must sit near 1 and the dominant
+    bins spread — asserted in tests/test_round6_multimodal.py against a
+    direct numpy recompute on the encoded blobs. Rows-only by design."""
+    from pyvectorsearch_spark.operators.multimodal import (
+        audio_spectral_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 96).coalesce(4)
+    feats = audio_spectral_features(media, n_samples=1024)
+    return (
+        feats.groupBy()
+        .agg(
+            F.count("*").cast("bigint").alias("n_audio"),
+            F.countDistinct("dom_bin").cast("bigint").alias("distinct_dom_bins"),
+            F.round(F.avg("centroid"), 6).alias("avg_centroid"),
+            F.round(F.avg("flatness"), 6).alias("avg_flatness"),
+            F.round(F.avg("energy"), 6).alias("avg_energy"),
+        )
+    )
+
+
+def q_multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 4th frame index; per-frame decode is the
+    documented stub — the container formats need av, absent here — but the
+    Spark-side plumbing is real: meta-driven index fan-out, one row per
+    sampled frame, pixels reduced to a mean before any shuffle). Per-video
+    frame counts prove the sampling arithmetic. Rows-only by design."""
+    from pyvectorsearch_spark.operators.multimodal import (
+        synthetic_media,
+        video_frame_sample,
+    )
+
+    media = synthetic_media(spark, 96).coalesce(4)
+    frames = video_frame_sample(media, every_n=4)
+    per = frames.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.max("frame_idx").alias("max_idx"),
+    )
+    return (
+        per.groupBy("n_sampled")
+        .agg(
+            F.count("*").cast("bigint").alias("n_videos"),
+            F.max("max_idx").alias("max_frame_idx"),
+        )
+        .orderBy("n_sampled")
+    )
+
+
+QUERIES.update(
+    {
+        "multimodal_image_resize": q_multimodal_image_resize,
+        "multimodal_audio_spectrum": q_multimodal_audio_spectrum,
+        "multimodal_video_framesample": q_multimodal_video_framesample,
+    }
+)
+# rows-only by design: binary decode / frame fan-out are not SQL-expressible
