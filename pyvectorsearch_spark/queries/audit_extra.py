@@ -870,3 +870,164 @@ GROUP BY day_gap ORDER BY day_gap
 
 QUERIES.update({"audit_duplicate_invoices": q_audit_duplicate_invoices})
 ORACLES.update({"audit_duplicate_invoices": ORACLE_AUDIT_DUPINV})
+
+
+# --- privacy: Laplace-mechanism DP counts (seeded, engine-exact) ------------
+
+DP_EPSILON = 0.5  # per-count privacy budget; Laplace scale b = 1/eps = 2
+
+
+def _dp_uniform_expr(key: Column) -> Column:
+    """Deterministic uniform in (0,1) from a seeded md5 of the group key —
+    the same first-48-bits construction every engine-exact sketch in this
+    repo uses, so the DuckDB oracle reproduces the noise bit-for-bit."""
+    h = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
+    return (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 48))
+
+
+def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-nation customer counts via the
+    Laplace mechanism (Dwork et al., TCC 2006): count + Lap(1/eps) noise,
+    eps = 0.5. Noise is SEEDED — inverse-CDF of a deterministic
+    md5-uniform per group key — so the release is reproducible AND
+    oracle-checkable (a production release would draw fresh randomness and
+    drop true_n; the mechanism math is identical). Sensitivity of a count
+    is 1, so scale b = 1/eps. One map-side-combined count; the report is
+    nation-sized."""
+    c = spread(load_table(spark, sf_dir, "customer"))
+    g = c.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count("*").cast("bigint").alias("true_n")
+    )
+    u = _dp_uniform_expr(F.concat(F.lit("dp:"), F.col("nation").cast("string")))
+    p = u - F.lit(0.5)
+    b = 1.0 / DP_EPSILON
+    noise = -F.lit(b) * F.signum(p) * F.log(F.lit(1.0) - 2.0 * F.abs(p))
+    return (
+        g.withColumn("noise", F.round(noise, 6))
+        .withColumn("noisy_n", F.round(F.col("true_n") + noise, 6))
+        .select("nation", "true_n", "noise", "noisy_n")
+        .orderBy("nation")
+    )
+
+
+ORACLE_PRIVACY_DP_COUNTS = f"""
+WITH g AS (
+  SELECT c_nationkey AS nation, count(*)::BIGINT AS true_n
+  FROM customer GROUP BY 1
+), n AS (
+  SELECT nation, true_n,
+         (('0x' || substr(md5('dp:' || CAST(nation AS VARCHAR)), 1, 12))::BIGINT
+          + 0.5) / {float(1 << 48)} - 0.5 AS p
+  FROM g
+)
+SELECT nation, true_n,
+       round(-{1.0 / DP_EPSILON} * sign(p) * ln(1 - 2 * abs(p)), 6) AS noise,
+       round(true_n - {1.0 / DP_EPSILON} * sign(p) * ln(1 - 2 * abs(p)), 6)
+         AS noisy_n
+FROM n ORDER BY nation
+"""
+
+QUERIES.update({"privacy_dp_counts": q_privacy_dp_counts})
+ORACLES.update({"privacy_dp_counts": ORACLE_PRIVACY_DP_COUNTS})
+
+
+# --- privacy: t-closeness (EMD of ordered sensitive distribution) ----------
+
+TCLOSE_T = 0.2
+
+
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li, Li & Venkatasubramanian, ICDE 2007): for each QI
+    group (market segment) the Earth-Mover's Distance between its
+    sensitive-attribute distribution (account-balance band, ORDERED) and
+    the global one, normalized by m-1 bands — the standard 1-D ordered
+    EMD = sum of |cumulative differences| / (m-1). Groups with EMD <= t
+    (0.2) pass. Shape: one count rollup + two small window passes over a
+    (segments x bands)-sized frame — nothing scales with row count."""
+    c = spread(load_table(spark, sf_dir, "customer"))
+    cnt = (
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("band"),
+        )
+        .groupBy("segment", "band")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    segs = cnt.select("segment").distinct()
+    bands = cnt.select("band").distinct()
+    dense = segs.crossJoin(bands).join(cnt, ["segment", "band"], "left").select(
+        "segment", "band", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    w_seg = W.partitionBy("segment")
+    w_all = W.partitionBy(F.lit(1))
+    w_cum_seg = w_seg.orderBy("band")
+    # global cumulative fraction must be computed once per band: aggregate
+    # bands over segments FIRST, then window over the ordered band axis
+    glob = (
+        dense.groupBy("band")
+        .agg(F.sum("n").cast("bigint").alias("gn"))
+        .withColumn("g_tot", F.sum("gn").over(w_all))
+        .withColumn(
+            "g_cum",
+            F.sum("gn").over(W.partitionBy(F.lit(1)).orderBy("band"))
+            / F.col("g_tot"),
+        )
+        .select("band", "g_cum")
+    )
+    per = (
+        dense.withColumn("s_tot", F.sum("n").over(w_seg))
+        .withColumn("s_cum", F.sum("n").over(w_cum_seg) / F.col("s_tot"))
+        .join(glob, "band")
+    )
+    res = (
+        per.groupBy("segment")
+        .agg(
+            F.max("s_tot").cast("bigint").alias("n_rows"),
+            (F.sum(F.abs(F.col("s_cum") - F.col("g_cum"))) / (F.count("*") - 1)).alias(
+                "_emd"
+            ),
+        )
+        .select(
+            "segment",
+            "n_rows",
+            F.round("_emd", 6).alias("emd"),
+            (F.col("_emd") <= F.lit(TCLOSE_T)).alias("t_close"),
+        )
+        .orderBy("segment")
+    )
+    return res
+
+
+ORACLE_PRIVACY_T_CLOSENESS = f"""
+WITH cnt AS (
+  SELECT c_mktsegment AS segment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+         count(*)::BIGINT AS n
+  FROM customer GROUP BY 1, 2
+), dense AS (
+  SELECT s.segment, b.band, COALESCE(c.n, 0)::BIGINT AS n
+  FROM (SELECT DISTINCT segment FROM cnt) s
+  CROSS JOIN (SELECT DISTINCT band FROM cnt) b
+  LEFT JOIN cnt c ON c.segment = s.segment AND c.band = b.band
+), gdist AS (
+  SELECT band, gn, SUM(gn) OVER (ORDER BY band) * 1.0 /
+         SUM(gn) OVER () AS g_cum
+  FROM (SELECT band, SUM(n)::BIGINT AS gn FROM dense GROUP BY band)
+), per AS (
+  SELECT d.segment, d.band, d.n,
+         SUM(d.n) OVER (PARTITION BY d.segment) AS s_tot,
+         SUM(d.n) OVER (PARTITION BY d.segment ORDER BY d.band) * 1.0 /
+           SUM(d.n) OVER (PARTITION BY d.segment) AS s_cum,
+         g.g_cum
+  FROM dense d JOIN gdist g ON g.band = d.band
+)
+SELECT segment, MAX(s_tot)::BIGINT AS n_rows,
+       round(SUM(abs(s_cum - g_cum)) / (count(*) - 1), 6) AS emd,
+       (SUM(abs(s_cum - g_cum)) / (count(*) - 1)) <= {TCLOSE_T} AS t_close
+FROM per GROUP BY segment ORDER BY segment
+"""
+
+QUERIES.update({"privacy_t_closeness": q_privacy_t_closeness})
+ORACLES.update({"privacy_t_closeness": ORACLE_PRIVACY_T_CLOSENESS})
