@@ -196,3 +196,80 @@ ORDER BY probe, dist_sq, city
 
 QUERIES.update({"cities_example": q_cities_example})
 ORACLES.update({"cities_example": ORACLE_CITIES_EXAMPLE})
+
+
+# --- geohash cell rollup ----------------------------------------------------
+
+GEOHASH_P = 2
+
+
+def q_spatial_geohash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-cell rollup over the 2-d embedding projection mapped to
+    (lat, lng) = (y*90, x*180): per precision-2 cell, point count and the
+    centroid. The encoder (``functions/geo.py``) is ONE generated SQL
+    expression — closed-form quantize + bit-interleave + base32, no UDF —
+    evaluated verbatim by both engines, and it folds into the scan-stage
+    projection: at 100 TB the cell id is a free GROUP BY / equi-join key
+    (the geo twin of the grid index's cell labeling,
+    ``/root/reference/include/pktree.hpp:418-511``'s level arithmetic)."""
+    from pyvectorsearch_spark.functions.geo import (
+        geohash_chars_sql,
+        geohash_interleave_sql,
+        geohash_quant_sql,
+    )
+
+    latq, lngq = geohash_quant_sql("lat", "lng", GEOHASH_P)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            (F.element_at("embedding", 2).cast("double") * 90.0).alias("lat"),
+            (F.element_at("embedding", 1).cast("double") * 180.0).alias("lng"),
+        )
+        .withColumn("latq", F.expr(latq))
+        .withColumn("lngq", F.expr(lngq))
+        .withColumn("ghi", F.expr(geohash_interleave_sql("latq", "lngq", GEOHASH_P)))
+        .withColumn("cell", F.expr(geohash_chars_sql("ghi", GEOHASH_P)))
+    )
+    return (
+        emb.groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.round(F.avg("lat"), 6).alias("lat_c"),
+            F.round(F.avg("lng"), 6).alias("lng_c"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _geohash_oracle() -> str:
+    from pyvectorsearch_spark.functions.geo import (
+        geohash_chars_sql,
+        geohash_interleave_sql,
+        geohash_quant_sql,
+    )
+
+    latq, lngq = geohash_quant_sql("lat", "lng", GEOHASH_P)
+    return f"""
+WITH pts AS (
+  SELECT vec_id, CAST(embedding[2] AS DOUBLE) * 90.0 AS lat,
+         CAST(embedding[1] AS DOUBLE) * 180.0 AS lng
+  FROM embeddings
+), q AS (
+  SELECT vec_id, lat, lng, {latq} AS latq, {lngq} AS lngq FROM pts
+), ileave AS (
+  SELECT vec_id, lat, lng,
+         {geohash_interleave_sql('latq', 'lngq', GEOHASH_P)} AS ghi
+  FROM q
+), cells AS (
+  SELECT vec_id, lat, lng, {geohash_chars_sql('ghi', GEOHASH_P)} AS cell
+  FROM ileave
+)
+SELECT cell, count(*)::BIGINT AS n_points,
+       round(avg(lat), 6) AS lat_c, round(avg(lng), 6) AS lng_c
+FROM cells GROUP BY cell ORDER BY cell
+"""
+
+
+QUERIES.update({"spatial_geohash_agg": q_spatial_geohash_agg})
+ORACLES.update({"spatial_geohash_agg": _geohash_oracle()})
