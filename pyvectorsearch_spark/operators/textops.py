@@ -1201,7 +1201,7 @@ def duckdb_url_canonical_sql(expr: str) -> str:
     return f"regexp_replace({prefix} || {rest}, '{_URL_SLASH_RE}', '')"
 
 
-def nb_classify(
+def nb_score_table(
     df: DataFrame,
     *,
     id_col: str = "doc_id",
@@ -1210,30 +1210,11 @@ def nb_classify(
     round_dp: int = 6,
     features=None,
 ) -> DataFrame:
-    """Multinomial Naive Bayes trained on the corpus's own labels and
-    applied back to every document (add-1 smoothing) — the classic
-    supervised lang-ID / topical classifier, done entirely in engine-exact
-    arithmetic: per-(term, label) log-likelihoods and per-label priors are
-    rounded to ``round_dp`` before use, per-doc scores are rounded sums of
-    rounded tf-weighted contributions (the `bigram_lm_score` ladder), and
-    the argmax tie-breaks on label ascending — so the trained model AND
-    every prediction are oracle-checkable.
-
-    Scale shape: the corpus reduces once to (doc, term, tf) map-side; the
-    model is a (vocabulary × labels) table built from the same reduction
-    (never broadcast — it joins on term); scoring is one term-keyed join +
-    one (doc, label) rollup + a labels-sized argmax window per doc.
-
-    ``features`` swaps the featurizer: any ``text_col -> array<string>``
-    column function (default: word ``tokens``; pass
-    ``functions.text.chargrams`` for the char-n-gram langid variant —
-    Cavnar & Trenkle 1994 — which on domain-skewed corpora beats both the
-    stopword baseline and word-token features because it sees sub-word
-    orthography, not just whole-word hits).
-
-    Returns (``id_col``, true_label, pred_label)."""
-    from pyspark.sql import Window
-
+    """The Naive Bayes (doc, label, score) table behind ``nb_classify`` —
+    exposed so downstream consumers (argmax classification in
+    ``nb_classify``, margin calibration in ``queries/ml_extra.py``) share
+    one model build. Same engine-exact rounding ladder as ``nb_classify``;
+    returns (_id, _lbl, _ml, _score)."""
     feat = features if features is not None else tokens
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -1292,6 +1273,50 @@ def nb_classify(
             "_ml",
             F.round(F.col("_s") + F.col("_lnprior"), round_dp).alias("_score"),
         )
+    )
+    return scores
+
+
+def nb_classify(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    round_dp: int = 6,
+    features=None,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained on the corpus's own labels and
+    applied back to every document (add-1 smoothing) — the classic
+    supervised lang-ID / topical classifier, done entirely in engine-exact
+    arithmetic: per-(term, label) log-likelihoods and per-label priors are
+    rounded to ``round_dp`` before use, per-doc scores are rounded sums of
+    rounded tf-weighted contributions (the `bigram_lm_score` ladder), and
+    the argmax tie-breaks on label ascending — so the trained model AND
+    every prediction are oracle-checkable.
+
+    Scale shape: the corpus reduces once to (doc, term, tf) map-side; the
+    model is a (vocabulary × labels) table built from the same reduction
+    (never broadcast — it joins on term); scoring is one term-keyed join +
+    one (doc, label) rollup + a labels-sized argmax window per doc.
+
+    ``features`` swaps the featurizer: any ``text_col -> array<string>``
+    column function (default: word ``tokens``; pass
+    ``functions.text.chargrams`` for the char-n-gram langid variant —
+    Cavnar & Trenkle 1994 — which on domain-skewed corpora beats both the
+    stopword baseline and word-token features because it sees sub-word
+    orthography, not just whole-word hits).
+
+    Returns (``id_col``, true_label, pred_label)."""
+    from pyspark.sql import Window
+
+    scores = nb_score_table(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        label_col=label_col,
+        round_dp=round_dp,
+        features=features,
     )
     w = Window.partitionBy("_id").orderBy(F.desc("_score"), F.asc("_ml"))
     best = scores.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1)

@@ -17,6 +17,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     funnel_extra,
     incremental_extra,
     layout_extra,
+    ml_extra,
     multimodal,
     multimodal_extra,
     pipeline,
@@ -109,6 +110,7 @@ _MODULES = [
     multimodal_extra,  # likewise (image dHash / audio fingerprint pairs)
     web_extra,  # likewise (HTML extraction / URL census)
     quality_wave3,  # likewise (round-4 stats additions, kept out of the window)
+    ml_extra,  # likewise (oracle-checked full-batch GD training loop)
     streaming_tws,  # conditionally empty: registers transformWithState only
     # when the container has protobuf (re-checked r5 — absent; see module)
 ]

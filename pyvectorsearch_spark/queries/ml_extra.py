@@ -1,0 +1,147 @@
+"""Distributed model training as pure relational algebra (outside the
+driver's pinned 50-entry window; covered by tests/test_oracle_parity.py).
+
+``text_lr_calibrate`` — Platt calibration (Platt 1999) of the char-trigram
+Naive Bayes language-ID margin: 1-D logistic regression p(en | margin) =
+sigmoid(a*s + b), trained with LR_ITERS full-batch gradient-descent steps.
+This is the canonical distributed training loop: each step is ONE
+map-side-combined aggregate over the corpus (the 2-term gradient), and the
+weight pair broadcasts back — at 100 TB an epoch costs one scan of a
+2-column margin table plus a 2-double reduce, the same aggregate shape
+MLlib's LBFGS uses underneath. Fixed iterations + deterministic features
+keep the WHOLE RUN SQL-expressible, so the learned weights, the
+monotonically-decreasing train log-loss, and the calibrated accuracy are
+all hash-checked against DuckDB — a training loop with an exactness
+oracle. Convergence (log-loss strictly decreases every step; calibrated
+accuracy beats the majority class) is re-proven independently in numpy by
+tests/test_round6_ml.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.sources.tables import load_table, spread
+
+LR_ITERS = 6
+LR_RATE = 4.0
+MARGIN_SCALE = 10.0  # NB margins span ~±17 on this corpus; /10 keeps GD stable
+
+
+def _margin_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, s): is-English label and the scaled NB margin
+    score(en) - max(score(other)) — binary reduction of the multi-class
+    score table (one filter + one max rollup + one id-keyed join)."""
+    from pyvectorsearch_spark.functions.text import chargrams
+    from pyvectorsearch_spark.operators.textops import nb_score_table
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scores = nb_score_table(docs, features=lambda c: chargrams(c, 3))
+    en = scores.filter(F.col("_ml") == "en").select(
+        "_id", "_lbl", F.col("_score").alias("_se")
+    )
+    other = (
+        scores.filter(F.col("_ml") != "en")
+        .groupBy("_id")
+        .agg(F.max("_score").alias("_so"))
+    )
+    return en.join(other, "_id").select(
+        (F.col("_lbl") == "en").cast("double").alias("y"),
+        (F.round(F.col("_se") - F.col("_so"), 6) / MARGIN_SCALE).alias("s"),
+    )
+
+
+def q_text_lr_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train (b, a) from zero with LR_ITERS GD steps (lr = LR_RATE) on the
+    persisted margin table, then report start/final train log-loss, the
+    learned weights, and the accuracy/confusion of the calibrated
+    decision a*s + b >= 0 (weights ROUNDED to 6 before the decision pass
+    so the prediction set is bit-stable across engines). The margin table
+    is persisted once — each GD step and the final report are tiny
+    aggregates against it."""
+    m = _margin_spark(spark, sf_dir).persist()
+    b, a = 0.0, 0.0
+    for _ in range(LR_ITERS):
+        z = F.lit(b) + F.lit(a) * F.col("s")
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = m.agg(
+            F.avg(sig - F.col("y")).alias("gb"),
+            F.avg((sig - F.col("y")) * F.col("s")).alias("ga"),
+        ).collect()[0]
+        b -= LR_RATE * g["gb"]
+        a -= LR_RATE * g["ga"]
+    br, ar = round(b, 6), round(a, 6)
+    z = F.lit(b) + F.lit(a) * F.col("s")
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    ll = -(F.col("y") * F.log(sig) + (F.lit(1.0) - F.col("y")) * F.log(1.0 - sig))
+    pred = (F.lit(br) + F.lit(ar) * F.col("s") >= 0).cast("int")
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.round(F.lit(float(__import__("math").log(2.0))), 6).alias("ll_start"),
+        F.round(F.avg(ll), 6).alias("ll_final"),
+        F.lit(br).alias("bias"),
+        F.lit(ar).alias("slope"),
+        F.sum(((pred == 1) & (F.col("y") == 1.0)).cast("long")).alias("tp"),
+        F.sum(((pred == 1) & (F.col("y") == 0.0)).cast("long")).alias("fp"),
+        F.sum(((pred == 0) & (F.col("y") == 0.0)).cast("long")).alias("tn"),
+        F.sum(((pred == 0) & (F.col("y") == 1.0)).cast("long")).alias("fn"),
+        F.round(
+            F.avg((pred.cast("double") == F.col("y")).cast("double")), 6
+        ).alias("accuracy"),
+    ).select(
+        "n_docs", "n_pos", "ll_start", "ll_final", "bias", "slope",
+        "tp", "fp", "tn", "fn", "accuracy",
+    )
+
+
+def _calibrate_oracle() -> str:
+    """The same margin + LR_ITERS GD steps as nested CTEs over the SAME
+    NB score CTE chain the `text_lang_nb` oracle uses."""
+    from pyvectorsearch_spark.queries.text_lm import _LANG_NB_CTES
+
+    lr = LR_RATE
+    sql = [f"WITH {_LANG_NB_CTES}"]
+    sql.append(f""", margin AS (
+  SELECT CAST(any_value(tl) = 'en' AS DOUBLE) AS y,
+         round(max(CASE WHEN ml = 'en' THEN score END)
+               - max(CASE WHEN ml <> 'en' THEN score END), 6)
+           / {MARGIN_SCALE} AS s
+  FROM sc GROUP BY doc_id
+)""")
+    prev = None
+    for it in range(LR_ITERS):
+        if prev is None:
+            sql.append(f""", w0 AS (
+  SELECT -{lr} * avg(0.5 - y) AS b, -{lr} * avg((0.5 - y) * s) AS a
+  FROM margin
+)""")
+        else:
+            sig = f"1.0 / (1.0 + exp(-(w.b + w.a * m.s)))"
+            sql.append(f""", w{it} AS (
+  SELECT w.b - {lr} * avg({sig} - m.y) AS b,
+         w.a - {lr} * avg(({sig} - m.y) * m.s) AS a
+  FROM margin m, {prev} w GROUP BY w.b, w.a
+)""")
+        prev = f"w{it}"
+    sig = f"1.0 / (1.0 + exp(-(w.b + w.a * m.s)))"
+    pred = "CASE WHEN round(w.b, 6) + round(w.a, 6) * m.s >= 0 THEN 1.0 ELSE 0.0 END"
+    sql.append(f"""
+SELECT count(*)::BIGINT AS n_docs, sum(m.y)::BIGINT AS n_pos,
+       round(ln(2.0), 6) AS ll_start,
+       round(avg(-(m.y * ln({sig}) + (1.0 - m.y) * ln(1.0 - {sig}))), 6)
+         AS ll_final,
+       round(max(w.b), 6) AS bias, round(max(w.a), 6) AS slope,
+       sum(CASE WHEN {pred} = 1.0 AND m.y = 1.0 THEN 1 ELSE 0 END)::BIGINT AS tp,
+       sum(CASE WHEN {pred} = 1.0 AND m.y = 0.0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+       sum(CASE WHEN {pred} = 0.0 AND m.y = 0.0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+       sum(CASE WHEN {pred} = 0.0 AND m.y = 1.0 THEN 1 ELSE 0 END)::BIGINT AS fn,
+       round(avg(CASE WHEN {pred} = m.y THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM margin m, {prev} w
+""")
+    return "".join(sql)
+
+
+QUERIES = {"text_lr_calibrate": q_text_lr_calibrate}
+ORACLES = {"text_lr_calibrate": _calibrate_oracle()}

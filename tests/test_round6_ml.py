@@ -1,0 +1,98 @@
+"""Round-6: text_lr_calibrate — full NB + Platt-calibration recompute in
+pure python/numpy from the parquet fixture (third implementation), plus the
+convergence properties the query's value rests on: train log-loss strictly
+decreases every GD step, and the calibrated decision beats the majority
+class.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import numpy as np
+import pandas as pd
+
+from tests.conftest import SF_T2
+
+
+def _nb_margins(docs: pd.DataFrame):
+    def grams(t):
+        s = re.sub(r"[^a-z0-9 ]", "", t.lower())
+        return [s[i : i + 3] for i in range(len(s) - 2)]
+
+    tf = [Counter(grams(t)) for t in docs["text"]]
+    labels = docs["lang"].tolist()
+    nwl, ct, nd = defaultdict(Counter), Counter(), Counter()
+    for c, l in zip(tf, labels):
+        for g, n in c.items():
+            nwl[l][g] += n
+        ct[l] += sum(c.values())
+        nd[l] += 1
+    vocab = set(g for c in tf for g in c)
+    V, N = len(vocab), len(labels)
+    pri = {l: round(math.log(nd[l] / N), 6) for l in ct}
+
+    def score(c, l):
+        s = sum(
+            n * round(math.log((nwl[l].get(g, 0) + 1) / (ct[l] + V)), 6)
+            for g, n in c.items()
+        )
+        return round(round(s, 6) + pri[l], 6)
+
+    m = np.array(
+        [
+            round(score(c, "en") - max(score(c, x) for x in ct if x != "en"), 6)
+            for c in tf
+        ]
+    )
+    y = np.array([1.0 if l == "en" else 0.0 for l in labels])
+    return m, y
+
+
+def test_lr_calibrate_matches_numpy(spark):
+    from pyvectorsearch_spark.queries.ml_extra import (
+        LR_ITERS,
+        LR_RATE,
+        MARGIN_SCALE,
+        q_text_lr_calibrate,
+    )
+
+    [row] = q_text_lr_calibrate(spark, SF_T2).collect()
+    docs = pd.read_parquet(f"{SF_T2}/documents.parquet")
+    m, y = _nb_margins(docs)
+    s = m / MARGIN_SCALE
+    X = np.stack([np.ones_like(s), s], 1)
+    w = np.zeros(2)
+    lls = []
+    for _ in range(LR_ITERS):
+        z = X @ w
+        sig = 1 / (1 + np.exp(-z))
+        lls.append(float(-(y * np.log(sig) + (1 - y) * np.log(1 - sig)).mean()))
+        w -= LR_RATE * ((sig - y) @ X) / len(y)
+    z = X @ w
+    sig = 1 / (1 + np.exp(-z))
+    ll_final = float(-(y * np.log(sig) + (1 - y) * np.log(1 - sig)).mean())
+
+    assert row.n_docs == len(docs)
+    assert row.n_pos == int(y.sum())
+    assert abs(row.ll_start - round(math.log(2.0), 6)) < 1e-9
+    assert abs(row.ll_final - round(ll_final, 6)) < 1e-6
+    assert abs(row.bias - round(w[0], 6)) < 1e-6
+    assert abs(row.slope - round(w[1], 6)) < 1e-6
+    zr = round(w[0], 6) + round(w[1], 6) * s
+    pred = zr >= 0
+    assert row.tp == int(((pred) & (y == 1)).sum())
+    assert row.fp == int(((pred) & (y == 0)).sum())
+    assert row.tn == int(((~pred) & (y == 0)).sum())
+    assert row.fn == int(((~pred) & (y == 1)).sum())
+    acc = float((pred == (y == 1)).mean())
+    assert abs(row.accuracy - round(acc, 6)) < 1e-9
+
+    # convergence: log-loss strictly decreases EVERY step...
+    full = lls + [ll_final]
+    assert all(b < a for a, b in zip(full, full[1:])), full
+    # ...and the calibrated decision beats the majority class
+    majority = max(y.mean(), 1 - y.mean())
+    assert acc > majority + 0.05
