@@ -977,3 +977,144 @@ FROM davg CROSS JOIN mau CROSS JOIN wavg
 
 QUERIES.update({"events_dau_mau": q_events_dau_mau})
 ORACLES.update({"events_dau_mau": ORACLE_EVENTS_DAU_MAU})
+
+
+# --- sequential-pattern rules (PrefixSpan-style subsequences) ---------------
+
+SEQRULE_MINSUP = 0.02
+
+
+def q_session_seq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential association rules a => b (PrefixSpan family, Pei et al.
+    ICDE 2001): a session SUPPORTS the pattern iff some occurrence of a
+    precedes some occurrence of b — ANY gap, the subsequence semantics
+    that distinguish this from the contiguous `session_paths` openings
+    and the adjacent-step `event_transitions` Markov counts. Reports
+    support / confidence / lift per rule above min-support.
+
+    The scale trick: a-before-b existence collapses to
+    min_rank(a) < max_rank(b), so each session first reduces to ONE row
+    per distinct event type (min/max of the within-session rank) and the
+    pattern join runs on that types-sized table — never on raw events.
+    One exchange on user_id serves sessionization, ranking, AND the
+    per-(session, type) rollup; only the tiny occurrence table shuffles
+    again."""
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = ev.withColumn(
+        "_new", F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("_s", F.sum("_new").over(wsum))
+    wr = Window.partitionBy("user_id", "_s").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = sess.withColumn("_rn", F.row_number().over(wr))
+    # pattern mining is defined over MULTI-event sessions; singletons
+    # (the bulk of the fixture) can't support any sequence
+    occ_all = ranked.groupBy("user_id", "_s", "event_type").agg(
+        F.min("_rn").alias("_mn"), F.max("_rn").alias("_mx")
+    )
+    sizes = occ_all.groupBy("user_id", "_s").agg(F.max("_mx").alias("_sz"))
+    multi = sizes.filter(F.col("_sz") >= 2).select("user_id", "_s")
+    occ = occ_all.join(multi, ["user_id", "_s"], "left_semi")
+    n_sess = multi.count()
+    supp1 = occ.groupBy(F.col("event_type").alias("etype")).agg(
+        F.count("*").cast("bigint").alias("n1")
+    )
+    a = occ.select("user_id", "_s", F.col("event_type").alias("ante"),
+                   F.col("_mn").alias("_amn"))
+    b = occ.select("user_id", "_s", F.col("event_type").alias("cons"),
+                   F.col("_mx").alias("_bmx"))
+    ab = (
+        a.join(b, ["user_id", "_s"])
+        .filter((F.col("ante") != F.col("cons")) & (F.col("_amn") < F.col("_bmx")))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    sa = supp1.select(F.col("etype").alias("ante"), F.col("n1").alias("n_a"))
+    sb = supp1.select(F.col("etype").alias("cons"), F.col("n1").alias("n_b"))
+    out = (
+        ab.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sb), "cons")
+        .withColumn("support", F.col("n_ab") / F.lit(float(n_sess)))
+        .filter(F.col("support") >= SEQRULE_MINSUP)
+        .select(
+            "ante",
+            "cons",
+            "n_ab",
+            F.round("support", 6).alias("support_r"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence_r"),
+            F.round(
+                (F.col("n_ab") / F.col("n_a"))
+                / (F.col("n_b") / F.lit(float(n_sess))),
+                6,
+            ).alias("lift_r"),
+        )
+        .orderBy("ante", "cons")
+    )
+    return out
+
+
+ORACLE_SESSION_SEQ_RULES = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_S!r}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s
+  FROM flagged
+),
+ranked AS (
+  SELECT user_id, s, event_type,
+         row_number() OVER (PARTITION BY user_id, s ORDER BY ts, event_id)
+           AS rn
+  FROM sess
+),
+occ_all AS (
+  SELECT user_id, s, event_type, min(rn) AS mn, max(rn) AS mx
+  FROM ranked GROUP BY user_id, s, event_type
+),
+multi AS (
+  SELECT user_id, s FROM occ_all GROUP BY user_id, s HAVING max(mx) >= 2
+),
+occ AS (
+  SELECT o.* FROM occ_all o SEMI JOIN multi m
+    ON o.user_id = m.user_id AND o.s = m.s
+),
+nsess AS (SELECT count(*)::BIGINT AS n FROM multi),
+supp1 AS (SELECT event_type, count(*)::BIGINT AS n1 FROM occ GROUP BY event_type),
+ab AS (
+  SELECT a.event_type AS ante, b.event_type AS cons, count(*)::BIGINT AS n_ab
+  FROM occ a JOIN occ b
+    ON a.user_id = b.user_id AND a.s = b.s
+   AND a.event_type <> b.event_type AND a.mn < b.mx
+  GROUP BY ante, cons
+)
+SELECT ante, cons, n_ab,
+       round(n_ab / CAST(n.n AS DOUBLE), 6) AS support_r,
+       round(n_ab / CAST(sa.n1 AS DOUBLE), 6) AS confidence_r,
+       round((n_ab / CAST(sa.n1 AS DOUBLE))
+             / (sb.n1 / CAST(n.n AS DOUBLE)), 6) AS lift_r
+FROM ab
+JOIN supp1 sa ON sa.event_type = ab.ante
+JOIN supp1 sb ON sb.event_type = ab.cons
+CROSS JOIN nsess n
+WHERE n_ab / CAST(n.n AS DOUBLE) >= {SEQRULE_MINSUP}
+ORDER BY ante, cons
+"""
+
+QUERIES.update({"session_seq_rules": q_session_seq_rules})
+ORACLES.update({"session_seq_rules": ORACLE_SESSION_SEQ_RULES})
