@@ -2114,3 +2114,135 @@ GROUP BY j.event_type, q.q ORDER BY j.event_type, q.q
 
 QUERIES.update({"events_forecast_pinball": q_events_forecast_pinball})
 ORACLES.update({"events_forecast_pinball": ORACLE_EVENTS_PINBALL})
+
+
+# --- split-conformal forecast intervals -------------------------------------
+
+CP_ALPHA = 0.1  # target 90% coverage
+CP_CAL_FRAC = 0.7  # time-ordered calibration prefix
+
+
+def q_events_conformal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al. 2005; Lei et al.
+    JASA 2018) for the seasonal-naive hourly forecast: per event type the
+    time-ordered first 70% of scored buckets calibrates the absolute
+    residual, the conformal radius is the ceil((n_cal+1)*(1-alpha))-th
+    smallest calibration residual (exact order statistic — residuals are
+    INTEGER count differences, so the whole interval construction is
+    engine-exact), and held-out coverage of y in yhat +/- q is reported
+    on the remaining 30%. The distribution-free finite-sample guarantee
+    (coverage >= 1-alpha in expectation under exchangeability) is the
+    point: an uncertainty band with a testable contract, no likelihood
+    assumptions. Shape: one type-keyed exchange serves the lag, the
+    split ranking, AND the order statistic; the report is types-sized."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.timeseries import resample_counts
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    grid = resample_counts(ev, by="event_type", ts_col="ts", width_s=3600)
+    w = Window.partitionBy("event_type").orderBy("bucket_epoch")
+    scored = (
+        grid.select(
+            "event_type",
+            "bucket_epoch",
+            "n",
+            F.lag("n", FC_SEASON).over(w).alias("_f"),
+        )
+        .filter(F.col("_f").isNotNull())
+        .withColumn("_res", F.abs(F.col("n") - F.col("_f")).cast("bigint"))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    counts = scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("_n_all")
+    )
+    sc = scored.join(F.broadcast(counts), "event_type").withColumn(
+        "_n_cal", F.floor(F.lit(CP_CAL_FRAC) * F.col("_n_all")).cast("bigint")
+    )
+    cal = sc.filter(F.col("_rn") <= F.col("_n_cal"))
+    test = sc.filter(F.col("_rn") > F.col("_n_cal"))
+    # conformal radius: k-th smallest calibration residual,
+    # k = ceil((n_cal + 1) * (1 - alpha)), deterministic tiebreak
+    wq = Window.partitionBy("event_type").orderBy(
+        F.col("_res").asc(), F.col("bucket_epoch").asc()
+    )
+    k = F.ceil((F.col("_n_cal") + 1) * F.lit(1.0 - CP_ALPHA)).cast("bigint")
+    q = (
+        cal.withColumn("_qr", F.row_number().over(wq))
+        .filter(F.col("_qr") == F.least(k, F.col("_n_cal")))
+        .select("event_type", F.col("_res").alias("q_radius"),
+                F.col("_n_cal").alias("n_cal"))
+    )
+    return (
+        test.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count("*").cast("bigint").alias("n_test"),
+            F.max("q_radius").alias("q_radius"),
+            F.sum((F.col("_res") <= F.col("q_radius")).cast("long"))
+            .cast("bigint")
+            .alias("n_covered"),
+            F.round(
+                F.avg((F.col("_res") <= F.col("q_radius")).cast("double")), 6
+            ).alias("coverage_r"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_CONFORMAL_FORECAST = f"""
+WITH hist AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS be,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, be
+),
+grid AS (
+  SELECT h.event_type, gs.be, coalesce(hist.n, 0)::BIGINT AS n
+  FROM (
+    SELECT event_type, unnest(range(mn, mx + 3600, 3600)) AS be
+    FROM (SELECT event_type, min(be) AS mn, max(be) AS mx
+          FROM hist GROUP BY event_type)
+  ) gs(event_type, be)
+  JOIN (SELECT DISTINCT event_type FROM hist) h ON h.event_type = gs.event_type
+  LEFT JOIN hist ON hist.event_type = gs.event_type AND hist.be = gs.be
+),
+scored AS (
+  SELECT * FROM (
+    SELECT event_type, be, n, lag(n, {FC_SEASON}) OVER w AS f
+    FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY be)
+  ) WHERE f IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, be, abs(n - f)::BIGINT AS res,
+         row_number() OVER (PARTITION BY event_type ORDER BY be) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_all
+  FROM scored
+),
+split AS (
+  SELECT *, CAST(floor({CP_CAL_FRAC} * n_all) AS BIGINT) AS n_cal
+  FROM ranked
+),
+q AS (
+  SELECT event_type, res AS q_radius, n_cal FROM (
+    SELECT event_type, res, n_cal,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY res ASC, be ASC) AS qr
+    FROM split WHERE rn <= n_cal
+  ) WHERE qr = least(CAST(ceil((n_cal + 1) * {1.0 - CP_ALPHA}) AS BIGINT),
+                     n_cal)
+)
+SELECT s.event_type, max(q.n_cal)::BIGINT AS n_cal,
+       count(*)::BIGINT AS n_test, max(q.q_radius)::BIGINT AS q_radius,
+       sum(CASE WHEN s.res <= q.q_radius THEN 1 ELSE 0 END)::BIGINT
+         AS n_covered,
+       round(avg(CASE WHEN s.res <= q.q_radius THEN 1.0 ELSE 0.0 END), 6)
+         AS coverage_r
+FROM split s JOIN q ON q.event_type = s.event_type
+WHERE s.rn > s.n_cal
+GROUP BY s.event_type ORDER BY s.event_type
+"""
+
+QUERIES.update({"events_conformal_forecast": q_events_conformal_forecast})
+ORACLES.update({"events_conformal_forecast": ORACLE_CONFORMAL_FORECAST})
