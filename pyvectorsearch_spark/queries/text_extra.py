@@ -1396,3 +1396,132 @@ ORACLE_DEDUP_CDC_CONTAINMENT = _oracle_cdc_containment()
 
 QUERIES.update({"dedup_cdc_containment": q_dedup_cdc_containment})
 ORACLES.update({"dedup_cdc_containment": ORACLE_DEDUP_CDC_CONTAINMENT})
+
+
+# --- RAKE keyword extraction -------------------------------------------------
+
+RAKE_TOP_K = 20
+
+
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores deg(w)/freq(w)
+    (deg = sum of lengths of phrases containing it, freq = occurrence
+    count, both CORPUS-level); a phrase scores the sum of its words'
+    scores. Top-K distinct phrases by score. Every quantity is an exact
+    integer ratio, so the extracted keyword list is hash-checked.
+
+    Shape: posexplode -> one window per doc for the phrase ids (rides the
+    same doc partitioning), two corpus rollups (word stats are
+    vocab-sized, phrase rollup is phrase-sized), one bounded top-k."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.textops import STOPWORDS
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    toks = F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " ")
+    pos = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    marked = pos.withColumn("_stop", F.array_contains(stops, F.col("w")).cast("int"))
+    phr = (
+        marked.withColumn(
+            "_pid",
+            F.sum("_stop").over(
+                wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("_stop") == 0)
+        .groupBy("doc_id", "_pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("bigint").alias("plen"),
+            F.collect_list("w").alias("_ws"),
+        )
+    )
+    members = phr.select("doc_id", "_pid", "plen", F.explode("_ws").alias("w"))
+    wstats = members.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    scored = (
+        members.join(wstats, "w")
+        .groupBy("doc_id", "_pid")
+        .agg(F.sum(F.col("deg") / F.col("freq")).alias("_score"))
+        .join(phr.select("doc_id", "_pid", "phrase", "plen"), ["doc_id", "_pid"])
+        .groupBy("phrase")
+        .agg(
+            F.max("plen").alias("n_words"),
+            F.count("*").cast("bigint").alias("n_occ"),
+            F.round(F.max("_score"), 6).alias("score_r"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("score_r"), F.asc("phrase")
+    ).limit(RAKE_TOP_K)
+
+
+def _rake_oracle() -> str:
+    from pyvectorsearch_spark.operators.textops import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         str_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' ')
+           AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(ts) AS w,
+         unnest(range(1, len(ts) + 1)) AS p
+  FROM toks
+),
+marked AS (
+  SELECT doc_id, w, p,
+         CASE WHEN list_contains([{stops}], w) THEN 1 ELSE 0 END AS st
+  FROM pos WHERE w <> ''
+),
+pid AS (
+  SELECT doc_id, w, p, st,
+         sum(st) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM marked
+),
+phr AS (
+  SELECT doc_id, g, string_agg(w, ' ' ORDER BY p) AS phrase,
+         count(*)::BIGINT AS plen
+  FROM pid WHERE st = 0 GROUP BY doc_id, g
+),
+members AS (
+  SELECT p.doc_id, p.g, ph.plen, p.w
+  FROM pid p JOIN phr ph ON ph.doc_id = p.doc_id AND ph.g = p.g
+  WHERE p.st = 0
+),
+wstats AS (
+  SELECT w, count(*)::BIGINT AS freq, sum(plen)::BIGINT AS deg
+  FROM members GROUP BY w
+),
+scored AS (
+  SELECT m.doc_id, m.g, sum(s.deg * 1.0 / s.freq) AS sc
+  FROM members m JOIN wstats s ON s.w = m.w
+  GROUP BY m.doc_id, m.g
+)
+SELECT ph.phrase, max(ph.plen)::BIGINT AS n_words,
+       count(*)::BIGINT AS n_occ, round(max(sc.sc), 6) AS score_r
+FROM phr ph JOIN scored sc ON sc.doc_id = ph.doc_id AND sc.g = ph.g
+GROUP BY ph.phrase
+ORDER BY score_r DESC, phrase ASC LIMIT {RAKE_TOP_K}
+"""
+
+
+QUERIES.update({"text_rake": q_text_rake})
+ORACLES.update({"text_rake": _rake_oracle()})
