@@ -32,15 +32,39 @@ def duckdb_tokens(col: str) -> str:
     )
 
 
+def _array_ngrams(arr: Column, n: int, sep: str = " ") -> Column:
+    """O(len) n-grams over an array: n aligned slices zipped with concat.
+    The zip_with lambdas touch only BOUND element variables — an outer
+    reference like ``transform(sequence(...), i -> f(arr, i))`` makes
+    interpreted HOF eval re-run the whole ``arr`` expression tree PER
+    ELEMENT (O(len²), measured minutes-per-task when ``arr`` embeds a
+    regexp normalization). Slices re-evaluate ``arr`` only n times per
+    ROW. Empty (not descending) for arrays shorter than n."""
+    m = F.greatest(F.size(arr) - (n - 1), F.lit(0))
+    acc = F.slice(arr, 1, m)
+    for j in range(1, n):
+        nxt = F.slice(arr, 1 + j, m)
+        if sep:
+            acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, F.lit(sep), b))
+        else:
+            acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, b))
+    return acc
+
+
+def _chars(s: Column) -> Column:
+    """Character array of ``s`` (ASCII-normalized upstream)."""
+    return F.slice(F.split(s, ""), 1, F.length(s))
+
+
 def shingles(tok: Column, n: int = 3) -> Column:
-    """Word n-gram shingles, distinct. Guarded: Spark's ``sequence(1, 0)``
-    counts DOWN, so short docs need an explicit empty-array branch."""
-    joined = F.transform(
-        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(n)]),
-    )
+    """Word n-gram shingles, distinct. Guarded: short docs get an explicit
+    empty-array branch. Built from array slices (see ``_array_ngrams``)
+    so an inline ``tokens(...)`` argument is never re-evaluated per
+    element."""
     return F.array_distinct(
-        F.when(F.size(tok) >= n, joined).otherwise(F.array().cast("array<string>"))
+        F.when(F.size(tok) >= n, _array_ngrams(tok, n)).otherwise(
+            F.array().cast("array<string>")
+        )
     )
 
 
@@ -63,10 +87,11 @@ def chargrams(col: Column | str, n: int = 3) -> Column:
     sub-``n``-char strings need an explicit empty-array branch."""
     c = F.col(col) if isinstance(col, str) else col
     s = F.regexp_replace(F.lower(c), CHARGRAM_NORM_RE, "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(s) - (n - 1)),
-        lambda i: F.substring(s, i, F.lit(n)),
-    )
+    # char-slice construction, NOT transform(sequence, i -> substring(s, i)):
+    # the lambda's outer reference to s re-runs the regexp per ELEMENT in
+    # interpreted HOF eval — O(L²) per doc, measured 100x slowdowns on the
+    # NB family (see _array_ngrams)
+    grams = _array_ngrams(_chars(s), n, sep="")
     return F.when(F.length(s) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
@@ -85,11 +110,7 @@ def word_ngrams(tok: Column, n: int = 2) -> Column:
     """Word n-grams WITH multiplicity (no dedup) — the hashed-n-gram feature
     stream for importance weighting (DSIR uses unigram+bigram counts, not
     sets). Same empty-array guard as ``shingles``."""
-    joined = F.transform(
-        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(n)]),
-    )
-    return F.when(F.size(tok) >= n, joined).otherwise(
+    return F.when(F.size(tok) >= n, _array_ngrams(tok, n)).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -187,11 +208,7 @@ def winnow_hashes(col: Column | str, *, k: int = 8) -> Column:
     # garbage grams — a phantom fingerprint for empty/short docs, while the
     # DuckDB twin's range() is empty. Guard to an empty gram list instead.
     grams = F.when(
-        F.length(s) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.length(s) - (k - 1)),
-            lambda i: F.substring(s, i, F.lit(k)),
-        ),
+        F.length(s) >= k, _array_ngrams(_chars(s), k, sep="")
     ).otherwise(F.array().cast("array<string>"))
     return F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long")
@@ -265,25 +282,21 @@ def cdc_boundaries(s_col: Column | str, *, w: int = CDC_W, divisor: int = CDC_DI
     string column (same two-step rule as ``winnow_hashes`` — inline reuse
     re-evaluates the md5 scan per reference)."""
     s = F.col(s_col) if isinstance(s_col, str) else s_col
-    # greatest(length, w) — NOT w-1: with w-1 a doc of normalized length
-    # exactly w-1 gets sequence(w, w-1) which counts DOWN to i = w-1; that
-    # i passes the i <= length filter and hashes substring(s, 0, w) (the
-    # whole short string), emitting a boundary the DuckDB twin (empty
-    # range) never sees. With greatest(length, w) the sequence is [w] for
-    # short docs and the i <= length filter empties it.
-    return F.filter(
-        F.sequence(F.lit(w), F.greatest(F.length(s), F.lit(w))),
-        lambda i: (
-            F.conv(
-                F.substring(F.md5(F.substring(s, i - (w - 1), F.lit(w))), 1, 12),
-                16,
-                10,
-            ).cast("long")
-            % divisor
-            == 0
-        )
-        & (i <= F.length(s)),
+    # w-char windows via char slices (see _array_ngrams: an outer reference
+    # to s inside a filter/transform lambda re-evaluates s per element —
+    # O(L²)); gram at 0-based index i spans chars [i+1, i+w], i.e. ENDS at
+    # position i+w. Short docs (length < w) yield no grams, so the
+    # ADVICE-r5 length==w-1 phantom boundary cannot occur by construction.
+    grams = _array_ngrams(_chars(s), w, sep="")
+    cand = F.transform(
+        grams,
+        lambda g, i: F.when(
+            F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long") % divisor
+            == 0,
+            i + F.lit(w),
+        ).otherwise(F.lit(-1)),
     )
+    return F.filter(cand, lambda x: x >= 0)
 
 
 def cdc_chunks(s_col: Column | str, bnd_col: Column | str) -> Column:

@@ -2246,3 +2246,214 @@ GROUP BY s.event_type ORDER BY s.event_type
 
 QUERIES.update({"events_conformal_forecast": q_events_conformal_forecast})
 ORACLES.update({"events_conformal_forecast": ORACLE_CONFORMAL_FORECAST})
+
+
+# --- banded exact matrix profile (motif discovery) ---------------------------
+
+MP_W = 24  # window length: one day of hourly buckets
+MP_BAND = 168  # search band: up to one week apart (d in [MP_W, MP_BAND])
+
+
+def q_events_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded exact matrix profile (the MASS/STOMP family — Yeh et al.
+    ICDM 2016 — restricted to a fixed offset band): for every pair of
+    day-long windows (i, j = i + d), d in [MP_W, MP_BAND] hours (the
+    exclusion zone removes trivial self-matches), the z-normalized
+    Euclidean distance; per event type report the MOTIF (closest pair)
+    and the profile mean. Because the series are COUNTS, every sliding
+    sum (s1, s2, the dot products) is exact integer arithmetic — floats
+    appear only in the final closed form dist = sqrt(2W(1 - corr)), so
+    both engines compute identical IEEE doubles and the motif is
+    hash-checkable.
+
+    Scale shape: this runs on the RESAMPLED grid (T buckets, not raw
+    events), so cost is T x BAND sliding-sum rows per type — independent
+    of event count; the d-expansion and both sliding windows ride ONE
+    (type, d)-partitioned sort, and the per-type argmin is a bounded
+    top-1."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.timeseries import resample_counts
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    grid = resample_counts(ev, by="event_type", ts_col="ts", width_s=3600)
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.currentRow, MP_W - 1)
+    )
+    stats = (
+        grid.select(
+            "event_type",
+            "bucket_epoch",
+            "n",
+            F.sum("n").over(wb).cast("bigint").alias("s1"),
+            F.sum(F.col("n") * F.col("n")).over(wb).cast("bigint").alias("s2"),
+            F.count("*").over(wb).alias("_cw"),
+        )
+        .filter(F.col("_cw") == MP_W)
+        .select("event_type", "bucket_epoch", "s1", "s2")
+    )
+    dvals = F.explode(F.array(*[F.lit(d) for d in range(MP_W, MP_BAND + 1)]))
+    a = grid.select("event_type", "bucket_epoch", "n").withColumn("d", dvals)
+    b = grid.select(
+        F.col("event_type").alias("event_type"),
+        F.col("bucket_epoch").alias("_be2"),
+        F.col("n").alias("_n2"),
+    )
+    prod = a.withColumn("_be2", F.col("bucket_epoch") + F.col("d") * 3600).join(
+        b, ["event_type", "_be2"]
+    )
+    wd = (
+        Window.partitionBy("event_type", "d")
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.currentRow, MP_W - 1)
+    )
+    dots = (
+        prod.select(
+            "event_type",
+            "d",
+            "bucket_epoch",
+            F.sum(F.col("n") * F.col("_n2")).over(wd).cast("bigint").alias("dot"),
+            F.count("*").over(wd).alias("_cd"),
+        )
+        .filter(F.col("_cd") == MP_W)
+        .select("event_type", "d", "bucket_epoch", "dot")
+    )
+    si = stats.select(
+        "event_type",
+        F.col("bucket_epoch").alias("bucket_epoch"),
+        F.col("s1").alias("_s1i"),
+        F.col("s2").alias("_s2i"),
+    )
+    sj = stats.select(
+        "event_type",
+        F.col("bucket_epoch").alias("_bej"),
+        F.col("s1").alias("_s1j"),
+        F.col("s2").alias("_s2j"),
+    )
+    w_ = float(MP_W)
+    scored = (
+        dots.join(si, ["event_type", "bucket_epoch"])
+        .withColumn("_bej", F.col("bucket_epoch") + F.col("d") * 3600)
+        .join(sj, ["event_type", "_bej"])
+        .withColumn("_mi", F.col("_s1i") / w_)
+        .withColumn("_mj", F.col("_s1j") / w_)
+        .withColumn(
+            "_vi", F.col("_s2i") / w_ - (F.col("_s1i") / w_) * (F.col("_s1i") / w_)
+        )
+        .withColumn(
+            "_vj", F.col("_s2j") / w_ - (F.col("_s1j") / w_) * (F.col("_s1j") / w_)
+        )
+        .filter((F.col("_vi") > 0) & (F.col("_vj") > 0))
+        .withColumn(
+            "_corr",
+            (F.col("dot") / w_ - F.col("_mi") * F.col("_mj"))
+            / (F.sqrt("_vi") * F.sqrt("_vj")),
+        )
+        .withColumn(
+            "dist",
+            F.sqrt(F.greatest(F.lit(0.0), 2.0 * w_ * (1.0 - F.col("_corr")))),
+        )
+    )
+    wtop = Window.partitionBy("event_type").orderBy(
+        F.round("dist", 6).asc(), F.col("bucket_epoch").asc(), F.col("d").asc()
+    )
+    top = scored.withColumn("_r", F.row_number().over(wtop)).filter(F.col("_r") == 1)
+    agg = scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("dist"), 6).alias("mean_dist_r"),
+    )
+    return (
+        top.select(
+            "event_type",
+            F.col("bucket_epoch").alias("motif_i_epoch"),
+            F.col("_bej").alias("motif_j_epoch"),
+            F.round("dist", 6).alias("motif_dist_r"),
+        )
+        .join(agg, "event_type")
+        .select(
+            "event_type", "n_pairs", "motif_i_epoch", "motif_j_epoch",
+            "motif_dist_r", "mean_dist_r",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MATRIX_PROFILE = f"""
+WITH hist AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS be,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, be
+),
+grid AS (
+  SELECT h.event_type, gs.be, coalesce(hist.n, 0)::BIGINT AS n
+  FROM (
+    SELECT event_type, unnest(range(mn, mx + 3600, 3600)) AS be
+    FROM (SELECT event_type, min(be) AS mn, max(be) AS mx
+          FROM hist GROUP BY event_type)
+  ) gs(event_type, be)
+  JOIN (SELECT DISTINCT event_type FROM hist) h ON h.event_type = gs.event_type
+  LEFT JOIN hist ON hist.event_type = gs.event_type AND hist.be = gs.be
+),
+stats AS (
+  SELECT * FROM (
+    SELECT event_type, be,
+           sum(n) OVER w AS s1, sum(n * n) OVER w AS s2,
+           count(*) OVER w AS cw
+    FROM grid
+    WINDOW w AS (PARTITION BY event_type ORDER BY be
+                 ROWS BETWEEN CURRENT ROW AND {MP_W - 1} FOLLOWING)
+  ) WHERE cw = {MP_W}
+),
+prod AS (
+  SELECT a.event_type, dv.d, a.be, a.n * b.n AS p
+  FROM grid a
+  CROSS JOIN (SELECT unnest(range({MP_W}, {MP_BAND} + 1)) AS d) dv
+  JOIN grid b ON b.event_type = a.event_type AND b.be = a.be + dv.d * 3600
+),
+dots AS (
+  SELECT * FROM (
+    SELECT event_type, d, be,
+           sum(p) OVER w AS dot, count(*) OVER w AS cd
+    FROM prod
+    WINDOW w AS (PARTITION BY event_type, d ORDER BY be
+                 ROWS BETWEEN CURRENT ROW AND {MP_W - 1} FOLLOWING)
+  ) WHERE cd = {MP_W}
+),
+scored AS (
+  SELECT dt.event_type, dt.be, dt.be + dt.d * 3600 AS bej,
+         sqrt(greatest(0.0, 2.0 * {MP_W}.0 * (1.0 -
+           (dt.dot / {MP_W}.0 - (si.s1 / {MP_W}.0) * (sj.s1 / {MP_W}.0))
+           / (sqrt(si.s2 / {MP_W}.0 - (si.s1 / {MP_W}.0) * (si.s1 / {MP_W}.0))
+              * sqrt(sj.s2 / {MP_W}.0 - (sj.s1 / {MP_W}.0) * (sj.s1 / {MP_W}.0)))
+         ))) AS dist,
+         dt.d
+  FROM dots dt
+  JOIN stats si ON si.event_type = dt.event_type AND si.be = dt.be
+  JOIN stats sj ON sj.event_type = dt.event_type
+               AND sj.be = dt.be + dt.d * 3600
+  WHERE si.s2 / {MP_W}.0 - (si.s1 / {MP_W}.0) * (si.s1 / {MP_W}.0) > 0
+    AND sj.s2 / {MP_W}.0 - (sj.s1 / {MP_W}.0) * (sj.s1 / {MP_W}.0) > 0
+),
+top AS (
+  SELECT event_type, be AS motif_i_epoch, bej AS motif_j_epoch,
+         round(dist, 6) AS motif_dist_r,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY round(dist, 6) ASC, be ASC, d ASC) AS r
+  FROM scored
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_pairs,
+         round(avg(dist), 6) AS mean_dist_r
+  FROM scored GROUP BY event_type
+)
+SELECT t.event_type, a.n_pairs, t.motif_i_epoch, t.motif_j_epoch,
+       t.motif_dist_r, a.mean_dist_r
+FROM top t JOIN agg a ON a.event_type = t.event_type
+WHERE t.r = 1 ORDER BY t.event_type
+"""
+
+QUERIES.update({"events_matrix_profile": q_events_matrix_profile})
+ORACLES.update({"events_matrix_profile": ORACLE_MATRIX_PROFILE})
