@@ -124,7 +124,10 @@ def test_hamming_bucketed_lossless_property(spark, hashes, flips):
     exactly the brute-force pair set — the lossless guarantee the chunk-sign
     fix restored."""
     base = hashes[0]
-    planted = base
+    # work in the unsigned 64-bit domain: Python's infinite two's
+    # complement makes (-1 ^ (1 << 63)) = -2^63 - 1, outside int64
+    # (hypothesis-found with flips={0, 63} on base -1)
+    planted = base & ((1 << 64) - 1)
     for b in flips:
         planted ^= 1 << b
     planted = planted - (1 << 64) if planted >= (1 << 63) else planted
