@@ -417,3 +417,79 @@ FROM est e CROSS JOIN tru t
 
 QUERIES.update({"sketch_ams_f2": q_sketch_ams_f2})
 ORACLES.update({"sketch_ams_f2": ORACLE_SKETCH_AMS})
+
+
+# --- KMV hash-sample quantiles ----------------------------------------------
+
+KMVQ_K = 256
+KMVQ_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_sketch_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from the KMV hash-sample: the k rows with the
+    smallest md5(key) are a DETERMINISTIC uniform sample (the same
+    bottom-k-by-hash structure the KMV distinct-count sketch keeps), and
+    bottom-k of a union is bottom-k of the merged bottom-ks — the sketch
+    is mergeable across partitions/days with no coordination. Quantiles
+    interpolated over the sample vs the exact distributed `percentile`
+    aggregate, with absolute/relative error per p.
+
+    Scale shape: the sample is ONE bounded TakeOrdered(k) — no full sort,
+    no quantile state; the exact side (one sort-based aggregate) is the
+    ground-truth leg of the error report, not the scale path."""
+    o = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    samp = o.withColumn(
+        "_h", F.md5(F.col("o_orderkey").cast("string"))
+    ).orderBy("_h").limit(KMVQ_K)
+    ps = F.lit(KMVQ_PS)
+    est = samp.agg(
+        F.percentile("o_totalprice", ps).alias("_est"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    exact = o.agg(
+        F.percentile("o_totalprice", ps).alias("_ex"),
+        F.count("*").cast("bigint").alias("n_total"),
+    )
+    joined = est.crossJoin(exact)
+    cols = [F.col("n_total"), F.col("k")]
+    for i, p in enumerate(KMVQ_PS):
+        e = F.element_at("_est", i + 1)
+        x = F.element_at("_ex", i + 1)
+        tag = str(p).replace("0.", "p")
+        cols += [
+            F.round(e, 6).alias(f"{tag}_est"),
+            F.round(x, 6).alias(f"{tag}_exact"),
+            F.round(F.abs(e - x) / x, 6).alias(f"{tag}_relerr"),
+        ]
+    return joined.select(*cols)
+
+
+def _kmvq_oracle() -> str:
+    parts = ["n_total", "k"]
+    for p in KMVQ_PS:
+        tag = str(p).replace("0.", "p")
+        parts += [
+            f"round(quantile_cont(s.o_totalprice, {p}), 6) AS {tag}_est",
+            f"round((SELECT quantile_cont(o_totalprice, {p}) FROM orders), 6)"
+            f" AS {tag}_exact",
+            f"round(abs(quantile_cont(s.o_totalprice, {p})"
+            f" - (SELECT quantile_cont(o_totalprice, {p}) FROM orders))"
+            f" / (SELECT quantile_cont(o_totalprice, {p}) FROM orders), 6)"
+            f" AS {tag}_relerr",
+        ]
+    sel = ", ".join(parts)
+    return f"""
+WITH s AS (
+  SELECT o_totalprice FROM orders
+  ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT {KMVQ_K}
+),
+m AS (SELECT (SELECT count(*) FROM orders)::BIGINT AS n_total,
+             count(*)::BIGINT AS k FROM s)
+SELECT {sel} FROM s CROSS JOIN m GROUP BY n_total, k
+"""
+
+
+QUERIES.update({"sketch_kmv_quantiles": q_sketch_kmv_quantiles})
+ORACLES.update({"sketch_kmv_quantiles": _kmvq_oracle()})
