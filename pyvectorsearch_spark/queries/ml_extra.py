@@ -47,9 +47,27 @@ def _margin_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("_score").alias("_so"))
     )
     return en.join(other, "_id").select(
+        F.col("_id").alias("doc_id"),
         (F.col("_lbl") == "en").cast("double").alias("y"),
         (F.round(F.col("_se") - F.col("_so"), 6) / MARGIN_SCALE).alias("s"),
     )
+
+
+def _train_calibration(m) -> tuple[float, float]:
+    """LR_ITERS full-batch GD steps on the persisted margin table; each
+    step is one map-side-combined 2-term gradient aggregate (the weights
+    broadcast back as literals)."""
+    b, a = 0.0, 0.0
+    for _ in range(LR_ITERS):
+        z = F.lit(b) + F.lit(a) * F.col("s")
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = m.agg(
+            F.avg(sig - F.col("y")).alias("gb"),
+            F.avg((sig - F.col("y")) * F.col("s")).alias("ga"),
+        ).collect()[0]
+        b -= LR_RATE * g["gb"]
+        a -= LR_RATE * g["ga"]
+    return b, a
 
 
 def q_text_lr_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,16 +79,7 @@ def q_text_lr_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is persisted once — each GD step and the final report are tiny
     aggregates against it."""
     m = _margin_spark(spark, sf_dir).persist()
-    b, a = 0.0, 0.0
-    for _ in range(LR_ITERS):
-        z = F.lit(b) + F.lit(a) * F.col("s")
-        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        g = m.agg(
-            F.avg(sig - F.col("y")).alias("gb"),
-            F.avg((sig - F.col("y")) * F.col("s")).alias("ga"),
-        ).collect()[0]
-        b -= LR_RATE * g["gb"]
-        a -= LR_RATE * g["ga"]
+    b, a = _train_calibration(m)
     br, ar = round(b, 6), round(a, 6)
     z = F.lit(b) + F.lit(a) * F.col("s")
     sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
@@ -96,6 +105,35 @@ def q_text_lr_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _margin_weight_ctes() -> str:
+    """margin (doc_id, y, s) + w0..w{LR_ITERS-1} CTE fragments — shared by
+    the calibrate report oracle and the pipeline_lr_curate oracle."""
+    lr = LR_RATE
+    parts = [f""", margin AS (
+  SELECT doc_id, CAST(any_value(tl) = 'en' AS DOUBLE) AS y,
+         round(max(CASE WHEN ml = 'en' THEN score END)
+               - max(CASE WHEN ml <> 'en' THEN score END), 6)
+           / {MARGIN_SCALE} AS s
+  FROM sc GROUP BY doc_id
+)"""]
+    prev = None
+    for it in range(LR_ITERS):
+        if prev is None:
+            parts.append(f""", w0 AS (
+  SELECT -{lr} * avg(0.5 - y) AS b, -{lr} * avg((0.5 - y) * s) AS a
+  FROM margin
+)""")
+        else:
+            sig = f"1.0 / (1.0 + exp(-(w.b + w.a * m.s)))"
+            parts.append(f""", w{it} AS (
+  SELECT w.b - {lr} * avg({sig} - m.y) AS b,
+         w.a - {lr} * avg(({sig} - m.y) * m.s) AS a
+  FROM margin m, {prev} w GROUP BY w.b, w.a
+)""")
+        prev = f"w{it}"
+    return "".join(parts)
+
+
 def _calibrate_oracle() -> str:
     """The same margin + LR_ITERS GD steps as nested CTEs over the SAME
     NB score CTE chain the `text_lang_nb` oracle uses."""
@@ -103,28 +141,8 @@ def _calibrate_oracle() -> str:
 
     lr = LR_RATE
     sql = [f"WITH {_LANG_NB_CTES}"]
-    sql.append(f""", margin AS (
-  SELECT CAST(any_value(tl) = 'en' AS DOUBLE) AS y,
-         round(max(CASE WHEN ml = 'en' THEN score END)
-               - max(CASE WHEN ml <> 'en' THEN score END), 6)
-           / {MARGIN_SCALE} AS s
-  FROM sc GROUP BY doc_id
-)""")
-    prev = None
-    for it in range(LR_ITERS):
-        if prev is None:
-            sql.append(f""", w0 AS (
-  SELECT -{lr} * avg(0.5 - y) AS b, -{lr} * avg((0.5 - y) * s) AS a
-  FROM margin
-)""")
-        else:
-            sig = f"1.0 / (1.0 + exp(-(w.b + w.a * m.s)))"
-            sql.append(f""", w{it} AS (
-  SELECT w.b - {lr} * avg({sig} - m.y) AS b,
-         w.a - {lr} * avg(({sig} - m.y) * m.s) AS a
-  FROM margin m, {prev} w GROUP BY w.b, w.a
-)""")
-        prev = f"w{it}"
+    sql.append(_margin_weight_ctes())
+    prev = f"w{LR_ITERS - 1}"
     sig = f"1.0 / (1.0 + exp(-(w.b + w.a * m.s)))"
     pred = "CASE WHEN round(w.b, 6) + round(w.a, 6) * m.s >= 0 THEN 1.0 ELSE 0.0 END"
     sql.append(f"""
@@ -145,3 +163,87 @@ FROM margin m, {prev} w
 
 QUERIES = {"text_lr_calibrate": q_text_lr_calibrate}
 ORACLES = {"text_lr_calibrate": _calibrate_oracle()}
+
+
+def q_pipeline_lr_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation with a LEARNED gate: train the Platt-calibrated
+    is-English classifier (same 6 GD steps as `text_lr_calibrate`), keep
+    documents the calibrated decision a*s + b >= 0 accepts, exact-dedup
+    the keeps (min-id per md5 digest), and report per source: corpus
+    size, predicted-English count, post-dedup keeps, and kept chars.
+    The model is trained INSIDE the pipeline — the composed plan is
+    train -> gate -> dedup -> rollup, and the whole composition (learned
+    weights included) hash-checks against one DuckDB CTE chain.
+
+    Scale shape: training is LR_ITERS tiny aggregates over the persisted
+    margin table; the gate is a semi-join on doc_id; dedup is one digest
+    rollup; nothing materializes doc text beyond the digest."""
+    from pyvectorsearch_spark.operators.dedup import exact_dedup
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    m = _margin_spark(spark, sf_dir).persist()
+    b, a = _train_calibration(m)
+    br, ar = round(b, 6), round(a, 6)
+    keep_ids = m.filter(F.lit(br) + F.lit(ar) * F.col("s") >= 0).select("doc_id")
+    kept = docs.join(keep_ids, "doc_id", "left_semi")
+    deduped = exact_dedup(kept)
+    per_kept = deduped.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+    per_pred = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_pred_en")
+    )
+    per_all = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        per_all.join(per_pred, "source", "left")
+        .join(per_kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_pred_en", F.lit(0)).cast("bigint").alias("n_pred_en"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pipeline_lr_oracle() -> str:
+    from pyvectorsearch_spark.queries.text_lm import _LANG_NB_CTES
+
+    prev = f"w{LR_ITERS - 1}"
+    return f"""
+WITH {_LANG_NB_CTES}{_margin_weight_ctes()},
+keep_ids AS (
+  SELECT m.doc_id FROM margin m, {prev} w
+  WHERE round(w.b, 6) + round(w.a, 6) * m.s >= 0
+),
+kept AS (
+  SELECT d.* FROM documents d SEMI JOIN keep_ids k ON k.doc_id = d.doc_id
+),
+dedup AS (
+  SELECT * FROM kept
+  WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(text))
+),
+per_all AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+per_pred AS (SELECT source, count(*)::BIGINT AS n_pred_en FROM kept GROUP BY source),
+per_kept AS (
+  SELECT source, count(*)::BIGINT AS n_kept, sum(n_chars)::BIGINT AS kept_chars
+  FROM dedup GROUP BY source
+)
+SELECT a.source, a.n_docs,
+       coalesce(p.n_pred_en, 0)::BIGINT AS n_pred_en,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(k.kept_chars, 0)::BIGINT AS kept_chars
+FROM per_all a
+LEFT JOIN per_pred p ON p.source = a.source
+LEFT JOIN per_kept k ON k.source = a.source
+ORDER BY a.source
+"""
+
+
+QUERIES.update({"pipeline_lr_curate": q_pipeline_lr_curate})
+ORACLES.update({"pipeline_lr_curate": _pipeline_lr_oracle()})

@@ -96,3 +96,40 @@ def test_lr_calibrate_matches_numpy(spark):
     # ...and the calibrated decision beats the majority class
     majority = max(y.mean(), 1 - y.mean())
     assert acc > majority + 0.05
+
+
+def test_pipeline_lr_curate_matches_numpy(spark):
+    """The composed train -> gate -> dedup -> rollup pipeline recomputed in
+    pure python from the parquet fixture."""
+    import hashlib
+
+    from pyvectorsearch_spark.queries.ml_extra import (
+        LR_ITERS,
+        LR_RATE,
+        MARGIN_SCALE,
+        q_pipeline_lr_curate,
+    )
+
+    got = {r.source: r for r in q_pipeline_lr_curate(spark, SF_T2).collect()}
+    docs = pd.read_parquet(f"{SF_T2}/documents.parquet")
+    m, y = _nb_margins(docs)
+    s = m / MARGIN_SCALE
+    X = np.stack([np.ones_like(s), s], 1)
+    w = np.zeros(2)
+    for _ in range(LR_ITERS):
+        sig = 1 / (1 + np.exp(-(X @ w)))
+        w -= LR_RATE * ((sig - y) @ X) / len(y)
+    keep = (round(w[0], 6) + round(w[1], 6) * s) >= 0
+    kept = docs[keep].copy()
+    kept["_dig"] = [hashlib.md5(t.encode()).hexdigest() for t in kept["text"]]
+    dedup = kept.loc[kept.groupby("_dig")["doc_id"].transform("min") == kept["doc_id"]]
+    for src, grp in docs.groupby("source"):
+        r = got[src]
+        assert r.n_docs == len(grp)
+        assert r.n_pred_en == int(keep[docs["source"] == src].sum())
+        dd = dedup[dedup["source"] == src]
+        assert r.n_kept == len(dd)
+        assert r.kept_chars == int(dd["n_chars"].sum())
+    # the gate actually filters (neither empty nor pass-through)
+    total_pred = sum(r.n_pred_en for r in got.values())
+    assert 0 < total_pred < len(docs)
