@@ -2457,3 +2457,148 @@ WHERE t.r = 1 ORDER BY t.event_type
 
 QUERIES.update({"events_matrix_profile": q_events_matrix_profile})
 ORACLES.update({"events_matrix_profile": ORACLE_MATRIX_PROFILE})
+
+
+# --- Theil-Sen robust trend (banded) -----------------------------------------
+
+TS_SEN_BAND = 168  # pair gap cap: one week of hourly buckets
+
+
+def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Theil-Sen robust trend (Theil 1950/Sen 1968): the median of
+    pairwise slopes (y_j - y_i)/(j - i) over all bucket pairs at most
+    TS_SEN_BAND hours apart, per event type, next to the exact OLS slope
+    — the estimator that survives up to ~29% outliers where OLS breaks
+    (breakdown proven on a planted-corruption fixture in
+    tests/test_round6_theilsen.py). Slopes are int-difference ratios and
+    the median is an explicit order statistic (lower/upper middle
+    averaged), so the report is engine-exact.
+
+    Scale shape: same band-offset equi-join as `events_matrix_profile` —
+    pairs are (T x band) per type regardless of raw event count; the OLS
+    slope folds from five integer sums in one rollup."""
+    from pyspark.sql import Window
+
+    from pyvectorsearch_spark.operators.timeseries import resample_counts
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    grid = resample_counts(ev, by="event_type", ts_col="ts", width_s=3600)
+    idx = grid.select(
+        "event_type",
+        ((F.col("bucket_epoch") / 3600).cast("bigint")).alias("t"),
+        F.col("n").cast("bigint").alias("y"),
+    )
+    dvals = F.explode(F.array(*[F.lit(d) for d in range(1, TS_SEN_BAND + 1)]))
+    a = idx.withColumn("d", dvals).withColumn("t2", F.col("t") + F.col("d"))
+    b = idx.select(
+        F.col("event_type").alias("event_type"),
+        F.col("t").alias("t2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = a.join(b, ["event_type", "t2"]).withColumn(
+        "slope", (F.col("y2") - F.col("y")) / F.col("d").cast("double")
+    )
+    cnt = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    ).select(F.col("event_type").alias("c_et"), "n_pairs")
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("slope").asc(), F.col("t").asc(), F.col("d").asc()
+    )
+    lo = (F.col("n_pairs") + 1) / 2
+    hi = (F.col("n_pairs") + 2) / 2
+    med = (
+        pairs.join(F.broadcast(cnt), F.col("event_type") == F.col("c_et"))
+        .withColumn("_r", F.row_number().over(wr))
+        .filter(
+            (F.col("_r") == F.floor(lo).cast("bigint"))
+            | (F.col("_r") == F.floor(hi).cast("bigint"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("slope"), 6).alias("theilsen_slope_r"),
+            F.max("n_pairs").alias("n_pairs"),
+        )
+    )
+    ols = idx.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum("t").cast("bigint").alias("_st"),
+        F.sum("y").cast("bigint").alias("_sy"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("_sty"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("_stt"),
+    ).select(
+        "event_type",
+        "n_points",
+        F.round(
+            (F.col("n_points") * F.col("_sty") - F.col("_st") * F.col("_sy"))
+            / (
+                F.col("n_points") * F.col("_stt")
+                - F.col("_st") * F.col("_st")
+            ).cast("double"),
+            6,
+        ).alias("ols_slope_r"),
+    )
+    return (
+        med.join(ols, "event_type")
+        .select(
+            "event_type", "n_points", "n_pairs",
+            "theilsen_slope_r", "ols_slope_r",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_THEILSEN = f"""
+WITH hist AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS be,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, be
+),
+grid AS (
+  SELECT h.event_type, gs.be, coalesce(hist.n, 0)::BIGINT AS n
+  FROM (
+    SELECT event_type, unnest(range(mn, mx + 3600, 3600)) AS be
+    FROM (SELECT event_type, min(be) AS mn, max(be) AS mx
+          FROM hist GROUP BY event_type)
+  ) gs(event_type, be)
+  JOIN (SELECT DISTINCT event_type FROM hist) h ON h.event_type = gs.event_type
+  LEFT JOIN hist ON hist.event_type = gs.event_type AND hist.be = gs.be
+),
+idx AS (
+  SELECT event_type, CAST(be / 3600 AS BIGINT) AS t, n AS y FROM grid
+),
+pairs AS (
+  SELECT a.event_type, a.t, b.t - a.t AS d,
+         (b.y - a.y) / CAST(b.t - a.t AS DOUBLE) AS slope
+  FROM idx a JOIN idx b
+    ON b.event_type = a.event_type
+   AND b.t > a.t AND b.t <= a.t + {TS_SEN_BAND}
+),
+cnt AS (SELECT event_type, count(*)::BIGINT AS n_pairs FROM pairs GROUP BY 1),
+med AS (
+  SELECT event_type, round(avg(slope), 6) AS theilsen_slope_r,
+         max(n_pairs)::BIGINT AS n_pairs
+  FROM (
+    SELECT p.event_type, p.slope, c.n_pairs,
+           row_number() OVER (PARTITION BY p.event_type
+                              ORDER BY p.slope ASC, p.t ASC, p.d ASC) AS r
+    FROM pairs p JOIN cnt c ON c.event_type = p.event_type
+  )
+  WHERE r = CAST(floor((n_pairs + 1) / 2.0) AS BIGINT)
+     OR r = CAST(floor((n_pairs + 2) / 2.0) AS BIGINT)
+  GROUP BY event_type
+),
+ols AS (
+  SELECT event_type, count(*)::BIGINT AS n_points,
+         round((count(*) * sum(t * y) - sum(t) * sum(y))
+               / CAST(count(*) * sum(t * t) - sum(t) * sum(t) AS DOUBLE), 6)
+           AS ols_slope_r
+  FROM idx GROUP BY event_type
+)
+SELECT m.event_type, o.n_points, m.n_pairs, m.theilsen_slope_r, o.ols_slope_r
+FROM med m JOIN ols o ON o.event_type = m.event_type
+ORDER BY m.event_type
+"""
+
+QUERIES.update({"events_theilsen_trend": q_events_theilsen_trend})
+ORACLES.update({"events_theilsen_trend": ORACLE_THEILSEN})
