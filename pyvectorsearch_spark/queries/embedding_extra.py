@@ -1218,3 +1218,146 @@ ORACLE_EMBEDDING_ANISOTROPY = _anisotropy_oracle()
 
 QUERIES.update({"embedding_anisotropy": q_embedding_anisotropy})
 ORACLES.update({"embedding_anisotropy": ORACLE_EMBEDDING_ANISOTROPY})
+
+
+# --- RFF-MMD kernel two-sample drift test ------------------------------------
+
+MMD_DIM = 64  # embedding dimensionality (fixture)
+MMD_D = 32  # random Fourier features
+MMD_SHIFT = 0.6  # planted mean shift on dim 1 for the positive control
+
+
+def _mmd_rff_params() -> tuple[list[list[float]], list[float]]:
+    """Deterministic RFF frequencies/phases: Box-Muller gaussians and a
+    uniform phase from md5-seeded uniforms — generated in Python once, so
+    BOTH engines consume the same literal constants (no engine hash math
+    in the hot expression at all)."""
+    import hashlib
+    import math
+
+    def u(tag: str) -> float:
+        h = int(hashlib.md5(tag.encode()).hexdigest()[:12], 16)
+        return (h + 0.5) / 2**48
+
+    ws, bs = [], []
+    for j in range(MMD_D):
+        row = []
+        for k in range(MMD_DIM):
+            u1, u2 = u(f"mmd:w:{j}:{k}:1"), u(f"mmd:w:{j}:{k}:2")
+            row.append(
+                round(math.sqrt(-2.0 * math.log(u1)) * math.cos(2 * math.pi * u2), 9)
+            )
+        ws.append(row)
+        bs.append(round(2 * math.pi * u(f"mmd:b:{j}"), 9))
+    return ws, bs
+
+
+def q_embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel two-sample drift test via random Fourier features (Rahimi &
+    Recht NIPS'07; MMD of Gretton et al. JMLR'12): z_j(x) =
+    cos(w_j·x + b_j) with md5-seeded Gaussian frequencies, and MMD² =
+    (2/D)·Σ_j (mean_X z_j − mean_Y z_j)² — the LINEAR-time, mergeable
+    estimator of the RBF-kernel MMD (the quadratic pairwise form is the
+    thing this replaces at scale: per-partition feature means combine by
+    weighted average, so the test runs as ONE map-side-combined aggregate
+    per sample). Reported twice: even-vs-odd vec_id (the null — same
+    distribution) and even-vs-odd-with-a-planted-dim-1 mean shift (the
+    positive control); the planted shift must dominate the null by an
+    order of magnitude for the test to mean anything.
+
+    The w/b constants are Python-generated literals shared verbatim with
+    the oracle; floats meet only in cos/avg, so round-6 parity holds."""
+    ws, bs = _mmd_rff_params()
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+
+    def feats(xcol):
+        cols = []
+        for j in range(MMD_D):
+            warr = F.array(*[F.lit(v) for v in ws[j]])
+            dot = F.aggregate(
+                F.zip_with(xcol, warr, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            cols.append(F.cos(dot + F.lit(bs[j])).alias(f"z{j}"))
+        return cols
+
+    shifted = F.concat(
+        F.array(F.element_at("x", 1) + F.lit(MMD_SHIFT)),
+        F.slice("x", 2, MMD_DIM - 1),
+    )
+    even = emb.filter(F.col("vec_id") % 2 == 0).select(*feats(F.col("x")))
+    odd = emb.filter(F.col("vec_id") % 2 == 1).select(*feats(F.col("x")))
+    odd_shift = emb.filter(F.col("vec_id") % 2 == 1).select(
+        *feats(shifted)
+    )
+
+    def mean_row(df, prefix):
+        return df.agg(
+            F.count("*").cast("bigint").alias(f"{prefix}_n"),
+            *[F.avg(f"z{j}").alias(f"{prefix}{j}") for j in range(MMD_D)],
+        )
+
+    ex, od, osf = mean_row(even, "e"), mean_row(odd, "o"), mean_row(odd_shift, "s")
+    j3 = ex.crossJoin(od).crossJoin(osf)
+    mmd_null = sum(
+        ((F.col(f"e{j}") - F.col(f"o{j}")) * (F.col(f"e{j}") - F.col(f"o{j}"))
+         for j in range(MMD_D)),
+        F.lit(0.0),
+    ) * (2.0 / MMD_D)
+    mmd_shift = sum(
+        ((F.col(f"e{j}") - F.col(f"s{j}")) * (F.col(f"e{j}") - F.col(f"s{j}"))
+         for j in range(MMD_D)),
+        F.lit(0.0),
+    ) * (2.0 / MMD_D)
+    return j3.select(
+        F.col("e_n").alias("n_x"),
+        F.col("o_n").alias("n_y"),
+        F.lit(MMD_D).cast("int").alias("n_features"),
+        F.round(mmd_null, 6).alias("mmd2_null_r"),
+        F.round(mmd_shift, 6).alias("mmd2_shift_r"),
+        F.round(mmd_shift / F.greatest(mmd_null, F.lit(1e-12)), 2).alias(
+            "shift_over_null_r"
+        ),
+    )
+
+
+def _mmd_oracle() -> str:
+    ws, bs = _mmd_rff_params()
+
+    def z(j, xexpr):
+        warr = "[" + ", ".join(repr(v) for v in ws[j]) + "]"
+        return f"cos(list_dot_product({xexpr}, {warr}) + {bs[j]!r})"
+
+    x = "CAST(embedding AS DOUBLE[])"
+    xs = (f"list_prepend(CAST(embedding[1] AS DOUBLE) + {MMD_SHIFT}, "
+          f"CAST(embedding[2:{MMD_DIM}] AS DOUBLE[]))")
+    e_cols = ", ".join(f"avg({z(j, x)}) AS e{j}" for j in range(MMD_D))
+    o_cols = ", ".join(f"avg({z(j, x)}) AS o{j}" for j in range(MMD_D))
+    s_cols = ", ".join(f"avg({z(j, xs)}) AS s{j}" for j in range(MMD_D))
+    null_sum = " + ".join(f"(e.e{j} - o.o{j}) * (e.e{j} - o.o{j})" for j in range(MMD_D))
+    shift_sum = " + ".join(f"(e.e{j} - s.s{j}) * (e.e{j} - s.s{j})" for j in range(MMD_D))
+    return f"""
+WITH e AS (
+  SELECT count(*)::BIGINT AS e_n, {e_cols} FROM embeddings WHERE vec_id % 2 = 0
+),
+o AS (
+  SELECT count(*)::BIGINT AS o_n, {o_cols} FROM embeddings WHERE vec_id % 2 = 1
+),
+s AS (
+  SELECT {s_cols} FROM embeddings WHERE vec_id % 2 = 1
+)
+SELECT e.e_n AS n_x, o.o_n AS n_y, {MMD_D}::INT AS n_features,
+       round(({null_sum}) * {2.0 / MMD_D}, 6) AS mmd2_null_r,
+       round(({shift_sum}) * {2.0 / MMD_D}, 6) AS mmd2_shift_r,
+       round((({shift_sum}) * {2.0 / MMD_D})
+             / greatest(({null_sum}) * {2.0 / MMD_D}, 1e-12), 2)
+         AS shift_over_null_r
+FROM e, o, s
+"""
+
+
+QUERIES.update({"embedding_mmd_drift": q_embedding_mmd_drift})
+ORACLES.update({"embedding_mmd_drift": _mmd_oracle()})
