@@ -247,3 +247,81 @@ ORDER BY a.source
 
 QUERIES.update({"pipeline_lr_curate": q_pipeline_lr_curate})
 ORACLES.update({"pipeline_lr_curate": _pipeline_lr_oracle()})
+
+
+RELIA_BINS = 5
+
+
+def q_text_lr_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier score for the calibrated classifier
+    (Murphy 1973 decomposition territory): predicted p(en) binned into
+    RELIA_BINS probability bands, per band the mean prediction vs the
+    empirical rate (the calibration gap a reliability curve plots), with
+    the corpus Brier score riding every row. Predictions bin on
+    ROUND(p, 6) so the band assignment is bit-stable across engines.
+    Same train-then-evaluate shape as `text_lr_calibrate`: LR_ITERS tiny
+    gradient aggregates, then one rollup."""
+    m = _margin_spark(spark, sf_dir).persist()
+    b, a = _train_calibration(m)
+    br, ar = round(b, 6), round(a, 6)
+    p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(br) + F.lit(ar) * F.col("s")))), 6
+    )
+    binned = m.withColumn("p", p).withColumn(
+        "band",
+        F.least(F.floor(F.col("p") * RELIA_BINS), F.lit(RELIA_BINS - 1)).cast(
+            "bigint"
+        ),
+    )
+    g = binned.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("p"), 6).alias("mean_pred_r"),
+        F.round(F.avg("y"), 6).alias("emp_rate_r"),
+    )
+    brier = binned.agg(
+        F.round(F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))), 6)
+        .alias("brier_r")
+    )
+    return (
+        g.crossJoin(F.broadcast(brier))
+        .select(
+            "band",
+            "n",
+            "mean_pred_r",
+            "emp_rate_r",
+            F.round(F.abs(F.col("mean_pred_r") - F.col("emp_rate_r")), 6).alias(
+                "gap_r"
+            ),
+            "brier_r",
+        )
+        .orderBy("band")
+    )
+
+
+def _reliability_oracle() -> str:
+    from pyvectorsearch_spark.queries.text_lm import _LANG_NB_CTES
+
+    prev = f"w{LR_ITERS - 1}"
+    p = "round(1.0 / (1.0 + exp(-(round(w.b, 6) + round(w.a, 6) * m.s))), 6)"
+    return f"""
+WITH {_LANG_NB_CTES}{_margin_weight_ctes()},
+pred AS (
+  SELECT m.y, {p} AS p,
+         least(CAST(floor({p} * {RELIA_BINS}) AS BIGINT), {RELIA_BINS - 1})
+           AS band
+  FROM margin m, {prev} w
+),
+g AS (
+  SELECT band, count(*)::BIGINT AS n,
+         round(avg(p), 6) AS mean_pred_r, round(avg(y), 6) AS emp_rate_r
+  FROM pred GROUP BY band
+),
+brier AS (SELECT round(avg((p - y) * (p - y)), 6) AS brier_r FROM pred)
+SELECT band, n, mean_pred_r, emp_rate_r,
+       round(abs(mean_pred_r - emp_rate_r), 6) AS gap_r, brier_r
+FROM g CROSS JOIN brier ORDER BY band
+"""
+
+
+QUERIES.update({"text_lr_reliability": q_text_lr_reliability})
+ORACLES.update({"text_lr_reliability": _reliability_oracle()})

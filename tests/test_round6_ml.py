@@ -133,3 +133,39 @@ def test_pipeline_lr_curate_matches_numpy(spark):
     # the gate actually filters (neither empty nor pass-through)
     total_pred = sum(r.n_pred_en for r in got.values())
     assert 0 < total_pred < len(docs)
+
+
+def test_lr_reliability_matches_numpy(spark):
+    """Reliability bands + Brier recompute, and the sanity that the Brier
+    score beats the uninformed constant-rate predictor."""
+    from pyvectorsearch_spark.queries.ml_extra import (
+        LR_ITERS,
+        LR_RATE,
+        MARGIN_SCALE,
+        RELIA_BINS,
+        q_text_lr_reliability,
+    )
+
+    rows = q_text_lr_reliability(spark, SF_T2).collect()
+    got = {r.band: r for r in rows}
+    docs = pd.read_parquet(f"{SF_T2}/documents.parquet")
+    m, y = _nb_margins(docs)
+    s = m / MARGIN_SCALE
+    X = np.stack([np.ones_like(s), s], 1)
+    w = np.zeros(2)
+    for _ in range(LR_ITERS):
+        sig = 1 / (1 + np.exp(-(X @ w)))
+        w -= LR_RATE * ((sig - y) @ X) / len(y)
+    p = np.round(1 / (1 + np.exp(-(round(w[0], 6) + round(w[1], 6) * s))), 6)
+    band = np.minimum(np.floor(p * RELIA_BINS).astype(int), RELIA_BINS - 1)
+    brier = float(np.mean((p - y) ** 2))
+    for b in np.unique(band):
+        sel = band == b
+        r = got[b]
+        assert r.n == int(sel.sum())
+        assert abs(r.mean_pred_r - round(float(p[sel].mean()), 6)) < 1e-6
+        assert abs(r.emp_rate_r - round(float(y[sel].mean()), 6)) < 1e-6
+        assert abs(r.brier_r - round(brier, 6)) < 1e-6
+    # better than predicting the base rate for every doc
+    base = float(np.mean((y.mean() - y) ** 2))
+    assert brier < base
