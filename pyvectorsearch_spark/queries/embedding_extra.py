@@ -1361,3 +1361,98 @@ FROM e, o, s
 
 QUERIES.update({"embedding_mmd_drift": q_embedding_mmd_drift})
 ORACLES.update({"embedding_mmd_drift": _mmd_oracle()})
+
+
+def q_embedding_mmd_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift ranking: for every source, the
+    RFF-MMD² between its documents' embeddings and the REST of the corpus
+    — the "which ingest feeds changed under us" diagnostic a 100 TB
+    curation pipeline runs nightly. Rest-of-corpus feature means come
+    from the corpus totals (mean_rest = (N·mean_all − n_s·mean_s)/(N −
+    n_s)), so the whole report is ONE grouped aggregate + one global
+    aggregate — per-source MMD with a single corpus scan, no per-source
+    reruns. Same md5-seeded literal frequencies as
+    ``embedding_mmd_drift``."""
+    ws, bs = _mmd_rff_params()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("x"),
+    )
+    joined = emb.join(F.broadcast(docs), "doc_id")
+
+    zcols = []
+    for j in range(MMD_D):
+        warr = F.array(*[F.lit(v) for v in ws[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col("x"), warr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        zcols.append(F.cos(dot + F.lit(bs[j])).alias(f"z{j}"))
+    feat = joined.select("source", *zcols)
+
+    per = feat.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        *[F.sum(f"z{j}").alias(f"s{j}") for j in range(MMD_D)],
+    )
+    tot = feat.agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        *[F.sum(f"z{j}").alias(f"t{j}") for j in range(MMD_D)],
+    )
+    j2 = per.crossJoin(F.broadcast(tot))
+    mmd = sum(
+        (
+            (
+                F.col(f"s{j}") / F.col("n_s")
+                - (F.col(f"t{j}") - F.col(f"s{j}"))
+                / (F.col("n_all") - F.col("n_s"))
+            )
+            * (
+                F.col(f"s{j}") / F.col("n_s")
+                - (F.col(f"t{j}") - F.col(f"s{j}"))
+                / (F.col("n_all") - F.col("n_s"))
+            )
+            for j in range(MMD_D)
+        ),
+        F.lit(0.0),
+    ) * (2.0 / MMD_D)
+    return (
+        j2.select("source", "n_s", F.round(mmd, 6).alias("mmd2_vs_rest_r"))
+        .orderBy("source")
+    )
+
+
+def _mmd_by_source_oracle() -> str:
+    ws, bs = _mmd_rff_params()
+    x = "CAST(e.embedding AS DOUBLE[])"
+
+    def z(j):
+        warr = "[" + ", ".join(repr(v) for v in ws[j]) + "]"
+        return f"cos(list_dot_product({x}, {warr}) + {bs[j]!r})"
+
+    feat_cols = ", ".join(f"{z(j)} AS z{j}" for j in range(MMD_D))
+    per_cols = ", ".join(f"sum(z{j}) AS s{j}" for j in range(MMD_D))
+    tot_cols = ", ".join(f"sum(z{j}) AS t{j}" for j in range(MMD_D))
+    mmd = " + ".join(
+        f"(p.s{j} / p.n_s - (t.t{j} - p.s{j}) / (t.n_all - p.n_s))"
+        f" * (p.s{j} / p.n_s - (t.t{j} - p.s{j}) / (t.n_all - p.n_s))"
+        for j in range(MMD_D)
+    )
+    return f"""
+WITH feat AS (
+  SELECT d.source, {feat_cols}
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+per AS (
+  SELECT source, count(*)::BIGINT AS n_s, {per_cols} FROM feat GROUP BY source
+),
+tot AS (SELECT count(*)::BIGINT AS n_all, {tot_cols} FROM feat)
+SELECT p.source, p.n_s,
+       round(({mmd}) * {2.0 / MMD_D}, 6) AS mmd2_vs_rest_r
+FROM per p CROSS JOIN tot t ORDER BY p.source
+"""
+
+
+QUERIES.update({"embedding_mmd_by_source": q_embedding_mmd_by_source})
+ORACLES.update({"embedding_mmd_by_source": _mmd_by_source_oracle()})
