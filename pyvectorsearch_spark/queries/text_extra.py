@@ -1525,3 +1525,90 @@ ORDER BY score_r DESC, phrase ASC LIMIT {RAKE_TOP_K}
 
 QUERIES.update({"text_rake": q_text_rake})
 ORACLES.update({"text_rake": _rake_oracle()})
+
+
+def q_dedup_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedupe-on-ingest against the content-addressed store: docs with
+    doc_id % 10 == 0 are the INCOMING BATCH, the rest are the existing
+    corpus store. For each batch doc, the fraction of its chunk BYTES
+    whose content already exists in the store (upload-skippable), rolled
+    up to the ingest report: batch size, new-vs-present chunk and byte
+    counts, and the transfer-savings ratio — the nightly number an
+    incremental ingest pipeline reports. Chunk identity travels as an
+    md5 digest; the store side reduces to its distinct digest set before
+    the probe join (batch-sized, broadcastable at any corpus scale)."""
+    from pyvectorsearch_spark.functions.text import (
+        cdc_boundaries,
+        cdc_chunks,
+        cdc_normalized,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ch = (
+        docs.withColumn("_s", cdc_normalized("text"))
+        .withColumn("_bnd", cdc_boundaries("_s"))
+        .withColumn("_ch", cdc_chunks("_s", "_bnd"))
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 10 == 0).alias("_batch"),
+            F.explode_outer("_ch").alias("c"),
+        )
+        .filter(F.col("c").isNotNull())
+        .select(
+            "doc_id", "_batch", F.md5("c").alias("d"), F.length("c").alias("len")
+        )
+    )
+    store = ch.filter(~F.col("_batch")).select("d").distinct()
+    batch = ch.filter(F.col("_batch"))
+    probed = batch.join(
+        store.withColumn("_present", F.lit(1)), "d", "left"
+    ).withColumn("_present", F.coalesce("_present", F.lit(0)))
+    return probed.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_batch_docs"),
+        F.count("*").cast("bigint").alias("batch_chunks"),
+        F.sum("_present").cast("bigint").alias("chunks_present"),
+        F.sum("len").cast("bigint").alias("batch_bytes"),
+        F.sum(F.col("len") * F.col("_present")).cast("bigint").alias(
+            "bytes_present"
+        ),
+        F.round(
+            F.sum(F.col("len") * F.col("_present"))
+            / F.sum("len").cast("double"),
+            6,
+        ).alias("transfer_saving_r"),
+    )
+
+
+def _oracle_cdc_ingest() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_cdc
+
+    s, bnd, chunks = duckdb_cdc("text")
+    return f"""
+WITH t0 AS (SELECT doc_id, {s} AS s FROM documents),
+t1 AS (SELECT doc_id, s, {bnd} AS bnd FROM t0),
+t2 AS (SELECT doc_id, {chunks} AS ch FROM t1),
+ex AS (
+  SELECT doc_id, (doc_id % 10 = 0) AS batch,
+         md5(unnest(ch)) AS d, length(unnest(ch)) AS len
+  FROM t2
+),
+store AS (SELECT DISTINCT d FROM ex WHERE NOT batch),
+probed AS (
+  SELECT e.doc_id, e.d, e.len,
+         CASE WHEN s.d IS NULL THEN 0 ELSE 1 END AS present
+  FROM ex e LEFT JOIN store s ON s.d = e.d
+  WHERE e.batch
+)
+SELECT count(DISTINCT doc_id)::BIGINT AS n_batch_docs,
+       count(*)::BIGINT AS batch_chunks,
+       sum(present)::BIGINT AS chunks_present,
+       sum(len)::BIGINT AS batch_bytes,
+       sum(len * present)::BIGINT AS bytes_present,
+       round(sum(len * present) / CAST(sum(len) AS DOUBLE), 6)
+         AS transfer_saving_r
+FROM probed
+"""
+
+
+QUERIES.update({"dedup_cdc_ingest": q_dedup_cdc_ingest})
+ORACLES.update({"dedup_cdc_ingest": _oracle_cdc_ingest()})

@@ -139,3 +139,49 @@ def test_cdc_short_docs_spark_python_duckdb(spark):
         ).fetchall()
     }
     assert oracle == want
+
+
+def test_cdc_ingest_matches_python(spark):
+    """dedupe-on-ingest recompute: batch chunk bytes already present in the
+    corpus store, in pure python from the parquet fixture."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyvectorsearch_spark.queries.text_extra import q_dedup_cdc_ingest
+    from tests.conftest import SF_T2
+
+    [row] = q_dedup_cdc_ingest(spark, SF_T2).collect()
+    docs = pd.read_parquet(f"{SF_T2}/documents.parquet")
+
+    def chunks(t):
+        s = re.sub(r"[^a-z0-9 ]", "", t.lower())
+        bnd = [
+            i for i in range(CW, len(s) + 1)
+            if int(hashlib.md5(s[i - CW:i].encode()).hexdigest()[:12], 16)
+            % DIV == 0
+        ]
+        starts = [1] + [x + 1 for x in bnd]
+        ends = bnd + [len(s)]
+        return [s[a - 1:e] for a, e in zip(starts, ends) if e - a + 1 > 0]
+
+    store = set()
+    batch_rows = []
+    for _, r in docs.iterrows():
+        for c in chunks(r["text"]):
+            d = hashlib.md5(c.encode()).hexdigest()
+            if r["doc_id"] % 10 == 0:
+                batch_rows.append((r["doc_id"], d, len(c)))
+            else:
+                store.add(d)
+    n_docs = len({i for i, _, _ in batch_rows})
+    present = [(i, d, l) for i, d, l in batch_rows if d in store]
+    assert row.n_batch_docs == n_docs
+    assert row.batch_chunks == len(batch_rows)
+    assert row.chunks_present == len(present)
+    assert row.batch_bytes == sum(l for _, _, l in batch_rows)
+    assert row.bytes_present == sum(l for _, _, l in present)
+    sav = sum(l for _, _, l in present) / sum(l for _, _, l in batch_rows)
+    assert abs(row.transfer_saving_r - round(sav, 6)) < 1e-9
+    # the fixture's repeated phrasing makes SOME but not all bytes skippable
+    assert 0.05 < sav < 0.95
