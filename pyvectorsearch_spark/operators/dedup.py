@@ -342,22 +342,48 @@ def simhash_pairs(
     bytes/doc, fine to ~10⁸ docs; beyond that, pigeonhole-bucket FIRST
     (sparse corpus ⇒ the chunk join wins there) and run this kernel within
     buckets."""
+    sh = simhash_64(df, id_col=id_col, text_col=text_col)
+    return hamming_pairs_gemm(
+        sh,
+        id_col=id_col,
+        hash_col="simhash",
+        bits=SIMHASH_BITS,
+        max_hamming=max_hamming,
+    )
+
+
+def hamming_pairs_gemm(
+    hashes: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str,
+    bits: int = SIMHASH_BITS,
+    max_hamming: int,
+) -> DataFrame:
+    """The exact blocked ±1-GEMM Hamming self-join over a precomputed
+    integer-fingerprint table — the DENSE-corpus kernel behind
+    ``simhash_pairs`` (see its docstring for the measured rationale).
+    Collects the (id, hash) table to the driver (16 bytes/doc) and
+    broadcasts it; exact because every ±1 partial sum is an integer ≤
+    ``bits``, representable in float32. Returns (d1, d2, hamming),
+    d1 < d2."""
     import numpy as np
     import pandas as pd
 
-    sh = simhash_64(df, id_col=id_col, text_col=text_col)
-    rows = sh.collect()
+    n_bits = int(bits)
+    rows = hashes.select(F.col(id_col), F.col(hash_col)).collect()
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    hashes = np.asarray([r[1] for r in rows], dtype=np.uint64)
-    bc = df.sparkSession.sparkContext.broadcast((ids, hashes, int(max_hamming)))
+    hvals = np.asarray([r[1] for r in rows], dtype=np.uint64)
+    spark = hashes.sparkSession
+    bc = spark.sparkContext.broadcast((ids, hvals, int(max_hamming)))
 
     def _pm1_bits(h: "np.ndarray") -> "np.ndarray":
-        """(n, SIMHASH_BITS) ±1 float32 bit matrix of the hash vector."""
-        bits = (
-            (h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :])
+        """(n, n_bits) ±1 float32 bit matrix of the hash vector."""
+        bits_ = (
+            (h[:, None] >> np.arange(n_bits, dtype=np.uint64)[None, :])
             & np.uint64(1)
         ).astype(np.float32)
-        return 2.0 * bits - 1.0
+        return 2.0 * bits_ - 1.0
 
     def block_pairs(batches):
         ids_, hashes_, mh = bc.value
@@ -382,7 +408,7 @@ def simhash_pairs(
             for s in range(0, len(bid_all), sub):
                 bid = bid_all[s : s + sub]
                 g = _pm1_bits(bh_all[s : s + sub]) @ pm_all.T
-                ham = ((SIMHASH_BITS - g) * 0.5).astype(np.int32)
+                ham = ((n_bits - g) * 0.5).astype(np.int32)
                 ii, jj = np.nonzero(
                     (ham <= mh) & (bid[:, None] < ids_[None, :])
                 )
@@ -394,11 +420,11 @@ def simhash_pairs(
                     }
                 )
 
-    # probe side = the already-collected table (re-deriving it from ``sh``
-    # would run the whole simhash pipeline a second time)
-    parts = df.sparkSession.sparkContext.defaultParallelism
-    src = df.sparkSession.createDataFrame(
-        [(int(i), int(h)) for i, h in zip(ids, hashes.astype(np.int64))],
+    # probe side = the already-collected table (re-deriving it from the
+    # lazy hash table would run the whole fingerprint pipeline a second time)
+    parts = spark.sparkContext.defaultParallelism
+    src = spark.createDataFrame(
+        [(int(i), int(h)) for i, h in zip(ids, hvals.astype(np.int64))],
         "d1 long, h1 long",
     ).repartition(parts)
     return src.mapInPandas(block_pairs, schema="d1 long, d2 long, hamming int")
@@ -439,6 +465,194 @@ def simhash_pairs_bucketed(
     )
 
 
+def _n_chunks(bits: int, max_hamming: int, n_blocks: int | None) -> int:
+    """Pigeonhole chunk count: max_hamming + 1 (the lossless minimum)
+    unless overridden, clamped to [1, bits]."""
+    b = int(n_blocks) if n_blocks is not None else int(max_hamming) + 1
+    return max(1, min(b, int(bits)))
+
+
+def _pigeonhole_chunks(hash_col: str, bits: int, b: int):
+    """Array of (blk, val) structs — the ``b`` pigeonhole chunk keys of a
+    ``bits``-bit fingerprint column. Chunk j covers bits
+    [start_j, start_j + len_j); sizes differ by ≤ 1. Shared by the
+    bucketed join and the candidate-density estimator so the estimate
+    prices EXACTLY the join the bucketed kernel would run."""
+    bounds = [(bits * j) // b for j in range(b + 1)]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("blk"),
+                # Mask, not %: Spark's % follows the dividend's sign, so a
+                # bits-64 hash with bit 63 set (negative long) would get a
+                # different chunk-0 value than a positive hash with the same
+                # low bits, silently dropping pairs and breaking the lossless
+                # pigeonhole guarantee. bitwiseAND extracts sign-independently.
+                F.shiftrightunsigned(hash_col, bounds[j])
+                # two's-complement wrap: a full 64-bit chunk (max_hamming=0
+                # over a 64-bit hash) has mask 2^64-1, which overflows a
+                # signed long literal — wrap to -1 (same bit pattern)
+                .bitwiseAND(
+                    F.lit(
+                        m - (1 << 64)
+                        if (m := (1 << (bounds[j + 1] - bounds[j])) - 1)
+                        >= (1 << 63)
+                        else m
+                    )
+                )
+                .alias("val"),
+            )
+            for j in range(b)
+        ]
+    )
+
+
+def hamming_candidate_stats(
+    hashes: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+    n_blocks: int | None = None,
+) -> dict:
+    """Price the pigeonhole join before running it: one explode + one
+    grouped aggregate returns ``{"n_docs", "cand_pairs"}`` where
+    ``cand_pairs`` = Σ_bucket C(n_k, 2) over the (blk, val) chunk buckets —
+    EXACTLY the pre-distinct row count the bucketed kernel's candidate
+    join would emit (multi-chunk agreements counted once per chunk, as
+    the join emits them). This is the dispatch input for
+    ``hamming_pairs_auto``; same Σn² machinery as
+    ``plans.scale.key_skew_report``. At 100 TB run it on a uniform hash
+    sample and scale cand_pairs by 1/frac² — density is scale-free."""
+    b = _n_chunks(bits, max_hamming, n_blocks)
+    sh = hashes.select(F.col(hash_col).alias("_h"))
+    keyed = sh.select(F.explode(_pigeonhole_chunks("_h", bits, b)).alias("c")).select(
+        "c.blk", "c.val"
+    )
+    per_bucket = keyed.groupBy("blk", "val").agg(
+        F.count("*").cast("bigint").alias("_nk")
+    )
+    row = per_bucket.agg(
+        F.sum(F.col("_nk") * (F.col("_nk") - 1) / 2).cast("bigint").alias("cand"),
+        # each doc contributes exactly one row to chunk 0 → Σ_nk|blk=0 = n
+        F.sum(F.when(F.col("blk") == 0, F.col("_nk")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+    ).collect()[0]
+    return {"n_docs": int(row["n"] or 0), "cand_pairs": int(row["cand"] or 0)}
+
+
+# Above this corpus size the GEMM kernel's driver collect + broadcast
+# (16 bytes/doc → ~32 MB at the bound) stops being a free lunch; the
+# bucketed kernel has no driver state at all.
+GEMM_MAX_N = 2_000_000
+# Candidate density (cand_pairs / C(n,2)) above which the shuffle-heavy
+# bucketed join loses to broadcast BLAS: a shuffled candidate row costs
+# ~10² × a BLAS cell (measured on the sf0.1 corpus: bucketed 7.9 s over
+# ~dense buckets vs 1.0 s GEMM over the full 12.5M-cell pair space), so
+# the cross-over sits around 1 candidate per ~100 cells. Note the
+# random-collision FLOOR: a corpus of uniformly random fingerprints
+# still collides on ~Σ_j 2^-len_j of all pairs (the chunk widths), so
+# narrow chunks (max_hamming=9 over 60 bits → 6-bit chunks → floor
+# ~0.16) make EVERY within-broadcast-range corpus "dense" — which is
+# cost-correct: when buckets can't thin the pair space below ~1%, BLAS
+# wins. The density branch only flips for wide chunks (small
+# max_hamming), where a sparse corpus genuinely has near-zero
+# candidates; the size bound (gemm_max_n) is what forces bucketed at
+# 100 TB regardless.
+DENSITY_CUTOFF = 0.01
+
+
+def hamming_pairs_auto(
+    hashes: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+    n_blocks: int | None = None,
+    gemm_max_n: int = GEMM_MAX_N,
+    density_cutoff: float = DENSITY_CUTOFF,
+    decision_out: dict | None = None,
+) -> DataFrame:
+    """Density-adaptive Hamming self-join (VERDICT r6 ask): estimate the
+    pigeonhole candidate-pair density with ``hamming_candidate_stats``
+    (one cheap aggregate), then dispatch
+
+    - DENSE corpus (density ≥ density_cutoff) and n ≤ gemm_max_n →
+      ``hamming_pairs_gemm`` (broadcast ±1 BLAS; the bucketed join would
+      shuffle ~the full pair space), else
+    - ``hamming_pairs_bucketed`` (distributed pigeonhole; no driver
+      state, linear in true candidates).
+
+    Both kernels are exact and emit identical (d1, d2, hamming) rows, so
+    the dispatch is correctness-neutral — it only picks the physical
+    plan, the same way AQE picks broadcast vs shuffle join at runtime.
+    The fingerprint table is pooled-persisted so the estimator scan and
+    the chosen kernel share one computation of the hashes.
+
+    ``decision_out``: optional dict that receives {"kernel", "n_docs",
+    "cand_pairs", "density"} for tests/diagnostics."""
+    from pyvectorsearch_spark.plans.cachepool import pooled_persist
+
+    sh = pooled_persist(hashes.select(F.col(id_col), F.col(hash_col)))
+    st = hamming_candidate_stats(
+        sh,
+        id_col=id_col,
+        hash_col=hash_col,
+        bits=bits,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    )
+    n, cand = st["n_docs"], st["cand_pairs"]
+    full_pairs = n * (n - 1) // 2
+    density = (cand / full_pairs) if full_pairs else 0.0
+    dense = n > 1 and n <= gemm_max_n and density >= density_cutoff
+    if decision_out is not None:
+        decision_out.update(
+            kernel="gemm" if dense else "bucketed",
+            n_docs=n,
+            cand_pairs=cand,
+            density=density,
+        )
+    if dense:
+        return hamming_pairs_gemm(
+            sh, id_col=id_col, hash_col=hash_col, bits=bits, max_hamming=max_hamming
+        )
+    return hamming_pairs_bucketed(
+        sh,
+        id_col=id_col,
+        hash_col=hash_col,
+        bits=bits,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    )
+
+
+def simhash_pairs_auto(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 12,
+    decision_out: dict | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs with density-adaptive kernel dispatch —
+    ``simhash_64`` fingerprints, then ``hamming_pairs_auto`` picks
+    exact-GEMM (dense corpus) vs pigeonhole-bucketed (sparse / huge).
+    Output is identical to both fixed-kernel forms."""
+    sh = simhash_64(df, id_col=id_col, text_col=text_col)
+    return hamming_pairs_auto(
+        sh,
+        id_col=id_col,
+        hash_col="simhash",
+        bits=SIMHASH_BITS,
+        max_hamming=max_hamming,
+        decision_out=decision_out,
+    )
+
+
 def hamming_pairs_bucketed(
     hashes: DataFrame,
     *,
@@ -457,37 +671,9 @@ def hamming_pairs_bucketed(
     (which delegates here): one explode, one chunk-key shuffle, no collect.
 
     Returns (d1, d2, hamming), d1 < d2."""
-    b = int(n_blocks) if n_blocks is not None else int(max_hamming) + 1
-    b = max(1, min(b, bits))
+    b = _n_chunks(bits, max_hamming, n_blocks)
     sh = hashes.select(F.col(id_col), F.col(hash_col).alias("simhash"))
-    # Chunk j covers bits [start_j, start_j + len_j); sizes differ by ≤ 1.
-    bounds = [(bits * j) // b for j in range(b + 1)]
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("blk"),
-                # Mask, not %: Spark's % follows the dividend's sign, so a
-                # bits-64 hash with bit 63 set (negative long) would get a
-                # different chunk-0 value than a positive hash with the same
-                # low bits, silently dropping pairs and breaking the lossless
-                # pigeonhole guarantee. bitwiseAND extracts sign-independently.
-                F.shiftrightunsigned("simhash", bounds[j])
-                # two's-complement wrap: a full 64-bit chunk (max_hamming=0
-                # over a 64-bit hash) has mask 2^64-1, which overflows a
-                # signed long literal — wrap to -1 (same bit pattern)
-                .bitwiseAND(
-                    F.lit(
-                        m - (1 << 64)
-                        if (m := (1 << (bounds[j + 1] - bounds[j])) - 1)
-                        >= (1 << 63)
-                        else m
-                    )
-                )
-                .alias("val"),
-            )
-            for j in range(b)
-        ]
-    )
+    chunks = _pigeonhole_chunks("simhash", bits, b)
     keyed = sh.select(
         F.col(id_col).alias("doc"), "simhash", F.explode(chunks).alias("c")
     ).select("doc", "simhash", "c.blk", "c.val")

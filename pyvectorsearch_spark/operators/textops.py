@@ -1225,13 +1225,17 @@ def nb_score_table(
         base.select("_id", "_lbl", F.explode("_t").alias("_w"))
         .groupBy("_id", "_lbl", "_w")
         .agg(F.count("*").cast("bigint").alias("_tf"))
-        # persist: the (doc, term, tf) reduction feeds FOUR legs (n_wl, ct,
-        # vocab, and the scoring join); without it each leg re-runs the
-        # featurize+explode+rollup subtree — measured 4x the whole query
-        # (36 s -> ~12 s at sf0.1). This is the "model build is an
-        # artifact" rule the grid/IVF indexes already follow.
-        .persist()
     )
+    # persist: the (doc, term, tf) reduction feeds FOUR legs (n_wl, ct,
+    # vocab, and the scoring join); without it each leg re-runs the
+    # featurize+explode+rollup subtree — measured 4x the whole query
+    # (36 s -> ~12 s at sf0.1). This is the "model build is an
+    # artifact" rule the grid/IVF indexes already follow. Pooled so
+    # long-lived sessions (parity sweep, repeated bench) don't accumulate
+    # one cached table per invocation (ADVICE r6).
+    from pyvectorsearch_spark.plans.cachepool import pooled_persist
+
+    tf = pooled_persist(tf)
     # model: n_wl per (term, label); ct_l total tokens per label; V vocab
     n_wl = tf.groupBy("_w", F.col("_lbl").alias("_ml")).agg(
         F.sum("_tf").cast("bigint").alias("_nwl")

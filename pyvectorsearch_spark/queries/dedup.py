@@ -15,7 +15,7 @@ from pyvectorsearch_spark.operators.dedup import (
     exact_dedup,
     jaccard_similarity_pairs,
     minhash_lsh_pairs,
-    simhash_pairs,
+    simhash_pairs_auto,
     simhash_pairs_bucketed,
 )
 from pyvectorsearch_spark.operators.graph import dup_clusters
@@ -165,8 +165,13 @@ FROM est WHERE est_jaccard >= {LSH_THRESHOLD}
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-adaptive since r7: `simhash_pairs_auto` prices the
+    pigeonhole candidate join with one aggregate and dispatches
+    exact-GEMM (this corpus is near-dup-dense → GEMM, the same plan as
+    rounds 1-6) vs the distributed bucketed join (sparse/huge corpora).
+    Both kernels are exact — the oracle is kernel-independent."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return simhash_pairs(docs, max_hamming=MAX_HAMMING)
+    return simhash_pairs_auto(docs, max_hamming=MAX_HAMMING)
 
 
 def _simhash_oracle() -> str:

@@ -22,11 +22,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyvectorsearch_spark.plans.cachepool import pooled_persist
 from pyvectorsearch_spark.sources.tables import load_table, spread
 
 LR_ITERS = 6
 LR_RATE = 4.0
 MARGIN_SCALE = 10.0  # NB margins span ~±17 on this corpus; /10 keeps GD stable
+# Each step's gradient components round to GRAD_DP before the weight
+# update ON BOTH ENGINES: F.avg over doubles sums in nondeterministic
+# partition order (~1e-16 relative drift), and without the rounding the
+# whole LR_RATE-amplified trajectory relies on the final 6-dp rounding
+# to absorb it (ADVICE r6). With it, every (b, a) along the trajectory
+# is a bit-identical IEEE double in Spark and DuckDB — the same
+# integer-exact-ladder discipline the NB scores use. 10 dp absorbs
+# summation-order drift (~1e-16) with 6 decades of headroom while
+# perturbing the gradient ~1e-10, invisible at the 6-dp report scale.
+GRAD_DP = 10
 
 
 def _margin_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,8 +76,8 @@ def _train_calibration(m) -> tuple[float, float]:
             F.avg(sig - F.col("y")).alias("gb"),
             F.avg((sig - F.col("y")) * F.col("s")).alias("ga"),
         ).collect()[0]
-        b -= LR_RATE * g["gb"]
-        a -= LR_RATE * g["ga"]
+        b -= LR_RATE * round(g["gb"], GRAD_DP)
+        a -= LR_RATE * round(g["ga"], GRAD_DP)
     return b, a
 
 
@@ -78,7 +89,7 @@ def q_text_lr_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the prediction set is bit-stable across engines). The margin table
     is persisted once — each GD step and the final report are tiny
     aggregates against it."""
-    m = _margin_spark(spark, sf_dir).persist()
+    m = pooled_persist(_margin_spark(spark, sf_dir))
     b, a = _train_calibration(m)
     br, ar = round(b, 6), round(a, 6)
     z = F.lit(b) + F.lit(a) * F.col("s")
@@ -120,14 +131,15 @@ def _margin_weight_ctes() -> str:
     for it in range(LR_ITERS):
         if prev is None:
             parts.append(f""", w0 AS (
-  SELECT -{lr} * avg(0.5 - y) AS b, -{lr} * avg((0.5 - y) * s) AS a
+  SELECT -{lr} * round(avg(0.5 - y), {GRAD_DP}) AS b,
+         -{lr} * round(avg((0.5 - y) * s), {GRAD_DP}) AS a
   FROM margin
 )""")
         else:
             sig = f"1.0 / (1.0 + exp(-(w.b + w.a * m.s)))"
             parts.append(f""", w{it} AS (
-  SELECT w.b - {lr} * avg({sig} - m.y) AS b,
-         w.a - {lr} * avg(({sig} - m.y) * m.s) AS a
+  SELECT w.b - {lr} * round(avg({sig} - m.y), {GRAD_DP}) AS b,
+         w.a - {lr} * round(avg(({sig} - m.y) * m.s), {GRAD_DP}) AS a
   FROM margin m, {prev} w GROUP BY w.b, w.a
 )""")
         prev = f"w{it}"
@@ -181,7 +193,7 @@ def q_pipeline_lr_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyvectorsearch_spark.operators.dedup import exact_dedup
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    m = _margin_spark(spark, sf_dir).persist()
+    m = pooled_persist(_margin_spark(spark, sf_dir))
     b, a = _train_calibration(m)
     br, ar = round(b, 6), round(a, 6)
     keep_ids = m.filter(F.lit(br) + F.lit(ar) * F.col("s") >= 0).select("doc_id")
@@ -261,7 +273,7 @@ def q_text_lr_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND(p, 6) so the band assignment is bit-stable across engines.
     Same train-then-evaluate shape as `text_lr_calibrate`: LR_ITERS tiny
     gradient aggregates, then one rollup."""
-    m = _margin_spark(spark, sf_dir).persist()
+    m = pooled_persist(_margin_spark(spark, sf_dir))
     b, a = _train_calibration(m)
     br, ar = round(b, 6), round(a, 6)
     p = F.round(

@@ -52,7 +52,12 @@ def _drain(out: DataFrame, name_prefix: str, mode: str = "complete") -> str:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow drain exceeded 300 s; the memory sink "
+            "would be partial — failing loud instead (ADVICE r6)"
+        )
     return name
 
 

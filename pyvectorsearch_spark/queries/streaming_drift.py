@@ -80,7 +80,12 @@ def q_events_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow drain exceeded 300 s; the memory sink "
+            "would be partial — failing loud instead (ADVICE r6)"
+        )
     return psi_from_histogram(spark.table(name), by="event_type", eps=PSI_EPS).orderBy(
         "event_type"
     )
@@ -113,7 +118,12 @@ def q_events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow drain exceeded 300 s; the memory sink "
+            "would be partial — failing loud instead (ADVICE r6)"
+        )
     return hll_fold(spark.table(name), by="event_type").orderBy("event_type")
 
 
@@ -175,7 +185,12 @@ def q_events_conformal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow drain exceeded 300 s; the memory sink "
+            "would be partial — failing loud instead (ADVICE r6)"
+        )
     t = spark.table(name)
 
     lims = t.agg(F.min("be").alias("mn"), F.max("be").alias("mx"))

@@ -75,7 +75,12 @@ def q_docs_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow drain exceeded 300 s; the memory sink "
+            "would be partial — failing loud instead (ADVICE r6)"
+        )
     return spark.table(name).orderBy("source")
 
 
@@ -222,7 +227,12 @@ def q_events_file_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "availableNow drain exceeded 300 s; the memory sink "
+                "would be partial — failing loud instead (ADVICE r6)"
+            )
     sunk = spark.read.parquet(out)
     return (
         sunk.groupBy("event_type")
@@ -528,7 +538,12 @@ def q_events_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "availableNow drain exceeded 300 s; the memory sink "
+                "would be partial — failing loud instead (ADVICE r6)"
+            )
     out = spark.read.parquet(dim)
     return out.select(
         "user_id",

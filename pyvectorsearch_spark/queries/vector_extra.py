@@ -668,7 +668,12 @@ def q_knn_stream_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = stream_index_ingest(
             stream, assign=assign, out_path=out, checkpoint=ck
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "availableNow drain exceeded 300 s; the memory sink "
+                "would be partial — failing loud instead (ADVICE r6)"
+            )
     ingested = spark.read.parquet(out)
     parts = F.split("cell", CELL_SEP)
     stats = ingested.groupBy("cell").agg(F.count("*").cast("long").alias("count")).select(
