@@ -25,6 +25,28 @@ def _as_double(col: Column | str) -> Column:
     return c.cast("array<double>")
 
 
+def vec_is_finite(a: Column | str) -> Column:
+    """True iff the vector is non-null AND every component is non-null and
+    finite (no NaN, no ±Inf) — the validity contract of the search surface.
+
+    The raw kernels below (`l2_sq`, `dot`, …) follow SQL/IEEE semantics on
+    purpose: a NULL element nulls the result, NaN propagates. That is the
+    WRONG default for search operators, where a NULL/NaN distance silently
+    sorts into (asc: nulls first) or out of (desc: NaN first) the top-k and
+    returns garbage neighbors. The reference cannot even represent these
+    states (raw C double arrays, ``pktree.hpp:1223-1250`` fixes dim at
+    construction), so the Spark engine makes the contract explicit:
+    ``knn_join`` / ``range_join`` / ``GridIndex.knn|range`` compile this
+    predicate into the distance expression and either raise (default) or
+    null-out-and-drop the row (``on_invalid="skip"``). One O(dim) codegen
+    predicate per row, zero extra jobs."""
+    v = _as_double(a)
+    has_bad = F.exists(
+        v, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    return v.isNotNull() & ~has_bad
+
+
 def l2_sq(a: Column | str, b: Column | str) -> Column:
     """Squared Euclidean distance Σ(a_i − b_i)² — the reference's only metric
     (``/root/reference/include/pktree.hpp:995-997``). Returns double."""

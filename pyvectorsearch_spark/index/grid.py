@@ -123,11 +123,44 @@ class GridIndex:
 
         # Root box: one global min/max pass (batch grow_root_to_cover_point).
         # The row count rides the same aggregate — no separate count job.
-        mins = [F.min(F.element_at(F.col(vec_col), c + 1)).alias(f"mn{c}") for c in range(dim)]
-        maxs = [F.max(F.element_at(F.col(vec_col), c + 1)).alias(f"mx{c}") for c in range(dim)]
-        row = df.agg(*mins, *maxs, F.count("*").alias("_n")).first()
+        # try_element_at, not element_at: a short (dim-mismatched) vector
+        # must surface as the census's ValueError below, not an ANSI
+        # INVALID_ARRAY_INDEX from the same aggregate racing it
+        mins = [
+            F.min(F.try_element_at(F.col(vec_col), F.lit(c + 1))).alias(f"mn{c}")
+            for c in range(dim)
+        ]
+        maxs = [
+            F.max(F.try_element_at(F.col(vec_col), F.lit(c + 1))).alias(f"mx{c}")
+            for c in range(dim)
+        ]
+        # Validity census rides the SAME scan (r7 contract): the index's
+        # internal invariant is the reference's — fixed dim, finite doubles
+        # (pktree.hpp:1223-1250 fixes dim; raw C arrays cannot hold NULLs).
+        # One NaN would silently poison the root box (min/max propagate it)
+        # and floor() every cell id to null, so build fails loud instead.
+        from pyvectorsearch_spark.functions.vector import vec_is_finite
+
+        invalid = F.coalesce(
+            F.col(vec_col).isNull()
+            | (F.size(F.col(vec_col)) != F.lit(dim))
+            | ~vec_is_finite(F.col(vec_col)),
+            F.lit(True),
+        )
+        row = df.agg(
+            *mins,
+            *maxs,
+            F.count("*").alias("_n"),
+            F.sum(invalid.cast("long")).alias("_bad"),
+        ).first()
         if row["_n"] == 0:
             raise ValueError("cannot build index over an empty DataFrame")
+        if row["_bad"]:
+            raise ValueError(
+                f"cannot build index: {row['_bad']} row(s) have an invalid "
+                f"vector (NULL / NaN / Inf component or dim != {dim}); "
+                "clean or filter the column first"
+            )
         origin = [float(row[f"mn{c}"]) for c in range(dim)]
         extent = max(
             max(float(row[f"mx{c}"]) - origin[c] for c in range(dim)), 1e-12
@@ -821,6 +854,37 @@ class GridIndex:
 
     # ---------------- queries ----------------
 
+    @staticmethod
+    def _guard_queries(
+        queries: DataFrame, query_id: str, query_vec: str, on_invalid: str
+    ) -> DataFrame:
+        """Query-side validity contract (r7): ``on_invalid="error"``
+        (default) makes any NULL/NaN/Inf probe raise with its id —
+        compiled into the projection, zero extra jobs; ``"skip"`` filters
+        invalid probes out. Without this, a NaN probe makes every cell
+        bound comparison false and the search silently returns nothing."""
+        from pyvectorsearch_spark.functions.vector import vec_is_finite
+        from pyvectorsearch_spark.operators.knn import ON_INVALID
+
+        if on_invalid not in ON_INVALID:
+            raise ValueError(
+                f"unknown on_invalid {on_invalid!r}; "
+                f"expected one of {sorted(ON_INVALID)}"
+            )
+        ok = vec_is_finite(F.col(query_vec))
+        if on_invalid == "skip":
+            return queries.filter(ok)
+        guarded = F.when(ok, F.col(query_vec)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("invalid query vector (NULL / NaN / Inf component) id="),
+                    F.coalesce(F.col(query_id).cast("string"), F.lit("NULL")),
+                    F.lit("; pass on_invalid='skip' to drop such probes"),
+                )
+            )
+        )
+        return queries.withColumn(query_vec, guarded)
+
     def knn(
         self,
         queries: DataFrame,
@@ -830,6 +894,7 @@ class GridIndex:
         query_vec: str = "qvec",
         payload: Iterable[str] = (),
         candidates: str = "auto",
+        on_invalid: str = "error",
     ) -> DataFrame:
         """Exact kNN with cell pruning (search_knn analog, pktree.hpp:948-973).
 
@@ -846,6 +911,7 @@ class GridIndex:
         """
         if candidates not in ("auto", "driver", "distributed"):
             raise ValueError(f"unknown candidates mode {candidates!r}")
+        queries = self._guard_queries(queries, query_id, query_vec, on_invalid)
         if candidates == "auto":
             candidates = "driver" if self._stats_is_small() else "distributed"
         if candidates == "distributed":
@@ -889,6 +955,7 @@ class GridIndex:
         query_vec: str = "qvec",
         payload: Iterable[str] = (),
         candidates: str = "auto",
+        on_invalid: str = "error",
     ) -> DataFrame:
         """Exact ε-range with the reference's 3-way cell classification
         (pktree.hpp:1161-1171): reject min>r², accept-whole max≤r², else scan
@@ -898,6 +965,7 @@ class GridIndex:
         ``candidates`` as in :meth:`knn`."""
         if candidates not in ("auto", "driver", "distributed"):
             raise ValueError(f"unknown candidates mode {candidates!r}")
+        queries = self._guard_queries(queries, query_id, query_vec, on_invalid)
         if candidates == "auto":
             candidates = "driver" if self._stats_is_small() else "distributed"
         if candidates == "distributed":

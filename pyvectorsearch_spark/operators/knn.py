@@ -37,9 +37,10 @@ from typing import Iterable, Iterator
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyvectorsearch_spark.functions.vector import cosine_sim, dot, l2_sq
+from pyvectorsearch_spark.functions.vector import cosine_sim, dot, l2_sq, vec_is_finite
 
 METRICS = {"l2_sq", "cosine", "dot"}
+ON_INVALID = {"error", "skip"}
 
 
 def _dim_guarded(score: Column, data_vec: Column, query_vec: Column) -> Column:
@@ -57,6 +58,45 @@ def _dim_guarded(score: Column, data_vec: Column, query_vec: Column) -> Column:
                 F.size(data_vec).cast("string"),
                 F.lit(", query dim="),
                 F.size(query_vec).cast("string"),
+            )
+        )
+    )
+
+
+def _validity_guarded(
+    score: Column, data_vec: Column, query_vec: Column, on_invalid: str
+) -> Column:
+    """NaN/Inf/null-element contract (r7, VERDICT r6 ask #6), compiled into
+    the distance expression like ``_dim_guarded``. The reference's raw C
+    arrays cannot hold NULLs, so Spark must choose explicitly:
+
+    - ``on_invalid="error"`` (default): any NULL vector, NULL element, NaN
+      or ±Inf component on either side raises with a descriptive message —
+      a 100 TB search never silently ranks garbage.
+    - ``on_invalid="skip"``: the distance is nulled and the row dropped
+      from results (callers filter ``dist IS NOT NULL``) — documented
+      null-out for pipelines that tolerate dirty rows.
+
+    Without the guard, a NULL element nulls the distance (sorts FIRST under
+    Spark's asc-nulls-first → rank-1 garbage) and NaN sorts as the largest
+    double (first under desc ordering for cosine/dot)."""
+    if on_invalid not in ON_INVALID:
+        raise ValueError(
+            f"unknown on_invalid {on_invalid!r}; expected one of {sorted(ON_INVALID)}"
+        )
+    ok = vec_is_finite(data_vec) & vec_is_finite(query_vec)
+    if on_invalid == "skip":
+        return F.when(ok, score)
+    return F.when(ok, score).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "invalid vector (NULL / NaN / Inf component) in search; "
+                    "pass on_invalid='skip' to drop such rows. data="
+                ),
+                F.coalesce(data_vec.cast("string"), F.lit("NULL")),
+                F.lit(", query="),
+                F.coalesce(query_vec.cast("string"), F.lit("NULL")),
             )
         )
     )
@@ -84,12 +124,18 @@ def knn_join(
     query_vec: str = "qvec",
     metric: str = "l2_sq",
     payload: Iterable[str] = (),
+    on_invalid: str = "error",
 ) -> DataFrame:
     """Exact k-NN join: for every query row, the k nearest data rows.
 
     Equivalent to the reference's ``search_knn`` with ``sort=true``
     (``include/pktree.hpp:948-973``) run for a batch of query points; ties
     broken by data id so results are deterministic.
+
+    Validity contract (r7): a NULL vector, NULL element, NaN or ±Inf
+    component on either side raises by default; ``on_invalid="skip"``
+    drops such rows from the candidate space instead (see
+    ``_validity_guarded``). Dim-mismatched rows always raise.
 
     Returns ``(query_id, neighbor_id, dist, rank, *payload)``.
     """
@@ -101,7 +147,11 @@ def knn_join(
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec"))
     score, asc = _distance(metric, F.col("_dvec"), F.col("_qvec"))
     score = _dim_guarded(score, F.col("_dvec"), F.col("_qvec"))
+    score = _validity_guarded(score, F.col("_dvec"), F.col("_qvec"), on_invalid)
     pairs = d.crossJoin(F.broadcast(q)).withColumn("dist", score)
+    if on_invalid == "skip":
+        # null dist = invalid row; drop BEFORE ranking so it can't eat a rank
+        pairs = pairs.filter(F.col("dist").isNotNull())
     order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col("neighbor_id").asc()]
     w = Window.partitionBy("query_id").orderBy(*order)
     return (
@@ -121,6 +171,7 @@ def knn_join_blocked(
     query_id: str = "query_id",
     query_vec: str = "qvec",
     metric: str = "l2_sq",
+    on_invalid: str = "error",
 ) -> DataFrame:
     """Exact k-NN join, two-phase: numpy partial top-k per input partition
     (Arrow-batched, BLAS matrix multiply), then a tiny global window.
@@ -129,32 +180,81 @@ def knn_join_blocked(
     final window shuffles ≤ partitions·q·k rows. This is the plan that holds
     at 100 TB; results match ``knn_join`` exactly (same double math, ties by
     neighbor_id).
+
+    Validity contract (r7) as in ``knn_join``: NULL/NaN/Inf on either side
+    raises by default; ``on_invalid="skip"`` drops invalid QUERY rows at
+    the driver and invalid DATA rows inside the kernel before the BLAS
+    block (NaN would otherwise poison whole score columns).
     """
     import numpy as np
     import pandas as pd
 
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}")
+    if on_invalid not in ON_INVALID:
+        raise ValueError(
+            f"unknown on_invalid {on_invalid!r}; expected one of {sorted(ON_INVALID)}"
+        )
     q_rows = queries.select(query_id, query_vec).collect()
-    qids = [r[0] for r in q_rows]
-    qmat = [list(r[1]) for r in q_rows]
+    qids, qmat = [], []
+    for r in q_rows:
+        vec = None if r[1] is None else list(r[1])
+        bad = vec is None or any(v is None for v in vec) or not np.isfinite(
+            np.asarray(vec, dtype=np.float64)
+        ).all()
+        if bad:
+            if on_invalid == "error":
+                raise ValueError(
+                    "invalid vector (NULL / NaN / Inf component) in query "
+                    f"{r[0]!r}; pass on_invalid='skip' to drop such rows"
+                )
+            continue
+        qids.append(r[0])
+        qmat.append(vec)
+    if not qids:
+        return (
+            data.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, dist double, rank int"
+            )
+        )
     sc = data.sparkSession.sparkContext
-    bq = sc.broadcast((qids, qmat, k, metric))
+    bq = sc.broadcast((qids, qmat, k, metric, on_invalid))
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_, qmat_, k_, metric_ = bq.value
+        qids_, qmat_, k_, metric_, on_invalid_ = bq.value
         Q = np.asarray(qmat_, dtype=np.float64)  # (q, dim)
         qn = np.sqrt((Q * Q).sum(axis=1))
         for pdf in batches:
             if not len(pdf):
                 continue
-            dims = {len(v) for v in pdf["_dvec"]}
+            vecs = [
+                None
+                if v is None
+                else np.asarray(v, dtype=np.float64)
+                for v in pdf["_dvec"]
+            ]
+            invalid = [
+                v is None or not np.isfinite(v).all() for v in vecs
+            ]
+            if any(invalid):
+                if on_invalid_ == "error":
+                    bad_id = pdf["neighbor_id"].iloc[invalid.index(True)]
+                    raise ValueError(
+                        "invalid vector (NULL / NaN / Inf component) in data "
+                        f"row {bad_id!r}; pass on_invalid='skip' to drop"
+                    )
+                keep = [not b for b in invalid]
+                pdf = pdf[keep]
+                vecs = [v for v, ok in zip(vecs, keep) if ok]
+                if not len(pdf):
+                    continue
+            dims = {len(v) for v in vecs}
             if dims != {Q.shape[1]}:
                 raise ValueError(
                     f"vector dim mismatch: data dims {sorted(dims)}, "
                     f"query dim {Q.shape[1]}"
                 )
-            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_dvec"]])
+            X = np.asarray(vecs)
             ids = pdf["neighbor_id"].to_numpy()
             if metric_ == "l2_sq":
                 # ‖x‖² + ‖q‖² − 2x·q can lose precision; expand explicitly per
@@ -227,11 +327,16 @@ def range_join(
     query_id: str = "query_id",
     query_vec: str = "qvec",
     payload: Iterable[str] = (),
+    on_invalid: str = "error",
 ) -> DataFrame:
     """Exact ε-range join: all data rows within Euclidean ``radius`` of each
     query. Mirrors ``search_range`` (``include/pktree.hpp:933-939``): the
     radius is Euclidean and squared internally (``:938``), the emitted ``dist``
     is squared L2 like the reference's result pairs.
+
+    Validity contract (r7) as in ``knn_join``: NULL/NaN/Inf raises by
+    default, ``on_invalid="skip"`` drops the row (a NULL distance can
+    never pass ``dist <= r²``).
 
     Returns ``(query_id, neighbor_id, dist, *payload)``.
     """
@@ -243,8 +348,13 @@ def range_join(
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec"))
     pairs = d.crossJoin(F.broadcast(q)).withColumn(
         "dist",
-        _dim_guarded(
-            l2_sq(F.col("_dvec"), F.col("_qvec")), F.col("_dvec"), F.col("_qvec")
+        _validity_guarded(
+            _dim_guarded(
+                l2_sq(F.col("_dvec"), F.col("_qvec")), F.col("_dvec"), F.col("_qvec")
+            ),
+            F.col("_dvec"),
+            F.col("_qvec"),
+            on_invalid,
         ),
     )
     return pairs.filter(F.col("dist") <= float(radius) ** 2).select(
