@@ -23,8 +23,11 @@ def test_long_chain_dispatches_to_twostar(spark):
     from pyvectorsearch_spark.operators.graph import connected_components
 
     stats: dict = {}
+    # start="label" pins the r5 STALL layer in isolation; the r7 degree
+    # census (tests/test_round7_graph_start.py) would otherwise catch this
+    # chain before any label round runs
     comp = connected_components(
-        _chain_pairs(spark, 300), switch_after=4, _stats=stats
+        _chain_pairs(spark, 300), switch_after=4, start="label", _stats=stats
     ).collect()
     assert stats["mode"] == "twostar"
     assert stats["rounds"] == 4  # label rounds spent before the handoff
@@ -34,14 +37,16 @@ def test_long_chain_dispatches_to_twostar(spark):
 
 
 def test_near_clique_stays_on_minlabel(spark):
-    # Near-dup-shaped graph (two triangles): label mode must converge in a
-    # couple of rounds and never hand off — the headline dedup_clusters path.
+    # Near-dup-shaped graph (two 4-cliques): label mode must converge in a
+    # couple of rounds and never hand off — the headline dedup_clusters
+    # path. (r7 note: 4-cliques, not triangles — a triangle is a 3-cycle,
+    # max degree 2, which the r7 degree census legitimately classifies as
+    # cycle-shaped; real dup clusters of size >= 4 keep max degree >= 3.)
     from pyvectorsearch_spark.operators.graph import connected_components
 
-    pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
-        "d1 long, d2 long",
-    )
+    k4a = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    k4b = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    pairs = spark.createDataFrame(k4a + k4b, "d1 long, d2 long")
     stats: dict = {}
     got = {
         r.node: r.cluster
@@ -49,7 +54,7 @@ def test_near_clique_stays_on_minlabel(spark):
     }
     assert stats["mode"] == "label"
     assert stats["rounds"] <= 3
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10}
 
 
 def test_switch_after_none_restores_strict_raise(spark):
