@@ -293,7 +293,13 @@ class GridIndex:
         holds by construction.
         """
         spark = fine.sparkSession
-        fine_counts = fine.groupBy("_fine").count()
+        # eager checkpoint: fine_counts feeds BOTH the cascade seed and the
+        # ancestor-explode join — and, critically, truncates lineage so the
+        # per-level loop below starts from a shallow plan (r7: at
+        # fine_level ≈ 19, a lazy 19-deep persist chain under a 20-part
+        # union made Catalyst optimize O(levels²) nested subplans — the
+        # build stalled minutes in planning/codegen before any data moved)
+        fine_counts = fine.groupBy("_fine").count().localCheckpoint(eager=True)
         s_fine = _slices(fine_level, dim, rr)
         cds = F.transform(
             F.slice(F.split("_fine", CELL_SEP), 2, dim), lambda x: x.cast("long")
@@ -311,7 +317,11 @@ class GridIndex:
 
         inst_parts = []
         for l in range(fine_level, 0, -1):
-            pending = pending.persist()
+            # eager localCheckpoint, not persist: each round's table is tiny
+            # (shrinking n/occupancy rows) but a LAZY chain keeps the full
+            # 19-deep plan alive in every union branch — plan-size blowup,
+            # not data, was the deep-index bottleneck (see fine_counts note)
+            pending = pending.localCheckpoint(eager=True)
             inst_parts.append(
                 pending.filter(F.col("cnt") >= rank).select(
                     F.lit(l).alias("lvl"), cell_id(l).alias("anc"), "cds", "cnt"

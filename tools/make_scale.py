@@ -128,7 +128,14 @@ def scale_tables(spark: SparkSession, src: str, factor: int) -> dict[str, DataFr
             ).otherwise(w),
         )
         n = F.size(renamed)
-        r = F.lit(i)  # every doc has >= 10 words at sf0.1, so r < n always
+        # rotate by i % 10 (every doc has >= 10 words at sf0.1, so r < n
+        # always — including factor > 10, r7). Copies sharing a rotation
+        # (i, i+10, ...) still diverge: the 30% word-type rename is keyed
+        # per copy (shared-shingle rate ~(0.7²)³ ≈ 12% → Jaccard ~0.06,
+        # far under every threshold) and the zq{i} salt token differs, so
+        # no cross-copy exact/near twins appear as a data artifact.
+        # Identical to the r4 transform for factor <= 10 (i % 10 == i).
+        r = F.lit(i % 10)
         rotated = F.concat(
             F.slice(renamed, r + 1, n - r),
             F.slice(renamed, F.lit(1), r),
@@ -145,8 +152,16 @@ def scale_tables(spark: SparkSession, src: str, factor: int) -> dict[str, DataFr
             return df
         a = F.col("embedding")
         n = F.size(a)
-        r = F.lit(i)
+        # (roll by i % 50, negate for i >= 50): both orthogonal, so
+        # within-copy distances/cosines are EXACTLY preserved; the (roll,
+        # sign) pair is unique per copy up to factor 100, so no two copies
+        # apply the same transform (a plain roll wraps at dim=64 and would
+        # plant exact cross-copy twins — r7 fix). Identical to the r4
+        # transform for factor <= 10.
+        r = F.lit(i % 50)
         rolled = F.concat(F.slice(a, r + 1, n - r), F.slice(a, F.lit(1), r))
+        if i >= 50:
+            rolled = F.transform(rolled, lambda x: -x)
         return df.select(
             _off("vec_id", i), rolled.alias("embedding"), "label"
         )
@@ -182,6 +197,9 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # factor-100 plans are 100-way unions of wide projections — the 1g
+        # default driver heap OOMs compiling/collecting them (r7)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
