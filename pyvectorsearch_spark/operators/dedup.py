@@ -525,6 +525,27 @@ def hamming_candidate_stats(
     ``hamming_pairs_auto``; same Σn² machinery as
     ``plans.scale.key_skew_report``. At 100 TB run it on a uniform hash
     sample and scale cand_pairs by 1/frac² — density is scale-free."""
+    row = hamming_candidate_stats_df(
+        hashes,
+        hash_col=hash_col,
+        bits=bits,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    ).collect()[0]
+    return {"n_docs": int(row["n"] or 0), "cand_pairs": int(row["cand"] or 0)}
+
+
+def hamming_candidate_stats_df(
+    hashes: DataFrame,
+    *,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """One-row DataFrame form of :func:`hamming_candidate_stats` —
+    ``(cand, n)`` — so the dispatch diagnostics are themselves a
+    registerable, oracle-checkable query."""
     b = _n_chunks(bits, max_hamming, n_blocks)
     sh = hashes.select(F.col(hash_col).alias("_h"))
     keyed = sh.select(F.explode(_pigeonhole_chunks("_h", bits, b)).alias("c")).select(
@@ -533,14 +554,13 @@ def hamming_candidate_stats(
     per_bucket = keyed.groupBy("blk", "val").agg(
         F.count("*").cast("bigint").alias("_nk")
     )
-    row = per_bucket.agg(
+    return per_bucket.agg(
         F.sum(F.col("_nk") * (F.col("_nk") - 1) / 2).cast("bigint").alias("cand"),
         # each doc contributes exactly one row to chunk 0 → Σ_nk|blk=0 = n
         F.sum(F.when(F.col("blk") == 0, F.col("_nk")).otherwise(F.lit(0)))
         .cast("bigint")
         .alias("n"),
-    ).collect()[0]
-    return {"n_docs": int(row["n"] or 0), "cand_pairs": int(row["cand"] or 0)}
+    )
 
 
 # Above this corpus size the GEMM kernel's driver collect + broadcast

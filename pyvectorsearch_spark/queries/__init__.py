@@ -6,6 +6,7 @@ Modules register via the ``QUERIES`` / ``ORACLES`` dicts they export;
 """
 
 from pyvectorsearch_spark.queries import (  # noqa: F401
+    round7_extra,
     analytic_extra,
     audit_extra,
     basket_extra,
@@ -112,7 +113,8 @@ _MODULES = [
     quality_wave3,  # likewise (round-4 stats additions, kept out of the window)
     ml_extra,  # likewise (oracle-checked full-batch GD training loop)
     streaming_tws,  # conditionally empty: registers transformWithState only
-    # when the container has protobuf (re-checked r5 — absent; see module)
+    # when the container has protobuf (re-checked r5/r6/r7 — absent; see module)
+    round7_extra,  # likewise (kernel-dispatch density census)
 ]
 
 

@@ -1,0 +1,88 @@
+"""Round-7 queries (outside the driver's pinned 50-entry window; covered by
+tests/test_oracle_parity.py).
+
+``dedup_simhash_density`` — the density-adaptive kernel dispatch
+(VERDICT r6 ask #2) as an oracle-checked report: the pigeonhole
+candidate census (Σ C(n_k, 2) over (chunk, value) buckets of the 60-bit
+SimHash fingerprints), the pair-space density, and the kernel the
+dispatcher would pick. The whole decision — md5 fingerprints included —
+is integer-exact across engines, so the dispatch input itself
+hash-checks against DuckDB: the planner's cost model is a query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.operators.dedup import (
+    DENSITY_CUTOFF,
+    GEMM_MAX_N,
+    SIMHASH_BITS,
+    hamming_candidate_stats_df,
+    simhash_64,
+)
+from pyvectorsearch_spark.queries.dedup import MAX_HAMMING, _simhash_oracle
+from pyvectorsearch_spark.sources.tables import load_table, spread
+
+
+def q_dedup_simhash_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_docs, cand_pairs, full_pairs, density_r, kernel).
+
+    Scale shape: simhash is one map-side Arrow pass; the census is one
+    explode (max_hamming+1 rows/doc) + two bounded aggregates — the same
+    cost class as one round of the bucketed join's first stage, i.e. the
+    estimate is always affordable before committing to either kernel."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = simhash_64(docs)
+    st = hamming_candidate_stats_df(
+        sh, hash_col="simhash", bits=SIMHASH_BITS, max_hamming=MAX_HAMMING
+    )
+    full = (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+    density = F.when(full > 0, F.col("cand") / full).otherwise(F.lit(0.0))
+    dense = (F.col("n") > 1) & (F.col("n") <= GEMM_MAX_N) & (
+        density >= DENSITY_CUTOFF
+    )
+    return st.select(
+        F.col("n").alias("n_docs"),
+        F.col("cand").alias("cand_pairs"),
+        full.alias("full_pairs"),
+        F.round(density, 6).alias("density_r"),
+        F.when(dense, F.lit("gemm")).otherwise(F.lit("bucketed")).alias("kernel"),
+    )
+
+
+def _density_oracle() -> str:
+    """Same census in DuckDB: reuse the simhash CTE chain from the
+    dedup_simhash oracle (everything up to ``sh``), then chunk-split and
+    count. MAX_HAMMING=9 over 60 bits → 10 chunks of exactly 6 bits."""
+    b = MAX_HAMMING + 1
+    bounds = [(SIMHASH_BITS * j) // b for j in range(b + 1)]
+    widths = {bounds[j + 1] - bounds[j] for j in range(b)}
+    assert widths == {6}, widths  # 60/10: uniform 6-bit chunks
+    base = _simhash_oracle()
+    # keep the WITH ... sh AS (...) prefix, drop the final SELECT
+    prefix = base[: base.rindex("SELECT a.doc_id")]
+    return f"""{prefix}, chunks AS (
+  SELECT b, (simhash >> (6 * b)) & 63 AS val
+  FROM sh, unnest(range(0, {b})) AS u(b)
+),
+buckets AS (SELECT b, val, count(*)::BIGINT AS nk FROM chunks GROUP BY b, val),
+census AS (
+  SELECT sum(nk * (nk - 1) / 2)::BIGINT AS cand,
+         sum(CASE WHEN b = 0 THEN nk ELSE 0 END)::BIGINT AS n
+  FROM buckets
+)
+SELECT n AS n_docs, cand AS cand_pairs,
+       (n * (n - 1) / 2)::BIGINT AS full_pairs,
+       round(CASE WHEN n > 1 THEN cand / (n * (n - 1) / 2.0) ELSE 0.0 END, 6)
+         AS density_r,
+       CASE WHEN n > 1 AND n <= {GEMM_MAX_N}
+                 AND cand / (n * (n - 1) / 2.0) >= {DENSITY_CUTOFF}
+            THEN 'gemm' ELSE 'bucketed' END AS kernel
+FROM census
+"""
+
+
+QUERIES = {"dedup_simhash_density": q_dedup_simhash_density}
+ORACLES = {"dedup_simhash_density": _density_oracle()}

@@ -2,7 +2,8 @@
 
 Spark 4's ``transformWithStateInPandas`` needs ``google.protobuf`` for its
 Python state-server protocol. This container does not ship protobuf
-(re-checked round 5: ``import google.protobuf`` → ModuleNotFoundError), so
+(re-checked rounds 5, 6 AND 7: ``import google.protobuf`` →
+ModuleNotFoundError), so
 the module registers its query only when ``tws_available()`` — the moment
 the environment gains protobuf, ``events_minmax_tws_stream`` turns on with
 a plain batch-SQL oracle and zero code changes. The accumulation logic

@@ -174,3 +174,25 @@ def test_empty_and_single_doc(spark):
         ).count()
         == 0
     )
+
+
+def test_density_query_matches_estimator(spark):
+    """The registered report and the dispatch's own estimator agree on the
+    same corpus (same fingerprints, same census)."""
+    from pyvectorsearch_spark.operators.dedup import simhash_64
+    from pyvectorsearch_spark.queries.dedup import MAX_HAMMING
+    from pyvectorsearch_spark.queries.round7_extra import q_dedup_simhash_density
+    from pyvectorsearch_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    row = q_dedup_simhash_density(spark, sf).collect()[0]
+    docs = load_table(spark, sf, "documents")
+    st = hamming_candidate_stats(
+        simhash_64(docs), id_col="doc_id", hash_col="simhash",
+        bits=SIMHASH_BITS, max_hamming=MAX_HAMMING,
+    )
+    assert row.n_docs == st["n_docs"]
+    assert row.cand_pairs == st["cand_pairs"]
+    assert row.full_pairs == st["n_docs"] * (st["n_docs"] - 1) // 2
+    assert row.kernel in ("gemm", "bucketed")
+    assert 0.0 <= row.density_r
