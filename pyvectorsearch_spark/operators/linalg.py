@@ -103,3 +103,85 @@ def _one_round(
     return ex.groupBy("j").agg(
         F.round(F.sum(F.col("_xj") * F.col("_s")), round_dp).alias("w")
     )
+
+
+def covariance_matrix(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Upper-triangle covariance matrix of an embedding column —
+    whitening/PCA prep as one corpus pass. Returns ``(i, j, cov_r)`` with
+    j ≥ i (dim·(dim+1)/2 rows).
+
+    Scale shape (the partition-Gram pattern the GEMM kernels use): each
+    partition reduces to ONE flattened d×d Gram block + d-vector sum +
+    count via an Arrow-batched numpy kernel (X enters BLAS, never a
+    per-element explode — the naive posexplode self-join would shuffle
+    n·d² rows, 10¹² at 100 TB, vs ~partitions·d² here). The blocks sum
+    element-wise in a dim²-keyed aggregate; cov_ij = Σxy/n − x̄ᵢx̄ⱼ is a
+    final dim²-sized projection. Cross-partition float sums reassociate,
+    so values round to ``round_dp`` — drift is ~1e-13 relative at any
+    partitioning, the same argument every sum-bearing oracle here uses."""
+    import pandas as pd
+
+    d = int(dim)
+
+    def gram(batches):
+        import numpy as np
+
+        G = np.zeros((d, d))
+        s = np.zeros(d)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            G += X.T @ X
+            s += X.sum(axis=0)
+            n += len(X)
+        if n:
+            yield pd.DataFrame(
+                {"g": [G.reshape(-1).tolist()], "s": [s.tolist()], "n": [n]}
+            )
+
+    parts = df.select(F.col(vec_col).cast("array<double>").alias("_v")).mapInPandas(
+        gram, schema="g array<double>, s array<double>, n long"
+    )
+    gsum = (
+        parts.select(F.posexplode("g").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.sum("val").alias("gs"))
+    )
+    ssum = (
+        parts.select(F.posexplode("s").alias("i", "val"))
+        .groupBy("i")
+        .agg(F.sum("val").alias("ss"))
+    )
+    ntot = parts.agg(F.sum("n").alias("nn"))
+    ij = gsum.select(
+        (F.col("idx") / d).cast("long").alias("i"),
+        (F.col("idx") % d).cast("long").alias("j"),
+        "gs",
+    ).filter(F.col("j") >= F.col("i"))
+    si = ssum.select(F.col("i").cast("long").alias("i"), F.col("ss").alias("si"))
+    sj = ssum.select(F.col("i").cast("long").alias("j"), F.col("ss").alias("sj"))
+    return (
+        ij.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("gs") / F.col("nn")
+                - (F.col("si") / F.col("nn")) * (F.col("sj") / F.col("nn")),
+                round_dp,
+            ).alias("cov_r"),
+        )
+        .orderBy("i", "j")
+    )

@@ -84,5 +84,51 @@ FROM census
 """
 
 
-QUERIES = {"dedup_simhash_density": q_dedup_simhash_density}
-ORACLES = {"dedup_simhash_density": _density_oracle()}
+EMB_DIM = 64
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening/PCA prep: the upper-triangle covariance matrix of the
+    embedding table as one partition-Gram pass (see
+    ``operators.linalg.covariance_matrix`` for the 100 TB shape — BLAS
+    per partition, ~partitions·d² rows shuffled, never n·d²)."""
+    from pyvectorsearch_spark.operators.linalg import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, vec_col="embedding", dim=EMB_DIM)
+
+
+def _covariance_oracle() -> str:
+    """Same covariance in DuckDB via the naive n·d² unnest (fine at oracle
+    scale), rounded identically."""
+    d = EMB_DIM
+    return f"""
+WITH ex AS (
+  SELECT u.i AS i, v.j AS j,
+         CAST(e.embedding[u.i + 1] AS DOUBLE)
+           * CAST(e.embedding[v.j + 1] AS DOUBLE) AS xy
+  FROM embeddings e, unnest(range(0, {d})) u(i), unnest(range(0, {d})) v(j)
+  WHERE v.j >= u.i
+),
+g AS (SELECT i, j, sum(xy) AS gs, count(*) AS n FROM ex GROUP BY i, j),
+m AS (
+  SELECT u.i AS i, avg(CAST(e.embedding[u.i + 1] AS DOUBLE)) AS mean
+  FROM embeddings e, unnest(range(0, {d})) u(i) GROUP BY u.i
+)
+SELECT g.i, g.j,
+       -- + 0.0 folds DuckDB's -0.0 (round of a tiny negative) onto +0.0,
+       -- matching Spark's round
+       round(g.gs / g.n - mi.mean * mj.mean, 6) + 0.0 AS cov_r
+FROM g JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
+ORDER BY g.i, g.j
+"""
+
+
+QUERIES = {
+    "dedup_simhash_density": q_dedup_simhash_density,
+    "embedding_covariance": q_embedding_covariance,
+}
+ORACLES = {
+    "dedup_simhash_density": _density_oracle(),
+    "embedding_covariance": _covariance_oracle(),
+}
