@@ -21,7 +21,7 @@ order matches ``duckdb_dot`` exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.functions.vector import cosine_sim
@@ -232,3 +232,97 @@ def maxsim_topk(
             F.col("_s").alias("maxsim_r"),
         )
     )
+
+
+def margin_mining(
+    x: DataFrame,
+    y: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Margin-based candidate-pair mining (Artetxe & Schwenk, ACL 2019 —
+    the bitext-mining scorer behind CCMatrix/LASER): for each x row, its
+    best y match scored by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgF(x) + avgB(y)) / 2)
+
+    where avgF(x) is the mean cosine of x's k nearest y's and avgB(y) the
+    mean cosine of y's k nearest x's. Raw cosine over-selects hubs (rows
+    near everything); the margin normalizes by each side's local density so
+    a match counts only if it stands OUT of its neighborhood — the standard
+    mined-parallel-data filter (margin > ~1.06 in the papers).
+
+    Both direction windows read the SAME x-broadcast pair table, so the
+    plan is one |x|·|y| scored stream -> two window ranks -> one broadcast
+    re-join; y never re-exchanges. The documented regime is |x| small
+    (a query batch / one language's shard): x broadcasts, cost is linear
+    in |y|. For corpus x corpus mining, pre-bucket both sides with the
+    angular IVF of `dedup_embedding_cosine` and run per bucket — the
+    margin is local by construction, so bucket-local kNN preserves it.
+
+    Determinism ladder: cosines round to ``round_dp`` before ranking
+    (ties by id asc); the two top-k means round again; the final margin
+    division rounds once more — every comparison engine-exact.
+
+    Returns (x_id, y_id, cos_r, margin_r, mutual) — one row per x, its
+    forward-best y; ``mutual`` marks pairs where x is also y's best x
+    (the intersection criterion of the paper's §3.2)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    xs = x.select(F.col(id_col).alias("_xid"), F.col(vec_col).alias("_xv"))
+    ys = y.select(F.col(id_col).alias("_yid"), F.col(vec_col).alias("_yv"))
+    pairs = ys.crossJoin(F.broadcast(xs)).select(
+        "_xid",
+        "_yid",
+        F.round(cosine_sim("_xv", "_yv"), round_dp).alias("_c"),
+    )
+    wf = Window.partitionBy("_xid").orderBy(F.desc("_c"), F.asc("_yid"))
+    wb = Window.partitionBy("_yid").orderBy(F.desc("_c"), F.asc("_xid"))
+    from pyvectorsearch_spark.plans.cachepool import pooled_persist
+
+    ranked = pairs.withColumn("_rf", F.row_number().over(wf)).withColumn(
+        "_rb", F.row_number().over(wb)
+    )
+    # three downstream legs (fwd avg, bwd avg, best) re-read the scored
+    # ranks inside one action; bounded pool per ADVICE r6
+    ranked = pooled_persist(ranked)
+    # top-k mean as a SORTED left fold, not F.avg: distributed avg adds
+    # partials in nondeterministic order (the ADVICE-r6 GD lesson); folding
+    # the sorted k values makes the mean bit-identical on both engines
+    def _sorted_mean(col: str) -> Column:
+        s = F.aggregate(
+            F.array_sort(F.collect_list(col)), F.lit(0.0), lambda a, v: a + v
+        )
+        return F.round(s / F.lit(float(k)), round_dp)
+
+    fwd_avg = (
+        ranked.filter(F.col("_rf") <= k)
+        .groupBy("_xid")
+        .agg(_sorted_mean("_c").alias("_af"))
+    )
+    bwd_avg = (
+        ranked.filter(F.col("_rb") <= k)
+        .groupBy("_yid")
+        .agg(_sorted_mean("_c").alias("_ab"))
+    )
+    best = ranked.filter(F.col("_rf") == 1).select(
+        "_xid", "_yid", "_c", (F.col("_rb") == 1).alias("mutual")
+    )
+    out = (
+        best.join(F.broadcast(fwd_avg), "_xid")
+        .join(bwd_avg, "_yid")
+        .select(
+            F.col("_xid").alias("x_id"),
+            F.col("_yid").alias("y_id"),
+            F.col("_c").alias("cos_r"),
+            F.round(
+                F.col("_c") / ((F.col("_af") + F.col("_ab")) / F.lit(2.0)),
+                round_dp,
+            ).alias("margin_r"),
+            "mutual",
+        )
+    )
+    return out

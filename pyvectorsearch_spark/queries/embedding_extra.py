@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyvectorsearch_spark.functions.vector import duckdb_dot, duckdb_l2_sq
+from pyvectorsearch_spark.functions.vector import (
+    duckdb_cosine,
+    duckdb_dot,
+    duckdb_l2_sq,
+)
 from pyvectorsearch_spark.operators.embeddings import centroid_outliers
 from pyvectorsearch_spark.sources.tables import load_table, spread
 
@@ -1456,3 +1460,64 @@ FROM per p CROSS JOIN tot t ORDER BY p.source
 
 QUERIES.update({"embedding_mmd_by_source": q_embedding_mmd_by_source})
 ORACLES.update({"embedding_mmd_by_source": _mmd_by_source_oracle()})
+
+
+# --- Margin-based pair mining (bitext-mining scorer) --------------------------
+
+MINE_K = 4
+MINE_X_BOUND = 200  # anchors: label-0 rows with vec_id < 200 (batch side)
+
+
+def q_embedding_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based candidate-pair mining (Artetxe & Schwenk, ACL 2019):
+    label-0 anchors vs the label-1 pool, each anchor matched to its best
+    pool row by the ratio margin cos / (mean of both sides' local top-k
+    cosines) — the CCMatrix/LASER mined-parallel-data filter, which demotes
+    hub vectors that raw cosine over-selects. `mutual` marks pairs that are
+    each other's best match (the paper's intersection criterion)."""
+    from pyvectorsearch_spark.operators.embeddings import margin_mining
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    x = emb.filter((F.col("label") == 0) & (F.col("vec_id") < MINE_X_BOUND))
+    y = emb.filter(F.col("label") == 1)
+    return margin_mining(x, y, k=MINE_K, round_dp=ROUND_DP).orderBy("x_id")
+
+
+_MINE_COS = duckdb_cosine("x.xv", "y.yv", DIM)
+
+ORACLE_EMBEDDING_MARGIN_MINING = f"""
+WITH x AS (
+  SELECT vec_id AS xid, embedding AS xv FROM embeddings
+  WHERE label = 0 AND vec_id < {MINE_X_BOUND}
+),
+y AS (SELECT vec_id AS yid, embedding AS yv FROM embeddings WHERE label = 1),
+pairs AS (
+  SELECT x.xid, y.yid, round({_MINE_COS}, {ROUND_DP}) AS c
+  FROM x CROSS JOIN y
+),
+r AS (
+  SELECT xid, yid, c,
+         row_number() OVER (PARTITION BY xid ORDER BY c DESC, yid ASC) AS rf,
+         row_number() OVER (PARTITION BY yid ORDER BY c DESC, xid ASC) AS rb
+  FROM pairs
+),
+af AS (
+  SELECT xid, round(list_sum(list(c ORDER BY c)) / {MINE_K}.0,
+               {ROUND_DP}) AS af
+  FROM r WHERE rf <= {MINE_K} GROUP BY xid
+),
+ab AS (
+  SELECT yid, round(list_sum(list(c ORDER BY c)) / {MINE_K}.0,
+               {ROUND_DP}) AS ab
+  FROM r WHERE rb <= {MINE_K} GROUP BY yid
+),
+best AS (SELECT xid, yid, c, (rb = 1) AS mutual FROM r WHERE rf = 1)
+SELECT b.xid AS x_id, b.yid AS y_id, b.c AS cos_r,
+       round(b.c / ((af.af + ab.ab) / 2.0), {ROUND_DP}) AS margin_r,
+       b.mutual
+FROM best b JOIN af USING (xid) JOIN ab USING (yid)
+ORDER BY x_id
+"""
+
+QUERIES.update({"embedding_margin_mining": q_embedding_margin_mining})
+ORACLES.update({"embedding_margin_mining": ORACLE_EMBEDDING_MARGIN_MINING})

@@ -1612,3 +1612,64 @@ FROM probed
 
 QUERIES.update({"dedup_cdc_ingest": q_dedup_cdc_ingest})
 ORACLES.update({"dedup_cdc_ingest": _oracle_cdc_ingest()})
+
+
+# --- ROUGE-N over near-dup candidate pairs ------------------------------------
+
+ROUGE_N = 2
+
+
+def q_text_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (Lin 2004) over the Jaccard near-dup candidate pairs:
+    clipped bigram-multiset overlap grading each candidate pair by CONTENT
+    overlap, where set-Jaccard saturates — the pair-level quality metric a
+    curation pipeline attaches to its dedup candidates (and the standard
+    summarization metric, reused). recall/precision/F1 are ratios of
+    integer counts, engine-exact before one final rounded division."""
+    from pyvectorsearch_spark.operators.dedup import jaccard_similarity_pairs
+    from pyvectorsearch_spark.operators.textops import rouge_n_pairs
+    from pyvectorsearch_spark.queries.dedup import JACCARD_THRESHOLD
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_similarity_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return rouge_n_pairs(docs, pairs, n=ROUGE_N).orderBy("d1", "d2")
+
+
+def _oracle_rouge_pairs() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_word_ngrams
+    from pyvectorsearch_spark.queries.dedup import _JACCARD_CTES
+
+    ng = duckdb_word_ngrams("t", ROUGE_N)
+    return f"""
+WITH {_JACCARD_CTES},
+p AS (SELECT d1, d2 FROM jpairs),
+ids AS (SELECT d1 AS doc FROM p UNION SELECT d2 FROM p),
+g AS (
+  SELECT doc_id AS doc, unnest({ng}) AS gr
+  FROM toks WHERE doc_id IN (SELECT doc FROM ids)
+),
+gc AS (SELECT doc, gr, count(*)::BIGINT AS c FROM g GROUP BY doc, gr),
+tot AS (SELECT doc, sum(c)::BIGINT AS t FROM gc GROUP BY doc),
+clip AS (
+  SELECT p.d1, p.d2, sum(least(a.c, b.c))::BIGINT AS cl
+  FROM p
+  JOIN gc a ON a.doc = p.d1
+  JOIN gc b ON b.doc = p.d2 AND b.gr = a.gr
+  GROUP BY p.d1, p.d2
+)
+SELECT p.d1, p.d2,
+       coalesce(cl, 0)::BIGINT AS clip,
+       round(coalesce(cl, 0) / CAST(t1.t AS DOUBLE), 6) AS rouge_recall_r,
+       round(coalesce(cl, 0) / CAST(t2.t AS DOUBLE), 6) AS rouge_precision_r,
+       round(2.0 * coalesce(cl, 0) / CAST(t1.t + t2.t AS DOUBLE), 6)
+         AS rouge_f1_r
+FROM p
+LEFT JOIN clip ON clip.d1 = p.d1 AND clip.d2 = p.d2
+JOIN tot t1 ON t1.doc = p.d1
+JOIN tot t2 ON t2.doc = p.d2
+ORDER BY p.d1, p.d2
+"""
+
+
+QUERIES.update({"text_rouge_pairs": q_text_rouge_pairs})
+ORACLES.update({"text_rouge_pairs": _oracle_rouge_pairs()})
