@@ -1524,3 +1524,258 @@ def rouge_n_pairs(
         )
     )
     return out
+
+
+def bleu_n_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    max_n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_col: str = "d1",
+    cand_col: str = "d2",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Sentence-BLEU (Papineni et al. ACL'02) between candidate document
+    pairs, orders 1..``max_n`` — the self-BLEU diversity statistic (Zhu et
+    al. SIGIR'18) when run over a corpus's own near-dup candidate pairs:
+    high BLEU against another corpus document = low diversity / templated
+    text, the signal a curation pipeline uses to down-weight boilerplate.
+
+    Per pair (ref, cand): p_n = clipped n-gram matches / cand n-gram count
+    (both INTEGER counts — Σ_g min(cnt_ref(g), cnt_cand(g)) like ROUGE's
+    clip); brevity penalty BP = 1 if c > r else exp(1 - r/c) with r/c the
+    ref/cand unigram counts; BLEU = BP · (Π p_n)^(1/max_n), 0 when any
+    p_n = 0 (unsmoothed, the reference definition). For max_n = 2 the
+    geometric mean is sqrt(p1·p2): IEEE sqrt/·// are correctly rounded, so
+    the only cross-engine wobble is exp()'s final ulp, absorbed by rounding
+    BP to 9 dp before the product (the repo's rounding-ladder rule).
+
+    Scale shape: identical to ``rouge_n_pairs`` — gram counting is one
+    map-side-combined aggregate SEMI-joined down to the docs that appear in
+    ``pairs``; the per-order gram streams union into ONE shuffle keyed
+    (doc, order, gram); nothing touches raw text after the first scan.
+
+    Returns (``ref_col``, ``cand_col``, clip_1..clip_N, p_1_r..p_N_r,
+    bp_r, bleu_r); zero-overlap pairs keep a row with bleu_r = 0."""
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    from pyvectorsearch_spark.functions.text import tokens, word_ngrams
+
+    ns = list(range(1, max_n + 1))
+    p = pairs.select(F.col(ref_col).alias("_d1"), F.col(cand_col).alias("_d2"))
+    ids = (
+        p.select(F.col("_d1").alias("_doc"))
+        .unionByName(p.select(F.col("_d2").alias("_doc")))
+        .distinct()
+    )
+    tk = df.select(
+        F.col(id_col).alias("_doc"), tokens(text_col).alias("_tok")
+    ).join(ids, "_doc", "left_semi")
+    grams = None
+    for n in ns:
+        gn = tk.select(
+            "_doc",
+            F.lit(n).alias("_n"),
+            F.explode(word_ngrams(F.col("_tok"), n)).alias("_g"),
+        )
+        grams = gn if grams is None else grams.unionByName(gn)
+    gc = grams.groupBy("_doc", "_n", "_g").agg(F.count("*").alias("_c"))
+    tot = gc.groupBy("_doc", "_n").agg(F.sum("_c").alias("_tot"))
+    clip = (
+        p.join(
+            gc.select(
+                F.col("_doc").alias("_d1"), "_n", "_g", F.col("_c").alias("_c1")
+            ),
+            "_d1",
+        )
+        .join(
+            gc.select(
+                F.col("_doc").alias("_d2"), "_n", "_g", F.col("_c").alias("_c2")
+            ),
+            ["_d2", "_n", "_g"],
+        )
+        .groupBy("_d1", "_d2", "_n")
+        .agg(F.sum(F.least("_c1", "_c2")).alias("_clip"))
+        .groupBy("_d1", "_d2")
+        .pivot("_n", ns)
+        .agg(F.first("_clip"))
+    )
+    clip = clip.select(
+        "_d1", "_d2", *[F.col(str(n)).alias(f"_clip{n}") for n in ns]
+    )
+    # cand-side denominators per order + ref/cand unigram counts
+    out = p.join(clip, ["_d1", "_d2"], "left")
+    for n in ns:
+        tn = tot.filter(F.col("_n") == n).select(
+            F.col("_doc").alias("_d2"), F.col("_tot").alias(f"_den{n}")
+        )
+        out = out.join(tn, "_d2", "left")
+    r1 = tot.filter(F.col("_n") == 1).select(
+        F.col("_doc").alias("_d1"), F.col("_tot").alias("_r")
+    )
+    out = out.join(r1, "_d1", "left")
+    c = F.coalesce(F.col("_den1"), F.lit(0)).cast("double")
+    r = F.coalesce(F.col("_r"), F.lit(0)).cast("double")
+    bp = F.when(c > r, F.lit(1.0)).otherwise(F.round(F.exp(1.0 - r / c), 9))
+    pcols = [
+        F.coalesce(F.col(f"_clip{n}"), F.lit(0))
+        / F.coalesce(F.col(f"_den{n}"), F.lit(0)).cast("double")
+        for n in ns
+    ]
+    geo = pcols[0]
+    for pc in pcols[1:]:
+        geo = geo * pc
+    geo = F.pow(geo, 1.0 / max_n) if max_n > 2 else (
+        F.sqrt(geo) if max_n == 2 else geo
+    )
+    all_pos = F.lit(True)
+    for n in ns:
+        all_pos = all_pos & (
+            F.coalesce(F.col(f"_clip{n}"), F.lit(0)) > 0
+        ) & (F.coalesce(F.col(f"_den{n}"), F.lit(0)) > 0)
+    sel = [
+        F.col("_d1").alias(ref_col),
+        F.col("_d2").alias(cand_col),
+    ]
+    for n in ns:
+        sel.append(
+            F.coalesce(F.col(f"_clip{n}"), F.lit(0)).cast("bigint").alias(f"clip_{n}")
+        )
+        sel.append(
+            F.when(
+                F.coalesce(F.col(f"_den{n}"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce(F.col(f"_clip{n}"), F.lit(0))
+                    / F.col(f"_den{n}").cast("double"),
+                    round_dp,
+                ),
+            ).otherwise(F.lit(0.0)).alias(f"p_{n}_r")
+        )
+    sel.append(F.when(c > 0, F.round(bp, round_dp)).otherwise(F.lit(0.0)).alias("bp_r"))
+    sel.append(
+        F.when(all_pos, F.round(bp * geo, round_dp)).otherwise(F.lit(0.0)).alias("bleu_r")
+    )
+    return out.select(*sel)
+
+
+def chrf_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    max_n: int = 6,
+    beta: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_col: str = "d1",
+    cand_col: str = "d2",
+    round_dp: int = 6,
+) -> DataFrame:
+    """chrF (Popović, WMT'15) between candidate document pairs: clipped
+    CHARACTER n-gram precision/recall for n = 1..``max_n``, arithmetic-mean
+    combined, F-beta'd (β = 2 weights recall double — the WMT standard).
+    Char grams make the score robust to tokenization/morphology drift where
+    the word-gram metrics (ROUGE/BLEU) fracture — the third pair-grading
+    lens a curation pipeline attaches to its near-dup candidates.
+
+    Per pair and order n: clip_n = Σ_g min(cnt_ref(g), cnt_cand(g)) over
+    char n-grams WITH multiplicity (``chargrams`` normalization: lowercase,
+    [^a-z0-9 ] stripped); p_n = clip_n/|cand grams_n|, r_n =
+    clip_n/|ref grams_n| (0 when the side has no grams of that order).
+    P = (p_1 + ... + p_N)/N summed in WRITTEN order (fixed-order IEEE adds,
+    bit-identical across engines — no aggregate over the orders), R
+    likewise, chrF = (1+β²)·P·R / (β²·P + R), 0 when the denominator is 0.
+    Unlike BLEU there is NO exp/log anywhere: every operation is a
+    correctly-rounded IEEE add/mul/div, so parity is exact by construction.
+
+    Scale shape: identical to ``rouge_n_pairs``/``bleu_n_pairs`` — one
+    gram-count aggregate SEMI-joined to the paired docs, all orders riding
+    ONE shuffle keyed (doc, order, gram); raw text is touched once.
+
+    Returns (``ref_col``, ``cand_col``, chrf_p_r, chrf_r_r, chrf_r);
+    zero-overlap pairs keep a row (score 0) via the left join."""
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    from pyvectorsearch_spark.functions.text import chargrams
+
+    ns = list(range(1, max_n + 1))
+    b2 = beta * beta
+    p = pairs.select(F.col(ref_col).alias("_d1"), F.col(cand_col).alias("_d2"))
+    ids = (
+        p.select(F.col("_d1").alias("_doc"))
+        .unionByName(p.select(F.col("_d2").alias("_doc")))
+        .distinct()
+    )
+    tk = df.select(F.col(id_col).alias("_doc"), F.col(text_col).alias("_t")).join(
+        ids, "_doc", "left_semi"
+    )
+    grams = None
+    for n in ns:
+        gn = tk.select(
+            "_doc",
+            F.lit(n).alias("_n"),
+            F.explode(chargrams(F.col("_t"), n)).alias("_g"),
+        )
+        grams = gn if grams is None else grams.unionByName(gn)
+    gc = grams.groupBy("_doc", "_n", "_g").agg(F.count("*").alias("_c"))
+    tot = (
+        gc.groupBy("_doc", "_n")
+        .agg(F.sum("_c").alias("_tot"))
+        .groupBy("_doc")
+        .pivot("_n", ns)
+        .agg(F.first("_tot"))
+        .select("_doc", *[F.col(str(n)).alias(f"_t{n}") for n in ns])
+    )
+    clip = (
+        p.join(
+            gc.select(F.col("_doc").alias("_d1"), "_n", "_g", F.col("_c").alias("_c1")),
+            "_d1",
+        )
+        .join(
+            gc.select(F.col("_doc").alias("_d2"), "_n", "_g", F.col("_c").alias("_c2")),
+            ["_d2", "_n", "_g"],
+        )
+        .groupBy("_d1", "_d2", "_n")
+        .agg(F.sum(F.least("_c1", "_c2")).alias("_clip"))
+        .groupBy("_d1", "_d2")
+        .pivot("_n", ns)
+        .agg(F.first("_clip"))
+        .select("_d1", "_d2", *[F.col(str(n)).alias(f"_cl{n}") for n in ns])
+    )
+    tref = tot.select(
+        F.col("_doc").alias("_d1"), *[F.col(f"_t{n}").alias(f"_tr{n}") for n in ns]
+    )
+    tcand = tot.select(
+        F.col("_doc").alias("_d2"), *[F.col(f"_t{n}").alias(f"_tc{n}") for n in ns]
+    )
+    out = (
+        p.join(clip, ["_d1", "_d2"], "left")
+        .join(tref, "_d1", "left")
+        .join(tcand, "_d2", "left")
+    )
+
+    def _ratio(n: int, side: str) -> Column:
+        den = F.coalesce(F.col(f"_t{side}{n}"), F.lit(0))
+        return F.when(
+            den > 0,
+            F.coalesce(F.col(f"_cl{n}"), F.lit(0)) / den.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    P = _ratio(1, "c")
+    R = _ratio(1, "r")
+    for n in ns[1:]:
+        P = P + _ratio(n, "c")
+        R = R + _ratio(n, "r")
+    P = P / float(max_n)
+    R = R / float(max_n)
+    den = b2 * P + R
+    return out.select(
+        F.col("_d1").alias(ref_col),
+        F.col("_d2").alias(cand_col),
+        F.round(P, round_dp).alias("chrf_p_r"),
+        F.round(R, round_dp).alias("chrf_r_r"),
+        F.when(den > 0.0, F.round((1.0 + b2) * P * R / den, round_dp))
+        .otherwise(F.lit(0.0))
+        .alias("chrf_r"),
+    )

@@ -1673,3 +1673,189 @@ ORDER BY p.d1, p.d2
 
 QUERIES.update({"text_rouge_pairs": q_text_rouge_pairs})
 ORACLES.update({"text_rouge_pairs": _oracle_rouge_pairs()})
+
+
+# --- self-BLEU over near-dup candidate pairs ----------------------------------
+
+BLEU_MAX_N = 2
+
+
+def q_text_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU (Zhu et al. SIGIR'18; BLEU per Papineni et al. ACL'02)
+    over the Jaccard near-dup candidate pairs: clipped 1/2-gram precisions
+    against the candidate side, geometric-mean combined under the brevity
+    penalty. High BLEU against a sibling document = templated/boilerplate
+    text — the diversity down-weighting signal for corpus curation. All
+    precisions are ratios of INTEGER counts; sqrt/mul/div are correctly
+    rounded IEEE, and exp()'s last-ulp wobble is absorbed by the 9-dp
+    rounding ladder on BP."""
+    from pyvectorsearch_spark.operators.dedup import jaccard_similarity_pairs
+    from pyvectorsearch_spark.operators.textops import bleu_n_pairs
+    from pyvectorsearch_spark.queries.dedup import JACCARD_THRESHOLD
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_similarity_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return bleu_n_pairs(docs, pairs, max_n=BLEU_MAX_N).orderBy("d1", "d2")
+
+
+def _oracle_bleu_pairs() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_word_ngrams
+    from pyvectorsearch_spark.queries.dedup import _JACCARD_CTES
+
+    ng1 = duckdb_word_ngrams("t", 1)
+    ng2 = duckdb_word_ngrams("t", 2)
+    return f"""
+WITH {_JACCARD_CTES},
+p AS (SELECT d1, d2 FROM jpairs),
+ids AS (SELECT d1 AS doc FROM p UNION SELECT d2 FROM p),
+tk AS (SELECT doc_id AS doc, t FROM toks WHERE doc_id IN (SELECT doc FROM ids)),
+g1 AS (SELECT doc, unnest({ng1}) AS gr FROM tk),
+g2 AS (SELECT doc, unnest({ng2}) AS gr FROM tk),
+gc1 AS (SELECT doc, gr, count(*)::BIGINT AS c FROM g1 GROUP BY doc, gr),
+gc2 AS (SELECT doc, gr, count(*)::BIGINT AS c FROM g2 GROUP BY doc, gr),
+tot1 AS (SELECT doc, sum(c)::BIGINT AS t FROM gc1 GROUP BY doc),
+tot2 AS (SELECT doc, sum(c)::BIGINT AS t FROM gc2 GROUP BY doc),
+cl1 AS (
+  SELECT p.d1, p.d2, sum(least(a.c, b.c))::BIGINT AS cl
+  FROM p JOIN gc1 a ON a.doc = p.d1
+  JOIN gc1 b ON b.doc = p.d2 AND b.gr = a.gr
+  GROUP BY 1, 2
+),
+cl2 AS (
+  SELECT p.d1, p.d2, sum(least(a.c, b.c))::BIGINT AS cl
+  FROM p JOIN gc2 a ON a.doc = p.d1
+  JOIN gc2 b ON b.doc = p.d2 AND b.gr = a.gr
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT p.d1, p.d2,
+         coalesce(cl1.cl, 0)::BIGINT AS c1,
+         coalesce(cl2.cl, 0)::BIGINT AS c2,
+         coalesce(ra.t, 0)::BIGINT AS r,
+         coalesce(d1u.t, 0)::BIGINT AS den1,
+         coalesce(d2b.t, 0)::BIGINT AS den2
+  FROM p
+  LEFT JOIN cl1 ON cl1.d1 = p.d1 AND cl1.d2 = p.d2
+  LEFT JOIN cl2 ON cl2.d1 = p.d1 AND cl2.d2 = p.d2
+  LEFT JOIN tot1 ra ON ra.doc = p.d1
+  LEFT JOIN tot1 d1u ON d1u.doc = p.d2
+  LEFT JOIN tot2 d2b ON d2b.doc = p.d2
+),
+b AS (
+  SELECT *,
+         CASE WHEN den1 > r THEN 1.0
+              ELSE round(exp(1.0 - r / CAST(den1 AS DOUBLE)), 9) END AS bp
+  FROM j
+)
+SELECT d1, d2,
+       c1 AS clip_1,
+       CASE WHEN den1 > 0
+            THEN round(c1 / CAST(den1 AS DOUBLE), 6) ELSE 0.0 END AS p_1_r,
+       c2 AS clip_2,
+       CASE WHEN den2 > 0
+            THEN round(c2 / CAST(den2 AS DOUBLE), 6) ELSE 0.0 END AS p_2_r,
+       CASE WHEN den1 > 0 THEN round(bp, 6) ELSE 0.0 END AS bp_r,
+       CASE WHEN c1 > 0 AND c2 > 0 AND den1 > 0 AND den2 > 0
+            THEN round(bp * sqrt((c1 / CAST(den1 AS DOUBLE))
+                               * (c2 / CAST(den2 AS DOUBLE))), 6)
+            ELSE 0.0 END AS bleu_r
+FROM b
+ORDER BY d1, d2
+"""
+
+
+QUERIES.update({"text_bleu_pairs": q_text_bleu_pairs})
+ORACLES.update({"text_bleu_pairs": _oracle_bleu_pairs()})
+
+
+# --- chrF over near-dup candidate pairs ---------------------------------------
+
+CHRF_MAX_N = 6
+CHRF_BETA = 2.0
+
+
+def q_text_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF (Popović WMT'15) over the Jaccard near-dup candidate pairs: the
+    character-n-gram F2 that stays informative where word-gram metrics
+    fracture on tokenization/morphology drift. Pure add/mul/div ladder —
+    no exp/log — so cross-engine parity is exact by construction."""
+    from pyvectorsearch_spark.operators.dedup import jaccard_similarity_pairs
+    from pyvectorsearch_spark.operators.textops import chrf_pairs
+    from pyvectorsearch_spark.queries.dedup import JACCARD_THRESHOLD
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_similarity_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return chrf_pairs(docs, pairs, max_n=CHRF_MAX_N, beta=CHRF_BETA).orderBy(
+        "d1", "d2"
+    )
+
+
+def _oracle_chrf_pairs() -> str:
+    from pyvectorsearch_spark.functions.text import duckdb_chargrams
+    from pyvectorsearch_spark.queries.dedup import _JACCARD_CTES
+
+    ns = list(range(1, CHRF_MAX_N + 1))
+    b2 = CHRF_BETA * CHRF_BETA
+    g_union = "\n  UNION ALL ".join(
+        f"SELECT doc, {n} AS n, unnest({duckdb_chargrams('txt', n)}) AS gr FROM tk"
+        for n in ns
+    )
+    tp_cols = ",\n         ".join(
+        f"max(CASE WHEN n = {n} THEN t END) AS t{n}" for n in ns
+    )
+    cp_cols = ",\n         ".join(
+        f"max(CASE WHEN n = {n} THEN cl END) AS cl{n}" for n in ns
+    )
+    def ratio(n: int, side: str) -> str:
+        return (
+            f"CASE WHEN coalesce({side}.t{n}, 0) > 0 "
+            f"THEN coalesce(cp.cl{n}, 0) / CAST({side}.t{n} AS DOUBLE) "
+            f"ELSE 0.0 END"
+        )
+    P = "(" + " + ".join(ratio(n, "tc") for n in ns) + f") / {float(CHRF_MAX_N)}"
+    R = "(" + " + ".join(ratio(n, "tr") for n in ns) + f") / {float(CHRF_MAX_N)}"
+    return f"""
+WITH {_JACCARD_CTES},
+p AS (SELECT d1, d2 FROM jpairs),
+ids AS (SELECT d1 AS doc FROM p UNION SELECT d2 FROM p),
+tk AS (SELECT doc_id AS doc, text AS txt FROM documents
+       WHERE doc_id IN (SELECT doc FROM ids)),
+g AS (
+  {g_union}
+),
+gc AS (SELECT doc, n, gr, count(*)::BIGINT AS c FROM g GROUP BY 1, 2, 3),
+tot AS (SELECT doc, n, sum(c)::BIGINT AS t FROM gc GROUP BY 1, 2),
+tp AS (SELECT doc,
+         {tp_cols}
+       FROM tot GROUP BY doc),
+cl AS (
+  SELECT p.d1, p.d2, a.n, sum(least(a.c, b.c))::BIGINT AS cl
+  FROM p JOIN gc a ON a.doc = p.d1
+  JOIN gc b ON b.doc = p.d2 AND b.n = a.n AND b.gr = a.gr
+  GROUP BY 1, 2, 3
+),
+cp0 AS (SELECT d1, d2,
+         {cp_cols}
+       FROM cl GROUP BY d1, d2),
+f AS (
+  SELECT p.d1, p.d2,
+         {P} AS pp,
+         {R} AS rr
+  FROM p
+  LEFT JOIN cp0 cp ON cp.d1 = p.d1 AND cp.d2 = p.d2
+  LEFT JOIN tp tr ON tr.doc = p.d1
+  LEFT JOIN tp tc ON tc.doc = p.d2
+)
+SELECT d1, d2,
+       round(pp, 6) AS chrf_p_r,
+       round(rr, 6) AS chrf_r_r,
+       CASE WHEN {b2} * pp + rr > 0.0
+            THEN round({1.0 + b2} * pp * rr / ({b2} * pp + rr), 6)
+            ELSE 0.0 END AS chrf_r
+FROM f
+ORDER BY d1, d2
+"""
+
+
+QUERIES.update({"text_chrf_pairs": q_text_chrf_pairs})
+ORACLES.update({"text_chrf_pairs": _oracle_chrf_pairs()})
