@@ -55,6 +55,181 @@ def _slices_expr(level_col, c: int, dim: int, rr: int):
     ).cast("double")
 
 
+def _kinstantiate_driver(
+    counts: dict[str, int],
+    *,
+    fine_level: int,
+    dim: int,
+    rr: int,
+    ratio: int,
+    rank: int,
+) -> tuple[dict[str, str], list[tuple[str, int, tuple[int, ...], int]]]:
+    """The bottom-up K-instantiation cascade over a collected fine-cell
+    count table (reference dissolve cascade, pktree.hpp:587-738): an
+    under-full cell dissolves into its parent until the merged cell owns
+    ≥ ``rank`` points (or level 0). Pure function of the counts — shared by
+    the batch build and the streaming incremental rebalance, which is the
+    point: rebalancing never needs the data, only this table.
+
+    Returns (fine-cell → instantiated-cell assignment, stats rows)."""
+    coords_of = {
+        cid: tuple(int(x) for x in cid.split(CELL_SEP)[1:]) for cid in counts
+    }
+    assign: dict[str, str] = {}
+    stats: list[tuple[str, int, tuple[int, ...], int]] = []
+    pending: dict[tuple[int, ...], tuple[int, list[str]]] = {}
+    for cid, cnt in counts.items():
+        coords = coords_of[cid]
+        pc, pm = pending.get(coords, (0, []))
+        pending[coords] = (pc + cnt, pm + [cid])
+    level = fine_level
+    while pending and level > 0:
+        nxt: dict[tuple[int, ...], tuple[int, list[str]]] = {}
+        s_cur = _slices(level, dim, rr)
+        s_par = _slices(level - 1, dim, rr)
+        for coords, (cnt, members) in pending.items():
+            if cnt >= rank:
+                cid = CELL_SEP.join([str(level)] + [str(c) for c in coords])
+                stats.append((cid, level, coords, cnt))
+                for m in members:
+                    assign[m] = cid
+            else:
+                parent = tuple(
+                    c // (ratio ** (s_cur[i] - s_par[i]))
+                    for i, c in enumerate(coords)
+                )
+                pc, pm = nxt.get(parent, (0, []))
+                nxt[parent] = (pc + cnt, pm + members)
+        pending = nxt
+        level -= 1
+    for coords, (cnt, members) in pending.items():
+        cid = CELL_SEP.join(["0"] + [str(c) for c in coords])
+        stats.append((cid, 0, coords, cnt))
+        for m in members:
+            assign[m] = cid
+    return assign, stats
+
+
+def _kinstantiate_distributed(
+    fine_counts: DataFrame,
+    *,
+    fine_level: int,
+    dim: int,
+    rr: int,
+    ratio: int,
+    rank: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The distributed twin of ``_kinstantiate_driver`` — the cascade as
+    DataFrame aggregations over a (``_fine``, ``count``) table, for cell
+    tables too large to collect (the 100 TB path). Per level, cells with
+    ≥ ``rank`` accumulated points instantiate; under-full cells re-key to
+    their parent and re-sum; a fine cell's final home is its deepest
+    INSTANTIATED ancestor, recovered with one explode + join + max_by.
+    Nothing is ever collected to the driver. Shared by the batch build and
+    the streaming incremental rebalance.
+
+    ``fine_counts`` should be checkpointed by the caller (it feeds both the
+    cascade seed and the ancestor-explode join). Returns
+    (mapping ``(_fine, cell)``, stats ``(cell, level, coords, count)``)."""
+    s_fine = _slices(fine_level, dim, rr)
+    cds = F.transform(
+        F.slice(F.split("_fine", CELL_SEP), 2, dim), lambda x: x.cast("long")
+    )
+    pending = fine_counts.select(
+        cds.alias("cds"), F.col("count").alias("cnt")
+    ).groupBy("cds").agg(F.sum("cnt").alias("cnt"))
+
+    def cell_id(level: int):
+        return F.concat_ws(
+            CELL_SEP,
+            F.lit(str(level)),
+            F.array_join(F.transform("cds", lambda x: x.cast("string")), CELL_SEP),
+        )
+
+    inst_parts = []
+    for l in range(fine_level, 0, -1):
+        # eager localCheckpoint, not persist: each round's table is tiny
+        # (shrinking n/occupancy rows) but a LAZY chain keeps the full
+        # 19-deep plan alive in every union branch — plan-size blowup,
+        # not data, was the deep-index bottleneck (see the caller's
+        # fine_counts checkpoint note)
+        pending = pending.localCheckpoint(eager=True)
+        inst_parts.append(
+            pending.filter(F.col("cnt") >= rank).select(
+                F.lit(l).alias("lvl"), cell_id(l).alias("anc"), "cds", "cnt"
+            )
+        )
+        s_cur, s_par = _slices(l, dim, rr), _slices(l - 1, dim, rr)
+        divs = F.array(
+            *[F.lit(ratio ** (s_cur[c] - s_par[c])).cast("long") for c in range(dim)]
+        )
+        pending = (
+            pending.filter(F.col("cnt") < rank)
+            .select(
+                F.zip_with("cds", divs, lambda x, d: x.cast("long") / d).alias(
+                    "_d"
+                ),
+                "cnt",
+            )
+            .select(
+                F.transform("_d", lambda x: F.floor(x).cast("long")).alias("cds"),
+                "cnt",
+            )
+            .groupBy("cds")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    inst_parts.append(
+        pending.select(F.lit(0).alias("lvl"), cell_id(0).alias("anc"), "cds", "cnt")
+    )
+    instantiated = inst_parts[0]
+    for p in inst_parts[1:]:
+        instantiated = instantiated.unionByName(p)
+
+    def anc_id(level: int):
+        s_l = _slices(level, dim, rr)
+        parts = [F.lit(str(level))]
+        for c in range(dim):
+            shrink = ratio ** (s_fine[c] - s_l[c])
+            parts.append(
+                F.floor(
+                    F.element_at(F.split("_fine", CELL_SEP), c + 2).cast("long")
+                    / shrink
+                ).cast("string")
+            )
+        return F.concat_ws(CELL_SEP, *parts)
+
+    ancs = fine_counts.select(
+        "_fine",
+        "count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(l).alias("lvl"), anc_id(l).alias("anc"))
+                    for l in range(fine_level + 1)
+                ]
+            )
+        ).alias("a"),
+    ).select("_fine", "count", "a.lvl", "a.anc")
+
+    chosen = (
+        ancs.join(instantiated.select("lvl", "anc"), ["lvl", "anc"])
+        .groupBy("_fine")
+        .agg(F.max_by("anc", "lvl").alias("cell"))
+    )
+
+    # Cell stats stay a DataFrame — NOTHING is collected to the driver
+    # (the point of this path; at 100 TB the stats table is millions of
+    # rows). The driver-side search path collects lazily if ever asked;
+    # the distributed search path joins against this directly.
+    stats_df = instantiated.select(
+        F.col("anc").alias("cell"),
+        F.col("lvl").cast("int").alias("level"),
+        F.transform("cds", lambda x: x.cast("long")).alias("coords"),
+        F.col("cnt").cast("long").alias("count"),
+    )
+    return chosen, stats_df
+
+
 @dataclass
 class GridIndex:
     """A built grid index: cell assignment per row + cell statistics.
@@ -203,43 +378,14 @@ class GridIndex:
         # Stats at the fine level (small: ≤ n/1 rows, typically n/occupancy).
         if fine_stats is None:
             fine_stats = fine.groupBy("_fine").count().collect()
-        coords_of = {
-            r["_fine"]: tuple(int(x) for x in r["_fine"].split(CELL_SEP)[1:])
-            for r in fine_stats
-        }
         counts = {r["_fine"]: r["count"] for r in fine_stats}
 
-        # Bottom-up K-instantiation: an under-full cell dissolves into its
-        # parent until the merged cell owns ≥ rank points (or level 0).
-        assign: dict[str, str] = {}
-        stats: list[tuple[str, int, tuple[int, ...], int]] = []
-        pending: dict[tuple[int, ...], tuple[int, list[str]]] = {
-            coords_of[cid]: (cnt, [cid]) for cid, cnt in counts.items()
-        }
-        level = fine_level
-        while pending and level > 0:
-            nxt: dict[tuple[int, ...], tuple[int, list[str]]] = {}
-            s_cur = _slices(level, len(origin), rr)
-            s_par = _slices(level - 1, len(origin), rr)
-            for coords, (cnt, members) in pending.items():
-                if cnt >= rank:
-                    cid = CELL_SEP.join([str(level)] + [str(c) for c in coords])
-                    stats.append((cid, level, coords, cnt))
-                    for m in members:
-                        assign[m] = cid
-                else:
-                    parent = tuple(
-                        c // (ratio ** (s_cur[i] - s_par[i])) for i, c in enumerate(coords)
-                    )
-                    pc, pm = nxt.get(parent, (0, []))
-                    nxt[parent] = (pc + cnt, pm + members)
-            pending = nxt
-            level -= 1
-        for coords, (cnt, members) in pending.items():
-            cid = CELL_SEP.join(["0"] + [str(c) for c in coords])
-            stats.append((cid, 0, coords, cnt))
-            for m in members:
-                assign[m] = cid
+        # Bottom-up K-instantiation (shared with the streaming incremental
+        # rebalance — the cascade is a pure function of the count table).
+        assign, stats = _kinstantiate_driver(
+            counts, fine_level=fine_level, dim=dim, rr=rr, ratio=ratio,
+            rank=rank,
+        )
 
         mapping = spark.createDataFrame(
             [(k, v) for k, v in assign.items()], "_fine string, cell string"
@@ -292,7 +438,6 @@ class GridIndex:
         shape, SURVEY.md §7) and the occupancy invariant (≥ rank or root)
         holds by construction.
         """
-        spark = fine.sparkSession
         # eager checkpoint: fine_counts feeds BOTH the cascade seed and the
         # ancestor-explode join — and, critically, truncates lineage so the
         # per-level loop below starts from a shallow plan (r7: at
@@ -300,102 +445,11 @@ class GridIndex:
         # union made Catalyst optimize O(levels²) nested subplans — the
         # build stalled minutes in planning/codegen before any data moved)
         fine_counts = fine.groupBy("_fine").count().localCheckpoint(eager=True)
-        s_fine = _slices(fine_level, dim, rr)
-        cds = F.transform(
-            F.slice(F.split("_fine", CELL_SEP), 2, dim), lambda x: x.cast("long")
-        )
-        pending = fine_counts.select(
-            cds.alias("cds"), F.col("count").alias("cnt")
-        ).groupBy("cds").agg(F.sum("cnt").alias("cnt"))
-
-        def cell_id(level: int):
-            return F.concat_ws(
-                CELL_SEP,
-                F.lit(str(level)),
-                F.array_join(F.transform("cds", lambda x: x.cast("string")), CELL_SEP),
-            )
-
-        inst_parts = []
-        for l in range(fine_level, 0, -1):
-            # eager localCheckpoint, not persist: each round's table is tiny
-            # (shrinking n/occupancy rows) but a LAZY chain keeps the full
-            # 19-deep plan alive in every union branch — plan-size blowup,
-            # not data, was the deep-index bottleneck (see fine_counts note)
-            pending = pending.localCheckpoint(eager=True)
-            inst_parts.append(
-                pending.filter(F.col("cnt") >= rank).select(
-                    F.lit(l).alias("lvl"), cell_id(l).alias("anc"), "cds", "cnt"
-                )
-            )
-            s_cur, s_par = _slices(l, dim, rr), _slices(l - 1, dim, rr)
-            divs = F.array(
-                *[F.lit(ratio ** (s_cur[c] - s_par[c])).cast("long") for c in range(dim)]
-            )
-            pending = (
-                pending.filter(F.col("cnt") < rank)
-                .select(
-                    F.zip_with("cds", divs, lambda x, d: x.cast("long") / d).alias(
-                        "_d"
-                    ),
-                    "cnt",
-                )
-                .select(
-                    F.transform("_d", lambda x: F.floor(x).cast("long")).alias("cds"),
-                    "cnt",
-                )
-                .groupBy("cds")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        inst_parts.append(
-            pending.select(F.lit(0).alias("lvl"), cell_id(0).alias("anc"), "cds", "cnt")
-        )
-        instantiated = inst_parts[0]
-        for p in inst_parts[1:]:
-            instantiated = instantiated.unionByName(p)
-
-        def anc_id(level: int):
-            s_l = _slices(level, dim, rr)
-            parts = [F.lit(str(level))]
-            for c in range(dim):
-                shrink = ratio ** (s_fine[c] - s_l[c])
-                parts.append(
-                    F.floor(
-                        F.element_at(F.split("_fine", CELL_SEP), c + 2).cast("long")
-                        / shrink
-                    ).cast("string")
-                )
-            return F.concat_ws(CELL_SEP, *parts)
-
-        ancs = fine_counts.select(
-            "_fine",
-            "count",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(l).alias("lvl"), anc_id(l).alias("anc"))
-                        for l in range(fine_level + 1)
-                    ]
-                )
-            ).alias("a"),
-        ).select("_fine", "count", "a.lvl", "a.anc")
-
-        chosen = (
-            ancs.join(instantiated.select("lvl", "anc"), ["lvl", "anc"])
-            .groupBy("_fine")
-            .agg(F.max_by("anc", "lvl").alias("cell"))
+        chosen, stats_df = _kinstantiate_distributed(
+            fine_counts, fine_level=fine_level, dim=dim, rr=rr, ratio=ratio,
+            rank=rank,
         )
         indexed = fine.join(chosen, "_fine").drop("_fine")
-
-        # Cell stats stay a DataFrame — NOTHING is collected to the driver
-        # (the point of this path; at 100 TB the stats table is millions of
-        # rows). The driver-side search path collects lazily if ever asked;
-        # the distributed search path joins against this directly.
-        stats_df = instantiated.select(
-            F.col("anc").alias("cell"),
-            F.col("lvl").cast("int").alias("level"),
-            F.transform("cds", lambda x: x.cast("long")).alias("coords"),
-            F.col("cnt").cast("long").alias("count"),
-        )
         return GridIndex(
             df=indexed,
             stats_df=stats_df,
@@ -409,7 +463,6 @@ class GridIndex:
             id_col=id_col,
             vec_col=vec_col,
         )
-
     @staticmethod
     def _cell_expr(
         vec_col: str,

@@ -114,6 +114,7 @@ def stream_index_ingest(
     partition_col: str = "cell",
     compact_every: int | None = None,
     compactor: Callable[[SparkSession, str], None] | None = None,
+    rebalance: dict | None = None,
 ):
     """Incremental index ingestion — the streaming replacement for the
     reference's ``insert`` rebalancing cascade (``pktree.hpp:1262-1355``).
@@ -126,6 +127,15 @@ def stream_index_ingest(
     coalesce over the accumulated dataset — the K-instantiation invariant is
     restored in bulk instead of per-point pointer surgery.
 
+    ``rebalance`` (r7) restores the invariant after EVERY batch instead:
+    pass ``{"meta_path": ..., "fine_level": ..., "dim": ..., "rr": ...,
+    "ratio": ..., "rank": ...}`` and each micro-batch merges its fine-cell
+    count delta into a sidecar and re-runs the K-instantiation cascade over
+    the COUNT table only (``index/incremental.py``) — O(#cells) per batch,
+    the data files never move, and the maintained mapping/stats equal a
+    batch build's exactly. Compaction becomes optional IO hygiene rather
+    than the only path back to the invariant.
+
     Returns the ``StreamingQuery``; caller stops it / awaits termination.
     """
 
@@ -136,6 +146,18 @@ def stream_index_ingest(
             .partitionBy(partition_col)
             .parquet(out_path)
         )
+        if rebalance is not None:
+            from pyvectorsearch_spark.index.incremental import (
+                apply_batch_rebalance,
+            )
+
+            apply_batch_rebalance(
+                batch_df.sparkSession,
+                assigned_batch=assigned,
+                batch_id=batch_id,
+                cell_col=partition_col,
+                **rebalance,
+            )
         if compactor and compact_every and (batch_id + 1) % compact_every == 0:
             compactor(batch_df.sparkSession, out_path)
 
