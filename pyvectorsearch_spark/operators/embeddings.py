@@ -21,6 +21,8 @@ order matches ``duckdb_dot`` exactly.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -326,3 +328,134 @@ def margin_mining(
         )
     )
     return out
+
+
+def kmeans_fixedpoint(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    scale: float = 1e6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means made INTEGER-EXACT: components quantize to
+    a fixed-point grid (``floor(x·scale + 0.5)`` — half-up via floor, the
+    same in every engine), so squared distances and per-cluster component
+    sums are BIGINT arithmetic — order-independent, bit-identical across
+    engines, no float-accumulation drift anywhere. The only non-integer op
+    is the centroid update ``floor(sum/n + 0.5)``: both operands are
+    exactly representable doubles (|sum| < 2^53) and IEEE division/floor
+    are correctly rounded, so even that step is bit-stable. The whole
+    training trajectory therefore oracle-checks exactly — the corpus
+    clustering primitive (topic balancing, SemDeDup prep, IVF coarse
+    quantizers) as a hash-checkable query rather than a "close enough"
+    one.
+
+    Seeding: the ``k`` rows with the smallest ``id_col`` (deterministic,
+    SQL-trivial). Empty clusters keep their previous centroid. Assignment
+    ties break toward the smaller cluster id.
+
+    Scale shape: per iteration, ONE broadcast of k·d quantized centroid
+    values into a map-side distance expression (no shuffle to assign), one
+    (cluster, dim) aggregate for the update — the k·d result is
+    driver-bounded like the GD loop's gradients. Nothing grows with the
+    corpus except the two scans.
+
+    Returns (cluster_id, n_points, wcss, dim_i, centroid_q): the
+    post-update centroids after ``iters`` rounds, with the LAST
+    assignment's population and integer within-cluster sum of squares."""
+    if k < 1 or iters < 1:
+        raise ValueError(f"need k >= 1 and iters >= 1, got k={k}, iters={iters}")
+    spark = df.sparkSession
+    from pyvectorsearch_spark.plans.cachepool import pooled_persist
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    pts = pooled_persist(
+        df.select(F.col(id_col).alias("_id"), q.alias("_q"))
+    )
+    cents = {
+        int(r["_id"]): [int(v) for v in r["_q"]]
+        for r in pts.orderBy("_id").limit(k).collect()
+    }
+    if len(cents) < k:
+        raise ValueError(f"need at least k={k} rows to seed, got {len(cents)}")
+    cent_ids = sorted(cents)
+
+    last_assign = None
+    for _ in range(iters):
+        # assignment: k integer distance expressions, evaluated map-side —
+        # the centroid table rides the plan as literals (k·d values), so
+        # no join, no shuffle, ties break toward the smaller cluster id
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    "_q",
+                    F.array(*[F.lit(v) for v in cents[j]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(f"_d{j}")
+            for j in cent_ids
+        ]
+        scored = pts.select("_id", "_q", *dists)
+        best = F.least(
+            *[
+                F.struct(
+                    F.col(f"_d{j}").alias("d"), F.lit(j).alias("j")
+                )
+                for j in cent_ids
+            ]
+        )
+        last_assign = pooled_persist(
+            scored.select(
+                "_id", "_q",
+                best["j"].alias("_j"), best["d"].alias("_dist"),
+            )
+        )
+        upd = (
+            last_assign.select(
+                "_j", F.posexplode("_q").alias("_i", "_v")
+            )
+            .groupBy("_j", "_i")
+            .agg(F.sum("_v").alias("_s"), F.count("*").alias("_n"))
+            .collect()
+        )
+        new_cents = {j: list(cents[j]) for j in cent_ids}
+        for r in upd:
+            new_cents[int(r["_j"])][int(r["_i"])] = int(
+                math.floor(r["_s"] / r["_n"] + 0.5)
+            )
+        cents = new_cents
+
+    npts = last_assign.groupBy("_j").agg(
+        F.count("*").alias("_n"), F.sum("_dist").alias("_w")
+    )
+    cent_rows = [
+        (j, i, cents[j][i]) for j in cent_ids for i in range(len(cents[j]))
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cluster_id long, dim_i int, centroid_q long"
+    )
+    return (
+        cent_df.join(
+            npts.select(
+                F.col("_j").alias("cluster_id"),
+                F.col("_n").alias("n_points"),
+                F.col("_w").alias("wcss"),
+            ),
+            "cluster_id",
+            "left",
+        )
+        .select(
+            "cluster_id",
+            F.coalesce("n_points", F.lit(0)).cast("bigint").alias("n_points"),
+            F.coalesce("wcss", F.lit(0)).cast("bigint").alias("wcss"),
+            "dim_i",
+            "centroid_q",
+        )
+    )

@@ -239,13 +239,96 @@ FROM ranked WHERE rank <= {SR_K}
 """
 
 
+
+
+# --- integer-exact distributed k-means ----------------------------------------
+
+KM_K = 8
+KM_ITERS = 3
+KM_SCALE = 1000000.0
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means whose ENTIRE trajectory is bit-stable
+    across engines (`operators/embeddings.py:kmeans_fixedpoint`):
+    components quantize to a 1e-6 fixed-point grid, so distances and
+    centroid sums are BIGINT math and even the centroid update is a
+    correctly-rounded IEEE division of exactly-representable doubles.
+    The corpus-clustering primitive (topic balancing, SemDeDup prep, IVF
+    coarse quantizers) as a hash-checkable query — assignment, population,
+    WCSS and the final centroids all oracle-check exactly."""
+    from pyvectorsearch_spark.operators.embeddings import kmeans_fixedpoint
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return kmeans_fixedpoint(
+        emb, k=KM_K, iters=KM_ITERS, scale=KM_SCALE
+    ).orderBy("cluster_id", "dim_i")
+
+
+def _kmeans_oracle() -> str:
+    it_ctes = []
+    for t in range(1, KM_ITERS + 1):
+        p = t - 1
+        it_ctes.append(f"""d{t} AS (
+  SELECT p.vec_id, c.j, sum((p.q - c.v) * (p.q - c.v))::BIGINT AS dist
+  FROM pts p JOIN c{p} c ON c.i = p.i GROUP BY 1, 2
+),
+a{t} AS (
+  SELECT vec_id, j, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+  FROM d{t}
+),
+s{t} AS (
+  SELECT a.j, p.i, sum(p.q)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM a{t} a JOIN pts p ON p.vec_id = a.vec_id WHERE a.rn = 1
+  GROUP BY 1, 2
+),
+c{t} AS (
+  SELECT c.j, c.i,
+         coalesce(CAST(floor(CAST(s.s AS DOUBLE) / s.n + 0.5) AS BIGINT),
+                  c.v) AS v
+  FROM c{p} c LEFT JOIN s{t} s ON s.j = c.j AND s.i = c.i
+)""")
+    its = ",\n".join(it_ctes)
+    T = KM_ITERS
+    return f"""
+WITH pts AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(list_transform(
+           range(1, len(embedding) + 1),
+           j -> CAST(floor(CAST(embedding[j] AS DOUBLE) * {KM_SCALE} + 0.5)
+                     AS BIGINT))) AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS j, i, q AS v FROM pts
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KM_K})
+),
+{its},
+nw AS (
+  SELECT j, count(*)::BIGINT AS n, sum(dist)::BIGINT AS w
+  FROM a{T} WHERE rn = 1 GROUP BY j
+)
+SELECT c.j::BIGINT AS cluster_id,
+       coalesce(nw.n, 0)::BIGINT AS n_points,
+       coalesce(nw.w, 0)::BIGINT AS wcss,
+       CAST(c.i - 1 AS INT) AS dim_i,
+       c.v::BIGINT AS centroid_q
+FROM c{T} c LEFT JOIN nw ON nw.j = c.j
+ORDER BY cluster_id, dim_i
+"""
+
+
 QUERIES = {
     "dedup_simhash_density": q_dedup_simhash_density,
     "embedding_covariance": q_embedding_covariance,
     "knn_stream_rebalanced": q_knn_stream_rebalanced,
+    "embedding_kmeans": q_embedding_kmeans,
 }
 ORACLES = {
     "dedup_simhash_density": _density_oracle(),
     "embedding_covariance": _covariance_oracle(),
     "knn_stream_rebalanced": ORACLE_KNN_STREAM_REBALANCED,
+    "embedding_kmeans": _kmeans_oracle(),
 }
