@@ -1008,14 +1008,30 @@ def embedding_dup_pairs_bucketed(
         Qm = np.asarray([np.asarray(v, dtype=np.float64) for v in prim["_v"]])
         P = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-300)
         Qm = Qm / np.maximum(np.linalg.norm(Qm, axis=1, keepdims=True), 1e-300)
+        # float32 GEMM: the candidate slack below absorbs fp32 error
+        # (≤ ~d·eps32 ≈ 4e-6 at d=64) and the exact threshold decision
+        # happens in the sequential-expression recompute downstream, so
+        # the only effect is a few extra candidates — half the bytes.
+        P32, Q32 = P.astype(np.float32), Qm.astype(np.float32)
         pid = probe["_id"].to_numpy()
         cid = prim["_id"].to_numpy()
-        G = P @ Qm.T
-        # ε-slack for BLAS reassociation; the exact threshold decision happens
-        # in the sequential-expression recompute below.
-        ii, jj = np.nonzero((G >= t - 1e-9) & (pid[:, None] != cid[None, :]))
-        d1 = np.minimum(pid[ii], cid[jj])
-        d2 = np.maximum(pid[ii], cid[jj])
+        # TILE the Gram product: a hot list can hold O(corpus) rows (found
+        # the hard way — an untiled 30k×15k float64 G per worker OOM'd the
+        # sf10 wave, 32 workers × multi-GB). Bound each block's G to
+        # ~128 MB whatever the bucket shape; BLAS throughput is unchanged.
+        block = max(1, (128 << 20) // max(4 * len(Q32), 1))
+        outs_d1, outs_d2 = [], []
+        for lo in range(0, len(P32), block):
+            G = P32[lo:lo + block] @ Q32.T
+            ii, jj = np.nonzero(
+                (G >= t - 1e-4)
+                & (pid[lo:lo + block, None] != cid[None, :])
+            )
+            ii = ii + lo
+            outs_d1.append(np.minimum(pid[ii], cid[jj]))
+            outs_d2.append(np.maximum(pid[ii], cid[jj]))
+        d1 = np.concatenate(outs_d1) if outs_d1 else np.array([], dtype="int64")
+        d2 = np.concatenate(outs_d2) if outs_d2 else np.array([], dtype="int64")
         return pd.DataFrame({"d1": d1, "d2": d2})
 
     cand = (
