@@ -601,6 +601,8 @@ class GridIndex:
     # the reference's recursive tree descent (pktree.hpp:978-1072 prunes
     # subtrees before visiting children) restated as two plan stages.
     COARSE_THRESHOLD = 2048
+    # max survivor fan-out per descent stage (see _descent_ladder)
+    DESCENT_BRANCH = 16
     COARSE_TARGET = 320
 
     def _n_cells(self) -> int:
@@ -644,16 +646,65 @@ class GridIndex:
         hist = self._level_hist()
         if not hist:
             return 0
-        shrink = self.ratio ** self.rr
         top = max(hist)
         for lc in range(top - 1, 0, -1):
-            est = sum(
-                n if lvl <= lc else max(1, n // (shrink ** (lvl - lc)))
-                for lvl, n in hist.items()
-            )
-            if est <= self.COARSE_TARGET:
+            if self._grouped_est(lc) <= self.COARSE_TARGET:
                 return lc
         return 0
+
+    def _grouped_est(self, lc: int) -> int:
+        """Estimated cell count after grouping the stats pyramid to
+        ancestor level ``lc`` (shallow cells stay themselves; deeper cells
+        contract by ratio^(rr·gap)) — the sizing input for the descent."""
+        hist = self._level_hist()
+        shrink = self.ratio ** self.rr
+        return sum(
+            n if lvl <= lc else max(1, n // (shrink ** (lvl - lc)))
+            for lvl, n in hist.items()
+        )
+
+    def _descent_ladder(self) -> list[int]:
+        """Strictly-increasing coarse levels whose grouped-cell estimates
+        grow ~DESCENT_BRANCH× per stage, COARSE_TARGET upward. The round-5
+        two-stage descent expanded surviving ancestors straight to their
+        FINE members — a fan-out of n_cells/COARSE_TARGET per ancestor,
+        which is where the quadratic reappeared at sf10 (4M probes ×
+        ~39 members × qvec bytes ground one stage for 30+ minutes). Each
+        ladder stage now expands survivors by at most ~DESCENT_BRANCH, so
+        every stage's pair table stays O(|Q| · survivors · branch) whatever
+        the index depth; stage count grows only logarithmically in the
+        cell count. The final (fine) stage is implicit — callers descend
+        ladder stages then finish on the true stats table."""
+        hist = self._level_hist()
+        if not hist:
+            return [0]
+        n = sum(hist.values())
+        top = max(hist)
+        ladder: list[int] = []
+        target = self.COARSE_TARGET
+        lc_prev = 0
+        # a stage earns its window sort only while it still CONTRACTS the
+        # next stage ~BRANCH-fold: once the schedule target is within 2× of
+        # the fine count, expanding straight to fine is the same work the
+        # extra stage would cost (measured: a 5.1k mid stage under a 5.4k
+        # fine table added +44 % at sf1.0 for nothing)
+        while target * 2 < n:
+            lc = lc_prev
+            for cand in range(top - 1, lc_prev, -1):
+                if self._grouped_est(cand) <= target:
+                    lc = cand
+                    break
+            if lc <= lc_prev and ladder:
+                # no deeper level fits this target: the pyramid is shallow
+                # enough that the previous stage already covers it
+                target *= self.DESCENT_BRANCH
+                continue
+            if lc >= top or self._grouped_est(lc) >= n:
+                break
+            ladder.append(lc)
+            lc_prev = lc
+            target *= self.DESCENT_BRANCH
+        return ladder or [self._coarse_level()]
 
     def _coarse_stats(self, coarse_level: int) -> DataFrame:
         """Aggregate the stats table to ancestor cells at ``coarse_level``:
@@ -791,23 +842,34 @@ class GridIndex:
                 "_qid", "cell", "count", "_min_d2", "_max_d2"
             )
             return self._prune_pairs(pairs, k)
-        lc = self._coarse_level()
-        coarse = self._coarse_stats(lc).localCheckpoint(eager=False)
+        ladder = self._descent_ladder()
+        coarse = self._coarse_stats(ladder[0]).localCheckpoint(eager=False)
         cpairs = self._scored_pairs(qs, coarse).select(
             "_qid", "cell", "count", "_min_d2", "_max_d2"
         )
-        ckeep = self._prune_pairs(cpairs, k).withColumnRenamed("cell", "_ckey")
-        fine = self.stats_df.withColumn("_ckey", self._coarse_key_expr(lc))
+        keep = self._prune_pairs(cpairs, k)
         mn, mx = self._box_bounds_expr(F.col("_qvec"))
-        fpairs = (
-            ckeep.join(qs, "_qid")
-            .join(F.broadcast(fine), "_ckey")
-            .select(
-                "_qid", "cell", "count",
-                mn.alias("_min_d2"), mx.alias("_max_d2"),
+        # descend: each stage expands survivors only to the NEXT ladder
+        # level's grouped cells (fan-out ≤ ~DESCENT_BRANCH), finishing on
+        # the true stats table — never straight from COARSE_TARGET
+        # ancestors to fine members (see _descent_ladder)
+        stages = [
+            self._coarse_stats(lv).localCheckpoint(eager=False)
+            for lv in ladder[1:]
+        ] + [self.stats_df]
+        for prev_lv, stats_lv in zip(ladder, stages):
+            member = stats_lv.withColumn("_ckey", self._coarse_key_expr(prev_lv))
+            fpairs = (
+                keep.withColumnRenamed("cell", "_ckey")
+                .join(qs, "_qid")
+                .join(F.broadcast(member), "_ckey")
+                .select(
+                    "_qid", "cell", "count",
+                    mn.alias("_min_d2"), mx.alias("_max_d2"),
+                )
             )
-        )
-        return self._prune_pairs(fpairs, k)
+            keep = self._prune_pairs(fpairs, k)
+        return keep
 
     def _knn_distributed(
         self,
@@ -880,25 +942,35 @@ class GridIndex:
                 .select("_qid", "cell", "_qvec")
             )
         else:
-            # two-stage descent (see _two_phase_keep): reject whole coarse
-            # ancestors with min-dist > r² before scoring their members —
+            # ladder descent (see _descent_ladder): reject whole ancestors
+            # with min-dist > r² before expanding to the next level —
             # trivially lossless (ancestor box contains member boxes, so
-            # member min-dist ≥ ancestor min-dist)
-            lc = self._coarse_level()
-            ckeep = (
-                self._scored_pairs(qs, self._coarse_stats(lc))
+            # member min-dist ≥ ancestor min-dist); per-stage fan-out is
+            # bounded by ~DESCENT_BRANCH instead of n_cells/COARSE_TARGET
+            ladder = self._descent_ladder()
+            keep = (
+                self._scored_pairs(qs, self._coarse_stats(ladder[0]))
                 .filter(F.col("_min_d2") <= F.lit(r2))
-                .select("_qid", F.col("cell").alias("_ckey"))
+                .select("_qid", "cell")
             )
-            fine = self.stats_df.withColumn("_ckey", self._coarse_key_expr(lc))
             mn, _ = self._box_bounds_expr(F.col("_qvec"))
-            cand = (
-                ckeep.join(qs, "_qid")
-                .join(F.broadcast(fine), "_ckey")
-                .withColumn("_min_d2", mn)
-                .filter(F.col("_min_d2") <= F.lit(r2))
-                .select("_qid", "cell", "_qvec")
-            )
+            stages = [self._coarse_stats(lv) for lv in ladder[1:]] + [
+                self.stats_df
+            ]
+            cand = None
+            for prev_lv, stats_lv in zip(ladder, stages):
+                member = stats_lv.withColumn(
+                    "_ckey", self._coarse_key_expr(prev_lv)
+                )
+                cand = (
+                    keep.withColumnRenamed("cell", "_ckey")
+                    .join(qs, "_qid")
+                    .join(F.broadcast(member), "_ckey")
+                    .withColumn("_min_d2", mn)
+                    .filter(F.col("_min_d2") <= F.lit(r2))
+                )
+                keep = cand.select("_qid", "cell")
+            cand = cand.select("_qid", "cell", "_qvec")
 
         from pyvectorsearch_spark.functions.vector import l2_sq
 
