@@ -832,18 +832,31 @@ def angular_bucket_model(
     df: DataFrame,
     *,
     vec_col: str = "embedding",
-    n_lists: int = 16,
+    n_lists: int | None = 16,
     sample_per_list: int = 64,
     seed: int = 42,
 ) -> AngularModel | None:
     """Build the angular bucketing model (None for an empty input):
     partition-head sample → driver k-means on the unit sphere → one
-    map-side pass for the corpus-wide max primary angle."""
+    map-side pass for the corpus-wide max primary angle.
+
+    ``n_lists=None`` auto-scales the list count with the corpus:
+    L ≈ √n (clamped to [16, 4096]) keeps expected per-bucket work
+    Σ B_k² ≈ n²/L growing ~n^1.5 instead of n² at a fixed L — the IVF
+    sizing rule — while the driver sample stays capped at 65,536 rows
+    whatever L is (losslessness never depends on L; only throughput
+    does)."""
     import numpy as np
     import pandas as pd
 
     from pyvectorsearch_spark.index.ivf import _kmeans
 
+    if n_lists is None:
+        n = df.count()
+        if n == 0:
+            return None
+        n_lists = int(min(4096, max(16, round(n ** 0.5))))
+        sample_per_list = max(8, min(sample_per_list, 65536 // n_lists))
     target = n_lists * sample_per_list
     n_parts = df.rdd.getNumPartitions()
     per_part = max(1, -(-target // max(n_parts, 1)))
@@ -903,7 +916,7 @@ def embedding_dup_pairs_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
-    n_lists: int = 16,
+    n_lists: int | None = 16,
     sample_per_list: int = 64,
     seed: int = 42,
     model: AngularModel | None = None,

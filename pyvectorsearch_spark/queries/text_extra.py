@@ -1859,3 +1859,74 @@ ORDER BY d1, d2
 
 QUERIES.update({"text_chrf_pairs": q_text_chrf_pairs})
 ORACLES.update({"text_chrf_pairs": _oracle_chrf_pairs()})
+
+
+# --- corpus diversity report (self-BLEU rollup) --------------------------------
+
+DIVERSITY_HIGH = 0.5
+
+
+def q_text_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level self-BLEU rollup (Zhu et al. SIGIR'18 report over the
+    candidate pairs): pair count, mean self-BLEU, and the high-similarity
+    share. Order-independence trick: the mean is computed from the SUM of
+    the 6-dp-rounded scores scaled to INTEGERS (round(bleu·1e6) as bigint)
+    — an exact, commutative bigint sum — then one IEEE division; no float
+    accumulation, so the rollup hash-checks like the per-pair rows."""
+    from pyvectorsearch_spark.operators.dedup import jaccard_similarity_pairs
+    from pyvectorsearch_spark.operators.textops import bleu_n_pairs
+    from pyvectorsearch_spark.queries.dedup import JACCARD_THRESHOLD
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_similarity_pairs(docs, threshold=JACCARD_THRESHOLD)
+    b = bleu_n_pairs(docs, pairs, max_n=BLEU_MAX_N)
+    scaled = F.round(F.col("bleu_r") * 1e6).cast("bigint")
+    return b.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(scaled).alias("bleu_sum_scaled"),
+        F.sum((F.col("bleu_r") >= DIVERSITY_HIGH).cast("bigint")).alias(
+            "n_high_sim"
+        ),
+    ).select(
+        "n_pairs",
+        "bleu_sum_scaled",
+        "n_high_sim",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.round(
+                F.col("bleu_sum_scaled")
+                / (F.col("n_pairs").cast("double") * 1e6),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("mean_self_bleu_r"),
+        F.when(
+            F.col("n_pairs") > 0,
+            F.round(F.col("n_high_sim") / F.col("n_pairs").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("high_sim_share_r"),
+    )
+
+
+def _oracle_diversity_report() -> str:
+    inner = _oracle_bleu_pairs()
+    return f"""
+WITH bleu AS ({inner}),
+agg AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         sum(CAST(round(bleu_r * 1e6) AS BIGINT))::BIGINT AS bleu_sum_scaled,
+         sum(CASE WHEN bleu_r >= {DIVERSITY_HIGH} THEN 1 ELSE 0 END)::BIGINT
+           AS n_high_sim
+  FROM bleu
+)
+SELECT n_pairs, bleu_sum_scaled, n_high_sim,
+       CASE WHEN n_pairs > 0
+            THEN round(bleu_sum_scaled / (CAST(n_pairs AS DOUBLE) * 1e6), 6)
+            ELSE 0.0 END AS mean_self_bleu_r,
+       CASE WHEN n_pairs > 0
+            THEN round(n_high_sim / CAST(n_pairs AS DOUBLE), 6)
+            ELSE 0.0 END AS high_sim_share_r
+FROM agg
+"""
+
+
+QUERIES.update({"text_diversity_report": q_text_diversity_report})
+ORACLES.update({"text_diversity_report": _oracle_diversity_report()})
