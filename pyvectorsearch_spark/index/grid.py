@@ -572,77 +572,6 @@ class GridIndex:
             functools.reduce(add, max_terms),
         )
 
-    def _qcell_box_exprs(self, level: int) -> tuple[Column, Column]:
-        """Per-dim [lo, hi) box arrays of a query's OWN cell at ``level``
-        (from the ``_qcell`` string column) — the shared-candidate-selection
-        key: probes in the same cell run candidate selection ONCE, with
-        box-to-box bounds (below) keeping the prune lossless for every
-        member probe. Linear in the coords, so out-of-box probes (negative
-        coords) get correct boxes too."""
-        s = _slices(level, self.dim, self.rr)
-        parts = F.split("_qcell", CELL_SEP)
-        los, his = [], []
-        for c in range(self.dim):
-            w_c = float(self.width) * (self.ratio ** -s[c])
-            lo = F.lit(float(self.origin[c])) + F.element_at(
-                parts, c + 2
-            ).cast("double") * F.lit(w_c)
-            los.append(lo)
-            his.append(lo + F.lit(w_c))
-        return F.array(*los), F.array(*his)
-
-    def _box_box_bounds_expr(self) -> tuple[Column, Column]:
-        """Min/max squared BOX-to-box distance between a query box
-        (``_qlo``/``_qhi`` arrays) and a stats row (``level``, ``coords``):
-        for ANY q in the query box and x in the cell,
-        min ≤ d²(q, x) ≤ max — so a prune computed once per query cell is
-        simultaneously valid for every probe inside it. Pure Catalyst, the
-        interval twin of ``_box_bounds_expr``."""
-        min_terms: list[Column] = []
-        max_terms: list[Column] = []
-        for c in range(self.dim):
-            s_c = F.floor(
-                (F.col("level").cast("long") * self.rr + self.dim - c - 1)
-                / float(self.dim)
-            ).cast("double")
-            w_c = F.lit(float(self.width)) * F.pow(F.lit(float(self.ratio)), -s_c)
-            lo = (
-                F.lit(float(self.origin[c]))
-                + F.element_at("coords", c + 1).cast("double") * w_c
-            )
-            hi = lo + w_c
-            qlo = F.element_at("_qlo", c + 1)
-            qhi = F.element_at("_qhi", c + 1)
-            dmin = F.greatest(lo - qhi, qlo - hi, F.lit(0.0))
-            min_terms.append(dmin * dmin)
-            dmax = F.greatest(hi - qlo, qhi - lo)
-            max_terms.append(dmax * dmax)
-        import functools
-
-        add = lambda a, b: a + b  # noqa: E731
-        return (
-            functools.reduce(add, min_terms),
-            functools.reduce(add, max_terms),
-        )
-
-    def _query_cells(self, qs: DataFrame, level: int) -> tuple[DataFrame, DataFrame]:
-        """(queries + ``_qcell``, distinct query-cell table with box
-        arrays keyed ``_qid``) at ``level`` — the inputs of the shared
-        descent."""
-        qcell = GridIndex._cell_expr(
-            "_qvec", self.origin, self.width, level, self.dim, self.rr,
-            self.ratio, clamp=False,
-        )
-        qs_cell = qs.withColumn("_qcell", qcell)
-        qlo, qhi = self._qcell_box_exprs(level)
-        qcells = (
-            qs_cell.select("_qcell")
-            .distinct()
-            .select("_qcell", qlo.alias("_qlo"), qhi.alias("_qhi"))
-            .withColumnRenamed("_qcell", "_qid")
-        )
-        return qs_cell, qcells
-
     def _scored_pairs(self, qs: DataFrame, stats_df: DataFrame | None = None) -> DataFrame:
         """(query × cell) with distance bounds: queries joined against the
         broadcast stats table. The stats side is ~n/occupancy rows — the
@@ -913,23 +842,13 @@ class GridIndex:
                 "_qid", "cell", "count", "_min_d2", "_max_d2"
             )
             return self._prune_pairs(pairs, k)
-        # SHARED candidate selection: probes in the same coarse cell run
-        # the whole ladder descent ONCE (box-to-box bounds keep the prune
-        # lossless for every member probe), then one final per-query
-        # point-to-box prune over the shared ring. The per-probe cost
-        # collapses from |Q|·COARSE_TARGET + ladder expansions to
-        # |Qcells|·(those) + |Q|·ring — the query-table twin of the
-        # reference's single-query recursion (a query TABLE has massive
-        # probe co-location that per-probe descent re-pays every time).
         ladder = self._descent_ladder()
-        qs_cell, qcells = self._query_cells(qs, ladder[0])
         coarse = self._coarse_stats(ladder[0]).localCheckpoint(eager=False)
-        mnb, mxb = self._box_box_bounds_expr()
-        cpairs = qcells.crossJoin(F.broadcast(coarse)).select(
-            "_qid", "cell", "count",
-            mnb.alias("_min_d2"), mxb.alias("_max_d2"),
+        cpairs = self._scored_pairs(qs, coarse).select(
+            "_qid", "cell", "count", "_min_d2", "_max_d2"
         )
         keep = self._prune_pairs(cpairs, k)
+        mn, mx = self._box_bounds_expr(F.col("_qvec"))
         # descend: each stage expands survivors only to the NEXT ladder
         # level's grouped cells (fan-out ≤ ~DESCENT_BRANCH), finishing on
         # the true stats table — never straight from COARSE_TARGET
@@ -942,29 +861,15 @@ class GridIndex:
             member = stats_lv.withColumn("_ckey", self._coarse_key_expr(prev_lv))
             fpairs = (
                 keep.withColumnRenamed("cell", "_ckey")
-                .join(qcells, "_qid")
+                .join(qs, "_qid")
                 .join(F.broadcast(member), "_ckey")
                 .select(
                     "_qid", "cell", "count",
-                    mnb.alias("_min_d2"), mxb.alias("_max_d2"),
+                    mn.alias("_min_d2"), mx.alias("_max_d2"),
                 )
             )
             keep = self._prune_pairs(fpairs, k)
-        # final stage: per-QUERY point-to-box prune over the shared ring
-        mn, mx = self._box_bounds_expr(F.col("_qvec"))
-        ring = keep.withColumnRenamed("_qid", "_qcell")
-        spread = qs_cell.repartition(
-            qs.sparkSession.sparkContext.defaultParallelism, "_qid"
-        )
-        qpairs = (
-            spread.join(ring, "_qcell")
-            .join(F.broadcast(self.stats_df), "cell")
-            .select(
-                "_qid", "cell", "count",
-                mn.alias("_min_d2"), mx.alias("_max_d2"),
-            )
-        )
-        return self._prune_pairs(qpairs, k)
+        return keep
 
     def _knn_distributed(
         self,
@@ -1037,48 +942,35 @@ class GridIndex:
                 .select("_qid", "cell", "_qvec")
             )
         else:
-            # SHARED ladder descent (see _two_phase_keep): probes in the
-            # same coarse cell reject ancestors ONCE via box-to-box
-            # min-distance (trivially lossless: box-min ≤ every member
-            # probe's point-min), then one final per-query point-to-box
-            # filter over the shared ring; per-stage fan-out is bounded by
-            # ~DESCENT_BRANCH instead of n_cells/COARSE_TARGET
+            # ladder descent (see _descent_ladder): reject whole ancestors
+            # with min-dist > r² before expanding to the next level —
+            # trivially lossless (ancestor box contains member boxes, so
+            # member min-dist ≥ ancestor min-dist); per-stage fan-out is
+            # bounded by ~DESCENT_BRANCH instead of n_cells/COARSE_TARGET
             ladder = self._descent_ladder()
-            qs_cell, qcells = self._query_cells(qs, ladder[0])
-            mnb, _ = self._box_box_bounds_expr()
             keep = (
-                qcells.crossJoin(F.broadcast(self._coarse_stats(ladder[0])))
-                .withColumn("_min_d2", mnb)
+                self._scored_pairs(qs, self._coarse_stats(ladder[0]))
                 .filter(F.col("_min_d2") <= F.lit(r2))
                 .select("_qid", "cell")
             )
+            mn, _ = self._box_bounds_expr(F.col("_qvec"))
             stages = [self._coarse_stats(lv) for lv in ladder[1:]] + [
                 self.stats_df
             ]
+            cand = None
             for prev_lv, stats_lv in zip(ladder, stages):
                 member = stats_lv.withColumn(
                     "_ckey", self._coarse_key_expr(prev_lv)
                 )
-                keep = (
+                cand = (
                     keep.withColumnRenamed("cell", "_ckey")
-                    .join(qcells, "_qid")
+                    .join(qs, "_qid")
                     .join(F.broadcast(member), "_ckey")
-                    .withColumn("_min_d2", mnb)
+                    .withColumn("_min_d2", mn)
                     .filter(F.col("_min_d2") <= F.lit(r2))
-                    .select("_qid", "cell")
                 )
-            mn, _ = self._box_bounds_expr(F.col("_qvec"))
-            ring = keep.withColumnRenamed("_qid", "_qcell")
-            cand = (
-                qs_cell.repartition(
-                    qs.sparkSession.sparkContext.defaultParallelism, "_qid"
-                )
-                .join(ring, "_qcell")
-                .join(F.broadcast(self.stats_df), "cell")
-                .withColumn("_min_d2", mn)
-                .filter(F.col("_min_d2") <= F.lit(r2))
-                .select("_qid", "cell", "_qvec")
-            )
+                keep = cand.select("_qid", "cell")
+            cand = cand.select("_qid", "cell", "_qvec")
 
         from pyvectorsearch_spark.functions.vector import l2_sq
 
