@@ -18,11 +18,17 @@ delta (batch-sized) plus the cascade over the count table (the same
 DataFrame loop the batch build runs, measured at seconds for 10⁵ cells) —
 versus a compactor that rewrites the corpus.
 
-Exactly-once: ``foreachBatch`` can replay a batch after a failure; the meta
-update is guarded by a per-batch marker (the standard idempotent-sink
-pattern), so a replayed batch never double-counts its delta. Each batch
-publishes a new immutable version directory and flips a pointer file —
-readers always see a complete, consistent (counts, mapping, stats) triple.
+Exactly-once: ``foreachBatch`` can replay a batch after a failure; BOTH
+sinks are idempotent under replay (the standard idempotent-sink pattern).
+The meta update is guarded by a per-batch pointer marker, so a replayed
+batch never double-counts its delta; the data write lands each batch under
+its own ``ingest_batch=<id>`` directory in overwrite mode
+(``streaming/ingest.py``), so a replayed batch overwrites its own rows
+instead of appending duplicates — the served index stays row-for-row equal
+to a batch build even across failures (ADVICE r7 closed the append-mode
+gap). Each meta batch publishes a new immutable version directory and
+flips a pointer file — readers always see a complete, consistent
+(counts, mapping, stats) triple.
 """
 
 from __future__ import annotations
@@ -172,9 +178,11 @@ def load_rebalanced_index(
     if cur is None:
         raise ValueError(f"no published rebalance meta under {meta_path}")
     dirs = _meta_dirs(meta_path, cur["version"])
+    from pyvectorsearch_spark.streaming.ingest import INGEST_BATCH_COL
+
     mapping = spark.read.parquet(dirs["mapping"])
     stats_df = spark.read.parquet(dirs["stats"])
-    rows = spark.read.parquet(data_path)
+    rows = spark.read.parquet(data_path).drop(INGEST_BATCH_COL)
     relabeled = (
         rows.withColumnRenamed("cell", "_fine")
         .join(F.broadcast(mapping), "_fine")

@@ -1021,10 +1021,14 @@ def embedding_dup_pairs_bucketed(
         Qm = np.asarray([np.asarray(v, dtype=np.float64) for v in prim["_v"]])
         P = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-300)
         Qm = Qm / np.maximum(np.linalg.norm(Qm, axis=1, keepdims=True), 1e-300)
-        # float32 GEMM: the candidate slack below absorbs fp32 error
-        # (≤ ~d·eps32 ≈ 4e-6 at d=64) and the exact threshold decision
-        # happens in the sequential-expression recompute downstream, so
-        # the only effect is a few extra candidates — half the bytes.
+        # float32 GEMM: the candidate slack below absorbs fp32 error and
+        # the exact threshold decision happens in the sequential-expression
+        # recompute downstream, so the only effect is a few extra
+        # candidates — half the bytes. The slack scales with dimension
+        # (fp32 dot-product error ~ (d+2)·2^-24 incl. the normalization
+        # cast), so losslessness holds for d ≫ 64 too (ADVICE r7).
+        d_ = P.shape[1]
+        slack = max(1e-4, 8.0 * (d_ + 2) * 2.0 ** -24)
         P32, Q32 = P.astype(np.float32), Qm.astype(np.float32)
         pid = probe["_id"].to_numpy()
         cid = prim["_id"].to_numpy()
@@ -1037,7 +1041,7 @@ def embedding_dup_pairs_bucketed(
         for lo in range(0, len(P32), block):
             G = P32[lo:lo + block] @ Q32.T
             ii, jj = np.nonzero(
-                (G >= t - 1e-4)
+                (G >= t - slack)
                 & (pid[lo:lo + block, None] != cid[None, :])
             )
             ii = ii + lo

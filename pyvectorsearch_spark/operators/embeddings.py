@@ -344,9 +344,11 @@ def kmeans_fixedpoint(
     same in every engine), so squared distances and per-cluster component
     sums are BIGINT arithmetic — order-independent, bit-identical across
     engines, no float-accumulation drift anywhere. The only non-integer op
-    is the centroid update ``floor(sum/n + 0.5)``: both operands are
-    exactly representable doubles (|sum| < 2^53) and IEEE division/floor
-    are correctly rounded, so even that step is bit-stable. The whole
+    is the centroid update ``floor(float(sum)/n + 0.5)``: the sum is cast
+    to double FIRST — the same rounding order as the oracle's
+    ``CAST(s AS DOUBLE)/n`` — so the step stays bit-stable even when
+    ``|sum| >= 2^53`` (Python's exact-rational int/int division would
+    differ by up to 1 ulp there and could flip the floor; ADVICE r7). The whole
     training trajectory therefore oracle-checks exactly — the corpus
     clustering primitive (topic balancing, SemDeDup prep, IVF coarse
     quantizers) as a hash-checkable query rather than a "close enough"
@@ -403,14 +405,14 @@ def kmeans_fixedpoint(
             for j in cent_ids
         ]
         scored = pts.select("_id", "_q", *dists)
-        best = F.least(
-            *[
-                F.struct(
-                    F.col(f"_d{j}").alias("d"), F.lit(j).alias("j")
-                )
-                for j in cent_ids
-            ]
-        )
+        structs = [
+            F.struct(F.col(f"_d{j}").alias("d"), F.lit(j).alias("j"))
+            for j in cent_ids
+        ]
+        # F.least needs >= 2 args; k=1 is a valid degenerate clustering
+        # (everything in one cluster), so take the single struct directly
+        # (ADVICE r7).
+        best = structs[0] if len(structs) == 1 else F.least(*structs)
         last_assign = pooled_persist(
             scored.select(
                 "_id", "_q",
@@ -427,8 +429,12 @@ def kmeans_fixedpoint(
         )
         new_cents = {j: list(cents[j]) for j in cent_ids}
         for r in upd:
+            # float(s)/n mirrors the oracle's CAST(s AS DOUBLE)/n rounding
+            # order: Python's exact-rational int/int division differs by up
+            # to 1 ulp once |s| >= 2^53, which can flip floor(x + 0.5) and
+            # break bit parity for very large clusters (ADVICE r7).
             new_cents[int(r["_j"])][int(r["_i"])] = int(
-                math.floor(r["_s"] / r["_n"] + 0.5)
+                math.floor(float(r["_s"]) / r["_n"] + 0.5)
             )
         cents = new_cents
 

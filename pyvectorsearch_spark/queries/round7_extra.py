@@ -149,7 +149,11 @@ def q_knn_stream_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyvectorsearch_spark.index.grid import GridIndex
     from pyvectorsearch_spark.index.incremental import load_rebalanced_index
     from pyvectorsearch_spark.sources.tables import dataset_tag
-    from pyvectorsearch_spark.streaming.ingest import stream_index_ingest
+    from pyvectorsearch_spark.streaming.ingest import (
+        drain_complete,
+        mark_drain_complete,
+        stream_index_ingest,
+    )
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
@@ -177,7 +181,9 @@ def q_knn_stream_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise
     out = os.path.join(tempfile.gettempdir(), f"pvs_emb_rebal_{base}")
     ck, meta = f"{out}.ck", f"{out}.meta"
-    if not (os.path.isdir(out) and os.path.isdir(ck) and os.path.isdir(meta)):
+    # Sentinel-gated reuse: dir existence alone survives a crash/timeout
+    # mid-stream and would silently serve a partial index (ADVICE r7).
+    if not drain_complete(out, ck, meta):
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
         shutil.rmtree(meta, ignore_errors=True)
@@ -207,6 +213,7 @@ def q_knn_stream_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "availableNow drain exceeded 300 s; the ingested index "
                 "would be partial — failing loud instead (ADVICE r6)"
             )
+        mark_drain_complete(out)
     idx = load_rebalanced_index(
         spark, data_path=out, meta_path=meta,
         origin=geom.origin, width=geom.width, dim=geom.dim,

@@ -208,10 +208,17 @@ def q_events_file_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyvectorsearch_spark.queries.streaming import _event_stream
     from pyvectorsearch_spark.sources.tables import dataset_tag
 
+    from pyvectorsearch_spark.streaming.ingest import (
+        drain_complete,
+        mark_drain_complete,
+    )
+
     base = dataset_tag(sf_dir, "events")
     out = os.path.join(tempfile.gettempdir(), f"pvs_events_sink_{base}")
     ck = f"{out}.ck"
-    if not os.path.isdir(out) or not os.path.isdir(ck):
+    # Sentinel-gated reuse: dir existence alone survives a crash/timeout
+    # mid-stream and would silently serve a partial sink (ADVICE r7).
+    if not drain_complete(out, ck):
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
         stream = _event_stream(spark, sf_dir).select(
@@ -233,6 +240,7 @@ def q_events_file_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "availableNow drain exceeded 300 s; the memory sink "
                 "would be partial — failing loud instead (ADVICE r6)"
             )
+        mark_drain_complete(out)
     sunk = spark.read.parquet(out)
     return (
         sunk.groupBy("event_type")
@@ -488,9 +496,16 @@ def q_events_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events")  # nanosAsLong conf
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     base = dataset_tag(sf_dir, "events")
+    from pyvectorsearch_spark.streaming.ingest import (
+        drain_complete,
+        mark_drain_complete,
+    )
+
     dim = os.path.join(tempfile.gettempdir(), f"pvs_user_dim_{base}")
     ck = f"{dim}.ck"
-    if not os.path.isdir(dim) or not os.path.isdir(ck):
+    # Sentinel-gated reuse (ADVICE r7): the sentinel lands inside dim AFTER
+    # the drain, so a crash mid-merge leaves dim without it → full rebuild.
+    if not drain_complete(dim, ck):
         shutil.rmtree(dim, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
         stream = spark.readStream.schema(raw_schema).parquet(landing)
@@ -544,6 +559,7 @@ def q_events_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "availableNow drain exceeded 300 s; the memory sink "
                 "would be partial — failing loud instead (ADVICE r6)"
             )
+        mark_drain_complete(dim)
     out = spark.read.parquet(dim)
     return out.select(
         "user_id",

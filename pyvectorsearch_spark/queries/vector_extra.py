@@ -621,7 +621,12 @@ def q_knn_stream_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyvectorsearch_spark.index.cache import build_or_load
     from pyvectorsearch_spark.index.grid import CELL_SEP, GridIndex
-    from pyvectorsearch_spark.streaming.ingest import stream_index_ingest
+    from pyvectorsearch_spark.streaming.ingest import (
+        INGEST_BATCH_COL,
+        drain_complete,
+        mark_drain_complete,
+        stream_index_ingest,
+    )
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
@@ -649,7 +654,9 @@ def q_knn_stream_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise
     out = os.path.join(tempfile.gettempdir(), f"pvs_emb_ingested_{base}")
     ck = f"{out}.ck"
-    if not os.path.isdir(out) or not os.path.isdir(ck):
+    # The sentinel (not mere dir existence) gates reuse: a crash or the
+    # TimeoutError path leaves out/ck present but PARTIAL (ADVICE r7).
+    if not drain_complete(out, ck):
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
         schema = spark.read.parquet(landing).schema
@@ -674,7 +681,8 @@ def q_knn_stream_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "availableNow drain exceeded 300 s; the memory sink "
                 "would be partial — failing loud instead (ADVICE r6)"
             )
-    ingested = spark.read.parquet(out)
+        mark_drain_complete(out)
+    ingested = spark.read.parquet(out).drop(INGEST_BATCH_COL)
     parts = F.split("cell", CELL_SEP)
     stats = ingested.groupBy("cell").agg(F.count("*").cast("long").alias("count")).select(
         "cell",

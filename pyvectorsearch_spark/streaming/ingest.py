@@ -20,10 +20,42 @@ user). State stores are RocksDB-spillable on a real cluster.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Per-batch partition directory prefix of ``stream_index_ingest``'s layout
+#: (``out/{INGEST_BATCH_COL}=<id>/cell=.../part-*.parquet``). Readers that
+#: don't want the lineage column should ``.drop(INGEST_BATCH_COL)``.
+INGEST_BATCH_COL = "ingest_batch"
+
+#: Sentinel file published at the artifact root only after a drain ran to
+#: completion (``awaitTermination`` returned True). Cached-artifact checks
+#: must require it: mere existence of out/checkpoint/meta dirs survives a
+#: crash or timeout mid-stream, and reusing such a partial index silently
+#: serves wrong results (ADVICE r7).
+DRAIN_SENTINEL = "_DRAIN_SUCCESS"
+
+
+def mark_drain_complete(out_path: str) -> None:
+    """Publish the drain-success sentinel (call ONLY after a successful
+    ``awaitTermination``). Atomic via write-then-rename."""
+    p = os.path.join(out_path, DRAIN_SENTINEL)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("ok")
+    os.replace(tmp, p)
+
+
+def drain_complete(out_path: str, *extra_dirs: str) -> bool:
+    """True iff the ingest artifact is COMPLETE: all dirs exist AND the
+    success sentinel was published after a full drain."""
+    dirs_ok = os.path.isdir(out_path) and all(
+        os.path.isdir(d) for d in extra_dirs
+    )
+    return dirs_ok and os.path.exists(os.path.join(out_path, DRAIN_SENTINEL))
 
 
 def read_event_stream(
@@ -120,9 +152,15 @@ def stream_index_ingest(
     reference's ``insert`` rebalancing cascade (``pktree.hpp:1262-1355``).
 
     Per micro-batch: ``assign`` adds the partition (cell/list) column via the
-    index's closed-form expression, and the batch appends to partitioned
-    parquet — an idempotent, shuffle-free write (task-level retry safe; the
-    checkpoint gives exactly-once at the batch level). Every
+    index's closed-form expression, and the batch lands under its own
+    ``ingest_batch=<id>`` directory (overwrite mode, partitioned by cell
+    inside) — a shuffle-free write that is idempotent at the BATCH level,
+    not just the task level: ``foreachBatch`` can replay a batch after a
+    failure, and a replay overwrites the same directory instead of
+    appending duplicates (ADVICE r7 — append mode made the data write
+    at-least-once while the rebalance sidecar counted exactly-once).
+    Readers see the whole dataset via partition discovery over the root;
+    the ``ingest_batch`` lineage column is free to drop. Every
     ``compact_every`` batches the optional ``compactor`` runs the batch-build
     coalesce over the accumulated dataset — the K-instantiation invariant is
     restored in bulk instead of per-point pointer surgery.
@@ -142,9 +180,9 @@ def stream_index_ingest(
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         assigned = assign(batch_df)
         (
-            assigned.write.mode("append")
+            assigned.write.mode("overwrite")
             .partitionBy(partition_col)
-            .parquet(out_path)
+            .parquet(os.path.join(out_path, f"{INGEST_BATCH_COL}={batch_id}"))
         )
         if rebalance is not None:
             from pyvectorsearch_spark.index.incremental import (

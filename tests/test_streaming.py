@@ -91,7 +91,8 @@ def test_sessionized_stream_matches_batch_session_window(spark, event_landing):
 
 def test_stream_index_ingest_appends_partitioned(spark, tmp_path):
     """Micro-batch ingestion with a cell-style assignment: rows land under
-    cell=... partition dirs and the accumulated dataset equals the input."""
+    ingest_batch=<id>/cell=... partition dirs (batch-keyed for idempotent
+    replay, ADVICE r7) and the accumulated dataset equals the input."""
     emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
     land = str(tmp_path / "vec_landing")
     emb.repartition(3).write.parquet(land)
@@ -114,7 +115,9 @@ def test_stream_index_ingest_appends_partitioned(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    assert glob.glob(os.path.join(out_path, "cell=*")), "no partition dirs"
+    assert glob.glob(
+        os.path.join(out_path, "ingest_batch=*", "cell=*")
+    ), "no batch-keyed partition dirs"
     back = spark.read.parquet(out_path)
     assert back.count() == emb.count()
     assert set(back.select("vec_id").toPandas()["vec_id"]) == set(
