@@ -7,6 +7,7 @@ Modules register via the ``QUERIES`` / ``ORACLES`` dicts they export;
 
 from pyvectorsearch_spark.queries import (  # noqa: F401
     round7_extra,
+    round8_extra,
     analytic_extra,
     audit_extra,
     basket_extra,
@@ -115,6 +116,7 @@ _MODULES = [
     streaming_tws,  # conditionally empty: registers transformWithState only
     # when the container has protobuf (re-checked r5/r6/r7 — absent; see module)
     round7_extra,  # likewise (kernel-dispatch density census)
+    round8_extra,  # likewise (hash-checked IVF/PQ recall reports)
 ]
 
 
