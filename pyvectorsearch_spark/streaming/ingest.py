@@ -58,6 +58,159 @@ def drain_complete(out_path: str, *extra_dirs: str) -> bool:
     return dirs_ok and os.path.exists(os.path.join(out_path, DRAIN_SENTINEL))
 
 
+#: Partition value of the consolidated base produced by ``compact_ingest``
+#: (negative, so it never collides with a real foreachBatch id).
+COMPACT_BASE_ID = -1
+
+_COMPACT_MANIFEST = "_COMPACT_MANIFEST.json"
+_COMPACT_TMP_PREFIX = "_compact_tmp_"
+_COMPACT_TRASH_PREFIX = "_compact_trash_"
+
+
+def _live_batch_dirs(out_path: str) -> dict[int, str]:
+    """Map batch id -> directory for every ``ingest_batch=<id>`` dir
+    (including the consolidated base at ``COMPACT_BASE_ID``)."""
+    import glob as _glob
+
+    out: dict[int, str] = {}
+    for d in _glob.glob(os.path.join(out_path, f"{INGEST_BATCH_COL}=*")):
+        if not os.path.isdir(d):
+            continue
+        try:
+            bid = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        out[bid] = d
+    return out
+
+
+def _compact_janitor(out_path: str) -> None:
+    """Recover any interrupted compaction before touching the layout.
+
+    The compact protocol (write tmp → manifest → base→trash → tmp→dest →
+    delete merged+trash) can crash at any step; each leftover state is
+    unambiguous and this completes or rolls it back:
+
+    - dest present with a manifest → finish step E (delete merged batch
+      dirs ≤ manifest upto, delete trash, drop the manifest).
+    - tmp with a manifest and NO dest → finish step D (tmp becomes dest),
+      then step E.
+    - tmp with a manifest and dest present → stale aborted attempt → drop.
+    - tmp without a manifest → incomplete write → drop.
+    - trash with no dest and no completable tmp → roll back (trash was the
+      base; restore it)."""
+    import glob as _glob
+    import json as _json
+    import shutil as _shutil
+
+    dest = os.path.join(out_path, f"{INGEST_BATCH_COL}={COMPACT_BASE_ID}")
+    tmps = sorted(_glob.glob(os.path.join(out_path, _COMPACT_TMP_PREFIX + "*")))
+    for tmp in tmps:
+        man = os.path.join(tmp, _COMPACT_MANIFEST)
+        if os.path.exists(man) and not os.path.isdir(dest):
+            os.rename(tmp, dest)  # complete step D
+        else:
+            _shutil.rmtree(tmp, ignore_errors=True)
+    trashes = _glob.glob(os.path.join(out_path, _COMPACT_TRASH_PREFIX + "*"))
+    if not os.path.isdir(dest) and trashes:
+        os.rename(trashes[0], dest)  # roll back step C
+        trashes = trashes[1:]
+    for t in trashes:
+        _shutil.rmtree(t, ignore_errors=True)
+    man = os.path.join(dest, _COMPACT_MANIFEST)
+    if os.path.exists(man):
+        with open(man) as fh:
+            upto = int(_json.load(fh)["upto"])
+        for bid, d in _live_batch_dirs(out_path).items():
+            if 0 <= bid <= upto:
+                _shutil.rmtree(d, ignore_errors=True)
+        os.remove(man)  # protocol complete
+
+
+def compact_ingest(
+    spark: SparkSession,
+    out_path: str,
+    *,
+    partition_col: str = "cell",
+) -> dict:
+    """Fold all accumulated ``ingest_batch`` dirs (and any previous base)
+    into ONE consolidated base dir at ``ingest_batch=-1``, one file per
+    cell — the small-files answer for long-running ingest: without it a
+    soak of B batches × C touched cells accretes O(B·C) files and the
+    scan's file-listing dominates (measured in the round-8 soak; see
+    SCALING.md). Counts, the rebalance sidecar, and search results are
+    all unchanged — only the file layout moves.
+
+    Crash-safe via a manifest commit protocol completed by
+    ``_compact_janitor`` on the next call; IO hygiene only, so callers
+    run it opportunistically (the ``compact_min_batches`` auto-trigger in
+    ``stream_index_ingest``). Single-writer by contract (it runs inside
+    ``foreachBatch``); a full checkpoint loss AFTER a compaction is a
+    rebuild event, not a replay (replayed low ids would double rows
+    already folded into the base — the manifest records the fold).
+
+    Returns ``{"merged_batches": n, "upto": max_id, "files_before": f0,
+    "files_after": f1}`` (zeros when below any threshold / nothing to do).
+    """
+    import glob as _glob
+    import json as _json
+    import shutil as _shutil
+    import uuid as _uuid
+
+    _compact_janitor(out_path)
+    dirs = _live_batch_dirs(out_path)
+    batch_ids = sorted(b for b in dirs if b >= 0)
+    if not batch_ids:
+        return {"merged_batches": 0, "upto": COMPACT_BASE_ID,
+                "files_before": 0, "files_after": 0}
+
+    def _count_files(paths: list[str]) -> int:
+        return sum(
+            len(_glob.glob(os.path.join(d, "*", "part-*"))) for d in paths
+        )
+
+    merge_paths = [dirs[b] for b in batch_ids]
+    if COMPACT_BASE_ID in dirs:
+        merge_paths.append(dirs[COMPACT_BASE_ID])
+    files_before = _count_files(merge_paths)
+    upto = batch_ids[-1]
+
+    df = (
+        spark.read.option("basePath", out_path)
+        .parquet(*merge_paths)
+        .drop(INGEST_BATCH_COL)
+    )
+    tmp = os.path.join(out_path, _COMPACT_TMP_PREFIX + _uuid.uuid4().hex[:8])
+    # one task per cell → exactly one file per cell in the base
+    (
+        df.repartition(partition_col)
+        .write.partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    with open(os.path.join(tmp, _COMPACT_MANIFEST), "w") as fh:
+        _json.dump({"upto": upto}, fh)
+    dest = os.path.join(out_path, f"{INGEST_BATCH_COL}={COMPACT_BASE_ID}")
+    if os.path.isdir(dest):
+        os.rename(
+            dest,
+            os.path.join(
+                out_path, _COMPACT_TRASH_PREFIX + _uuid.uuid4().hex[:8]
+            ),
+        )
+    os.rename(tmp, dest)
+    for b in batch_ids:
+        _shutil.rmtree(dirs[b], ignore_errors=True)
+    for t in _glob.glob(os.path.join(out_path, _COMPACT_TRASH_PREFIX + "*")):
+        _shutil.rmtree(t, ignore_errors=True)
+    os.remove(os.path.join(dest, _COMPACT_MANIFEST))
+    return {
+        "merged_batches": len(batch_ids),
+        "upto": upto,
+        "files_before": files_before,
+        "files_after": _count_files([dest]),
+    }
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,
@@ -146,6 +299,7 @@ def stream_index_ingest(
     partition_col: str = "cell",
     compact_every: int | None = None,
     compactor: Callable[[SparkSession, str], None] | None = None,
+    compact_min_batches: int | None = None,
     rebalance: dict | None = None,
 ):
     """Incremental index ingestion — the streaming replacement for the
@@ -174,6 +328,13 @@ def stream_index_ingest(
     batch build's exactly. Compaction becomes optional IO hygiene rather
     than the only path back to the invariant.
 
+    ``compact_min_batches`` (r8) is that hygiene's size-based trigger:
+    once at least that many per-batch dirs have accumulated,
+    ``compact_ingest`` folds them into the one-file-per-cell consolidated
+    base — bounding the artifact's file count at O(#cells +
+    compact_min_batches·cells/batch) however long the stream runs (the
+    round-8 soak measures when this is needed; SCALING.md).
+
     Returns the ``StreamingQuery``; caller stops it / awaits termination.
     """
 
@@ -198,6 +359,16 @@ def stream_index_ingest(
             )
         if compactor and compact_every and (batch_id + 1) % compact_every == 0:
             compactor(batch_df.sparkSession, out_path)
+        if compact_min_batches is not None:
+            # size-based trigger (r8): fold the per-batch dirs into the
+            # consolidated base once enough accumulate — the file count,
+            # not the batch index, is what hurts at scale
+            live = [b for b in _live_batch_dirs(out_path) if b >= 0]
+            if len(live) >= compact_min_batches:
+                compact_ingest(
+                    batch_df.sparkSession, out_path,
+                    partition_col=partition_col,
+                )
 
     return (
         stream.writeStream.foreachBatch(handle_batch)

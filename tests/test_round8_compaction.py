@@ -1,0 +1,254 @@
+"""Round-8: ingest compaction (`compact_ingest`) — the small-files answer
+for long-running streamed index ingest (VERDICT r7 ask #1).
+
+The batch-keyed layout (`ingest_batch=<id>/cell=*`) accretes O(batches ×
+cells-touched-per-batch) files; compaction folds everything into a
+one-file-per-cell consolidated base at `ingest_batch=-1` without changing
+a single row. Pins: (a) rows and search results are invariant under
+compaction; (b) the file count actually drops to one per cell; (c) the
+size-based auto-trigger keeps the live batch-dir count bounded during a
+drain; (d) the crash-recovery janitor completes/rolls back every
+interrupted protocol state; (e) re-compaction with nothing new is a no-op.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyvectorsearch_spark.sources.tables import load_table
+from pyvectorsearch_spark.streaming.ingest import (
+    _COMPACT_MANIFEST,
+    _COMPACT_TMP_PREFIX,
+    _COMPACT_TRASH_PREFIX,
+    COMPACT_BASE_ID,
+    INGEST_BATCH_COL,
+    _compact_janitor,
+    compact_ingest,
+    stream_index_ingest,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _assign(df):
+    return df.withColumn(
+        "cell", F.floor(F.element_at("embedding", 1) * 4).cast("long")
+    )
+
+
+def _drain(spark, landing, out, ck, **kw):
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = stream_index_ingest(
+        stream, assign=_assign, out_path=out, checkpoint=ck, **kw
+    )
+    assert q.awaitTermination(120), "drain exceeded 120 s"
+
+
+def _batch_dirs(out):
+    return sorted(glob.glob(os.path.join(out, f"{INGEST_BATCH_COL}=*")))
+
+
+def _data_files(out):
+    return glob.glob(os.path.join(out, "*", "cell=*", "part-*"))
+
+
+@pytest.fixture()
+def ingested(spark, tmp_path):
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    landing = str(tmp_path / "landing")
+    emb.repartition(6).write.parquet(landing)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, landing, out, ck)
+    return emb, landing, out, ck
+
+
+class TestCompactIngest:
+    def test_rows_invariant_and_one_file_per_cell(self, spark, ingested):
+        emb, _, out, _ = ingested
+        before = spark.read.parquet(out)
+        rows_before = sorted(
+            (r["vec_id"], r["cell"]) for r in before.select("vec_id", "cell").collect()
+        )
+        n_cells = before.select("cell").distinct().count()
+        assert len(_batch_dirs(out)) >= 6
+
+        stats = compact_ingest(spark, out)
+        assert stats["merged_batches"] >= 6
+        assert stats["files_after"] == n_cells, "not one file per cell"
+        assert stats["files_after"] < stats["files_before"]
+        assert _batch_dirs(out) == [
+            os.path.join(out, f"{INGEST_BATCH_COL}={COMPACT_BASE_ID}")
+        ]
+        after = spark.read.parquet(out)
+        rows_after = sorted(
+            (r["vec_id"], r["cell"]) for r in after.select("vec_id", "cell").collect()
+        )
+        assert rows_after == rows_before
+
+    def test_recompaction_is_noop(self, spark, ingested):
+        _, _, out, _ = ingested
+        compact_ingest(spark, out)
+        again = compact_ingest(spark, out)
+        assert again["merged_batches"] == 0
+
+    def test_compact_then_more_batches_then_compact(
+        self, spark, ingested, tmp_path
+    ):
+        emb, landing, out, ck = ingested
+        compact_ingest(spark, out)
+        # second landing wave: new files → new batch ids via the SAME
+        # checkpoint → fresh batch dirs beside the base
+        extra = emb.filter(F.col("vec_id") < 50).withColumn(
+            "vec_id", F.col("vec_id") + 1_000_000
+        )
+        extra.repartition(2).write.mode("append").parquet(landing)
+        _drain(spark, landing, out, ck)
+        assert len(_batch_dirs(out)) >= 3  # base + >=2 new
+        stats = compact_ingest(spark, out)
+        assert stats["merged_batches"] >= 2
+        n = spark.read.parquet(out).count()
+        assert n == emb.count() + 50
+
+    def test_search_equals_batch_build_after_compaction(self, spark, tmp_path):
+        """The rebalanced-index pipeline with auto-compaction ON must stay
+        row-for-row equal to a batch build — compaction moves files, never
+        rows, and the sidecar never notices."""
+        from pyvectorsearch_spark.index.grid import GridIndex
+        from pyvectorsearch_spark.index.incremental import (
+            load_rebalanced_index,
+        )
+        from pyvectorsearch_spark.operators.knn import knn_join
+
+        emb = (
+            load_table(spark, SF_SMOKE, "embeddings")
+            .withColumn("p2", F.slice("embedding", 1, 2))
+            .select("vec_id", "p2")
+        )
+        geom = GridIndex.build(
+            emb, vec_col="p2", id_col="vec_id", target_occupancy=8
+        )
+        landing = str(tmp_path / "landing2")
+        emb.repartition(5).write.parquet(landing)
+        out, ck, meta = (
+            str(tmp_path / "o2"), str(tmp_path / "c2"), str(tmp_path / "m2")
+        )
+        schema = spark.read.parquet(landing).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        assign = lambda df: df.withColumn(  # noqa: E731
+            "cell",
+            GridIndex._cell_expr(
+                "p2", geom.origin, geom.width, geom.fine_level,
+                geom.dim, geom.rr, geom.ratio, clamp=False,
+            ),
+        )
+        q = stream_index_ingest(
+            stream, assign=assign, out_path=out, checkpoint=ck,
+            compact_min_batches=2,
+            rebalance=dict(
+                meta_path=meta, fine_level=geom.fine_level, dim=geom.dim,
+                rr=geom.rr, ratio=geom.ratio, rank=geom.rank,
+            ),
+        )
+        assert q.awaitTermination(300)
+        idx = load_rebalanced_index(
+            spark, data_path=out, meta_path=meta,
+            origin=geom.origin, width=geom.width, dim=geom.dim,
+            rank=geom.rank, rr=geom.rr, ratio=geom.ratio,
+            fine_level=geom.fine_level, id_col="vec_id", vec_col="p2",
+        )
+        probes = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("p2").alias("qvec")
+        )
+        got = sorted(
+            map(tuple, idx.knn(probes, 5).select(
+                "query_id", "neighbor_id", "rank").collect())
+        )
+        exp = sorted(
+            map(tuple, knn_join(emb, probes, 5, data_id="vec_id",
+                                data_vec="p2").select(
+                "query_id", "neighbor_id", "rank").collect())
+        )
+        assert got == exp
+
+    def test_auto_trigger_bounds_live_batch_dirs(self, spark, ingested,
+                                                 tmp_path):
+        emb, _, _, _ = ingested
+        landing = str(tmp_path / "landing3")
+        emb.repartition(8).write.parquet(landing)
+        out, ck = str(tmp_path / "o3"), str(tmp_path / "c3")
+        _drain(spark, landing, out, ck, compact_min_batches=3)
+        live = [
+            d for d in _batch_dirs(out)
+            if not d.endswith(f"={COMPACT_BASE_ID}")
+        ]
+        assert len(live) < 3, f"trigger never fired: {live}"
+        assert spark.read.parquet(out).count() == emb.count()
+
+
+class TestCompactJanitor:
+    def test_tmp_without_manifest_is_dropped(self, spark, ingested):
+        _, _, out, _ = ingested
+        junk = os.path.join(out, _COMPACT_TMP_PREFIX + "deadbeef")
+        os.makedirs(junk)
+        _compact_janitor(out)
+        assert not os.path.isdir(junk)
+
+    def test_tmp_with_manifest_completes_swap(self, spark, ingested):
+        """Crash between base→trash and tmp→dest: the janitor promotes the
+        manifested tmp to the base and finishes deleting merged dirs."""
+        emb, _, out, _ = ingested
+        n = emb.count()
+        compact_ingest(spark, out)
+        dest = os.path.join(out, f"{INGEST_BATCH_COL}={COMPACT_BASE_ID}")
+        tmp = os.path.join(out, _COMPACT_TMP_PREFIX + "crashed1")
+        os.rename(dest, tmp)  # simulate: tmp written, dest never created
+        with open(os.path.join(tmp, _COMPACT_MANIFEST), "w") as fh:
+            json.dump({"upto": 99}, fh)
+        _compact_janitor(out)
+        assert os.path.isdir(dest)
+        assert not os.path.exists(os.path.join(dest, _COMPACT_MANIFEST))
+        assert spark.read.parquet(out).count() == n
+
+    def test_trash_restored_when_no_dest(self, spark, ingested):
+        """Crash right after base→trash with the tmp lost: roll back."""
+        emb, _, out, _ = ingested
+        n = emb.count()
+        compact_ingest(spark, out)
+        dest = os.path.join(out, f"{INGEST_BATCH_COL}={COMPACT_BASE_ID}")
+        trash = os.path.join(out, _COMPACT_TRASH_PREFIX + "crashed2")
+        os.rename(dest, trash)
+        _compact_janitor(out)
+        assert os.path.isdir(dest)
+        assert spark.read.parquet(out).count() == n
+
+    def test_dest_manifest_deletes_merged_dirs(self, spark, ingested):
+        """Crash between tmp→dest and merged-dir deletion: the stale batch
+        dirs ≤ upto are removed so rows are not double-counted."""
+        emb, _, out, _ = ingested
+        n = emb.count()
+        compact_ingest(spark, out)
+        dest = os.path.join(out, f"{INGEST_BATCH_COL}={COMPACT_BASE_ID}")
+        # resurrect a stale "already folded" batch dir + the manifest state
+        stale = os.path.join(out, f"{INGEST_BATCH_COL}=3")
+        shutil.copytree(dest, stale)
+        with open(os.path.join(dest, _COMPACT_MANIFEST), "w") as fh:
+            json.dump({"upto": 5}, fh)
+        _compact_janitor(out)
+        assert not os.path.isdir(stale)
+        assert spark.read.parquet(out).count() == n
