@@ -1,0 +1,632 @@
+"""Pure-stdlib(+numpy) baseline JPEG codec — no PIL, no libjpeg.
+
+Round-8 (VERDICT r7 ask #4): shrinks the deterministic-fake decode surface
+to ogg/video by making JFIF baseline JPEG — the dominant real-web image
+format — a REAL decode path in ``operators/multimodal.py``. Follows the
+round-7 PNG-codec playbook: the container is a marker walk, the payload is
+entropy-coded DCT blocks (ITU-T T.81 / ISO 10918-1; tables from the
+file's own DQT/DHT segments, so decoder correctness never depends on the
+encoder's Annex-K constants), and everything normalizes to the same pixel
+grid as the PPM/BMP/PNG decoders.
+
+Decoder scope (returns None outside it, like the other ``_parse_*``):
+baseline sequential DCT (SOF0), 8-bit, 1 or 3 components, sampling
+factors ≤ 2 (4:4:4, 4:2:2, 4:2:0), restart intervals. Progressive (SOF2)
+and arithmetic coding are out of scope by design.
+
+Encoder scope: baseline, Annex-K quantization (libjpeg quality scaling)
+and Huffman tables, 4:4:4 or 4:2:0 — used for fixtures and the
+crossformat twins; the round-trip and spec-built goldens cross-check the
+two directions against each other and against hand-assembled streams.
+
+Scale shape: the codec runs inside Arrow ``mapInPandas`` batches like
+every other decode kernel — bytes never shuffle, digests travel.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _make_zigzag() -> list[int]:
+    out = []
+    for s in range(15):
+        diag = [(r, s - r) for r in range(8) if 0 <= s - r < 8]
+        if s % 2 == 0:
+            diag = diag[::-1]
+        out.extend(r * 8 + c for r, c in diag)
+    return out
+
+
+ZIGZAG = _make_zigzag()  # zigzag position -> natural (row-major) index
+
+# Annex K.1/K.2 quantization tables (natural order, row-major)
+_K_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_K_CHR = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 Huffman specs: (BITS[1..16], HUFFVAL)
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    C = np.zeros((8, 8))
+    for u in range(8):
+        cu = np.sqrt(1.0 / 8.0) if u == 0 else np.sqrt(2.0 / 8.0)
+        for x in range(8):
+            C[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return C
+
+
+_C = _dct_matrix()
+
+
+def _quality_scale(table: list[int], quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 1..100 → per-entry clamp to [1, 255]."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = np.array([(v * scale + 50) // 100 for v in table], dtype=np.int32)
+    return np.clip(t, 1, 255)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """BITS/HUFFVAL → {symbol: (code, length)} (T.81 C.2 code assignment)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]):
+    """BITS/HUFFVAL → {(length, code): symbol} for the bit-serial reader."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill to byte boundary
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Value → (size, size-bit amplitude) per T.81 F.1.2.1 (negative values
+    use the one's-complement style encoding)."""
+    if v == 0:
+        return 0, 0
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    amp = v if v > 0 else v + (1 << size) - 1
+    return size, amp
+
+
+def _extend(amp: int, size: int) -> int:
+    """Inverse of ``_magnitude`` (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    if amp < (1 << (size - 1)):
+        return amp - (1 << size) + 1
+    return amp
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate pad to multiples of (bh, bw)."""
+    h, w = plane.shape
+    H = -(-h // bh) * bh
+    W = -(-w // bw) * bw
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
+def _encode_block(
+    bw: _BitWriter,
+    block: np.ndarray,
+    qtab: np.ndarray,
+    dc_codes,
+    ac_codes,
+    pred: int,
+) -> int:
+    coeff = _C @ (block - 128.0) @ _C.T
+    q = np.rint(coeff.reshape(-1) / qtab).astype(int)
+    zz = [int(q[ZIGZAG[i]]) for i in range(64)]
+    diff = zz[0] - pred
+    size, amp = _magnitude(diff)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(amp, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i] != 0:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, amp = _magnitude(zz[i])
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(amp, size)
+        run = 0
+    if last_nz != 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return zz[0]
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    rgb: bytes,
+    *,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder (Annex-K tables, libjpeg quality scaling).
+    ``subsampling``: "444" (one block per component per MCU) or "420"
+    (2x2 luma blocks + box-averaged chroma per MCU). ``restart_interval``
+    > 0 emits a DRI segment and RSTn markers every that-many MCUs (the
+    error-resilience feature real encoders use on large images; also how
+    the decoder's RST path gets exercised without third-party files)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    px = (
+        np.frombuffer(rgb, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    ycc = _rgb_to_ycbcr(px)
+    qlum = _quality_scale(_K_LUM, quality)
+    qchr = _quality_scale(_K_CHR, quality)
+    dc_l = _canonical_codes(*_DC_LUM)
+    ac_l = _canonical_codes(*_AC_LUM)
+    dc_c = _canonical_codes(*_DC_CHR)
+    ac_c = _canonical_codes(*_AC_CHR)
+
+    if subsampling == "444":
+        hv = [(1, 1), (1, 1), (1, 1)]
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    else:
+        hv = [(2, 2), (1, 1), (1, 1)]
+        ypad = _pad_to_blocks(ycc[..., 0], 2, 2)
+        cb = ycc[..., 1]
+        cr = ycc[..., 2]
+        cbp = _pad_to_blocks(cb, 2, 2)
+        crp = _pad_to_blocks(cr, 2, 2)
+        cb2 = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+        cr2 = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+        planes = [ypad, cb2, cr2]
+
+    hmax = max(h for h, _ in hv)
+    vmax = max(v for _, v in hv)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # edge-replicate each component plane out to full MCU coverage
+    padded = [
+        np.pad(
+            p,
+            (
+                (0, 8 * hv[c][1] * mcuy - p.shape[0]),
+                (0, 8 * hv[c][0] * mcux - p.shape[1]),
+            ),
+            mode="edge",
+        )
+        for c, p in enumerate(planes)
+    ]
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    n_mcu = 0
+    n_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                n_rst += 1
+                preds = [0, 0, 0]
+            n_mcu += 1
+            for c in range(3):
+                h, v = hv[c]
+                qt = qlum if c == 0 else qchr
+                dct_codes = dc_l if c == 0 else dc_c
+                act_codes = ac_l if c == 0 else ac_c
+                for by in range(v):
+                    for bx in range(h):
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        block = padded[c][y0 : y0 + 8, x0 : x0 + 8]
+                        preds[c] = _encode_block(
+                            bw, block, qt, dct_codes, act_codes, preds[c]
+                        )
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # DQT (zigzag order on the wire)
+    for tid, qt in ((0, qlum), (1, qchr)):
+        zz = bytes(int(qt[ZIGZAG[i]]) for i in range(64))
+        out += seg(0xFFDB, bytes([tid]) + zz)
+    # SOF0
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for cid, (h, v), tq in ((1, hv[0], 0), (2, hv[1], 1), (3, hv[2], 1)):
+        sof += bytes([cid, (h << 4) | v, tq])
+    out += seg(0xFFC0, sof)
+    # DHT
+    for tc_th, (bits, vals) in (
+        (0x00, _DC_LUM), (0x10, _AC_LUM), (0x01, _DC_CHR), (0x11, _AC_CHR)
+    ):
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    # SOS
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any non-stuffing marker (caller handles RST)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        if self.marker is not None:
+            return False
+        if self.pos >= len(self.data):
+            return False
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 < len(self.data) and self.data[self.pos + 1] == 0x00:
+                self.pos += 2
+            else:
+                self.marker = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else None
+                )
+                return False
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+        return True
+
+    def bit(self) -> int:
+        if self._n == 0 and not self._fill():
+            raise EOFError("entropy data exhausted")
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def byte_align(self) -> None:
+        self._n = 0
+        self._acc = 0
+
+    def skip_rst(self) -> None:
+        """Consume an RSTn marker at the current byte position (skipping
+        any stuffed 0xFF00 produced by 1-bit padding before the marker)."""
+        self.byte_align()
+        if self.marker is not None:
+            self.marker = None
+            self.pos += 2
+            return
+        while self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
+            m = self.data[self.pos + 1]
+            if m == 0x00:  # stuffed pad byte from 1-filling
+                self.pos += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                self.pos += 2
+                return
+            break
+        raise ValueError("expected RST marker")
+
+
+def decode_jpeg(blob: bytes):
+    """Decode a baseline JFIF/JPEG → (width, height, rgb bytes), or None
+    when the blob is not a JPEG or uses an out-of-scope coding mode
+    (progressive SOF2, arithmetic, 12-bit, sampling factors > 2)."""
+    try:
+        return _decode_jpeg_strict(blob)
+    except (ValueError, EOFError, IndexError, struct.error, KeyError):
+        return None
+
+
+def _decode_jpeg_strict(blob: bytes):
+    if len(blob) < 4 or blob[0:2] != b"\xff\xd8":
+        return None
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[int, dict] = {}
+    comps = None
+    w = h = 0
+    restart = 0
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            return None
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        seg_len = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+        payload = blob[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    return None  # 16-bit tables: out of scope
+                zz = payload[p + 1 : p + 65]
+                tab = np.zeros(64, dtype=np.int32)
+                for i in range(64):
+                    tab[ZIGZAG[i]] = zz[i]
+                qtabs[tq] = tab
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                tc_th = payload[p]
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
+                htabs[tc_th] = _decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec = payload[0]
+            if prec != 8:
+                return None
+            h, w = struct.unpack(">HH", payload[1:5])
+            nc = payload[5]
+            if nc not in (1, 3):
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hvb, tq = payload[6 + 3 * c : 9 + 3 * c]
+                ch, cv = hvb >> 4, hvb & 0x0F
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    return None
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / hierarchical
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", payload[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if comps is None:
+                return None
+            ns = payload[0]
+            sel = {}
+            for s in range(ns):
+                cs, td_ta = payload[1 + 2 * s : 3 + 2 * s]
+                sel[cs] = (td_ta >> 4, td_ta & 0x0F)
+            scan_pos = pos + 2 + seg_len
+            return _decode_scan(
+                blob, scan_pos, w, h, comps, sel, qtabs, htabs, restart
+            )
+        pos += 2 + seg_len
+    return None
+
+
+def _decode_scan(blob, pos, w, h, comps, sel, qtabs, htabs, restart):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((8 * c["v"] * mcuy, 8 * c["h"] * mcux)) for c in comps
+    ]
+    rdr = _BitReader(blob, pos)
+    preds = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_mcu and n_mcu % restart == 0:
+                rdr.skip_rst()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                td, ta = sel[c["id"]]
+                dc_tab = htabs[td]  # tc=0 → key 0x0t
+                ac_tab = htabs[0x10 | ta]
+                qt = qtabs[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = rdr.huff(dc_tab)
+                        diff = _extend(rdr.bits(size), size)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rdr.huff(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(rdr.bits(s), s)
+                            k += 1
+                        coeff = np.zeros(64)
+                        coeff[ZIGZAG] = zz * qt[ZIGZAG]
+                        block = (
+                            _C.T @ coeff.reshape(8, 8) @ _C
+                        ) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            n_mcu += 1
+
+    up = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        up.append(p[:h, :w])
+    if len(comps) == 1:
+        rgb = np.clip(up[0], 0.0, 255.0)
+        px = np.stack([rgb, rgb, rgb], axis=-1)
+    else:
+        px = _ycbcr_to_rgb(up[0], up[1], up[2])
+    return w, h, np.rint(px).astype(np.uint8).tobytes()

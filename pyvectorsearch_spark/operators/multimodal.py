@@ -518,20 +518,27 @@ def synthetic_media_mixed(
     spark: SparkSession, n: int = 64, *, seed: int = 7, n_twins: int = 8
 ) -> DataFrame:
     """``synthetic_media`` plus CROSS-CONTAINER twins: the first ``n_twins``
-    images get a BMP re-encode of the SAME pixels (media_id + 300000) AND a
+    images get a BMP re-encode of the SAME pixels (media_id + 300000), a
     PNG re-encode (media_id + 500000, mixed row filters so every unfilter
-    path runs — r7), and the first ``n_twins`` audio rows an AIFF re-encode
-    of the SAME samples (media_id + 400000). Decode normalizes all
-    containers to identical pixel/sample arrays, so each twin group MUST
-    collide exactly (Hamming 0) under dHash / the energy fingerprint — the
-    "same asset re-encoded in a different container" dedup regime, with
-    zero false-positive tolerance.
+    path runs — r7), AND a baseline-JPEG re-encode (media_id + 600000,
+    quality 95, alternating 4:4:4 / 4:2:0 so both MCU layouts decode —
+    r8); the first ``n_twins`` audio rows an AIFF re-encode of the SAME
+    samples (media_id + 400000). Decode normalizes all containers to
+    identical pixel/sample arrays, so each LOSSLESS twin group MUST
+    collide exactly (Hamming 0) under dHash / the energy fingerprint —
+    the "same asset re-encoded in a different container" dedup regime,
+    with zero false-positive tolerance. The JPEG twin is the LOSSY
+    re-encode regime: on this worst-case noise fixture q95 re-encodes
+    land within a few dHash bits (measured max 4 across both layouts),
+    inside the pair miners' default Hamming-6 radius.
     """
     rows = _media_rows(n, seed)
     twins = []
     n_img = n_aud = 0
     for mid, kind, blob, meta in rows:
         if kind == "image" and n_img < n_twins:
+            from pyvectorsearch_spark.operators.jpeg import encode_jpeg
+
             w, h, rgb = _parse_ppm(blob)
             twins.append(
                 (mid + 300000, kind, encode_bmp(w, h, rgb), {**meta, "format": "bmp"})
@@ -542,6 +549,17 @@ def synthetic_media_mixed(
                     kind,
                     encode_png(w, h, rgb, filter_type="mixed"),
                     {**meta, "format": "png"},
+                )
+            )
+            twins.append(
+                (
+                    mid + 600000,
+                    kind,
+                    encode_jpeg(
+                        w, h, rgb, quality=95,
+                        subsampling="444" if n_img % 2 == 0 else "420",
+                    ),
+                    {**meta, "format": "jpeg"},
                 )
             )
             n_img += 1
@@ -578,18 +596,32 @@ def _prand_floats(blob: bytes, count: int) -> list[float]:
     return out
 
 
+def _parse_jpeg(blob: bytes):
+    """Baseline JFIF/JPEG via the pure-stdlib codec (``operators/jpeg.py``,
+    r8): returns (w, h, rgb bytes) or None for non-JPEG / out-of-scope
+    coding modes (progressive, arithmetic, 12-bit)."""
+    from pyvectorsearch_spark.operators.jpeg import decode_jpeg
+
+    return decode_jpeg(blob)
+
+
 def _decode_rgb(blob: bytes, width: int, height: int) -> list[float]:
     """Decode → flat H×W×3 float pixels in [0,1].
 
-    REAL for binary PPM (P6), uncompressed 24-bit BMP, AND 8-bit RGB PNG
-    (pure-stdlib zlib inflate + the five row filters, r7): header parse +
+    REAL for binary PPM (P6), uncompressed 24-bit BMP, 8-bit RGB PNG
+    (pure-stdlib zlib inflate + the five row filters, r7), AND baseline
+    JPEG (pure-stdlib Huffman + IDCT, r8): header/marker parse +
     nearest-neighbor resample, no codec library needed — and because all
-    three decode to the SAME normalized pixel grid, the dHash downstream
-    is format-invariant (a PPM, a BMP and a PNG of the same image
-    collide, the cross-container dedup regime). Remaining compressed
-    formats (JPEG) go through a gated PIL import; the deterministic fake
-    is the last resort (clearly marked)."""
-    parsed = _parse_ppm(blob) or _parse_bmp(blob) or _parse_png(blob)
+    four decode to the SAME normalized pixel grid, the dHash downstream
+    is format-invariant (a PPM, a BMP and a PNG of the same image collide
+    at Hamming 0; a JPEG re-encode lands within a few bits — the lossy
+    re-encode regime). Remaining compressed formats (progressive JPEG,
+    ogg, video) go through a gated PIL import; the deterministic fake is
+    the last resort (clearly marked)."""
+    parsed = (
+        _parse_ppm(blob) or _parse_bmp(blob) or _parse_png(blob)
+        or _parse_jpeg(blob)
+    )
     if parsed is not None:
         import numpy as np
 

@@ -107,15 +107,18 @@ def q_multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def q_multimodal_crossformat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-CONTAINER duplicate mining (round 5): the mixed fixture holds
-    the same pixels encoded as PPM *and* uncompressed 24-bit BMP, and the
-    same samples as WAV *and* AIFF — all four parsed by real pure-struct
-    decoders (`operators/multimodal.py`). Decode normalizes containers to
-    identical pixel/sample arrays, so every twin collides at Hamming 0;
-    the query reports each surviving pair with its two container formats
-    and modality. Deterministic end to end; binary decode is not
-    SQL-expressible — rows-only check like the other multimodal rows
-    (golden twin assertions in tests/test_round5_multimodal.py)."""
+    """Cross-CONTAINER duplicate mining (round 5; JPEG since round 8): the
+    mixed fixture holds the same pixels encoded as PPM, uncompressed
+    24-bit BMP, PNG *and* baseline JPEG, and the same samples as WAV *and*
+    AIFF — all parsed by real pure-stdlib decoders
+    (`operators/multimodal.py`, `operators/jpeg.py`). Decode normalizes
+    containers to identical pixel/sample arrays, so lossless twins collide
+    at Hamming 0 and the lossy JPEG re-encode lands within a few dHash
+    bits — image pairs are mined at the default Hamming-6 radius and
+    carry their distance; audio stays exact. Deterministic end to end;
+    binary decode is not SQL-expressible — rows-only check like the other
+    multimodal rows (golden twin assertions in
+    tests/test_round5_multimodal.py and tests/test_round8_jpeg.py)."""
     from pyvectorsearch_spark.operators.multimodal import (
         audio_fingerprint_pairs,
         image_dhash_pairs,
@@ -123,11 +126,13 @@ def q_multimodal_crossformat_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     media = synthetic_media_mixed(spark, 72, n_twins=8).coalesce(4)
-    img = image_dhash_pairs(media, max_hamming=0).select(
-        F.lit("image").alias("modality"), "d1", "d2"
+    img = image_dhash_pairs(media, max_hamming=6).select(
+        F.lit("image").alias("modality"), "d1", "d2",
+        F.col("hamming").cast("bigint").alias("hamming"),
     )
     aud = audio_fingerprint_pairs(media, max_hamming=0).select(
-        F.lit("audio").alias("modality"), "d1", "d2"
+        F.lit("audio").alias("modality"), "d1", "d2",
+        F.lit(0).cast("bigint").alias("hamming"),
     )
     fmt = media.select(
         F.col("media_id"), F.col("meta.format").alias("fmt")
@@ -138,7 +143,7 @@ def q_multimodal_crossformat_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumnRenamed("fmt", "fmt1")
         .join(fmt.withColumnRenamed("media_id", "d2"), "d2")
         .withColumnRenamed("fmt", "fmt2")
-        .select("modality", "d1", "d2", "fmt1", "fmt2")
+        .select("modality", "d1", "d2", "fmt1", "fmt2", "hamming")
         .orderBy("modality", "d1", "d2")
     )
 
