@@ -252,3 +252,77 @@ class TestCompactJanitor:
         _compact_janitor(out)
         assert not os.path.isdir(stale)
         assert spark.read.parquet(out).count() == n
+
+
+class TestSoakPin:
+    def test_long_drain_bounded_files_single_meta_version(
+        self, spark, tmp_path
+    ):
+        """The round-8 soak contract in miniature (the full-size numbers
+        live in SCALING.md / tools/soak_ingest.py): a 16-micro-batch
+        rebalanced drain with the size trigger must end with (a) live
+        batch dirs below the trigger, (b) exactly ONE live sidecar version
+        triple (pointer GC), (c) the pointer at the last batch id, and
+        (d) a served index equal to a batch build."""
+        from pyvectorsearch_spark.index.grid import GridIndex
+        from pyvectorsearch_spark.index.incremental import (
+            load_rebalanced_index,
+            read_pointer,
+        )
+
+        emb = (
+            load_table(spark, SF_SMOKE, "embeddings")
+            .withColumn("p2", F.slice("embedding", 1, 2))
+            .select("vec_id", "p2")
+        )
+        geom = GridIndex.build(
+            emb, vec_col="p2", id_col="vec_id", target_occupancy=8
+        )
+        landing = str(tmp_path / "soak_landing")
+        emb.repartition(16).write.parquet(landing)
+        out, ck, meta = (
+            str(tmp_path / "so"), str(tmp_path / "sc"), str(tmp_path / "sm")
+        )
+        schema = spark.read.parquet(landing).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        assign = lambda df: df.withColumn(  # noqa: E731
+            "cell",
+            GridIndex._cell_expr(
+                "p2", geom.origin, geom.width, geom.fine_level,
+                geom.dim, geom.rr, geom.ratio, clamp=False,
+            ),
+        )
+        q = stream_index_ingest(
+            stream, assign=assign, out_path=out, checkpoint=ck,
+            compact_min_batches=5,
+            rebalance=dict(
+                meta_path=meta, fine_level=geom.fine_level, dim=geom.dim,
+                rr=geom.rr, ratio=geom.ratio, rank=geom.rank,
+            ),
+        )
+        assert q.awaitTermination(600), "soak drain exceeded 600 s"
+
+        live = [
+            d for d in _batch_dirs(out)
+            if not d.endswith(f"={COMPACT_BASE_ID}")
+        ]
+        assert len(live) < 5, live
+        for kind in ("fine_counts", "mapping", "stats"):
+            assert len(os.listdir(os.path.join(meta, kind))) == 1, kind
+        assert read_pointer(meta)["batch_id"] == 15
+
+        streamed = load_rebalanced_index(
+            spark, data_path=out, meta_path=meta,
+            origin=geom.origin, width=geom.width, dim=geom.dim,
+            rank=geom.rank, rr=geom.rr, ratio=geom.ratio,
+            fine_level=geom.fine_level, id_col="vec_id", vec_col="p2",
+        )
+        key = lambda df: sorted(  # noqa: E731
+            (r["cell"], r["level"], tuple(r["coords"]), r["count"])
+            for r in df.collect()
+        )
+        assert key(streamed.stats_df) == key(geom.stats_df)
