@@ -132,14 +132,25 @@ def compact_ingest(
     out_path: str,
     *,
     partition_col: str = "cell",
+    layout: str | None = None,
+    target_file_rows: int = 4_000_000,
 ) -> dict:
     """Fold all accumulated ``ingest_batch`` dirs (and any previous base)
-    into ONE consolidated base dir at ``ingest_batch=-1``, one file per
-    cell — the small-files answer for long-running ingest: without it a
-    soak of B batches × C touched cells accretes O(B·C) files and the
-    scan's file-listing dominates (measured in the round-8 soak; see
-    SCALING.md). Counts, the rebalance sidecar, and search results are
-    all unchanged — only the file layout moves.
+    into ONE consolidated base dir at ``ingest_batch=-1`` — the
+    small-files answer for long-running ingest: without it a soak of B
+    batches × C touched cells accretes O(B·C) files and the scan's
+    file-listing dominates (measured in the round-8 soak; SCALING.md).
+    Counts, the rebalance sidecar, and search results are all unchanged —
+    only the file layout moves.
+
+    ``layout`` (auto-detected from the existing dirs when None) mirrors
+    ``stream_index_ingest``'s two layouts: "sorted" rewrites into
+    ``ceil(rows / target_file_rows)`` cell-RANGE-sorted plain files
+    (row-group min/max pruning on the cell column — the deep-fine-grid
+    regime where cells ≈ rows and one-dir-per-cell IS the small-files
+    problem: the r8 soak measured a 19.8k-cell base for 20k rows);
+    "cells" rewrites one file per ``cell=`` directory (the fat-cell
+    regime, directory-level partition pruning).
 
     Crash-safe via a manifest commit protocol completed by
     ``_compact_janitor`` on the next call; IO hygiene only, so callers
@@ -166,7 +177,9 @@ def compact_ingest(
 
     def _count_files(paths: list[str]) -> int:
         return sum(
-            len(_glob.glob(os.path.join(d, "*", "part-*"))) for d in paths
+            len(_glob.glob(os.path.join(d, "*", "part-*")))
+            + len(_glob.glob(os.path.join(d, "part-*")))
+            for d in paths
         )
 
     merge_paths = [dirs[b] for b in batch_ids]
@@ -175,18 +188,34 @@ def compact_ingest(
     files_before = _count_files(merge_paths)
     upto = batch_ids[-1]
 
+    if layout is None:
+        layout = "cells" if any(
+            _glob.glob(os.path.join(d, f"{partition_col}=*"))
+            for d in merge_paths
+        ) else "sorted"
+    if layout not in ("cells", "sorted"):
+        raise ValueError(f"unknown layout {layout!r}")
+
     df = (
         spark.read.option("basePath", out_path)
         .parquet(*merge_paths)
         .drop(INGEST_BATCH_COL)
     )
     tmp = os.path.join(out_path, _COMPACT_TMP_PREFIX + _uuid.uuid4().hex[:8])
-    # one task per cell → exactly one file per cell in the base
-    (
-        df.repartition(partition_col)
-        .write.partitionBy(partition_col)
-        .parquet(tmp)
-    )
+    if layout == "cells":
+        # one task per cell → exactly one file per cell=dir in the base
+        (
+            df.repartition(partition_col)
+            .write.partitionBy(partition_col)
+            .parquet(tmp)
+        )
+    else:
+        n_files = max(1, -(-df.count() // max(target_file_rows, 1)))
+        (
+            df.repartitionByRange(n_files, partition_col)
+            .sortWithinPartitions(partition_col)
+            .write.parquet(tmp)
+        )
     with open(os.path.join(tmp, _COMPACT_MANIFEST), "w") as fh:
         _json.dump({"upto": upto}, fh)
     dest = os.path.join(out_path, f"{INGEST_BATCH_COL}={COMPACT_BASE_ID}")
@@ -297,6 +326,8 @@ def stream_index_ingest(
     out_path: str,
     checkpoint: str,
     partition_col: str = "cell",
+    layout: str = "sorted",
+    files_per_batch: int = 4,
     compact_every: int | None = None,
     compactor: Callable[[SparkSession, str], None] | None = None,
     compact_min_batches: int | None = None,
@@ -305,19 +336,38 @@ def stream_index_ingest(
     """Incremental index ingestion — the streaming replacement for the
     reference's ``insert`` rebalancing cascade (``pktree.hpp:1262-1355``).
 
-    Per micro-batch: ``assign`` adds the partition (cell/list) column via the
-    index's closed-form expression, and the batch lands under its own
-    ``ingest_batch=<id>`` directory (overwrite mode, partitioned by cell
-    inside) — a shuffle-free write that is idempotent at the BATCH level,
-    not just the task level: ``foreachBatch`` can replay a batch after a
-    failure, and a replay overwrites the same directory instead of
-    appending duplicates (ADVICE r7 — append mode made the data write
-    at-least-once while the rebalance sidecar counted exactly-once).
-    Readers see the whole dataset via partition discovery over the root;
-    the ``ingest_batch`` lineage column is free to drop. Every
-    ``compact_every`` batches the optional ``compactor`` runs the batch-build
-    coalesce over the accumulated dataset — the K-instantiation invariant is
-    restored in bulk instead of per-point pointer surgery.
+    Per micro-batch: ``assign`` adds the partition (cell/list) column via
+    the index's closed-form expression, and the batch lands under its own
+    ``ingest_batch=<id>`` directory in overwrite mode — a write that is
+    idempotent at the BATCH level, not just the task level:
+    ``foreachBatch`` can replay a batch after a failure, and a replay
+    overwrites the same directory instead of appending duplicates
+    (ADVICE r7 — append mode made the data write at-least-once while the
+    rebalance sidecar counted exactly-once). Readers see the whole
+    dataset via partition discovery over the root; the ``ingest_batch``
+    lineage column is free to drop.
+
+    ``layout`` picks the inside of each batch dir, mirroring
+    ``GridIndex.write``'s two regimes:
+
+    - "sorted" (default): ``files_per_batch`` cell-RANGE-sorted plain
+      files; the cell rides as a DATA column and searches prune via
+      parquet row-group min/max stats. The right layout whenever fine
+      cells are numerous relative to rows — the r8 soak measured the
+      per-cell-directory layout writing ~415 files per 417-row batch on
+      a deep fine grid (~1 row/cell) and a consolidated base of 19.8k
+      dirs for 20k rows: there, the DIRECTORY layout is itself the
+      small-files explosion, and compaction can never go below one file
+      per cell.
+    - "cells": one ``cell=`` directory per touched cell (Hive-style
+      partition pruning) — right when cells are FEW and fat (occupancy
+      ≫ target_file_rows/cells), the regime directory partitioning was
+      built for.
+
+    Every ``compact_every`` batches the optional ``compactor`` runs the
+    batch-build coalesce over the accumulated dataset — the
+    K-instantiation invariant is restored in bulk instead of per-point
+    pointer surgery.
 
     ``rebalance`` (r7) restores the invariant after EVERY batch instead:
     pass ``{"meta_path": ..., "fine_level": ..., "dim": ..., "rr": ...,
@@ -338,13 +388,25 @@ def stream_index_ingest(
     Returns the ``StreamingQuery``; caller stops it / awaits termination.
     """
 
+    if layout not in ("cells", "sorted"):
+        raise ValueError(f"unknown layout {layout!r}")
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         assigned = assign(batch_df)
-        (
-            assigned.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(os.path.join(out_path, f"{INGEST_BATCH_COL}={batch_id}"))
-        )
+        batch_dir = os.path.join(out_path, f"{INGEST_BATCH_COL}={batch_id}")
+        if layout == "cells":
+            (
+                assigned.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(batch_dir)
+            )
+        else:
+            (
+                assigned.repartitionByRange(files_per_batch, partition_col)
+                .sortWithinPartitions(partition_col)
+                .write.mode("overwrite")
+                .parquet(batch_dir)
+            )
         if rebalance is not None:
             from pyvectorsearch_spark.index.incremental import (
                 apply_batch_rebalance,
@@ -367,7 +429,7 @@ def stream_index_ingest(
             if len(live) >= compact_min_batches:
                 compact_ingest(
                     batch_df.sparkSession, out_path,
-                    partition_col=partition_col,
+                    partition_col=partition_col, layout=layout,
                 )
 
     return (

@@ -110,7 +110,10 @@ class TestIngestReplayIdempotent:
         batch_dirs = glob.glob(os.path.join(out, "ingest_batch=*"))
         assert len(batch_dirs) >= 2, "expected one dir per micro-batch"
         for d in batch_dirs:
-            assert glob.glob(os.path.join(d, "cell=*")), d
+            # default "sorted" layout: a few plain cell-sorted files, no
+            # per-cell directory sprawl (r8 soak finding)
+            assert glob.glob(os.path.join(d, "part-*")), d
+            assert not glob.glob(os.path.join(d, "cell=*")), d
 
 
 class TestHighDimSlack:

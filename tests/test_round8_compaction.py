@@ -64,13 +64,16 @@ def _data_files(out):
 
 @pytest.fixture()
 def ingested(spark, tmp_path):
+    # "cells" layout: these tests pin the per-cell-directory regime and
+    # its one-file-per-cell compaction floor (the "sorted" default has
+    # its own class below)
     emb = load_table(spark, SF_SMOKE, "embeddings").select(
         "vec_id", "embedding"
     )
     landing = str(tmp_path / "landing")
     emb.repartition(6).write.parquet(landing)
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
-    _drain(spark, landing, out, ck)
+    _drain(spark, landing, out, ck, layout="cells")
     return emb, landing, out, ck
 
 
@@ -114,7 +117,7 @@ class TestCompactIngest:
             "vec_id", F.col("vec_id") + 1_000_000
         )
         extra.repartition(2).write.mode("append").parquet(landing)
-        _drain(spark, landing, out, ck)
+        _drain(spark, landing, out, ck, layout="cells")
         assert len(_batch_dirs(out)) >= 3  # base + >=2 new
         stats = compact_ingest(spark, out)
         assert stats["merged_batches"] >= 2
@@ -199,6 +202,63 @@ class TestCompactIngest:
         ]
         assert len(live) < 3, f"trigger never fired: {live}"
         assert spark.read.parquet(out).count() == emb.count()
+
+
+class TestSortedLayout:
+    """The r8 soak finding: on a deep fine grid (~1 row/cell) the per-cell
+    directory layout IS the small-files explosion (415 files per 417-row
+    batch; a 19.8k-dir base for 20k rows), so "sorted" — a few cell-range-
+    sorted plain files per batch, row-group pruning instead of dirs — is
+    the default. Pins: bounded files per batch, compaction to ~1 file,
+    rows invariant, and layout auto-detection in the compactor."""
+
+    @pytest.fixture()
+    def sorted_ingested(self, spark, tmp_path):
+        emb = load_table(spark, SF_SMOKE, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        landing = str(tmp_path / "landing_s")
+        emb.repartition(6).write.parquet(landing)
+        out, ck = str(tmp_path / "out_s"), str(tmp_path / "ck_s")
+        _drain(spark, landing, out, ck)  # default layout="sorted"
+        return emb, out
+
+    def test_bounded_files_per_batch(self, spark, sorted_ingested):
+        emb, out = sorted_ingested
+        for d in _batch_dirs(out):
+            files = glob.glob(os.path.join(d, "part-*"))
+            assert 1 <= len(files) <= 4, d  # files_per_batch default
+            assert not glob.glob(os.path.join(d, "cell=*")), d
+        assert spark.read.parquet(out).count() == emb.count()
+
+    def test_compaction_autodetects_and_merges_to_few_files(
+        self, spark, sorted_ingested
+    ):
+        emb, out = sorted_ingested
+        rows_before = sorted(
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(out).select("vec_id", "cell").collect()
+        )
+        stats = compact_ingest(spark, out)  # layout auto-detected
+        assert stats["merged_batches"] >= 6
+        base = os.path.join(out, f"{INGEST_BATCH_COL}={COMPACT_BASE_ID}")
+        files = glob.glob(os.path.join(base, "part-*"))
+        assert len(files) == 1  # well under target_file_rows
+        assert not glob.glob(os.path.join(base, "cell=*"))
+        rows_after = sorted(
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(out).select("vec_id", "cell").collect()
+        )
+        assert rows_after == rows_before
+
+    def test_cell_column_rides_in_data(self, spark, sorted_ingested):
+        _, out = sorted_ingested
+        df = spark.read.parquet(out)
+        # cell is a DATA column (row-group-prunable), ingest_batch the
+        # only discovered partition column
+        assert "cell" in df.columns
+        one = df.filter(F.col("cell") == df.select("cell").first()[0])
+        assert one.count() > 0
 
 
 class TestCompactJanitor:

@@ -111,7 +111,8 @@ def test_stream_index_ingest_appends_partitioned(spark, tmp_path):
         "maxFilesPerTrigger", 1
     ).parquet(land)
     q = stream_index_ingest(
-        stream, assign=assign, out_path=out_path, checkpoint=ckpt
+        stream, assign=assign, out_path=out_path, checkpoint=ckpt,
+        layout="cells",
     )
     q.awaitTermination(120)
 
@@ -126,7 +127,8 @@ def test_stream_index_ingest_appends_partitioned(spark, tmp_path):
     # exactly-once: restarting with the same checkpoint must not duplicate
     stream2 = spark.readStream.schema(emb.schema).parquet(land)
     q2 = stream_index_ingest(
-        stream2, assign=assign, out_path=out_path, checkpoint=ckpt
+        stream2, assign=assign, out_path=out_path, checkpoint=ckpt,
+        layout="cells",
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_path).count() == emb.count()

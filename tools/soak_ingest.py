@@ -42,6 +42,7 @@ def main() -> None:
     ap.add_argument("n_batches", type=int)
     ap.add_argument("--compact", type=int, default=None,
                     help="compact_min_batches trigger (default: off)")
+    ap.add_argument("--layout", default="sorted", choices=["sorted", "cells"])
     ap.add_argument("--occ", type=int, default=16)
     ap.add_argument("--probes", type=int, default=5)
     ap.add_argument("--out-root", default=None)
@@ -133,6 +134,7 @@ def main() -> None:
     t0 = time.time()
     q = stream_index_ingest(
         stream, assign=assign, out_path=out, checkpoint=ck,
+        layout=args.layout,
         compact_min_batches=args.compact,
         rebalance=dict(
             meta_path=meta, fine_level=geom.fine_level, dim=geom.dim,
@@ -145,7 +147,9 @@ def main() -> None:
     wall = time.time() - t0
     spark.streams.removeListener(listener)
 
-    files = glob.glob(os.path.join(out, "*", "cell=*", "part-*"))
+    files = glob.glob(os.path.join(out, "*", "cell=*", "part-*")) + glob.glob(
+        os.path.join(out, "*", "part-*")
+    )
     batch_dirs = [
         d for d in glob.glob(os.path.join(out, f"{INGEST_BATCH_COL}=*"))
         if not d.endswith(f"={COMPACT_BASE_ID}")
@@ -181,6 +185,7 @@ def main() -> None:
         "n_cells_fine_batch_build": n_cells,
         "n_batches_requested": args.n_batches,
         "n_batches_ran": len(durations),
+        "layout": args.layout,
         "compact_min_batches": args.compact,
         "wall_sec": round(wall, 1),
         "batch_sec": {
