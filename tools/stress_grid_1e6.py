@@ -11,7 +11,13 @@ blocked brute force on a probe sample.
 Measures: build wall, cells, ladder shape, level-hist cost, search wall
 for |Q| probes, exactness. One JSON line to stdout.
 
-Usage: PYTHONPATH=/root/repo python tools/stress_grid_1e6.py [n_probes]
+Usage: PYTHONPATH=/root/repo python tools/stress_grid_1e6.py \
+    [n_probes] [grid] [pts_per_center]
+
+With pts_per_center=1 the dissolve cascade coalesces the lattice ~4:1
+(every fine cell is under rank); pts_per_center=rank (3) makes each
+center self-sufficient, so instantiated cells ≈ grid² — use grid=1024
+ppc=3 for the true 1e6-cell row.
 """
 
 from __future__ import annotations
@@ -27,6 +33,8 @@ from pyspark.sql import functions as F
 
 def main() -> None:
     n_probes = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    grid = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    ppc = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -40,12 +48,17 @@ def main() -> None:
     from pyvectorsearch_spark.index.grid import GridIndex
     from pyvectorsearch_spark.operators.knn import knn_join_blocked
 
-    GRID = 1000  # 1e6 lattice points at spacing 8 on [0, 8000)^2
-    pts = spark.range(GRID * GRID).select(
+    GRID = grid  # grid² lattice centers at spacing 8 on [0, 8·GRID)^2
+    pts = spark.range(GRID * GRID * ppc).select(
         F.col("id").alias("vec_id"),
+        (F.col("id") / ppc).cast("long").alias("_c"),
+        (F.col("id") % ppc).cast("double").alias("_j"),
+    ).select(
+        "vec_id",
         F.array(
-            (F.col("id") % GRID).cast("double") * 8.0,
-            (F.col("id") / GRID).cast("long").cast("double") * 8.0,
+            (F.col("_c") % GRID).cast("double") * 8.0 + F.col("_j") * 1e-4,
+            (F.col("_c") / GRID).cast("long").cast("double") * 8.0
+            + F.col("_j") * 1e-4,
         ).alias("embedding"),
     )
 
