@@ -251,7 +251,14 @@ def _encode_block(
     coeff = _C @ (block - 128.0) @ _C.T
     q = np.rint(coeff.reshape(-1) / qtab).astype(int)
     zz = [int(q[ZIGZAG[i]]) for i in range(64)]
-    diff = zz[0] - pred
+    # Baseline 8-bit entropy coding caps magnitudes: AC size <= 10 (|v| <=
+    # 1023), DC diff size <= 11 (|diff| <= 2047) — T.81 F.1.2.1/F.1.2.2. At
+    # high quality the Annex-K tables scale to 1 and a near-basis-aligned
+    # block can quantize past that, which has no Huffman entry; clip like
+    # real baseline encoders (ADVICE r8) and carry the CLAMPED DC forward
+    # so encoder prediction matches what the decoder reconstructs.
+    zz = [zz[0]] + [min(1023, max(-1023, v)) for v in zz[1:]]
+    diff = min(2047, max(-2047, zz[0] - pred))
     size, amp = _magnitude(diff)
     code, length = dc_codes[size]
     bw.write(code, length)
@@ -279,7 +286,7 @@ def _encode_block(
     if last_nz != 63:
         code, length = ac_codes[0x00]  # EOB
         bw.write(code, length)
-    return zz[0]
+    return pred + diff
 
 
 def encode_jpeg(
@@ -500,11 +507,23 @@ def _decode_jpeg_strict(blob: bytes):
     w = h = 0
     restart = 0
     pos = 2
-    while pos + 4 <= len(blob):
+    while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
+            return None
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them instead of parsing 0xFFFF as a segment
+        # (ADVICE r8: other encoders' spec-valid files decoded to None).
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(blob):
             return None
         marker = blob[pos + 1]
         if marker == 0xD9:  # EOI before SOS
+            return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # TEM / stray RSTn: standalone, no length field
+            continue
+        if pos + 4 > len(blob):
             return None
         seg_len = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
         payload = blob[pos + 4 : pos + 2 + seg_len]

@@ -8,6 +8,7 @@ Modules register via the ``QUERIES`` / ``ORACLES`` dicts they export;
 from pyvectorsearch_spark.queries import (  # noqa: F401
     round7_extra,
     round8_extra,
+    round9_extra,
     analytic_extra,
     audit_extra,
     basket_extra,
@@ -117,6 +118,7 @@ _MODULES = [
     # when the container has protobuf (re-checked r5/r6/r7 — absent; see module)
     round7_extra,  # likewise (kernel-dispatch density census)
     round8_extra,  # likewise (hash-checked IVF/PQ recall reports)
+    round9_extra,  # likewise (lossy-JPEG crossformat regime)
 ]
 
 

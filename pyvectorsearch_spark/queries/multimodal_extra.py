@@ -106,19 +106,11 @@ def q_multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def q_multimodal_crossformat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-CONTAINER duplicate mining (round 5; JPEG since round 8): the
-    mixed fixture holds the same pixels encoded as PPM, uncompressed
-    24-bit BMP, PNG *and* baseline JPEG, and the same samples as WAV *and*
-    AIFF — all parsed by real pure-stdlib decoders
-    (`operators/multimodal.py`, `operators/jpeg.py`). Decode normalizes
-    containers to identical pixel/sample arrays, so lossless twins collide
-    at Hamming 0 and the lossy JPEG re-encode lands within a few dHash
-    bits — image pairs are mined at the default Hamming-6 radius and
-    carry their distance; audio stays exact. Deterministic end to end;
-    binary decode is not SQL-expressible — rows-only check like the other
-    multimodal rows (golden twin assertions in
-    tests/test_round5_multimodal.py and tests/test_round8_jpeg.py)."""
+def _crossformat_pairs(
+    spark: SparkSession, *, image_hamming: int, with_distance: bool
+) -> DataFrame:
+    """Shared body of the two cross-container mining regimes (see the two
+    public queries below)."""
     from pyvectorsearch_spark.operators.multimodal import (
         audio_fingerprint_pairs,
         image_dhash_pairs,
@@ -126,7 +118,7 @@ def q_multimodal_crossformat_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     media = synthetic_media_mixed(spark, 72, n_twins=8).coalesce(4)
-    img = image_dhash_pairs(media, max_hamming=6).select(
+    img = image_dhash_pairs(media, max_hamming=image_hamming).select(
         F.lit("image").alias("modality"), "d1", "d2",
         F.col("hamming").cast("bigint").alias("hamming"),
     )
@@ -138,14 +130,46 @@ def q_multimodal_crossformat_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("media_id"), F.col("meta.format").alias("fmt")
     )
     pairs = img.unionByName(aud)
+    cols = ["modality", "d1", "d2", "fmt1", "fmt2"]
+    if with_distance:
+        cols.append("hamming")
     return (
         pairs.join(fmt.withColumnRenamed("media_id", "d1"), "d1")
         .withColumnRenamed("fmt", "fmt1")
         .join(fmt.withColumnRenamed("media_id", "d2"), "d2")
         .withColumnRenamed("fmt", "fmt2")
-        .select("modality", "d1", "d2", "fmt1", "fmt2", "hamming")
+        .select(*cols)
         .orderBy("modality", "d1", "d2")
     )
+
+
+def q_multimodal_crossformat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-CONTAINER duplicate mining, LOSSLESS regime (round 5 form,
+    restored in round 9 — ADVICE r8): the mixed fixture holds the same
+    pixels encoded as PPM, uncompressed 24-bit BMP and PNG, and the same
+    samples as WAV *and* AIFF — all parsed by real pure-stdlib decoders
+    (`operators/multimodal.py`). Decode normalizes containers to identical
+    pixel/sample arrays, so lossless twins collide at Hamming 0 exactly —
+    the pair set is a pure function of the planted twins, never of
+    incidental fixture noise. The lossy-JPEG regime lives in the separate
+    ``multimodal_crossformat_lossy`` query (round 9). Deterministic end to
+    end; binary decode is not SQL-expressible — rows-only check (golden
+    twin assertions in tests/test_round5_multimodal.py)."""
+    return _crossformat_pairs(spark, image_hamming=0, with_distance=False)
+
+
+def q_multimodal_crossformat_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-container mining, LOSSY regime (round 9; split out of the
+    round-5 query per ADVICE r8): image pairs are mined at Hamming
+    radius 6 so the baseline-JPEG re-encodes of the planted twins
+    (`operators/jpeg.py`, quality 95 — a few dHash bits off the lossless
+    originals) surface alongside the exact collisions, and every pair
+    carries its distance. At radius 6 incidental near-pairs from the
+    72-row fixture may appear; the FULL expected pair set (planted and
+    incidental) is pinned in tests/test_round9_advice.py, so any fixture
+    drift is caught rather than absorbed. Rows-only by design (binary
+    decode is not SQL-expressible)."""
+    return _crossformat_pairs(spark, image_hamming=6, with_distance=True)
 
 
 QUERIES = {

@@ -134,6 +134,7 @@ def compact_ingest(
     partition_col: str = "cell",
     layout: str | None = None,
     target_file_rows: int = 4_000_000,
+    max_batch_exclusive: int | None = None,
 ) -> dict:
     """Fold all accumulated ``ingest_batch`` dirs (and any previous base)
     into ONE consolidated base dir at ``ingest_batch=-1`` — the
@@ -160,6 +161,23 @@ def compact_ingest(
     rebuild event, not a replay (replayed low ids would double rows
     already folded into the base — the manifest records the fold).
 
+    ``max_batch_exclusive`` folds only batch dirs with id STRICTLY below
+    it. In-stream callers must pass the in-flight ``batch_id``: folding
+    the current batch before Structured Streaming commits it to the
+    checkpoint breaks batch-level replay idempotency — the ordinary
+    ``foreachBatch`` failure mode replays that batch and recreates
+    ``ingest_batch=<id>`` whose rows are already in the base, silently
+    serving duplicates (ADVICE r8). Committed lower ids are safe: a
+    replay never reaches them. Post-drain callers (no batch in flight)
+    leave it None and fold everything.
+
+    If the drain-success sentinel is present (post-drain hygiene on an
+    already-complete artifact), it is REMOVED before the layout is
+    touched and republished only after the fold fully commits — a crash
+    mid-compaction must not leave a success-marked artifact whose base
+    and batch dirs double-count (ADVICE r8); sentinel-gated readers then
+    rebuild instead of trusting the torn layout.
+
     Returns ``{"merged_batches": n, "upto": max_id, "files_before": f0,
     "files_after": f1}`` (zeros when below any threshold / nothing to do).
     """
@@ -168,10 +186,20 @@ def compact_ingest(
     import shutil as _shutil
     import uuid as _uuid
 
+    sentinel = os.path.join(out_path, DRAIN_SENTINEL)
+    had_sentinel = os.path.exists(sentinel)
+    if had_sentinel:
+        os.remove(sentinel)  # invalidate readers while the layout moves
     _compact_janitor(out_path)
     dirs = _live_batch_dirs(out_path)
-    batch_ids = sorted(b for b in dirs if b >= 0)
+    batch_ids = sorted(
+        b for b in dirs
+        if b >= 0
+        and (max_batch_exclusive is None or b < max_batch_exclusive)
+    )
     if not batch_ids:
+        if had_sentinel:
+            mark_drain_complete(out_path)
         return {"merged_batches": 0, "upto": COMPACT_BASE_ID,
                 "files_before": 0, "files_after": 0}
 
@@ -232,6 +260,8 @@ def compact_ingest(
     for t in _glob.glob(os.path.join(out_path, _COMPACT_TRASH_PREFIX + "*")):
         _shutil.rmtree(t, ignore_errors=True)
     os.remove(os.path.join(dest, _COMPACT_MANIFEST))
+    if had_sentinel:
+        mark_drain_complete(out_path)  # layout consistent again
     return {
         "merged_batches": len(batch_ids),
         "upto": upto,
@@ -424,12 +454,19 @@ def stream_index_ingest(
         if compact_min_batches is not None:
             # size-based trigger (r8): fold the per-batch dirs into the
             # consolidated base once enough accumulate — the file count,
-            # not the batch index, is what hurts at scale
-            live = [b for b in _live_batch_dirs(out_path) if b >= 0]
+            # not the batch index, is what hurts at scale. Only ids
+            # STRICTLY below the in-flight batch fold (they are committed
+            # to the checkpoint): folding the current batch before its
+            # commit would double its rows under an ordinary foreachBatch
+            # replay (ADVICE r8).
+            live = [
+                b for b in _live_batch_dirs(out_path) if 0 <= b < batch_id
+            ]
             if len(live) >= compact_min_batches:
                 compact_ingest(
                     batch_df.sparkSession, out_path,
                     partition_col=partition_col, layout=layout,
+                    max_batch_exclusive=batch_id,
                 )
 
     return (

@@ -227,11 +227,13 @@ class TestCrossFormat:
         assert worst <= 4, worst
 
     def test_crossformat_query_includes_jpeg_twins(self, spark):
+        # round 9: the lossy-JPEG regime moved to its own query; the
+        # round-5 Hamming-0 query is schema/rows-stable again (ADVICE r8)
         from pyvectorsearch_spark.queries.multimodal_extra import (
-            q_multimodal_crossformat_pairs,
+            q_multimodal_crossformat_lossy,
         )
 
-        rows = q_multimodal_crossformat_pairs(spark, "unused").collect()
+        rows = q_multimodal_crossformat_lossy(spark, "unused").collect()
         ppm_jpeg = {
             (r.d1, r.d2): r.hamming
             for r in rows
