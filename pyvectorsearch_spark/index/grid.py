@@ -118,7 +118,8 @@ def _kinstantiate_distributed(
     rr: int,
     ratio: int,
     rank: int,
-) -> tuple[DataFrame, DataFrame]:
+    with_state: bool = False,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """The distributed twin of ``_kinstantiate_driver`` — the cascade as
     DataFrame aggregations over a (``_fine``, ``count``) table, for cell
     tables too large to collect (the 100 TB path). Per level, cells with
@@ -130,7 +131,11 @@ def _kinstantiate_distributed(
 
     ``fine_counts`` should be checkpointed by the caller (it feeds both the
     cascade seed and the ancestor-explode join). Returns
-    (mapping ``(_fine, cell)``, stats ``(cell, level, coords, count)``)."""
+    (mapping ``(_fine, cell)``, stats ``(cell, level, coords, count)``);
+    with ``with_state=True`` additionally returns the full node-state table
+    ``(cell, level, pending)`` — every node that owns rolled-up mass,
+    instantiated or not — which seeds the streaming sidecar's incremental
+    maintenance (``index/incremental.py``)."""
     s_fine = _slices(fine_level, dim, rr)
     cds = F.transform(
         F.slice(F.split("_fine", CELL_SEP), 2, dim), lambda x: x.cast("long")
@@ -147,6 +152,7 @@ def _kinstantiate_distributed(
         )
 
     inst_parts = []
+    state_parts = []
     for l in range(fine_level, 0, -1):
         # eager localCheckpoint, not persist: each round's table is tiny
         # (shrinking n/occupancy rows) but a LAZY chain keeps the full
@@ -154,6 +160,14 @@ def _kinstantiate_distributed(
         # not data, was the deep-index bottleneck (see the caller's
         # fine_counts checkpoint note)
         pending = pending.localCheckpoint(eager=True)
+        if with_state:
+            state_parts.append(
+                pending.select(
+                    cell_id(l).alias("cell"),
+                    F.lit(l).cast("int").alias("level"),
+                    F.col("cnt").cast("long").alias("pending"),
+                )
+            )
         inst_parts.append(
             pending.filter(F.col("cnt") >= rank).select(
                 F.lit(l).alias("lvl"), cell_id(l).alias("anc"), "cds", "cnt"
@@ -227,7 +241,19 @@ def _kinstantiate_distributed(
         F.transform("cds", lambda x: x.cast("long")).alias("coords"),
         F.col("cnt").cast("long").alias("count"),
     )
-    return chosen, stats_df
+    if not with_state:
+        return chosen, stats_df
+    state_parts.append(
+        pending.select(
+            cell_id(0).alias("cell"),
+            F.lit(0).cast("int").alias("level"),
+            F.col("cnt").cast("long").alias("pending"),
+        )
+    )
+    state_df = state_parts[0]
+    for p in state_parts[1:]:
+        state_df = state_df.unionByName(p)
+    return chosen, stats_df, state_df
 
 
 @dataclass

@@ -179,7 +179,12 @@ def q_knn_stream_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.isdir(landing):
                 raise
-    out = os.path.join(tempfile.gettempdir(), f"pvs_emb_rebal_{base}")
+    # "rebal9": the round-9 log-structured sidecar changed the meta layout;
+    # a new artifact name keeps any pre-round-9 cached drain from being
+    # read with the wrong layout (its pointer would be refused anyway —
+    # layout versioning in index/incremental.py — but then every run would
+    # redrain; fresh name = drain once, reuse forever)
+    out = os.path.join(tempfile.gettempdir(), f"pvs_emb_rebal9_{base}")
     ck, meta = f"{out}.ck", f"{out}.meta"
     # Sentinel-gated reuse: dir existence alone survives a crash/timeout
     # mid-stream and would silently serve a partial index (ADVICE r7).

@@ -171,16 +171,14 @@ class TestPerBatchInvariant:
                 meta_path=meta, **_geom_kwargs(geom),
             )
             # invariant after EVERY batch — the whole point vs compaction
-            from pyvectorsearch_spark.index.incremental import _meta_dirs
+            from pyvectorsearch_spark.index.incremental import read_stats
 
-            ver = read_pointer(meta)["version"]
-            stats = spark.read.parquet(_meta_dirs(meta, ver)["stats"])
-            for r in stats.collect():
+            for r in read_stats(spark, meta).collect():
                 assert r["count"] >= geom.rank or r["level"] == 0
         # total count conservation across all batches
-        total = spark.read.parquet(
-            _meta_dirs(meta, read_pointer(meta)["version"])["counts"]
-        ).agg(F.sum("count")).first()[0]
+        from pyvectorsearch_spark.index.incremental import read_fine_counts
+
+        total = read_fine_counts(spark, meta).agg(F.sum("count")).first()[0]
         assert total == len(data)
 
     def test_replay_is_noop(self, spark, tmp_path):
@@ -206,11 +204,9 @@ class TestPerBatchInvariant:
             meta_path=meta, **_geom_kwargs(geom),
         )
         assert read_pointer(meta) == before
-        from pyvectorsearch_spark.index.incremental import _meta_dirs
+        from pyvectorsearch_spark.index.incremental import read_fine_counts
 
-        total = spark.read.parquet(
-            _meta_dirs(meta, before["version"])["counts"]
-        ).agg(F.sum("count")).first()[0]
+        total = read_fine_counts(spark, meta).agg(F.sum("count")).first()[0]
         assert total == df.count()
 
 

@@ -371,8 +371,14 @@ class TestSoakPin:
             if not d.endswith(f"={COMPACT_BASE_ID}")
         ]
         assert len(live) < 5, live
-        for kind in ("fine_counts", "mapping", "stats"):
-            assert len(os.listdir(os.path.join(meta, kind))) == 1, kind
+        # r9 log-structured sidecar: at 16 batches the default fold_every=16
+        # fires on the last batch, so each kind ends with exactly one folded
+        # base and zero unfolded delta dirs (pointer GC retired the rest)
+        for kind in ("state", "mapping"):
+            entries = os.listdir(os.path.join(meta, kind))
+            assert len(entries) == 1 and entries[0].startswith("base_v"), (
+                kind, entries,
+            )
         assert read_pointer(meta)["batch_id"] == 15
 
         streamed = load_rebalanced_index(

@@ -156,8 +156,17 @@ def main() -> None:
     ]
     ptr = read_pointer(meta)
     versions = {
-        kind: len(os.listdir(os.path.join(meta, kind)))
-        for kind in ("fine_counts", "mapping", "stats")
+        kind: {
+            "bases": len(
+                [d for d in os.listdir(os.path.join(meta, kind))
+                 if d.startswith("base_v")]
+            ),
+            "deltas": len(
+                [d for d in os.listdir(os.path.join(meta, kind))
+                 if d.startswith("b=")]
+            ),
+        }
+        for kind in ("state", "mapping")
         if os.path.isdir(os.path.join(meta, kind))
     }
 
