@@ -54,6 +54,17 @@ from collections import defaultdict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+def _local_df(spark: SparkSession, cols: dict, schema: str) -> "DataFrame":
+    """Driver rows -> DataFrame via pandas + Arrow: createDataFrame over a
+    plain tuple list takes the row-at-a-time pickle/verify path (measured
+    ~10 s for a 45k-row delta — it would have silently re-created the very
+    driver-serialization cost this module exists to remove); the Arrow
+    batch path moves the same rows in tens of milliseconds."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(cols), schema)
+
 from pyvectorsearch_spark.index.grid import (
     CELL_SEP,
     GridIndex,
@@ -139,22 +150,66 @@ def _janitor(meta_path: str, ptr: dict) -> None:
                     shutil.rmtree(full, ignore_errors=True)
 
 
+def _live_dirs(meta_path: str, kind: str, ptr: dict) -> list[str]:
+    """Referenced dirs in precedence order: base first, then committed
+    deltas ascending (fold watermark < id <= applied batch)."""
+    base_key, upto_key = _KINDS[kind]
+    out = []
+    if ptr[base_key] is not None:
+        out.append(_base_dir(meta_path, kind, ptr[base_key]))
+    for bid, d in sorted(_live_deltas(meta_path, kind).items()):
+        if ptr[upto_key] < bid <= ptr["batch_id"]:
+            out.append(d)
+    return out
+
+
+def _meta_bytes(dirs: list[str]) -> int:
+    return sum(
+        os.path.getsize(os.path.join(d, f))
+        for d in dirs
+        for f in os.listdir(d)
+        if not f.startswith("_")
+    )
+
+
+#: above this many bytes of referenced meta files the per-batch maintenance
+#: reads go through Spark instead of driver-side pyarrow (~15 B/row on
+#: these schemas → ~4M state rows; the WRITE side never needs the gate —
+#: deltas are bounded by the batch's ancestor closure by construction)
+_DRIVER_READ_BYTES = 64 << 20
+
+
+def _read_table_local(meta_path: str, kind: str, ptr: dict):
+    """Driver-side latest-wins merge (pandas) of base + committed deltas —
+    the per-batch fast path. A Spark job on a sub-second table costs more
+    in scheduling than the read itself (measured: the coalesce(1) delta
+    write alone was 6.5 s/batch; the whole pyarrow path is milliseconds)."""
+    import pyarrow.parquet as pq
+
+    dirs = _live_dirs(meta_path, kind, ptr)
+    if not dirs:
+        return None
+    import pandas as pd
+
+    frames = [pq.read_table(d).to_pandas() for d in dirs]
+    df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    key = "cell" if kind == "state" else "_fine"
+    return df.drop_duplicates(key, keep="last")  # later dirs win
+
+
 def _read_table(
     spark: SparkSession, meta_path: str, kind: str, ptr: dict
 ) -> DataFrame | None:
     """Latest-batch-wins merge of the folded base plus committed deltas
-    (fold watermark < id <= applied batch). A handful of dirs at most —
-    the fold keeps the log short."""
-    base_key, upto_key = _KINDS[kind]
+    (fold watermark < id <= applied batch) as a Spark DataFrame — the
+    query-facing and large-state path. A handful of dirs at most — the
+    fold keeps the log short."""
     parts = []
-    if ptr[base_key] is not None:
-        parts.append(
-            spark.read.parquet(_base_dir(meta_path, kind, ptr[base_key]))
-            .withColumn("_prec", F.lit(-1))
+    for d in _live_dirs(meta_path, kind, ptr):
+        prec = -1 if os.path.basename(d).startswith("base_v") else int(
+            os.path.basename(d)[2:]
         )
-    for bid, d in sorted(_live_deltas(meta_path, kind).items()):
-        if ptr[upto_key] < bid <= ptr["batch_id"]:
-            parts.append(spark.read.parquet(d).withColumn("_prec", F.lit(bid)))
+        parts.append(spark.read.parquet(d).withColumn("_prec", F.lit(prec)))
     if not parts:
         return None
     df = parts[0]
@@ -167,6 +222,34 @@ def _read_table(
         .agg(F.max_by(F.struct(*others), "_prec").alias("_s"))
         .select(key, *[F.col(f"_s.{c}").alias(c) for c in others])
     )
+
+
+_PA_SCHEMAS = {
+    "state": [("cell", "string"), ("level", "int32"), ("pending", "int64")],
+    "mapping": [("_fine", "string"), ("cell", "string")],
+}
+
+
+def _write_local(meta_path: str, kind: str, name: str, cols: dict) -> None:
+    """Write a driver-resident meta table straight to parquet with pyarrow
+    — no Spark job. Deltas are bounded by the batch's ancestor closure, so
+    this is always driver-safe; Spark reads the plain dir transparently.
+    Overwrite semantics (rmtree + write) keep batch replays idempotent.
+    The pointer file already makes meta_path a driver-visible filesystem
+    by contract, so this adds no new deployment assumption."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(meta_path, kind, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    schema = pa.schema(
+        [(n, getattr(pa, t)()) for n, t in _PA_SCHEMAS[kind]]
+    )
+    table = pa.table(
+        {n: cols[n] for n, _ in _PA_SCHEMAS[kind]}, schema=schema
+    )
+    pq.write_table(table, os.path.join(d, "part-00000.parquet"))
 
 
 def _coords(cid: str) -> list[int]:
@@ -276,6 +359,16 @@ def apply_batch_rebalance(
     """Merge one micro-batch into the log-structured sidecar (module
     docstring). Idempotent under batch replay (pointer-guarded no-op);
     per-batch driver cost bounded by the batch's ancestor closure."""
+    import time as _time
+
+    _prof = os.environ.get("PVS_REBAL_PROF") == "1"
+    _marks: list[tuple[str, float]] = []
+
+    def _mark(label: str) -> None:
+        if _prof:
+            _marks.append((label, _time.time()))
+
+    _mark("start")
     ptr = read_pointer(meta_path)
     if ptr is not None and ptr["batch_id"] >= batch_id:
         return  # replayed batch: already committed
@@ -295,11 +388,13 @@ def apply_batch_rebalance(
         .collect()  # bounded by the batch's rows, never by the index
     )
     T = {r["_fine"]: int(r["count"]) for r in delta_rows}
+    _mark("batch_collect")
 
     chains = {
         f: _chain_ids(f, fine_level, dim, rr, ratio) for f in T
     }
     affected = sorted({cid for ch in chains.values() for cid in ch})
+    _mark("chains")
     if len(affected) > driver_cell_limit:
         _rebuild_full(
             spark, meta_path=meta_path, ptr=ptr, batch_delta=delta_rows,
@@ -308,17 +403,30 @@ def apply_batch_rebalance(
         )
         return
 
-    state_df = _read_table(spark, meta_path, "state", ptr)
+    # read the affected nodes' current state: driver-side pyarrow while the
+    # referenced meta stays small (the common case; file sizes are one
+    # os.stat sweep), Spark broadcast semi-join past the byte gate
+    state_dirs = _live_dirs(meta_path, "state", ptr)
     old_state: dict[str, int] = {}
-    if state_df is not None and affected:
-        aff = spark.createDataFrame([(a,) for a in affected], "cell string")
-        for r in state_df.join(F.broadcast(aff), "cell").collect():
-            old_state[r["cell"]] = int(r["pending"])
+    if state_dirs and affected:
+        if _meta_bytes(state_dirs) <= _DRIVER_READ_BYTES:
+            pdf = _read_table_local(meta_path, "state", ptr)
+            hit = pdf[pdf["cell"].isin(affected)]
+            old_state = dict(
+                zip(hit["cell"], (int(p) for p in hit["pending"]))
+            )
+        else:
+            state_df = _read_table(spark, meta_path, "state", ptr)
+            aff = _local_df(spark, {"cell": affected}, "cell string")
+            for r in state_df.join(F.broadcast(aff), "cell").collect():
+                old_state[r["cell"]] = int(r["pending"])
+    _mark("state_read")
 
     changed, flips = _incremental_cascade(
         T, old_state,
         fine_level=fine_level, dim=dim, rr=rr, ratio=ratio, rank=rank,
     )
+    _mark("cascade")
 
     def final_inst(cid: str, level: int) -> bool:
         if cid in changed:
@@ -341,20 +449,23 @@ def apply_batch_rebalance(
         fine_level=fine_level, dim=dim, rr=rr, ratio=ratio,
     )
     map_updates.update(remapped)
+    _mark("remap")
 
     if changed:
-        spark.createDataFrame(
-            [(cid, lvl, p) for cid, (lvl, p) in changed.items()],
-            "cell string, level int, pending long",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            _delta_dir(meta_path, "state", batch_id)
+        _write_local(
+            meta_path, "state", f"b={batch_id}",
+            {
+                "cell": list(changed),
+                "level": [lvl for lvl, _ in changed.values()],
+                "pending": [p for _, p in changed.values()],
+            },
         )
     if map_updates:
-        spark.createDataFrame(
-            list(map_updates.items()), "_fine string, cell string"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            _delta_dir(meta_path, "mapping", batch_id)
+        _write_local(
+            meta_path, "mapping", f"b={batch_id}",
+            {"_fine": list(map_updates), "cell": list(map_updates.values())},
         )
+    _mark("delta_writes")
 
     nxt = dict(
         ptr, batch_id=batch_id, version=ptr["version"] + 1,
@@ -370,15 +481,31 @@ def apply_batch_rebalance(
             if ptr[upto_key] < b <= batch_id
         ]
         if len(live) >= fold_every:
-            merged = _read_table(spark, meta_path, kind, dict(nxt))
             new_v = (ptr[base_key] or 0) + 1
-            merged.write.mode("overwrite").parquet(
-                _base_dir(meta_path, kind, new_v)
-            )
+            if _meta_bytes(_live_dirs(meta_path, kind, nxt)) \
+                    <= _DRIVER_READ_BYTES:
+                merged_pdf = _read_table_local(meta_path, kind, dict(nxt))
+                _write_local(
+                    meta_path, kind, f"base_v{new_v:09d}",
+                    {c: merged_pdf[c].tolist()
+                     for c, _ in _PA_SCHEMAS[kind]},
+                )
+            else:
+                merged = _read_table(spark, meta_path, kind, dict(nxt))
+                merged.write.mode("overwrite").parquet(
+                    _base_dir(meta_path, kind, new_v)
+                )
             nxt[base_key] = new_v
             nxt[upto_key] = batch_id
     _publish_pointer(meta_path, nxt)
     _janitor(meta_path, nxt)  # retire folded deltas / superseded bases
+    _mark("fold_publish")
+    if _prof:
+        parts = " ".join(
+            f"{lbl}={(t1 - t0):.2f}"
+            for (lbl, t1), (_, t0) in zip(_marks[1:], _marks[:-1])
+        )
+        print(f"[rebal-prof] batch={batch_id} {parts}", flush=True)
 
 
 def _remap_after_flips(
@@ -402,8 +529,8 @@ def _remap_after_flips(
     filtered read of the mapping table; never a rewrite."""
     if not flips:
         return {}
-    mapping_df = _read_table(spark, meta_path, "mapping", ptr)
-    if mapping_df is None:
+    map_dirs = _live_dirs(meta_path, "mapping", ptr)
+    if not map_dirs:
         return {}
 
     dissolved = [cid for cid, lvl, io, in_ in flips if io and not in_]
@@ -416,14 +543,64 @@ def _remap_after_flips(
             if _is_inst(lvl - 1 - depth, old_state.get(anc, 0), ptr["rank"]):
                 pairs.append((anc, lvl, cid))
                 break
+    if not dissolved and not pairs:
+        return {}
 
+    def _rehome(fines) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for f in fines:
+            if f in skip:  # batch cells were just re-homed directly
+                continue
+            chain = _chain_ids(f, fine_level, dim, rr, ratio)
+            for depth, cid in enumerate(chain):
+                if final_inst(cid, fine_level - depth):
+                    out[f] = cid
+                    break
+        return out
+
+    if _meta_bytes(map_dirs) <= _DRIVER_READ_BYTES:
+        # driver fast path: pandas isin on the flips' old homes, subtree
+        # membership via the same closed-form coordinate division
+        pdf = _read_table_local(meta_path, "mapping", ptr)
+        s_fine = _slices(fine_level, dim, rr)
+        fines: set[str] = set()
+        if dissolved:
+            fines.update(pdf[pdf["cell"].isin(dissolved)]["_fine"])
+        if pairs:
+            by_home: dict[str, list[tuple[int, str]]] = {}
+            for anc, lvl, cid in pairs:
+                by_home.setdefault(anc, []).append((lvl, cid))
+            hit = pdf[pdf["cell"].isin(list(by_home))]
+            for f, home in zip(hit["_fine"], hit["cell"]):
+                coords = _coords(f)
+                for lvl, cid in by_home[home]:
+                    s_l = _slices(lvl, dim, rr)
+                    anc_id = _cell_id(
+                        lvl,
+                        [
+                            c // (ratio ** (s_fine[i] - s_l[i]))
+                            for i, c in enumerate(coords)
+                        ],
+                    )
+                    if anc_id == cid:
+                        fines.add(f)
+                        break
+        return _rehome(fines)
+
+    mapping_df = _read_table(spark, meta_path, "mapping", ptr)
     cands = []
     if dissolved:
-        dd = spark.createDataFrame([(c,) for c in dissolved], "cell string")
+        dd = _local_df(spark, {"cell": dissolved}, "cell string")
         cands.append(mapping_df.join(F.broadcast(dd), "cell"))
     if pairs:
-        pd_df = spark.createDataFrame(
-            pairs, "cell string, flip_level int, flip_cell string"
+        pd_df = _local_df(
+            spark,
+            {
+                "cell": [a for a, _, _ in pairs],
+                "flip_level": [b for _, b, _ in pairs],
+                "flip_cell": [c for _, _, c in pairs],
+            },
+            "cell string, flip_level int, flip_cell string",
         )
         s_fine = _slices(fine_level, dim, rr)
         lvl_col = F.col("flip_level").cast("long")
@@ -448,17 +625,8 @@ def _remap_after_flips(
     cand = cands[0].select("_fine")
     for c in cands[1:]:
         cand = cand.unionByName(c.select("_fine"))
-    out: dict[str, str] = {}
-    for r in cand.distinct().collect():  # bounded: < rank mass per flip
-        f = r["_fine"]
-        if f in skip:  # batch cells were just re-homed directly
-            continue
-        chain = _chain_ids(f, fine_level, dim, rr, ratio)
-        for depth, cid in enumerate(chain):
-            if final_inst(cid, fine_level - depth):
-                out[f] = cid
-                break
-    return out
+    # bounded collect: < rank + |batch| of mass per flip
+    return _rehome(r["_fine"] for r in cand.distinct().collect())
 
 
 def _rebuild_full(
@@ -478,7 +646,14 @@ def _rebuild_full(
     the merged fine counts and publish fresh bases (same never-collect-big
     contract as search; the incremental path handles every sanely-sized
     batch)."""
-    delta = spark.createDataFrame(batch_delta, "_fine string, count long")
+    delta = _local_df(
+        spark,
+        {
+            "_fine": [r["_fine"] for r in batch_delta],
+            "count": [int(r["count"]) for r in batch_delta],
+        },
+        "_fine string, count long",
+    )
     state_df = _read_table(spark, meta_path, "state", ptr)
     if state_df is not None:
         old_fine = state_df.filter(F.col("level") == fine_level).select(
