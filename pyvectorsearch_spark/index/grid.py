@@ -630,6 +630,13 @@ class GridIndex:
     # max survivor fan-out per descent stage (see _descent_ladder)
     DESCENT_BRANCH = 16
     COARSE_TARGET = 320
+    # max fan-in of the implicit FINAL (fine) stage on deep grids; past the
+    # driver-stats bound the ladder appends tail stages until the last
+    # grouped level is within this factor of the fine count (r9 — the r8
+    # capacity run measured the 1.05M-cell search paying 6.6× wall for 4×
+    # cells because the schedule left a ~13× tail expansion)
+    TAIL_FAN = 4
+    TAIL_GATE_CELLS = 200_000
 
     def _n_cells(self) -> int:
         """Stats-row count, cached; never collects the stats themselves."""
@@ -730,6 +737,30 @@ class GridIndex:
             ladder.append(lc)
             lc_prev = lc
             target *= self.DESCENT_BRANCH
+        # Tail gate (r9, VERDICT r8 #3): the absolute-target schedule bounds
+        # every MIDDLE stage, but on deep pyramids it can leave the implicit
+        # final fine expansion at up to ~32× the last grouped level
+        # (measured ~13× at 1.05M cells → 607 s for 1000 probes, 6.6× wall
+        # for 4× cells). Past the driver-stats bound, append the deepest
+        # levels that still contract ≥2× vs fine until the tail fan-in is
+        # ≤ TAIL_FAN — the reference's recursion is node-bounded at EVERY
+        # step (pktree.hpp:1048-1064), including the last. Below the gate
+        # the r7/r8 measured floors (11.75× at sf10) already carry the
+        # regime and an extra window would tax the headline queries.
+        if ladder and n > self.TAIL_GATE_CELLS:
+            while True:
+                est_last = self._grouped_est(ladder[-1])
+                if n <= est_last * self.TAIL_FAN:
+                    break
+                cand_lv = None
+                for cand in range(top - 1, ladder[-1], -1):
+                    e = self._grouped_est(cand)
+                    if e * 2 < n and e > est_last:
+                        cand_lv = cand
+                        break
+                if cand_lv is None:
+                    break
+                ladder.append(cand_lv)
         return ladder or [self._coarse_level()]
 
     def _coarse_stats(self, coarse_level: int) -> DataFrame:

@@ -10,14 +10,19 @@ encoder's Annex-K constants), and everything normalizes to the same pixel
 grid as the PPM/BMP/PNG decoders.
 
 Decoder scope (returns None outside it, like the other ``_parse_*``):
-baseline sequential DCT (SOF0), 8-bit, 1 or 3 components, sampling
-factors ≤ 2 (4:4:4, 4:2:2, 4:2:0), restart intervals. Progressive (SOF2)
-and arithmetic coding are out of scope by design.
+baseline sequential DCT (SOF0/1) and — round 9 — progressive DCT (SOF2,
+spectral selection + successive approximation, T.81 Annex G), 8-bit, 1 or
+3 components, sampling factors ≤ 2 (4:4:4, 4:2:2, 4:2:0), restart
+intervals. Arithmetic coding, hierarchical, and 12-bit stay out of scope
+by design.
 
-Encoder scope: baseline, Annex-K quantization (libjpeg quality scaling)
-and Huffman tables, 4:4:4 or 4:2:0 — used for fixtures and the
-crossformat twins; the round-trip and spec-built goldens cross-check the
-two directions against each other and against hand-assembled streams.
+Encoder scope: baseline (Annex-K quantization with libjpeg quality
+scaling, 4:4:4 or 4:2:0) plus a progressive encoder (4:4:4, default
+10-scan script exercising DC/AC first and refinement passes) — used for
+fixtures and the crossformat twins; the round-trip and spec-built goldens
+cross-check the directions against each other and against hand-assembled
+streams, and a progressive encode must decode pixel-identical to the
+baseline encode at the same quality (same coefficients by construction).
 
 Scale shape: the codec runs inside Arrow ``mapInPandas`` batches like
 every other decode kernel — bytes never shuffle, digests travel.
@@ -489,9 +494,10 @@ class _BitReader:
 
 
 def decode_jpeg(blob: bytes):
-    """Decode a baseline JFIF/JPEG → (width, height, rgb bytes), or None
-    when the blob is not a JPEG or uses an out-of-scope coding mode
-    (progressive SOF2, arithmetic, 12-bit, sampling factors > 2)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2, round 9) JFIF/JPEG
+    → (width, height, rgb bytes), or None when the blob is not a JPEG or
+    uses an out-of-scope coding mode (arithmetic, hierarchical, 12-bit,
+    sampling factors > 2)."""
     try:
         return _decode_jpeg_strict(blob)
     except (ValueError, EOFError, IndexError, struct.error, KeyError):
@@ -506,6 +512,8 @@ def _decode_jpeg_strict(blob: bytes):
     comps = None
     w = h = 0
     restart = 0
+    progressive = False
+    coef = None  # progressive: per-component zigzag coefficient arrays
     pos = 2
     while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
@@ -518,8 +526,10 @@ def _decode_jpeg_strict(blob: bytes):
         if pos + 2 > len(blob):
             return None
         marker = blob[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
-            return None
+        if marker == 0xD9:  # EOI
+            if progressive and coef is not None:
+                return _reconstruct_progressive(w, h, comps, qtabs, coef)
+            return None  # EOI before any decodable scan
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2  # TEM / stray RSTn: standalone, no length field
             continue
@@ -548,7 +558,8 @@ def _decode_jpeg_strict(blob: bytes):
                 vals = list(payload[p + 17 : p + 17 + nv])
                 htabs[tc_th] = _decode_table(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec = payload[0]
             if prec != 8:
                 return None
@@ -563,9 +574,9 @@ def _decode_jpeg_strict(blob: bytes):
                 if not (1 <= ch <= 2 and 1 <= cv <= 2):
                     return None
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -573,13 +584,26 @@ def _decode_jpeg_strict(blob: bytes):
                 return None
             ns = payload[0]
             sel = {}
+            order = []
             for s in range(ns):
                 cs, td_ta = payload[1 + 2 * s : 3 + 2 * s]
                 sel[cs] = (td_ta >> 4, td_ta & 0x0F)
+                order.append(cs)
             scan_pos = pos + 2 + seg_len
-            return _decode_scan(
-                blob, scan_pos, w, h, comps, sel, qtabs, htabs, restart
+            if not progressive:
+                return _decode_scan(
+                    blob, scan_pos, w, h, comps, sel, qtabs, htabs, restart
+                )
+            # progressive: accumulate this scan's coefficient contribution
+            # and keep walking — reconstruction happens at EOI
+            if coef is None:
+                coef = _alloc_prog_coef(w, h, comps)
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            pos = _decode_progressive_scan(
+                blob, scan_pos, w, h, comps, sel, order, htabs, restart,
+                coef, ss, se, ahal >> 4, ahal & 0x0F,
             )
+            continue
         pos += 2 + seg_len
     return None
 
@@ -649,3 +673,450 @@ def _decode_scan(blob, pos, w, h, comps, sel, qtabs, htabs, restart):
     else:
         px = _ycbcr_to_rgb(up[0], up[1], up[2])
     return w, h, np.rint(px).astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT (SOF2) — round 9, VERDICT r8 ask #6.
+#
+# A progressive stream carries the SAME quantized coefficients as a baseline
+# one, split across scans two ways (T.81 Annex G): SPECTRAL SELECTION (each
+# AC scan covers a zigzag band [Ss, Se] of ONE component; DC scans may
+# interleave components in MCU order) and SUCCESSIVE APPROXIMATION (the
+# first scan of a band sends coefficients at reduced precision — a point
+# transform by Al — and refinement scans with Ah = Al+1 append one
+# magnitude bit each). Decoding therefore accumulates into per-component
+# coefficient arrays and runs the IDCT once, at EOI. The refinement-bit
+# semantics (correction bits on already-nonzero history coefficients, EOB
+# runs that still carry correction bits) follow T.81 G.1.2.2-G.1.2.3; the
+# two's-complement |= / += tricks are the standard realization of the
+# spec's magnitude-bit appends.
+# ---------------------------------------------------------------------------
+
+
+def _comp_blocks(w: int, h: int, c: dict, hmax: int, vmax: int):
+    """Non-interleaved block grid of a component: ceil dims of the
+    component's OWN sample array (T.81 A.2.2 — no MCU padding)."""
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _alloc_prog_coef(w: int, h: int, comps: list[dict]) -> list[np.ndarray]:
+    """Per-component (block_rows, block_cols, 64) zigzag-indexed coefficient
+    store, padded to full MCU coverage (interleaved DC scans write the
+    padding data units; reconstruction crops them away)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+
+
+def _decode_progressive_scan(
+    blob, pos, w, h, comps, sel, order, htabs, restart, coef, ss, se, ah, al
+):
+    """Decode one progressive scan into ``coef``; returns the stream
+    position of the marker that ended the entropy data."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    rdr = _BitReader(blob, pos)
+    by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    scomps = [by_id[cid] for cid in order]
+
+    if ss == 0:  # DC scan (Se must be 0; interleaved in MCU order)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        preds = {ci: 0 for ci, _ in scomps}
+        if len(scomps) > 1:
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            units = [
+                [
+                    (ci, c, my * c["v"] + by, mx * c["h"] + bx)
+                    for ci, c in scomps
+                    for by in range(c["v"])
+                    for bx in range(c["h"])
+                ]
+                for my in range(mcuy)
+                for mx in range(mcux)
+            ]
+        else:
+            ci, c = scomps[0]
+            bw_, bh_ = _comp_blocks(w, h, c, hmax, vmax)
+            units = [
+                [(ci, c, by, bx)] for by in range(bh_) for bx in range(bw_)
+            ]
+        n_unit = 0
+        for unit in units:
+            if restart and n_unit and n_unit % restart == 0:
+                rdr.skip_rst()
+                preds = {ci: 0 for ci, _ in scomps}
+            n_unit += 1
+            for ci, c, by, bx in unit:
+                blk = coef[ci][by, bx]
+                if ah == 0:
+                    td, _ = sel[c["id"]]
+                    size = rdr.huff(htabs[td])
+                    preds[ci] += _extend(rdr.bits(size), size)
+                    blk[0] = preds[ci] << al
+                elif rdr.bit():
+                    blk[0] |= 1 << al  # two's complement: appends the bit
+        return rdr.pos
+
+    # AC scan: exactly one component, its own block raster (T.81 G.1.1)
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    ci, c = scomps[0]
+    _, ta = sel[c["id"]]
+    actab = htabs[0x10 | ta]
+    bw_, bh_ = _comp_blocks(w, h, c, hmax, vmax)
+    eobrun = 0
+    n_unit = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            if restart and n_unit and n_unit % restart == 0:
+                rdr.skip_rst()
+                eobrun = 0
+            n_unit += 1
+            blk = coef[ci][by, bx]
+            if ah == 0:
+                eobrun = _ac_first_pass(rdr, actab, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_pass(rdr, actab, blk, ss, se, al, eobrun)
+    return rdr.pos
+
+
+def _ac_first_pass(rdr, actab, blk, ss, se, al, eobrun):
+    """First AC scan of a band: place coefficients at precision Al
+    (T.81 G.1.2.2 — baseline run/size coding plus EOBn run symbols)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rdr.huff(actab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1  # current block is part of the run
+                if r:
+                    eobrun += rdr.bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC band overflow")
+        blk[k] = _extend(rdr.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_pass(rdr, actab, blk, ss, se, al, eobrun):
+    """Refinement AC scan: one correction bit per already-nonzero
+    coefficient, ±1<<Al for newly-nonzero ones (T.81 G.1.2.3; the
+    traversal mirrors the reference decoder structure in Annex G)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rdr.huff(actab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement size must be 1")
+                val = p1 if rdr.bit() else m1
+            while k <= se:
+                cur = int(blk[k])
+                if cur != 0:
+                    if rdr.bit() and not (cur & p1):
+                        blk[k] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB run still carries correction bits
+            cur = int(blk[k])
+            if cur != 0 and rdr.bit() and not (cur & p1):
+                blk[k] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(w, h, comps, qtabs, coef):
+    """Dequantize + IDCT the accumulated coefficient arrays — the baseline
+    tail applied once at EOI."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        qt = qtabs[c["tq"]]
+        rows, cols, _ = coef[ci].shape
+        plane = np.zeros((rows * 8, cols * 8))
+        for by in range(rows):
+            for bx in range(cols):
+                nat = np.zeros(64)
+                nat[ZIGZAG] = coef[ci][by, bx] * qt[ZIGZAG]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ nat.reshape(8, 8) @ _C
+                ) + 128.0
+        planes.append(plane)
+    up = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        up.append(p[:h, :w])
+    if len(comps) == 1:
+        g = np.clip(up[0], 0.0, 255.0)
+        px = np.stack([g, g, g], axis=-1)
+    else:
+        px = _ycbcr_to_rgb(up[0], up[1], up[2])
+    return w, h, np.rint(px).astype(np.uint8).tobytes()
+
+
+#: progressive AC alphabet: every (run, size) with size ≤ 10 — including
+#: the EOBn symbols 0x10..0xE0 that BASELINE tables never carry (baseline
+#: uses only EOB/ZRL; Annex K therefore cannot encode progressive scans).
+#: All 176 symbols at canonical length 8: a legal DHT (the all-ones code
+#: stays unassigned), suboptimal but table-driven decoders don't care —
+#: the decoder always reads tables from the file's own DHT.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+#: default progressive scan script (4:4:4): DC first with point transform,
+#: spectrally-split AC first scans, then refinement scans for every band —
+#: exercises all four progressive coding modes end to end
+_PROG_SCANS = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+class _ProgAcState:
+    """Cross-block AC entropy state of one scan: the pending EOB run and,
+    in refinement scans, the correction bits buffered until the run is
+    flushed (T.81 G.1.2.2-3)."""
+
+    def __init__(self, bw: _BitWriter, actab) -> None:
+        self.bw = bw
+        self.actab = actab
+        self.eobrun = 0
+        self.br: list[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            code, length = self.actab[n << 4]
+            self.bw.write(code, length)
+            if n:
+                self.bw.write(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+        for b in self.br:
+            self.bw.write(b, 1)
+        self.br = []
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    rgb: bytes,
+    *,
+    quality: int = 90,
+    scans=None,
+) -> bytes:
+    """Progressive (SOF2) JFIF encoder, 4:4:4, Annex-K tables — same
+    quantized coefficients as ``encode_jpeg``, delivered as spectral-
+    selection + successive-approximation scans (default script
+    ``_PROG_SCANS``). Exists so the progressive decoder has spec-built
+    fixtures with NO third-party files; a progressive encode must decode
+    to exactly the same pixels as the baseline encode at the same
+    quality (pinned in tests/test_round9_progressive.py)."""
+    px = (
+        np.frombuffer(rgb, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    ycc = _rgb_to_ycbcr(px)
+    qlum = _quality_scale(_K_LUM, quality)
+    qchr = _quality_scale(_K_CHR, quality)
+    dc_t = [_canonical_codes(*_DC_LUM)] + [_canonical_codes(*_DC_CHR)] * 2
+    ac_prog = _canonical_codes(*_AC_PROG)
+    ac_t = [ac_prog, ac_prog, ac_prog]
+
+    bh, bwid = -(-height // 8), -(-width // 8)
+    coefs = []
+    for c in range(3):
+        plane = _pad_to_blocks(ycc[..., c], 8, 8)
+        qt = qlum if c == 0 else qchr
+        arr = np.zeros((bh, bwid, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bwid):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                q = np.rint(
+                    (_C @ (block - 128.0) @ _C.T).reshape(-1) / qt
+                ).astype(int)
+                zz = q[ZIGZAG]
+                zz[1:] = np.clip(zz[1:], -1023, 1023)  # same clamp as baseline
+                arr[by, bx] = zz
+        coefs.append(arr)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, qt in ((0, qlum), (1, qchr)):
+        out += seg(
+            0xFFDB, bytes([tid]) + bytes(int(qt[ZIGZAG[i]]) for i in range(64))
+        )
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT
+    for tc_th, spec_ in (
+        (0x00, _DC_LUM), (0x10, _AC_PROG), (0x01, _DC_CHR), (0x11, _AC_PROG)
+    ):
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(spec_[0]) + bytes(spec_[1]))
+
+    for comps_, ss, se, ah, al in (scans or _PROG_SCANS):
+        sos = bytes([len(comps_)])
+        for c in comps_:
+            td = 0 if c == 0 else 1
+            sos += bytes([c + 1, (td << 4) | td])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        bw = _BitWriter()
+        if ss == 0:
+            if ah == 0:  # DC first: diff-code the point-transformed DC
+                preds = {c: 0 for c in comps_}
+                for by in range(bh):
+                    for bx in range(bwid):
+                        for c in comps_:
+                            v = int(coefs[c][by, bx, 0]) >> al
+                            size, amp = _magnitude(v - preds[c])
+                            preds[c] = v
+                            code, length = dc_t[c][size]
+                            bw.write(code, length)
+                            if size:
+                                bw.write(amp, size)
+            else:  # DC refinement: one raw bit per data unit
+                for by in range(bh):
+                    for bx in range(bwid):
+                        for c in comps_:
+                            bw.write(
+                                (int(coefs[c][by, bx, 0]) >> al) & 1, 1
+                            )
+        else:
+            c = comps_[0]
+            st = _ProgAcState(bw, ac_t[c])
+            for by in range(bh):
+                for bx in range(bwid):
+                    blk = coefs[c][by, bx]
+                    if ah == 0:
+                        _enc_ac_first(st, blk, ss, se, al)
+                    else:
+                        _enc_ac_refine(st, blk, ss, se, al)
+            st.flush()
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _enc_ac_first(st: _ProgAcState, blk, ss, se, al) -> None:
+    bw, actab = st.bw, st.actab
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al  # AC point transform truncates toward zero
+        if t == 0:
+            r += 1
+            continue
+        st.flush()  # pending EOB run ends before this block's symbol
+        while r > 15:
+            code, length = actab[0xF0]
+            bw.write(code, length)
+            r -= 16
+        size, amp = _magnitude(t if v > 0 else -t)
+        code, length = actab[(r << 4) | size]
+        bw.write(code, length)
+        bw.write(amp, size)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def _enc_ac_refine(st: _ProgAcState, blk, ss, se, al) -> None:
+    bw, actab = st.bw, st.actab
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eob_idx = -1  # band index of the LAST newly-nonzero coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_idx = i
+    r = 0
+    pend: list[int] = []  # correction bits awaiting the next symbol
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        # A pending zero run past 15 must emit ZRL at the FIRST nonzero —
+        # history or new — while a later symbol will still cover this
+        # position: the decoder assigns each buffered correction bit to
+        # the symbol whose positional walk passes it, so deferring the
+        # ZRL past a history coefficient would misalign the bitstream.
+        while r > 15 and i <= eob_idx:
+            st.flush()
+            code, length = actab[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for b in pend:
+                bw.write(b, 1)
+            pend = []
+        if t > 1:  # history coefficient: buffer its correction bit
+            pend.append(t & 1)
+            continue
+        # newly-nonzero (t == 1)
+        st.flush()
+        code, length = actab[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(blk[ss + i]) > 0 else 0, 1)
+        for b in pend:
+            bw.write(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        st.eobrun += 1
+        st.br.extend(pend)
+        if st.eobrun == 0x7FFF or len(st.br) > 900:
+            st.flush()

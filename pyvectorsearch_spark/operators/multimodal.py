@@ -597,9 +597,9 @@ def _prand_floats(blob: bytes, count: int) -> list[float]:
 
 
 def _parse_jpeg(blob: bytes):
-    """Baseline JFIF/JPEG via the pure-stdlib codec (``operators/jpeg.py``,
-    r8): returns (w, h, rgb bytes) or None for non-JPEG / out-of-scope
-    coding modes (progressive, arithmetic, 12-bit)."""
+    """Baseline (r8) or progressive (r9) JFIF/JPEG via the pure-stdlib
+    codec (``operators/jpeg.py``): returns (w, h, rgb bytes) or None for
+    non-JPEG / out-of-scope coding modes (arithmetic, 12-bit)."""
     from pyvectorsearch_spark.operators.jpeg import decode_jpeg
 
     return decode_jpeg(blob)
@@ -615,9 +615,9 @@ def _decode_rgb(blob: bytes, width: int, height: int) -> list[float]:
     four decode to the SAME normalized pixel grid, the dHash downstream
     is format-invariant (a PPM, a BMP and a PNG of the same image collide
     at Hamming 0; a JPEG re-encode lands within a few bits — the lossy
-    re-encode regime). Remaining compressed formats (progressive JPEG,
-    ogg, video) go through a gated PIL import; the deterministic fake is
-    the last resort (clearly marked)."""
+    re-encode regime). Progressive (SOF2) JPEG decodes for real too since
+    r9. Remaining compressed formats (ogg, video) go through a gated PIL
+    import; the deterministic fake is the last resort (clearly marked)."""
     parsed = (
         _parse_ppm(blob) or _parse_bmp(blob) or _parse_png(blob)
         or _parse_jpeg(blob)

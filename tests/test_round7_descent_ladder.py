@@ -75,3 +75,38 @@ class TestDescentLadder:
     def test_empty_hist(self):
         idx = _fake_index({})
         assert idx._descent_ladder() == [0]
+
+
+class TestTailGate:
+    """r9 (VERDICT r8 #3): past TAIL_GATE_CELLS the ladder must also bound
+    the IMPLICIT final fine expansion — the r8 capacity run paid a ~13×
+    tail fan-in at 1.05M cells (607 s for 1000 probes)."""
+
+    DEEP = {16: 70_000, 18: 400_000, 20: 600_000}  # 1.07M cells
+
+    def test_tail_fanin_bounded_on_deep_grid(self):
+        idx = _fake_index(self.DEEP)
+        ladder = idx._descent_ladder()
+        n = sum(self.DEEP.values())
+        assert n / idx._grouped_est(ladder[-1]) <= idx.TAIL_FAN
+
+    def test_appended_stages_still_contract_and_increase(self):
+        idx = _fake_index(self.DEEP)
+        ladder = idx._descent_ladder()
+        n = sum(self.DEEP.values())
+        assert ladder == sorted(set(ladder))
+        ests = [idx._grouped_est(lv) for lv in ladder]
+        assert all(a < b for a, b in zip(ests, ests[1:]))
+        assert ests[-1] * 2 < n  # never within 2× of fine (r7 negative)
+
+    def test_below_gate_schedule_unchanged(self):
+        # the 103k-cell fixture of the tests above sits below the gate:
+        # the schedule must stay the pure geometric one (no tail stages),
+        # protecting the measured sf10/headline regimes
+        hist = {0: 10, 4: 200, 8: 3000, 12: 30000, 16: 70000}
+        idx = _fake_index(hist)
+        ladder = idx._descent_ladder()
+        target = idx.COARSE_TARGET
+        for lv in ladder:
+            assert idx._grouped_est(lv) <= target
+            target *= idx.DESCENT_BRANCH

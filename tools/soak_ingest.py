@@ -48,6 +48,11 @@ def main() -> None:
     ap.add_argument("--out-root", default=None)
     ap.add_argument("--cpus", type=int, default=int(
         os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--synth-cells", type=int, default=None,
+                    help="ignore sf_dir's embeddings and drain a synthetic "
+                         "deep lattice of ~this many fine cells (1 row/cell "
+                         "+ rank-sized jitter clusters every 16th cell — "
+                         "the 500k-cell regime of VERDICT r8 ask #4)")
     args = ap.parse_args()
 
     spark = (
@@ -73,11 +78,26 @@ def main() -> None:
         stream_index_ingest,
     )
 
-    emb = (
-        load_table(spark, args.sf_dir, "embeddings")
-        .withColumn("p2", F.slice("embedding", 1, 2))
-        .select("vec_id", "p2")
-    )
+    if args.synth_cells:
+        # deep lattice (the stress_grid_1e6 geometry): one point per fine
+        # cell at spacing 8, 1e-4 jitter — drives the sidecar's state table
+        # to ~synth_cells rows, the regime where the r7 full-republish
+        # design cost O(cells) of driver work per batch
+        side = int(args.synth_cells ** 0.5)
+        emb = spark.range(side * side).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % side).cast("double") * 8.0
+                + (F.col("id") % 3).cast("double") * 1e-4,
+                (F.col("id") / side).cast("long").cast("double") * 8.0,
+            ).cast("array<float>").alias("p2"),
+        )
+    else:
+        emb = (
+            load_table(spark, args.sf_dir, "embeddings")
+            .withColumn("p2", F.slice("embedding", 1, 2))
+            .select("vec_id", "p2")
+        )
     n_rows = emb.count()
     geom = GridIndex.build(
         emb, vec_col="p2", id_col="vec_id", target_occupancy=args.occ
