@@ -178,6 +178,26 @@ def _meta_bytes(dirs: list[str]) -> int:
 #: deltas are bounded by the batch's ancestor closure by construction)
 _DRIVER_READ_BYTES = 64 << 20
 
+#: in-memory maintenance cache, one entry per meta_path: the full node
+#: state plus the forward/reverse mapping, validated against the pointer's
+#: batch_id and updated INCREMENTALLY per batch. Without it every batch
+#: re-reads the whole state/mapping tables — O(cells) driver IO per batch
+#: with a small constant (measured: per-batch cost doubled 5.2→11.0 s
+#: across a 500k-cell drain as the tables grew). With it, the steady-state
+#: per-batch cost touches only the batch's ancestor closure; the disk log
+#: stays the source of truth (the cache is dropped whenever the pointer
+#: moved without us, and rebuilt with one read).
+_CACHE: dict[str, dict] = {}
+#: cache only below this many state rows (~100-150 B/row of driver heap →
+#: ≤ ~800 MB at the cap). Deep-jitter geometries carry ~10 singleton
+#: chain levels per point (every level between first-distinctness and the
+#: fine level holds one node per point), so the 500k-point / 1e6-cell
+#: soak legitimately ends at ~5.2M state rows — the cap is sized to keep
+#: that whole regime eviction-free. Past the cap: per-batch pandas reads
+#: up to the 64 MB disk gate (measured 6-10 s at 5M rows), Spark beyond —
+#: always correct, costs in SCALING.md.
+_CACHE_MAX_ROWS = 6_000_000
+
 
 def _read_table_local(meta_path: str, kind: str, ptr: dict):
     """Driver-side latest-wins merge (pandas) of base + committed deltas —
@@ -403,15 +423,49 @@ def apply_batch_rebalance(
         )
         return
 
-    # read the affected nodes' current state: driver-side pyarrow while the
-    # referenced meta stays small (the common case; file sizes are one
-    # os.stat sweep), Spark broadcast semi-join past the byte gate
+    # Affected nodes' current state, cheapest source first: the validated
+    # in-memory cache (no IO), driver-side pyarrow while the referenced
+    # meta stays small (file sizes are one os.stat sweep), Spark broadcast
+    # semi-join past the byte gate.
+    cache = _CACHE.get(meta_path)
+    if cache is not None and cache["batch_id"] != ptr["batch_id"]:
+        cache = None  # another writer/restart moved the pointer: rebuild
+        _CACHE.pop(meta_path, None)
     state_dirs = _live_dirs(meta_path, "state", ptr)
     old_state: dict[str, int] = {}
-    if state_dirs and affected:
-        if _meta_bytes(state_dirs) <= _DRIVER_READ_BYTES:
-            pdf = _read_table_local(meta_path, "state", ptr)
-            hit = pdf[pdf["cell"].isin(affected)]
+    spdf = None
+    if cache is None and state_dirs and \
+            _meta_bytes(state_dirs) <= _DRIVER_READ_BYTES:
+        spdf = _read_table_local(meta_path, "state", ptr)
+        if len(spdf) <= _CACHE_MAX_ROWS:
+            state = dict(
+                zip(spdf["cell"], (int(v) for v in spdf["pending"]))
+            )
+            mpdf = _read_table_local(meta_path, "mapping", ptr)
+            fwd: dict[str, str] = {}
+            rev: dict[str, set[str]] = {}
+            if mpdf is not None:
+                fwd = dict(zip(mpdf["_fine"], mpdf["cell"]))
+                for f, home in fwd.items():
+                    rev.setdefault(home, set()).add(f)
+            cache = {
+                "batch_id": ptr["batch_id"], "state": state,
+                "fwd": fwd, "rev": rev,
+            }
+            _CACHE[meta_path] = cache
+    if cache is None and not state_dirs:
+        cache = {
+            "batch_id": ptr["batch_id"], "state": {}, "fwd": {}, "rev": {},
+        }
+        _CACHE[meta_path] = cache
+    if cache is not None:
+        st = cache["state"]
+        old_state = {a: st[a] for a in affected if a in st}
+    elif state_dirs and affected:
+        if spdf is None and _meta_bytes(state_dirs) <= _DRIVER_READ_BYTES:
+            spdf = _read_table_local(meta_path, "state", ptr)
+        if spdf is not None:
+            hit = spdf[spdf["cell"].isin(affected)]
             old_state = dict(
                 zip(hit["cell"], (int(p) for p in hit["pending"]))
             )
@@ -447,6 +501,7 @@ def apply_batch_rebalance(
         spark, meta_path=meta_path, ptr=ptr, flips=flips,
         old_state=old_state, final_inst=final_inst, skip=set(T),
         fine_level=fine_level, dim=dim, rr=rr, ratio=ratio,
+        rev=None if cache is None else cache["rev"],
     )
     map_updates.update(remapped)
     _mark("remap")
@@ -499,13 +554,37 @@ def apply_batch_rebalance(
             nxt[upto_key] = batch_id
     _publish_pointer(meta_path, nxt)
     _janitor(meta_path, nxt)  # retire folded deltas / superseded bases
+    if cache is not None:
+        # fold the batch into the in-memory cache AFTER the pointer commit
+        # so a failed publish leaves the cache consistent with the pointer
+        cache["state"].update(
+            {cid: p for cid, (_, p) in changed.items()}
+        )
+        fwd, rev = cache["fwd"], cache["rev"]
+        for f, home in map_updates.items():
+            old = fwd.get(f)
+            if old is not None and old != home:
+                rev.get(old, set()).discard(f)
+            fwd[f] = home
+            rev.setdefault(home, set()).add(f)
+        cache["batch_id"] = batch_id
+        if len(cache["state"]) > _CACHE_MAX_ROWS:
+            _CACHE.pop(meta_path, None)  # grown past the heap bound
     _mark("fold_publish")
     if _prof:
         parts = " ".join(
             f"{lbl}={(t1 - t0):.2f}"
             for (lbl, t1), (_, t0) in zip(_marks[1:], _marks[:-1])
         )
-        print(f"[rebal-prof] batch={batch_id} {parts}", flush=True)
+        cstat = (
+            "none" if _CACHE.get(meta_path) is None
+            else f"rows={len(_CACHE[meta_path]['state'])}"
+        )
+        print(
+            f"[rebal-prof] batch={batch_id} {parts} cache={cstat} "
+            f"affected={len(affected)}",
+            flush=True,
+        )
 
 
 def _remap_after_flips(
@@ -521,17 +600,21 @@ def _remap_after_flips(
     dim: int,
     rr: int,
     ratio: int,
+    rev: dict[str, set] | None = None,
 ) -> dict[str, str]:
     """Fine cells OUTSIDE the batch whose home changed because a chain node
     flipped. Dissolving node: its mapped rows (< rank of mass) move up.
     Instantiating node: the rows in its subtree mapped to its OLD home
-    (< rank of mass — what rolled through it) move down to it. One small
-    filtered read of the mapping table; never a rewrite."""
+    (< rank of mass — what rolled through it) move down to it. Candidates
+    come from the in-memory reverse index when the cache is live (``rev``,
+    no IO), else one small filtered read of the mapping table; never a
+    rewrite."""
     if not flips:
         return {}
-    map_dirs = _live_dirs(meta_path, "mapping", ptr)
-    if not map_dirs:
-        return {}
+    if rev is None:
+        map_dirs = _live_dirs(meta_path, "mapping", ptr)
+        if not map_dirs:
+            return {}
 
     dissolved = [cid for cid, lvl, io, in_ in flips if io and not in_]
     pairs = []  # (old home id, flip level, flip cell) for instantiations
@@ -558,34 +641,39 @@ def _remap_after_flips(
                     break
         return out
 
+    def _subtree_filter(fines_by_home) -> set[str]:
+        s_fine = _slices(fine_level, dim, rr)
+        fines: set[str] = set()
+        if dissolved:
+            for n in dissolved:
+                fines.update(fines_by_home(n))
+        for anc, lvl, cid in pairs:
+            s_l = _slices(lvl, dim, rr)
+            shrinks = [ratio ** (s_fine[i] - s_l[i]) for i in range(dim)]
+            for f in fines_by_home(anc):
+                coords = _coords(f)
+                anc_id = _cell_id(
+                    lvl, [c // shrinks[i] for i, c in enumerate(coords)]
+                )
+                if anc_id == cid:
+                    fines.add(f)
+        return fines
+
+    if rev is not None:
+        # cache fast path: the reverse index hands us exactly the rows
+        # mapped to each flip's node / old home — no IO at all
+        return _rehome(_subtree_filter(lambda h: rev.get(h, ())))
+
     if _meta_bytes(map_dirs) <= _DRIVER_READ_BYTES:
         # driver fast path: pandas isin on the flips' old homes, subtree
         # membership via the same closed-form coordinate division
         pdf = _read_table_local(meta_path, "mapping", ptr)
-        s_fine = _slices(fine_level, dim, rr)
-        fines: set[str] = set()
-        if dissolved:
-            fines.update(pdf[pdf["cell"].isin(dissolved)]["_fine"])
-        if pairs:
-            by_home: dict[str, list[tuple[int, str]]] = {}
-            for anc, lvl, cid in pairs:
-                by_home.setdefault(anc, []).append((lvl, cid))
-            hit = pdf[pdf["cell"].isin(list(by_home))]
-            for f, home in zip(hit["_fine"], hit["cell"]):
-                coords = _coords(f)
-                for lvl, cid in by_home[home]:
-                    s_l = _slices(lvl, dim, rr)
-                    anc_id = _cell_id(
-                        lvl,
-                        [
-                            c // (ratio ** (s_fine[i] - s_l[i]))
-                            for i, c in enumerate(coords)
-                        ],
-                    )
-                    if anc_id == cid:
-                        fines.add(f)
-                        break
-        return _rehome(fines)
+        by_home: dict[str, list[str]] = {}
+        sel = set(dissolved) | {anc for anc, _, _ in pairs}
+        hit = pdf[pdf["cell"].isin(list(sel))]
+        for f, home in zip(hit["_fine"], hit["cell"]):
+            by_home.setdefault(home, []).append(f)
+        return _rehome(_subtree_filter(lambda h: by_home.get(h, ())))
 
     mapping_df = _read_table(spark, meta_path, "mapping", ptr)
     cands = []

