@@ -78,17 +78,32 @@ _POINTER = "LATEST.json"
 _LAYOUT = 2
 
 
-def read_pointer(meta_path: str) -> dict | None:
-    """Current published meta pointer, or None before the first batch (or
-    when the artifact uses an incompatible older layout)."""
+def _load_pointer_file(meta_path: str) -> dict | None:
+    """The pointer file's raw contents (any layout), or None when absent."""
     p = os.path.join(meta_path, _POINTER)
     if not os.path.exists(p):
         return None
     with open(p) as fh:
-        ptr = json.load(fh)
-    if ptr.get("layout") != _LAYOUT:
+        return json.load(fh)
+
+
+def read_pointer(meta_path: str) -> dict | None:
+    """Current published meta pointer, or None before the first batch (or
+    when the artifact uses an incompatible older layout). The WRITER must
+    not use this None-on-old-layout behavior — ``apply_batch_rebalance``
+    distinguishes 'no pointer yet' from 'incompatible layout' and fails
+    loud on the latter (ADVICE r9: a silent restart from batch -1 would
+    orphan every pre-upgrade row while the data dir still holds them)."""
+    ptr = _load_pointer_file(meta_path)
+    if ptr is None or ptr.get("layout") != _LAYOUT:
         return None
     return ptr
+
+
+#: geometry keys recorded in the pointer; a writer whose arguments disagree
+#: with the recorded geometry would corrupt the sidecar silently (ADVICE
+#: r9), so ``apply_batch_rebalance`` validates them and raises on mismatch
+_GEOMETRY_KEYS = ("fine_level", "dim", "rr", "ratio", "rank")
 
 
 def _publish_pointer(meta_path: str, ptr: dict) -> None:
@@ -129,7 +144,18 @@ def _janitor(meta_path: str, ptr: dict) -> None:
     """Delete dirs the pointer does not reference: superseded bases, folded
     deltas (id <= the fold watermark), and deltas above the applied batch
     (a crashed attempt's half-write — its batch will be replayed and the
-    dir overwritten, but a stale one must never linger unreferenced)."""
+    dir overwritten, but a stale one must never linger unreferenced).
+
+    DEFERRED-DELETION CONTRACT (ADVICE r9): this runs only at the START of
+    an apply, against the pointer the PREVIOUS apply published — never in
+    the same apply that supersedes a dir. A fold therefore leaves the old
+    base and its folded deltas on disk until the next batch arrives, so a
+    reader that captured the pointer just before the fold (``read_mapping``
+    / ``read_stats`` / ``load_rebalanced_index`` return lazy DataFrames)
+    has at least one full batch interval to execute its jobs before the
+    files go away. Readers that hold a lazy plan across MORE than one
+    subsequent batch must re-read (single-writer, bounded-staleness-read
+    contract — documented on the read_* APIs)."""
     for kind, (base_key, upto_key) in _KINDS.items():
         root = os.path.join(meta_path, kind)
         if not os.path.isdir(root):
@@ -196,7 +222,38 @@ _CACHE: dict[str, dict] = {}
 #: that whole regime eviction-free. Past the cap: per-batch pandas reads
 #: up to the 64 MB disk gate (measured 6-10 s at 5M rows), Spark beyond —
 #: always correct, costs in SCALING.md.
+#: ADVICE r9 (low): the cap is GLOBAL across meta_paths — a driver
+#: maintaining several streamed sidecars concurrently evicts the
+#: least-recently-used sidecar's cache when the SUMMED state rows exceed
+#: it, instead of accumulating multiple near-cap caches (dict insertion
+#: order is the recency order; _cache_store/_cache_touch maintain it).
 _CACHE_MAX_ROWS = 6_000_000
+
+
+def _cache_rows(c: dict) -> int:
+    return len(c["state"])
+
+
+def _cache_touch(meta_path: str) -> None:
+    """Move meta_path to most-recently-used (end of the ordered dict)."""
+    c = _CACHE.pop(meta_path, None)
+    if c is not None:
+        _CACHE[meta_path] = c
+
+
+def _cache_store(meta_path: str, cache: dict) -> None:
+    """Insert/refresh an entry, then evict least-recently-used OTHER
+    entries while the summed state rows exceed the global cap. An entry
+    that alone exceeds the cap is dropped outright (heap bound first)."""
+    _CACHE.pop(meta_path, None)
+    if _cache_rows(cache) > _CACHE_MAX_ROWS:
+        return
+    _CACHE[meta_path] = cache
+    while sum(_cache_rows(c) for c in _CACHE.values()) > _CACHE_MAX_ROWS:
+        lru = next(iter(_CACHE))
+        if lru == meta_path:  # only the fresh entry left: keep it
+            break
+        _CACHE.pop(lru)
 
 
 def _read_table_local(meta_path: str, kind: str, ptr: dict):
@@ -389,7 +446,18 @@ def apply_batch_rebalance(
             _marks.append((label, _time.time()))
 
     _mark("start")
-    ptr = read_pointer(meta_path)
+    ptr = _load_pointer_file(meta_path)
+    if ptr is not None and ptr.get("layout") != _LAYOUT:
+        # ADVICE r9 (medium): a pre-r9 pointer must fail LOUD here — the
+        # reader-side None would silently restart the sidecar from
+        # batch_id=-1 while the data dir still holds every pre-upgrade
+        # row, and the mapping inner-join would then drop them all.
+        raise ValueError(
+            f"rebalance sidecar at {meta_path} has layout "
+            f"{ptr.get('layout')!r} but this writer requires {_LAYOUT}; "
+            "rebuild the artifact (or drain to a fresh meta_path) — "
+            "resuming would silently orphan all pre-upgrade rows"
+        )
     if ptr is not None and ptr["batch_id"] >= batch_id:
         return  # replayed batch: already committed
     if ptr is None:
@@ -400,6 +468,28 @@ def apply_batch_rebalance(
             "fine_level": fine_level, "dim": dim, "rr": rr,
             "ratio": ratio, "rank": rank,
         }
+    else:
+        # ADVICE r9 (low): the cascade uses the caller's geometry while
+        # remaps used the pointer's recorded one, and _publish_pointer
+        # would silently overwrite the stored geometry — a mismatched
+        # caller corrupted the sidecar silently. Validate once up front;
+        # below this point caller args and pointer geometry are identical.
+        got = {
+            "fine_level": fine_level, "dim": dim, "rr": rr,
+            "ratio": ratio, "rank": rank,
+        }
+        mismatch = {
+            k: (ptr[k], got[k]) for k in _GEOMETRY_KEYS if ptr[k] != got[k]
+        }
+        if mismatch:
+            raise ValueError(
+                f"rebalance sidecar at {meta_path} was built with "
+                f"different geometry: "
+                + ", ".join(
+                    f"{k}: recorded {a} != caller {b}"
+                    for k, (a, b) in sorted(mismatch.items())
+                )
+            )
     _janitor(meta_path, ptr)
 
     delta_rows = (
@@ -431,6 +521,8 @@ def apply_batch_rebalance(
     if cache is not None and cache["batch_id"] != ptr["batch_id"]:
         cache = None  # another writer/restart moved the pointer: rebuild
         _CACHE.pop(meta_path, None)
+    elif cache is not None:
+        _cache_touch(meta_path)  # recency for the global LRU cap
     state_dirs = _live_dirs(meta_path, "state", ptr)
     old_state: dict[str, int] = {}
     spdf = None
@@ -452,12 +544,12 @@ def apply_batch_rebalance(
                 "batch_id": ptr["batch_id"], "state": state,
                 "fwd": fwd, "rev": rev,
             }
-            _CACHE[meta_path] = cache
+            _cache_store(meta_path, cache)
     if cache is None and not state_dirs:
         cache = {
             "batch_id": ptr["batch_id"], "state": {}, "fwd": {}, "rev": {},
         }
-        _CACHE[meta_path] = cache
+        _cache_store(meta_path, cache)
     if cache is not None:
         st = cache["state"]
         old_state = {a: st[a] for a in affected if a in st}
@@ -500,7 +592,7 @@ def apply_batch_rebalance(
     remapped = _remap_after_flips(
         spark, meta_path=meta_path, ptr=ptr, flips=flips,
         old_state=old_state, final_inst=final_inst, skip=set(T),
-        fine_level=fine_level, dim=dim, rr=rr, ratio=ratio,
+        fine_level=fine_level, dim=dim, rr=rr, ratio=ratio, rank=rank,
         rev=None if cache is None else cache["rev"],
     )
     map_updates.update(remapped)
@@ -553,7 +645,10 @@ def apply_batch_rebalance(
             nxt[base_key] = new_v
             nxt[upto_key] = batch_id
     _publish_pointer(meta_path, nxt)
-    _janitor(meta_path, nxt)  # retire folded deltas / superseded bases
+    # Deliberately NO janitor here (ADVICE r9): dirs this batch's fold
+    # superseded stay on disk until the NEXT apply's opening janitor, so
+    # readers holding a pre-fold lazy plan keep their files for at least
+    # one batch interval (see _janitor's deferred-deletion contract).
     if cache is not None:
         # fold the batch into the in-memory cache AFTER the pointer commit
         # so a failed publish leaves the cache consistent with the pointer
@@ -568,8 +663,9 @@ def apply_batch_rebalance(
             fwd[f] = home
             rev.setdefault(home, set()).add(f)
         cache["batch_id"] = batch_id
-        if len(cache["state"]) > _CACHE_MAX_ROWS:
-            _CACHE.pop(meta_path, None)  # grown past the heap bound
+        # re-apply the global cap: this entry may have grown past the heap
+        # bound (drop it) or pushed the summed rows over (evict LRU others)
+        _cache_store(meta_path, cache)
     _mark("fold_publish")
     if _prof:
         parts = " ".join(
@@ -600,6 +696,7 @@ def _remap_after_flips(
     dim: int,
     rr: int,
     ratio: int,
+    rank: int,
     rev: dict[str, set] | None = None,
 ) -> dict[str, str]:
     """Fine cells OUTSIDE the batch whose home changed because a chain node
@@ -623,7 +720,7 @@ def _remap_after_flips(
             continue  # no pre-existing mass ever rolled through it
         chain_up = _chain_ids(cid, lvl, dim, rr, ratio)[1:]
         for depth, anc in enumerate(chain_up):
-            if _is_inst(lvl - 1 - depth, old_state.get(anc, 0), ptr["rank"]):
+            if _is_inst(lvl - 1 - depth, old_state.get(anc, 0), rank):
                 pairs.append((anc, lvl, cid))
                 break
     if not dissolved and not pairs:
@@ -773,7 +870,7 @@ def _rebuild_full(
         fine_level=fine_level, dim=dim, rr=rr, ratio=ratio, rank=rank,
     )
     _publish_pointer(meta_path, nxt)
-    _janitor(meta_path, nxt)
+    # no janitor here either — deferred to the next apply (see _janitor)
 
 
 def _require_pointer(meta_path: str) -> dict:
@@ -784,7 +881,15 @@ def _require_pointer(meta_path: str) -> dict:
 
 
 def read_state(spark: SparkSession, meta_path: str) -> DataFrame:
-    """The maintained node-state table ``(cell, level, pending)``."""
+    """The maintained node-state table ``(cell, level, pending)``.
+
+    Bounded-staleness read contract (applies to every read_* API here and
+    to ``load_rebalanced_index``): the returned DataFrame is LAZY and pins
+    the file set the current pointer references. A concurrent writer's
+    fold supersedes those files but the deferred janitor keeps them on
+    disk until the NEXT batch's apply, so execute (or localCheckpoint)
+    the plan within one batch interval of reading it; re-read for a
+    fresher or longer-lived view."""
     ptr = _require_pointer(meta_path)
     df = _read_table(spark, meta_path, "state", ptr)
     if df is None:
