@@ -52,6 +52,50 @@ HEADLINE = [
 ]
 
 
+# --- Host-band calibration (VERDICT r9 ask #1) -----------------------------
+# A fixed CPU-bound workload with NO dependence on the engine: fixed-seed
+# 1024^2 float64 GEMM x10 (~21 GFLOP/trial, OpenBLAS). Its wall time moves
+# with the host's noisy-neighbor band, not with this repo's code, so every
+# BENCH file carries its own measured band and round-over-round headline
+# deltas can be normalized instead of re-litigated (r9: an unchanged-plan
+# control drifted 2.4x between rounds; the r9 headline inflated uniformly
+# 1.25x with zero plan changes). min-of-N is the host-capability estimate
+# (robust to bursts); median/min is the in-run noise indicator.
+#: quiet-host reference for one calibration trial, measured as the best
+#: observed trial across round-10 sessions on this container class
+#: (min of 40+ trials spread over hours; see SCALING.md r10). host_band =
+#: calib_min / this — 1.0 on a quiet host, >1 under contention.
+CALIB_REF_SEC = 0.17
+
+
+def calibration_trial() -> float:
+    """One timed trial of the fixed calibration workload (seconds)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1024, 1024))
+    b = rng.standard_normal((1024, 1024))
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(10):
+        acc += float(np.dot(a, b)[0, 0])
+    assert abs(acc - 304.4457843444473) < 1e-6  # fixed seed: fixed answer
+    return time.perf_counter() - t0
+
+
+def run_calibration(trials: int = 7) -> dict:
+    """min/median of `trials` calibration trials + the host band vs the
+    quiet-host reference."""
+    ts = sorted(calibration_trial() for _ in range(trials))
+    mn, md = ts[0], ts[len(ts) // 2]
+    return {
+        "min_sec": round(mn, 3),
+        "median_sec": round(md, 3),
+        "band": round(mn / CALIB_REF_SEC, 3),
+        "noise": round(md / mn, 3),
+    }
+
+
 def _force(df) -> int:
     """Execute the full plan without collecting rows to the driver."""
     try:
@@ -93,6 +137,8 @@ def main() -> None:
 
     import gc
 
+    calib_pre = run_calibration()
+
     # Warm-up pass: whole-stage codegen compilation (C2) costs seconds per
     # distinct query shape; a long-running engine amortizes it, so the
     # reported numbers are the steady-state second run.
@@ -114,6 +160,12 @@ def main() -> None:
             _force(registry[name](spark, sf_dir))
             runs[name].append(round(time.perf_counter() - t0, 3))
     timings = {name: min(ts) for name, ts in runs.items()}
+    calib_post = run_calibration()
+    # the run-window band: best host capability seen either side of the
+    # timed runs, vs the quiet-host reference
+    host_band = round(
+        min(calib_pre["min_sec"], calib_post["min_sec"]) / CALIB_REF_SEC, 3
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -133,6 +185,10 @@ def main() -> None:
         "median": medians,
         "median_total_sec": round(sum(medians.values()), 3),
         "sf": sf_val,
+        "calib_pre": calib_pre,
+        "calib_post": calib_post,
+        "calib_ref_sec": CALIB_REF_SEC,
+        "host_band": host_band,
     }
     spread_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_SPREAD.json")
@@ -150,6 +206,13 @@ def main() -> None:
         "n": 3,  # min-of-3 timed runs after a warm-up pass
         "median_total_sec": spread["median_total_sec"],
         "spread_file": spread_file,
+        # calibration row (r10): fixed-seed GEMM band vs quiet-host ref —
+        # divide the headline by host_band to compare rounds on equal hosts
+        "calib_sec": min(calib_pre["min_sec"], calib_post["min_sec"]),
+        "host_band": host_band,
+        "value_band_normalized": round(
+            sum(timings.values()) / max(host_band, 1.0), 3
+        ),
     }
     print(json.dumps(out))
     spark.stop()

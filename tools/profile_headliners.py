@@ -10,6 +10,13 @@ gap between cold and steady is fixed session overhead a long-running
 engine amortizes; the steady min is the real work. Compare steady mins
 against the committed bench rows to decide "host band" vs regression.
 
+Round-10 (VERDICT r9 ask #7): the r9 steady runs spread 5.6-9.1 s on
+`dedup_clusters` — useless for drift attribution. Every steady pass is now
+BRACKETED by the bench's fixed-seed calibration trial (`bench.run_calibration`
+— engine-independent GEMM), and each query gets a `steady_min_normalized`
+column: steady_min divided by the run-window host band, so per-query noise
+divides out and a real plan regression shows as normalized drift.
+
 Usage: PYTHONPATH=/root/repo python tools/profile_headliners.py [q1 q2 ...]
 Prints ONE JSON line.
 """
@@ -55,6 +62,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from pyvectorsearch_spark.queries import all_queries
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import CALIB_REF_SEC, calibration_trial
+
     registry = all_queries()
     out = {}
     for name in names:
@@ -63,20 +74,30 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         cold = time.perf_counter() - t0
-        steady = []
+        steady, calib = [], [round(calibration_trial(), 3)]
         for _ in range(5):
             gc.collect()
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             steady.append(round(time.perf_counter() - t0, 3))
+            calib.append(round(calibration_trial(), 3))
+        band = round(min(calib) / CALIB_REF_SEC, 3)
         out[name] = {
             "cold_sec": round(cold, 3),
             "steady": steady,
             "steady_min": min(steady),
             "steady_median": sorted(steady)[len(steady) // 2],
             "overhead_sec": round(cold - min(steady), 3),
+            # interleaved engine-independent calibration: the host band
+            # DURING this query's steady passes, and the noise-normalized
+            # steady min (divide only when the host is slow, never inflate)
+            "calib": calib,
+            "host_band": band,
+            "steady_min_normalized": round(min(steady) / max(band, 1.0), 3),
         }
-    print(json.dumps({"sf_dir": sf_dir, "profile": out}))
+    print(json.dumps({
+        "sf_dir": sf_dir, "calib_ref_sec": CALIB_REF_SEC, "profile": out,
+    }))
     spark.stop()
 
 
