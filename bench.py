@@ -96,6 +96,66 @@ def run_calibration(trials: int = 7) -> dict:
     }
 
 
+#: quiet-host reference for one Spark calibration trial (see below) —
+#: best observed on an idle container this round; the r9 drift was
+#: invisible to the 2-thread GEMM (band 0.85 while the headline sat at
+#: 1.25x), so the band that NORMALIZES the headline comes from a
+#: calibration that exercises the same local[32] JVM execution stack.
+SPARK_CALIB_REF_SEC = 0.60
+#: quiet-host reference DRAM copy bandwidth (GB/s read+write) — shared-VM
+#: memory-bandwidth contention is the one mechanism a CPU-bound probe
+#: cannot see; this probe measured 2.5-6.5 GB/s swings within minutes on
+#: this host class.
+BW_REF_GBPS = 7.0
+
+
+def spark_calibration_trial(spark) -> float:
+    """One timed trial of the fixed Spark calibration workload: range(2e8)
+    -> xxhash64 -> 4096-key hash aggregate, noop-forced."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(200_000_000)
+        .select((F.xxhash64("id") % 4096).alias("k"))
+        .groupBy("k").agg(F.count("*").alias("c"), F.sum("k").alias("s"))
+        .write.mode("overwrite").format("noop").save()
+    )
+    return time.perf_counter() - t0
+
+
+def spark_calibration(spark, trials: int = 3) -> dict:
+    """Fixed engine-independent Spark workload on the SAME session as the
+    bench. One warm-up (codegen) then min/median of `trials`. Captures
+    32-thread CPU contention, JVM/GC state, and shuffle machinery — the
+    stack the headline queries actually run on."""
+    spark_calibration_trial(spark)  # warm-up: codegen for this shape
+    ts = sorted(spark_calibration_trial(spark) for _ in range(trials))
+    mn, md = ts[0], ts[len(ts) // 2]
+    return {
+        "min_sec": round(mn, 3),
+        "median_sec": round(md, 3),
+        "band": round(mn / SPARK_CALIB_REF_SEC, 3),
+        "noise": round(md / mn, 3),
+    }
+
+
+def bandwidth_probe(trials: int = 3) -> float:
+    """Best observed DRAM copy bandwidth (GB/s, read+write) over `trials`
+    copies of a pre-faulted 512 MiB array."""
+    import numpy as np
+
+    a = np.ones(1 << 26, dtype=np.float64)  # 512 MiB, pre-faulted by ones
+    best = 0.0
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        b = a.copy()
+        dt = time.perf_counter() - t0
+        del b
+        best = max(best, 2 * 8 * (1 << 26) / dt / 1e9)
+    return round(best, 2)
+
+
 def _force(df) -> int:
     """Execute the full plan without collecting rows to the driver."""
     try:
@@ -161,9 +221,17 @@ def main() -> None:
             runs[name].append(round(time.perf_counter() - t0, 3))
     timings = {name: min(ts) for name, ts in runs.items()}
     calib_post = run_calibration()
-    # the run-window band: best host capability seen either side of the
-    # timed runs, vs the quiet-host reference
+    sc_pre = spark_calibration(spark)
+    sc_post = spark_calibration(spark)
+    bw = bandwidth_probe()
+    # the run-window band: best host capability seen around the timed
+    # runs, vs the quiet-host reference. The SPARK calibration defines the
+    # headline band (same 32-thread JVM stack); the GEMM and bandwidth
+    # probes attribute WHICH resource is contended when the band is high.
     host_band = round(
+        min(sc_pre["min_sec"], sc_post["min_sec"]) / SPARK_CALIB_REF_SEC, 3
+    )
+    gemm_band = round(
         min(calib_pre["min_sec"], calib_post["min_sec"]) / CALIB_REF_SEC, 3
     )
 
@@ -188,6 +256,12 @@ def main() -> None:
         "calib_pre": calib_pre,
         "calib_post": calib_post,
         "calib_ref_sec": CALIB_REF_SEC,
+        "spark_calib_pre": sc_pre,
+        "spark_calib_post": sc_post,
+        "spark_calib_ref_sec": SPARK_CALIB_REF_SEC,
+        "bw_gbps": bw,
+        "bw_ref_gbps": BW_REF_GBPS,
+        "gemm_band": gemm_band,
         "host_band": host_band,
     }
     spread_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -206,9 +280,13 @@ def main() -> None:
         "n": 3,  # min-of-3 timed runs after a warm-up pass
         "median_total_sec": spread["median_total_sec"],
         "spread_file": spread_file,
-        # calibration row (r10): fixed-seed GEMM band vs quiet-host ref —
-        # divide the headline by host_band to compare rounds on equal hosts
+        # calibration row (r10): host_band = fixed in-session Spark
+        # workload vs quiet-host ref (gemm/bw in the spread sidecar
+        # attribute the contended resource) — divide the headline by
+        # host_band to compare rounds on equal hosts
         "calib_sec": min(calib_pre["min_sec"], calib_post["min_sec"]),
+        "spark_calib_sec": min(sc_pre["min_sec"], sc_post["min_sec"]),
+        "bw_gbps": bw,
         "host_band": host_band,
         "value_band_normalized": round(
             sum(timings.values()) / max(host_band, 1.0), 3

@@ -46,6 +46,8 @@ class TestCalibration:
             "median_total_sec": 99.999,
             "spread_file": "/root/repo/BENCH_SPREAD.json",
             "calib_sec": 0.171,
+            "spark_calib_sec": 0.712,
+            "bw_gbps": 6.51,
             "host_band": 1.006,
             "value_band_normalized": 99.999,
         }

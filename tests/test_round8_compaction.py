@@ -372,14 +372,26 @@ class TestSoakPin:
         ]
         assert len(live) < 5, live
         # r9 log-structured sidecar: at 16 batches the default fold_every=16
-        # fires on the last batch, so each kind ends with exactly one folded
-        # base and zero unfolded delta dirs (pointer GC retired the rest)
+        # fires on the last batch, so the pointer references exactly one
+        # folded base and zero unfolded deltas. r10 deferred janitor: the
+        # just-folded delta dirs may LINGER unreferenced until a next apply
+        # (so pre-fold readers keep their files) — they must all be at or
+        # below the fold watermark and bounded by one fold's worth.
+        ptr = read_pointer(meta)
+        assert ptr["batch_id"] == 15
         for kind in ("state", "mapping"):
             entries = os.listdir(os.path.join(meta, kind))
-            assert len(entries) == 1 and entries[0].startswith("base_v"), (
-                kind, entries,
+            bases = [e for e in entries if e.startswith("base_v")]
+            deltas = [e for e in entries if e.startswith("b=")]
+            base_key, upto_key = (
+                ("state_base", "state_upto") if kind == "state"
+                else ("map_base", "map_upto")
             )
-        assert read_pointer(meta)["batch_id"] == 15
+            assert bases == [f"base_v{ptr[base_key]:09d}"], (kind, entries)
+            assert ptr[upto_key] == 15  # everything folded into the base
+            assert len(deltas) <= 16 and all(
+                int(d[2:]) <= ptr[upto_key] for d in deltas
+            ), (kind, entries)
 
         streamed = load_rebalanced_index(
             spark, data_path=out, meta_path=meta,

@@ -64,9 +64,10 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    from bench import CALIB_REF_SEC, calibration_trial
+    from bench import SPARK_CALIB_REF_SEC, spark_calibration_trial
 
     registry = all_queries()
+    spark_calibration_trial(spark)  # codegen warm-up for the calib shape
     out = {}
     for name in names:
         fn = registry[name]
@@ -74,14 +75,14 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         cold = time.perf_counter() - t0
-        steady, calib = [], [round(calibration_trial(), 3)]
+        steady, calib = [], [round(spark_calibration_trial(spark), 3)]
         for _ in range(5):
             gc.collect()
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             steady.append(round(time.perf_counter() - t0, 3))
-            calib.append(round(calibration_trial(), 3))
-        band = round(min(calib) / CALIB_REF_SEC, 3)
+            calib.append(round(spark_calibration_trial(spark), 3))
+        band = round(min(calib) / SPARK_CALIB_REF_SEC, 3)
         out[name] = {
             "cold_sec": round(cold, 3),
             "steady": steady,
@@ -96,7 +97,8 @@ def main() -> None:
             "steady_min_normalized": round(min(steady) / max(band, 1.0), 3),
         }
     print(json.dumps({
-        "sf_dir": sf_dir, "calib_ref_sec": CALIB_REF_SEC, "profile": out,
+        "sf_dir": sf_dir, "spark_calib_ref_sec": SPARK_CALIB_REF_SEC,
+        "profile": out,
     }))
     spark.stop()
 
