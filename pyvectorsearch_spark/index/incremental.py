@@ -22,9 +22,13 @@ bounded by the BATCH, not the index:
 - **Log-structured persistence**: each batch OVERWRITES its own
   ``state/b=<id>`` / ``mapping/b=<id>`` delta dir (idempotent under
   ``foreachBatch`` replay) holding ONLY changed rows; readers merge
-  ``base_v<k>`` + committed deltas with latest-batch-wins. Every
-  ``fold_every`` batches the deltas fold into a new immutable base —
-  O(cells) once per fold, amortized to O(cells/fold_every) per batch.
+  ``base_v<k>`` + leveled runs + committed deltas with latest-batch-wins.
+  Round 10 made the folds LEVELED (LSM): every ``fold_every`` batches the
+  deltas fold into one intermediate ``run_v<k>`` (cost bounded by those
+  batches' closures, not by the index); every ``run_merge_k`` runs merge
+  geometrically — into a fresh base only once they have grown to the
+  base's size. The r9 fold's amortized O(cells)/fold_every per-batch term
+  (the last O(cells) write-path term) is now O(closure x log).
 - **Atomic commit via the pointer**: ``LATEST.json`` names the applied
   ``batch_id``, the live base versions, and the fold watermarks. Readers
   ignore delta dirs above the pointer, so a crash between a delta write and
@@ -116,10 +120,27 @@ def _publish_pointer(meta_path: str, ptr: dict) -> None:
 
 _KINDS = {"state": ("state_base", "state_upto"),
           "mapping": ("map_base", "map_upto")}
+#: leveled-fold pointer keys per kind: (runs list, version-seq counter).
+#: Absent on pre-r10 pointers — every access goes through .get with a
+#: default, so r9 artifacts resume cleanly (layout unchanged, additive).
+_RUNS = {"state": ("state_runs", "state_seq"),
+         "mapping": ("map_runs", "map_seq")}
+
+#: merge intermediate runs once this many accumulate (LSM fan-in). With
+#: fold_every=16 and k=4 a row is rewritten O(log(cells/batch)) times
+#: instead of every 16 batches — the r9 fold's amortized O(cells)/16
+#: per-batch term (the one remaining O(cells) write-path term, VERDICT r9
+#: ask #3) becomes O(closure x log). run_merge_k=0 restores the r9
+#: fold-to-base behavior (kept for A/B measurement).
+RUN_MERGE_K = 4
 
 
 def _base_dir(meta_path: str, kind: str, version: int) -> str:
     return os.path.join(meta_path, kind, f"base_v{version:09d}")
+
+
+def _run_dir(meta_path: str, kind: str, version: int) -> str:
+    return os.path.join(meta_path, kind, f"run_v{version:09d}")
 
 
 def _delta_dir(meta_path: str, kind: str, batch_id: int) -> str:
@@ -160,12 +181,15 @@ def _janitor(meta_path: str, ptr: dict) -> None:
         root = os.path.join(meta_path, kind)
         if not os.path.isdir(root):
             continue
-        keep = (
-            f"base_v{ptr[base_key]:09d}" if ptr[base_key] is not None else None
-        )
+        runs_key, _ = _RUNS[kind]
+        keep = {
+            f"run_v{r['v']:09d}" for r in ptr.get(runs_key, [])
+        }
+        if ptr[base_key] is not None:
+            keep.add(f"base_v{ptr[base_key]:09d}")
         for d in os.listdir(root):
             full = os.path.join(root, d)
-            if d.startswith("base_v") and d != keep:
+            if d.startswith(("base_v", "run_v")) and d not in keep:
                 shutil.rmtree(full, ignore_errors=True)
             elif d.startswith("b="):
                 try:
@@ -177,12 +201,16 @@ def _janitor(meta_path: str, ptr: dict) -> None:
 
 
 def _live_dirs(meta_path: str, kind: str, ptr: dict) -> list[str]:
-    """Referenced dirs in precedence order: base first, then committed
+    """Referenced dirs in precedence order (later wins): base first, then
+    leveled runs ascending by their newest folded batch, then committed
     deltas ascending (fold watermark < id <= applied batch)."""
     base_key, upto_key = _KINDS[kind]
+    runs_key, _ = _RUNS[kind]
     out = []
     if ptr[base_key] is not None:
         out.append(_base_dir(meta_path, kind, ptr[base_key]))
+    for r in sorted(ptr.get(runs_key, []), key=lambda r: r["hi"]):
+        out.append(_run_dir(meta_path, kind, r["v"]))
     for bid, d in sorted(_live_deltas(meta_path, kind).items()):
         if ptr[upto_key] < bid <= ptr["batch_id"]:
             out.append(d)
@@ -274,19 +302,15 @@ def _read_table_local(meta_path: str, kind: str, ptr: dict):
     return df.drop_duplicates(key, keep="last")  # later dirs win
 
 
-def _read_table(
-    spark: SparkSession, meta_path: str, kind: str, ptr: dict
+def _merge_dirs_spark(
+    spark: SparkSession, dirs: list[str], kind: str
 ) -> DataFrame | None:
-    """Latest-batch-wins merge of the folded base plus committed deltas
-    (fold watermark < id <= applied batch) as a Spark DataFrame — the
-    query-facing and large-state path. A handful of dirs at most — the
-    fold keeps the log short."""
-    parts = []
-    for d in _live_dirs(meta_path, kind, ptr):
-        prec = -1 if os.path.basename(d).startswith("base_v") else int(
-            os.path.basename(d)[2:]
-        )
-        parts.append(spark.read.parquet(d).withColumn("_prec", F.lit(prec)))
+    """Latest-wins merge of explicit dirs (positional precedence — later
+    dirs win) as a Spark DataFrame."""
+    parts = [
+        spark.read.parquet(d).withColumn("_prec", F.lit(i))
+        for i, d in enumerate(dirs)
+    ]
     if not parts:
         return None
     df = parts[0]
@@ -299,6 +323,44 @@ def _read_table(
         .agg(F.max_by(F.struct(*others), "_prec").alias("_s"))
         .select(key, *[F.col(f"_s.{c}").alias(c) for c in others])
     )
+
+
+def _read_table(
+    spark: SparkSession, meta_path: str, kind: str, ptr: dict
+) -> DataFrame | None:
+    """Latest-batch-wins merge of the folded base, leveled runs, and
+    committed deltas (fold watermark < id <= applied batch) as a Spark
+    DataFrame — the query-facing and large-state path. A bounded handful
+    of dirs (1 base + <run_merge_k runs + <fold_every deltas)."""
+    return _merge_dirs_spark(spark, _live_dirs(meta_path, kind, ptr), kind)
+
+
+def _merge_to(
+    spark: SparkSession, meta_path: str, kind: str,
+    dirs: list[str], out_dir: str,
+) -> None:
+    """Fold `dirs` (positional precedence) into `out_dir`: byte-gated
+    driver-side pandas below _DRIVER_READ_BYTES, distributed Spark job
+    above — the same never-collect-big contract as the per-batch reads."""
+    if _meta_bytes(dirs) <= _DRIVER_READ_BYTES:
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        frames = [pq.read_table(d).to_pandas() for d in dirs]
+        df = (
+            pd.concat(frames, ignore_index=True)
+            if len(frames) > 1 else frames[0]
+        )
+        key = "cell" if kind == "state" else "_fine"
+        merged = df.drop_duplicates(key, keep="last")
+        _write_local(
+            meta_path, kind, os.path.basename(out_dir),
+            {c: merged[c].tolist() for c, _ in _PA_SCHEMAS[kind]},
+        )
+    else:
+        _merge_dirs_spark(spark, dirs, kind).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
 
 
 _PA_SCHEMAS = {
@@ -432,6 +494,7 @@ def apply_batch_rebalance(
     cell_col: str = "cell",
     driver_cell_limit: int = 200_000,
     fold_every: int = 16,
+    run_merge_k: int = RUN_MERGE_K,
 ) -> None:
     """Merge one micro-batch into the log-structured sidecar (module
     docstring). Idempotent under batch replay (pointer-guarded no-op);
@@ -465,6 +528,8 @@ def apply_batch_rebalance(
             "layout": _LAYOUT, "batch_id": -1, "version": -1,
             "state_base": None, "state_upto": -1,
             "map_base": None, "map_upto": -1,
+            "state_runs": [], "state_seq": 0,
+            "map_runs": [], "map_seq": 0,
             "fine_level": fine_level, "dim": dim, "rr": rr,
             "ratio": ratio, "rank": rank,
         }
@@ -618,32 +683,84 @@ def apply_batch_rebalance(
         ptr, batch_id=batch_id, version=ptr["version"] + 1,
         fine_level=fine_level, dim=dim, rr=rr, ratio=ratio, rank=rank,
     )
-    # Fold amortization: once the committed log is fold_every dirs deep,
-    # collapse base+deltas into a fresh immutable base (one O(cells)
-    # distributed job per fold_every batches; the per-batch path above
-    # never touches O(cells) on the driver).
+    # Leveled (LSM-style) fold amortization, r10: every fold_every batches
+    # the live deltas fold into one RUN (cost = O(those batches' closures),
+    # NOT O(cells)); once run_merge_k runs accumulate they merge
+    # geometrically — into a fresh base when they have grown to the base's
+    # size (or there is no base), else into a single bigger run. A state
+    # row is thus rewritten O(log(cells/closure)) times instead of every
+    # fold_every batches: the r9 fold's amortized O(cells)/fold_every
+    # per-batch term — the last O(cells) term on the write path — becomes
+    # O(closure x log). run_merge_k=0 restores the r9 fold-to-base
+    # behavior for A/B measurement. The first-ever fold still creates the
+    # base (same cost either way; keeps the r9 bootstrap contract).
     for kind, (base_key, upto_key) in _KINDS.items():
-        live = [
+        runs_key, seq_key = _RUNS[kind]
+        runs = list(ptr.get(runs_key, []))
+        seq = ptr.get(seq_key) or max(
+            ptr[base_key] or 0, max((r["v"] for r in runs), default=0)
+        )
+        live = sorted(
             b for b in _live_deltas(meta_path, kind)
             if ptr[upto_key] < b <= batch_id
-        ]
+        )
         if len(live) >= fold_every:
-            new_v = (ptr[base_key] or 0) + 1
-            if _meta_bytes(_live_dirs(meta_path, kind, nxt)) \
-                    <= _DRIVER_READ_BYTES:
-                merged_pdf = _read_table_local(meta_path, kind, dict(nxt))
-                _write_local(
-                    meta_path, kind, f"base_v{new_v:09d}",
-                    {c: merged_pdf[c].tolist()
-                     for c, _ in _PA_SCHEMAS[kind]},
+            delta_dirs = [_delta_dir(meta_path, kind, b) for b in live]
+            if run_merge_k <= 0 or (
+                ptr[base_key] is None and not runs
+            ):
+                # r9 behavior / bootstrap: collapse everything into a base
+                seq += 1
+                base_dirs = (
+                    [_base_dir(meta_path, kind, ptr[base_key])]
+                    if ptr[base_key] is not None else []
+                ) + [_run_dir(meta_path, kind, r["v"]) for r in runs]
+                _merge_to(
+                    spark, meta_path, kind, base_dirs + delta_dirs,
+                    _base_dir(meta_path, kind, seq),
                 )
+                nxt[base_key] = seq
+                runs = []
             else:
-                merged = _read_table(spark, meta_path, kind, dict(nxt))
-                merged.write.mode("overwrite").parquet(
-                    _base_dir(meta_path, kind, new_v)
+                seq += 1
+                _merge_to(
+                    spark, meta_path, kind, delta_dirs,
+                    _run_dir(meta_path, kind, seq),
                 )
-            nxt[base_key] = new_v
+                runs.append(
+                    {"v": seq, "lo": ptr[upto_key] + 1, "hi": batch_id}
+                )
+                if len(runs) >= run_merge_k:
+                    run_dirs = [
+                        _run_dir(meta_path, kind, r["v"]) for r in runs
+                    ]
+                    base_dir = (
+                        _base_dir(meta_path, kind, nxt[base_key])
+                        if nxt[base_key] is not None else None
+                    )
+                    seq += 1
+                    if base_dir is None or _meta_bytes(run_dirs) >= \
+                            _meta_bytes([base_dir]):
+                        # runs grew to base size: geometric base merge
+                        _merge_to(
+                            spark, meta_path, kind,
+                            ([base_dir] if base_dir else []) + run_dirs,
+                            _base_dir(meta_path, kind, seq),
+                        )
+                        nxt[base_key] = seq
+                        runs = []
+                    else:
+                        _merge_to(
+                            spark, meta_path, kind, run_dirs,
+                            _run_dir(meta_path, kind, seq),
+                        )
+                        runs = [{
+                            "v": seq, "lo": runs[0]["lo"],
+                            "hi": runs[-1]["hi"],
+                        }]
             nxt[upto_key] = batch_id
+        nxt[runs_key] = runs
+        nxt[seq_key] = seq
     _publish_pointer(meta_path, nxt)
     # Deliberately NO janitor here (ADVICE r9): dirs this batch's fold
     # superseded stay on disk until the NEXT apply's opening janitor, so
@@ -856,7 +973,10 @@ def _rebuild_full(
         merged, fine_level=fine_level, dim=dim, rr=rr, ratio=ratio,
         rank=rank, with_state=True,
     )
-    new_v = max(ptr["state_base"] or 0, ptr["map_base"] or 0) + 1
+    new_v = max(
+        ptr["state_base"] or 0, ptr["map_base"] or 0,
+        ptr.get("state_seq") or 0, ptr.get("map_seq") or 0,
+    ) + 1
     full_state.write.mode("overwrite").parquet(
         _base_dir(meta_path, "state", new_v)
     )
@@ -867,6 +987,7 @@ def _rebuild_full(
         ptr, batch_id=batch_id, version=ptr["version"] + 1,
         state_base=new_v, state_upto=batch_id,
         map_base=new_v, map_upto=batch_id,
+        state_runs=[], state_seq=new_v, map_runs=[], map_seq=new_v,
         fine_level=fine_level, dim=dim, rr=rr, ratio=ratio, rank=rank,
     )
     _publish_pointer(meta_path, nxt)

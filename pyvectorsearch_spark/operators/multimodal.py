@@ -480,6 +480,39 @@ def _media_rows(n: int, seed: int) -> list:
     return rows
 
 
+def synthetic_media_avi(
+    spark: SparkSession, n: int = 24, *, seed: int = 5
+) -> DataFrame:
+    """Video table whose blobs are REAL uncompressed AVIs
+    (``operators/avi.py``): deterministic per-pixel gradients salted by
+    media id and frame index, so frame decodes are exactly reproducible
+    (the spec-built-golden regime, like the PPM/BMP/WAV fixtures)."""
+    from pyvectorsearch_spark.operators.avi import encode_avi
+
+    rows = []
+    for i in range(n):
+        w = 8 + (i % 3) * 4
+        h = 8 + ((i + 1) % 2) * 4
+        nf = 6 + (i % 5)
+        frames = [
+            bytes(
+                (x * 37 + y * 11 + fi * 29 + i * 53 + c * 17 + seed) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            for fi in range(nf)
+        ]
+        rows.append((
+            i, "video", encode_avi(w, h, frames, fps=8),
+            {
+                "width": w, "height": h, "channels": 3,
+                "sample_rate": None, "n_frames": nf, "format": "avi-db",
+            },
+        ))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synthetic_media_with_dups(
     spark: SparkSession, n: int = 96, *, seed: int = 7, n_dups: int = 6
 ) -> DataFrame:
@@ -605,6 +638,20 @@ def _parse_jpeg(blob: bytes):
     return decode_jpeg(blob)
 
 
+def _resample_rgb(
+    w: int, h: int, rgb: bytes, width: int, height: int
+) -> list[float]:
+    """Nearest-neighbor resample of top-down RGB24 bytes to the requested
+    grid, normalized to [0,1] floats."""
+    import numpy as np
+
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    out = px[yi][:, xi].astype(np.float64) / 255.0
+    return out.reshape(-1).tolist()
+
+
 def _decode_rgb(blob: bytes, width: int, height: int) -> list[float]:
     """Decode → flat H×W×3 float pixels in [0,1].
 
@@ -623,14 +670,8 @@ def _decode_rgb(blob: bytes, width: int, height: int) -> list[float]:
         or _parse_jpeg(blob)
     )
     if parsed is not None:
-        import numpy as np
-
         w, h, rgb = parsed
-        px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
-        yi = (np.arange(height) * h) // height
-        xi = (np.arange(width) * w) // width
-        out = px[yi][:, xi].astype(np.float64) / 255.0
-        return out.reshape(-1).tolist()
+        return _resample_rgb(w, h, rgb, width, height)
     try:  # pragma: no cover - library absent in this container
         import io
 
@@ -741,10 +782,14 @@ def audio_rms_features(
 
 def video_frame_sample(df: DataFrame, *, every_n: int = 4) -> DataFrame:
     """Sample every ``every_n``-th frame index per video (real plumbing: one
-    output row per sampled frame via explode of a computed index array;
-    per-frame decode is the image stub). Returns
+    output row per sampled frame via explode of a computed index array).
+    Per-frame decode is REAL for uncompressed AVI blobs (r10,
+    ``operators/avi.py`` — RIFF walk + raw-DIB frames, no codec library);
+    other containers keep the clearly-marked deterministic fake. Returns
     (media_id, frame_idx, pixels array<float>)."""
     import pandas as pd
+
+    from pyvectorsearch_spark.operators.avi import parse_avi
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -755,15 +800,27 @@ def video_frame_sample(df: DataFrame, *, every_n: int = 4) -> DataFrame:
             for mid, blob, meta in zip(
                 pdf["media_id"], pdf["blob"], pdf["meta"]
             ):
+                blob_b = bytes(blob)
+                try:
+                    parsed = parse_avi(blob_b)  # None unless RIFF/AVI
+                except ValueError:
+                    parsed = None  # compressed AVI: fake path below
+                if parsed is not None and parsed[2]:
+                    w0, h0, rgb_frames = parsed
+                    for fi in range(0, len(rgb_frames), every_n):
+                        mids.append(mid)
+                        fidx.append(fi)
+                        pixels.append(
+                            _resample_rgb(w0, h0, rgb_frames[fi], 4, 4)
+                        )
+                    continue
                 n_frames = int(meta["n_frames"] or 0)
-                w = int(meta["width"] or 8)
-                h = int(meta["height"] or 8)
                 for fi in range(0, n_frames, every_n):
                     mids.append(mid)
                     fidx.append(fi)
                     # frame decode stub: frame index salts the fake decode
                     pixels.append(
-                        _decode_rgb(bytes(blob) + fi.to_bytes(4, "big"), 4, 4)
+                        _decode_rgb(blob_b + fi.to_bytes(4, "big"), 4, 4)
                     )
             yield pd.DataFrame(
                 {"media_id": mids, "frame_idx": fidx, "pixels": pixels}

@@ -9,6 +9,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     round7_extra,
     round8_extra,
     round9_extra,
+    round10_extra,
     analytic_extra,
     audit_extra,
     basket_extra,
@@ -119,6 +120,7 @@ _MODULES = [
     round7_extra,  # likewise (kernel-dispatch density census)
     round8_extra,  # likewise (hash-checked IVF/PQ recall reports)
     round9_extra,  # likewise (lossy-JPEG crossformat regime)
+    round10_extra,  # likewise (leveled-fold sidecar / oracle-checked AVI)
 ]
 
 
