@@ -63,11 +63,24 @@ def _local_df(spark: SparkSession, cols: dict, schema: str) -> "DataFrame":
     """Driver rows -> DataFrame via pandas + Arrow: createDataFrame over a
     plain tuple list takes the row-at-a-time pickle/verify path (measured
     ~10 s for a 45k-row delta — it would have silently re-created the very
-    driver-serialization cost this module exists to remove); the Arrow
-    batch path moves the same rows in tens of milliseconds."""
+    driver-serialization cost this module exists to remove). This build
+    ships with ``spark.sql.execution.arrow.pyspark.enabled=false``, so the
+    pandas path ALSO row-converts unless we flip it (r10 measurement: a
+    154k-row closure frame cost 7.3 s without Arrow, 2.4 s with) — enable
+    it around the call and restore the caller's setting after."""
     import pandas as pd
 
-    return spark.createDataFrame(pd.DataFrame(cols), schema)
+    conf_key = "spark.sql.execution.arrow.pyspark.enabled"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    try:
+        spark.conf.set(conf_key, "true")
+        return spark.createDataFrame(pd.DataFrame(cols), schema)
+    finally:
+        if prev is not None:
+            spark.conf.set(conf_key, prev)
 
 from pyvectorsearch_spark.index.grid import (
     CELL_SEP,
@@ -242,20 +255,24 @@ _DRIVER_READ_BYTES = 64 << 20
 #: stays the source of truth (the cache is dropped whenever the pointer
 #: moved without us, and rebuilt with one read).
 _CACHE: dict[str, dict] = {}
-#: cache only below this many state rows (~100-150 B/row of driver heap →
-#: ≤ ~800 MB at the cap). Deep-jitter geometries carry ~10 singleton
-#: chain levels per point (every level between first-distinctness and the
-#: fine level holds one node per point), so the 500k-point / 1e6-cell
-#: soak legitimately ends at ~5.2M state rows — the cap is sized to keep
-#: that whole regime eviction-free. Past the cap: per-batch pandas reads
-#: up to the 64 MB disk gate (measured 6-10 s at 5M rows), Spark beyond —
-#: always correct, costs in SCALING.md.
+#: cache only below this many state rows. r10 MEASURED the footprint
+#: instead of estimating it: a 10M-entry str->int state dict is ~0.85 GB
+#: RSS (~85 B/row, not the 130-150 B the r9 cap assumed), so the cap
+#: rises 6M -> 12M (~1.0 GB + the fwd/rev mapping) and the 1e6-cell /
+#: ~10M-state-row deep-jitter decade stays eviction-free on a 16 GB
+#: driver. Past the cap: per-batch pandas reads up to the 64 MB disk
+#: gate (measured 10.7 s at 8M rows — the r10 soak's eviction regime),
+#: restricted distributed merge beyond — always correct, costs in
+#: SCALING.md.
 #: ADVICE r9 (low): the cap is GLOBAL across meta_paths — a driver
 #: maintaining several streamed sidecars concurrently evicts the
 #: least-recently-used sidecar's cache when the SUMMED state rows exceed
 #: it, instead of accumulating multiple near-cap caches (dict insertion
 #: order is the recency order; _cache_store/_cache_touch maintain it).
-_CACHE_MAX_ROWS = 6_000_000
+#: env-overridable scale lever: a deployment with more driver heap raises
+#: PVS_REBAL_CACHE_ROWS to keep the next decade eviction-free; the
+#: eviction regime stays correct either way (costs in SCALING.md r10)
+_CACHE_MAX_ROWS = int(os.environ.get("PVS_REBAL_CACHE_ROWS", 12_000_000))
 
 
 def _cache_rows(c: dict) -> int:
@@ -303,14 +320,24 @@ def _read_table_local(meta_path: str, kind: str, ptr: dict):
 
 
 def _merge_dirs_spark(
-    spark: SparkSession, dirs: list[str], kind: str
+    spark: SparkSession, dirs: list[str], kind: str,
+    restrict: DataFrame | None = None,
 ) -> DataFrame | None:
     """Latest-wins merge of explicit dirs (positional precedence — later
-    dirs win) as a Spark DataFrame."""
-    parts = [
-        spark.read.parquet(d).withColumn("_prec", F.lit(i))
-        for i, d in enumerate(dirs)
-    ]
+    dirs win) as a Spark DataFrame. ``restrict`` (a broadcast-sized frame
+    holding just the key column) is joined to EACH dir BEFORE the merge:
+    Catalyst cannot push a post-aggregation join below the latest-wins
+    groupBy on its own, and per-batch maintenance only needs the batch's
+    ancestor closure — without this the eviction-regime state read
+    aggregated all ~10M state rows per batch (measured 8-16 s/batch on
+    the 1e6-cell soak); with it the shuffle is |closure| x dirs rows."""
+    key = "cell" if kind == "state" else "_fine"
+    parts = []
+    for i, d in enumerate(dirs):
+        p = spark.read.parquet(d)
+        if restrict is not None:
+            p = p.join(F.broadcast(restrict.select(key)), key)
+        parts.append(p.withColumn("_prec", F.lit(i)))
     if not parts:
         return None
     df = parts[0]
@@ -627,9 +654,15 @@ def apply_batch_rebalance(
                 zip(hit["cell"], (int(p) for p in hit["pending"]))
             )
         else:
-            state_df = _read_table(spark, meta_path, "state", ptr)
+            # eviction-regime distributed read: restrict each dir to the
+            # batch's ancestor closure BEFORE the latest-wins merge (see
+            # _merge_dirs_spark) — collect stays closure-bounded
             aff = _local_df(spark, {"cell": affected}, "cell string")
-            for r in state_df.join(F.broadcast(aff), "cell").collect():
+            state_df = _merge_dirs_spark(
+                spark, _live_dirs(meta_path, "state", ptr), "state",
+                restrict=aff,
+            )
+            for r in state_df.collect():
                 old_state[r["cell"]] = int(r["pending"])
     _mark("state_read")
 

@@ -137,6 +137,37 @@ class TestLeveledEquivalence:
         assert _maintained(spark, meta) == _ground_truth(acc)
 
 
+class TestDistributedRegime:
+    def test_byte_gate_zero_forces_spark_paths(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """_DRIVER_READ_BYTES=0 + no cache: every per-batch state read goes
+        through the RESTRICTED distributed merge (broadcast closure join
+        below the latest-wins groupBy), remaps through the Spark mapping
+        path, and folds through distributed writes — the eviction-regime
+        stack, pinned against ground truth after every batch."""
+        import pyvectorsearch_spark.index.incremental as inc
+
+        monkeypatch.setattr(inc, "_DRIVER_READ_BYTES", 0)
+        monkeypatch.setattr(inc, "_CACHE_MAX_ROWS", 0)
+        monkeypatch.setattr(inc, "_CACHE", {})
+        meta = str(tmp_path / "meta")
+        rng = random.Random(55)
+        acc: dict[str, int] = {}
+        for b in range(8):
+            cells = [
+                f"{FINE}_{rng.randint(0, 7)}_{rng.randint(0, 7)}"
+                for _ in range(6)
+            ]
+            _apply(spark, meta, cells, b, fold_every=2, run_merge_k=2)
+            for c in cells:
+                acc[c] = acc.get(c, 0) + 1
+            assert inc._CACHE == {}  # the cache never engaged
+            assert _maintained(spark, meta) == _ground_truth(acc), (
+                f"diverged at batch {b}"
+            )
+
+
 class TestCompatAndJanitor:
     def test_pre_r10_pointer_resumes(self, spark, tmp_path):
         """Strip the runs/seq keys from a published pointer (what an r9

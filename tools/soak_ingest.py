@@ -44,6 +44,9 @@ def main() -> None:
                     help="compact_min_batches trigger (default: off)")
     ap.add_argument("--layout", default="sorted", choices=["sorted", "cells"])
     ap.add_argument("--occ", type=int, default=16)
+    ap.add_argument("--run-merge-k", type=int, default=None,
+                    help="leveled-fold fan-in (0 = r9 fold-to-base, for "
+                         "A/B cost measurement; default: module default)")
     ap.add_argument("--probes", type=int, default=5)
     ap.add_argument("--out-root", default=None)
     ap.add_argument("--cpus", type=int, default=int(
@@ -159,6 +162,10 @@ def main() -> None:
         rebalance=dict(
             meta_path=meta, fine_level=geom.fine_level, dim=geom.dim,
             rr=geom.rr, ratio=geom.ratio, rank=geom.rank,
+            **(
+                {} if args.run_merge_k is None
+                else {"run_merge_k": args.run_merge_k}
+            ),
         ),
     )
     if not q.awaitTermination(3600):
