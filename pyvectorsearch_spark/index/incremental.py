@@ -603,6 +603,13 @@ def apply_batch_rebalance(
             batch_id=batch_id, fine_level=fine_level, dim=dim, rr=rr,
             ratio=ratio, rank=rank,
         )
+        if _prof:
+            print(
+                f"[rebal-prof] batch={batch_id} FALLBACK rebuild_full "
+                f"affected={len(affected)} > limit={driver_cell_limit} "
+                f"took={_time.time() - _marks[0][1]:.2f}",
+                flush=True,
+            )
         return
 
     # Affected nodes' current state, cheapest source first: the validated
