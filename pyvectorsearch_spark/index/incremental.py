@@ -245,6 +245,39 @@ def _meta_bytes(dirs: list[str]) -> int:
 #: deltas are bounded by the batch's ancestor closure by construction)
 _DRIVER_READ_BYTES = 64 << 20
 
+#: filtered (predicate-pushdown) pyarrow reads stay driver-side up to this
+#: many referenced bytes: the filter evaluates vectorized per row group
+#: and only matching rows materialize to pandas, so the constant is ~10x
+#: smaller than a full read+convert (r10 measurement at 8M state rows /
+#: 61 MB: filtered 1.0 s vs full 10.7 s idle) — past this, the restricted
+#: distributed merge takes over
+_FILTERED_READ_BYTES = 512 << 20
+
+
+def _read_affected_local(
+    meta_path: str, kind: str, ptr: dict, keys: list, key_col: str
+):
+    """Predicate-filtered driver-side read: each live dir is read with a
+    pyarrow ``key_col IN keys`` filter, then merged latest-wins. When
+    ``key_col`` is the merge key this is EXACT (the latest row for every
+    requested key is in some live dir and matches the filter); when it is
+    a non-key column (the remap path filters mapping rows by their home)
+    it returns a SUPERSET — rows whose stale home matched — which the
+    remap's `_rehome` recomputation makes harmless by construction."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    dirs = _live_dirs(meta_path, kind, ptr)
+    if not dirs:
+        return None
+    frames = [
+        pq.read_table(d, filters=[(key_col, "in", keys)]).to_pandas()
+        for d in dirs
+    ]
+    df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    merge_key = "cell" if kind == "state" else "_fine"
+    return df.drop_duplicates(merge_key, keep="last")
+
 #: in-memory maintenance cache, one entry per meta_path: the full node
 #: state plus the forward/reverse mapping, validated against the pointer's
 #: batch_id and updated INCREMENTALLY per batch. Without it every batch
@@ -653,15 +686,22 @@ def apply_batch_rebalance(
         st = cache["state"]
         old_state = {a: st[a] for a in affected if a in st}
     elif state_dirs and affected:
-        if spdf is None and _meta_bytes(state_dirs) <= _DRIVER_READ_BYTES:
-            spdf = _read_table_local(meta_path, "state", ptr)
         if spdf is not None:
             hit = spdf[spdf["cell"].isin(affected)]
             old_state = dict(
                 zip(hit["cell"], (int(p) for p in hit["pending"]))
             )
+        elif _meta_bytes(state_dirs) <= _FILTERED_READ_BYTES:
+            # eviction-regime fast path: predicate-filtered pyarrow read
+            # of the closure only — exact (filter on the merge key)
+            hit = _read_affected_local(
+                meta_path, "state", ptr, affected, "cell"
+            )
+            old_state = dict(
+                zip(hit["cell"], (int(p) for p in hit["pending"]))
+            )
         else:
-            # eviction-regime distributed read: restrict each dir to the
+            # giant-state distributed read: restrict each dir to the
             # batch's ancestor closure BEFORE the latest-wins merge (see
             # _merge_dirs_spark) — collect stays closure-bounded
             aff = _local_df(spark, {"cell": affected}, "cell string")
@@ -918,13 +958,14 @@ def _remap_after_flips(
         # mapped to each flip's node / old home — no IO at all
         return _rehome(_subtree_filter(lambda h: rev.get(h, ())))
 
-    if _meta_bytes(map_dirs) <= _DRIVER_READ_BYTES:
-        # driver fast path: pandas isin on the flips' old homes, subtree
-        # membership via the same closed-form coordinate division
-        pdf = _read_table_local(meta_path, "mapping", ptr)
+    if _meta_bytes(map_dirs) <= _FILTERED_READ_BYTES:
+        # driver fast path (r10): predicate-filtered pyarrow read on the
+        # flips' old homes — a SUPERSET when a stale row's home matches
+        # (harmless: _rehome recomputes every candidate's correct home);
+        # subtree membership via the same closed-form coordinate division
+        sel = sorted(set(dissolved) | {anc for anc, _, _ in pairs})
+        hit = _read_affected_local(meta_path, "mapping", ptr, sel, "cell")
         by_home: dict[str, list[str]] = {}
-        sel = set(dissolved) | {anc for anc, _, _ in pairs}
-        hit = pdf[pdf["cell"].isin(list(sel))]
         for f, home in zip(hit["_fine"], hit["cell"]):
             by_home.setdefault(home, []).append(f)
         return _rehome(_subtree_filter(lambda h: by_home.get(h, ())))

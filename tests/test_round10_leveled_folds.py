@@ -138,17 +138,11 @@ class TestLeveledEquivalence:
 
 
 class TestDistributedRegime:
-    def test_byte_gate_zero_forces_spark_paths(
-        self, spark, tmp_path, monkeypatch
-    ):
-        """_DRIVER_READ_BYTES=0 + no cache: every per-batch state read goes
-        through the RESTRICTED distributed merge (broadcast closure join
-        below the latest-wins groupBy), remaps through the Spark mapping
-        path, and folds through distributed writes — the eviction-regime
-        stack, pinned against ground truth after every batch."""
+    def _drain(self, spark, tmp_path, monkeypatch, gates):
         import pyvectorsearch_spark.index.incremental as inc
 
-        monkeypatch.setattr(inc, "_DRIVER_READ_BYTES", 0)
+        for k, v in gates.items():
+            monkeypatch.setattr(inc, k, v)
         monkeypatch.setattr(inc, "_CACHE_MAX_ROWS", 0)
         monkeypatch.setattr(inc, "_CACHE", {})
         meta = str(tmp_path / "meta")
@@ -166,6 +160,25 @@ class TestDistributedRegime:
             assert _maintained(spark, meta) == _ground_truth(acc), (
                 f"diverged at batch {b}"
             )
+
+    def test_filtered_pyarrow_tier(self, spark, tmp_path, monkeypatch):
+        """_DRIVER_READ_BYTES=0 + no cache: per-batch state reads take the
+        predicate-filtered pyarrow tier (exact — the filter is on the
+        merge key) and remaps the filtered superset path — pinned against
+        ground truth after every batch."""
+        self._drain(
+            spark, tmp_path, monkeypatch, {"_DRIVER_READ_BYTES": 0}
+        )
+
+    def test_spark_restricted_tier(self, spark, tmp_path, monkeypatch):
+        """All driver gates zeroed: state reads take the RESTRICTED
+        distributed merge (broadcast closure join below the latest-wins
+        groupBy), remaps the Spark mapping path, folds the distributed
+        writes — the giant-state stack, pinned against ground truth."""
+        self._drain(
+            spark, tmp_path, monkeypatch,
+            {"_DRIVER_READ_BYTES": 0, "_FILTERED_READ_BYTES": 0},
+        )
 
 
 class TestCompatAndJanitor:
