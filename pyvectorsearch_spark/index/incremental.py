@@ -253,6 +253,14 @@ _DRIVER_READ_BYTES = 64 << 20
 #: distributed merge takes over
 _FILTERED_READ_BYTES = 512 << 20
 
+#: one-time full reads that REBUILD the in-memory cache (cold start /
+#: restart mid-drain) are worth a bigger gate than the per-batch ones:
+#: ~15 B/row means the 12M-row cap is ~180 MB on disk, and a single
+#: 10-20 s rebuild buys back 1 s/batch forever after (crossover ~20
+#: batches). Sized to the cap so a table the cache cannot hold anyway is
+#: never fully read.
+_CACHE_BUILD_BYTES = 192 << 20
+
 
 def _read_affected_local(
     meta_path: str, kind: str, ptr: dict, keys: list, key_col: str
@@ -288,6 +296,9 @@ def _read_affected_local(
 #: stays the source of truth (the cache is dropped whenever the pointer
 #: moved without us, and rebuilt with one read).
 _CACHE: dict[str, dict] = {}
+#: meta_paths whose last cache-build attempt overflowed the row cap: do
+#: not re-pay the full read every batch — the filtered tier serves them
+_CACHE_SKIP: set[str] = set()
 #: cache only below this many state rows. r10 MEASURED the footprint
 #: instead of estimating it: a 10M-entry str->int state dict is ~0.85 GB
 #: RSS (~85 B/row, not the 130-150 B the r9 cap assumed), so the cap
@@ -646,9 +657,10 @@ def apply_batch_rebalance(
         return
 
     # Affected nodes' current state, cheapest source first: the validated
-    # in-memory cache (no IO), driver-side pyarrow while the referenced
-    # meta stays small (file sizes are one os.stat sweep), Spark broadcast
-    # semi-join past the byte gate.
+    # in-memory cache (no IO); a one-time full read to REBUILD the cache
+    # while the table can fit it (cold start / restart); the
+    # predicate-filtered pyarrow tier (exact, ~1 s at 8M rows); the
+    # restricted distributed merge past _FILTERED_READ_BYTES.
     cache = _CACHE.get(meta_path)
     if cache is not None and cache["batch_id"] != ptr["batch_id"]:
         cache = None  # another writer/restart moved the pointer: rebuild
@@ -658,10 +670,12 @@ def apply_batch_rebalance(
     state_dirs = _live_dirs(meta_path, "state", ptr)
     old_state: dict[str, int] = {}
     spdf = None
-    if cache is None and state_dirs and \
-            _meta_bytes(state_dirs) <= _DRIVER_READ_BYTES:
+    if cache is None and state_dirs and meta_path not in _CACHE_SKIP and \
+            _meta_bytes(state_dirs) <= _CACHE_BUILD_BYTES:
         spdf = _read_table_local(meta_path, "state", ptr)
-        if len(spdf) <= _CACHE_MAX_ROWS:
+        if len(spdf) > _CACHE_MAX_ROWS:
+            _CACHE_SKIP.add(meta_path)
+        else:
             state = dict(
                 zip(spdf["cell"], (int(v) for v in spdf["pending"]))
             )
@@ -863,6 +877,9 @@ def apply_batch_rebalance(
         # re-apply the global cap: this entry may have grown past the heap
         # bound (drop it) or pushed the summed rows over (evict LRU others)
         _cache_store(meta_path, cache)
+        if _cache_rows(cache) > _CACHE_MAX_ROWS:
+            # outgrew the cap for good: stop re-attempting rebuilds too
+            _CACHE_SKIP.add(meta_path)
     _mark("fold_publish")
     if _prof:
         parts = " ".join(
