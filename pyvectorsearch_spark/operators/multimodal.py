@@ -485,8 +485,12 @@ def synthetic_media_avi(
 ) -> DataFrame:
     """Video table whose blobs are REAL uncompressed AVIs
     (``operators/avi.py``): deterministic per-pixel gradients salted by
-    media id and frame index, so frame decodes are exactly reproducible
-    (the spec-built-golden regime, like the PPM/BMP/WAV fixtures)."""
+    media id and frame index, plus an interleaved mono PCM16 audio track
+    from a closed-form sample formula — both exactly reproducible (the
+    spec-built-golden regime, like the PPM/BMP/WAV fixtures), so BOTH
+    decode paths admit pure-SQL oracles."""
+    import numpy as np
+
     from pyvectorsearch_spark.operators.avi import encode_avi
 
     rows = []
@@ -503,11 +507,20 @@ def synthetic_media_avi(
             )
             for fi in range(nf)
         ]
+        ns = 800 + (i % 4) * 200
+        j = np.arange(ns, dtype=np.int64)
+        samples = ((j * 131 + i * 17 + seed * 7) % 4096 - 2048).astype(
+            "<i2"
+        )
         rows.append((
-            i, "video", encode_avi(w, h, frames, fps=8),
+            i, "video",
+            encode_avi(
+                w, h, frames, fps=8,
+                audio_pcm16=samples.tobytes(), sample_rate=16000,
+            ),
             {
                 "width": w, "height": h, "channels": 3,
-                "sample_rate": None, "n_frames": nf, "format": "avi-db",
+                "sample_rate": 16000, "n_frames": nf, "format": "avi-db",
             },
         ))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -198,11 +198,70 @@ FROM px
 GROUP BY i
 """
 
+def q_multimodal_avi_audio_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decode the interleaved PCM16 audio track of each AVI and report
+    sample count / sum / absolute sum — the engine re-assembles the
+    stream from the '01wb' movi chunks through the RIFF walk; the oracle
+    recomputes the same integers from the generator's closed-form sample
+    formula s(i,j) = ((j*131 + i*17 + seed*7) % 4096) - 2048."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyvectorsearch_spark.operators.avi import parse_avi_audio
+    from pyvectorsearch_spark.operators.multimodal import synthetic_media_avi
+
+    media = synthetic_media_avi(spark, _AVI_N, seed=_AVI_SEED)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, ns, ssum, asum = [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                rate, samples = parse_avi_audio(bytes(blob))
+                assert rate == 16000
+                mids.append(int(mid))
+                ns.append(len(samples))
+                ssum.append(int(samples.astype("int64").sum()))
+                asum.append(int(abs(samples.astype("int64")).sum()))
+            yield pd.DataFrame({
+                "media_id": mids, "n_samples": ns,
+                "sample_sum": ssum, "abs_sum": asum,
+            })
+
+    return media.select("media_id", "blob").mapInPandas(
+        run,
+        schema="media_id bigint, n_samples bigint, "
+               "sample_sum bigint, abs_sum bigint",
+    )
+
+
+ORACLE_MULTIMODAL_AVI_AUDIO_ENERGY = f"""
+WITH m AS (
+  SELECT i, 800 + (i % 4) * 200 AS ns
+  FROM generate_series(0, {_AVI_N - 1}) AS t(i)
+), s AS (
+  SELECT m.i,
+         ((j * 131 + m.i * 17 + {_AVI_SEED} * 7) % 4096) - 2048 AS v
+  FROM m
+  JOIN generate_series(0, 1399) AS js(j) ON j < m.ns
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sample_sum,
+       CAST(sum(abs(v)) AS BIGINT) AS abs_sum
+FROM s
+GROUP BY i
+"""
+
 QUERIES = {
     "stream_leveled_sidecar": q_stream_leveled_sidecar,
     "multimodal_avi_pixelsum": q_multimodal_avi_pixelsum,
+    "multimodal_avi_audio_energy": q_multimodal_avi_audio_energy,
 }
 ORACLES: dict[str, str] = {
     "stream_leveled_sidecar": ORACLE_STREAM_LEVELED_SIDECAR,
     "multimodal_avi_pixelsum": ORACLE_MULTIMODAL_AVI_PIXELSUM,
+    "multimodal_avi_audio_energy": ORACLE_MULTIMODAL_AVI_AUDIO_ENERGY,
 }

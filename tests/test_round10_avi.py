@@ -124,6 +124,84 @@ class TestRefusal:
             encode_avi(4, 4, [b"\x00" * 5])
 
 
+class TestAudioTrack:
+    def _pcm(self, n, salt=0):
+        import numpy as np
+
+        j = np.arange(n, dtype=np.int64)
+        return ((j * 7 + salt) % 4096 - 2048).astype("<i2")
+
+    def test_audio_roundtrip_and_video_unaffected(self):
+        import numpy as np
+
+        from pyvectorsearch_spark.operators.avi import parse_avi_audio
+
+        w, h = 8, 6
+        frames = [_gradient(w, h, fi) for fi in range(3)]
+        pcm = self._pcm(1000, 3)
+        blob = encode_avi(
+            w, h, frames, audio_pcm16=pcm.tobytes(), sample_rate=22050
+        )
+        rate, got = parse_avi_audio(blob)
+        assert rate == 22050
+        assert np.array_equal(got, pcm)
+        # the video stream decodes exactly as without audio
+        gw, gh, gframes = parse_avi(blob)
+        assert (gw, gh) == (w, h) and gframes == frames
+
+    def test_interleaving_one_audio_chunk_per_frame(self):
+        w, h = 4, 2
+        frames = [_gradient(w, h, fi) for fi in range(5)]
+        blob = encode_avi(w, h, frames, audio_pcm16=self._pcm(500).tobytes())
+        assert blob.count(b"01wb") == 5 + 5  # movi chunks + idx1 entries
+
+    def test_cross_container_wav_identity(self):
+        """The PCM track of an AVI and a WAV of the same samples must
+        decode to identical sample arrays — container invariance."""
+        import numpy as np
+
+        from pyvectorsearch_spark.operators.avi import parse_avi_audio
+        from pyvectorsearch_spark.operators.multimodal import (
+            _parse_wav,
+            encode_wav,
+        )
+
+        pcm = self._pcm(1200, 9)
+        _, from_avi = parse_avi_audio(
+            encode_avi(4, 2, [_gradient(4, 2, 0)],
+                       audio_pcm16=pcm.tobytes(), sample_rate=16000)
+        )
+        _, from_wav = _parse_wav(encode_wav(pcm.tobytes(), 16000))
+        assert np.array_equal(from_avi, np.asarray(from_wav))
+
+    def test_no_audio_returns_none(self):
+        from pyvectorsearch_spark.operators.avi import parse_avi_audio
+
+        blob = encode_avi(4, 2, [_gradient(4, 2, 0)])
+        assert parse_avi_audio(blob) is None
+        assert parse_avi_audio(b"junk") is None
+
+    def test_compressed_audio_raises(self):
+        import struct as st
+
+        from pyvectorsearch_spark.operators.avi import parse_avi_audio
+
+        blob = bytearray(encode_avi(
+            4, 2, [_gradient(4, 2, 0)],
+            audio_pcm16=self._pcm(64).tobytes(),
+        ))
+        # flip wFormatTag from PCM(1) to 2 in the audio strf
+        strh_a = blob.index(b"auds")
+        strf_a = blob.index(b"strf", strh_a) + 8
+        st.pack_into("<H", blob, strf_a, 2)
+        with pytest.raises(ValueError, match="unsupported AVI audio"):
+            parse_avi_audio(bytes(blob))
+
+    def test_odd_byte_audio_rejected(self):
+        with pytest.raises(ValueError, match="16-bit"):
+            encode_avi(4, 2, [_gradient(4, 2, 0)], audio_pcm16=b"\x00" * 3)
+
+
 class TestFrameSample:
     def test_real_decode_for_avi_media(self, spark):
         from pyvectorsearch_spark.operators.multimodal import (
