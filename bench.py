@@ -63,9 +63,9 @@ HEADLINE = [
 # (robust to bursts); median/min is the in-run noise indicator.
 #: quiet-host reference for one calibration trial, measured as the best
 #: observed trial across round-10 sessions on this container class
-#: (min of 40+ trials spread over hours; see SCALING.md r10). host_band =
+#: (60+ trials spread over hours; see SCALING.md r10). host_band =
 #: calib_min / this — 1.0 on a quiet host, >1 under contention.
-CALIB_REF_SEC = 0.17
+CALIB_REF_SEC = 0.10
 
 
 def calibration_trial() -> float:
@@ -101,12 +101,12 @@ def run_calibration(trials: int = 7) -> dict:
 #: invisible to the 2-thread GEMM (band 0.85 while the headline sat at
 #: 1.25x), so the band that NORMALIZES the headline comes from a
 #: calibration that exercises the same local[32] JVM execution stack.
-SPARK_CALIB_REF_SEC = 0.60
+SPARK_CALIB_REF_SEC = 0.52
 #: quiet-host reference DRAM copy bandwidth (GB/s read+write) — shared-VM
 #: memory-bandwidth contention is the one mechanism a CPU-bound probe
 #: cannot see; this probe measured 2.5-6.5 GB/s swings within minutes on
 #: this host class.
-BW_REF_GBPS = 7.0
+BW_REF_GBPS = 6.7
 
 
 def spark_calibration_trial(spark) -> float:
