@@ -651,6 +651,18 @@ def _parse_jpeg(blob: bytes):
     return decode_jpeg(blob)
 
 
+def _parse_gif_still(blob: bytes):
+    """First frame of a GIF87a/89a via the pure-stdlib LZW codec
+    (``operators/gif.py``): returns (w, h, rgb bytes) or None."""
+    from pyvectorsearch_spark.operators.gif import parse_gif
+
+    parsed = parse_gif(blob)
+    if parsed is None:
+        return None
+    w, h, frames = parsed
+    return w, h, frames[0]
+
+
 def _resample_rgb(
     w: int, h: int, rgb: bytes, width: int, height: int
 ) -> list[float]:
@@ -670,7 +682,8 @@ def _decode_rgb(blob: bytes, width: int, height: int) -> list[float]:
 
     REAL for binary PPM (P6), uncompressed 24-bit BMP, 8-bit RGB PNG
     (pure-stdlib zlib inflate + the five row filters, r7), AND baseline
-    JPEG (pure-stdlib Huffman + IDCT, r8): header/marker parse +
+    JPEG (pure-stdlib Huffman + IDCT, r8), AND GIF (pure-stdlib LZW,
+    r10 wave 2): header/marker parse +
     nearest-neighbor resample, no codec library needed — and because all
     four decode to the SAME normalized pixel grid, the dHash downstream
     is format-invariant (a PPM, a BMP and a PNG of the same image collide
@@ -680,7 +693,7 @@ def _decode_rgb(blob: bytes, width: int, height: int) -> list[float]:
     import; the deterministic fake is the last resort (clearly marked)."""
     parsed = (
         _parse_ppm(blob) or _parse_bmp(blob) or _parse_png(blob)
-        or _parse_jpeg(blob)
+        or _parse_jpeg(blob) or _parse_gif_still(blob)
     )
     if parsed is not None:
         w, h, rgb = parsed

@@ -1,0 +1,338 @@
+"""Sharded-corpus container ops: WebDataset tar, WARC/WET, zip — stdlib only.
+
+Large-scale training corpora do not arrive as parquet: they arrive as
+tar shards (the WebDataset convention: one tar per shard, one file per
+sample), Common-Crawl WET files (multi-member gzip, one WARC record per
+document), or zip archives.  This module gives the engine a real
+pack/unpack path for all three, built on ``tarfile``/``gzip``/``zipfile``
+from the standard library, with the Spark-side plumbing the build brief
+asks for: shard blobs live in a ``binary`` column, pack/unpack run as
+Arrow-batched ``mapInPandas`` stages, and nothing ever collects to the
+driver.
+
+Determinism contract: packers zero out every timestamp/uid/gid field so
+the same input rows always produce byte-identical shard blobs — that is
+what lets the roundtrip queries be hash-checked against a DuckDB oracle
+that never sees a tar byte.
+
+At 100 TB: one shard blob per (doc_id % n_shards) group keeps shards
+bounded and the grouping is a single hash shuffle; unpack is
+embarrassingly parallel over shard rows (no shuffle at all).  Shard
+blobs of ~100-500 MB are the WebDataset norm; n_shards scales linearly
+with corpus size, never with cluster size.
+
+Reference parity: the reference engine (`pktree.hpp`) has no ingest
+formats beyond in-memory points; this extends the repo's LLM-pipeline
+source surface (SURVEY §2.1 format matrix).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+import zipfile
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WDS_SCHEMA = "shard_id bigint, blob binary, n_members bigint"
+_MEMBER_SCHEMA = "member_name string, payload binary"
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar shards
+# ---------------------------------------------------------------------------
+
+
+def _pack_tar(names: list, payloads: list) -> bytes:
+    """Deterministic POSIX tar: zeroed mtime/uid/gid, sorted members."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, payload in sorted(zip(names, payloads)):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def pack_tar_shards(
+    docs: DataFrame,
+    *,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    suffix: str = ".txt",
+) -> DataFrame:
+    """Pack documents into WebDataset-style tar shard blobs.
+
+    Shard assignment is ``id % n_shards`` (deterministic, oracle-
+    reproducible); member names are ``{id:012d}{suffix}`` per the
+    WebDataset key convention.  One output row per shard:
+    ``(shard_id, blob, n_members)``.
+    """
+    import pandas as pd
+
+    def pack(
+        key: tuple, pdf: "pd.DataFrame"
+    ) -> "pd.DataFrame":
+        names = [f"{int(i):012d}{suffix}" for i in pdf[id_col]]
+        payloads = [str(t).encode("utf-8") for t in pdf[text_col]]
+        return pd.DataFrame(
+            {
+                "shard_id": [int(key[0])],
+                "blob": [_pack_tar(names, payloads)],
+                "n_members": [len(names)],
+            }
+        )
+
+    tagged = docs.select(
+        F.col(id_col), F.col(text_col),
+        (F.col(id_col) % F.lit(n_shards)).alias("_shard"),
+    )
+    return tagged.groupBy("_shard").applyInPandas(pack, schema=_WDS_SCHEMA)
+
+
+def unpack_tar_shards(
+    shards: DataFrame, *, blob_col: str = "blob"
+) -> DataFrame:
+    """Explode tar shard blobs back into ``(member_name, payload)`` rows.
+
+    Pure per-row work — no shuffle; each shard decodes inside one Arrow
+    batch on whatever executor holds it.
+    """
+    import pandas as pd
+
+    def unpack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            names: list = []
+            payloads: list = []
+            for blob in pdf[blob_col]:
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(blob)), mode="r"
+                ) as tf:
+                    for info in tf.getmembers():
+                        if not info.isfile():
+                            continue
+                        f = tf.extractfile(info)
+                        names.append(info.name)
+                        payloads.append(f.read() if f else b"")
+            yield pd.DataFrame(
+                {"member_name": names, "payload": payloads}
+            )
+
+    return shards.select(blob_col).mapInPandas(unpack, schema=_MEMBER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WARC / WET (Common Crawl text extracts)
+# ---------------------------------------------------------------------------
+
+_WET_SCHEMA = "shard_id bigint, blob binary, n_records bigint"
+_WET_RECORD_SCHEMA = (
+    "target_uri string, record_id string, content_length bigint, "
+    "payload binary"
+)
+
+
+def _wet_record(uri: str, record_id: str, payload: bytes) -> bytes:
+    """One WARC/1.0 ``conversion`` record, gzip'd as its own member —
+    the multi-member-gzip layout real .warc.wet.gz files use, which is
+    what makes them splittable record-by-record."""
+    header = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{record_id}>\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    raw = header + payload + b"\r\n\r\n"
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(raw)
+    return buf.getvalue()
+
+
+def pack_wet_shards(
+    docs: DataFrame,
+    *,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    uri_prefix: str = "corpus://doc/",
+) -> DataFrame:
+    """Pack documents into WET-style shards: each shard blob is a
+    concatenation of per-record gzip members (``.warc.wet.gz`` layout).
+    Record order inside a shard is by id — deterministic blobs."""
+    import pandas as pd
+
+    def pack(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rows = sorted(
+            zip(pdf[id_col], pdf[text_col]), key=lambda r: int(r[0])
+        )
+        members = [
+            _wet_record(
+                f"{uri_prefix}{int(i)}", f"{int(i):032x}",
+                str(t).encode("utf-8"),
+            )
+            for i, t in rows
+        ]
+        return pd.DataFrame(
+            {
+                "shard_id": [int(key[0])],
+                "blob": [b"".join(members)],
+                "n_records": [len(members)],
+            }
+        )
+
+    tagged = docs.select(
+        F.col(id_col), F.col(text_col),
+        (F.col(id_col) % F.lit(n_shards)).alias("_shard"),
+    )
+    return tagged.groupBy("_shard").applyInPandas(pack, schema=_WET_SCHEMA)
+
+
+def parse_wet_records(blob: bytes) -> list:
+    """Parse a (multi-member gzip) WET blob into records:
+    ``[(target_uri, record_id, content_length, payload), ...]``.
+
+    Walks the concatenated gzip stream (``gzip`` handles multi-member
+    transparently), then splits on WARC/1.0 record heads and honors each
+    record's ``Content-Length`` for the payload extent — the same
+    header-driven framing a real WARC reader uses, so a wrong
+    Content-Length fails loud instead of mis-framing silently."""
+    raw = gzip.decompress(blob)
+    records = []
+    pos = 0
+    head = b"WARC/1.0\r\n"
+    while True:
+        start = raw.find(head, pos)
+        if start < 0:
+            break
+        hdr_end = raw.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            raise ValueError("truncated WARC header")
+        headers: dict = {}
+        for line in raw[start + len(head) : hdr_end].split(b"\r\n"):
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode()] = v.strip().decode()
+        clen = int(headers["Content-Length"])
+        body_start = hdr_end + 4
+        payload = raw[body_start : body_start + clen]
+        if len(payload) != clen:
+            raise ValueError("payload shorter than Content-Length")
+        uri = headers.get("WARC-Target-URI", "")
+        rid = headers.get("WARC-Record-ID", "")
+        records.append((uri, rid, clen, payload))
+        pos = body_start + clen
+    return records
+
+
+def unpack_wet_shards(
+    shards: DataFrame, *, blob_col: str = "blob"
+) -> DataFrame:
+    """Explode WET shard blobs into one row per WARC record."""
+    import pandas as pd
+
+    def unpack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            uris: list = []
+            rids: list = []
+            lens: list = []
+            payloads: list = []
+            for blob in pdf[blob_col]:
+                for uri, rid, clen, payload in parse_wet_records(
+                    bytes(blob)
+                ):
+                    uris.append(uri)
+                    rids.append(rid)
+                    lens.append(clen)
+                    payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "target_uri": uris,
+                    "record_id": rids,
+                    "content_length": lens,
+                    "payload": payloads,
+                }
+            )
+
+    return shards.select(blob_col).mapInPandas(
+        unpack, schema=_WET_RECORD_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zip shards (DEFLATE via stdlib zlib)
+# ---------------------------------------------------------------------------
+
+
+def pack_zip_shards(
+    docs: DataFrame,
+    *,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    suffix: str = ".txt",
+) -> DataFrame:
+    """Pack documents into DEFLATE-compressed zip shard blobs (fixed
+    1980-01-01 member timestamps for byte determinism)."""
+    import pandas as pd
+
+    def pack(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        buf = io.BytesIO()
+        with zipfile.ZipFile(
+            buf, mode="w", compression=zipfile.ZIP_DEFLATED
+        ) as zf:
+            rows = sorted(
+                zip(pdf[id_col], pdf[text_col]), key=lambda r: int(r[0])
+            )
+            for i, t in rows:
+                info = zipfile.ZipInfo(
+                    filename=f"{int(i):012d}{suffix}",
+                    date_time=(1980, 1, 1, 0, 0, 0),
+                )
+                info.compress_type = zipfile.ZIP_DEFLATED
+                info.external_attr = 0
+                zf.writestr(info, str(t).encode("utf-8"))
+        return pd.DataFrame(
+            {
+                "shard_id": [int(key[0])],
+                "blob": [buf.getvalue()],
+                "n_members": [len(pdf)],
+            }
+        )
+
+    tagged = docs.select(
+        F.col(id_col), F.col(text_col),
+        (F.col(id_col) % F.lit(n_shards)).alias("_shard"),
+    )
+    return tagged.groupBy("_shard").applyInPandas(pack, schema=_WDS_SCHEMA)
+
+
+def unpack_zip_shards(
+    shards: DataFrame, *, blob_col: str = "blob"
+) -> DataFrame:
+    """Explode zip shard blobs into ``(member_name, payload)`` rows."""
+    import pandas as pd
+
+    def unpack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            names: list = []
+            payloads: list = []
+            for blob in pdf[blob_col]:
+                with zipfile.ZipFile(io.BytesIO(bytes(blob))) as zf:
+                    for name in zf.namelist():
+                        names.append(name)
+                        payloads.append(zf.read(name))
+            yield pd.DataFrame(
+                {"member_name": names, "payload": payloads}
+            )
+
+    return shards.select(blob_col).mapInPandas(unpack, schema=_MEMBER_SCHEMA)

@@ -10,6 +10,7 @@ from pyvectorsearch_spark.queries import (  # noqa: F401
     round8_extra,
     round9_extra,
     round10_extra,
+    round10_wave2,
     analytic_extra,
     audit_extra,
     basket_extra,
@@ -121,6 +122,7 @@ _MODULES = [
     round8_extra,  # likewise (hash-checked IVF/PQ recall reports)
     round9_extra,  # likewise (lossy-JPEG crossformat regime)
     round10_extra,  # likewise (leveled-fold sidecar / oracle-checked AVI)
+    round10_wave2,  # likewise (tar/WET/zip shards, oracle-checked GIF)
 ]
 
 

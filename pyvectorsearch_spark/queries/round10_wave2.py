@@ -1,0 +1,251 @@
+"""Round-10 wave-2 queries (registered AFTER the driver's pinned window).
+
+Sharded-corpus containers + GIF, all ORACLE-CHECKED:
+
+- ``shards_tar_roundtrip``: documents -> deterministic WebDataset tar
+  shards -> unpack -> per-doc byte length + md5.  The oracle computes
+  the same digests straight from ``documents`` — DuckDB never sees a
+  tar byte, so any framing/encoding bug in the pack/unpack path flips
+  the value hash.
+- ``text_warc_wet_ingest``: documents -> WET-style multi-member-gzip
+  WARC shards -> header-driven record parse -> per-shard aggregates.
+- ``shards_zip_roundtrip``: documents -> DEFLATE zip shards -> unpack
+  -> global integrity aggregate.
+- ``multimodal_gif_pixelsum``: deterministic indexed frames -> real
+  GIF89a encode (LZW, interlace on odd media) -> real decode -> pixel
+  sums; the oracle recomputes the sums from the generator's closed-form
+  palette/index arithmetic alone (same pattern as
+  ``multimodal_avi_pixelsum``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_N_SHARDS = 8
+
+#: GIF generator spec shared by the Spark side and the SQL oracle below —
+#: any drift between them is a test bug: n=24 media, seed=11,
+#: w = 8+(i%3)*4, h = 8+((i+1)%2)*4, nf = 1+(i%4),
+#: idx(x,y,fi) = (x*7 + y*13 + fi*3 + i*5) % 16,
+#: pal[j] = ((j*31+seed)%256, (j*59+seed)%256, (j*83+seed)%256).
+_GIF_N = 24
+_GIF_SEED = 11
+
+
+def q_shards_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar shard pack -> unpack roundtrip, per-doc digest."""
+    from pyvectorsearch_spark.operators.shards import (
+        pack_tar_shards,
+        unpack_tar_shards,
+    )
+    from pyvectorsearch_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shards = pack_tar_shards(docs, n_shards=_N_SHARDS)
+    members = unpack_tar_shards(shards)
+    return members.select(
+        F.split(F.col("member_name"), r"\.")
+        .getItem(0)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+    )
+
+
+ORACLE_SHARDS_TAR_ROUNDTRIP = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+"""
+
+
+def q_text_warc_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET (multi-member gzip WARC) pack -> record parse -> per-shard
+    aggregate: record count, payload bytes from the Content-Length
+    HEADERS (not the payload — a mis-framed parse diverges), id range."""
+    from pyvectorsearch_spark.operators.shards import (
+        pack_wet_shards,
+        unpack_wet_shards,
+    )
+    from pyvectorsearch_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shards = pack_wet_shards(docs, n_shards=_N_SHARDS)
+    records = unpack_wet_shards(shards)
+    per_doc = records.select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("content_length"),
+    )
+    return (
+        per_doc.groupBy(
+            (F.col("doc_id") % _N_SHARDS).alias("shard_id")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_records"),
+            F.sum("content_length").cast("bigint").alias("total_bytes"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+    )
+
+
+ORACLE_TEXT_WARC_WET_INGEST = f"""
+SELECT CAST(doc_id % {_N_SHARDS} AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM documents
+GROUP BY doc_id % {_N_SHARDS}
+"""
+
+
+def q_shards_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE zip shard pack -> unpack -> one-row global integrity
+    aggregate (member count, payload bytes, distinct digests)."""
+    from pyvectorsearch_spark.operators.shards import (
+        pack_zip_shards,
+        unpack_zip_shards,
+    )
+    from pyvectorsearch_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shards = pack_zip_shards(docs, n_shards=_N_SHARDS)
+    members = unpack_zip_shards(shards)
+    return members.agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+        F.countDistinct(F.md5("payload")).cast("bigint").alias("n_digests"),
+    )
+
+
+ORACLE_SHARDS_ZIP_ROUNDTRIP = """
+SELECT CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_digests
+FROM documents
+"""
+
+
+def _synthetic_media_gif(spark: SparkSession) -> DataFrame:
+    """n=_GIF_N deterministic GIF blobs per the module-constant spec;
+    odd media are written interlaced (same pixels, different wire
+    layout) so the de-interlace path is inside the oracle check."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyvectorsearch_spark.operators.gif import encode_gif
+
+    ids = spark.range(_GIF_N).select(F.col("id").alias("media_id"))
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        pal = [
+            (
+                (j * 31 + _GIF_SEED) % 256,
+                (j * 59 + _GIF_SEED) % 256,
+                (j * 83 + _GIF_SEED) % 256,
+            )
+            for j in range(16)
+        ]
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                i = int(mid)
+                w = 8 + (i % 3) * 4
+                h = 8 + ((i + 1) % 2) * 4
+                nf = 1 + (i % 4)
+                frames = [
+                    bytes(
+                        (x * 7 + y * 13 + fi * 3 + i * 5) % 16
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    for fi in range(nf)
+                ]
+                blobs.append(
+                    encode_gif(w, h, frames, pal, interlace=bool(i % 2))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "blob": blobs}
+            )
+
+    return ids.mapInPandas(build, schema="media_id bigint, blob binary")
+
+
+def q_multimodal_gif_pixelsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode real GIF89a blobs (LZW + interlace + multi-frame) and sum
+    every decoded RGB byte per media; the oracle recomputes the sums
+    from the generator arithmetic alone (module constants)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyvectorsearch_spark.operators.gif import parse_gif
+
+    media = _synthetic_media_gif(spark)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            mids, nfs, sums = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                w, h, frames = parse_gif(bytes(blob))
+                mids.append(int(mid))
+                nfs.append(len(frames))
+                sums.append(sum(sum(f) for f in frames))
+            yield pd.DataFrame(
+                {"media_id": mids, "n_frames": nfs, "pixel_sum": sums}
+            )
+
+    return media.mapInPandas(
+        run, schema="media_id bigint, n_frames bigint, pixel_sum bigint"
+    )
+
+
+ORACLE_MULTIMODAL_GIF_PIXELSUM = f"""
+WITH m AS (
+  SELECT i,
+         8 + (i % 3) * 4 AS w,
+         8 + ((i + 1) % 2) * 4 AS h,
+         1 + (i % 4) AS nf
+  FROM generate_series(0, {_GIF_N - 1}) AS t(i)
+), px AS (
+  SELECT m.i, m.nf,
+         ((x * 7 + y * 13 + fi * 3 + m.i * 5) % 16) AS j
+  FROM m
+  JOIN generate_series(0, 3) AS fs(fi) ON fi < m.nf
+  JOIN generate_series(0, 15) AS ys(y) ON y < m.h
+  JOIN generate_series(0, 15) AS xs(x) ON x < m.w
+), rgb AS (
+  SELECT i, nf,
+         ((j * 31 + {_GIF_SEED}) % 256)
+         + ((j * 59 + {_GIF_SEED}) % 256)
+         + ((j * 83 + {_GIF_SEED}) % 256) AS v
+  FROM px
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(max(nf) AS BIGINT) AS n_frames,
+       CAST(sum(v) AS BIGINT) AS pixel_sum
+FROM rgb
+GROUP BY i
+"""
+
+
+QUERIES = {
+    "shards_tar_roundtrip": q_shards_tar_roundtrip,
+    "text_warc_wet_ingest": q_text_warc_wet_ingest,
+    "shards_zip_roundtrip": q_shards_zip_roundtrip,
+    "multimodal_gif_pixelsum": q_multimodal_gif_pixelsum,
+}
+ORACLES: dict[str, str] = {
+    "shards_tar_roundtrip": ORACLE_SHARDS_TAR_ROUNDTRIP,
+    "text_warc_wet_ingest": ORACLE_TEXT_WARC_WET_INGEST,
+    "shards_zip_roundtrip": ORACLE_SHARDS_ZIP_ROUNDTRIP,
+    "multimodal_gif_pixelsum": ORACLE_MULTIMODAL_GIF_PIXELSUM,
+}
