@@ -810,12 +810,14 @@ def video_frame_sample(df: DataFrame, *, every_n: int = 4) -> DataFrame:
     """Sample every ``every_n``-th frame index per video (real plumbing: one
     output row per sampled frame via explode of a computed index array).
     Per-frame decode is REAL for uncompressed AVI blobs (r10,
-    ``operators/avi.py`` — RIFF walk + raw-DIB frames, no codec library);
+    ``operators/avi.py`` — RIFF walk + raw-DIB frames, no codec library)
+    AND animated GIF (r10 wave 2, ``operators/gif.py`` — LZW);
     other containers keep the clearly-marked deterministic fake. Returns
     (media_id, frame_idx, pixels array<float>)."""
     import pandas as pd
 
     from pyvectorsearch_spark.operators.avi import parse_avi
+    from pyvectorsearch_spark.operators.gif import parse_gif
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -828,9 +830,9 @@ def video_frame_sample(df: DataFrame, *, every_n: int = 4) -> DataFrame:
             ):
                 blob_b = bytes(blob)
                 try:
-                    parsed = parse_avi(blob_b)  # None unless RIFF/AVI
+                    parsed = parse_avi(blob_b) or parse_gif(blob_b)
                 except ValueError:
-                    parsed = None  # compressed AVI: fake path below
+                    parsed = None  # compressed container: fake path below
                 if parsed is not None and parsed[2]:
                     w0, h0, rgb_frames = parsed
                     for fi in range(0, len(rgb_frames), every_n):

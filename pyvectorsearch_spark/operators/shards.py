@@ -41,6 +41,25 @@ _WDS_SCHEMA = "shard_id bigint, blob binary, n_members bigint"
 _MEMBER_SCHEMA = "member_name string, payload binary"
 
 
+def shard_count_for(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    target_shard_mb: int = 256,
+) -> int:
+    """Pick n_shards from the DATA, not a constant: one cheap aggregate
+    (``sum(octet_length)``) sizes shards to ~``target_shard_mb`` of raw
+    text each.  This is the 100 TB lever — a fixed n_shards would grow
+    shard blobs linearly with corpus size until a single
+    ``applyInPandas`` group no longer fits an executor; sizing from the
+    total keeps every group bounded while shard COUNT scales with the
+    corpus."""
+    total = docs.agg(
+        F.sum(F.octet_length(F.col(text_col))).alias("b")
+    ).collect()[0]["b"] or 0
+    return max(1, -(-int(total) // (target_shard_mb * 1024 * 1024)))
+
+
 # ---------------------------------------------------------------------------
 # WebDataset-style tar shards
 # ---------------------------------------------------------------------------
@@ -63,7 +82,8 @@ def _pack_tar(names: list, payloads: list) -> bytes:
 def pack_tar_shards(
     docs: DataFrame,
     *,
-    n_shards: int = 8,
+    n_shards: int | None = 8,
+    target_shard_mb: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     suffix: str = ".txt",
@@ -90,6 +110,11 @@ def pack_tar_shards(
             }
         )
 
+    if n_shards is None:
+        n_shards = shard_count_for(
+            docs, text_col=text_col,
+            target_shard_mb=target_shard_mb or 256,
+        )
     tagged = docs.select(
         F.col(id_col), F.col(text_col),
         (F.col(id_col) % F.lit(n_shards)).alias("_shard"),
@@ -162,7 +187,8 @@ def _wet_record(uri: str, record_id: str, payload: bytes) -> bytes:
 def pack_wet_shards(
     docs: DataFrame,
     *,
-    n_shards: int = 8,
+    n_shards: int | None = 8,
+    target_shard_mb: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     uri_prefix: str = "corpus://doc/",
@@ -191,6 +217,11 @@ def pack_wet_shards(
             }
         )
 
+    if n_shards is None:
+        n_shards = shard_count_for(
+            docs, text_col=text_col,
+            target_shard_mb=target_shard_mb or 256,
+        )
     tagged = docs.select(
         F.col(id_col), F.col(text_col),
         (F.col(id_col) % F.lit(n_shards)).alias("_shard"),
@@ -276,7 +307,8 @@ def unpack_wet_shards(
 def pack_zip_shards(
     docs: DataFrame,
     *,
-    n_shards: int = 8,
+    n_shards: int | None = 8,
+    target_shard_mb: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     suffix: str = ".txt",
@@ -309,6 +341,11 @@ def pack_zip_shards(
             }
         )
 
+    if n_shards is None:
+        n_shards = shard_count_for(
+            docs, text_col=text_col,
+            target_shard_mb=target_shard_mb or 256,
+        )
     tagged = docs.select(
         F.col(id_col), F.col(text_col),
         (F.col(id_col) % F.lit(n_shards)).alias("_shard"),

@@ -270,3 +270,45 @@ def test_zip_shards_roundtrip(spark):
     assert got == {
         i: ("the quick brown fox " * 50).encode() for i in range(10)
     }
+
+
+def test_shard_count_scales_with_data(spark):
+    from pyvectorsearch_spark.operators.shards import (
+        pack_tar_shards,
+        shard_count_for,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x" * 100_000) for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    # 5 MB of text at 1 MB target -> 5 shards; at 256 MB -> 1 shard
+    assert shard_count_for(docs, target_shard_mb=1) == 5
+    assert shard_count_for(docs, target_shard_mb=256) == 1
+    auto = pack_tar_shards(docs, n_shards=None, target_shard_mb=1)
+    assert auto.select("shard_id").distinct().count() == 5
+
+
+def test_video_frame_sample_decodes_gif_for_real(spark):
+    """An animated GIF must flow through video_frame_sample as a REAL
+    decode: solid-color frames come back as exactly those colors."""
+    from pyvectorsearch_spark.operators.gif import encode_gif
+    from pyvectorsearch_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    frames = [bytes([c]) * 64 for c in (0, 1, 2, 0, 1, 2)]
+    blob = encode_gif(8, 8, frames, pal)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(blob), {"n_frames": "6"})],
+        "media_id long, kind string, blob binary, meta map<string,string>",
+    )
+    rows = {
+        r["frame_idx"]: r["pixels"]
+        for r in video_frame_sample(df, every_n=2).collect()
+    }
+    assert set(rows) == {0, 2, 4}
+    assert rows[0][:3] == pytest.approx([1.0, 0.0, 0.0])  # red frame
+    assert rows[2][:3] == pytest.approx([0.0, 0.0, 1.0])  # blue frame
+    assert rows[4][:3] == pytest.approx([0.0, 1.0, 0.0])  # green frame
