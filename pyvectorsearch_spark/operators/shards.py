@@ -79,6 +79,41 @@ def _pack_tar(names: list, payloads: list) -> bytes:
     return buf.getvalue()
 
 
+def _build_tar_blob(ids, texts, suffix: str) -> tuple:
+    names = [f"{int(i):012d}{suffix}" for i in ids]
+    payloads = [str(t).encode("utf-8") for t in texts]
+    return _pack_tar(names, payloads), len(names)
+
+
+def _build_wet_blob(ids, texts, uri_prefix: str) -> tuple:
+    rows = sorted(zip(ids, texts), key=lambda r: int(r[0]))
+    members = [
+        _wet_record(
+            f"{uri_prefix}{int(i)}", f"{int(i):032x}",
+            str(t).encode("utf-8"),
+        )
+        for i, t in rows
+    ]
+    return b"".join(members), len(members)
+
+
+def _build_zip_blob(ids, texts, suffix: str) -> tuple:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(
+        buf, mode="w", compression=zipfile.ZIP_DEFLATED
+    ) as zf:
+        rows = sorted(zip(ids, texts), key=lambda r: int(r[0]))
+        for i, t in rows:
+            info = zipfile.ZipInfo(
+                filename=f"{int(i):012d}{suffix}",
+                date_time=(1980, 1, 1, 0, 0, 0),
+            )
+            info.compress_type = zipfile.ZIP_DEFLATED
+            info.external_attr = 0
+            zf.writestr(info, str(t).encode("utf-8"))
+    return buf.getvalue(), len(rows)
+
+
 def pack_tar_shards(
     docs: DataFrame,
     *,
@@ -100,14 +135,9 @@ def pack_tar_shards(
     def pack(
         key: tuple, pdf: "pd.DataFrame"
     ) -> "pd.DataFrame":
-        names = [f"{int(i):012d}{suffix}" for i in pdf[id_col]]
-        payloads = [str(t).encode("utf-8") for t in pdf[text_col]]
+        blob, n = _build_tar_blob(pdf[id_col], pdf[text_col], suffix)
         return pd.DataFrame(
-            {
-                "shard_id": [int(key[0])],
-                "blob": [_pack_tar(names, payloads)],
-                "n_members": [len(names)],
-            }
+            {"shard_id": [int(key[0])], "blob": [blob], "n_members": [n]}
         )
 
     if n_shards is None:
@@ -199,22 +229,9 @@ def pack_wet_shards(
     import pandas as pd
 
     def pack(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        rows = sorted(
-            zip(pdf[id_col], pdf[text_col]), key=lambda r: int(r[0])
-        )
-        members = [
-            _wet_record(
-                f"{uri_prefix}{int(i)}", f"{int(i):032x}",
-                str(t).encode("utf-8"),
-            )
-            for i, t in rows
-        ]
+        blob, n = _build_wet_blob(pdf[id_col], pdf[text_col], uri_prefix)
         return pd.DataFrame(
-            {
-                "shard_id": [int(key[0])],
-                "blob": [b"".join(members)],
-                "n_records": [len(members)],
-            }
+            {"shard_id": [int(key[0])], "blob": [blob], "n_records": [n]}
         )
 
     if n_shards is None:
@@ -318,27 +335,9 @@ def pack_zip_shards(
     import pandas as pd
 
     def pack(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        buf = io.BytesIO()
-        with zipfile.ZipFile(
-            buf, mode="w", compression=zipfile.ZIP_DEFLATED
-        ) as zf:
-            rows = sorted(
-                zip(pdf[id_col], pdf[text_col]), key=lambda r: int(r[0])
-            )
-            for i, t in rows:
-                info = zipfile.ZipInfo(
-                    filename=f"{int(i):012d}{suffix}",
-                    date_time=(1980, 1, 1, 0, 0, 0),
-                )
-                info.compress_type = zipfile.ZIP_DEFLATED
-                info.external_attr = 0
-                zf.writestr(info, str(t).encode("utf-8"))
+        blob, n = _build_zip_blob(pdf[id_col], pdf[text_col], suffix)
         return pd.DataFrame(
-            {
-                "shard_id": [int(key[0])],
-                "blob": [buf.getvalue()],
-                "n_members": [len(pdf)],
-            }
+            {"shard_id": [int(key[0])], "blob": [blob], "n_members": [n]}
         )
 
     if n_shards is None:
@@ -373,3 +372,94 @@ def unpack_zip_shards(
             )
 
     return shards.select(blob_col).mapInPandas(unpack, schema=_MEMBER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Executor-side file sink (the 100 TB export path)
+# ---------------------------------------------------------------------------
+
+_FILE_SCHEMA = "shard_id bigint, path string, n_members bigint, n_bytes bigint"
+_EXT = {"tar": ".tar", "wet": ".warc.wet.gz", "zip": ".zip"}
+
+
+def pack_shards_to_files(
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    fmt: str = "tar",
+    n_shards: int | None = None,
+    target_shard_mb: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack documents into shard FILES under ``out_dir`` — the export
+    path a real corpus uses.  The blob-column packers are right for
+    downstream DataFrame processing, but a multi-hundred-MB blob per
+    row pays an Arrow serialize on every consumption (measured
+    ~38 MB/s for 35 MB tar cells at 1 GB, SCALING.md r10 wave 2);
+    writing the shard inside the executor task skips that entirely and
+    lands files any WebDataset/WARC reader can consume.  Returns one
+    metadata row per shard: ``(shard_id, path, n_members, n_bytes)``.
+
+    Writes are atomic (tmp name + rename) and deterministic, so re-runs
+    of the same input produce byte-identical files.  ``out_dir`` must
+    be storage every executor can reach (it is, on a real cluster,
+    the shared filesystem / object-store mount).
+    """
+    import os
+    import uuid
+
+    import pandas as pd
+
+    if fmt not in _EXT:
+        raise ValueError(f"fmt must be one of {sorted(_EXT)}: {fmt}")
+    ext = _EXT[fmt]
+    os.makedirs(out_dir, exist_ok=True)
+
+    if n_shards is None:
+        n_shards = shard_count_for(
+            docs, text_col=text_col,
+            target_shard_mb=target_shard_mb or 256,
+        )
+
+    def pack(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sid = int(key[0])
+        if fmt == "tar":
+            blob, n = _build_tar_blob(pdf[id_col], pdf[text_col], ".txt")
+        elif fmt == "wet":
+            blob, n = _build_wet_blob(
+                pdf[id_col], pdf[text_col], "corpus://doc/"
+            )
+        else:
+            blob, n = _build_zip_blob(pdf[id_col], pdf[text_col], ".txt")
+        path = os.path.join(out_dir, f"shard_{sid:06d}{ext}")
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "path": [path],
+                "n_members": [n],
+                "n_bytes": [len(blob)],
+            }
+        )
+
+    tagged = docs.select(
+        F.col(id_col), F.col(text_col),
+        (F.col(id_col) % F.lit(n_shards)).alias("_shard"),
+    )
+    return tagged.groupBy("_shard").applyInPandas(pack, schema=_FILE_SCHEMA)
+
+
+def read_shard_files(spark, path_glob: str) -> DataFrame:
+    """Read shard files back as ``(path, blob)`` rows via Spark's
+    built-in ``binaryFile`` source (parallel listing + reads, content
+    never touches the driver); feed the result to the matching
+    ``unpack_*_shards``."""
+    return (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select(F.col("path"), F.col("content").alias("blob"))
+    )
