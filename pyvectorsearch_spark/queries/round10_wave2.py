@@ -237,15 +237,114 @@ GROUP BY i
 """
 
 
+def q_shards_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed WebDataset ingest, ORACLE-CHECKED: tar shard FILES land
+    in a directory and arrive as micro-batches through Spark's
+    ``binaryFile`` streaming source (``maxFilesPerTrigger=1`` — one
+    shard per batch, 12 batches); each batch is unpacked in-stream by
+    the same shuffle-free ``mapInPandas`` stage as the batch path, and
+    the STREAMING ENGINE maintains per-group doc counts / byte totals /
+    id ranges in complete mode.  DuckDB recomputes the aggregates from
+    ``documents`` directly — a mis-framed tar member or a dropped
+    micro-batch flips counts, sums, or ranges.
+
+    Scale shape: this is the arrival path of a real corpus (shards
+    landing on shared storage, unpacked as they arrive); per-batch work
+    is one shard blob per task, no shuffle until the final keyed agg."""
+    import os
+    import uuid
+
+    from pyvectorsearch_spark.operators.shards import (
+        pack_shards_to_files,
+        unpack_tar_shards,
+    )
+    from pyvectorsearch_spark.sources.tables import dataset_tag, load_table
+
+    import tempfile
+
+    base = dataset_tag(sf_dir, "documents")
+    landing = os.path.join(
+        tempfile.gettempdir(), f"pvs_shard_stream_landing_{base}"
+    )
+    if not os.path.isdir(landing):
+        tmp = f"{landing}.tmp-{uuid.uuid4().hex[:8]}"
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        pack_shards_to_files(docs, tmp, fmt="tar", n_shards=12).collect()
+        try:
+            os.rename(tmp, landing)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(landing):
+                raise
+    schema = spark.read.format("binaryFile").load(landing).schema
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.tar")
+        .option("maxFilesPerTrigger", "1")
+        .load(landing)
+        .select(F.col("content").alias("blob"))
+    )
+    members = unpack_tar_shards(stream)
+    agg = (
+        members.select(
+            F.split(F.col("member_name"), r"\.")
+            .getItem(0)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.length("payload").cast("bigint").alias("n_bytes"),
+        )
+        .groupBy((F.col("doc_id") % 4).alias("group_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+    )
+    name = f"shards_stream_ingest_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow drain exceeded 300 s; the memory sink would "
+            "be partial — failing loud instead"
+        )
+    return spark.table(name)
+
+
+ORACLE_SHARDS_STREAM_INGEST = """
+SELECT CAST(doc_id % 4 AS BIGINT) AS group_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM documents
+GROUP BY doc_id % 4
+"""
+
+
 QUERIES = {
     "shards_tar_roundtrip": q_shards_tar_roundtrip,
     "text_warc_wet_ingest": q_text_warc_wet_ingest,
     "shards_zip_roundtrip": q_shards_zip_roundtrip,
     "multimodal_gif_pixelsum": q_multimodal_gif_pixelsum,
+    "shards_stream_ingest": q_shards_stream_ingest,
 }
 ORACLES: dict[str, str] = {
     "shards_tar_roundtrip": ORACLE_SHARDS_TAR_ROUNDTRIP,
     "text_warc_wet_ingest": ORACLE_TEXT_WARC_WET_INGEST,
     "shards_zip_roundtrip": ORACLE_SHARDS_ZIP_ROUNDTRIP,
     "multimodal_gif_pixelsum": ORACLE_MULTIMODAL_GIF_PIXELSUM,
+    "shards_stream_ingest": ORACLE_SHARDS_STREAM_INGEST,
 }
