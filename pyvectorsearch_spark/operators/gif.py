@@ -213,10 +213,14 @@ def encode_gif(
     """
     if not frames:
         raise ValueError("need at least one frame")
+    bits = _palette_bits(len(palette))
     for f in frames:
         if len(f) != width * height:
             raise ValueError("frame size != width*height")
-    bits = _palette_bits(len(palette))
+        if f and max(f) >= len(palette):
+            raise ValueError(
+                f"palette index {max(f)} >= palette size {len(palette)}"
+            )
     gct = bytearray()
     for i in range(1 << bits):
         r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
@@ -303,6 +307,7 @@ def parse_gif(blob: bytes):
             pos += 3 * n
         if ct is None:
             raise ValueError("frame with no color table")
+        n_colors = len(ct) // 3
         mcs = blob[pos]
         pos += 1
         data, pos = _read_sub_blocks(blob, pos)
@@ -325,6 +330,11 @@ def parse_gif(blob: bytes):
             for x, ci in enumerate(row):
                 if left + x >= sw:
                     break
+                if ci >= n_colors:
+                    # a short slice would silently RESIZE the bytearray
+                    raise ValueError(
+                        f"color index {ci} >= table size {n_colors}"
+                    )
                 o = base + x * 3
                 canvas[o : o + 3] = ct[ci * 3 : ci * 3 + 3]
         frames.append(bytes(canvas))

@@ -364,3 +364,47 @@ def test_pack_shards_to_files_rejects_bad_fmt(spark, tmp_path):
     docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="fmt"):
         pack_shards_to_files(docs, str(tmp_path), fmt="rar")
+
+
+def test_gif_rejects_out_of_range_indices():
+    """Encoder: index beyond the palette fails loud up front.  Decoder:
+    a crafted frame referencing a missing color raises instead of
+    silently RESIZING the canvas bytearray (short-slice assignment)."""
+    import struct
+
+    from pyvectorsearch_spark.operators.gif import lzw_encode
+
+    pal = [(1, 2, 3), (4, 5, 6)]
+    with pytest.raises(ValueError, match="palette index"):
+        encode_gif(2, 2, [bytes([0, 1, 2, 3])], pal)
+    # hand-build: 2-color GCT (mcs=2 -> codes up to 3 are valid LZW
+    # singles) but pixel index 3 has no palette entry
+    blob = bytearray(b"GIF89a")
+    blob += struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+    blob += bytes([1, 2, 3, 4, 5, 6])  # GCT: 2 colors
+    blob += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+    sub = lzw_encode(bytes([0, 1, 3, 0]), 2)
+    blob += bytes([2, len(sub)]) + sub + b"\x00\x3b"
+    with pytest.raises(ValueError, match="color index"):
+        parse_gif(bytes(blob))
+
+
+def test_gif_crossformat_dhash_identity():
+    """A palette image encoded as GIF and as PPM must produce the SAME
+    dHash (decode is lossless for palette-representable images) — the
+    format-invariance property the other codec-free containers pin."""
+    import random
+
+    from pyvectorsearch_spark.operators.multimodal import (
+        _decode_rgb,
+        encode_ppm,
+    )
+
+    rng = random.Random(21)
+    w, h = 24, 16
+    pal = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(16)]
+    idx = bytes(rng.randrange(16) for _ in range(w * h))
+    rgb = b"".join(bytes(pal[i]) for i in idx)
+    px_gif = _decode_rgb(encode_gif(w, h, [idx], pal), 8, 8)
+    px_ppm = _decode_rgb(encode_ppm(w, h, rgb), 8, 8)
+    assert px_gif == pytest.approx(px_ppm)
