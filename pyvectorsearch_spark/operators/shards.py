@@ -79,9 +79,31 @@ def _pack_tar(names: list, payloads: list) -> bytes:
     return buf.getvalue()
 
 
+def _to_bytes(v) -> bytes:
+    """Payload normalization: binary columns pass through untouched
+    (WebDataset members are bytes — images, audio, tokenized tensors);
+    everything else is utf-8 text."""
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return str(v).encode("utf-8")
+
+
 def _build_tar_blob(ids, texts, suffix: str) -> tuple:
     names = [f"{int(i):012d}{suffix}" for i in ids]
-    payloads = [str(t).encode("utf-8") for t in texts]
+    payloads = [_to_bytes(t) for t in texts]
+    return _pack_tar(names, payloads), len(names)
+
+
+def _build_tar_blob_multi(pdf, id_col: str, member_cols: dict) -> tuple:
+    """Multi-member WebDataset samples: one tar member per (row, suffix)
+    — ``{id:012d}.{suffix}`` — so a sample's files (image + caption +
+    metadata) share a key and land adjacently in the shard."""
+    names: list = []
+    payloads: list = []
+    for suffix, col in sorted(member_cols.items()):
+        for i, v in zip(pdf[id_col], pdf[col]):
+            names.append(f"{int(i):012d}.{suffix}")
+            payloads.append(_to_bytes(v))
     return _pack_tar(names, payloads), len(names)
 
 
@@ -122,31 +144,42 @@ def pack_tar_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     suffix: str = ".txt",
+    member_cols: dict | None = None,
 ) -> DataFrame:
     """Pack documents into WebDataset-style tar shard blobs.
 
     Shard assignment is ``id % n_shards`` (deterministic, oracle-
     reproducible); member names are ``{id:012d}{suffix}`` per the
-    WebDataset key convention.  One output row per shard:
-    ``(shard_id, blob, n_members)``.
+    WebDataset key convention.  Binary columns pass through as raw
+    member bytes; everything else is utf-8 text.  For multi-file
+    samples pass ``member_cols={"gif": "blob", "json": "meta", ...}``
+    (suffix -> column) — each row then contributes one member per
+    suffix under a shared key, the WebDataset sample convention.  One
+    output row per shard: ``(shard_id, blob, n_members)``.
     """
     import pandas as pd
 
     def pack(
         key: tuple, pdf: "pd.DataFrame"
     ) -> "pd.DataFrame":
-        blob, n = _build_tar_blob(pdf[id_col], pdf[text_col], suffix)
+        if member_cols:
+            blob, n = _build_tar_blob_multi(pdf, id_col, member_cols)
+        else:
+            blob, n = _build_tar_blob(pdf[id_col], pdf[text_col], suffix)
         return pd.DataFrame(
             {"shard_id": [int(key[0])], "blob": [blob], "n_members": [n]}
         )
 
+    cols = (
+        sorted(set(member_cols.values())) if member_cols else [text_col]
+    )
     if n_shards is None:
         n_shards = shard_count_for(
-            docs, text_col=text_col,
+            docs, text_col=cols[0],
             target_shard_mb=target_shard_mb or 256,
         )
     tagged = docs.select(
-        F.col(id_col), F.col(text_col),
+        F.col(id_col), *[F.col(c) for c in cols],
         (F.col(id_col) % F.lit(n_shards)).alias("_shard"),
     )
     return tagged.groupBy("_shard").applyInPandas(pack, schema=_WDS_SCHEMA)

@@ -334,12 +334,114 @@ GROUP BY doc_id % 4
 """
 
 
+
+def q_shards_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal WebDataset roundtrip, ORACLE-CHECKED: GIF media blobs
+    plus a JSON metadata member per sample ({id}.gif + {id}.json, the
+    WebDataset multi-file-sample convention) pack into tar shards as
+    RAW BYTES, unpack, and the gif members decode through the LZW codec
+    to per-media pixel sums while the json members are parsed and
+    counted.  The oracle recomputes the pixel sums from the generator
+    arithmetic (same spec as ``multimodal_gif_pixelsum``) — a corrupted
+    binary member, a text-mangled payload, or a lost/mispaired sample
+    file all flip the hash."""
+    from typing import Iterator
+
+    import json
+
+    import pandas as pd
+
+    from pyvectorsearch_spark.operators.gif import parse_gif
+    from pyvectorsearch_spark.operators.shards import (
+        pack_tar_shards,
+        unpack_tar_shards,
+    )
+
+    media = _synthetic_media_gif(spark).withColumn(
+        "meta",
+        F.to_json(F.struct(F.col("media_id").alias("id"))),
+    )
+    shards = pack_tar_shards(
+        media, n_shards=4, id_col="media_id",
+        member_cols={"gif": "blob", "json": "meta"},
+    )
+    members = unpack_tar_shards(shards)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            mids, nfs, sums, njs = [], [], [], []
+            for name, payload in zip(pdf["member_name"], pdf["payload"]):
+                key, suffix = name.rsplit(".", 1)
+                mid = int(key)
+                b = bytes(payload)
+                if suffix == "gif":
+                    _, _, frames = parse_gif(b)
+                    mids.append(mid)
+                    nfs.append(len(frames))
+                    sums.append(sum(sum(f) for f in frames))
+                    njs.append(0)
+                else:
+                    assert json.loads(b.decode()) == {"id": mid}
+                    mids.append(mid)
+                    nfs.append(0)
+                    sums.append(0)
+                    njs.append(1)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids, "n_frames": nfs,
+                    "pixel_sum": sums, "n_json": njs,
+                }
+            )
+
+    per_member = members.mapInPandas(
+        run,
+        schema="media_id bigint, n_frames bigint, "
+               "pixel_sum bigint, n_json bigint",
+    )
+    return per_member.groupBy("media_id").agg(
+        F.sum("n_frames").cast("bigint").alias("n_frames"),
+        F.sum("pixel_sum").cast("bigint").alias("pixel_sum"),
+        F.sum("n_json").cast("bigint").alias("n_json"),
+    )
+
+
+ORACLE_SHARDS_MEDIA_ROUNDTRIP = f"""
+WITH m AS (
+  SELECT i,
+         8 + (i % 3) * 4 AS w,
+         8 + ((i + 1) % 2) * 4 AS h,
+         1 + (i % 4) AS nf
+  FROM generate_series(0, {_GIF_N - 1}) AS t(i)
+), px AS (
+  SELECT m.i, m.nf,
+         ((x * 7 + y * 13 + fi * 3 + m.i * 5) % 16) AS j
+  FROM m
+  JOIN generate_series(0, 3) AS fs(fi) ON fi < m.nf
+  JOIN generate_series(0, 15) AS ys(y) ON y < m.h
+  JOIN generate_series(0, 15) AS xs(x) ON x < m.w
+), rgb AS (
+  SELECT i, nf,
+         ((j * 31 + {_GIF_SEED}) % 256)
+         + ((j * 59 + {_GIF_SEED}) % 256)
+         + ((j * 83 + {_GIF_SEED}) % 256) AS v
+  FROM px
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(max(nf) AS BIGINT) AS n_frames,
+       CAST(sum(v) AS BIGINT) AS pixel_sum,
+       CAST(1 AS BIGINT) AS n_json
+FROM rgb
+GROUP BY i
+"""
+
+
 QUERIES = {
     "shards_tar_roundtrip": q_shards_tar_roundtrip,
     "text_warc_wet_ingest": q_text_warc_wet_ingest,
     "shards_zip_roundtrip": q_shards_zip_roundtrip,
     "multimodal_gif_pixelsum": q_multimodal_gif_pixelsum,
     "shards_stream_ingest": q_shards_stream_ingest,
+    "shards_media_roundtrip": q_shards_media_roundtrip,
 }
 ORACLES: dict[str, str] = {
     "shards_tar_roundtrip": ORACLE_SHARDS_TAR_ROUNDTRIP,
@@ -347,4 +449,5 @@ ORACLES: dict[str, str] = {
     "shards_zip_roundtrip": ORACLE_SHARDS_ZIP_ROUNDTRIP,
     "multimodal_gif_pixelsum": ORACLE_MULTIMODAL_GIF_PIXELSUM,
     "shards_stream_ingest": ORACLE_SHARDS_STREAM_INGEST,
+    "shards_media_roundtrip": ORACLE_SHARDS_MEDIA_ROUNDTRIP,
 }

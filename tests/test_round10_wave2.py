@@ -408,3 +408,29 @@ def test_gif_crossformat_dhash_identity():
     px_gif = _decode_rgb(encode_gif(w, h, [idx], pal), 8, 8)
     px_ppm = _decode_rgb(encode_ppm(w, h, rgb), 8, 8)
     assert px_gif == pytest.approx(px_ppm)
+
+
+def test_tar_shards_binary_and_multi_member(spark):
+    """Binary payload columns pass through byte-exact (no utf-8
+    mangling), and member_cols emits one member per (row, suffix)."""
+    from pyvectorsearch_spark.operators.shards import (
+        pack_tar_shards,
+        unpack_tar_shards,
+    )
+
+    raw = [bytes([i, 0, 255, 10, 13, i]) for i in range(6)]
+    docs = spark.createDataFrame(
+        [(i, bytearray(raw[i]), f"meta-{i}") for i in range(6)],
+        "doc_id bigint, blob binary, meta string",
+    )
+    shards = pack_tar_shards(
+        docs, n_shards=2, member_cols={"bin": "blob", "txt": "meta"}
+    )
+    members = {
+        r["member_name"]: bytes(r["payload"])
+        for r in unpack_tar_shards(shards).collect()
+    }
+    assert len(members) == 12
+    for i in range(6):
+        assert members[f"{i:012d}.bin"] == raw[i]
+        assert members[f"{i:012d}.txt"] == f"meta-{i}".encode()
