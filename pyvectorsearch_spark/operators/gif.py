@@ -273,7 +273,9 @@ def parse_gif(blob: bytes):
     one top-down RGB24 buffer per frame, or ``None`` if the magic does
     not match.  Handles global AND local color tables, interlaced
     frames, sub-frame image descriptors (composited onto the previous
-    frame, disposal method 0/1), and skips all extension blocks."""
+    frame), GCE transparency (index skips compositing) and disposal
+    methods 0/1 (leave) and 2 (restore the rect to the background
+    color after the frame, GIF89a §23); other extensions are skipped."""
     if len(blob) < 13 or blob[:4] != b"GIF8" or blob[4:6] not in (b"7a", b"9a"):
         return None
     sw, sh, packed, _bg, _par = struct.unpack("<HHBBB", blob[6:13])
@@ -285,16 +287,29 @@ def parse_gif(blob: bytes):
         pos += 3 * n
 
     frames: list[bytes] = []
-    # canvas holds the running composite for animations (disposal 0/1)
+    # canvas holds the running composite for animations
     canvas = bytearray(sw * sh * 3)
+    bg_rgb = (
+        bytes(gct[_bg * 3 : _bg * 3 + 3])
+        if gct is not None and _bg * 3 + 3 <= len(gct)
+        else b"\x00\x00\x00"
+    )
+    disposal = 0
+    transparent: int | None = None
     while pos < len(blob):
         b0 = blob[pos]
         pos += 1
         if b0 == 0x3B:  # trailer
             break
-        if b0 == 0x21:  # extension: label + sub-blocks, all skippable
+        if b0 == 0x21:  # extension
+            label = blob[pos]
             pos += 1
-            _, pos = _read_sub_blocks(blob, pos)
+            data, pos = _read_sub_blocks(blob, pos)
+            if label == 0xF9 and len(data) >= 4:
+                # graphic control: disposal + transparency for the NEXT
+                # image (packed, delay lo, delay hi, transparent index)
+                disposal = (data[0] >> 2) & 0x07
+                transparent = data[3] if data[0] & 0x01 else None
             continue
         if b0 != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b0:02x} at {pos - 1}")
@@ -330,6 +345,8 @@ def parse_gif(blob: bytes):
             for x, ci in enumerate(row):
                 if left + x >= sw:
                     break
+                if ci == transparent:
+                    continue  # transparent pixel: canvas shows through
                 if ci >= n_colors:
                     # a short slice would silently RESIZE the bytearray
                     raise ValueError(
@@ -338,6 +355,20 @@ def parse_gif(blob: bytes):
                 o = base + x * 3
                 canvas[o : o + 3] = ct[ci * 3 : ci * 3 + 3]
         frames.append(bytes(canvas))
+        if disposal == 2:
+            # restore-to-background: clear this frame's rect AFTER the
+            # emitted composite, per GIF89a §23 disposal semantics
+            for y in range(h):
+                cy = top + y
+                if cy >= sh:
+                    break
+                for x in range(w):
+                    if left + x >= sw:
+                        break
+                    o = (cy * sw + left + x) * 3
+                    canvas[o : o + 3] = bg_rgb
+        disposal = 0
+        transparent = None
     if not frames:
         raise ValueError("GIF with no image data")
     return sw, sh, frames

@@ -424,6 +424,7 @@ def pack_shards_to_files(
     target_shard_mb: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    overwrite: bool = False,
 ) -> DataFrame:
     """Pack documents into shard FILES under ``out_dir`` — the export
     path a real corpus uses.  The blob-column packers are right for
@@ -448,6 +449,20 @@ def pack_shards_to_files(
         raise ValueError(f"fmt must be one of {sorted(_EXT)}: {fmt}")
     ext = _EXT[fmt]
     os.makedirs(out_dir, exist_ok=True)
+    stale = [
+        f for f in os.listdir(out_dir)
+        if f.startswith("shard_") and f.endswith(ext)
+    ]
+    if stale:
+        # a previous run's files would silently MIX corpora on read-back
+        # (read_shard_files globs the directory, not this run's manifest)
+        if not overwrite:
+            raise FileExistsError(
+                f"{out_dir} already holds {len(stale)} {ext} shard "
+                "files; pass overwrite=True to replace them"
+            )
+        for f in stale:
+            os.remove(os.path.join(out_dir, f))
 
     if n_shards is None:
         n_shards = shard_count_for(

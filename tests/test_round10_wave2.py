@@ -434,3 +434,48 @@ def test_tar_shards_binary_and_multi_member(spark):
     for i in range(6):
         assert members[f"{i:012d}.bin"] == raw[i]
         assert members[f"{i:012d}.txt"] == f"meta-{i}".encode()
+
+
+def test_gif_transparency_and_disposal_background():
+    """Hand-build a 3-frame animation: frame 2 paints a 2x2 rect with
+    one TRANSPARENT pixel (canvas must show through) and disposal
+    method 2 (rect restored to background color before frame 3)."""
+    import struct
+
+    from pyvectorsearch_spark.operators.gif import lzw_encode
+
+    gct = [(9, 9, 9), (100, 110, 120), (200, 210, 220), (0, 0, 0)]
+    blob = bytearray(b"GIF89a")
+    # bg color index 1
+    blob += struct.pack("<HHBBB", 4, 4, 0x81, 1, 0)
+    for c in gct:
+        blob += bytes(c)
+
+    def image(left, top, w, h, idx):
+        out = bytearray(b"\x2c")
+        out += struct.pack("<HHHHB", left, top, w, h, 0)
+        sub = lzw_encode(bytes(idx), 2)
+        out += bytes([2, len(sub)]) + sub + b"\x00"
+        return out
+
+    # frame 1: full 4x4 of color 0
+    blob += image(0, 0, 4, 4, [0] * 16)
+    # GCE: disposal 2, transparency on index 3
+    blob += b"\x21\xf9\x04" + bytes([(2 << 2) | 1, 0, 0, 3]) + b"\x00"
+    # frame 2: 2x2 at (1,1): [2, transparent, 2, 2]
+    blob += image(1, 1, 2, 2, [2, 3, 2, 2])
+    # frame 3: 1x1 at (0,0) color 0 (elsewhere shows disposal result)
+    blob += image(0, 0, 1, 1, [0])
+    blob += b"\x3b"
+
+    w, h, frames = parse_gif(bytes(blob))
+    at = lambda f, x, y: frames[f][(y * 4 + x) * 3 :][: 3]  # noqa: E731
+    # frame 2: (1,1) painted, (2,1) transparent -> frame-1 color shows
+    assert at(1, 1, 1) == bytes(gct[2])
+    assert at(1, 2, 1) == bytes(gct[0])
+    assert at(1, 1, 2) == bytes(gct[2])
+    # frame 3: the 2x2 rect was restored to BACKGROUND (index 1)
+    assert at(2, 1, 1) == bytes(gct[1])
+    assert at(2, 2, 2) == bytes(gct[1])
+    # outside the rect: untouched composite from frame 1
+    assert at(2, 3, 3) == bytes(gct[0])
