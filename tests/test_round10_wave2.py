@@ -479,3 +479,23 @@ def test_gif_transparency_and_disposal_background():
     assert at(2, 2, 2) == bytes(gct[1])
     # outside the rect: untouched composite from frame 1
     assert at(2, 3, 3) == bytes(gct[0])
+
+
+def test_shard_plan_shapes(spark):
+    """The 100 TB plan contract for the shard ops: pack is exactly ONE
+    exchange (the group-by-shard hash shuffle); unpack adds NO exchange
+    on top of its input (embarrassingly parallel mapInPandas)."""
+    from pyvectorsearch_spark.operators.shards import (
+        pack_tar_shards,
+        unpack_tar_shards,
+    )
+    from pyvectorsearch_spark.plans import count_exchanges
+
+    docs = spark.createDataFrame(
+        [(i, f"t-{i}") for i in range(40)], "doc_id bigint, text string"
+    )
+    shards = pack_tar_shards(docs, n_shards=4)
+    assert count_exchanges(shards) == 1, shards._jdf.queryExecution()
+    members = unpack_tar_shards(shards)
+    # unpack introduces zero additional exchanges over the pack plan
+    assert count_exchanges(members) == count_exchanges(shards)
