@@ -511,3 +511,88 @@ def read_shard_files(spark, path_glob: str) -> DataFrame:
         .load(path_glob)
         .select(F.col("path"), F.col("content").alias("blob"))
     )
+
+
+# ---------------------------------------------------------------------------
+# jsonl.gz shards (the C4 / Pile text-corpus convention)
+# ---------------------------------------------------------------------------
+
+
+def _build_jsonl_gz_blob(ids, texts) -> tuple:
+    """One gzip member holding ``{"id": ..., "text": ...}`` lines,
+    sorted by id, ``sort_keys`` + ``ensure_ascii=False`` + zeroed gzip
+    mtime — byte-deterministic for identical input rows."""
+    import json
+
+    rows = sorted(zip(ids, texts), key=lambda r: int(r[0]))
+    lines = b"".join(
+        json.dumps(
+            {"id": int(i), "text": str(t)},
+            sort_keys=True,
+            ensure_ascii=False,
+        ).encode("utf-8")
+        + b"\n"
+        for i, t in rows
+    )
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(lines)
+    return buf.getvalue(), len(rows)
+
+
+def pack_jsonl_gz_shards(
+    docs: DataFrame,
+    *,
+    n_shards: int | None = 8,
+    target_shard_mb: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack documents into ``.jsonl.gz`` shard blobs — one JSON object
+    per line, gzip'd — the most common interchange layout for text
+    corpora.  JSON escaping makes the roundtrip lossless for arbitrary
+    text (newlines, quotes, unicode)."""
+    import pandas as pd
+
+    def pack(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        blob, n = _build_jsonl_gz_blob(pdf[id_col], pdf[text_col])
+        return pd.DataFrame(
+            {"shard_id": [int(key[0])], "blob": [blob], "n_members": [n]}
+        )
+
+    if n_shards is None:
+        n_shards = shard_count_for(
+            docs, text_col=text_col,
+            target_shard_mb=target_shard_mb or 256,
+        )
+    tagged = docs.select(
+        F.col(id_col), F.col(text_col),
+        (F.col(id_col) % F.lit(n_shards)).alias("_shard"),
+    )
+    return tagged.groupBy("_shard").applyInPandas(pack, schema=_WDS_SCHEMA)
+
+
+def unpack_jsonl_gz_shards(
+    shards: DataFrame, *, blob_col: str = "blob"
+) -> DataFrame:
+    """Explode ``.jsonl.gz`` shard blobs into ``(doc_id, text)`` rows."""
+    import json
+
+    import pandas as pd
+
+    def unpack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids: list = []
+            texts: list = []
+            for blob in pdf[blob_col]:
+                for line in gzip.decompress(bytes(blob)).splitlines():
+                    if not line:
+                        continue
+                    obj = json.loads(line)
+                    ids.append(int(obj["id"]))
+                    texts.append(obj["text"])
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return shards.select(blob_col).mapInPandas(
+        unpack, schema="doc_id bigint, text string"
+    )

@@ -435,6 +435,36 @@ GROUP BY i
 """
 
 
+
+def q_shards_jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.jsonl.gz`` shard roundtrip (the C4/Pile text-corpus layout),
+    ORACLE-CHECKED per doc: JSON-escape + gzip + unsplit + parse must be
+    lossless for arbitrary text — the oracle digests the original
+    ``documents.text`` directly."""
+    from pyvectorsearch_spark.operators.shards import (
+        pack_jsonl_gz_shards,
+        unpack_jsonl_gz_shards,
+    )
+    from pyvectorsearch_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shards = pack_jsonl_gz_shards(docs, n_shards=_N_SHARDS)
+    back = unpack_jsonl_gz_shards(shards)
+    return back.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.md5(F.encode("text", "UTF-8")).alias("digest"),
+    )
+
+
+ORACLE_SHARDS_JSONL_GZ_ROUNDTRIP = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+"""
+
+
 QUERIES = {
     "shards_tar_roundtrip": q_shards_tar_roundtrip,
     "text_warc_wet_ingest": q_text_warc_wet_ingest,
@@ -442,6 +472,7 @@ QUERIES = {
     "multimodal_gif_pixelsum": q_multimodal_gif_pixelsum,
     "shards_stream_ingest": q_shards_stream_ingest,
     "shards_media_roundtrip": q_shards_media_roundtrip,
+    "shards_jsonl_gz_roundtrip": q_shards_jsonl_gz_roundtrip,
 }
 ORACLES: dict[str, str] = {
     "shards_tar_roundtrip": ORACLE_SHARDS_TAR_ROUNDTRIP,
@@ -450,4 +481,5 @@ ORACLES: dict[str, str] = {
     "multimodal_gif_pixelsum": ORACLE_MULTIMODAL_GIF_PIXELSUM,
     "shards_stream_ingest": ORACLE_SHARDS_STREAM_INGEST,
     "shards_media_roundtrip": ORACLE_SHARDS_MEDIA_ROUNDTRIP,
+    "shards_jsonl_gz_roundtrip": ORACLE_SHARDS_JSONL_GZ_ROUNDTRIP,
 }

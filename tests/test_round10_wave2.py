@@ -499,3 +499,29 @@ def test_shard_plan_shapes(spark):
     members = unpack_tar_shards(shards)
     # unpack introduces zero additional exchanges over the pack plan
     assert count_exchanges(members) == count_exchanges(shards)
+
+
+def test_jsonl_gz_shards_lossless_for_hostile_text(spark):
+    """Newlines, quotes, tabs, control chars, and unicode must survive
+    the jsonl.gz roundtrip byte-exact (JSON escapes them all)."""
+    from pyvectorsearch_spark.operators.shards import (
+        pack_jsonl_gz_shards,
+        unpack_jsonl_gz_shards,
+    )
+
+    texts = [
+        "line1\nline2\r\nline3",
+        "quote \" backslash \\ brace }{",
+        "unicode: h\u00e9llo \u4e16\u754c emoji \U0001F600 nel \u0085",
+        "tabs\tand control \x01\x0b\x0c chars",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    shards = pack_jsonl_gz_shards(docs, n_shards=2)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in unpack_jsonl_gz_shards(shards).collect()
+    }
+    assert got == dict(enumerate(texts))
