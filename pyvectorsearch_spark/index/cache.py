@@ -42,6 +42,31 @@ def cache_path(name: str) -> str:
     return os.path.join(cache_root(), name)
 
 
+def read_small_sidecar(path: str, columns: list[str] | None = None):
+    """Driver-side pyarrow read of a SMALL index sidecar (meta/centroids/
+    codebook tables — tens of rows to a few thousand), returning a list of
+    plain-dict rows.
+
+    Index ``load()`` paths used to fetch these with ``spark.read.parquet(...)
+    .collect()`` / ``.first()`` — one or two full Spark jobs (scheduler +
+    task launch + Python round trip) per *query invocation* just to move a
+    handful of rows to the driver (measured 0.2-0.4 s per load on local[32],
+    r10 optimization round). A local columnar read is microseconds and
+    byte-identical. Returns ``None`` when the path is not a local directory
+    (object-store / HDFS deployments) so callers can keep the Spark read as
+    the fallback; the big ``data`` table is NEVER read this way.
+    """
+    local = path[len("file:"):] if path.startswith("file:") else path
+    if not os.path.isdir(local):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.read_table(local, columns=columns).to_pylist()
+    except Exception:
+        return None
+
+
 def build_or_load(
     spark: SparkSession,
     name: str,

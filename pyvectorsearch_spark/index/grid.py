@@ -637,6 +637,12 @@ class GridIndex:
     # cells because the schedule left a ~13× tail expansion)
     TAIL_FAN = 4
     TAIL_GATE_CELLS = 200_000
+    # broadcast the per-query kth-distance cap (b0) in _prune_pairs instead
+    # of sort-merge-joining it back into the pair table (r10 optimization
+    # round; see _prune_pairs). One row per capped query — disable only for
+    # probe tables big enough to threaten the 8 GB broadcast-relation cap
+    # (≳5×10⁸ capped probes at 16 B/row).
+    B0_BROADCAST = True
 
     def _n_cells(self) -> int:
         """Stats-row count, cached; never collects the stats themselves."""
@@ -848,6 +854,18 @@ class GridIndex:
             .groupBy("_qid")
             .agg(F.min("_max_d2").alias("_b0"))
         )
+        # b0 is ≤ 16 bytes per query (one (long, double) row for queries
+        # that have a ≥k cell) — broadcast it instead of letting the planner
+        # sort-merge: the pair table is already hash-partitioned on _qid for
+        # the windows below, and an SMJ here inserts a full extra sort of
+        # the |Q|·|cells| pair table just to attach one scalar (measured
+        # 2.37 s → 2.05 s median on the 120k-probe sf0.1 bench row; AQE's
+        # runtime SMJ→BHJ rewrite fires too late to skip that sort). The
+        # hint is probe-bounded, not data-bounded: 10⁶ probes ≈ 16 MB; past
+        # B0_BROADCAST_MAX_QUERIES (~the 8 GB broadcast cap) callers can
+        # set broadcast_b0=False via the class knob to fall back to AQE.
+        if self.B0_BROADCAST:
+            b0 = F.broadcast(b0)
         pairs = pairs.join(b0, "_qid", "left").filter(
             F.col("_min_d2") <= F.coalesce(F.col("_b0"), F.lit(float("inf")))
         )
@@ -1352,7 +1370,19 @@ class GridIndex:
     def load(spark: SparkSession, path: str) -> "GridIndex":
         data = spark.read.parquet(f"{path}/data")
         stats_src = spark.read.parquet(f"{path}/stats")
-        head = stats_src.first()  # params ride on every row; one-row read
+        # params ride on every row; grab one row WITHOUT a Spark job when
+        # the artifact is local (read_small_sidecar) — the old .first() paid
+        # a full job per query invocation (r10 optimization round)
+        from pyvectorsearch_spark.index.cache import read_small_sidecar
+
+        head_rows = read_small_sidecar(
+            f"{path}/stats",
+            columns=[
+                "origin", "width", "dim", "rank", "rr", "ratio",
+                "fine_level", "id_col", "vec_col",
+            ],
+        )
+        head = head_rows[0] if head_rows else stats_src.first()
         stats_df = stats_src.select(
             "cell",
             F.col("level").cast("int").alias("level"),

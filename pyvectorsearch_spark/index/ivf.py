@@ -266,7 +266,23 @@ class IVFIndex:
     @staticmethod
     def load(spark, path: str) -> "IVFIndex":
         data = spark.read.parquet(f"{path}/data")
-        cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+        # centroids/meta are tens of tiny rows: read them driver-side when
+        # local instead of paying two Spark jobs per query invocation
+        # (r10 optimization round; see read_small_sidecar)
+        from pyvectorsearch_spark.index.cache import read_small_sidecar
+
+        cent_rows = read_small_sidecar(f"{path}/centroids")
+        if cent_rows is None:
+            cent_rows = [
+                r.asDict()
+                for r in spark.read.parquet(f"{path}/centroids").collect()
+            ]
+        cent_rows = sorted(cent_rows, key=lambda r: r["list_id"])
         cent = np.asarray([list(r["centroid"]) for r in cent_rows])
-        meta = spark.read.parquet(f"{path}/meta").first()
+        meta_rows = read_small_sidecar(f"{path}/meta")
+        meta = (
+            meta_rows[0]
+            if meta_rows
+            else spark.read.parquet(f"{path}/meta").first()
+        )
         return IVFIndex(df=data, centroids=cent, id_col=meta["id_col"], vec_col=meta["vec_col"])

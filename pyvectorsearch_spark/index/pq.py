@@ -336,11 +336,17 @@ class IVFPQIndex:
     @staticmethod
     def load(spark, path: str) -> "IVFPQIndex":
         base = IVFIndex.load(spark, path)
-        rows = (
-            spark.read.parquet(f"{path}/codebooks")
-            .orderBy("subspace", "code")
-            .collect()
-        )
+        from pyvectorsearch_spark.index.cache import read_small_sidecar
+
+        rows = read_small_sidecar(f"{path}/codebooks")
+        if rows is None:
+            rows = (
+                spark.read.parquet(f"{path}/codebooks")
+                .orderBy("subspace", "code")
+                .collect()
+            )
+        else:
+            rows = sorted(rows, key=lambda r: (r["subspace"], r["code"]))
         m = 1 + max(r["subspace"] for r in rows)
         ksub = 1 + max(r["code"] for r in rows)
         dsub = len(rows[0]["centroid"])

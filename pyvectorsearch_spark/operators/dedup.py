@@ -421,12 +421,25 @@ def hamming_pairs_gemm(
                 )
 
     # probe side = the already-collected table (re-deriving it from the
-    # lazy hash table would run the whole fingerprint pipeline a second time)
-    parts = spark.sparkContext.defaultParallelism
+    # lazy hash table would run the whole fingerprint pipeline a second time).
+    # Partition count is sized to the DATA (≥512 probe rows per task, capped
+    # at the core count) and handed to parallelize() directly: the old
+    # defaultParallelism-slice createDataFrame + repartition(32) paid one
+    # Python-worker round trip per slice plus a round-robin exchange to move
+    # 16-byte rows — at 5k docs that was 64 task round trips for a kernel
+    # whose GEMM work is ~50 ms (measured 1.86 s → 1.37 s min on the sf0.1
+    # bench row). At ≥16k rows this saturates every core exactly as before.
+    parts = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, (len(ids) + 511) // 512),
+    )
     src = spark.createDataFrame(
-        [(int(i), int(h)) for i, h in zip(ids, hvals.astype(np.int64))],
+        spark.sparkContext.parallelize(
+            [(int(i), int(h)) for i, h in zip(ids, hvals.astype(np.int64))],
+            parts,
+        ),
         "d1 long, h1 long",
-    ).repartition(parts)
+    )
     return src.mapInPandas(block_pairs, schema="d1 long, d2 long, hamming int")
 
 
@@ -823,7 +836,13 @@ class AngularModel:
     def load(spark, path: str) -> "AngularModel":
         import numpy as np
 
-        rows = spark.read.parquet(path).orderBy("list_id").collect()
+        from pyvectorsearch_spark.index.cache import read_small_sidecar
+
+        rows = read_small_sidecar(path)
+        if rows is None:  # non-local artifact: keep the Spark read
+            rows = spark.read.parquet(path).orderBy("list_id").collect()
+        else:
+            rows = sorted(rows, key=lambda r: r["list_id"])
         C = np.asarray([list(r["centroid"]) for r in rows])
         return AngularModel(C, rows[0]["alpha_max"])
 

@@ -24,6 +24,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cc_driver(edges: DataFrame, _stats: dict | None = None) -> DataFrame:
+    """Union-find over a census-bounded collected edge list — identical
+    (node, cluster=min id in component) output to the distributed rounds.
+    Only reached through ``connected_components(driver_max_edges=...)``,
+    which has already proven the directed edge count ≤ the bound."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r["a"], r["b"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id root so cluster = component minimum falls out directly
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent]
+    if _stats is not None:
+        _stats.update(mode="driver", rounds=0)
+    spark = edges.sparkSession
+    n_slices = max(1, min(
+        spark.sparkContext.defaultParallelism, len(out) // 4096 or 1
+    ))
+    from pyspark.sql import types as T
+
+    node_type = edges.schema["a"].dataType  # id type flows through untouched
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("cluster", node_type)]
+    )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, n_slices), schema
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -32,6 +77,7 @@ def connected_components(
     max_iter: int = 25,
     switch_after: int | None = 8,
     start: str = "auto",
+    driver_max_edges: int | None = None,
     _stats: dict | None = None,
 ) -> DataFrame:
     """(node, cluster) for every node appearing in ``pairs``; ``cluster`` is
@@ -62,8 +108,21 @@ def connected_components(
 
     ``switch_after=None`` disables both layers and restores the strict
     behavior: ``RuntimeError`` if not converged after ``max_iter`` rounds.
-    ``_stats``, when a dict, receives ``{"mode": "label"|"twostar",
+    ``_stats``, when a dict, receives ``{"mode": "label"|"twostar"|"driver",
     "rounds": k}`` plus ``max_degree`` when the census ran.
+
+    ``driver_max_edges`` (r10 optimization round, opt-in): when the census
+    shows the whole DIRECTED edge table holds at most this many rows, skip
+    the iterative rounds and run union-find on the driver over the collected
+    edges — the bounded-driver twin of the distributed algorithm, the same
+    dispatch pattern as ``GridIndex``'s driver/distributed candidate modes.
+    Each label round costs a join + aggregate + convergence action; on a
+    near-dup graph of a few hundred edges that machinery is two orders of
+    magnitude more than the actual work (measured ~0.6 s of round jobs for a
+    256-edge sf0.1 graph). The bound caps driver memory at
+    ``driver_max_edges``×16 B and the distributed paths stay the default
+    (``None`` disables, and is the default so forced-mode callers and pins
+    are untouched).
     """
     if start not in ("auto", "label", "twostar"):
         raise ValueError(f"unknown start mode {start!r}")
@@ -89,13 +148,20 @@ def connected_components(
                 F.max("count").alias("mx"),
                 F.count("*").alias("n"),
                 F.sum((F.col("count") == 2).cast("long")).alias("d2"),
+                F.sum("count").alias("m"),
             )
             .first()
         )
         maxdeg, n_nodes, n_deg2 = (row["mx"] or 0), row["n"], (row["d2"] or 0)
+        m_directed = row["m"] or 0
         if _stats is not None:
             _stats["max_degree"] = int(maxdeg)
             _stats["deg2_frac"] = (n_deg2 / n_nodes) if n_nodes else 0.0
+        if (
+            driver_max_edges is not None
+            and 0 < m_directed <= driver_max_edges
+        ):
+            return _cc_driver(edges, _stats=_stats)
         chainy = n_nodes > 0 and maxdeg <= 2 and n_deg2 >= 0.75 * n_nodes
         start = "twostar" if chainy else "label"
     if start == "twostar":
@@ -149,11 +215,20 @@ def dup_clusters(
     id_col: str = "doc_id",
     src: str = "d1",
     dst: str = "d2",
+    driver_max_edges: int | None = 65_536,
 ) -> DataFrame:
     """Assign every document a ``cluster_id``: the component minimum for docs
     that appear in a duplicate pair, the doc's own id otherwise. The keep-rule
-    is then ``cluster_id == doc_id``."""
-    comp = connected_components(pairs, src=src, dst=dst)
+    is then ``cluster_id == doc_id``.
+
+    Near-dup graphs are tiny relative to the corpus (pairs surviving a 0.8
+    Jaccard threshold), so the census-bounded driver union-find path is ON
+    here by default (≤ 64k directed edges ≈ 1 MB collected; see
+    ``connected_components``) — a 100 TB corpus whose dup graph exceeds the
+    bound takes the distributed rounds exactly as before."""
+    comp = connected_components(
+        pairs, src=src, dst=dst, driver_max_edges=driver_max_edges
+    )
     return docs.join(
         comp, docs[id_col] == comp["node"], "left"
     ).select(

@@ -445,8 +445,19 @@ def synthetic_media(spark: SparkSession, n: int = 64, *, seed: int = 7) -> DataF
     binary PPM (P6) files and audio blobs REAL mono PCM16 WAV files (payload
     bytes md5-chained from (seed, media_id) — incompressible by design);
     video blobs stay an opaque fake container (no codec-free public raw
-    format worth inventing)."""
-    return spark.createDataFrame(_media_rows(n, seed), MEDIA_SCHEMA)
+    format worth inventing).
+
+    The rows are parallelized into ~24-row slices instead of the default
+    ``defaultParallelism`` slices: a pickled local collection pays one
+    Python-worker round trip per PARTITION at every scan, so 96 rows split
+    32 ways measured 1.86 s/scan on local[32] vs 0.50 s split 4 ways (r10
+    optimization round). Slice count still grows with ``n`` so big synthetic
+    corpora keep their parallelism."""
+    rows = _media_rows(n, seed)
+    n_slices = max(1, min(spark.sparkContext.defaultParallelism, len(rows) // 24))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
 
 
 def _media_rows(n: int, seed: int) -> list:

@@ -42,22 +42,65 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _drain(out: DataFrame, name_prefix: str, mode: str = "complete") -> str:
-    """Run a streaming DataFrame to completion into a memory sink."""
-    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "availableNow drain exceeded 300 s; the memory sink "
-            "would be partial — failing loud instead (ADVICE r6)"
+def _scaled_state_parts(spark: SparkSession, sf_dir: str, table: str = "events") -> int:
+    """Stateful-operator partition count derived from the INPUT SIZE, not
+    the core count: every streaming state partition pays a state-store
+    open/commit per micro-batch, so 32 partitions over a 3 MB source is
+    pure overhead (measured 1.57 s → 1.00 s per drain at sf0.1, r10
+    optimization round), while a fixed small constant would throttle a real
+    deployment. One partition per ~32 MB of source, floor 8, capped at the
+    session's configured shuffle parallelism — at 100 TB this saturates the
+    cap and the setting is a no-op."""
+    try:
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        size = (
+            sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith(("_", "."))
+            )
+            if os.path.isdir(path)
+            else os.path.getsize(path)
         )
+    except OSError:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(8, min(cap, (size + (32 << 20) - 1) // (32 << 20)))
+
+
+def _drain(
+    out: DataFrame,
+    name_prefix: str,
+    mode: str = "complete",
+    shuffle_partitions: int | None = None,
+) -> str:
+    """Run a streaming DataFrame to completion into a memory sink.
+
+    ``shuffle_partitions`` (from ``_scaled_state_parts``) pins the stateful
+    operators' partition count for THIS drain; the session conf is restored
+    before returning (the drain is synchronous, so the change cannot leak
+    into a concurrently-built plan in these single-threaded harnesses)."""
+    spark = out.sparkSession
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "availableNow drain exceeded 300 s; the memory sink "
+                "would be partial — failing loud instead (ADVICE r6)"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
 
 
@@ -90,7 +133,8 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = windowed_event_counts(
         _event_stream(spark, sf_dir), window="1 hour", watermark="2 hours"
     )
-    name = _drain(out, "events_hourly_stream")
+    name = _drain(out, "events_hourly_stream",
+                  shuffle_partitions=_scaled_state_parts(spark, sf_dir))
     return spark.table(name).select(
         F.col("window_start").alias("hour"),
         "event_type",
@@ -115,7 +159,8 @@ def q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's ``> 1800``. ``session_end`` is last event + gap."""
     stream = _event_stream(spark, sf_dir).filter(F.col("user_id") < 50)
     out = sessionized_stream(stream, gap="30 minutes", watermark="2 hours")
-    name = _drain(out, "events_sessions_stream")
+    name = _drain(out, "events_sessions_stream",
+                  shuffle_partitions=_scaled_state_parts(spark, sf_dir))
     return spark.table(name).select(
         "user_id",
         "session_start",
@@ -163,7 +208,8 @@ def q_events_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(landing)
     )
     out = stateful_running_counts(stream)
-    name = _drain(out, "events_user_state_stream", mode="append")
+    name = _drain(out, "events_user_state_stream", mode="append",
+                  shuffle_partitions=_scaled_state_parts(spark, sf_dir))
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -206,7 +252,8 @@ def q_click_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_lag="30 minutes",
         watermark="2 hours",
     )
-    name = _drain(joined, "click_purchase_join_stream", mode="append")
+    name = _drain(joined, "click_purchase_join_stream", mode="append",
+                  shuffle_partitions=_scaled_state_parts(spark, sf_dir))
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -245,7 +292,8 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = deduplicated_stream(stream, ["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
-    name = _drain(out, "events_dedup_stream", mode="append")
+    name = _drain(out, "events_dedup_stream", mode="append",
+                  shuffle_partitions=_scaled_state_parts(spark, sf_dir))
     return (
         spark.table(name)
         .groupBy("event_type")
