@@ -67,6 +67,56 @@ def read_small_sidecar(path: str, columns: list[str] | None = None):
         return None
 
 
+def _local_parquet_files(path: str) -> list[str] | None:
+    local = path[len("file:"):] if path.startswith("file:") else path
+    if not os.path.isdir(local):
+        return None
+    files = sorted(
+        os.path.join(local, f)
+        for f in os.listdir(local)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    return files or None
+
+
+def sidecar_num_rows(path: str) -> int | None:
+    """Row count of a local parquet directory from FOOTER METADATA only —
+    no data pages are read, so this is safe on arbitrarily large tables.
+    None when the path is not a local parquet directory."""
+    files = _local_parquet_files(path)
+    if files is None:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
+def read_sidecar_head(path: str, columns: list[str] | None = None):
+    """First row of a local parquet directory as a plain dict, reading one
+    row group of one file — the bounded replacement for ``df.first()`` on
+    tables whose every row carries the same descriptor columns. None when
+    unavailable (caller falls back to the Spark read)."""
+    files = _local_parquet_files(path)
+    if files is None:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        for f in files:
+            pf = pq.ParquetFile(f)
+            if pf.metadata.num_rows == 0:
+                continue
+            rows = pf.read_row_group(0, columns=columns).slice(0, 1).to_pylist()
+            if rows:
+                return rows[0]
+        return None
+    except Exception:
+        return None
+
+
 def build_or_load(
     spark: SparkSession,
     name: str,

@@ -1128,10 +1128,30 @@ class GridIndex:
             return self._knn_distributed(queries, k, query_id, query_vec, payload)
         q_rows = queries.select(query_id, query_vec).collect()
         wanted: set[str] = set()
+        cells = [s[0] for s in self.stats]
         for r in q_rows:
             q = np.asarray(list(r[1]), dtype=np.float64)
             mins, maxs, cnts = self._bounds(q)
-            order = np.argsort(mins, kind="stable")
+            # The numpy TWIN of _prune_pairs (r10 optimization round — the
+            # driver loop used to order by min-distance alone, so a query's
+            # domain-sized covering ancestor could lead the prefix and blow
+            # the bound up to cover everything: measured 487 of 543 cells
+            # surviving for the sf0.1 probes, i.e. no pruning at all, plus
+            # a 487-literal isin() at ~1 ms of py4j per literal):
+            # (1) any single cell holding ≥ k points caps the kth distance
+            #     by its max-distance (b0);
+            # (2) prefix by (min, max, cell) — tightest covering cells
+            #     first — until ≥ k cumulative points;
+            # (3) keep cells with min ≤ both bounds. Lossless for the same
+            #     reasons as the distributed form (see _prune_pairs).
+            heavy = cnts >= k
+            b0 = float(maxs[heavy].min()) if heavy.any() else np.inf
+            live = np.where(mins <= b0)[0]
+            order = live[
+                np.lexsort(
+                    (np.asarray(cells, dtype=object)[live], maxs[live], mins[live])
+                )
+            ]
             cum = 0
             bound = np.inf
             for pos, i in enumerate(order):
@@ -1139,12 +1159,17 @@ class GridIndex:
                 if cum >= k:
                     bound = float(maxs[order[: pos + 1]].max())
                     break
-            sel = [self.stats[i][0] for i in np.where(mins <= bound)[0]]
+            sel = [cells[i] for i in live if mins[i] <= bound]
             wanted.update(sel)
 
         from pyvectorsearch_spark.operators.knn import knn_join
 
-        pruned = self.df.filter(F.col("cell").isin(list(wanted)))
+        # skip the cell filter when it would not prune (a near-full isin
+        # list costs ~1 ms of py4j per literal and saves nothing at scan)
+        if len(wanted) >= 0.5 * len(cells):
+            pruned = self.df
+        else:
+            pruned = self.df.filter(F.col("cell").isin(list(wanted)))
         return knn_join(
             pruned,
             queries,
@@ -1192,7 +1217,12 @@ class GridIndex:
 
         from pyvectorsearch_spark.operators.knn import range_join
 
-        pruned = self.df.filter(F.col("cell").isin(list(wanted)))
+        # near-full isin lists cost ~1 ms of py4j per literal and prune
+        # nothing — skip the filter when it would keep most cells anyway
+        if len(wanted) >= 0.5 * len(self.stats):
+            pruned = self.df
+        else:
+            pruned = self.df.filter(F.col("cell").isin(list(wanted)))
         return range_join(
             pruned,
             queries,
@@ -1289,7 +1319,10 @@ class GridIndex:
                 clo, chi = self._cell_box(level, coords)
                 if bool(np.all(clo <= qhi) and np.all(qlo <= chi)):
                     wanted.add(cell)
-        pruned = self.df.filter(F.col("cell").isin(list(wanted)))
+        if len(wanted) >= 0.5 * len(self.stats):
+            pruned = self.df  # the isin would not prune (see knn)
+        else:
+            pruned = self.df.filter(F.col("cell").isin(list(wanted)))
         qs = queries.select(
             F.col(query_id).alias("_qid"),
             F.col(lo_col).alias("_qlo"),
@@ -1371,18 +1404,44 @@ class GridIndex:
         data = spark.read.parquet(f"{path}/data")
         stats_src = spark.read.parquet(f"{path}/stats")
         # params ride on every row; grab one row WITHOUT a Spark job when
-        # the artifact is local (read_small_sidecar) — the old .first() paid
+        # the artifact is local (read_sidecar_head) — the old .first() paid
         # a full job per query invocation (r10 optimization round)
-        from pyvectorsearch_spark.index.cache import read_small_sidecar
+        from pyvectorsearch_spark.index.cache import (
+            read_sidecar_head,
+            read_small_sidecar,
+            sidecar_num_rows,
+        )
 
-        head_rows = read_small_sidecar(
+        head = read_sidecar_head(
             f"{path}/stats",
             columns=[
                 "origin", "width", "dim", "rank", "rr", "ratio",
                 "fine_level", "id_col", "vec_col",
             ],
-        )
-        head = head_rows[0] if head_rows else stats_src.first()
+        ) or stats_src.first()
+        # Pre-populate the driver-side cell list when the stats table is
+        # driver-sized (the _stats_is_small bound, checked against FOOTER
+        # metadata only): the driver candidate path otherwise pays a count
+        # job + a collect job per QUERY invocation for a table we already
+        # have locally. Bigger artifacts keep the lazy distributed stats
+        # exactly as before (r10 optimization round).
+        local_stats = None
+        n_stats = sidecar_num_rows(f"{path}/stats")
+        if n_stats is not None and n_stats <= 200_000:
+            cell_rows = read_small_sidecar(
+                f"{path}/stats",
+                columns=["cell", "level", "coords", "count"],
+            )
+            if cell_rows is not None:
+                local_stats = [
+                    (
+                        r["cell"],
+                        int(r["level"]),
+                        tuple(int(x) for x in r["coords"]),
+                        int(r["count"]),
+                    )
+                    for r in cell_rows
+                ]
         stats_df = stats_src.select(
             "cell",
             F.col("level").cast("int").alias("level"),
@@ -1401,4 +1460,6 @@ class GridIndex:
             fine_level=head["fine_level"],
             id_col=head["id_col"],
             vec_col=head["vec_col"],
+            _local_stats=local_stats,
+            _stats_count=n_stats,
         )

@@ -64,8 +64,14 @@ def _cc_driver(edges: DataFrame, _stats: dict | None = None) -> DataFrame:
     schema = T.StructType(
         [T.StructField("node", node_type), T.StructField("cluster", node_type)]
     )
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(out, n_slices), schema
+    # broadcast hint: the result is bounded by driver_max_edges (≤ ~2 MB),
+    # but as a parallelized ExistingRDD its size statistic is unknown, so
+    # without the hint the downstream docs⋈comp join plans a sort-merge
+    # that shuffles the whole CORPUS side (measured: it erased the win)
+    return F.broadcast(
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(out, n_slices), schema
+        )
     )
 
 

@@ -134,6 +134,66 @@ class TestPrunePairsBroadcast:
         assert got == ref
 
 
+class TestDriverPruneTightness:
+    def test_driver_bound_matches_distributed_prune(self, spark):
+        """The numpy candidate loop must apply the same b0 cap + tie order
+        as _prune_pairs: for clustered data the kept-cell fraction stays
+        well under the old order-by-min-alone behavior (which kept ~90%),
+        and results are exact vs brute force."""
+        from pyvectorsearch_spark.index.grid import GridIndex
+        from pyvectorsearch_spark.operators.knn import knn_join
+        from pyvectorsearch_spark.sources.tables import load_table
+
+        emb = (
+            load_table(spark, SF_T2, "embeddings")
+            .withColumn("p2", F.slice("embedding", 1, 2))
+            .select("vec_id", "p2")
+        )
+        idx = GridIndex.build(emb, vec_col="p2", id_col="vec_id",
+                              target_occupancy=16)
+        probes = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("p2").alias("qvec")
+        )
+        got = sorted(
+            (r.query_id, r.neighbor_id, round(r.dist, 9), r.rank)
+            for r in idx.knn(probes, 5, candidates="driver").collect()
+        )
+        want = sorted(
+            (r.query_id, r.neighbor_id, round(r.dist, 9), r.rank)
+            for r in knn_join(emb, probes, 5, data_vec="p2").collect()
+        )
+        assert got == want
+
+    def test_grid_load_populates_local_stats_when_small(self, spark):
+        """Loaded driver-sized artifacts carry the local cell list — no
+        count/collect job at query time."""
+        import tempfile, uuid, os
+
+        from pyvectorsearch_spark.index.grid import GridIndex
+        from pyvectorsearch_spark.sources.tables import load_table
+
+        emb = (
+            load_table(spark, SF_SMOKE, "embeddings")
+            .withColumn("p2", F.slice("embedding", 1, 2))
+            .select("vec_id", "p2")
+        )
+        idx = GridIndex.build(emb, vec_col="p2", id_col="vec_id",
+                              target_occupancy=16)
+        path = os.path.join(tempfile.gettempdir(),
+                            f"pvs_r10opt_{uuid.uuid4().hex[:8]}")
+        idx.write(path)
+        loaded = GridIndex.load(spark, path)
+        assert loaded._local_stats is not None
+        assert loaded._stats_count == len(loaded._local_stats)
+        # the local list must agree with the distributed stats table
+        dist = sorted(
+            (r["cell"], int(r["level"]), tuple(int(x) for x in r["coords"]),
+             int(r["count"]))
+            for r in loaded.stats_df.collect()
+        )
+        assert sorted(loaded._local_stats) == dist
+
+
 class TestGemmSourceSlices:
     def test_no_repartition_exchange(self, spark):
         """The collected fingerprint table is parallelized straight into
