@@ -30,8 +30,14 @@ BANDS = 4
 
 
 def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-dedup summary per source: docs vs distinct digests."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    """Exact-dedup summary per source: docs vs distinct digests.
+
+    No ``spread()``: md5-per-row is too light to repay a full-row
+    repartition — the map-side partial (source, digest) aggregate reduces
+    before the only shuffle anyway (measured 0.72 s with the repartition
+    vs 0.42 s without at sf0.1, r10 optimization round; tokenizer-heavy
+    queries keep spread, where the same A/B favors it)."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
         docs.groupBy("source")
         .agg(
@@ -53,8 +59,9 @@ FROM documents GROUP BY source ORDER BY source
 
 def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The keep-rule itself: one surviving row (min doc_id) per exact text
-    digest — returns the kept ids with their source."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    digest — returns the kept ids with their source. No ``spread()`` —
+    see q_dedup_exact_stats."""
+    docs = load_table(spark, sf_dir, "documents")
     return exact_dedup(docs).select("doc_id", "source")
 
 

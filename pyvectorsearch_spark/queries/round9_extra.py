@@ -80,7 +80,11 @@ def q_stream_sidecar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
         shutil.rmtree(meta, ignore_errors=True)
-        schema = spark.read.parquet(landing).schema
+        from pyvectorsearch_spark.queries.streaming import _local_parquet_schema
+        schema = (
+            _local_parquet_schema(landing)
+            or spark.read.parquet(landing).schema
+        )
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 2)

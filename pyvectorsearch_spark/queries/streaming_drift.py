@@ -53,7 +53,11 @@ def q_events_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on that drained result. Same parameters as `events_psi_drift`, so
     the batch oracle applies verbatim."""
     path = _events_landing(spark, sf_dir)
-    schema = spark.read.parquet(path).schema
+    from pyvectorsearch_spark.queries.streaming import _local_parquet_schema
+    schema = (
+        _local_parquet_schema(path)
+        or spark.read.parquet(path).schema
+    )
     stream = spark.readStream.schema(schema).parquet(path)
     b = F.least(
         F.floor(F.col("value") / PSI_BUCKET_W).cast("int"), F.lit(PSI_BUCKETS - 1)
@@ -104,7 +108,11 @@ def q_events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyvectorsearch_spark.operators.sketches import hll_fold, hll_registers
 
     path = _events_landing(spark, sf_dir)
-    schema = spark.read.parquet(path).schema
+    from pyvectorsearch_spark.queries.streaming import _local_parquet_schema
+    schema = (
+        _local_parquet_schema(path)
+        or spark.read.parquet(path).schema
+    )
     stream = spark.readStream.schema(schema).parquet(path)
     # the SAME operator as the batch sketch (select + groupBy/agg only, so
     # it runs unchanged on a streaming DataFrame) — streamed and batch
@@ -167,7 +175,11 @@ def q_events_conformal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     path = _events_landing(spark, sf_dir)
-    schema = spark.read.parquet(path).schema
+    from pyvectorsearch_spark.queries.streaming import _local_parquet_schema
+    schema = (
+        _local_parquet_schema(path)
+        or spark.read.parquet(path).schema
+    )
     stream = spark.readStream.schema(schema).parquet(path)
     be = (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600) * 3600).cast(
         "bigint"
