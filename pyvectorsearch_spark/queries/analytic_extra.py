@@ -340,16 +340,31 @@ def q_skyline_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# O(n log n) dominance test instead of the O(n²) NOT EXISTS anti-join the
+# oracle used through r9 (r10 optimization round): a row survives the
+# 2-criteria skyline iff (a) its price is the MINIMUM of its qty group — a
+# same-qty dominator needs strictly lower price — and (b) that minimum is
+# strictly below every higher-qty group's minimum — a higher-qty dominator
+# needs price ≤. Ties on (price, qty) are mutually non-dominating and all
+# kept, exactly as in the anti-join form. Verified equal to the old oracle
+# on sf0.001/sf0.01 and 6 tie-heavy random tables (and the old form
+# measured 106 s at sf0.01 in DuckDB — it dominated the driver's whole
+# correctness sweep).
 ORACLE_SKYLINE = """
-WITH s AS (
-  SELECT l_extendedprice AS price, l_quantity::BIGINT AS qty
-  FROM lineitem a
-  WHERE NOT EXISTS (
-    SELECT 1 FROM lineitem b
-    WHERE b.l_extendedprice <= a.l_extendedprice
-      AND b.l_quantity >= a.l_quantity
-      AND (b.l_extendedprice < a.l_extendedprice OR b.l_quantity > a.l_quantity)
-  )
+WITH pts AS (
+  SELECT l_extendedprice AS price, l_quantity::BIGINT AS qty FROM lineitem
+), g AS (
+  SELECT qty, min(price) AS mp FROM pts GROUP BY qty
+), w AS (
+  SELECT qty, mp,
+         min(mp) OVER (ORDER BY qty DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS m_higher
+  FROM g
+), s AS (
+  SELECT p.price, p.qty
+  FROM pts p JOIN w ON p.qty = w.qty
+  WHERE p.price = w.mp AND (w.m_higher IS NULL OR p.price < w.m_higher)
 )
 SELECT qty, count(*)::BIGINT AS n_rows, round(min(price), 2) AS min_price
 FROM s GROUP BY qty ORDER BY qty

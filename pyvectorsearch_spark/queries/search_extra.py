@@ -520,6 +520,11 @@ def q_pipeline_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("id"),
             F.round(cosine_sim("embedding", "qvec"), 6).alias("rel_r"),
         )
+        # RP_DEPTH rows; checkpointed so the BM25 recall stage runs ONCE —
+        # left lazy it re-evaluated under BOTH of mmr_rerank's input
+        # checkpoints (once for cand, once inside sims via cemb) (r10
+        # optimization round)
+        .localCheckpoint(eager=True)
     )
     cemb = emb.join(
         F.broadcast(cand.select("id")), emb["vec_id"] == F.col("id")

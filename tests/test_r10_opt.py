@@ -228,6 +228,66 @@ class TestSyntheticMediaSlices:
         assert len(rows) == 96 and rows[0]["media_id"] == 0
 
 
+class TestSkylineOracleRewrite:
+    def test_window_oracle_equals_antijoin_oracle(self, duck):
+        """The O(n log n) skyline oracle must stay row-identical to the r9
+        quadratic NOT-EXISTS form on tie-heavy random tables."""
+        import numpy as np
+
+        from pyvectorsearch_spark.queries.analytic_extra import ORACLE_SKYLINE
+
+        old_sql = """
+        WITH s AS (
+          SELECT l_extendedprice AS price, l_quantity::BIGINT AS qty
+          FROM lineitem a
+          WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem b
+            WHERE b.l_extendedprice <= a.l_extendedprice
+              AND b.l_quantity >= a.l_quantity
+              AND (b.l_extendedprice < a.l_extendedprice
+                   OR b.l_quantity > a.l_quantity)
+          )
+        )
+        SELECT qty, count(*)::BIGINT AS n_rows, round(min(price), 2) AS min_price
+        FROM s GROUP BY qty ORDER BY qty
+        """
+        import duckdb
+
+        for seed in (0, 1, 2):
+            rng = np.random.default_rng(seed)
+            n = 500
+            con = duckdb.connect()
+            rows = ", ".join(
+                f"({rng.integers(0, 30) * 1.5}, {rng.integers(1, 6)})"
+                for _ in range(n)
+            )
+            con.execute(
+                "CREATE TABLE lineitem(l_extendedprice DOUBLE, "
+                f"l_quantity BIGINT); INSERT INTO lineitem VALUES {rows}"
+            )
+            a = con.sql(old_sql).df()
+            b = con.sql(ORACLE_SKYLINE).df()
+            assert a.equals(b), (seed, a, b)
+            con.close()
+
+    def test_skyline_query_matches_new_oracle(self, spark, duck):
+        from pyvectorsearch_spark.queries.analytic_extra import (
+            ORACLES,
+            q_skyline_lineitem,
+        )
+
+        duck.execute(
+            "CREATE OR REPLACE VIEW lineitem AS "
+            f"SELECT * FROM '{SF_T2}/lineitem.parquet'"
+        )
+        got = q_skyline_lineitem(spark, SF_T2).toPandas()
+        exp = duck.sql(ORACLES["skyline_lineitem"]).df()
+        cols = sorted(got.columns)
+        assert sorted(map(tuple, got[cols].itertuples(index=False))) == sorted(
+            map(tuple, exp[cols].itertuples(index=False))
+        )
+
+
 class TestScaledStateParts:
     def test_floor_and_cap(self, spark):
         from pyvectorsearch_spark.queries.streaming import _scaled_state_parts
