@@ -43,7 +43,7 @@ def main() -> None:
         names = [n for n in names if n in only]
 
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r10")
+                           "plans", os.environ.get("PLANS_TAG", "r11"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         try:
