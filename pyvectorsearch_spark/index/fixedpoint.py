@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyvectorsearch_spark.functions.lits import lit_long_array
 from pyvectorsearch_spark.operators.clustering import (
     _km_assign,
     _km_quantize,
@@ -40,7 +41,7 @@ from pyvectorsearch_spark.operators.clustering import (
 
 
 def _lit_vec(cv: list[int]) -> F.Column:
-    return F.array(*[F.lit(int(v)).cast("bigint") for v in cv])
+    return lit_long_array(cv)
 
 
 def _d2(a: F.Column, b: F.Column) -> F.Column:

@@ -639,10 +639,58 @@ class GridIndex:
     TAIL_GATE_CELLS = 200_000
     # broadcast the per-query kth-distance cap (b0) in _prune_pairs instead
     # of sort-merge-joining it back into the pair table (r10 optimization
-    # round; see _prune_pairs). One row per capped query — disable only for
-    # probe tables big enough to threaten the 8 GB broadcast-relation cap
-    # (≳5×10⁸ capped probes at 16 B/row).
+    # round; see _prune_pairs). One row per capped query — only probe tables
+    # big enough to threaten the 8 GB broadcast-relation cap (≳5×10⁸ capped
+    # probes at 16 B/row) must not take it, and _b0_broadcast_ok gates on
+    # Catalyst's probe-table size estimate at plan time (ADVICE r10); this
+    # class attribute is the manual override (False = never hint).
     B0_BROADCAST = True
+    # Plan-size gate for the hint: a KNOWN probe-table estimate above this
+    # disables the broadcast and lets AQE choose. 16 GiB of probe rows at
+    # the narrowest (id, 2-d vec) layout ≈ 4×10⁸ probes — b0 would then be
+    # ~6.4 GB framed, at the broadcast-relation cap.
+    B0_BROADCAST_MAX_PROBE_BYTES = 16 << 30
+
+    def _b0_broadcast_ok(self, qs: DataFrame) -> bool:
+        """Cheap runtime gate for the b0 broadcast hint (ADVICE r10): read
+        Catalyst's sizeInBytes estimate for the probe table — no job, just
+        the already-optimized logical plan. Unknown/sentinel estimates
+        (driver-parallelized probe tables report the defaultSizeInBytes
+        sentinel) keep the hint: those tables were built by a driver that
+        held them, so they cannot approach 5×10⁸ rows."""
+        if not self.B0_BROADCAST:
+            return False
+        try:
+            size = qs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            size = int(size if isinstance(size, int) else size.toString())
+        except Exception:
+            return True
+        if size <= 0 or size >= (1 << 60):  # absent / Long.Max-class sentinel
+            return True
+        return size < self.B0_BROADCAST_MAX_PROBE_BYTES
+
+    # Plan-size gate for broadcasting the probe table ITSELF (id + vector
+    # per row — heavier than b0's 16 B/row, so a tighter bound): the
+    # candidate re-attach join keep⋈qs otherwise plans a sort-merge that
+    # re-sorts the pruned pair table just to put the query vector back
+    # (r11; AQE's runtime SMJ→BHJ rewrite fires after the sorts are
+    # planned). 1 GiB of ESTIMATED probe bytes is ≲100 MB real here
+    # (estimates inflate across the probe-expansion joins) — far under the
+    # 8 GB broadcast-relation cap; bigger known tables keep the SMJ.
+    QS_BROADCAST_MAX_BYTES = 1 << 30
+
+    def _qs_broadcast_ok(self, qs: DataFrame) -> bool:
+        """Like :meth:`_b0_broadcast_ok` but for the probe table itself.
+        Unknown estimates broadcast (driver-built probe tables were held in
+        driver memory, so they are bounded by construction)."""
+        try:
+            size = qs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            size = int(size if isinstance(size, int) else size.toString())
+        except Exception:
+            return True
+        if size <= 0 or size >= (1 << 60):
+            return True
+        return size < self.QS_BROADCAST_MAX_BYTES
 
     def _n_cells(self) -> int:
         """Stats-row count, cached; never collects the stats themselves."""
@@ -832,7 +880,9 @@ class GridIndex:
             )
         return F.concat_ws(CELL_SEP, *parts)
 
-    def _prune_pairs(self, pairs: DataFrame, k: int) -> DataFrame:
+    def _prune_pairs(
+        self, pairs: DataFrame, k: int, broadcast_b0: bool | None = None
+    ) -> DataFrame:
         """The exact two-phase candidate prune over a scored (query, cell)
         pair table with (_qid, cell, count, _min_d2, _max_d2): returns the
         surviving (_qid, cell) pairs. Lossless for ANY pair table whose
@@ -861,10 +911,11 @@ class GridIndex:
         # the |Q|·|cells| pair table just to attach one scalar (measured
         # 2.37 s → 2.05 s median on the 120k-probe sf0.1 bench row; AQE's
         # runtime SMJ→BHJ rewrite fires too late to skip that sort). The
-        # hint is probe-bounded, not data-bounded: 10⁶ probes ≈ 16 MB; past
-        # B0_BROADCAST_MAX_QUERIES (~the 8 GB broadcast cap) callers can
-        # set broadcast_b0=False via the class knob to fall back to AQE.
-        if self.B0_BROADCAST:
+        # hint is probe-bounded, not data-bounded: 10⁶ probes ≈ 16 MB.
+        # Callers pass broadcast_b0 from _b0_broadcast_ok(qs) (a plan-size
+        # gate against the 8 GB broadcast-relation cap); GridIndex.B0_BROADCAST
+        # is the manual kill switch.
+        if self.B0_BROADCAST if broadcast_b0 is None else broadcast_b0:
             b0 = F.broadcast(b0)
         pairs = pairs.join(b0, "_qid", "left").filter(
             F.col("_min_d2") <= F.coalesce(F.col("_b0"), F.lit(float("inf")))
@@ -912,17 +963,18 @@ class GridIndex:
         # window shuffle+sort moves a fraction of the bytes. The query
         # vector is re-attached to the ~|Q|·(cells/query) candidates after
         # pruning (measured 3-4x faster than carrying it through the sort).
+        b0_ok = self._b0_broadcast_ok(qs)
         if self._n_cells() <= self.COARSE_THRESHOLD:
             pairs = self._scored_pairs(qs).select(
                 "_qid", "cell", "count", "_min_d2", "_max_d2"
             )
-            return self._prune_pairs(pairs, k)
+            return self._prune_pairs(pairs, k, broadcast_b0=b0_ok)
         ladder = self._descent_ladder()
         coarse = self._coarse_stats(ladder[0]).localCheckpoint(eager=False)
         cpairs = self._scored_pairs(qs, coarse).select(
             "_qid", "cell", "count", "_min_d2", "_max_d2"
         )
-        keep = self._prune_pairs(cpairs, k)
+        keep = self._prune_pairs(cpairs, k, broadcast_b0=b0_ok)
         mn, mx = self._box_bounds_expr(F.col("_qvec"))
         # descend: each stage expands survivors only to the NEXT ladder
         # level's grouped cells (fan-out ≤ ~DESCENT_BRANCH), finishing on
@@ -932,18 +984,19 @@ class GridIndex:
             self._coarse_stats(lv).localCheckpoint(eager=False)
             for lv in ladder[1:]
         ] + [self.stats_df]
+        qs_b = F.broadcast(qs) if self._qs_broadcast_ok(qs) else qs
         for prev_lv, stats_lv in zip(ladder, stages):
             member = stats_lv.withColumn("_ckey", self._coarse_key_expr(prev_lv))
             fpairs = (
                 keep.withColumnRenamed("cell", "_ckey")
-                .join(qs, "_qid")
+                .join(qs_b, "_qid")
                 .join(F.broadcast(member), "_ckey")
                 .select(
                     "_qid", "cell", "count",
                     mn.alias("_min_d2"), mx.alias("_max_d2"),
                 )
             )
-            keep = self._prune_pairs(fpairs, k)
+            keep = self._prune_pairs(fpairs, k, broadcast_b0=b0_ok)
         return keep
 
     def _knn_distributed(
@@ -967,7 +1020,13 @@ class GridIndex:
             F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
         )
         keep = self._two_phase_keep(qs, k)
-        cand = keep.join(qs, "_qid")
+        # re-attach the query vector to the pruned (query, cell) survivors:
+        # broadcast the per-probe table when the plan-size gate allows it —
+        # the default SMJ pays an exchange + two sorts of the survivor
+        # table to attach one vector per probe (r11)
+        cand = keep.join(
+            F.broadcast(qs) if self._qs_broadcast_ok(qs) else qs, "_qid"
+        )
 
         from pyvectorsearch_spark.functions.vector import l2_sq
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyvectorsearch_spark.functions.lits import lit_long_array
 
 
 def dbscan(
@@ -138,7 +139,7 @@ def _km_assign(
     k×dim scan-stage arithmetic)."""
     d2s = []
     for ci, cv in enumerate(cents):
-        arr = F.array(*[F.lit(int(v)).cast("bigint") for v in cv])
+        arr = lit_long_array(cv)
         d2s.append(
             F.aggregate(
                 F.zip_with(F.col("_q"), arr, lambda x, y: (x - y) * (x - y)),
@@ -298,7 +299,7 @@ def kcenter_coreset(
     for r in range(2, k + 1):
         d2s = []
         for _, _, cv, _ in chosen:
-            arr = F.array(*[F.lit(int(v)).cast("bigint") for v in cv])
+            arr = lit_long_array(cv)
             d2s.append(
                 F.aggregate(
                     F.zip_with(F.col("_q"), arr, lambda x, y: (x - y) * (x - y)),

@@ -32,6 +32,7 @@ from pyvectorsearch_spark.functions.text import (
     tokens,
 )
 from pyvectorsearch_spark.functions.vector import cosine_sim
+from pyvectorsearch_spark.functions.lits import lit_double_array
 
 SIMHASH_BITS = 60  # 15 md5 hex nibbles → signed-long safe (< 2^62)
 
@@ -1266,7 +1267,7 @@ def srp_lsh_pairs(
         return F.aggregate(
             F.zip_with(
                 v,
-                F.array(*[F.lit(float(h)) for h in H[j]]),
+                lit_double_array(H[j]),
                 lambda x, y: x * y,
             ),
             F.lit(0.0),

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.functions.vector import cosine_sim
+from pyvectorsearch_spark.functions.lits import lit_long_array
 
 
 def label_centroids(
@@ -396,7 +397,7 @@ def kmeans_fixedpoint(
             F.aggregate(
                 F.zip_with(
                     "_q",
-                    F.array(*[F.lit(v) for v in cents[j]]),
+                    lit_long_array(cents[j]),
                     lambda a, b: (a - b) * (a - b),
                 ),
                 F.lit(0).cast("long"),

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.functions.vector import cosine_sim, dot, l2_sq, vec_is_finite
+from pyvectorsearch_spark.functions.lits import lit_double_array
 
 METRICS = {"l2_sq", "cosine", "dot"}
 ON_INVALID = {"error", "skip"}
@@ -376,7 +377,7 @@ def topk_global(
     (``example_cpp/main.cpp:68-72``: one key, k=5, sorted). Spark compiles
     ``orderBy().limit(k)`` to ``TakeOrderedAndProject``: per-partition top-k
     then a driver-side merge, no full sort, no shuffle."""
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    qcol = lit_double_array(query_vec).cast("array<double>")
     score, asc = _distance(metric, F.col(data_vec), qcol)
     score = _dim_guarded(score, F.col(data_vec), qcol)
     out = data.withColumn("dist", score)

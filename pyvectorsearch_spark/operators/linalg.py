@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyvectorsearch_spark.functions.lits import lit_double_array
 
 
 def power_iteration_top_component(
@@ -87,7 +88,7 @@ def _one_round(
 ) -> DataFrame:
     """One power-iteration round against the literal direction ``v``:
     (j, w) per dimension, everything rounded per the contract."""
-    vlit = F.array(*[F.lit(float(x)) for x in v])
+    vlit = lit_double_array(v)
     s = F.round(
         F.aggregate(
             F.zip_with(

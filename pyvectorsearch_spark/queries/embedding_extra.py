@@ -20,6 +20,7 @@ from pyvectorsearch_spark.functions.vector import (
 )
 from pyvectorsearch_spark.operators.embeddings import centroid_outliers
 from pyvectorsearch_spark.sources.tables import load_table, spread
+from pyvectorsearch_spark.functions.lits import lit_double_array
 
 DIM = 64
 OUT_K = 5
@@ -1279,7 +1280,7 @@ def q_embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     def feats(xcol):
         cols = []
         for j in range(MMD_D):
-            warr = F.array(*[F.lit(v) for v in ws[j]])
+            warr = lit_double_array(ws[j])
             dot = F.aggregate(
                 F.zip_with(xcol, warr, lambda a, b: a * b),
                 F.lit(0.0),
@@ -1387,7 +1388,7 @@ def q_embedding_mmd_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     zcols = []
     for j in range(MMD_D):
-        warr = F.array(*[F.lit(v) for v in ws[j]])
+        warr = lit_double_array(ws[j])
         dot = F.aggregate(
             F.zip_with(F.col("x"), warr, lambda a, b: a * b),
             F.lit(0.0),

@@ -33,6 +33,8 @@ def _local_parquet_schema(path: str):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         local = path[len("file:"):] if path.startswith("file:") else path
+        import pyarrow as pa
+
         if os.path.isdir(local):
             cands = sorted(
                 f for f in os.listdir(local)
@@ -40,10 +42,18 @@ def _local_parquet_schema(path: str):
             )
             if not cands:
                 return None
-            local = os.path.join(local, cands[0])
-        import pyarrow as pa
-
-        arrow = pq.ParquetFile(local).schema_arrow
+            # Schema-evolved landing dirs (multiple distinct file schemas)
+            # need Spark's own merge semantics — fall back (ADVICE r10).
+            arrow = pq.ParquetFile(os.path.join(local, cands[0])).schema_arrow
+            for extra in cands[1:]:
+                if pq.ParquetFile(os.path.join(local, extra)).schema_arrow != arrow:
+                    return None
+        else:
+            arrow = pq.ParquetFile(local).schema_arrow
+        # Spark's file source reads every column as nullable whatever the
+        # footer says; a non-Spark writer emitting required fields must not
+        # yield a different StructType here (ADVICE r10).
+        arrow = pa.schema([f.with_nullable(True) for f in arrow])
         # ns timestamps go through the nanosAsLong conf on the Spark read
         # path (→ bigint) — keep that behavior by not short-circuiting
         if any(
@@ -101,7 +111,9 @@ def _scaled_state_parts(spark: SparkSession, sf_dir: str, table: str = "events")
     except OSError:
         return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    return max(8, min(cap, (size + (32 << 20) - 1) // (32 << 20)))
+    # cap wins over the floor: a session configured below 8 partitions must
+    # never be silently raised above its own setting (ADVICE r10)
+    return max(1, min(cap, max(8, (size + (32 << 20) - 1) // (32 << 20))))
 
 
 def _drain(

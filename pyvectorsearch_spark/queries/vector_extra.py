@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyvectorsearch_spark.functions.vector import duckdb_l2_sq
 from pyvectorsearch_spark.index.cache import build_or_load
 from pyvectorsearch_spark.sources.tables import dataset_tag, load_table
+from pyvectorsearch_spark.functions.lits import lit_double_array
 
 RADIUS = 0.15
 N_SHIFTS = 20
@@ -407,7 +408,7 @@ def q_knn_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.aggregate(
                     F.zip_with(
                         F.col(col).cast("array<double>"),
-                        F.array(*[F.lit(x) for x in signs[j]]),
+                        lit_double_array(signs[j]),
                         lambda a, b: a * b,
                     ),
                     F.lit(0.0),

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.operators.dedup import (
@@ -38,6 +39,7 @@ def test_jaccard_pairs_self_similarity(spark):
     assert pairs[0].jaccard == 1.0
 
 
+@pytest.mark.slow
 def test_jaccard_prefix_filter_is_lossless(spark):
     """The prefix-filtered join must return EXACTLY the exhaustive join's
     pairs — prefix filtering only prunes candidates that cannot reach the
@@ -126,6 +128,7 @@ def test_simhash_bucketed_equals_kernel(spark):
     assert len(buck) > 0
 
 
+@pytest.mark.slow
 def test_embedding_bucketed_equals_bruteforce(spark):
     """Angular-IVF bucketing is lossless: bucketed pairs == the exact
     expression-path self-join, at a threshold tight enough that buckets
@@ -181,6 +184,7 @@ _sparse_corpus = st.lists(_sparse_doc, min_size=4, max_size=16)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_simhash_bucketed_equals_kernel_sparse(spark, corpus, dup_of):
     """Property: pigeonhole-bucketed SimHash pairs == dense-kernel pairs on
     arbitrary sparse corpora (plus one planted near-dup so the non-empty

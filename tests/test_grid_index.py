@@ -178,6 +178,7 @@ def test_distributed_build_matches_driver_build(spark, cities, delft_probe):
     assert r_dist == r_brute
 
 
+@pytest.mark.slow
 def test_distributed_candidates_match_bruteforce_many_probes(spark):
     """candidates="distributed": selection runs as a Spark plan (window over
     the scored stats), no queries.collect(), and must equal brute force on a

@@ -8,6 +8,8 @@ import pytest
 from tests.conftest import SF_T2
 from tests.oracle_utils import compare_query, register_duckdb_views
 
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
+
 
 def _cases():
     import __spark_entry__ as e

@@ -14,6 +14,8 @@ import pytest
 
 from tests.conftest import SF_SMOKE
 
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
+
 SENSITIVE = [
     ("audit_checksums", None),
     ("audit_merkle_ranges", None),

@@ -12,6 +12,9 @@ from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.operators.knn import knn_join, knn_join_blocked, range_join
 
+import pytest
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
+
 DIM = 3
 
 vec = st.lists(

@@ -23,12 +23,16 @@ import os
 import random
 
 from pyvectorsearch_spark.index.grid import _kinstantiate_driver
+import pytest
+
 from pyvectorsearch_spark.index.incremental import (
     apply_batch_rebalance,
     read_pointer,
     read_mapping,
     read_stats,
 )
+
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
 
 FINE, DIM, RR, RATIO, RANK = 6, 2, 2, 2, 4
 GEOM = dict(fine_level=FINE, dim=DIM, rr=RR, ratio=RATIO, rank=RANK)

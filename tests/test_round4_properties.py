@@ -6,6 +6,9 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings as hyp_settings, strategies as st
 from pyspark.sql import functions as F
 
+import pytest
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
+
 _seg = st.text(alphabet="abcXYZ019-", min_size=1, max_size=6)
 _url = st.builds(
     lambda scheme, host, path, utm, q, frag, slash: (

@@ -4,6 +4,7 @@ semantics directly)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -180,6 +181,7 @@ _edge = st.tuples(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_twostar_cc_equals_minlabel_property(spark, edges):
     """Property: the log-round two-star algorithm and diameter-round
     min-label propagation produce the IDENTICAL (node, component-min)

@@ -17,6 +17,8 @@ import pytest
 
 from tests.conftest import SF_SMOKE
 
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
+
 
 def _pq(table):
     return pd.read_parquet(f"{SF_SMOKE}/{table}.parquet")

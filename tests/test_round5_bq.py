@@ -13,6 +13,9 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_T2
 
+import pytest
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
+
 DIM = 64
 K = 5
 N_PROBES = 4

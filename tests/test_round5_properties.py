@@ -11,6 +11,9 @@ import re
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
+import pytest
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
+
 PROP_SETTINGS = settings(
     max_examples=8,
     deadline=None,

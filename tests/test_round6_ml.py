@@ -16,6 +16,9 @@ import pandas as pd
 
 from tests.conftest import SF_T2
 
+import pytest
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
+
 
 def _nb_margins(docs: pd.DataFrame):
     def grams(t):

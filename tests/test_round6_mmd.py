@@ -10,6 +10,9 @@ import pandas as pd
 
 from tests.conftest import SF_T2
 
+import pytest
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
+
 
 def test_mmd_matches_numpy(spark):
     from pyvectorsearch_spark.queries.embedding_extra import (

@@ -13,6 +13,8 @@ import pytest
 
 from pyvectorsearch_spark.operators.graph import connected_components
 
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
+
 
 def _chain(spark, n):
     return spark.createDataFrame(

@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 from pyvectorsearch_spark.index.grid import GridIndex
 from pyvectorsearch_spark.operators.knn import knn_join, range_join
 
+import pytest
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
+
 N = 300_000          # 100k clusters x 3 points
 GRID = 320           # 320x320 = 102_400 cluster centers on [0, 8000)^2
 LIMIT = 20_000       # driver bound far below the ~1e5 fine cells

@@ -28,6 +28,8 @@ from pyvectorsearch_spark.index.incremental import (
 from pyvectorsearch_spark.operators.knn import knn_join
 from pyvectorsearch_spark.streaming.ingest import stream_index_ingest
 
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
+
 
 def _clustered(spark, n_clusters=6, per_cluster=40, spread=0.004):
     # tight clusters + sparse stragglers: the cascade must both KEEP fine

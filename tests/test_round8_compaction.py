@@ -34,6 +34,8 @@ from pyvectorsearch_spark.streaming.ingest import (
 )
 from tests.conftest import SF_SMOKE
 
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
+
 
 def _assign(df):
     return df.withColumn(

@@ -24,6 +24,8 @@ from pyvectorsearch_spark.operators.clustering import _km_quantize, _km_train
 from pyvectorsearch_spark.sources.tables import load_table
 from tests.conftest import SF_SMOKE
 
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
+
 K = 5
 NP = 8
 

@@ -41,6 +41,8 @@ from pyvectorsearch_spark.index.incremental import (
     read_stats,
 )
 
+pytestmark = pytest.mark.slow  # soak/property tier: excluded from the default (driver-visible) run, see pytest.ini (r11)
+
 FINE, DIM, RR, RATIO, RANK = 6, 2, 2, 2, 4
 GEOM = dict(fine_level=FINE, dim=DIM, rr=RR, ratio=RATIO, rank=RANK)
 

@@ -4,6 +4,7 @@ these pin operator semantics on hand-checkable inputs)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyvectorsearch_spark.operators.sketches import HLL_M, hll_distinct
@@ -338,6 +339,7 @@ _doc = st.lists(_word, min_size=4, max_size=12).map(" ".join)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_incremental_dedup_exact_verdicts_property(
     spark, corpus, delta, copy_idx
 ):
