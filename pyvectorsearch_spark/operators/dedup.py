@@ -810,6 +810,67 @@ def embedding_dup_pairs_blocked(
     )
 
 
+# Above this Catalyst size estimate of the (id, vector) projection the
+# blocked GEMM's driver collect + broadcast stops being safe (the whole
+# vector table lives on the driver and every executor). 256 MiB ≈ 500k
+# rows at 64 double dims — far under the 8 GB broadcast-relation cap, and
+# the bucketed kernel needs no driver state at all beyond its k-means
+# sample.
+EMB_GEMM_MAX_BYTES = 256 << 20
+
+
+def _plan_size_known_below(df: DataFrame, bound: int) -> bool:
+    """True only when Catalyst's plan-time size estimate (no job) PROVES the
+    table under ``bound`` — unknown/sentinel estimates return False, so the
+    caller takes the scale-safe branch."""
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(size if isinstance(size, int) else size.toString())
+    except Exception:
+        return False
+    return 0 < size < bound and size < (1 << 60)
+
+
+def embedding_dup_pairs_auto(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    model: "AngularModel | None" = None,
+    model_fn=None,
+    gemm_max_bytes: int = EMB_GEMM_MAX_BYTES,
+    decision_out: dict | None = None,
+) -> DataFrame:
+    """Size-dispatched embedding near-dup join (r11; the same dispatch
+    pattern as ``hamming_pairs_auto`` and the bounded driver union-find):
+
+    - vector tables PROVABLY under ``gemm_max_bytes`` (Catalyst plan-size
+      estimate, no job) take ``embedding_dup_pairs_blocked`` — one driver
+      collect + broadcast + ONE Python boundary, no shuffle (measured
+      1.36 s → 0.84 s median on the sf0.1 bench row vs the bucketed
+      kernel's two boundaries + 16-group shuffle);
+    - bigger or unknown-size tables take the lossless angular-IVF bucketed
+      kernel, which never collects the vectors (``model`` / lazy
+      ``model_fn`` supply its build-once artifact; it is not touched on
+      the blocked branch).
+
+    Both kernels recompute survivors' cosine with the canonical sequential
+    expression, so the output rows are IDENTICAL — the dispatch only picks
+    the physical plan."""
+    small = _plan_size_known_below(df.select(id_col, vec_col), gemm_max_bytes)
+    if decision_out is not None:
+        decision_out["kernel"] = "blocked" if small else "bucketed"
+    if small:
+        return embedding_dup_pairs_blocked(
+            df, id_col=id_col, vec_col=vec_col, min_cosine=min_cosine
+        )
+    m = model if model is not None else (model_fn() if model_fn is not None else None)
+    return embedding_dup_pairs_bucketed(
+        df, id_col=id_col, vec_col=vec_col, min_cosine=min_cosine, model=m
+    )
+
+
 class AngularModel:
     """Bucketing model for ``embedding_dup_pairs_bucketed``: unit centroids
     + the corpus-wide max primary angle. Building it costs a sample job, a

@@ -24,12 +24,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _cc_driver(edges: DataFrame, _stats: dict | None = None) -> DataFrame:
+def _cc_driver(
+    edges: DataFrame, _stats: dict | None = None, rows: list | None = None
+) -> DataFrame:
     """Union-find over a census-bounded collected edge list — identical
     (node, cluster=min id in component) output to the distributed rounds.
     Only reached through ``connected_components(driver_max_edges=...)``,
-    which has already proven the directed edge count ≤ the bound."""
-    rows = edges.collect()
+    which has already proven the directed edge count ≤ the bound.
+    ``rows`` lets the caller hand over an already-collected edge list
+    (the r11 bounded probe) so no second action runs; duplicate edges are
+    harmless — union-find is idempotent."""
+    if rows is None:
+        rows = edges.collect()
     parent: dict = {}
 
     def find(x):
@@ -132,17 +138,30 @@ def connected_components(
     """
     if start not in ("auto", "label", "twostar"):
         raise ValueError(f"unknown start mode {start!r}")
+    raw = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    probed_over_bound = False
+    if driver_max_edges is not None and start == "auto" and switch_after is not None:
+        # r11: ONE bounded action decides the driver dispatch AND, when the
+        # graph is under the bound, already holds the whole edge list —
+        # replacing the r10 shape (distinct + repartition shuffles, then a
+        # census job, then a second collect). The raw union is checkpointed
+        # first so the expensive pair pipeline is evaluated exactly once
+        # whichever branch wins; the probe's memory is capped at
+        # (driver_max_edges + 1) rows whatever the graph size. Raw rows
+        # count duplicates, so the raw-row bound is conservative vs the
+        # r10 distinct-directed-edge census bound.
+        raw = raw.localCheckpoint(eager=True)
+        probe = raw.limit(int(driver_max_edges) + 1).collect()
+        if len(probe) <= driver_max_edges:
+            return _cc_driver(raw, _stats=_stats, rows=probe)
+        probed_over_bound = True
     # Pre-partition the (checkpointed-once) edge table on the lookup key so
     # every round's labels join is co-partitioned against it — checkpoint
     # preserves outputPartitioning, so rounds re-sort but never re-exchange
     # the edges.
-    edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .repartition("b")
-        .localCheckpoint(eager=True)
-    )
+    edges = raw.distinct().repartition("b").localCheckpoint(eager=True)
     if start == "auto" and switch_after is not None:
         # degree census on "b" — the edge table's partitioning key, so the
         # groupBy is exchange-free; edges hold both directions, so the

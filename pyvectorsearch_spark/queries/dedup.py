@@ -11,7 +11,6 @@ from pyvectorsearch_spark.functions.text import duckdb_minhash64, duckdb_shingle
 from pyvectorsearch_spark.functions.vector import duckdb_cosine
 from pyvectorsearch_spark.operators.dedup import (
     SIMHASH_BITS,
-    embedding_dup_pairs_bucketed,
     exact_dedup,
     jaccard_similarity_pairs,
     minhash_lsh_pairs,
@@ -221,23 +220,33 @@ def q_dedup_simhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-scale embedding near-dup: lossless angular IVF bucketing +
-    within-bucket GEMM — the vector table is never collected. The bucketing
-    model (centroids + α_max) is a build-once artifact keyed to the corpus
-    snapshot, like the search indexes — steady-state runs skip the sample /
-    k-means / α_max jobs entirely."""
+    """Corpus-scale embedding near-dup, size-dispatched (r11): vector
+    tables provably under ``EMB_GEMM_MAX_BYTES`` take the broadcast
+    blocked-GEMM kernel (one Python boundary, no shuffle); bigger corpora
+    take the lossless angular IVF bucketing + within-bucket GEMM, whose
+    vector table is never collected. The bucketing model (centroids +
+    α_max) is a build-once artifact keyed to the corpus snapshot, like the
+    search indexes, and is only loaded/built on the bucketed branch. Both
+    kernels emit identical rows (pinned)."""
     from pyvectorsearch_spark.index.cache import build_or_load
     from pyvectorsearch_spark.sources.tables import dataset_tag
-    from pyvectorsearch_spark.operators.dedup import AngularModel, angular_bucket_model
+    from pyvectorsearch_spark.operators.dedup import (
+        AngularModel,
+        angular_bucket_model,
+        embedding_dup_pairs_auto,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    model = build_or_load(
-        spark,
-        f"angular16_seed42_{dataset_tag(sf_dir, 'embeddings')}",
-        load=AngularModel.load,
-        build=lambda: angular_bucket_model(emb, n_lists=16, seed=42),
+    out = embedding_dup_pairs_auto(
+        emb,
+        min_cosine=MIN_COSINE,
+        model_fn=lambda: build_or_load(
+            spark,
+            f"angular16_seed42_{dataset_tag(sf_dir, 'embeddings')}",
+            load=AngularModel.load,
+            build=lambda: angular_bucket_model(emb, n_lists=16, seed=42),
+        ),
     )
-    out = embedding_dup_pairs_bucketed(emb, min_cosine=MIN_COSINE, model=model)
     return out.select("d1", "d2", F.round("cosine", 6).alias("cosine"))
 
 

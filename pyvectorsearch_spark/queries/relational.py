@@ -509,6 +509,9 @@ FROM events GROUP BY 1 ORDER BY k_mod
 """
 
 
+QUANTILE_BUCKETS = 4096
+
+
 def _exact_group_quantiles(
     df: DataFrame, group_col: str, value_col: str, probs: list[float]
 ) -> DataFrame:
@@ -518,16 +521,26 @@ def _exact_group_quantiles(
 
     ``percentile`` is an ObjectHashAggregate that concentrates every value
     of a group in ONE final buffer — the documented 100 TB memory hazard
-    (guide §5). This form never holds a group anywhere: range-partition the
-    (group, value) rows, pin the placement with a localCheckpoint (the
-    RangePartitioner re-samples per job, so two passes over an unpinned
-    exchange could disagree), collect only the per-(partition, group) COUNTS
-    (≤ partitions × groups tiny rows), turn them into rank offsets on the
-    driver, and read the two order statistics each quantile needs with a
-    per-partition ``row_number`` — every stage is spillable and parallel
-    within a group. Interpolation reproduces ``Percentile.getPercentile``
-    exactly: ``(ceil(pos)-pos)·v_lo + (pos-floor(pos))·v_hi`` with
-    ``pos = p·(n-1)`` computed in the same IEEE doubles.
+    (guide §5). This form never holds a group anywhere. A deterministic
+    MONOTONIC bucket key ``_b = width_bucket(v, min_g, max_g, B)`` (per-group
+    bounds from one cheap aggregate; floor of an affine map is weakly
+    monotonic in IEEE doubles, and equal values always share a bucket, so
+    bucket-local ranks compose into exact global ranks) replaces physical
+    range partitioning — no RangePartitioner sample job, no checkpoint, no
+    full-row shuffle. Three column-pruned passes:
+
+    1. per-group n / min / max (hash aggregate, tiny collect);
+    2. per-(group, bucket) counts (hash aggregate, ≤ groups × B rows
+       collected) → the driver turns cumulative bucket counts into the ≤ 2
+       target buckets + bucket-local ranks each quantile needs;
+    3. rows of the TARGET BUCKETS ONLY (a map-side filter — nothing else
+       reaches the exchange) → per-bucket distinct-value counts → one small
+       window per (group, bucket) → the two order statistics per quantile.
+
+    Interpolation reproduces ``Percentile.getPercentile`` exactly:
+    ``(ceil(pos)-pos)·v_lo + (pos-floor(pos))·v_hi`` with ``pos = p·(n-1)``
+    computed in the same IEEE doubles (≤ 2 terms per sum — IEEE addition of
+    two terms is order-exact).
 
     Returns one row per group: (group_col, _q0.._qK) raw (un-rounded)
     quantile values. Groups whose values are all null are absent (as with
@@ -537,51 +550,99 @@ def _exact_group_quantiles(
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    B = QUANTILE_BUCKETS
     vals = df.select(
         F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
     ).filter(F.col("_v").isNotNull())
-    # partition count: the session's shuffle parallelism (scale-adaptive by
-    # deployment conf; the per-partition state below is rows/partitions)
-    vals = (
-        vals.repartitionByRange("_g", "_v")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+    bounds = {
+        r["_g"]: (int(r["_n"]), float(r["_lo"]), float(r["_hi"]))
+        for r in vals.groupBy("_g")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min("_v").alias("_lo"),
+            F.max("_v").alias("_hi"),
+        )
+        .collect()
+    }
+    if not bounds:
+        g_type = dict(df.dtypes)[group_col]
+        qcols = ", ".join(f"_q{qi} double" for qi in range(len(probs)))
+        return spark.createDataFrame([], f"{group_col} {g_type}, {qcols}")
+    g_type = dict(df.dtypes)[group_col]
+    bnd_df = spark.createDataFrame(
+        [(g, lo, hi) for g, (_, lo, hi) in bounds.items()],
+        f"_g {g_type}, _lo double, _hi double",
     )
-    pc = vals.groupBy("_pid", "_g").agg(F.count("*").alias("_c")).collect()
+
+    def bucket_expr():
+        # degenerate all-equal groups (lo == hi) collapse to bucket 1
+        return F.when(
+            F.col("_lo") < F.col("_hi"),
+            F.width_bucket("_v", "_lo", "_hi", F.lit(B)),
+        ).otherwise(F.lit(1)).cast("int")
+
+    keyed = vals.join(F.broadcast(bnd_df), "_g").withColumn("_b", bucket_expr())
+    bc = (
+        keyed.groupBy("_g", "_b").agg(F.count("*").alias("_c")).collect()
+    )
     per_group: dict = {}
-    for r in pc:
-        per_group.setdefault(r["_g"], []).append((int(r["_pid"]), int(r["_c"])))
-    offsets, targets = [], []
+    for r in bc:
+        per_group.setdefault(r["_g"], []).append((int(r["_b"]), int(r["_c"])))
+    # driver: locate each target rank's bucket + its bucket-local rank
+    targets = []  # (g, b, local_rank, qi, weight)
     for g, lst in per_group.items():
         lst.sort()
-        cum = 0
-        for pid, c in lst:
-            offsets.append((g, pid, cum))
+        n = bounds[g][0]
+        cums, cum = {}, 0
+        for b, c in lst:
+            cums[b] = cum  # ranks before bucket b
             cum += c
-        n = cum
+        order = [b for b, _ in lst]
+
+        def locate(rank):  # 1-based global rank -> (bucket, local rank)
+            import bisect
+
+            idx = bisect.bisect_right([cums[b] for b in order], rank - 1) - 1
+            b = order[idx]
+            return b, rank - cums[b]
+
         for qi, p in enumerate(probs):
             pos = p * (n - 1)
             lo_i, hi_i = math.floor(pos), math.ceil(pos)
             if lo_i == hi_i:
-                targets.append((g, qi, lo_i + 1, 1.0))
+                b, lr = locate(lo_i + 1)
+                targets.append((g, b, lr, qi, 1.0))
             else:
                 # exactly Percentile.getPercentile's two weights
-                targets.append((g, qi, lo_i + 1, float(hi_i) - pos))
-                targets.append((g, qi, hi_i + 1, pos - float(lo_i)))
-    g_type = dict(df.dtypes)[group_col]
-    off_df = spark.createDataFrame(offsets, f"_g {g_type}, _pid int, _off long")
+                b, lr = locate(lo_i + 1)
+                targets.append((g, b, lr, qi, float(hi_i) - pos))
+                b, lr = locate(hi_i + 1)
+                targets.append((g, b, lr, qi, pos - float(lo_i)))
     tgt_df = spark.createDataFrame(
-        targets, f"_g {g_type}, _qi int, _rank long, _w double"
+        targets, f"_g {g_type}, _b int, _lr long, _qi int, _w double"
     )
-    w = Window.partitionBy("_pid", "_g").orderBy("_v")
-    ranked = (
-        vals.join(F.broadcast(off_df), ["_g", "_pid"])
-        .withColumn("_rank", F.row_number().over(w) + F.col("_off"))
-        .join(F.broadcast(tgt_df), ["_g", "_rank"])
+    hit_pairs = sorted({(g, b) for g, b, *_ in targets})
+    # map-side prefilter: only rows of the ≤ 2·|probs| buckets per group
+    # that hold a target rank ever reach the exchange
+    pred = None
+    for g, b in hit_pairs:
+        term = (F.col("_g") == F.lit(g)) & (F.col("_b") == F.lit(b))
+        pred = term if pred is None else (pred | term)
+    hits = keyed.filter(pred)
+    # distinct-value counts bound the window input by the bucket's value
+    # domain, not its row count (hot values collapse to one row)
+    dist = hits.groupBy("_g", "_b", "_v").agg(F.count("*").alias("_c"))
+    w = (
+        Window.partitionBy("_g", "_b")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # ≤ 2 weighted terms per quantile: IEEE addition of two terms is
-    # commutative, so the sum is order-independent and bit-stable
-    picked = ranked.groupBy("_g").agg(
+    ranked = dist.withColumn("_cum", F.sum("_c").over(w))
+    # a value covers bucket-local ranks (_cum − _c, _cum]
+    j = ranked.join(F.broadcast(tgt_df), ["_g", "_b"]).filter(
+        (F.col("_lr") > F.col("_cum") - F.col("_c")) & (F.col("_lr") <= F.col("_cum"))
+    )
+    picked = j.groupBy("_g").agg(
         *[
             F.sum(F.when(F.col("_qi") == qi, F.col("_w") * F.col("_v"))).alias(
                 f"_q{qi}"
@@ -592,14 +653,50 @@ def _exact_group_quantiles(
     return picked.withColumnRenamed("_g", group_col)
 
 
+# Above this Catalyst size estimate of the (group, value) projection the
+# `percentile` aggregate is no longer trusted: its final buffer holds every
+# value of a group (guide §5), so a 2 GiB projection (~10⁸ doubles) is the
+# last point where one skewed group provably fits one task's memory.
+# Below it the single-job aggregate wins outright (measured r11: 1.33 s
+# aggregate vs 2.66 s distributed at sf0.1 — the distributed form's two
+# extra driver jobs cost ~1 s of fixed overhead that only amortizes at
+# scale); above it the rank form is the only memory-safe choice. Both
+# branches are proven value-identical (test_r11_opt.py).
+QUANTILE_AGG_MAX_BYTES = 2 << 30
+
+
+def _quantile_input_is_small(df: DataFrame) -> bool:
+    """Catalyst plan-size gate (no job): False on unknown/sentinel estimates
+    — when the size cannot be proven small, take the memory-safe form."""
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(size if isinstance(size, int) else size.toString())
+    except Exception:
+        return False
+    return 0 < size < QUANTILE_AGG_MAX_BYTES and size < (1 << 60)
+
+
 def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (p25/p50/p75) of extended price per
-    return flag. The quantiles come from the DISTRIBUTED range-partition +
-    global-rank pass (``_exact_group_quantiles`` — value-identical to the
-    ``percentile`` aggregate, without its all-values-in-one-buffer final
-    stage); count/mean stay a plain hash aggregate. DuckDB ``quantile_cont``
-    is the oracle; both use linear interpolation."""
+    return flag. Size-dispatched (r11, VERDICT r10 #6): inputs whose
+    (flag, price) projection is provably under ``QUANTILE_AGG_MAX_BYTES``
+    take the single-pass ``percentile`` aggregate; anything bigger (or of
+    unknown size) takes the DISTRIBUTED bucket-rank pass
+    (``_exact_group_quantiles``) that never holds a group's values in one
+    buffer. The two forms are value-identical — the dispatch only picks the
+    physical plan, like the GEMM/bucketed and driver/distributed-CC
+    dispatches before it. DuckDB ``quantile_cont`` is the oracle; both use
+    linear interpolation."""
     li = _t(spark, sf_dir, "lineitem")
+    if _quantile_input_is_small(li.select("l_returnflag", "l_extendedprice")):
+        pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
+        return li.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"),
+            F.round(F.element_at(pct, 1), 6).alias("p25"),
+            F.round(F.element_at(pct, 2), 6).alias("p50"),
+            F.round(F.element_at(pct, 3), 6).alias("p75"),
+            F.round(F.avg("l_extendedprice"), 6).alias("mean_price"),
+        )
     base = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.round(F.avg("l_extendedprice"), 6).alias("mean_price"),

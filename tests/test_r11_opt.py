@@ -117,12 +117,12 @@ class TestExactGroupQuantiles:
         )
         assert self._new(spark, df) == self._old(df)
 
-    def test_price_quantiles_matches_old_form(self, spark):
-        from pyvectorsearch_spark.queries.relational import _t, price_quantiles
+    def _old_form(self, spark):
+        from pyvectorsearch_spark.queries.relational import _t
 
         li = _t(spark, SF_T2, "lineitem")
         pct = F.percentile("l_extendedprice", F.lit(self.PROBS))
-        old = {
+        return {
             tuple(r)
             for r in li.groupBy("l_returnflag")
             .agg(
@@ -134,14 +134,28 @@ class TestExactGroupQuantiles:
             )
             .collect()
         }
-        new = {tuple(r) for r in price_quantiles(spark, SF_T2).collect()}
-        assert new == old
 
-    def test_no_percentile_aggregate_in_plan(self, spark):
+    def test_price_quantiles_small_branch_is_old_form(self, spark):
+        """Small inputs dispatch to the single-pass percentile aggregate."""
         from pyvectorsearch_spark.queries.relational import price_quantiles
 
-        plan = price_quantiles(spark, SF_T2)._jdf.queryExecution().executedPlan().toString()
+        df = price_quantiles(spark, SF_T2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "percentile(" in plan
+        assert {tuple(r) for r in df.collect()} == self._old_form(spark)
+
+    def test_price_quantiles_big_branch_identical_and_percentile_free(
+        self, spark, monkeypatch
+    ):
+        """The over-bound branch: value-identical rows, and the plan holds
+        no object-hash percentile aggregate (the guide-§5 fix)."""
+        from pyvectorsearch_spark.queries import relational
+
+        monkeypatch.setattr(relational, "QUANTILE_AGG_MAX_BYTES", 0)
+        df = relational.price_quantiles(spark, SF_T2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         assert "percentile(" not in plan
+        assert {tuple(r) for r in df.collect()} == self._old_form(spark)
 
 
 class TestLocalSchemaAdvice:
@@ -235,6 +249,61 @@ class TestB0BroadcastGate:
         gi.B0_BROADCAST = False
         qs = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
         assert gi._b0_broadcast_ok(qs) is False
+
+
+class TestEmbAutoDispatch:
+    def test_small_parquet_takes_blocked(self, spark):
+        from pyvectorsearch_spark.operators.dedup import embedding_dup_pairs_auto
+        from pyvectorsearch_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF_T2, "embeddings")
+        dec = {}
+        df = embedding_dup_pairs_auto(emb, min_cosine=0.4, decision_out=dec)
+        assert dec["kernel"] == "blocked"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one Python boundary, no grouped-pandas shuffle stage
+        assert "FlatMapGroupsInPandas" not in plan
+
+    def test_kernels_identical(self, spark):
+        from pyvectorsearch_spark.operators.dedup import (
+            angular_bucket_model,
+            embedding_dup_pairs_auto,
+            embedding_dup_pairs_bucketed,
+        )
+        from pyvectorsearch_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF_T2, "embeddings")
+        model = angular_bucket_model(emb, n_lists=16, seed=42)
+        want = {
+            tuple(r)
+            for r in embedding_dup_pairs_bucketed(emb, min_cosine=0.4, model=model)
+            .select("d1", "d2", F.round("cosine", 6).alias("c"))
+            .collect()
+        }
+        got = {
+            tuple(r)
+            for r in embedding_dup_pairs_auto(emb, min_cosine=0.4)
+            .select("d1", "d2", F.round("cosine", 6).alias("c"))
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_unknown_size_takes_bucketed(self, spark):
+        from pyvectorsearch_spark.operators.dedup import (
+            angular_bucket_model,
+            embedding_dup_pairs_auto,
+        )
+
+        rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(64)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        dec = {}
+        embedding_dup_pairs_auto(
+            df,
+            min_cosine=0.9,
+            model_fn=lambda: angular_bucket_model(df, n_lists=4, seed=1),
+            decision_out=dec,
+        )
+        assert dec["kernel"] == "bucketed"
 
 
 class TestQsBroadcast:
