@@ -16,6 +16,16 @@ its table, prior queries' results have been collected and their caches
 are dead weight. Unpersist is correctness-neutral regardless — Spark
 recomputes evicted partitions from lineage — so a rare overlapping
 re-collect only costs time, never accuracy.
+
+Same-plan hazard (r11): Spark's CacheManager keeps ONE entry per
+canonical plan, so persisting a DataFrame whose plan matches an entry
+still in the pool would create a second handle over the SAME entry —
+and the FIFO's later unpersist of the older handle would kill the cache
+out from under the newer one, turning every downstream leg into a full
+recompute (measured: a repeat text_lr_calibrate invocation went
+27.3 s vs 2 s, ~500 one-task recompute stages). `pooled_persist` now
+detects the match with `sameSemantics` and refreshes the existing
+handle's FIFO position instead of re-persisting.
 """
 from __future__ import annotations
 
@@ -27,8 +37,19 @@ _POOL: list[DataFrame] = []
 
 
 def pooled_persist(df: DataFrame) -> DataFrame:
-    """persist() `df` and evict the oldest pooled handles beyond
+    """persist() `df` (or adopt the pooled cache entry that already covers
+    this exact plan) and evict the oldest pooled handles beyond
     POOL_LIMIT (non-blocking). Returns `df` for chaining."""
+    for i, old in enumerate(_POOL):
+        try:
+            match = old.sameSemantics(df)
+        except Exception:
+            match = False
+        if match:
+            # one CacheManager entry per canonical plan: refresh its FIFO
+            # position; the entry applies to `df` automatically at exec
+            _POOL.append(_POOL.pop(i))
+            return df
     df = df.persist()
     _POOL.append(df)
     while len(_POOL) > POOL_LIMIT:

@@ -306,6 +306,43 @@ class TestEmbAutoDispatch:
         assert dec["kernel"] == "bucketed"
 
 
+class TestPooledPersistSamePlan:
+    def test_same_plan_refreshes_instead_of_double_persist(self, spark):
+        """r11: persisting a plan semantically equal to a pooled entry must
+        NOT create a second handle over the same CacheManager entry — the
+        FIFO's later unpersist of the old handle would kill the cache out
+        from under the new one (measured 27.3 s vs 2 s on a repeat
+        text_lr_calibrate invocation)."""
+        from pyvectorsearch_spark.plans import cachepool
+
+        cachepool.drain_pool()
+        df1 = spark.range(100).selectExpr("id", "id * 3 AS v")
+        out1 = cachepool.pooled_persist(df1)
+        n_before = len(cachepool._POOL)
+        df2 = spark.range(100).selectExpr("id", "id * 3 AS v")
+        out2 = cachepool.pooled_persist(df2)
+        assert len(cachepool._POOL) == n_before  # refreshed, not appended
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        assert cm.lookupCachedData(out2._jdf).isDefined()
+        # evicting everything still cleans the shared entry exactly once
+        cachepool.drain_pool()
+        assert not cm.lookupCachedData(out1._jdf).isDefined()
+
+    def test_distinct_plans_still_pooled_and_evicted(self, spark):
+        from pyvectorsearch_spark.plans import cachepool
+
+        cachepool.drain_pool()
+        handles = [
+            cachepool.pooled_persist(spark.range(10 + i).selectExpr("id"))
+            for i in range(cachepool.POOL_LIMIT + 2)
+        ]
+        assert len(cachepool._POOL) == cachepool.POOL_LIMIT
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        assert not cm.lookupCachedData(handles[0]._jdf).isDefined()
+        assert cm.lookupCachedData(handles[-1]._jdf).isDefined()
+        cachepool.drain_pool()
+
+
 class TestQsBroadcast:
     def test_gate_mirrors_b0(self, spark):
         from pyvectorsearch_spark.index.grid import GridIndex
