@@ -598,6 +598,55 @@ class GridIndex:
             functools.reduce(add, max_terms),
         )
 
+    # Evaluate the CELL-ONLY geometry (per-level width = w·ratio^-floor(…),
+    # box lo/hi per dim) once per cell on the broadcast side instead of
+    # inside every |Q|·|cells| pair row (r11): the per-pair math drops from
+    # pow/floor/element_at chains to two array reads + add/mul per dim.
+    # Identical doubles — the same expressions over the same inputs, just
+    # hoisted below the BroadcastExchange. Flag kept as the A/B kill switch.
+    BOX_COLS = True
+
+    def _with_box_cols(self, stats_df: DataFrame) -> DataFrame:
+        """stats rows + (_blo, _bhi) per-dim box-bound arrays."""
+        los, his = [], []
+        for c in range(self.dim):
+            s_c = F.floor(
+                (F.col("level").cast("long") * self.rr + self.dim - c - 1)
+                / float(self.dim)
+            ).cast("double")
+            w_c = F.lit(float(self.width)) * F.pow(F.lit(float(self.ratio)), -s_c)
+            lo = (
+                F.lit(float(self.origin[c]))
+                + F.element_at("coords", c + 1).cast("double") * w_c
+            )
+            los.append(lo)
+            his.append(lo + w_c)
+        return stats_df.withColumn("_blo", F.array(*los)).withColumn(
+            "_bhi", F.array(*his)
+        )
+
+    def _box_bounds_from_cols(self, qvec: Column) -> tuple[Column, Column]:
+        """The `_box_bounds_expr` arithmetic over precomputed (_blo, _bhi)
+        columns — bit-identical terms, cell geometry not re-derived."""
+        import functools
+
+        min_terms: list[Column] = []
+        max_terms: list[Column] = []
+        for c in range(self.dim):
+            lo = F.element_at("_blo", c + 1)
+            hi = F.element_at("_bhi", c + 1)
+            qc = F.element_at(qvec, c + 1).cast("double")
+            dmin = F.greatest(lo - qc, F.lit(0.0)) + F.greatest(qc - hi, F.lit(0.0))
+            min_terms.append(dmin * dmin)
+            max_terms.append(
+                F.greatest((qc - lo) * (qc - lo), (hi - qc) * (hi - qc))
+            )
+        add = lambda a, b: a + b  # noqa: E731
+        return (
+            functools.reduce(add, min_terms),
+            functools.reduce(add, max_terms),
+        )
+
     def _scored_pairs(self, qs: DataFrame, stats_df: DataFrame | None = None) -> DataFrame:
         """(query × cell) with distance bounds: queries joined against the
         broadcast stats table. The stats side is ~n/occupancy rows — the
@@ -612,11 +661,18 @@ class GridIndex:
         spread = qs.repartition(
             qs.sparkSession.sparkContext.defaultParallelism, "_qid"
         )
+        stats = stats_df if stats_df is not None else self.stats_df
+        if self.BOX_COLS:
+            mn, mx = self._box_bounds_from_cols(F.col("_qvec"))
+            return (
+                spread.crossJoin(F.broadcast(self._with_box_cols(stats)))
+                .withColumn("_min_d2", mn)
+                .withColumn("_max_d2", mx)
+                .drop("_blo", "_bhi")
+            )
         mn, mx = self._box_bounds_expr(F.col("_qvec"))
         return (
-            spread.crossJoin(
-                F.broadcast(stats_df if stats_df is not None else self.stats_df)
-            )
+            spread.crossJoin(F.broadcast(stats))
             .withColumn("_min_d2", mn)
             .withColumn("_max_d2", mx)
         )

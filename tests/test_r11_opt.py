@@ -306,6 +306,24 @@ class TestEmbAutoDispatch:
         assert dec["kernel"] == "bucketed"
 
 
+class TestBoxCols:
+    def test_hoisted_bounds_identical(self, spark):
+        """r11: per-cell box bounds hoisted below the BroadcastExchange must
+        produce bit-identical (query, cell) survivor sets and distances."""
+        from pyvectorsearch_spark.index.grid import GridIndex
+        from pyvectorsearch_spark.queries.vector import QUERIES
+
+        prev = GridIndex.BOX_COLS
+        try:
+            GridIndex.BOX_COLS = True
+            new = {tuple(r) for r in QUERIES["knn_grid_query_table"](spark, SF_T2).collect()}
+            GridIndex.BOX_COLS = False
+            old = {tuple(r) for r in QUERIES["knn_grid_query_table"](spark, SF_T2).collect()}
+        finally:
+            GridIndex.BOX_COLS = prev
+        assert new == old and len(new) > 0
+
+
 class TestPooledPersistSamePlan:
     def test_same_plan_refreshes_instead_of_double_persist(self, spark):
         """r11: persisting a plan semantically equal to a pooled entry must
